@@ -1,0 +1,166 @@
+package graft
+
+/** DuckDB oracle twins for [[SparkEntry.queries]].
+  *
+  * Written against the same parquet files the Spark side reads; the driver
+  * substitutes table names for parquet paths (tables are referenced by bare
+  * name). Column names and final types are kept bit-identical with the Spark
+  * results: decimal casts mirror the Spark side exactly, so distributed
+  * summation order can never change a value.
+  */
+object OracleSql {
+
+  private val rev = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))"
+
+  val sql: Map[String, String] = Map(
+    "q01_scan_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
+         |  CAST(sum($rev) AS DECIMAL(38,4)) AS sum_disc_price,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+        |FROM lineitem
+        |WHERE l_quantity < 3 AND l_shipdate >= TIMESTAMP '1998-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-04-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_join_agg" ->
+      s"""SELECT l_orderkey, o_orderdate, CAST(sum($rev) AS DECIMAL(38,4)) AS rev
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01'
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY rev DESC, l_orderkey
+         |LIMIT 10""".stripMargin,
+
+    "q04_join5_agg" ->
+      s"""SELECT n_name, CAST(sum($rev) AS DECIMAL(38,4)) AS rev, count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY n_name
+         |ORDER BY n_name""".stripMargin,
+
+    "q05_topk" ->
+      """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        |FROM orders
+        |ORDER BY price DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q06_distinct_on" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders) WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q07_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS seq,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+        |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_total
+        |FROM orders
+        |ORDER BY o_custkey, seq""".stripMargin,
+
+    "q08_union" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |UNION
+        |SELECT s_nationkey AS nk FROM supplier
+        |ORDER BY nk""".stripMargin,
+
+    "q09_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q10_anti_join" ->
+      """SELECT c_custkey, c_name, c_nationkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q14_constants" ->
+      """SELECT c_custkey, 'alpha' AS tag, CAST(1 AS INT) AS flag, CAST(2.5 AS DOUBLE) AS score
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q15_values_cast" ->
+      """SELECT x.id, x.alpha, CAST(x.id AS INT) + 1 AS id2, r_name
+        |FROM (VALUES (0, 'a1'), (2, 'b1'), (4, 'c1')) AS x(id, alpha)
+        |JOIN region ON r_regionkey = x.id
+        |ORDER BY x.id""".stripMargin,
+
+    "q17_string_funcs" ->
+      """SELECT p_partkey, substring(p_name, 1, 5) AS name5,
+        |  CAST(position('a' in p_name) AS INT) AS pos_a,
+        |  CAST(length(p_name) AS INT) AS len,
+        |  p_brand || '#' || p_type AS tag
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q18_case_expr" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN CAST(l_discount AS DECIMAL(12,2)) > CAST(l_tax AS DECIMAL(12,2))
+        |       THEN 'D' ELSE 'T' END AS flag,
+        |  greatest(CAST(l_discount AS DECIMAL(12,2)), CAST(l_tax AS DECIMAL(12,2))) AS max_rate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q19_date_extract" ->
+      """SELECT CAST(extract(year FROM o_orderdate) AS INT) AS yr, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total
+        |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin,
+
+    "q20_in_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q21_agg_having" ->
+      """SELECT p_brand, count(*) AS n, CAST(sum(CAST(p_size AS BIGINT)) AS BIGINT) AS sum_size
+        |FROM part GROUP BY p_brand HAVING count(*) > 10 ORDER BY p_brand""".stripMargin,
+
+    "q22_scalar_subquery" ->
+      """SELECT p_brand, count(*) AS n, (SELECT count(*) FROM part) AS total
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q23_events_window" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS v
+        |FROM events GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin,
+
+    "q24_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM g)
+        |SELECT user_id, CAST(sess AS BIGINT) AS sess, count(*) AS n_events,
+        |  CAST(min(ts) AS TIMESTAMP) AS t0, CAST(max(ts) AS TIMESTAMP) AS t1
+        |FROM s GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin,
+
+    "q25_theta_join" ->
+      """SELECT p_partkey, p_size, CAST(p_retailprice AS DECIMAL(12,2)) AS price
+        |FROM part
+        |JOIN (SELECT p_size AS sz, CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_price,
+        |             count(*) AS n
+        |      FROM part GROUP BY p_size) a
+        |  ON p_size = a.sz AND CAST(p_retailprice AS DECIMAL(12,2)) * a.n > a.sum_price
+        |ORDER BY p_partkey""".stripMargin,
+  )
+}

@@ -1,13 +1,51 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` holds one entry per implemented operator from SURVEY.md §2;
+  * `oracleSql` (in [[OracleSql]]) holds the DuckDB twin for every
+  * SQL-expressible query.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * 5-way join + aggregate — exercises scans, broadcast joins, and shuffle
+    * aggregation in one plan.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q04_join5_agg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan_agg" -> (Relational.q01_scan_agg _),
+    "q02_filter_project" -> (Relational.q02_filter_project _),
+    "q03_join_agg" -> (Relational.q03_join_agg _),
+    "q04_join5_agg" -> (Relational.q04_join5_agg _),
+    "q05_topk" -> (Relational.q05_topk _),
+    "q06_distinct_on" -> (Relational.q06_distinct_on _),
+    "q07_window" -> (Relational.q07_window _),
+    "q08_union" -> (Relational.q08_union _),
+    "q09_semi_join" -> (Relational.q09_semi_join _),
+    "q10_anti_join" -> (Relational.q10_anti_join _),
+    "q14_constants" -> (Relational.q14_constants _),
+    "q15_values_cast" -> (Relational.q15_values_cast _),
+    "q17_string_funcs" -> (Relational.q17_string_funcs _),
+    "q18_case_expr" -> (Relational.q18_case_expr _),
+    "q19_date_extract" -> (Relational.q19_date_extract _),
+    "q20_in_subquery" -> (Relational.q20_in_subquery _),
+    "q21_agg_having" -> (Relational.q21_agg_having _),
+    "q22_scalar_subquery" -> (Relational.q22_scalar_subquery _),
+    "q23_events_window" -> (Relational.q23_events_window _),
+    "q24_sessionize" -> (Relational.q24_sessionize _),
+    "q25_theta_join" -> (Relational.q25_theta_join _),
+  )
+
+  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
+    * same parquet tables. Omitted keys get a weaker rows-only check.
+    */
+  def oracleSql: Map[String, String] = OracleSql.sql
 }

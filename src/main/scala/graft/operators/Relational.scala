@@ -1,0 +1,301 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Relational operator suite over the driver's TPC-H-ish synthetic tables.
+  *
+  * One entry per operator category of SURVEY.md §2.B (the embedded SQL surface
+  * the reference relies on PostgreSQL to evaluate: scans, conjunctive filters,
+  * multi-way equi joins, union, distinct-on, sorts, aggregates, string/date
+  * functions, CASE, casts, IN-subqueries, scalar subqueries). Each query has a
+  * DuckDB oracle twin in [[graft.SparkEntry.oracleSql]].
+  *
+  * Determinism rules for oracle parity: every aggregate over a floating-point
+  * column first casts to an exact decimal type (double summation order is
+  * partition-dependent in Spark, so raw double sums would hash-mismatch), and
+  * every result carries an unambiguous ORDER BY.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Cast a double money/quantity column to an exact decimal for deterministic
+    * distributed aggregation.
+    */
+  private def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
+  private def sum2(c: Column): Column = sum(dec2(c)).cast(DecimalType(38, 2))
+
+  /** l_extendedprice * (1 - l_discount) in exact decimal arithmetic. */
+  private def revenue(price: Column, disc: Column): Column =
+    dec2(price) * (lit(1) - dec2(disc))
+
+  // --- scans + aggregation -------------------------------------------------
+
+  /** Full-scan aggregate (TPC-H Q1 shape): group-by two low-cardinality keys,
+    * map-side partial aggregation does the heavy lifting; only |groups| rows
+    * cross the shuffle.
+    */
+  def q01_scan_agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum2(col("l_quantity")).as("sum_qty"),
+        sum2(col("l_extendedprice")).as("sum_base_price"),
+        sum(revenue(col("l_extendedprice"), col("l_discount")))
+          .cast(DecimalType(38, 4)).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Selective filter + narrow projection — both must reach the parquet scan
+    * (PushedFilters + 5-column ReadSchema instead of 11).
+    */
+  def q02_filter_project(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_quantity") < 3 &&
+        col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-04-01").cast("timestamp"))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // --- joins ---------------------------------------------------------------
+
+  /** 3-way join + aggregate (TPC-H Q3 shape). customer is small at every SF →
+    * broadcast; orders⋈lineitem is the one real shuffle.
+    */
+  def q03_join_agg(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(revenue(col("l_extendedprice"), col("l_discount")))
+        .cast(DecimalType(38, 4)).as("rev"))
+      .orderBy(col("rev").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** 5-way join (TPC-H Q5 shape): revenue by nation for one region. All three
+    * dimension tables broadcast; the plan has a single big shuffle (the
+    * orders⋈lineitem equi join).
+    */
+  def q04_join5_agg(s: SparkSession, dir: String): DataFrame = {
+    val reg = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val nat = t(s, dir, "nation")
+    val cust = t(s, dir, "customer")
+    val ord = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(revenue(col("l_extendedprice"), col("l_discount")))
+        .cast(DecimalType(38, 4)).as("rev"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Left-semi join: customers with at least one finalized order (EXISTS). */
+  def q09_semi_join(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val ord = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Left-anti join: customers with no pending orders (NOT EXISTS). */
+  def q10_anti_join(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val ord = t(s, dir, "orders").filter(col("o_orderstatus") === "P")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_nationkey")
+      .orderBy("c_custkey")
+  }
+
+  /** Theta (non-equi) join: parts priced above the average price of their own
+    * size class — broadcast the tiny per-size aggregate, non-equi predicate.
+    * The mean comparison is expressed division-free (`price * n > sum`) so the
+    * predicate is exact decimal arithmetic on both engines.
+    */
+  def q25_theta_join(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part")
+    val bySize = part.groupBy(col("p_size").as("sz"))
+      .agg(sum(dec2(col("p_retailprice"))).cast(DecimalType(38, 2)).as("sum_price"),
+        count(lit(1)).as("n"))
+    part.join(broadcast(bySize),
+        part("p_size") === bySize("sz") &&
+          dec2(part("p_retailprice")) * bySize("n") > bySize("sum_price"))
+      .select(col("p_partkey"), col("p_size"), dec2(col("p_retailprice")).as("price"))
+      .orderBy("p_partkey")
+  }
+
+  // --- sorts / limits / windows -------------------------------------------
+
+  /** Global top-k by value with a unique tiebreak — Spark plans this as
+    * TakeOrderedAndProject (no full sort of the child).
+    */
+  def q05_topk(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), dec2(col("o_totalprice")).as("price"))
+      .orderBy(col("price").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** Postgres `DISTINCT ON (o_custkey) … ORDER BY o_custkey, o_orderdate`
+    * semantics (first row per key) — SURVEY.md §2.B dialect delta, mapped to a
+    * ranked window (`validation/location.yaml:14-29` uses this construct).
+    */
+  def q06_distinct_on(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .orderBy("o_custkey")
+  }
+
+  /** Window functions: per-customer order sequence + running decimal total. */
+  def q07_window(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .withColumn("running_total",
+        sum(dec2(col("o_totalprice")))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(DecimalType(38, 2)))
+      .select("o_custkey", "o_orderkey", "seq", "running_total")
+      .orderBy("o_custkey", "seq")
+  }
+
+  // --- set ops -------------------------------------------------------------
+
+  /** UNION (distinct) of two scans — `validation/location.yaml:15-18`. */
+  def q08_union(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      .union(t(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+      .distinct()
+      .orderBy("nk")
+
+  // --- expressions ---------------------------------------------------------
+
+  /** String functions used by the reference rules: substring / position /
+    * length / `||` concat (`validation/condition_occurrence.yaml:71,105`).
+    */
+  def q17_string_funcs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      substring(col("p_name"), 1, 5).as("name5"),
+      expr("position('a' in p_name)").as("pos_a"),
+      length(col("p_name")).as("len"),
+      concat_ws("#", col("p_brand"), col("p_type")).as("tag"))
+      .orderBy("p_partkey")
+
+  /** CASE expression + greatest (`tests/rules/join.yaml:28,34`). */
+  def q18_case_expr(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      when(dec2(col("l_discount")) > dec2(col("l_tax")), lit("D"))
+        .otherwise(lit("T")).as("flag"),
+      greatest(dec2(col("l_discount")), dec2(col("l_tax"))).as("max_rate"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Date extraction (`validation/person.yaml:27` `extract(year from …)`). */
+  def q19_date_extract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(count(lit(1)).as("n"), sum2(col("o_totalprice")).as("total"))
+      .orderBy("yr")
+
+  // --- subqueries ----------------------------------------------------------
+
+  /** IN-subquery (`tests/rules/custom_query.yaml:32`) — planned by Catalyst as
+    * a left-semi join.
+    */
+  def q20_in_subquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql("""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+             WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+             ORDER BY o_orderkey""")
+  }
+
+  /** Scalar subquery — the `total_rows()` fixture pattern
+    * (`tests/rules/custom_query.yaml:3-11`): a global count available in every
+    * output row.
+    */
+  def q22_scalar_subquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql("""SELECT p_brand, count(*) AS n, (SELECT count(*) FROM part) AS total
+             FROM part GROUP BY p_brand ORDER BY p_brand""")
+  }
+
+  /** GROUP BY + HAVING. */
+  def q21_agg_having(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), sum(col("p_size").cast("long")).as("sum_size"))
+      .filter(col("n") > 10)
+      .orderBy("p_brand")
+
+  // --- inline VALUES + casts ----------------------------------------------
+
+  /** Inline VALUES table with column aliases + `::` casts
+    * (`tests/rules/custom_query.yaml:26,17`), joined to a real table.
+    */
+  def q15_values_cast(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "region").createOrReplaceTempView("region")
+    s.sql("""SELECT x.id, x.alpha, CAST(x.id AS INT) + 1 AS id2, r_name
+             FROM (VALUES (0, 'a1'), (2, 'b1'), (4, 'c1')) AS x(id, alpha)
+             JOIN region ON r_regionkey = x.id
+             ORDER BY x.id""")
+  }
+
+  /** Constant columns (A17, `tests/rules/constant.yaml`): strings quoted,
+    * numbers raw.
+    */
+  def q14_constants(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(
+      col("c_custkey"),
+      lit("alpha").as("tag"),
+      lit(1).as("flag"),
+      lit(2.5).as("score"))
+      .orderBy("c_custkey")
+
+  // --- events (time series, batch) ----------------------------------------
+
+  /** Tumbling-window aggregate over the events table (batch form; the
+    * streaming twin lives in [[graft.streaming.EventsStream]]).
+    */
+  def q23_events_window(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum2(col("value")).as("v"))
+      .orderBy("h", "event_type")
+
+  /** Gap-based sessionization (30-minute inactivity) via lag + running sum —
+    * the classic two-window pattern; shuffles once on user_id.
+    */
+  def q24_sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("brk",
+        when(unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser) > 1800L * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("sess",
+        sum(col("brk")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+      .orderBy("user_id", "sess")
+  }
+}

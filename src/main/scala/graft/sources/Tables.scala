@@ -1,0 +1,35 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.LongType
+
+/** Source registry for the driver-provided synthetic tables (TESTDATA.md).
+  *
+  * The reference delegates storage to PostgreSQL schemas
+  * (`/root/reference/schema/cerner.sql:1-2`); the rebuild's storage format is
+  * parquet, registered as temp views so `spark.sql` text can be shared with
+  * the DuckDB oracle verbatim.
+  */
+object Tables {
+  val tpch: Seq[String] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+  val extra: Seq[String] = Seq("events", "documents", "embeddings")
+  val all: Seq[String] = tpch ++ extra
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized reader
+      // rejects; read nanos as long and truncate to microsecond timestamps
+      // (the generator emits microsecond-precision values, so this is lossless).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      if (raw.schema("ts").dataType == LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every table as a temp view named exactly like its parquet file. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}
