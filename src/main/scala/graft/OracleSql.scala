@@ -92,6 +92,33 @@ object OracleSql {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
         |ORDER BY c_custkey""".stripMargin,
 
+    "q11_overlay" ->
+      """SELECT c_custkey,
+        |  COALESCE(f.total, CAST(c_acctbal AS DECIMAL(38,2))) AS bal
+        |FROM customer LEFT JOIN (
+        |  SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total
+        |  FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey) f
+        |  ON f.o_custkey = c_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q12_spine_merge" ->
+      """WITH u AS (
+        |  SELECT 0 AS ord, c_custkey AS k FROM customer
+        |  UNION ALL
+        |  SELECT 1 AS ord, s_suppkey AS k FROM supplier)
+        |SELECT row_number() OVER (ORDER BY ord, k) AS id,
+        |  CASE WHEN ord = 0 THEN k END AS customer_key,
+        |  CASE WHEN ord = 1 THEN k END AS supplier_key
+        |FROM u ORDER BY id""".stripMargin,
+
+    "q13_fk_remap" ->
+      """WITH cm AS (SELECT row_number() OVER (ORDER BY c_custkey) AS id, c_custkey FROM customer),
+        |     om AS (SELECT row_number() OVER (ORDER BY o_orderkey) AS id, o_orderkey FROM orders)
+        |SELECT om.id AS id, cm.id AS cust_sid
+        |FROM om JOIN orders ON orders.o_orderkey = om.o_orderkey
+        |LEFT JOIN cm ON cm.c_custkey = orders.o_custkey
+        |ORDER BY id""".stripMargin,
+
     "q14_constants" ->
       """SELECT c_custkey, 'alpha' AS tag, CAST(1 AS INT) AS flag, CAST(2.5 AS DOUBLE) AS score
         |FROM customer ORDER BY c_custkey""".stripMargin,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.Relational
+import graft.operators.{EtlQueries, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -31,6 +31,9 @@ object SparkEntry {
     "q08_union" -> (Relational.q08_union _),
     "q09_semi_join" -> (Relational.q09_semi_join _),
     "q10_anti_join" -> (Relational.q10_anti_join _),
+    "q11_overlay" -> (EtlQueries.q11_overlay _),
+    "q12_spine_merge" -> (EtlQueries.q12_spine_merge _),
+    "q13_fk_remap" -> (EtlQueries.q13_fk_remap _),
     "q14_constants" -> (Relational.q14_constants _),
     "q15_values_cast" -> (Relational.q15_values_cast _),
     "q17_string_funcs" -> (Relational.q17_string_funcs _),

@@ -1,0 +1,125 @@
+package graft.dialect
+
+/** Postgres → Spark SQL dialect fix-ups applied to verbatim rule SQL before
+  * it reaches `spark.sql` (SURVEY.md §7.1 "dialect" module).
+  *
+  * The rebuild registers each `schema.table` as a temp view named
+  * `schema_table`; inside statements, tables are exposed under their bare
+  * name via `schema_table AS table` (mirroring Postgres, where
+  * `FROM cerner.foo` makes both `foo.id` and `cerner.foo.id` resolvable).
+  * [[qualify]] therefore rewrites:
+  *   - `schema.table.col` → `table.col`   (the alias carries the reference)
+  *   - `schema.table`     → `schema_table AS table`  (FROM position)
+  * String literals are left untouched.
+  */
+object Dialect {
+
+  val KnownSchemas: Set[String] = Set("cerner", "omop", "mapping", "external")
+
+  /** Rewrite schema-qualified names against the view-per-schema-table naming
+    * scheme. `schemas` = the schema names in force (KnownSchemas plus any
+    * custom default schema).
+    */
+  def qualify(sql: String, schemas: Set[String]): String =
+    mapOutsideLiterals(sql) { seg =>
+      val qualified = ("(?i)\\b(" + schemas.mkString("|") + ")\\.(\\w+)(\\.\\w+)").r
+      val step1 = qualified.replaceAllIn(seg, m => s"${m.group(2)}${m.group(3)}")
+      val bare = ("(?i)\\b(" + schemas.mkString("|") + ")\\.(\\w+)").r
+      bare.replaceAllIn(step1, m => s"${m.group(1)}_${m.group(2)} AS ${m.group(2)}")
+    }
+
+  /** Postgres `SELECT DISTINCT ON (k…) cols FROM … [WHERE …] [ORDER BY o…]`
+    * (first row per key; `validation/location.yaml:14-29`) → ranked-window
+    * subquery. Spark has no DISTINCT ON; the window form keeps the same
+    * first-row-per-key-in-order semantics.
+    */
+  def rewriteDistinctOn(sql: String): String = {
+    val re = "(?is)select\\s+distinct\\s+on\\s*\\(([^)]*)\\)(.*?)(\\bfrom\\b.*?)(order\\s+by\\s+(.*?))?\\s*$".r
+    re.findFirstMatchIn(sql) match {
+      case None => sql
+      case Some(m) =>
+        val keys = m.group(1).trim
+        val selectList = m.group(2).trim.stripSuffix(",")
+        val fromPart = m.group(3).trim
+        val orderBy = Option(m.group(5)).map(_.trim).filter(_.nonEmpty).getOrElse(keys)
+        s"""SELECT $selectList FROM (
+           |  SELECT $selectList, row_number() OVER (PARTITION BY $keys ORDER BY $orderBy) AS __rn
+           |  $fromPart
+           |) WHERE __rn = 1""".stripMargin
+    }
+  }
+
+  /** Postgres `expr::type` cast → `CAST(expr AS type)`. Spark 4 parses simple
+    * `x::int`, but Postgres type names (`numeric`, `double precision`) and
+    * literal casts inside VALUES rows are safer rewritten explicitly.
+    * Handles the observed forms: literal/identifier `::` type-name
+    * (`tests/rules/custom_query.yaml:17`).
+    */
+  def rewriteCasts(sql: String): String =
+    mapOutsideLiterals(sql) { seg =>
+      val re = "(\\w+(?:\\.\\w+)*|\\))\\s*::\\s*(\\w+(?:\\s+precision)?)(\\s*\\(\\s*\\d+(?:\\s*,\\s*\\d+)?\\s*\\))?".r
+      re.replaceAllIn(seg, m => {
+        val target = sparkType(m.group(2) + Option(m.group(3)).getOrElse(""))
+        // `)` ending means the cast applies to a parenthesized expression —
+        // leave those to Spark's native `::` (rare; not in shipped rules).
+        if (m.group(1) == ")") m.matched
+        else s"CAST(${m.group(1)} AS $target)"
+      })
+    }
+
+  /** Postgres type name → Spark SQL type name (SURVEY.md §1.2 table). */
+  def sparkType(pg: String): String = pg.trim.toLowerCase match {
+    case "integer" | "int" | "int4" | "serial" => "INT"
+    case "bigint" | "int8" | "bigserial" => "BIGINT"
+    case "smallint" | "int2" => "SMALLINT"
+    case "numeric" | "decimal" => "DECIMAL(38,18)"
+    case s if s.startsWith("numeric") || s.startsWith("decimal") =>
+      s.toUpperCase.replace("NUMERIC", "DECIMAL")
+    case "float" | "double precision" | "double" => "DOUBLE"
+    case "real" => "FLOAT"
+    case "text" | "char" | "character" => "STRING"
+    case s if s.startsWith("varchar") || s.startsWith("character varying") || s.startsWith("char") => "STRING"
+    case "date" => "DATE"
+    case s if s.startsWith("timestamp") => "TIMESTAMP"
+    case "boolean" | "bool" => "BOOLEAN"
+    case other => other.toUpperCase
+  }
+
+  /** Full pipeline for a verbatim rule SQL fragment. */
+  def translate(sql: String, schemas: Set[String] = KnownSchemas): String =
+    qualify(rewriteCasts(rewriteDistinctOn(stripNewlines(sql))), schemas)
+
+  /** The reference newline-strips verbatim expressions
+    * (`generation.py:12-14`).
+    */
+  def stripNewlines(s: String): String = s.replace('\n', ' ').trim
+
+  /** Apply `f` to the segments of `sql` outside single-quoted string
+    * literals, leaving literal contents untouched.
+    */
+  private def mapOutsideLiterals(sql: String)(f: String => String): String = {
+    val out = new StringBuilder
+    var i = 0
+    var segStart = 0
+    var inLit = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (!inLit && c == '\'') {
+        out.append(f(sql.substring(segStart, i)))
+        segStart = i
+        inLit = true
+      } else if (inLit && c == '\'') {
+        // '' escape stays inside the literal
+        if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') i += 1
+        else {
+          out.append(sql.substring(segStart, i + 1))
+          segStart = i + 1
+          inLit = false
+        }
+      }
+      i += 1
+    }
+    out.append(if (inLit) sql.substring(segStart) else f(sql.substring(segStart)))
+    out.toString
+  }
+}

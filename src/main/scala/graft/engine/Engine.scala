@@ -1,0 +1,261 @@
+package graft.engine
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dialect.Dialect
+import graft.rules._
+
+/** The ETL execution engine: runs parsed rules as DataFrame pipelines.
+  *
+  * The reference compiles rules to a PostgreSQL script
+  * (`omop_etl/generation.py`); this engine expresses the same semantics
+  * directly as Catalyst logical plans. Statement shapes map as:
+  *
+  *  - mapping-table build (A14) → per-source natural-key SELECT →
+  *    `unionByName(allowMissingColumns)` in declaration order → dense
+  *    surrogate ids ([[DenseId]]).
+  *  - `UPDATE … FROM` per column (A15) → rule SELECT (spine ⋈ sources,
+  *    conjunctive WHERE — Catalyst turns filtered cross joins into real
+  *    joins) → collapse to one row per id → left-join overlay with a
+  *    matched-marker: matched rows take the new value (even when NULL,
+  *    matching UPDATE semantics), unmatched rows keep the old.
+  *  - FK remap (A16) → join the referenced spine on its natural-key column,
+  *    non-null-gated; emit its surrogate id.
+  *  - constants (A17) → unconditional `withColumn(lit)`.
+  *  - scripts/temp tables (A8/A12/A19) → `spark.sql` + temp views; plpgsql
+  *    function scripts resolve against a caller-supplied UDF registry
+  *    (SURVEY.md §7.6).
+  *
+  * Two-phase schedule (`__main__.py:81-88`): all dependencies, then every
+  * table's initialization (spines materialized + cached — each spine is
+  * reused by all of its table's column rules and by other tables'
+  * `references`), then every table's column updates.
+  */
+class Engine(
+    spark: SparkSession,
+    val udfs: Map[String, SparkSession => Unit] = Map.empty) {
+
+  /** target table name → mapping spine (id + one column per source natural
+    * key, named `<table>_<col>`)
+    */
+  val mappings: mutable.Map[String, DataFrame] = mutable.Map.empty
+
+  /** target table name → current overlay state */
+  val targets: mutable.Map[String, DataFrame] = mutable.Map.empty
+
+  private val tempViews: mutable.Set[String] = mutable.Set.empty
+
+  /** Register a source table under its schema-qualified view name. */
+  def registerSource(schema: String, name: String, df: DataFrame): Unit =
+    df.createOrReplaceTempView(s"${schema}_$name")
+
+  /** Pre-seed a mapping spine (the event fixture does this:
+    * `tests/test_integration.py:700-727` seeds mapping.person externally).
+    */
+  def seedMapping(table: String, df: DataFrame): Unit = {
+    mappings(table) = df
+    df.createOrReplaceTempView(s"mapping_$table")
+  }
+
+  private def schemas(dep: DependencyParts): Set[String] =
+    Dialect.KnownSchemas ++ dep.defaultSchema
+
+  private def sql(text: String): DataFrame = spark.sql(text)
+
+  private def translate(fragment: String, dep: DependencyParts): String =
+    Dialect.translate(fragment, schemas(dep))
+
+  /** Resolve a source reference to a FROM-clause item exposing the bare
+    * alias, mirroring Postgres name resolution (explicit schema → temp
+    * table → default schema; `schema.py:92-102`).
+    */
+  private def fromItem(ref: SourceRef, dep: DependencyParts): String = ref match {
+    case QueryRef(alias, query) => s"(${translate(query, dep)}) AS $alias"
+    case TableRef(alias, schemaOpt) =>
+      val schema = schemaOpt.orElse(
+        if (tempViews.contains(alias)) None else dep.defaultSchema.orElse(Some("cerner")))
+      schema match {
+        case Some(s) => s"${s}_$alias AS $alias"
+        case None => alias // session temp view
+      }
+  }
+
+  private def refAlias(ref: SourceRef): String = ref match {
+    case QueryRef(alias, _) => alias
+    case TableRef(alias, _) => alias
+  }
+
+  /** Run scripts + pre-init temp tables (`schema.py:349-359`). Scripts that
+    * define functions dispatch to the UDF registry; other scripts run as
+    * `spark.sql` and parse failures are tolerated (the reference hands
+    * scripts verbatim to Postgres; `TRUE;` in `tests/rules/dep.yaml:2`).
+    */
+  private def runScripts(rule: Rule): Unit =
+    rule.dep.scripts.foreach { script =>
+      val fn = "(?is)create\\s+(or\\s+replace\\s+)?function\\s+(\\w+)".r
+        .findFirstMatchIn(script).map(_.group(2))
+      fn match {
+        case Some(name) =>
+          udfs.get(name) match {
+            case Some(install) => install(spark)
+            case None => throw new IllegalArgumentException(
+              s"rule '${rule.name}': script defines function '$name' with no " +
+                "registered Scala implementation (plpgsql is not translatable; SURVEY.md §7.6)")
+          }
+        case None =>
+          try sql(translate(script, rule.dep)).collect()
+          catch { case _: org.apache.spark.sql.AnalysisException | _: org.apache.spark.sql.catalyst.parser.ParseException => () }
+      }
+    }
+
+  private def runTempTables(qs: Seq[QueryRef], dep: DependencyParts): Unit =
+    qs.foreach { q =>
+      // materialized like Postgres CREATE TEMP TABLE … AS (`generation.py:106-112`)
+      val df = sql(translate(q.query, dep)).persist()
+      df.createOrReplaceTempView(q.alias)
+      tempViews += q.alias
+    }
+
+  /** Phase-1 for one table: pre-init, spine build + omop skeleton, post-init
+    * (`schema.py:449-461`).
+    */
+  def initialize(rule: TableRule): Unit = {
+    runScripts(rule)
+    runTempTables(rule.dep.preInit, rule.dep)
+
+    val perSource = rule.primaryKey.sources.zipWithIndex.map {
+      case ((_, src), ordinal) =>
+        val tableRef = refAlias(src.table)
+        val selectCols = src.columns.map { case (c, dtype) =>
+          s"CAST($tableRef.$c AS ${Dialect.sparkType(dtype)}) AS ${tableRef}_$c"
+        }.mkString(", ")
+        val where =
+          if (src.constraints.isEmpty) ""
+          else " WHERE " + src.constraints.map(c => s"(${translate(c, rule.dep)})").mkString(" AND ")
+        val df = sql(s"SELECT $selectCols FROM ${fromItem(src.table, rule.dep)}$where")
+        df.withColumn("__ord", lit(ordinal))
+    }
+
+    val unioned = perSource.reduce(_.unionByName(_, allowMissingColumns = true))
+    val keyCols = unioned.columns.filter(_ != "__ord").toSeq
+    val spine = DenseId
+      .withDenseId(unioned, "id", col("__ord") +: keyCols.map(col))
+      .drop("__ord")
+      .select("id", keyCols: _*)
+
+    mappings(rule.name) = spine
+    spine.createOrReplaceTempView(s"mapping_${rule.name}")
+
+    // `insert into omop.t (pk) select mapping.t.id from mapping.t`
+    // (`schema.py:320-328`): the target starts as the bare key skeleton.
+    targets(rule.name) = spine.select(col("id").as(rule.primaryKey.name))
+
+    runTempTables(rule.dep.postInit, rule.dep)
+  }
+
+  /** Phase-2 for one table: apply its column rules in declaration order
+    * (order is semantic — last write wins; SURVEY.md §7.5).
+    */
+  def process(rule: TableRule): Unit = {
+    val pkName = rule.primaryKey.name
+    rule.columns.foreach {
+      case DisabledColumn(_) => () // compiles to nothing (A18)
+      case ConstantColumn(name, value) =>
+        // `update omop.t set c = <lit>` — all rows (A17)
+        targets(rule.name) = targets(rule.name).withColumn(name, lit(value))
+      case tc: TargetColumn =>
+        val ruleDf = columnRuleSelect(rule, tc)
+        targets(rule.name) = Overlay(targets(rule.name), pkName, tc.name, ruleDf)
+    }
+  }
+
+  /** Build `SELECT <spine id> AS __id, <expr> AS __val FROM mapping ⋈ rule
+    * tables WHERE pk-link ∧ constraints [∧ fk-gate]` for one column rule —
+    * the translation of `UpdateStatement` (`generation.py:159-189`,
+    * `schema.py:207-245`).
+    */
+  private def columnRuleSelect(rule: TableRule, tc: TargetColumn): DataFrame = {
+    val dep = rule.dep
+    val mapView = s"mapping_${rule.name} AS ${rule.name}"
+    val (_, pkSource) = rule.primaryKey.sources.find(_._1 == tc.primaryKey)
+      .getOrElse(throw new IllegalStateException(
+        s"rule '${rule.name}': column '${tc.name}' references unknown pk source '${tc.primaryKey}'"))
+
+    val srcAlias = refAlias(pkSource.table)
+    // pk-link: `<src>.<c> = mapping.<t>.<src>_<c>` per natural-key column
+    // (`schema.py:277-310`); the `omop.t.pk = mapping.t.id` predicate becomes
+    // the overlay join.
+    val pkLink = pkSource.columns.map { case (c, _) =>
+      s"$srcAlias.$c = ${rule.name}.${srcAlias}_$c"
+    }
+
+    val fromItems = mutable.ListBuffer(mapView)
+    fromItems ++= tc.tables.map(fromItem(_, dep))
+    // if the pk source is not among the rule tables, it still participates
+    // via the pk-link (the reference's FROM always re-lists rule tables; the
+    // mapping columns carry the keys, so the source itself is only needed
+    // when referenced — rule tables always include it in shipped rules).
+
+    val preds = mutable.ListBuffer[String]()
+    preds ++= pkLink
+    preds ++= tc.constraints.map(c => translate(c, dep))
+
+    var valueExpr = translate(tc.expression, dep)
+    tc.references.foreach { case FkRef(refTable, refCol) =>
+      // A16: join the referenced spine, non-null gate, emit its surrogate id
+      // (`schema.py:226-239`; unmatched FK → row unmatched → value stays
+      // NULL, golden `tests/test_integration.py:748-751`).
+      fromItems += s"mapping_$refTable AS $refTable"
+      preds += s"$refTable.$refCol IS NOT NULL"
+      preds += s"$refTable.$refCol = $valueExpr"
+      valueExpr = s"$refTable.id"
+    }
+
+    val text =
+      s"""SELECT ${rule.name}.id AS __id, ($valueExpr) AS __val
+         |FROM ${fromItems.mkString(", ")}
+         |WHERE ${preds.map(p => s"($p)").mkString(" AND ")}""".stripMargin
+    sql(text)
+  }
+
+  /** Run a full rule set with the reference's global two-phase schedule. */
+  def run(rules: Seq[Rule]): Map[String, DataFrame] = {
+    val (deps, tables) = rules.partitionMap {
+      case d: DependencyRule => Left(d)
+      case t: TableRule => Right(t)
+    }
+    deps.foreach { d =>
+      runScripts(d)
+      runTempTables(d.dep.preInit, d.dep)
+      runTempTables(d.dep.postInit, d.dep)
+    }
+    tables.foreach(initialize)
+    tables.foreach(process)
+    targets.toMap
+  }
+}
+
+/** UPDATE…FROM as a left-join overlay (SURVEY.md §7.5). */
+object Overlay {
+
+  /** Overlay `ruleDf` (columns `__id`, `__val`) onto `target.colName`:
+    * matched rows take `__val` (including NULL — UPDATE sets the column
+    * unconditionally on match), unmatched rows keep their prior value.
+    * Multi-match collapses to one arbitrary row per id, mirroring Postgres
+    * UPDATE…FROM nondeterminism while keeping row counts stable.
+    */
+  def apply(target: DataFrame, pkName: String, colName: String, ruleDf: DataFrame): DataFrame = {
+    val collapsed = ruleDf
+      .dropDuplicates("__id")
+      .withColumn("__matched", lit(1))
+    val prior: org.apache.spark.sql.Column =
+      if (target.columns.contains(colName)) col(colName) else lit(null)
+    target
+      .join(collapsed, target(pkName) === collapsed("__id"), "left")
+      .withColumn(colName, when(col("__matched").isNotNull, col("__val")).otherwise(prior))
+      .drop("__id", "__val", "__matched")
+  }
+}

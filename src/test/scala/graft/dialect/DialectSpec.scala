@@ -1,0 +1,50 @@
+package graft.dialect
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class DialectSpec extends AnyFunSuite {
+
+  test("qualify: schema.table.col strips to alias; schema.table FROM-form aliases") {
+    assert(Dialect.qualify("cerner.foo.id = mapping.baz.foo_id", Dialect.KnownSchemas)
+      == "foo.id = baz.foo_id")
+    assert(Dialect.qualify("select * from cerner.foo where cerner.foo.id > 2", Dialect.KnownSchemas)
+      == "select * from cerner_foo AS foo where foo.id > 2")
+    assert(Dialect.qualify(
+      "select mapping.baz.id from mapping.baz, temp_table_1 where mapping.baz.id = temp_table_1.id",
+      Dialect.KnownSchemas)
+      == "select baz.id from mapping_baz AS baz, temp_table_1 where baz.id = temp_table_1.id")
+  }
+
+  test("qualify: string literals untouched") {
+    assert(Dialect.qualify("x = 'cerner.foo' and cerner.foo.y = 'it''s'", Dialect.KnownSchemas)
+      == "x = 'cerner.foo' and foo.y = 'it''s'")
+  }
+
+  test("rewriteCasts: Postgres :: casts (`tests/rules/custom_query.yaml:17`)") {
+    assert(Dialect.rewriteCasts("0::int") == "CAST(0 AS INT)")
+    assert(Dialect.rewriteCasts("1::numeric") == "CAST(1 AS DECIMAL(38,18))")
+    assert(Dialect.rewriteCasts("x.y::double precision") == "CAST(x.y AS DOUBLE)")
+    assert(Dialect.rewriteCasts("a::varchar(10)") == "CAST(a AS STRING)")
+    assert(Dialect.rewriteCasts("'a::b'") == "'a::b'")
+  }
+
+  test("rewriteDistinctOn (`validation/location.yaml:14-29`)") {
+    val in = "select distinct on (city) city, zip from cerner.address order by city, beg_effective_dt_tm"
+    val out = Dialect.rewriteDistinctOn(in)
+    assert(out.contains("row_number() OVER (PARTITION BY city ORDER BY city, beg_effective_dt_tm)"))
+    assert(out.contains("WHERE __rn = 1"))
+    // no distinct-on → unchanged
+    assert(Dialect.rewriteDistinctOn("select distinct a from t") == "select distinct a from t")
+  }
+
+  test("type map (SURVEY.md §1.2)") {
+    assert(Dialect.sparkType("integer") == "INT")
+    assert(Dialect.sparkType("serial") == "INT")
+    assert(Dialect.sparkType("bigint") == "BIGINT")
+    assert(Dialect.sparkType("varchar(3)") == "STRING")
+    assert(Dialect.sparkType("numeric") == "DECIMAL(38,18)")
+    assert(Dialect.sparkType("numeric(10,2)") == "DECIMAL(10,2)")
+    assert(Dialect.sparkType("real") == "FLOAT")
+    assert(Dialect.sparkType("timestamp") == "TIMESTAMP")
+  }
+}
