@@ -12,6 +12,16 @@ object OracleSql {
 
   private val rev = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))"
 
+  /** Cosine in explicit double arithmetic, matching the op order of
+    * [[graft.functions.TextFunctions.cosine]] term-for-term so Spark and
+    * DuckDB produce bit-identical doubles (DuckDB's builtin
+    * list_cosine_similarity accumulates in float32 and does NOT match).
+    */
+  private def cosSql(a: String, b: String): String =
+    s"""(list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+       | / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |   * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))""".stripMargin.replace("\n", " ")
+
   val sql: Map[String, String] = Map(
     "q01_scan_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -189,5 +199,78 @@ object OracleSql {
         |      FROM part GROUP BY p_size) a
         |  ON p_size = a.sz AND CAST(p_retailprice AS DECIMAL(12,2)) * a.n > a.sum_price
         |ORDER BY p_partkey""".stripMargin,
+
+    // --- data-pipeline operators (oracles where DuckDB can express the exact
+    // same arithmetic; hash-family ops (minhash/simhash/LSH) have no DuckDB
+    // xxhash64 and get the rows-only check) ---
+
+    "dd_exact" ->
+      """SELECT md5(text) AS digest, min(doc_id) AS keeper, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin,
+
+    "dd_fingerprint" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+        |  min(doc_id) AS keeper, count(*) AS n_docs
+        |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY fp""".stripMargin,
+
+    "dd_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |         ELSE list_transform(generate_series(0, len(w) - 3),
+        |                             i -> array_to_string(w[i+1:i+3], ' ')) END)) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b, CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
+        |FROM pairs JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+        |WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.4
+        |ORDER BY a, b""".stripMargin,
+
+    "tx_stats" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS avg_word_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "tx_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(list_sum(list_transform(string_split(text, ' '),
+        |       x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dd_embed_cosine" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings)
+         |SELECT a.vec_id AS a, b.vec_id AS b, ${cosSql("a.embedding", "b.embedding")} AS cos
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4
+         |ORDER BY a, b""".stripMargin,
+
+    "ann_bruteforce" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM e WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT q_id, vec_id, ${cosSql("q_emb", "embedding")} AS cos
+         |  FROM e JOIN q ON vec_id <> q_id),
+         |ranked AS (SELECT q_id, vec_id, cos,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM scored)
+         |SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= 10
+         |ORDER BY q_id, rank""".stripMargin,
+
+    "tx_quality" ->
+      """SELECT doc_id,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS distinct_ratio,
+        |  CASE WHEN length(text) < 100 THEN 'short'
+        |       WHEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |              / len(string_split(text, ' ')) < 0.3 THEN 'repetitive'
+        |       ELSE 'ok' END AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{EtlQueries, Relational}
+import graft.operators.{Dedup, EtlQueries, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -45,6 +45,20 @@ object SparkEntry {
     "q23_events_window" -> (Relational.q23_events_window _),
     "q24_sessionize" -> (Relational.q24_sessionize _),
     "q25_theta_join" -> (Relational.q25_theta_join _),
+    // LLM-data-pipeline operators (builder brief; SURVEY.md §7.7)
+    "dd_exact" -> (Dedup.dd_exact _),
+    "dd_fingerprint" -> (Dedup.dd_fingerprint _),
+    "dd_minhash" -> ((s, d) => Dedup.dd_minhash(s, d)),
+    "dd_simhash" -> ((s, d) => Dedup.dd_simhash(s, d)),
+    "dd_ngram_jaccard" -> ((s, d) => Dedup.dd_ngram_jaccard(s, d)),
+    "dd_embed_cosine" -> ((s, d) => Dedup.dd_embed_cosine(s, d)),
+    "ann_bruteforce" -> ((s, d) => Similarity.ann_bruteforce(s, d)),
+    "ann_lsh" -> ((s, d) => Similarity.ann_lsh(s, d)),
+    "tx_stats" -> (TextAnalysis.tx_stats _),
+    "tx_tokens" -> (TextAnalysis.tx_tokens _),
+    "tx_quality" -> (TextAnalysis.tx_quality _),
+    "tx_langid" -> (TextAnalysis.tx_langid _),
+    "tx_langid_eval" -> (TextAnalysis.tx_langid_eval _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the

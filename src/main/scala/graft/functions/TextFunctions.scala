@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level building blocks for the text/dedup pipeline operators —
+  * built from `org.apache.spark.sql.functions` higher-order array functions
+  * so everything stays inside whole-stage codegen (no UDFs in the hot path).
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (the documents corpus is single-space
+    * separated).
+    */
+  def words(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles: sliding windows of `n` tokens joined by a space.
+    * `transform(sequence(...))` keeps it codegen'd.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val w = words(text)
+    when(size(w) < n, array(concat_ws(" ", w)))
+      .otherwise(transform(
+        sequence(lit(0), size(w) - lit(n)),
+        i => concat_ws(" ", slice(w, i + 1, lit(n)))))
+  }
+
+  /** MinHash signature of length `k`: for each of k hash families, the
+    * minimum of `xxhash64(shingle, family)` over the doc's distinct shingles.
+    * Fully deterministic; one pass over the shingle array per family.
+    */
+  def minhash(shingleArr: Column, k: Int): Column =
+    transform(
+      sequence(lit(0), lit(k - 1)),
+      s => array_min(transform(array_distinct(shingleArr),
+        x => xxhash64(x, s))))
+
+  /** LSH band keys: the signature split into `bands` equal bands, each
+    * hashed — docs sharing any band key are near-dup candidates.
+    */
+  def minhashBands(sig: Column, k: Int, bands: Int): Column = {
+    val rows = k / bands
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(concat_ws(",", slice(sig, b * lit(rows) + 1, lit(rows))), b))
+  }
+
+  /** 64-bit SimHash over the word multiset: each word votes ±1 on every bit
+    * of its xxhash64; the fingerprint keeps bits with positive balance.
+    * Expressed as a 64-wide bit-balance vector fold — codegen'd, no UDF.
+    */
+  def simhash64(text: Column): Column = {
+    val votes = aggregate(
+      words(text),
+      array_repeat(lit(0), 64),
+      (acc, w) => {
+        val h = xxhash64(w)
+        // functions.shiftright only takes a literal shift — call the SQL
+        // function form to shift by the lambda-bound bit index
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (a, b) => a + when(call_function("shiftright", h, b).bitwiseAND(lit(1L)) === 1L, lit(1)).otherwise(lit(-1)))
+      })
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, b) => when(v > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Cosine similarity of two float-array embeddings, computed in double.
+    * Single `aggregate` pass over the zipped arrays; summation order is the
+    * array order on every engine, so results are bit-deterministic.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val dots = aggregate(
+      zip_with(a, b, (x, y) => struct(
+        (x.cast("double") * y.cast("double")).as("xy"),
+        (x.cast("double") * x.cast("double")).as("xx"),
+        (y.cast("double") * y.cast("double")).as("yy"))),
+      struct(lit(0.0).as("xy"), lit(0.0).as("xx"), lit(0.0).as("yy")),
+      (acc, p) => struct(
+        (acc("xy") + p("xy")).as("xy"),
+        (acc("xx") + p("xx")).as("xx"),
+        (acc("yy") + p("yy")).as("yy")))
+    dots("xy") / (sqrt(dots("xx")) * sqrt(dots("yy")))
+  }
+}

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Deduplication operators over the `documents` table — the scale path for
+  * each avoids any all-pairs comparison: exact dedup is a hash group-by;
+  * near-dup families generate candidates by bucket join (LSH bands / SimHash
+  * bands / shared shingles) and verify only candidates.
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Exact dedup: hash-groupBy on content digest; keep the smallest doc_id.
+    * Map-side partial aggregation means only one row per distinct digest
+    * crosses the shuffle.
+    */
+  def dd_exact(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(md5(col("text")).as("digest"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .orderBy("digest")
+
+  /** Bag-of-words fingerprint dedup: md5 of the sorted distinct word set.
+    * Catches reorderings/duplicated-word variants that exact dedup misses.
+    */
+  def dd_fingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(md5(concat_ws(" ", array_sort(array_distinct(words(col("text")))))).as("fp"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .orderBy("fp")
+
+  /** MinHash+LSH near-dup candidate pairs: shingle → 32-hash signature →
+    * 8 bands → explode band keys → self-join on band key → distinct pairs,
+    * with the estimated Jaccard (signature agreement) attached.
+    * Candidate generation is O(docs × bands); only bucket collisions are
+    * verified. Deterministic end to end (xxhash64).
+    */
+  def dd_minhash(s: SparkSession, dir: String, k: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val sigs = docs(s, dir)
+      .select(col("doc_id"), minhash(shingles(col("text"), 3), k).as("sig"))
+    val banded = sigs
+      .select(col("doc_id"), col("sig"),
+        posexplode(minhashBands(col("sig"), k, bands)))
+      .select(col("doc_id"), col("sig"), col("pos").as("band"), col("col").as("bkey"))
+    val a = banded.select(col("band"), col("bkey"), col("doc_id").as("a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bkey"), col("doc_id").as("b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, x) => acc + x)
+          .cast("double") / k).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= threshold)
+      .orderBy("a", "b")
+  }
+
+  /** SimHash near-dup: 64-bit fingerprints, candidates share one of four
+    * 16-bit bands (any pair within Hamming distance 3 must agree on ≥1 band),
+    * verified by exact Hamming distance.
+    */
+  def dd_simhash(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val fps = docs(s, dir).select(col("doc_id"), simhash64(col("text")).as("fp"))
+    val banded = fps.select(col("doc_id"), col("fp"),
+      explode(transform(sequence(lit(0), lit(3)),
+        b => struct(b.as("band"),
+          call_function("shiftright", col("fp"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bkey")))).as("bb"))
+      .select(col("doc_id"), col("fp"), col("bb.band"), col("bb.bkey"))
+    val a = banded.select(col("band"), col("bkey"), col("doc_id").as("a"), col("fp").as("fp_a"))
+    val b = banded.select(col("band"), col("bkey"), col("doc_id").as("b"), col("fp").as("fp_b"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), hamming64(col("fp_a"), col("fp_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("a", "b")
+  }
+
+  /** Exact n-gram Jaccard near-dup: candidates = pairs sharing ≥1 shingle
+    * (inverted-index join on distinct shingles), verified with the exact
+    * |A∩B| / |A∪B| computed from co-occurrence counts — no signatures, no
+    * all-pairs.
+    */
+  def dd_ngram_jaccard(s: SparkSession, dir: String, n: Int = 3,
+      threshold: Double = 0.4): DataFrame = {
+    val sh = docs(s, dir)
+      .select(col("doc_id"), explode(array_distinct(shingles(col("text"), n))).as("sh"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.select(col("sh"), col("doc_id").as("a"))
+      .join(sh.select(col("sh"), col("doc_id").as("b")), Seq("sh"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "na"), Seq("a"))
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "nb"), Seq("b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+      .orderBy("a", "b")
+  }
+
+  /** Embedding-cosine near-dup over the embeddings table: the exact all-pairs
+    * baseline (a < b halves the space; cosine is the bit-deterministic double
+    * fold of [[graft.functions.TextFunctions.cosine]]). The sub-quadratic
+    * scale path is the LSH bucketing of [[Similarity.withLshBucket]] /
+    * [[Similarity.ann_lsh]].
+    */
+  def dd_embed_cosine(s: SparkSession, dir: String,
+      threshold: Double = 0.4): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val a = emb.select(col("vec_id").as("a"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("b"), col("embedding").as("eb"))
+    a.join(b, col("a") < col("b"))
+      .select(col("a"), col("b"), cosine(col("ea"), col("eb")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .orderBy("a", "b")
+  }
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.words
+import graft.sources.Tables
+
+/** Text-analysis operators over the `documents` table: corpus statistics,
+  * token counting, quality scoring, and a stopword-profile language-ID
+  * heuristic. All pure column expressions (codegen'd, no UDFs).
+  */
+object TextAnalysis {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Per-document surface statistics — the oracle-checkable core: counts and
+    * one single-division ratio (exact-deterministic IEEE on both engines).
+    */
+  def tx_stats(s: SparkSession, dir: String): DataFrame = {
+    val w = words(col("text"))
+    docs(s, dir).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("len"),
+      size(w).cast("long").as("n_words"),
+      size(array_distinct(w)).cast("long").as("n_distinct"),
+      ((length(col("text")) - (size(w) - 1)).cast("double") / size(w)).as("avg_word_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens plus a BPE-ish estimate — runs of
+    * letters/digits count ceil(len/4) subword units, punctuation counts one
+    * each (the ~4-chars-per-token rule of thumb).
+    */
+  def tx_tokens(s: SparkSession, dir: String): DataFrame = {
+    val w = words(col("text"))
+    val bpe = aggregate(
+      w, lit(0L),
+      (acc, x) => acc + ceil(length(x).cast("double") / 4.0).cast("long"))
+    docs(s, dir).select(
+      col("doc_id"),
+      size(w).cast("long").as("ws_tokens"),
+      bpe.as("bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: length band, repetition (distinct/total words),
+    * mean word length — flags the degenerate docs a training pipeline drops.
+    */
+  def tx_quality(s: SparkSession, dir: String): DataFrame = {
+    val w = words(col("text"))
+    val repRatio = size(array_distinct(w)).cast("double") / size(w)
+    docs(s, dir).select(
+      col("doc_id"),
+      repRatio.as("distinct_ratio"),
+      when(length(col("text")) < 100, "short")
+        .when(repRatio < 0.3, "repetitive")
+        .otherwise("ok").as("quality"))
+      .orderBy("doc_id")
+  }
+
+  private val profiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "de" -> Seq("der", "die", "das", "und", "zu"),
+    "fr" -> Seq("le", "la", "de", "et", "les"),
+    "zh" -> Seq("的", "是", "在", "了", "和"))
+
+  /** Stopword-profile language ID: score = count of profile-stopword tokens
+    * per language; argmax with deterministic tie-break on language code.
+    * A real system would use character n-gram models; the operator shape
+    * (score vector → argmax) is the same.
+    */
+  def tx_langid(s: SparkSession, dir: String): DataFrame = {
+    val w = words(col("text"))
+    val scores = profiles.toSeq.sortBy(_._1).map { case (lang, stops) =>
+      struct(
+        size(array_intersect(w, array(stops.map(lit): _*))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    docs(s, dir).select(
+      col("doc_id"),
+      col("lang").as("actual"),
+      array_max(array(scores: _*)).getField("lang").as("predicted"))
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID accuracy rollup (hits the whole corpus once). */
+  def tx_langid_eval(s: SparkSession, dir: String): DataFrame =
+    tx_langid(s, dir)
+      .groupBy(col("actual"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("predicted") === col("actual"), 1L).otherwise(0L)).as("n_correct"))
+      .orderBy("actual")
+}

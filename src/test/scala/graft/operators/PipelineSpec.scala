@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.TextFunctions._
+
+/** Semantics checks for the data-pipeline operators on controlled inputs
+  * (the DuckDB oracle covers the testdata corpus; these pin edge behavior).
+  */
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  test("shingles: sliding word 3-grams; short docs yield the whole doc") {
+    val out = Seq("a b c d", "a b").toDF("text")
+      .select(shingles(col("text"), 3).as("sh")).collect().map(_.getSeq[String](0))
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1) == Seq("a b"))
+  }
+
+  test("cosine: parallel → 1, orthogonal → 0, anti-parallel → -1") {
+    val df = Seq(
+      (Seq(1f, 0f, 2f), Seq(2f, 0f, 4f)),
+      (Seq(1f, 0f, 0f), Seq(0f, 3f, 0f)),
+      (Seq(1f, 1f, 0f), Seq(-1f, -1f, 0f)))
+      .toDF("a", "b")
+      .select(cosine(col("a"), col("b")).as("c"))
+    val got = df.collect().map(_.getDouble(0))
+    assert(math.abs(got(0) - 1.0) < 1e-12)
+    assert(got(1) == 0.0)
+    assert(math.abs(got(2) + 1.0) < 1e-12)
+  }
+
+  test("simhash64: identical texts collide, near-identical are close, disjoint are far") {
+    val df = Seq(
+      (1L, "spark window join filter table scan hash merge sort"),
+      (2L, "spark window join filter table scan hash merge sort"),
+      (3L, "spark window join filter table scan hash merge group"),
+      (4L, "zebra quark lattice osmosis vortex plasma quill ember"))
+      .toDF("id", "text")
+      .select(col("id"), simhash64(col("text")).as("fp"))
+    val fp = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(1L), fp(3L)) < ham(fp(1L), fp(4L)))
+  }
+
+  test("minhash: identical docs → identical signatures; est_jaccard 1.0 via bands") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "completely different words in this document entirely unrelated stuff"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("documents")
+    val sigs = docs.select(col("doc_id"), minhash(shingles(col("text"), 3), 32).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  test("dd_exact + dd_fingerprint on a corpus with known dups") {
+    val dir = tmpDocs(Seq(
+      (1L, "alpha beta gamma", "en", "s", 16L),
+      (2L, "alpha beta gamma", "en", "s", 16L), // exact dup of 1
+      (3L, "gamma beta alpha", "en", "s", 16L), // bag-of-words dup of 1
+      (4L, "delta epsilon zeta", "en", "s", 18L)))
+    val exact = Dedup.dd_exact(spark, dir)
+      .orderBy("keeper").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(exact.toSeq == Seq((1L, 2L), (3L, 1L), (4L, 1L)))
+    val fp = Dedup.dd_fingerprint(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(fp.toSeq == Seq((1L, 3L))) // 1, 2, 3 share the word set
+  }
+
+  test("dd_minhash and dd_simhash find planted near-dups, skip unrelated") {
+    val base = "spark catalyst optimizer rewrites logical plans into physical plans with codegen"
+    val near = "spark catalyst optimizer rewrites logical plans into physical plans with whole codegen"
+    val dir = tmpDocs(Seq(
+      (1L, base, "en", "s", 1L),
+      (2L, near, "en", "s", 1L),
+      (3L, "totally unrelated text about zebras and quarks and lattices and embers", "en", "s", 1L)))
+    val mh = Dedup.dd_minhash(spark, dir, threshold = 0.3)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(mh.toSeq == Seq((1L, 2L)))
+    val sh = Dedup.dd_simhash(spark, dir, maxHamming = 10)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sh.toSeq == Seq((1L, 2L)))
+  }
+
+  test("ann_bruteforce: self excluded, ranks dense 1..k, scores non-increasing") {
+    val rows = Similarity.ann_bruteforce(spark, "/root/testdata/sf0.001", nQueries = 3, k = 5)
+      .collect()
+    assert(rows.length == 15)
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_.getLong(1))
+      assert(byRank.map(_.getLong(1)).toSeq == (1L to 5L))
+      assert(byRank.forall(_.getLong(2) != q))
+      val scores = byRank.map(_.getDouble(3)).toSeq
+      assert(scores == scores.sorted.reverse)
+    }
+  }
+
+  test("ann_lsh candidates are a subset of bruteforce ordering within bucket") {
+    val rows = Similarity.ann_lsh(spark, "/root/testdata/sf0.001", nQueries = 3, k = 5, planes = 2)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val scores = rs.sortBy(_.getLong(1)).map(_.getDouble(3)).toSeq
+      assert(scores == scores.sorted.reverse)
+    }
+  }
+
+  test("tx_langid predicts only known profiles; eval rolls up per language") {
+    val pred = TextAnalysis.tx_langid(spark, "/root/testdata/sf0.001")
+    val langs = pred.select("predicted").distinct().collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "es", "de", "fr", "zh")))
+    val eval = TextAnalysis.tx_langid_eval(spark, "/root/testdata/sf0.001").collect()
+    assert(eval.map(_.getLong(1)).sum == 500)
+  }
+
+  /** Write a tiny documents corpus to a temp dir shaped like testdata. */
+  private def tmpDocs(rows: Seq[(Long, String, String, String, Long)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graftdocs").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+}
