@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, EtlQueries, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, EtlQueries, Multimodal, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -59,6 +59,7 @@ object SparkEntry {
     "tx_quality" -> (TextAnalysis.tx_quality _),
     "tx_langid" -> (TextAnalysis.tx_langid _),
     "tx_langid_eval" -> (TextAnalysis.tx_langid_eval _),
+    "mm_pipeline" -> (Multimodal.mm_pipeline _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the

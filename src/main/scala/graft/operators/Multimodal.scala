@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Multimodal-column plumbing: opaque `binary` payloads with typed metadata,
+  * processed in partition-local batches.
+  *
+  * The decode step is a clearly-marked deterministic FAKE (this container has
+  * no image/audio codecs — builder brief). Everything around it is the real
+  * Spark shape for this workload: binary + metadata columns, `mapPartitions`
+  * with an explicit batch size (how a Python pipeline would shape
+  * `mapInPandas` batches), typed output schema, and partition-count
+  * preservation so a repartition-by-size upstream carries through.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, payload: Array[Byte], format: String,
+      width: Int, height: Int)
+  case class MediaFeatures(doc_id: Long, format: String, n_bytes: Long,
+      features: Array[Float], thumb_w: Int, thumb_h: Int)
+
+  /** Stand-in media corpus: documents' text bytes as the opaque payload with
+    * deterministic pseudo metadata. At 100 TB this column would be parquet
+    * binary written by an ingest job; the operators below don't care.
+    */
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents").select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      element_at(array(lit("png"), lit("jpeg"), lit("wav")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("format"),
+      (pmod(col("doc_id") * 37, lit(512)) + 16).cast("int").as("width"),
+      (pmod(col("doc_id") * 91, lit(512)) + 16).cast("int").as("height"))
+
+  /** Decode + feature-extract in partition-local batches of `batchSize`.
+    * The per-batch loop is where a codec (libjpeg / ffmpeg / PIL via
+    * mapInPandas) would run once per batch; here the "decode" is a
+    * deterministic byte-histogram → 16-dim feature vector.
+    */
+  def extractFeatures(media: DataFrame, batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.select("doc_id", "payload", "format", "width", "height").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          // --- FAKE DECODE (deterministic stand-in for a codec call) ---
+          batch.map { r =>
+            val hist = new Array[Float](16)
+            r.payload.foreach(b => hist((b & 0xFF) % 16) += 1f)
+            val n = math.max(r.payload.length, 1)
+            MediaFeatures(r.doc_id, r.format, r.payload.length.toLong,
+              hist.map(_ / n), r.width / 4, r.height / 4)
+          }
+          // --- END FAKE DECODE ---
+        }
+      }
+  }
+
+  /** Frame sampling for "video" payloads: every `stride`-th fixed-size chunk
+    * becomes a frame row — pure column algebra (explode over a computed
+    * offset sequence + binary substring), no per-row JVM closures.
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 32, stride: Int = 4): DataFrame =
+    media
+      .withColumn("n_frames", (length(col("payload")) / frameBytes).cast("int"))
+      .withColumn("frame_idx",
+        // Column `/` is double division — keep the sequence bound integral
+        explode(sequence(lit(0),
+          greatest(floor((col("n_frames") - 1) / stride).cast("int"), lit(0)))))
+      .select(
+        col("doc_id"),
+        (col("frame_idx") * stride).as("frame_no"),
+        expr(s"substring(payload, frame_idx * $stride * $frameBytes + 1, $frameBytes)")
+          .as("frame_bytes"))
+
+  /** The pipeline as a queries-façade entry: features joined back to frame
+    * counts — exercises binary plumbing end to end and returns a stable,
+    * comparable projection.
+    */
+  def mm_pipeline(s: SparkSession, dir: String): DataFrame = {
+    val media = mediaTable(s, dir)
+    val feats = extractFeatures(media).toDF()
+    val frames = sampleFrames(media).groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
+    feats.join(frames, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("format"), col("n_bytes"),
+        round(element_at(col("features"), 1).cast("double"), 6).as("f0"),
+        col("thumb_w"), col("thumb_h"), col("n_frames"))
+      .orderBy("doc_id")
+  }
+}

