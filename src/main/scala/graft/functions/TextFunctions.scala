@@ -25,15 +25,23 @@ object TextFunctions {
         i => concat_ws(" ", slice(w, i + 1, lit(n)))))
   }
 
-  /** MinHash signature of length `k`: for each of k hash families, the
-    * minimum of `xxhash64(shingle, family)` over the doc's distinct shingles.
-    * Fully deterministic; one pass over the shingle array per family.
+  /** Distinct shingles pre-hashed to 64-bit — the string hashing happens
+    * exactly once per shingle. Materialize this with `withColumn` BEFORE
+    * computing [[minhash]]: staged as its own projection, CollapseProject
+    * keeps it (non-cheap, referenced k times); built inline it would be
+    * re-evaluated per hash family.
     */
-  def minhash(shingleArr: Column, k: Int): Column =
+  def hashedShingles(text: Column, n: Int): Column =
+    array_distinct(transform(shingles(text, n), x => xxhash64(x)))
+
+  /** MinHash signature of length `k` over pre-hashed shingles: family i's
+    * value is min over shingles of `xxhash64(h, i)` — k cheap long-rehashes
+    * per shingle instead of k string hashes. Fully deterministic.
+    */
+  def minhash(hashedShingleArr: Column, k: Int): Column =
     transform(
       sequence(lit(0), lit(k - 1)),
-      s => array_min(transform(array_distinct(shingleArr),
-        x => xxhash64(x, s))))
+      s => array_min(transform(hashedShingleArr, h => xxhash64(h, s))))
 
   /** LSH band keys: the signature split into `bands` equal bands, each
     * hashed — docs sharing any band key are near-dup candidates.

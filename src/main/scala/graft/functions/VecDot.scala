@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.functions.sqrt
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expression: dot product of two float-array embeddings,
+  * accumulated in double, in index order.
+  *
+  * The composed `zip_with`+`aggregate` form allocates a struct per element
+  * per pair — at N² near-dup scale that dominated the benchmark (136 s for
+  * 2 M pairs at sf0.1). This expression is a tight codegen'd loop over the
+  * unsafe array data: same values bit-for-bit (identical operation order —
+  * the DuckDB oracle twins stay exact), ~50× less work per pair.
+  */
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VecDot {
+
+  def dot(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      VecDot(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** ||v||₂ — `sqrt(v·v)`. */
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Cosine via a precomputed-norm-friendly decomposition:
+    * `dot(a,b) / (norm(a) * norm(b))` — bit-identical to
+    * [[TextFunctions.cosine]] and to the DuckDB oracle formula.
+    */
+  def cosineFast(dotAb: Column, normA: Column, normB: Column): Column =
+    dotAb / (normA * normB)
+}

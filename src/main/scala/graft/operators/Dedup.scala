@@ -44,8 +44,7 @@ object Dedup {
     */
   def dd_minhash(s: SparkSession, dir: String, k: Int = 32, bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
-    val sigs = docs(s, dir)
-      .select(col("doc_id"), minhash(shingles(col("text"), 3), k).as("sig"))
+    val sigs = minhashSignatures(docs(s, dir), k)
     val banded = sigs
       .select(col("doc_id"), col("sig"),
         posexplode(minhashBands(col("sig"), k, bands)))
@@ -63,12 +62,28 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** MinHash signatures in aggregate form: shingle-hashes exploded to rows,
+    * then k `min` aggregates — map-side partial aggregation, whole-stage
+    * codegen, no per-family array allocation. (The pure-expression form in
+    * [[graft.functions.TextFunctions.minhash]] is algebraically identical but
+    * CollapseProject inlines the shingle pipeline into every per-family
+    * lambda — a 32× recompute; see the bench history.)
+    */
+  def minhashSignatures(documents: DataFrame, k: Int): DataFrame = {
+    val sh = documents.select(col("doc_id"),
+      explode(hashedShingles(col("text"), 3)).as("h"))
+    val mins = (0 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"__m$i"))
+    sh.groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
+  }
+
   /** SimHash near-dup: 64-bit fingerprints, candidates share one of four
     * 16-bit bands (any pair within Hamming distance 3 must agree on ≥1 band),
     * verified by exact Hamming distance.
     */
   def dd_simhash(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    val fps = docs(s, dir).select(col("doc_id"), simhash64(col("text")).as("fp"))
+    val fps = simhashFingerprints(docs(s, dir))
     val banded = fps.select(col("doc_id"), col("fp"),
       explode(transform(sequence(lit(0), lit(3)),
         b => struct(b.as("band"),
@@ -84,6 +99,24 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** SimHash fingerprints in aggregate form (same rationale as
+    * [[minhashSignatures]]): one word-hash row per occurrence, 64 signed
+    * bit-vote sums, then a static 64-term OR packs the fingerprint.
+    * Identical output to [[graft.functions.TextFunctions.simhash64]].
+    */
+  def simhashFingerprints(documents: DataFrame): DataFrame = {
+    val wh = documents
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+    val votes = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"__v$j"))
+    wh.groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(j => when(col(s"__v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("fp"))
+  }
+
   /** Exact n-gram Jaccard near-dup: candidates = pairs sharing ≥1 shingle
     * (inverted-index join on distinct shingles), verified with the exact
     * |A∩B| / |A∪B| computed from co-occurrence counts — no signatures, no
@@ -91,8 +124,11 @@ object Dedup {
     */
   def dd_ngram_jaccard(s: SparkSession, dir: String, n: Int = 3,
       threshold: Double = 0.4): DataFrame = {
+    // join on 64-bit shingle hashes: same pair counts (collisions at 2^-64
+    // are below any practical risk), far cheaper shuffle + compare than
+    // shingle strings
     val sh = docs(s, dir)
-      .select(col("doc_id"), explode(array_distinct(shingles(col("text"), n))).as("sh"))
+      .select(col("doc_id"), explode(hashedShingles(col("text"), n)).as("sh"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = sh.select(col("sh"), col("doc_id").as("a"))
       .join(sh.select(col("sh"), col("doc_id").as("b")), Seq("sh"))
@@ -116,11 +152,14 @@ object Dedup {
     */
   def dd_embed_cosine(s: SparkSession, dir: String,
       threshold: Double = 0.4): DataFrame = {
+    import graft.functions.VecDot
     val emb = Tables.load(s, dir, "embeddings")
-    val a = emb.select(col("vec_id").as("a"), col("embedding").as("ea"))
-    val b = emb.select(col("vec_id").as("b"), col("embedding").as("eb"))
+      .select(col("vec_id"), col("embedding"), VecDot.norm(col("embedding")).as("nrm"))
+    val a = emb.select(col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = emb.select(col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb"))
     a.join(b, col("a") < col("b"))
-      .select(col("a"), col("b"), cosine(col("ea"), col("eb")).as("cos"))
+      .select(col("a"), col("b"),
+        VecDot.cosineFast(VecDot.dot(col("ea"), col("eb")), col("na"), col("nb")).as("cos"))
       .filter(col("cos") >= threshold)
       .orderBy("a", "b")
   }

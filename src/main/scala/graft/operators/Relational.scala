@@ -224,7 +224,8 @@ object Relational {
     * a left-semi join.
     */
   def q20_in_subquery(s: SparkSession, dir: String): DataFrame = {
-    Tables.registerAll(s, dir)
+    Seq("orders", "customer").foreach(n =>
+      Tables.load(s, dir, n).createOrReplaceTempView(n))
     s.sql("""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
              WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
              ORDER BY o_orderkey""")
@@ -235,7 +236,7 @@ object Relational {
     * output row.
     */
   def q22_scalar_subquery(s: SparkSession, dir: String): DataFrame = {
-    Tables.registerAll(s, dir)
+    Tables.load(s, dir, "part").createOrReplaceTempView("part")
     s.sql("""SELECT p_brand, count(*) AS n, (SELECT count(*) FROM part) AS total
              FROM part GROUP BY p_brand ORDER BY p_brand""")
   }

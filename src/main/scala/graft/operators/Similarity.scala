@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions.cosine
+import graft.functions.VecDot
 import graft.sources.Tables
 
 /** Approximate-nearest-neighbor search over the embeddings table.
@@ -37,13 +37,18 @@ object Similarity {
         lit(0L),
         (acc, pb) => acc + pb("bit") * call_function("shiftleft", lit(1L), pb("p"))))
 
-  /** Exact top-k cosine neighbors for the first `nQueries` vectors. */
+  /** Exact top-k cosine neighbors for the first `nQueries` vectors. Norms
+    * are computed once per vector before the pair join; the pair loop is the
+    * codegen'd [[VecDot]] dot product only.
+    */
   def ann_bruteforce(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 10): DataFrame = {
     val emb = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), VecDot.norm(col("embedding")).as("nrm"))
     val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     val scored = emb.join(broadcast(queries), col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), cosine(col("q_emb"), col("embedding")).as("cos"))
+      .select(col("q_id"), col("vec_id"),
+        VecDot.cosineFast(VecDot.dot(col("q_emb"), col("embedding")), col("q_nrm"), col("nrm")).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -58,11 +63,15 @@ object Similarity {
   def ann_lsh(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 10,
       planes: Int = 4): DataFrame = {
     val emb = withLshBucket(Tables.load(s, dir, "embeddings"), planes)
+      .select(col("vec_id"), col("embedding"), col("bucket"),
+        VecDot.norm(col("embedding")).as("nrm"))
     val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("bucket"), col("nrm").as("q_nrm"))
     val scored = emb.join(broadcast(queries), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), cosine(col("q_emb"), col("embedding")).as("cos"))
+      .select(col("q_id"), col("vec_id"),
+        VecDot.cosineFast(VecDot.dot(col("q_emb"), col("embedding")), col("q_nrm"), col("nrm")).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

@@ -56,7 +56,9 @@ class PipelineSpec extends AnyFunSuite {
       (3L, "completely different words in this document entirely unrelated stuff"))
       .toDF("doc_id", "text")
     docs.createOrReplaceTempView("documents")
-    val sigs = docs.select(col("doc_id"), minhash(shingles(col("text"), 3), 32).as("sig"))
+    val sigs = docs
+      .select(col("doc_id"), hashedShingles(col("text"), 3).as("hs"))
+      .select(col("doc_id"), minhash(col("hs"), 32).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(sigs(1L) == sigs(2L))
     assert(sigs(1L) != sigs(3L))
