@@ -31,22 +31,76 @@ object Dialect {
   /** Postgres `SELECT DISTINCT ON (k…) cols FROM … [WHERE …] [ORDER BY o…]`
     * (first row per key; `validation/location.yaml:14-29`) → ranked-window
     * subquery. Spark has no DISTINCT ON; the window form keeps the same
-    * first-row-per-key-in-order semantics.
+    * first-row-per-key-in-order semantics. Applied per top-level UNION
+    * branch (`location.yaml` unions two DISTINCT ON selects). Where Postgres
+    * leaves the surviving row arbitrary (no/partial ORDER BY), simple
+    * select-list columns are appended as tie-breakers so the pick is
+    * deterministic — a legal refinement of the arbitrary choice.
     */
   def rewriteDistinctOn(sql: String): String = {
-    val re = "(?is)select\\s+distinct\\s+on\\s*\\(([^)]*)\\)(.*?)(\\bfrom\\b.*?)(order\\s+by\\s+(.*?))?\\s*$".r
+    val (parts, seps) = splitTopLevelUnion(sql)
+    val rewritten = parts.map(rewriteDistinctOnBranch)
+    rewritten.head + seps.zip(rewritten.tail).map { case (s, p) => s" $s $p" }.mkString
+  }
+
+  private def rewriteDistinctOnBranch(sql: String): String = {
+    val re = "(?is)\\s*select\\s+distinct\\s+on\\s*\\(([^)]*)\\)(.*?)(\\bfrom\\b.*?)(order\\s+by\\s+(.*?))?\\s*$".r
     re.findFirstMatchIn(sql) match {
       case None => sql
       case Some(m) =>
         val keys = m.group(1).trim
         val selectList = m.group(2).trim.stripSuffix(",")
         val fromPart = m.group(3).trim
-        val orderBy = Option(m.group(5)).map(_.trim).filter(_.nonEmpty).getOrElse(keys)
+        val explicit = Option(m.group(5)).map(_.trim).filter(_.nonEmpty)
+        val tieBreak = selectList.split(",").map(_.trim)
+          .filter(_.matches("[\\w.]+"))
+        val orderBy = (explicit.getOrElse(keys) +: tieBreak.toSeq).distinct.mkString(", ")
         s"""SELECT $selectList FROM (
            |  SELECT $selectList, row_number() OVER (PARTITION BY $keys ORDER BY $orderBy) AS __rn
            |  $fromPart
            |) WHERE __rn = 1""".stripMargin
     }
+  }
+
+  /** Split on top-level UNION [ALL] (outside parens and string literals).
+    * Returns (branches, separators) with `separators.length ==
+    * branches.length - 1`; each separator is "UNION" or "UNION ALL".
+    */
+  private def splitTopLevelUnion(sql: String): (Seq[String], Seq[String]) = {
+    val parts = Seq.newBuilder[String]
+    val seps = Seq.newBuilder[String]
+    var depth = 0
+    var inLit = false
+    var start = 0
+    var i = 0
+    val upper = sql.toUpperCase
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inLit) { if (c == '\'') inLit = false }
+      else c match {
+        case '\'' => inLit = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case 'u' | 'U' if depth == 0 && upper.startsWith("UNION", i) &&
+            (i == 0 || !Character.isLetterOrDigit(sql.charAt(i - 1))) &&
+            (i + 5 >= sql.length || !Character.isLetterOrDigit(sql.charAt(i + 5))) =>
+          parts += sql.substring(start, i)
+          val rest = sql.substring(i + 5)
+          "(?is)^\\s*ALL\\b".r.findFirstIn(rest) match {
+            case Some(all) =>
+              seps += "UNION ALL"
+              start = i + 5 + all.length
+            case None =>
+              seps += "UNION"
+              start = i + 5
+          }
+          i = start - 1
+        case _ => ()
+      }
+      i += 1
+    }
+    parts += sql.substring(start)
+    (parts.result(), seps.result())
   }
 
   /** Postgres `expr::type` cast → `CAST(expr AS type)`. Spark 4 parses simple

@@ -31,10 +31,17 @@ class DialectSpec extends AnyFunSuite {
   test("rewriteDistinctOn (`validation/location.yaml:14-29`)") {
     val in = "select distinct on (city) city, zip from cerner.address order by city, beg_effective_dt_tm"
     val out = Dialect.rewriteDistinctOn(in)
-    assert(out.contains("row_number() OVER (PARTITION BY city ORDER BY city, beg_effective_dt_tm)"))
+    // explicit ORDER BY honored, select-list columns appended as
+    // deterministic tie-breakers
+    assert(out.contains("row_number() OVER (PARTITION BY city ORDER BY city, beg_effective_dt_tm, city, zip)"))
     assert(out.contains("WHERE __rn = 1"))
     // no distinct-on → unchanged
     assert(Dialect.rewriteDistinctOn("select distinct a from t") == "select distinct a from t")
+    // per-UNION-branch rewrite (`validation/location.yaml:12-18`)
+    val union = Dialect.rewriteDistinctOn(
+      "select distinct on (k) k, v from cerner.a UNION select distinct on (k) k, v from cerner.b order by k")
+    assert(union.split("UNION").length == 2)
+    assert("__rn = 1".r.findAllIn(union).length == 2)
   }
 
   test("type map (SURVEY.md §1.2)") {
