@@ -1,0 +1,83 @@
+package graft.engine
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.rules.{DisabledColumn, RuleParser, TableRule}
+
+/** Top-level entry points — the Spark equivalents of the reference's CLI and
+  * API surfaces (`omop_etl/__main__.py`, `omop_etl/api.py`).
+  */
+object Etl {
+
+  /** `omop_etl compile` + `execute` in one: parse every YAML rule file in
+    * `rulesDir` and run them through an [[Engine]] with the global two-phase
+    * schedule (`__main__.py:54-88`). Files are processed in sorted name
+    * order; dependency files run first regardless of position. Source tables
+    * must already be registered on the engine (or pass `sources`).
+    */
+  def runDirectory(
+      spark: SparkSession,
+      rulesDir: String,
+      udfs: Map[String, SparkSession => Unit] = Map.empty,
+      configure: Engine => Unit = _ => ()): Map[String, DataFrame] = {
+    val engine = new Engine(spark, udfs)
+    configure(engine)
+    val rules = Files.list(Paths.get(rulesDir)).iterator().asScala
+      .filter(p => p.toString.endsWith(".yaml") || p.toString.endsWith(".yml"))
+      .toSeq.sortBy(_.getFileName.toString)
+      .map { p =>
+        val stem = p.getFileName.toString.replaceAll("\\.(yaml|yml)$", "")
+        RuleParser.parse(stem, Files.readString(p))
+      }
+    engine.run(rules)
+  }
+
+  /** Load the `external` schema from a directory of CSVs, one view per file
+    * (`FACILITY_POSTCODE.csv` → `external_facility_postcode`) — the
+    * reference's external-table path (`schema/external.sql`,
+    * `tests/test_rules.py:123-126`).
+    */
+  def registerExternalCsvDir(engine: Engine, spark: SparkSession, dir: String): Unit =
+    Files.list(Paths.get(dir)).iterator().asScala
+      .filter(_.toString.toLowerCase.endsWith(".csv"))
+      .foreach { p: Path =>
+        val name = p.getFileName.toString.replaceAll("(?i)\\.csv$", "").toLowerCase
+        val df = spark.read
+          .option("header", "true")
+          .option("inferSchema", "true")
+          .csv(p.toString)
+        // the reference loader strips `PREFIX.` from header names
+        val renamed = df.columns.foldLeft(df)((d, c) =>
+          d.withColumnRenamed(c, c.split("\\.").last.toLowerCase))
+        engine.registerSource("external", name, renamed)
+      }
+}
+
+/** Required-column validation (A20): the reference's API computes structured
+  * warnings for target columns that OMOP CDM v6 marks required but the rule
+  * doesn't populate (`api.py:19-40`, `schema.py:44-52`,
+  * `schema/required_omop_columns.csv` — shipped as a resource).
+  */
+object RequiredColumns {
+
+  lazy val omopV6: Map[String, Set[String]] = {
+    val in = getClass.getResourceAsStream("/required_omop_columns.csv")
+    val lines = scala.io.Source.fromInputStream(in).getLines().drop(1)
+    lines.map(_.split(",")).collect { case Array(t, c) => (t.trim, c.trim) }
+      .toSeq.groupMap(_._1)(_._2).view.mapValues(_.toSet).toMap
+  }
+
+  /** Messages in the reference's wording (`api.py:27-29`); table matched
+    * lowercase, pk exempt, disabled columns don't count as defined.
+    */
+  def warnings(rule: TableRule, required: Map[String, Set[String]] = omopV6): Seq[String] = {
+    val req = required.getOrElse(rule.name.toLowerCase, Set.empty) - rule.primaryKey.name
+    val defined = rule.columns.collect {
+      case c if !c.isInstanceOf[DisabledColumn] => c.name
+    }.toSet + rule.primaryKey.name
+    (req -- defined).toSeq.sorted.map(c => s"""Column "$c" is not defined""")
+  }
+}

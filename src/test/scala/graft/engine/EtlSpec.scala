@@ -1,0 +1,82 @@
+package graft.engine
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.rules.RuleParser
+
+class EtlSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  test("runDirectory: rule files from disk, deps first, targets built") {
+    val dir = Files.createTempDirectory("graft-rules")
+    Files.writeString(dir.resolve("20_copy.yaml"), """
+      |name: baz
+      |primary_key:
+      |  name: id
+      |  sources:
+      |    foo_pk: {table: foo, columns: {id: integer}}
+      |columns:
+      |  - {name: alpha, tables: [foo], expression: foo.alpha}
+      |""".stripMargin)
+    Files.writeString(dir.resolve("10_dep.yaml"), """
+      |pre_init:
+      |  - alias: setup_temp
+      |    query: select 1 as one
+      |""".stripMargin)
+    val out = Etl.runDirectory(spark, dir.toString, configure = { e =>
+      e.registerSource("cerner", "foo",
+        Seq((0, "a"), (1, "b")).toDF("id", "alpha"))
+    })
+    assert(out.keySet == Set("baz"))
+    assert(out("baz").count() == 2)
+    assert(spark.table("setup_temp").count() == 1)
+  }
+
+  test("registerExternalCsvDir: CSV -> external_* views with cleaned headers") {
+    val dir = Files.createTempDirectory("graft-ext")
+    Files.writeString(dir.resolve("LOOKUP.csv"),
+      "PREFIX.id,PREFIX.Name\n1,alpha\n2,beta\n")
+    val e = new Engine(spark)
+    Etl.registerExternalCsvDir(e, spark, dir.toString)
+    val df = spark.table("external_lookup")
+    assert(df.columns.toSeq == Seq("id", "name"))
+    assert(df.count() == 2)
+  }
+
+  test("required-column warnings (A20, `api.py:19-40`)") {
+    val rule = RuleParser.parseTable("person", """
+      |name: person
+      |primary_key:
+      |  name: person_id
+      |  sources:
+      |    s: {table: p, columns: {id: bigint}}
+      |columns:
+      |  - {name: year_of_birth, tables: [p], expression: p.y}
+      |  - {name: gender_concept_id, enabled: false}
+      |""".stripMargin)
+    val w = RequiredColumns.warnings(rule)
+    // person requires more CDM v6 columns than the rule defines; pk exempt,
+    // disabled gender_concept_id does NOT count as defined
+    assert(w.nonEmpty)
+    assert(w.contains("Column \"gender_concept_id\" is not defined"))
+    assert(!w.exists(_.contains("person_id")))
+    assert(!w.exists(_.contains("year_of_birth")))
+    // a table absent from the CDM metadata yields no warnings
+    val other = RuleParser.parseTable("nope", """
+      |name: not_a_cdm_table
+      |primary_key:
+      |  name: id
+      |  sources:
+      |    s: {table: p, columns: {id: bigint}}
+      |columns:
+      |  - {name: a, tables: [p], expression: p.a}
+      |""".stripMargin)
+    assert(RequiredColumns.warnings(other).isEmpty)
+  }
+}
