@@ -139,6 +139,22 @@ object OracleSql {
         |JOIN region ON r_regionkey = x.id
         |ORDER BY x.id""".stripMargin,
 
+    "q16_range_join" ->
+      """SELECT band, count(*) AS n,
+        |  CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total
+        |FROM part
+        |JOIN (VALUES ('low', 0, 930), ('mid', 930, 970), ('high', 970, 100000)) b(band, lo, hi)
+        |  ON CAST(p_retailprice AS DECIMAL(12,2)) >= b.lo AND CAST(p_retailprice AS DECIMAL(12,2)) < b.hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+
+    "q26_asof_join" ->
+      """SELECT p.user_id, p.event_id, CAST(p.ts AS TIMESTAMP) AS ts,
+        |  CAST(v.ts AS TIMESTAMP) AS last_view_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND p.ts > v.ts
+        |ORDER BY p.user_id, p.event_id""".stripMargin,
+
     "q17_string_funcs" ->
       """SELECT p_partkey, substring(p_name, 1, 5) AS name5,
         |  CAST(position('a' in p_name) AS INT) AS pos_a,

@@ -36,6 +36,8 @@ object SparkEntry {
     "q13_fk_remap" -> (EtlQueries.q13_fk_remap _),
     "q14_constants" -> (Relational.q14_constants _),
     "q15_values_cast" -> (Relational.q15_values_cast _),
+    "q16_range_join" -> (Relational.q16_range_join _),
+    "q26_asof_join" -> (Relational.q26_asof_join _),
     "q17_string_funcs" -> (Relational.q17_string_funcs _),
     "q18_case_expr" -> (Relational.q18_case_expr _),
     "q19_date_extract" -> (Relational.q19_date_extract _),

@@ -273,6 +273,40 @@ object Relational {
       lit(2.5).as("score"))
       .orderBy("c_custkey")
 
+  /** Range (interval-containment) join: parts bucketed into price bands via
+    * a broadcast non-equi join — the band table is tiny, so the scan side
+    * never shuffles.
+    */
+  def q16_range_join(s: SparkSession, dir: String): DataFrame = {
+    val bands = s.createDataFrame(Seq(
+      ("low", 0, 930), ("mid", 930, 970), ("high", 970, 100000)))
+      .toDF("band", "lo", "hi")
+    val part = t(s, dir, "part")
+    part.join(broadcast(bands),
+        dec2(part("p_retailprice")) >= bands("lo") && dec2(part("p_retailprice")) < bands("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"), sum2(col("p_retailprice")).as("total"))
+      .orderBy("band")
+  }
+
+  /** As-of join: each purchase event paired with the user's most recent
+    * strictly-prior view. Composed Spark-first from one per-user ordered
+    * window (single shuffle on user_id) — no custom operator needed; the
+    * DuckDB oracle uses its native ASOF JOIN, so two independent
+    * implementations must agree.
+    */
+  def q26_asof_join(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("last_view_ts",
+        last(when(col("event_type") === "view", col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("last_view_ts"))
+      .orderBy("user_id", "event_id")
+  }
+
   // --- events (time series, batch) ----------------------------------------
 
   /** Tumbling-window aggregate over the events table (batch form; the
