@@ -279,6 +279,23 @@ object OracleSql {
          |SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= 10
          |ORDER BY q_id, rank""".stripMargin,
 
+    "tx_ngrams" ->
+      """WITH g AS (
+        |  SELECT unnest(CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+        |                ELSE list_transform(generate_series(0, len(w) - 2),
+        |                                    i -> array_to_string(w[i+1:i+2], ' ')) END) AS gram
+        |  FROM (SELECT string_split(text, ' ') AS w FROM documents))
+        |SELECT gram, count(*) AS n FROM g GROUP BY gram
+        |ORDER BY n DESC, gram LIMIT 20""".stripMargin,
+
+    "embed_centroids" ->
+      """SELECT label, CAST(i - 1 AS INT) AS pos,
+        |  CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS BIGINT) AS comp_qsum,
+        |  count(*) AS n
+        |FROM (SELECT label, unnest(embedding) AS x,
+        |             generate_subscripts(embedding, 1) AS i FROM embeddings)
+        |GROUP BY label, i ORDER BY label, pos""".stripMargin,
+
     "tx_quality" ->
       """SELECT doc_id,
         |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)

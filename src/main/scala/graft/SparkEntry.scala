@@ -62,6 +62,9 @@ object SparkEntry {
     "tx_langid" -> (TextAnalysis.tx_langid _),
     "tx_langid_eval" -> (TextAnalysis.tx_langid_eval _),
     "mm_pipeline" -> (Multimodal.mm_pipeline _),
+    "dd_cluster" -> (Dedup.dd_cluster _),
+    "tx_ngrams" -> ((s, d) => TextAnalysis.tx_ngrams(s, d)),
+    "embed_centroids" -> (TextAnalysis.embed_centroids _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the

@@ -144,6 +144,40 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** Connected components over a near-dup pair graph → duplicate clusters
+    * with a canonical (minimum) doc id. Iterative min-label propagation:
+    * each round joins labels to edges and takes the per-node minimum —
+    * O(diameter) rounds of one shuffle each, the standard scalable CC
+    * formulation (no driver-side graph).
+    */
+  def clusterPairs(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("id")).agg(min(col("label")).as("nlabel"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .persist()
+      converged = updated.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = updated
+      i += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("label", "cluster").orderBy("id")
+  }
+
+  /** Near-dup clusters from the MinHash candidate graph. */
+  def dd_cluster(s: SparkSession, dir: String): DataFrame =
+    clusterPairs(dd_minhash(s, dir).select("a", "b"))
+
   /** Embedding-cosine near-dup over the embeddings table: the exact all-pairs
     * baseline (a < b halves the space; cosine is the bit-deterministic double
     * fold of [[graft.functions.TextFunctions.cosine]]). The sub-quadratic

@@ -86,6 +86,33 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Corpus-level top-k word-bigram counts (term statistics): explode +
+    * count + top-k with deterministic tie-break. Map-side partial counts do
+    * the heavy lifting; only distinct grams shuffle.
+    */
+  def tx_ngrams(s: SparkSession, dir: String, k: Int = 20): DataFrame =
+    docs(s, dir)
+      .select(explode(graft.functions.TextFunctions.shingles(col("text"), 2)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram"))
+      .limit(k)
+
+  /** Per-label embedding centroid components via fixed-point quantized
+    * accumulation: `floor(x · 2^20)` is exact IEEE arithmetic (power-of-two
+    * scaling never rounds), so the integer sums are order-independent and
+    * bit-identical on any engine — THE deterministic way to aggregate floats
+    * distributively. (A decimal cast is NOT safe: dyadic float expansions end
+    * in 5 and Spark rounds ties half-up while DuckDB rounds half-even.)
+    * Emit (label, dim, quantized sum, count); mean ≈ qsum / (n · 2^20).
+    */
+  def embed_centroids(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(floor(col("col").cast("double") * (1L << 20))).as("comp_qsum"),
+        count(lit(1)).as("n"))
+      .orderBy("label", "pos")
+
   /** Language-ID accuracy rollup (hits the whole corpus once). */
   def tx_langid_eval(s: SparkSession, dir: String): DataFrame =
     tx_langid(s, dir)

@@ -93,6 +93,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(sh.toSeq == Seq((1L, 2L)))
   }
 
+  test("clusterPairs: connected components with canonical min label") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (7L, 8L), (3L, 4L)).toDF("a", "b")
+    val got = Dedup.clusterPairs(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
   test("ann_bruteforce: self excluded, ranks dense 1..k, scores non-increasing") {
     val rows = Similarity.ann_bruteforce(spark, "/root/testdata/sf0.001", nQueries = 3, k = 5)
       .collect()
