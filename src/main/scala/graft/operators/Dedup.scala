@@ -158,16 +158,21 @@ object Dedup {
       .withColumn("label", col("id"))
     var converged = false
     var i = 0
+    var cachedPrev: DataFrame = null
     while (!converged && i < maxIter) {
       val neighborMin = edges
         .join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("id")).agg(min(col("label")).as("nlabel"))
+      // old and new label carried together: the convergence probe reuses the
+      // same persisted frame instead of a second join
       val updated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .select(col("id"), col("label").as("__old"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         .persist()
-      converged = updated.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old")).isEmpty
-      labels = updated
+      converged = updated.filter(col("label") =!= col("__old")).isEmpty
+      labels = updated.select("id", "label")
+      if (cachedPrev != null) cachedPrev.unpersist()
+      cachedPrev = updated
       i += 1
     }
     edges.unpersist()
