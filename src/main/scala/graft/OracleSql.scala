@@ -147,6 +147,13 @@ object OracleSql {
         |  ON CAST(p_retailprice AS DECIMAL(12,2)) >= b.lo AND CAST(p_retailprice AS DECIMAL(12,2)) < b.hi
         |GROUP BY band ORDER BY band""".stripMargin,
 
+    "q27_count_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q26_asof_join" ->
       """SELECT p.user_id, p.event_id, CAST(p.ts AS TIMESTAMP) AS ts,
         |  CAST(v.ts AS TIMESTAMP) AS last_view_ts

@@ -47,6 +47,7 @@ object SparkEntry {
     "q23_events_window" -> (Relational.q23_events_window _),
     "q24_sessionize" -> (Relational.q24_sessionize _),
     "q25_theta_join" -> (Relational.q25_theta_join _),
+    "q27_count_distinct" -> (Relational.q27_count_distinct _),
     // LLM-data-pipeline operators (builder brief; SURVEY.md §7.7)
     "dd_exact" -> (Dedup.dd_exact _),
     "dd_fingerprint" -> (Dedup.dd_fingerprint _),

@@ -221,6 +221,17 @@ class Engine(
     sql(text)
   }
 
+  /** A13 — the reference's required-column cleanup (generated but never
+    * wired into an entry point, `schema.py:426-428`): drop rows whose
+    * required columns are NULL. Exposed for callers that want the DELETE
+    * semantics the reference intended.
+    */
+  def enforceRequired(df: DataFrame, requiredCols: Seq[String]): DataFrame =
+    requiredCols.filter(df.columns.contains) match {
+      case Nil => df
+      case cols => df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+    }
+
   /** Run a full rule set with the reference's global two-phase schedule. */
   def run(rules: Seq[Rule]): Map[String, DataFrame] = {
     val (deps, tables) = rules.partitionMap {

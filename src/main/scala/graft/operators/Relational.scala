@@ -179,6 +179,20 @@ object Relational {
       .orderBy("o_custkey", "seq")
   }
 
+  /** Exact + approximate distinct aggregation: countDistinct is the exact
+    * (oracle-checked) path; approx_count_distinct (HLL++) is the sketch a
+    * 100 TB pipeline would use — emitted alongside to keep the oracle column
+    * set exact (the sketch value itself differs across engines by design).
+    */
+  def q27_count_distinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
   // --- set ops -------------------------------------------------------------
 
   /** UNION (distinct) of two scans — `validation/location.yaml:15-18`. */

@@ -57,6 +57,15 @@ object EventsStream {
       .select(col("w.start").as("h"), col("event_type"), col("n"), col("v"))
   }
 
+  /** Streaming exact dedup: at-least-once sources re-deliver events; drop
+    * repeats by key with a watermark so the seen-keys state is bounded to
+    * the watermark horizon (the streaming twin of `dd_exact`).
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class SessionState(sessionStart: Long, lastSeen: Long, n: Long)

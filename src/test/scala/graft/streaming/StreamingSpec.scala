@@ -53,6 +53,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops redelivered events within the watermark") {
+    val input = MemoryStream[EventsStream.Event](spark)
+    def ev(id: Long, sec: Long) =
+      EventsStream.Event(id, new java.sql.Timestamp(sec * 1000L), 1L, "view", 1.0)
+    val q = EventsStream.dedupStream(input.toDS().toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      input.addData(ev(1, 10), ev(2, 20), ev(1, 10)) // in-batch dup
+      q.processAllAvailable()
+      input.addData(ev(2, 20), ev(3, 30)) // cross-batch redelivery
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("vec_dot available from SQL via install and via extensions class") {
+    graft.functions.GraftFunctions.install(spark)
+    Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))).toDF("a", "b")
+      .createOrReplaceTempView("vecs")
+    val d = spark.sql("SELECT vec_dot(a, b) AS d FROM vecs").collect().head.getDouble(0)
+    assert(d == 32.0)
+  }
+
+  test("enforceRequired filters rows with NULL required columns (A13)") {
+    val e = new graft.engine.Engine(spark)
+    val df = Seq((1L, Some("x")), (2L, None), (3L, Some("z")))
+      .toDF("id", "v")
+    assert(e.enforceRequired(df, Seq("v")).count() == 2)
+    assert(e.enforceRequired(df, Seq("not_a_col")).count() == 3)
+  }
+
   test("mm_pipeline: binary plumbing end to end, deterministic features") {
     val out = graft.operators.Multimodal.mm_pipeline(spark, dir)
     val rows = out.collect()
