@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Plan-quality guards: these assert the *physical plan properties* the
+  * 100 TB design depends on, so a refactor that silently loses a broadcast
+  * or un-pushes a filter fails CI — not just the wall clock.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.sparkPlan.toString
+
+  test("q01: filter and projection pushed to the parquet scan") {
+    val p = plan(Relational.q01_scan_agg(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    // 11-column table read as 6 columns: pruned columns absent from the scan
+    assert(p.contains("FileScan parquet [l_quantity"))
+    assert(!p.contains("l_orderkey"))
+  }
+
+  test("q01: aggregation is map-side partial (two HashAggregates)") {
+    val p = plan(Relational.q01_scan_agg(spark, dir))
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("q04: all dimension joins broadcast — exactly one real shuffle pair") {
+    val p = plan(Relational.q04_join5_agg(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "dimension tables must join via broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q05: global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val p = plan(Relational.q05_topk(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q09/q10: EXISTS/NOT EXISTS plan as semi/anti joins") {
+    assert(plan(Relational.q09_semi_join(spark, dir)).contains("LeftSemi"))
+    assert(plan(Relational.q10_anti_join(spark, dir)).contains("LeftAnti"))
+  }
+
+  test("q16: range join broadcasts the band table (no fact shuffle)") {
+    val p = plan(Relational.q16_range_join(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("dd_exact: digest group-by is partially aggregated before the shuffle") {
+    val p = plan(Dedup.dd_exact(spark, dir))
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("ann_bruteforce: query side broadcast, corpus side stays partitioned") {
+    val p = plan(Similarity.ann_bruteforce(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("engine spine: mapping schema fingerprint matches the reference DDL") {
+    import spark.implicits._
+    val e = new graft.engine.Engine(spark)
+    e.registerSource("cerner", "foo",
+      Seq((0, "a"), (1, "b")).toDF("id", "alpha"))
+    e.registerSource("cerner", "bar",
+      Seq((0, "x")).toDF("id", "alpha"))
+    val rule = graft.rules.RuleParser.parse("merge", """
+      |name: baz
+      |primary_key:
+      |  name: id
+      |  sources:
+      |    foo_pk: {table: foo, columns: {id: integer}}
+      |    bar_pk: {table: bar, columns: {id: integer}}
+      |columns:
+      |  - {name: alpha, tables: [foo], primary_key: foo_pk, expression: foo.alpha}
+      |""".stripMargin)
+    e.run(Seq(rule))
+    // `create table mapping.baz (id serial PRIMARY KEY, foo_id integer null,
+    // bar_id integer null)` — golden `tests/test_integration.py:865`
+    val m = spark.table("mapping_baz")
+    assert(m.columns.toSeq == Seq("id", "foo_id", "bar_id"))
+    assert(m.schema("foo_id").dataType == org.apache.spark.sql.types.IntegerType)
+  }
+}
