@@ -44,7 +44,9 @@ object Dedup {
     */
   def dd_minhash(s: SparkSession, dir: String, k: Int = 32, bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
-    val sigs = minhashSignatures(docs(s, dir), k)
+    // both sides of the band self-join read the signatures: persist so the
+    // shingle+signature pipeline runs once
+    val sigs = minhashSignatures(docs(s, dir), k).persist()
     val banded = sigs
       .select(col("doc_id"), col("sig"),
         posexplode(minhashBands(col("sig"), k, bands)))
@@ -83,7 +85,7 @@ object Dedup {
     * verified by exact Hamming distance.
     */
   def dd_simhash(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    val fps = simhashFingerprints(docs(s, dir))
+    val fps = simhashFingerprints(docs(s, dir)).persist()
     val banded = fps.select(col("doc_id"), col("fp"),
       explode(transform(sequence(lit(0), lit(3)),
         b => struct(b.as("band"),
@@ -129,6 +131,7 @@ object Dedup {
     // shingle strings
     val sh = docs(s, dir)
       .select(col("doc_id"), explode(hashedShingles(col("text"), n)).as("sh"))
+      .persist() // read by both join sides and the size aggregate
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = sh.select(col("sh"), col("doc_id").as("a"))
       .join(sh.select(col("sh"), col("doc_id").as("b")), Seq("sh"))
