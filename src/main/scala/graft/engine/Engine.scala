@@ -158,18 +158,87 @@ class Engine(
 
   /** Phase-2 for one table: apply its column rules in declaration order
     * (order is semantic — last write wins; SURVEY.md §7.5).
+    *
+    * Scale shape: the naive translation left-joins the full target once per
+    * column rule — C shuffles of the biggest table. Instead, rules are
+    * folded per column (later-rule-wins = rank by rule index over the
+    * union of the per-rule outputs — these are keyed rule-output frames,
+    * small relative to the target), the per-column finals are outer-joined
+    * on the surrogate id, and the target is joined ONCE. A constant rule
+    * (A17) overwrites every row, so it kills all earlier rules for its
+    * column and becomes the column's default value. Falls back to the
+    * sequential overlay when a column's rules produce incompatible value
+    * types (the ranked union needs one type; the reference relies on the
+    * target DDL cast there).
     */
   def process(rule: TableRule): Unit = {
     val pkName = rule.primaryKey.name
-    rule.columns.foreach {
-      case DisabledColumn(_) => () // compiles to nothing (A18)
-      case ConstantColumn(name, value) =>
-        // `update omop.t set c = <lit>` — all rows (A17)
-        targets(rule.name) = targets(rule.name).withColumn(name, lit(value))
-      case tc: TargetColumn =>
-        val ruleDf = columnRuleSelect(rule, tc)
-        targets(rule.name) = Overlay(targets(rule.name), pkName, tc.name, ruleDf)
+
+    // column name → (rules with global index), first-appearance order
+    val indexed = rule.columns.zipWithIndex.filter(!_._1.isInstanceOf[DisabledColumn])
+    val colOrder = indexed.map(_._1.name).distinct
+    val byColumn = colOrder.map(c => c -> indexed.filter(_._1.name == c))
+
+    case class ColPlan(name: String, default: Option[Any], folded: Option[DataFrame])
+
+    val plans = byColumn.map { case (colName, rs) =>
+      val lastConstIdx = rs.collect { case (c: ConstantColumn, i) => i }.lastOption
+      val default = lastConstIdx.map(i =>
+        rs.collect { case (c: ConstantColumn, `i`) => c.constant }.head)
+      val keyed = rs.collect {
+        case (tc: TargetColumn, i) if lastConstIdx.forall(i > _) => (tc, i)
+      }
+      val perRule = keyed.map { case (tc, i) =>
+        columnRuleSelect(rule, tc).dropDuplicates("__id")
+          .withColumn("__ridx", lit(i))
+      }
+      val types = perRule.map(_.schema("__val").dataType).distinct
+      if (perRule.isEmpty) ColPlan(colName, default, None)
+      else if (types.size > 1) {
+        // incompatible rule value types → sequential overlay fallback
+        var t = targets(rule.name)
+        default.foreach(v => t = t.withColumn(colName, lit(v)))
+        keyed.foreach { case (tc, _) =>
+          t = Overlay(t, pkName, colName, columnRuleSelect(rule, tc))
+        }
+        targets(rule.name) = t
+        ColPlan(colName, None, None)
+      } else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__id")).orderBy(col("__ridx").desc)
+        val folded = perRule.reduce(_.unionByName(_))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("__id"), col("__val").as(s"__val_$colName"),
+            lit(1).as(s"__m_$colName"))
+        ColPlan(colName, default, Some(folded))
+      }
     }
+
+    val withFinals = plans.filter(_.folded.isDefined)
+    val combined = withFinals.map(_.folded.get)
+      .reduceOption(_.join(_, Seq("__id"), "full_outer"))
+
+    var target = targets(rule.name)
+    combined match {
+      case Some(c) =>
+        target = target.join(c, target(pkName) === c("__id"), "left")
+      case None => ()
+    }
+    plans.foreach { p =>
+      if (p.folded.isDefined) {
+        val prior: org.apache.spark.sql.Column = p.default.map(lit)
+          .getOrElse(if (target.columns.contains(p.name)) col(p.name) else lit(null))
+        target = target.withColumn(p.name,
+          when(col(s"__m_${p.name}").isNotNull, col(s"__val_${p.name}")).otherwise(prior))
+      } else if (p.default.isDefined) {
+        // constants-only column (or fallback already applied its default)
+        target = target.withColumn(p.name, lit(p.default.get))
+      }
+    }
+    targets(rule.name) = target
+      .drop("__id")
+      .drop(withFinals.flatMap(p => Seq(s"__val_${p.name}", s"__m_${p.name}")): _*)
   }
 
   /** Build `SELECT <spine id> AS __id, <expr> AS __val FROM mapping ⋈ rule
