@@ -65,6 +65,7 @@ object SparkEntry {
     "mm_pipeline" -> (Multimodal.mm_pipeline _),
     "dd_cluster" -> (Dedup.dd_cluster _),
     "tx_ngrams" -> ((s, d) => TextAnalysis.tx_ngrams(s, d)),
+    "tx_fingerprint" -> ((s, d) => TextAnalysis.tx_fingerprint(s, d)),
     "embed_centroids" -> (TextAnalysis.embed_centroids _),
   )
 

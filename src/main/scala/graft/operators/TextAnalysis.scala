@@ -86,6 +86,28 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Winnowing document fingerprints (rolling-hash selection, the MOSS
+    * scheme): hash every word n-gram in order, slide a window of `w` hashes,
+    * keep each window's minimum — a deterministic ~1/w sample of the doc
+    * that near-identical docs mostly share. Output: fingerprint count + an
+    * order-insensitive digest of the selected set.
+    */
+  def tx_fingerprint(s: SparkSession, dir: String, n: Int = 3, w: Int = 4): DataFrame = {
+    import graft.functions.TextFunctions.shingles
+    val staged = docs(s, dir).select(col("doc_id"),
+      transform(shingles(col("text"), n), x => xxhash64(x)).as("hs"))
+    staged.select(
+      col("doc_id"),
+      size(array_distinct(transform(
+        sequence(lit(0), greatest(size(col("hs")) - w, lit(0))),
+        i => array_min(slice(col("hs"), i + 1, lit(w)))))).cast("long").as("n_fps"),
+      md5(concat_ws(",", array_sort(array_distinct(transform(
+        sequence(lit(0), greatest(size(col("hs")) - w, lit(0))),
+        i => array_min(slice(col("hs"), i + 1, lit(w))))))
+        .cast("array<string>"))).as("doc_fp"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus-level top-k word-bigram counts (term statistics): explode +
     * count + top-k with deterministic tie-break. Map-side partial counts do
     * the heavy lifting; only distinct grams shuffle.

@@ -93,6 +93,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(sh.toSeq == Seq((1L, 2L)))
   }
 
+  test("tx_fingerprint: identical docs collide; near-identical overlap heavily") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val dir = tmpDocs(Seq(
+      (1L, base, "en", "s", 1L),
+      (2L, base, "en", "s", 1L),
+      (3L, base + " nu xi", "en", "s", 1L),
+      (4L, "totally different words entirely here now", "en", "s", 1L)))
+    val fps = TextAnalysis.tx_fingerprint(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L)._2 != fps(4L)._2)
+    assert(fps(3L)._1 >= fps(1L)._1) // superset doc keeps at least as many fps
+  }
+
   test("clusterPairs: connected components with canonical min label") {
     val pairs = Seq((2L, 1L), (2L, 3L), (7L, 8L), (3L, 4L)).toDF("a", "b")
     val got = Dedup.clusterPairs(pairs).collect()
