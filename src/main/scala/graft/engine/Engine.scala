@@ -287,7 +287,15 @@ class Engine(
       s"""SELECT ${rule.name}.id AS __id, ($valueExpr) AS __val
          |FROM ${fromItems.mkString(", ")}
          |WHERE ${preds.map(p => s"($p)").mkString(" AND ")}""".stripMargin
-    sql(text)
+    // attach rule/column context to analysis errors — the reference only
+    // surfaces raw Postgres errors at script-run time (`__main__.py:137-142`);
+    // a rules author needs to know WHICH rule produced the bad SQL
+    try sql(text)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"rule '${rule.name}', column '${tc.name}': ${e.getMessage}\n  generated SQL: $text", e)
+    }
   }
 
   /** A13 — the reference's required-column cleanup (generated but never

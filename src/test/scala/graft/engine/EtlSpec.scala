@@ -49,6 +49,42 @@ class EtlSpec extends AnyFunSuite {
     assert(df.count() == 2)
   }
 
+  test("re-running the same rules is idempotent (--drop-tables semantics, A6)") {
+    val yaml = """
+      |name: baz
+      |primary_key:
+      |  name: id
+      |  sources:
+      |    foo_pk: {table: foo, columns: {id: integer}}
+      |columns:
+      |  - {name: alpha, tables: [foo], expression: foo.alpha}
+      |""".stripMargin
+    def runOnce(): Seq[Seq[Any]] = {
+      val e = new Engine(spark)
+      e.registerSource("cerner", "foo", Seq((0, "a"), (1, "b")).toDF("id", "alpha"))
+      e.run(Seq(graft.rules.RuleParser.parse("r", yaml)))("baz")
+        .orderBy("id").collect().toSeq.map(_.toSeq)
+    }
+    assert(runOnce() == runOnce())
+  }
+
+  test("analysis errors carry rule/column context (SURVEY.md §7.6)") {
+    val e = new Engine(spark)
+    e.registerSource("cerner", "foo", Seq((0, "a")).toDF("id", "alpha"))
+    val bad = graft.rules.RuleParser.parse("bad", """
+      |name: baz
+      |primary_key:
+      |  name: id
+      |  sources:
+      |    foo_pk: {table: foo, columns: {id: integer}}
+      |columns:
+      |  - {name: alpha, tables: [foo], expression: foo.no_such_column}
+      |""".stripMargin)
+    val err = intercept[IllegalArgumentException](e.run(Seq(bad)))
+    assert(err.getMessage.contains("rule 'baz', column 'alpha'"))
+    assert(err.getMessage.contains("no_such_column"))
+  }
+
   test("required-column warnings (A20, `api.py:19-40`)") {
     val rule = RuleParser.parseTable("person", """
       |name: person
