@@ -25,9 +25,9 @@ object OracleSql {
   val sql: Map[String, String] = Map(
     "q01_scan_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
-         |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
-         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
-         |  CAST(sum($rev) AS DECIMAL(38,4)) AS sum_disc_price,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+         |  CAST(sum($rev) AS DOUBLE) AS sum_disc_price,
          |  count(*) AS count_order
          |FROM lineitem
          |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -42,7 +42,7 @@ object OracleSql {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q03_join_agg" ->
-      s"""SELECT l_orderkey, o_orderdate, CAST(sum($rev) AS DECIMAL(38,4)) AS rev
+      s"""SELECT l_orderkey, o_orderdate, CAST(sum($rev) AS DOUBLE) AS rev
          |FROM lineitem
          |JOIN orders ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey
@@ -54,7 +54,7 @@ object OracleSql {
          |LIMIT 10""".stripMargin,
 
     "q04_join5_agg" ->
-      s"""SELECT n_name, CAST(sum($rev) AS DECIMAL(38,4)) AS rev, count(*) AS n_items
+      s"""SELECT n_name, CAST(sum($rev) AS DOUBLE) AS rev, count(*) AS n_items
          |FROM lineitem
          |JOIN orders ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey
@@ -65,7 +65,7 @@ object OracleSql {
          |ORDER BY n_name""".stripMargin,
 
     "q05_topk" ->
-      """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      """SELECT o_orderkey, o_custkey, CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
         |FROM orders
         |ORDER BY price DESC, o_orderkey
         |LIMIT 10""".stripMargin,
@@ -82,7 +82,7 @@ object OracleSql {
         |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS seq,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
         |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_total
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
         |FROM orders
         |ORDER BY o_custkey, seq""".stripMargin,
 
@@ -104,9 +104,9 @@ object OracleSql {
 
     "q11_overlay" ->
       """SELECT c_custkey,
-        |  COALESCE(f.total, CAST(c_acctbal AS DECIMAL(38,2))) AS bal
+        |  CAST(COALESCE(f.total, CAST(c_acctbal AS DECIMAL(38,2))) AS DOUBLE) AS bal
         |FROM customer LEFT JOIN (
-        |  SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total
+        |  SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
         |  FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey) f
         |  ON f.o_custkey = c_custkey
         |ORDER BY c_custkey""".stripMargin,
@@ -141,7 +141,7 @@ object OracleSql {
 
     "q16_range_join" ->
       """SELECT band, count(*) AS n,
-        |  CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total
+        |  CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM part
         |JOIN (VALUES ('low', 0, 930), ('mid', 930, 970), ('high', 970, 100000)) b(band, lo, hi)
         |  ON CAST(p_retailprice AS DECIMAL(12,2)) >= b.lo AND CAST(p_retailprice AS DECIMAL(12,2)) < b.hi
@@ -173,12 +173,12 @@ object OracleSql {
       """SELECT l_orderkey, l_linenumber,
         |  CASE WHEN CAST(l_discount AS DECIMAL(12,2)) > CAST(l_tax AS DECIMAL(12,2))
         |       THEN 'D' ELSE 'T' END AS flag,
-        |  greatest(CAST(l_discount AS DECIMAL(12,2)), CAST(l_tax AS DECIMAL(12,2))) AS max_rate
+        |  CAST(greatest(CAST(l_discount AS DECIMAL(12,2)), CAST(l_tax AS DECIMAL(12,2))) AS DOUBLE) AS max_rate
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q19_date_extract" ->
       """SELECT CAST(extract(year FROM o_orderdate) AS INT) AS yr, count(*) AS n,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin,
 
     "q20_in_subquery" ->
@@ -196,7 +196,7 @@ object OracleSql {
 
     "q23_events_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type, count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS v
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
         |FROM events GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin,
 
     "q24_sessionize" ->
@@ -215,7 +215,7 @@ object OracleSql {
         |FROM s GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin,
 
     "q25_theta_join" ->
-      """SELECT p_partkey, p_size, CAST(p_retailprice AS DECIMAL(12,2)) AS price
+      """SELECT p_partkey, p_size, CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS price
         |FROM part
         |JOIN (SELECT p_size AS sz, CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_price,
         |             count(*) AS n

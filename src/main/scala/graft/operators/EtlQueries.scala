@@ -88,7 +88,7 @@ object EtlQueries {
       .agg(sum(col("o_totalprice").cast(DecimalType(12, 2))).cast(DecimalType(38, 2)).as("__val"))
       .select(col("o_custkey").as("__id"), col("__val"))
     Overlay(target, "c_custkey", "bal", ruleDf)
-      .withColumn("bal", col("bal").cast(DecimalType(38, 2)))
+      .withColumn("bal", col("bal").cast("double"))
       .orderBy("c_custkey")
   }
 }

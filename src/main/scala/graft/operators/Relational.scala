@@ -29,7 +29,7 @@ object Relational {
     * distributed aggregation.
     */
   private def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
-  private def sum2(c: Column): Column = sum(dec2(c)).cast(DecimalType(38, 2))
+  private def sum2(c: Column): Column = sum(dec2(c)).cast("double")
 
   /** l_extendedprice * (1 - l_discount) in exact decimal arithmetic. */
   private def revenue(price: Column, disc: Column): Column =
@@ -49,7 +49,7 @@ object Relational {
         sum2(col("l_quantity")).as("sum_qty"),
         sum2(col("l_extendedprice")).as("sum_base_price"),
         sum(revenue(col("l_extendedprice"), col("l_discount")))
-          .cast(DecimalType(38, 4)).as("sum_disc_price"),
+          .cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -79,7 +79,7 @@ object Relational {
       .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(sum(revenue(col("l_extendedprice"), col("l_discount")))
-        .cast(DecimalType(38, 4)).as("rev"))
+        .cast("double").as("rev"))
       .orderBy(col("rev").desc, col("l_orderkey"))
       .limit(10)
   }
@@ -100,7 +100,7 @@ object Relational {
       .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
       .groupBy(col("n_name"))
       .agg(sum(revenue(col("l_extendedprice"), col("l_discount")))
-        .cast(DecimalType(38, 4)).as("rev"),
+        .cast("double").as("rev"),
         count(lit(1)).as("n_items"))
       .orderBy(col("n_name"))
   }
@@ -136,7 +136,7 @@ object Relational {
     part.join(broadcast(bySize),
         part("p_size") === bySize("sz") &&
           dec2(part("p_retailprice")) * bySize("n") > bySize("sum_price"))
-      .select(col("p_partkey"), col("p_size"), dec2(col("p_retailprice")).as("price"))
+      .select(col("p_partkey"), col("p_size"), dec2(col("p_retailprice")).cast("double").as("price"))
       .orderBy("p_partkey")
   }
 
@@ -147,7 +147,7 @@ object Relational {
     */
   def q05_topk(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
-      .select(col("o_orderkey"), col("o_custkey"), dec2(col("o_totalprice")).as("price"))
+      .select(col("o_orderkey"), col("o_custkey"), dec2(col("o_totalprice")).cast("double").as("price"))
       .orderBy(col("price").desc, col("o_orderkey"))
       .limit(10)
 
@@ -174,7 +174,7 @@ object Relational {
       .withColumn("running_total",
         sum(dec2(col("o_totalprice")))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast(DecimalType(38, 2)))
+          .cast("double"))
       .select("o_custkey", "o_orderkey", "seq", "running_total")
       .orderBy("o_custkey", "seq")
   }
@@ -222,7 +222,7 @@ object Relational {
       col("l_orderkey"), col("l_linenumber"),
       when(dec2(col("l_discount")) > dec2(col("l_tax")), lit("D"))
         .otherwise(lit("T")).as("flag"),
-      greatest(dec2(col("l_discount")), dec2(col("l_tax"))).as("max_rate"))
+      greatest(dec2(col("l_discount")), dec2(col("l_tax"))).cast("double").as("max_rate"))
       .orderBy("l_orderkey", "l_linenumber")
 
   /** Date extraction (`validation/person.yaml:27` `extract(year from …)`). */
