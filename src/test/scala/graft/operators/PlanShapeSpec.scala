@@ -62,6 +62,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
 
+  test("bucketed join: no exchange on either side") {
+    val loc = java.nio.file.Files.createTempDirectory("graft-buckets").toString
+    val li = graft.sources.Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val ord = graft.sources.Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+    // at test scale the planner prefers broadcast; disable it so the
+    // bucketed sort-merge path (the 100 TB shape) is what gets planned
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = ScalePatterns.bucketedJoin(spark, li, "l_orderkey", ord, "o_orderkey", 4, loc)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"bucketed join must not shuffle:\n$p")
+      assert(p.contains("SortMergeJoin"))
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted count equals direct count on a skewed key") {
+    val ev = graft.sources.Tables.load(spark, dir, "events")
+    val direct = ev.groupBy(org.apache.spark.sql.functions.col("event_type").as("key"))
+      .count().withColumnRenamed("count", "n")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = ScalePatterns.saltedCount(ev, org.apache.spark.sql.functions.col("event_type"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == direct)
+  }
+
   test("engine spine: mapping schema fingerprint matches the reference DDL") {
     import spark.implicits._
     val e = new graft.engine.Engine(spark)
