@@ -12,12 +12,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Full materialization: a noop-sink write evaluates every output column
+    // of every row. (`count()` is wrong here — Catalyst prunes unreferenced
+    // select expressions under it, so pure-projection queries would time at
+    // near-zero instead of their real expression-evaluation cost.)
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     // JVM/codegen/scan warmup so the first timed query isn't charged for
     // session bring-up (the flagship touches every join/agg code path).
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    try run(SparkEntry.entry(spark)) catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try run(fn(spark, sfDir)) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -22,6 +22,20 @@ object OracleSql {
        | / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
        |   * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))""".stripMargin.replace("\n", " ")
 
+  /** `max(struct(hits, lang)).lang` in DuckDB terms: sort the per-language
+    * score structs ascending and take the last (struct comparison is
+    * field-order lexicographic on both engines). Built from the SAME profile
+    * map the Spark operator uses, so the two can never drift.
+    */
+  private val langidPickSql: String = {
+    val structs = graft.operators.TextAnalysis.profiles.toSeq.sortBy(_._1).map {
+      case (lang, stops) =>
+        val lst = stops.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"{'hits': len(list_intersect(w, $lst)), 'lang': '$lang'}"
+    }
+    s"list_sort([${structs.mkString(", ")}])[${structs.size}].lang"
+  }
+
   val sql: Map[String, String] = Map(
     "q01_scan_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -302,6 +316,24 @@ object OracleSql {
         |FROM (SELECT label, unnest(embedding) AS x,
         |             generate_subscripts(embedding, 1) AS i FROM embeddings)
         |GROUP BY label, i ORDER BY label, pos""".stripMargin,
+
+    // argmax twin of TextAnalysis.tx_langid: Spark's array_max over
+    // struct(hits, lang) is lexicographic (max hits, tie → max lang code) —
+    // DuckDB's struct comparison is the same, so a sorted-list-last pick
+    // reproduces the argmax bit-for-bit. list_intersect dedups like Spark's
+    // array_intersect.
+    "tx_langid" ->
+      s"""SELECT doc_id, lang AS actual, ${langidPickSql} AS predicted
+         |FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "tx_langid_eval" ->
+      s"""WITH p AS (
+         |  SELECT lang AS actual, ${langidPickSql} AS predicted
+         |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents))
+         |SELECT actual, count(*) AS n,
+         |  CAST(sum(CASE WHEN predicted = actual THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+         |FROM p GROUP BY actual ORDER BY actual""".stripMargin,
 
     "tx_quality" ->
       """SELECT doc_id,

@@ -55,6 +55,7 @@ object SparkEntry {
     "dd_simhash" -> ((s, d) => Dedup.dd_simhash(s, d)),
     "dd_ngram_jaccard" -> ((s, d) => Dedup.dd_ngram_jaccard(s, d)),
     "dd_embed_cosine" -> ((s, d) => Dedup.dd_embed_cosine(s, d)),
+    "dd_embed_lsh" -> ((s, d) => Dedup.dd_embed_lsh(s, d)),
     "ann_bruteforce" -> ((s, d) => Similarity.ann_bruteforce(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.ann_lsh(s, d)),
     "tx_stats" -> (TextAnalysis.tx_stats _),

@@ -107,7 +107,17 @@ class Engine(
           }
         case None =>
           try sql(translate(script, rule.dep)).collect()
-          catch { case _: org.apache.spark.sql.AnalysisException | _: org.apache.spark.sql.catalyst.parser.ParseException => () }
+          catch {
+            case e @ (_: org.apache.spark.sql.AnalysisException |
+                      _: org.apache.spark.sql.catalyst.parser.ParseException) =>
+              // tolerated (the reference hands scripts verbatim to Postgres —
+              // `TRUE;` in `tests/rules/dep.yaml:2` must no-op) but NOT
+              // silent: a typo'd real setup script would error in Postgres,
+              // so a rules author needs the rule name and the reason.
+              System.err.println(
+                s"[graft] rule '${rule.name}': setup script ignored " +
+                  s"(${e.getMessage.linesIterator.nextOption().getOrElse("")})")
+          }
       }
     }
 
@@ -320,8 +330,21 @@ class Engine(
       runTempTables(d.dep.preInit, d.dep)
       runTempTables(d.dep.postInit, d.dep)
     }
-    tables.foreach(initialize)
-    tables.foreach(process)
+    // `depends_on` env inheritance (`__main__.py:67-80`): each dependency
+    // file with a non-null `default_schema` overwrites the dependent table's
+    // DefaultSchema, in depends_on order (last wins). The dep's TempTables
+    // need no counterpart: temp views are engine-global here, a superset of
+    // the reference's per-table TempTables union.
+    val depSchema: Map[String, String] =
+      deps.flatMap(d => d.dep.defaultSchema.map(d.name -> _)).toMap
+    val effective = tables.map { t =>
+      t.dep.dependsOn.flatMap(depSchema.get).lastOption match {
+        case Some(s) => t.copy(dep = t.dep.copy(defaultSchema = Some(s)))
+        case None => t
+      }
+    }
+    effective.foreach(initialize)
+    effective.foreach(process)
     targets.toMap
   }
 }

@@ -43,14 +43,15 @@ object Dedup {
     * verified. Deterministic end to end (xxhash64).
     */
   def dd_minhash(s: SparkSession, dir: String, k: Int = 32, bands: Int = 8,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucket: Int = 10000): DataFrame = {
     // both sides of the band self-join read the signatures: persist so the
     // shingle+signature pipeline runs once
     val sigs = minhashSignatures(docs(s, dir), k).persist()
-    val banded = sigs
+    val banded = capBuckets(sigs
       .select(col("doc_id"), col("sig"),
         posexplode(minhashBands(col("sig"), k, bands)))
-      .select(col("doc_id"), col("sig"), col("pos").as("band"), col("col").as("bkey"))
+      .select(col("doc_id"), col("sig"), col("pos").as("band"), col("col").as("bkey")),
+      maxBucket)
     val a = banded.select(col("band"), col("bkey"), col("doc_id").as("a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("bkey"), col("doc_id").as("b"), col("sig").as("sig_b"))
     a.join(b, Seq("band", "bkey"))
@@ -63,6 +64,29 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
       .orderBy("a", "b")
   }
+
+  /** Skew guard for band-bucket self-joins: a bucket holding m members emits
+    * m² candidate pairs, so one mega-bucket (an exact-duplicate cluster
+    * sharing every band) can dominate the whole job at scale. Buckets larger
+    * than `maxBucket` are dropped from CANDIDATE GENERATION only, bounding
+    * any single bucket's cost at maxBucket²; members of a dropped bucket are
+    * near-certain exact duplicates (they collide on a whole band), which
+    * [[dd_exact]] already reports. Default is far above any bucket the test
+    * corpora produce, so small-SF output is unchanged.
+    */
+  private def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
+    val sizes = banded.groupBy("band", "bkey").agg(count(lit(1)).as("__bsz"))
+    banded.join(sizes.filter(col("__bsz") <= maxBucket), Seq("band", "bkey"))
+      .drop("__bsz")
+  }
+
+  /** Band-buckets that [[capBuckets]] would drop at `maxBucket` — the
+    * observability hook: run it (one cheap aggregate) and log the result
+    * when candidate counts matter.
+    */
+  def droppedBuckets(banded: DataFrame, maxBucket: Int): DataFrame =
+    banded.groupBy("band", "bkey").agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucket)
 
   /** MinHash signatures in aggregate form: shingle-hashes exploded to rows,
     * then k `min` aggregates — map-side partial aggregation, whole-stage
@@ -84,13 +108,14 @@ object Dedup {
     * 16-bit bands (any pair within Hamming distance 3 must agree on ≥1 band),
     * verified by exact Hamming distance.
     */
-  def dd_simhash(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+  def dd_simhash(s: SparkSession, dir: String, maxHamming: Int = 3,
+      maxBucket: Int = 10000): DataFrame = {
     val fps = simhashFingerprints(docs(s, dir)).persist()
-    val banded = fps.select(col("doc_id"), col("fp"),
+    val banded = capBuckets(fps.select(col("doc_id"), col("fp"),
       explode(transform(sequence(lit(0), lit(3)),
         b => struct(b.as("band"),
           call_function("shiftright", col("fp"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bkey")))).as("bb"))
-      .select(col("doc_id"), col("fp"), col("bb.band"), col("bb.bkey"))
+      .select(col("doc_id"), col("fp"), col("bb.band"), col("bb.bkey")), maxBucket)
     val a = banded.select(col("band"), col("bkey"), col("doc_id").as("a"), col("fp").as("fp_a"))
     val b = banded.select(col("band"), col("bkey"), col("doc_id").as("b"), col("fp").as("fp_b"))
     a.join(b, Seq("band", "bkey"))
@@ -119,27 +144,47 @@ object Dedup {
           .reduce((a, b) => a.bitwiseOR(b)).as("fp"))
   }
 
-  /** Exact n-gram Jaccard near-dup: candidates = pairs sharing ≥1 shingle
-    * (inverted-index join on distinct shingles), verified with the exact
-    * |A∩B| / |A∪B| computed from co-occurrence counts — no signatures, no
-    * all-pairs.
+  /** Exact n-gram Jaccard near-dup via prefix filtering (the all-pairs
+    * scheme of Bayardo et al., WWW'07 / ppjoin): order every document's
+    * distinct shingle set by ascending document frequency (rarest first,
+    * 64-bit hash tie-break — a global total order), and generate candidates
+    * only from each document's PREFIX of the first `|S| - ceil(t·|S|) + 1`
+    * shingles. Exactness: for any pair with J ≥ t, the order-minimum common
+    * shingle must sit inside both prefixes (the suffix holds only
+    * `ceil(t·|S|) - 1 < |A∩B|` elements), so no qualifying pair is missed.
+    * Candidates are verified with the exact `|A∩B| / |A∪B|` from the full
+    * sets. Scale shape: a boilerplate shingle appearing in f documents is
+    * high-df, lands in suffixes, and generates ZERO candidate pairs —
+    * versus f² for the naive inverted-index join.
     */
   def dd_ngram_jaccard(s: SparkSession, dir: String, n: Int = 3,
       threshold: Double = 0.4): DataFrame = {
-    // join on 64-bit shingle hashes: same pair counts (collisions at 2^-64
-    // are below any practical risk), far cheaper shuffle + compare than
-    // shingle strings
+    // posting list on 64-bit shingle hashes: same pair counts (collisions at
+    // 2^-64 are below any practical risk), far cheaper shuffle + compare
+    // than shingle strings
     val sh = docs(s, dir)
       .select(col("doc_id"), explode(hashedShingles(col("text"), n)).as("sh"))
-      .persist() // read by both join sides and the size aggregate
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val pairs = sh.select(col("sh"), col("doc_id").as("a"))
-      .join(sh.select(col("sh"), col("doc_id").as("b")), Seq("sh"))
+    val df = sh.groupBy("sh").agg(count(lit(1)).as("df")) // map-side partials
+    // per-doc shingle set re-assembled rarest-first; read by candidate
+    // generation (prefix) and verification (full set) → persist
+    val sets = sh.join(df, Seq("sh"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("sh")))).as("ranked"))
+      .select(col("doc_id"), transform(col("ranked"), r => r("sh")).as("shs"))
+      .persist()
+    val prefLen = size(col("shs")) -
+      ceil(size(col("shs")).cast("double") * threshold).cast("int") + 1
+    val pref = sets.select(col("doc_id"), explode(slice(col("shs"), lit(1), prefLen)).as("sh"))
+    val candidates = pref.select(col("sh"), col("doc_id").as("a"))
+      .join(pref.select(col("sh"), col("doc_id").as("b")), Seq("sh"))
       .filter(col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "na"), Seq("a"))
-      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "nb"), Seq("b"))
+      .select("a", "b").distinct()
+    candidates
+      .join(sets.select(col("doc_id").as("a"), col("shs").as("sa")), Seq("a"))
+      .join(sets.select(col("doc_id").as("b"), col("shs").as("sb")), Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("sa"), col("sb"))).as("inter"),
+        size(col("sa")).as("na"), size(col("sb")).as("nb"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -153,32 +198,37 @@ object Dedup {
     * O(diameter) rounds of one shuffle each, the standard scalable CC
     * formulation (no driver-side graph).
     */
-  def clusterPairs(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def clusterPairs(pairs: DataFrame, maxIter: Int = 10, checkEvery: Int = 2): DataFrame = {
+    // localCheckpoint (not persist): every round's plan must restart from a
+    // materialized leaf, or the logical plan deepens by one join per round
+    // and analysis/EXCHANGE-planning cost grows O(rounds) — the round-1
+    // bench charged 18 s to exactly that.
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .distinct().persist()
+      .distinct().localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
+      .localCheckpoint()
     var converged = false
     var i = 0
-    var cachedPrev: DataFrame = null
     while (!converged && i < maxIter) {
       val neighborMin = edges
         .join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("id")).agg(min(col("label")).as("nlabel"))
-      // old and new label carried together: the convergence probe reuses the
-      // same persisted frame instead of a second join
+      // old and new label carried together: the convergence probe scans the
+      // checkpointed frame instead of re-running the join
       val updated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("label").as("__old"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .persist()
-      converged = updated.filter(col("label") =!= col("__old")).isEmpty
-      labels = updated.select("id", "label")
-      if (cachedPrev != null) cachedPrev.unpersist()
-      cachedPrev = updated
+        .localCheckpoint()
       i += 1
+      // probe the driver only every `checkEvery` rounds (min-label
+      // propagation usually needs several): a wasted extra round is one
+      // cheap leaf-scan join, a probe is a full driver round-trip
+      if (i % checkEvery == 0 || i >= maxIter)
+        converged = updated.filter(col("label") =!= col("__old")).isEmpty
+      labels = updated.select("id", "label")
     }
-    edges.unpersist()
     labels.withColumnRenamed("label", "cluster").orderBy("id")
   }
 
@@ -200,6 +250,31 @@ object Dedup {
     val a = emb.select(col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
     val b = emb.select(col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb"))
     a.join(b, col("a") < col("b"))
+      .select(col("a"), col("b"),
+        VecDot.cosineFast(VecDot.dot(col("ea"), col("eb")), col("na"), col("nb")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .orderBy("a", "b")
+  }
+
+  /** Embedding near-dup, LSH-bucketed — the 100 TB path (vs the exact
+    * all-pairs [[dd_embed_cosine]] baseline): random-hyperplane sign buckets
+    * ([[Similarity.withLshBucket]]) shard the corpus into ~2^planes cells;
+    * the pair join runs WITHIN buckets only (an equi-join Catalyst shuffles
+    * on the bucket key — no cartesian), then exact cosine verifies. Two
+    * vectors with cosine ≥ t collide on all `planes` sign bits with
+    * probability (1 - θ/π)^planes (θ = arccos t), so high-similarity pairs
+    * are rarely missed and identical vectors never are.
+    */
+  def dd_embed_lsh(s: SparkSession, dir: String, threshold: Double = 0.4,
+      planes: Int = 4): DataFrame = {
+    import graft.functions.VecDot
+    val emb = Similarity.withLshBucket(Tables.load(s, dir, "embeddings"), planes)
+      .select(col("vec_id"), col("embedding"), col("bucket"),
+        VecDot.norm(col("embedding")).as("nrm"))
+    val a = emb.select(col("bucket"), col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = emb.select(col("bucket"), col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("a") < col("b"))
       .select(col("a"), col("b"),
         VecDot.cosineFast(VecDot.dot(col("ea"), col("eb")), col("na"), col("nb")).as("cos"))
       .filter(col("cos") >= threshold)

@@ -23,19 +23,44 @@ object Similarity {
   private def planeComponent(plane: Column, dim: Column): Column =
     (pmod(xxhash64(plane, dim), lit(1000L)).cast("double") / 1000.0) - 0.5
 
+  /** Signed margins of `embedding` against the `planes` hyperplanes — the
+    * raw material for both the bucket id (sign bits) and multi-probe
+    * ordering (|margin| says how close the vector is to each boundary).
+    */
+  def planeDots(emb: Column, planes: Int): Column =
+    transform(sequence(lit(0), lit(planes - 1)), p =>
+      aggregate(
+        zip_with(emb, sequence(lit(0), size(emb) - 1),
+          (x, i) => x.cast("double") * planeComponent(p, i)),
+        lit(0.0), (acc, x) => acc + x))
+
+  /** Sign-bit bucket id packed from the margin vector. */
+  def bucketOf(dots: Column): Column =
+    aggregate(
+      zip_with(dots, sequence(lit(0), size(dots) - 1),
+        (d, p) => when(d >= 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+
   /** Sign-bit LSH bucket id from `planes` random hyperplanes. */
   def withLshBucket(emb: DataFrame, planes: Int): DataFrame =
-    emb.withColumn("bucket",
-      aggregate(
-        transform(sequence(lit(0), lit(planes - 1)), p => {
-          val dot = aggregate(
-            zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
-              (x, i) => x.cast("double") * planeComponent(p, i)),
-            lit(0.0), (acc, x) => acc + x)
-          struct(p.as("p"), when(dot >= 0, 1L).otherwise(0L).as("bit"))
-        }),
-        lit(0L),
-        (acc, pb) => acc + pb("bit") * call_function("shiftleft", lit(1L), pb("p"))))
+    emb.withColumn("bucket", bucketOf(planeDots(col("embedding"), planes)))
+
+  /** Multi-probe bucket sequence: the home bucket, then buckets reached by
+    * flipping the lowest-|margin| sign bits one at a time (Lv et al.,
+    * VLDB'07) — a vector near a hyperplane probes the far side of exactly
+    * that plane first, where its missed neighbors live. `nProbes - 1` ≤
+    * planes flips; deterministic (ties broken by plane index).
+    */
+  def probeBuckets(dots: Column, nProbes: Int): Column = {
+    val idxByMargin = transform(
+      array_sort(zip_with(dots, sequence(lit(0), size(dots) - 1),
+        (d, i) => struct(abs(d).as("m"), i.as("i")))),
+      s => s("i"))
+    val home = bucketOf(dots)
+    concat(array(home),
+      transform(slice(idxByMargin, 1, nProbes - 1),
+        i => home.bitwiseXOR(call_function("shiftleft", lit(1L), i))))
+  }
 
   /** Exact top-k cosine neighbors for the first `nQueries` vectors. Norms
     * are computed once per vector before the pair join; the pair loop is the
@@ -56,22 +81,30 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
-  /** LSH-bucketed ANN: query vectors probe only their own bucket; exact
-    * cosine + top-k within candidates. Recall < 1 by construction — the
-    * deterministic trade for candidate sets ~|corpus| / 2^planes.
+  /** LSH-bucketed ANN, multi-probe: each query probes its home bucket plus
+    * the `nProbes - 1` buckets across its lowest-margin hyperplanes; exact
+    * cosine + top-k within candidates. Candidate sets stay
+    * ~nProbes·|corpus| / 2^planes — the corpus side never re-shuffles (the
+    * probe set is exploded on the broadcast query side), and recall rises
+    * steeply with nProbes because misses concentrate at low-margin planes.
     */
   def ann_lsh(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 10,
-      planes: Int = 4): DataFrame = {
-    val emb = withLshBucket(Tables.load(s, dir, "embeddings"), planes)
+      planes: Int = 4, nProbes: Int = 4): DataFrame = {
+    val raw = Tables.load(s, dir, "embeddings")
+    val emb = withLshBucket(raw, planes)
       .select(col("vec_id"), col("embedding"), col("bucket"),
         VecDot.norm(col("embedding")).as("nrm"))
-    val queries = emb.filter(col("vec_id") < nQueries)
+    val queries = raw.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("bucket"), col("nrm").as("q_nrm"))
+        VecDot.norm(col("embedding")).as("q_nrm"),
+        explode(probeBuckets(planeDots(col("embedding"), planes), nProbes)).as("bucket"))
     val scored = emb.join(broadcast(queries), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
+      // a candidate can collide with a query on several probes — identical
+      // rows after the bucket column drops, so dedupe before ranking
       .select(col("q_id"), col("vec_id"),
         VecDot.cosineFast(VecDot.dot(col("q_emb"), col("embedding")), col("q_nrm"), col("nrm")).as("cos"))
+      .dropDuplicates("q_id", "vec_id")
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

@@ -60,7 +60,10 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  private val profiles: Map[String, Seq[String]] = Map(
+  /** Stopword profiles per language; shared with [[graft.OracleSql]] so the
+    * DuckDB twin stays in lockstep.
+    */
+  val profiles: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "to"),
     "es" -> Seq("el", "la", "de", "y", "que"),
     "de" -> Seq("der", "die", "das", "und", "zu"),
