@@ -45,21 +45,26 @@ object Similarity {
   def withLshBucket(emb: DataFrame, planes: Int): DataFrame =
     emb.withColumn("bucket", bucketOf(planeDots(col("embedding"), planes)))
 
-  /** Multi-probe bucket sequence: the home bucket, then buckets reached by
-    * flipping the lowest-|margin| sign bits one at a time (Lv et al.,
-    * VLDB'07) — a vector near a hyperplane probes the far side of exactly
-    * that plane first, where its missed neighbors live. `nProbes - 1` ≤
-    * planes flips; deterministic (ties broken by plane index).
+  /** Multi-probe bucket sequence (Lv et al., VLDB'07): enumerate all
+    * 2^planes flip masks, cost each by the summed |margin| of its flipped
+    * planes (the query's distance to the far side of those hyperplanes),
+    * and probe the `nProbes` cheapest — the home bucket (cost 0) first,
+    * then single low-margin flips, then cheap combinations. Deterministic
+    * (cost ties broken by mask value). `planes` must stay small (≤ ~8):
+    * the mask table is 2^planes entries per query row.
     */
-  def probeBuckets(dots: Column, nProbes: Int): Column = {
-    val idxByMargin = transform(
-      array_sort(zip_with(dots, sequence(lit(0), size(dots) - 1),
-        (d, i) => struct(abs(d).as("m"), i.as("i")))),
-      s => s("i"))
+  def probeBuckets(dots: Column, nProbes: Int, planes: Int): Column = {
     val home = bucketOf(dots)
-    concat(array(home),
-      transform(slice(idxByMargin, 1, nProbes - 1),
-        i => home.bitwiseXOR(call_function("shiftleft", lit(1L), i))))
+    val costed = transform(sequence(lit(0), lit((1 << planes) - 1)), m =>
+      struct(
+        aggregate(sequence(lit(0), lit(planes - 1)), lit(0.0),
+          (acc, i) => acc + when(
+            call_function("shiftright", m, i).bitwiseAND(lit(1)) === 1,
+            abs(call_function("element_at", dots, i + lit(1)))).otherwise(lit(0.0)))
+          .as("cost"),
+        m.as("mask")))
+    transform(slice(array_sort(costed), 1, nProbes),
+      s => home.bitwiseXOR(s("mask").cast("long")))
   }
 
   /** Exact top-k cosine neighbors for the first `nQueries` vectors. Norms
@@ -81,15 +86,19 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
-  /** LSH-bucketed ANN, multi-probe: each query probes its home bucket plus
-    * the `nProbes - 1` buckets across its lowest-margin hyperplanes; exact
-    * cosine + top-k within candidates. Candidate sets stay
-    * ~nProbes·|corpus| / 2^planes — the corpus side never re-shuffles (the
-    * probe set is exploded on the broadcast query side), and recall rises
-    * steeply with nProbes because misses concentrate at low-margin planes.
+  /** LSH-bucketed ANN, multi-probe: each query probes the `nProbes`
+    * cheapest buckets of its [[probeBuckets]] sequence; exact cosine +
+    * top-k within candidates. Candidate sets are ~nProbes·|corpus| /
+    * 2^planes and the corpus side never re-shuffles — the probe set is
+    * exploded on the broadcast QUERY side only. Recall/cost is tuned by
+    * (planes, nProbes): clustered real-world embeddings concentrate
+    * neighbors in the home bucket so few probes suffice; the near-uniform
+    * synthetic test corpus is the worst case and needs nProbes ≈ 12 of 16
+    * for recall ≥ 0.8 (see PipelineSpec) — at scale, raise `planes` with
+    * nProbes rather than brute-forcing.
     */
   def ann_lsh(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 10,
-      planes: Int = 4, nProbes: Int = 4): DataFrame = {
+      planes: Int = 4, nProbes: Int = 12): DataFrame = {
     val raw = Tables.load(s, dir, "embeddings")
     val emb = withLshBucket(raw, planes)
       .select(col("vec_id"), col("embedding"), col("bucket"),
@@ -97,7 +106,7 @@ object Similarity {
     val queries = raw.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         VecDot.norm(col("embedding")).as("q_nrm"),
-        explode(probeBuckets(planeDots(col("embedding"), planes), nProbes)).as("bucket"))
+        explode(probeBuckets(planeDots(col("embedding"), planes), nProbes, planes)).as("bucket"))
     val scored = emb.join(broadcast(queries), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       // a candidate can collide with a query on several probes — identical

@@ -68,6 +68,55 @@ class EtlSpec extends AnyFunSuite {
     assert(runOnce() == runOnce())
   }
 
+  test("depends_on inherits the dep file's default_schema (`__main__.py:67-80`)") {
+    val dir = Files.createTempDirectory("graft-depschema")
+    Files.writeString(dir.resolve("10_src.yaml"), """
+      |default_schema: custom
+      |scripts: ["TRUE;"]
+      |""".stripMargin)
+    Files.writeString(dir.resolve("20_tab.yaml"), """
+      |name: baz
+      |depends_on: [10_src]
+      |primary_key:
+      |  name: id
+      |  sources:
+      |    dsfoo_pk: {table: dsfoo, columns: {id: integer}}
+      |columns:
+      |  - {name: alpha, tables: [dsfoo], expression: dsfoo.alpha}
+      |""".stripMargin)
+    val out = Etl.runDirectory(spark, dir.toString, configure = { e =>
+      // `dsfoo` exists ONLY under the dep's schema: bare refs must resolve
+      // through the inherited default_schema, not the `cerner` fallback
+      e.registerSource("custom", "dsfoo", Seq((0, "a"), (1, "b")).toDF("id", "alpha"))
+    })
+    assert(out("baz").orderBy("id").collect().map(_.getString(1)).toSeq == Seq("a", "b"))
+    // without depends_on the same rule set fails to resolve (pins that the
+    // pass above really came from inheritance)
+    Files.writeString(dir.resolve("20_tab.yaml"),
+      Files.readString(dir.resolve("20_tab.yaml")).replace("depends_on: [10_src]", ""))
+    intercept[Exception] {
+      Etl.runDirectory(spark, dir.toString, configure = { e =>
+        e.registerSource("custom", "dsfoo", Seq((0, "a")).toDF("id", "alpha"))
+      })
+    }
+  }
+
+  test("setup scripts that fail to parse are tolerated (warned, not thrown)") {
+    val e = new Engine(spark)
+    e.registerSource("cerner", "foo", Seq((0, "a")).toDF("id", "alpha"))
+    val rule = RuleParser.parse("r", """
+      |name: baz
+      |scripts: ["THIS IS NOT SQL AT ALL ;;;"]
+      |primary_key:
+      |  name: id
+      |  sources:
+      |    foo_pk: {table: foo, columns: {id: integer}}
+      |columns:
+      |  - {name: alpha, tables: [foo], expression: foo.alpha}
+      |""".stripMargin)
+    assert(e.run(Seq(rule))("baz").count() == 1)
+  }
+
   test("analysis errors carry rule/column context (SURVEY.md §7.6)") {
     val e = new Engine(spark)
     e.registerSource("cerner", "foo", Seq((0, "a")).toDF("id", "alpha"))

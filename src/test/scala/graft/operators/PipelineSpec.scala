@@ -145,11 +145,68 @@ class PipelineSpec extends AnyFunSuite {
     assert(eval.map(_.getLong(1)).sum == 500)
   }
 
+  test("dd_embed_lsh: identical vectors always pair; subset of all-pairs baseline") {
+    val dir = tmpEmb(Seq(
+      (1L, Seq(0.5f, 0.1f, 0.9f, -0.2f), "a"),
+      (2L, Seq(0.5f, 0.1f, 0.9f, -0.2f), "a"), // exact dup of 1 → same bucket
+      (3L, Seq(-0.6f, 0.8f, -0.1f, 0.3f), "b")))
+    val got = Dedup.dd_embed_lsh(spark, dir, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)))
+    assert(math.abs(got(0)._3 - 1.0) < 1e-12)
+    // bucketed pairs ⊆ exact all-pairs at the same threshold
+    val lsh = Dedup.dd_embed_lsh(spark, "/root/testdata/sf0.001")
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.dd_embed_cosine(spark, "/root/testdata/sf0.001")
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+  }
+
+  test("ann_lsh multi-probe recall >= 0.8 vs bruteforce at sf0.01") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = pairs(Similarity.ann_bruteforce(spark, "/root/testdata/sf0.01"))
+    val lsh = pairs(Similarity.ann_lsh(spark, "/root/testdata/sf0.01"))
+    val recall = (bf & lsh).size.toDouble / bf.size
+    assert(recall >= 0.8, s"multi-probe recall $recall < 0.8")
+    // multi-probe strictly widens the single-probe candidate set
+    val single = pairs(Similarity.ann_lsh(spark, "/root/testdata/sf0.01", nProbes = 1))
+    val recallSingle = (bf & single).size.toDouble / bf.size
+    assert(recall >= recallSingle)
+  }
+
+  test("band-bucket cap bounds hot buckets; droppedBuckets reports them") {
+    // 6 exact copies: every band-bucket they occupy holds 6 members
+    val text = "spark catalyst optimizer rewrites logical plans into physical plans"
+    val dir = tmpDocs((1L to 6L).map(i => (i, text, "en", "s", 1L)) :+
+      ((7L, "totally unrelated words about zebras and quarks", "en", "s", 1L)))
+    // default cap: all 15 pairs of the 6-clique found
+    assert(Dedup.dd_minhash(spark, dir).count() == 15)
+    // cap below the clique size: the hot buckets drop from candidate
+    // generation (members are exact dups — dd_exact's job), none invented
+    assert(Dedup.dd_minhash(spark, dir, maxBucket = 5).count() == 0)
+    val banded = Dedup.minhashSignatures(
+      spark.read.parquet(s"$dir/documents.parquet"), 32)
+      .select(col("doc_id"),
+        posexplode(minhashBands(col("sig"), 32, 8)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
+    val dropped = Dedup.droppedBuckets(banded, 5).collect()
+    assert(dropped.nonEmpty && dropped.forall(_.getLong(2) == 6L))
+  }
+
   /** Write a tiny documents corpus to a temp dir shaped like testdata. */
   private def tmpDocs(rows: Seq[(Long, String, String, String, Long)]): String = {
     val dir = java.nio.file.Files.createTempDirectory("graftdocs").toString
     rows.toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  /** Write a tiny embeddings table to a temp dir shaped like testdata. */
+  private def tmpEmb(rows: Seq[(Long, Seq[Float], String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graftemb").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     dir
   }
 }
