@@ -14,7 +14,7 @@ import graft.sources.Tables
 object Dedup {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+    Tables.loadParallel(s, dir, "documents")
 
   /** Exact dedup: hash-groupBy on content digest; keep the smallest doc_id.
     * Map-side partial aggregation means only one row per distinct digest
@@ -164,6 +164,7 @@ object Dedup {
     // than shingle strings
     val sh = docs(s, dir)
       .select(col("doc_id"), explode(hashedShingles(col("text"), n)).as("sh"))
+      .persist() // read 3× (df build + both sides of the df join)
     val df = sh.groupBy("sh").agg(count(lit(1)).as("df")) // map-side partials
     // per-doc shingle set re-assembled rarest-first; read by candidate
     // generation (prefix) and verification (full set) → persist
@@ -245,7 +246,7 @@ object Dedup {
   def dd_embed_cosine(s: SparkSession, dir: String,
       threshold: Double = 0.4): DataFrame = {
     import graft.functions.VecDot
-    val emb = Tables.load(s, dir, "embeddings")
+    val emb = Tables.loadParallel(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), VecDot.norm(col("embedding")).as("nrm"))
     val a = emb.select(col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
     val b = emb.select(col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb"))
@@ -268,7 +269,7 @@ object Dedup {
   def dd_embed_lsh(s: SparkSession, dir: String, threshold: Double = 0.4,
       planes: Int = 4): DataFrame = {
     import graft.functions.VecDot
-    val emb = Similarity.withLshBucket(Tables.load(s, dir, "embeddings"), planes)
+    val emb = Similarity.withLshBucket(Tables.loadParallel(s, dir, "embeddings"), planes)
       .select(col("vec_id"), col("embedding"), col("bucket"),
         VecDot.norm(col("embedding")).as("nrm"))
     val a = emb.select(col("bucket"), col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))

@@ -27,7 +27,7 @@ object Multimodal {
     * binary written by an ingest job; the operators below don't care.
     */
   def mediaTable(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents").select(
+    Tables.loadParallel(s, dir, "documents").select(
       col("doc_id"),
       col("text").cast("binary").as("payload"),
       element_at(array(lit("png"), lit("jpeg"), lit("wav")),

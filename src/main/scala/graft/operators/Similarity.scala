@@ -72,7 +72,7 @@ object Similarity {
     * codegen'd [[VecDot]] dot product only.
     */
   def ann_bruteforce(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 10): DataFrame = {
-    val emb = Tables.load(s, dir, "embeddings")
+    val emb = Tables.loadParallel(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), VecDot.norm(col("embedding")).as("nrm"))
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
@@ -99,7 +99,7 @@ object Similarity {
     */
   def ann_lsh(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 10,
       planes: Int = 4, nProbes: Int = 12): DataFrame = {
-    val raw = Tables.load(s, dir, "embeddings")
+    val raw = Tables.loadParallel(s, dir, "embeddings")
     val emb = withLshBucket(raw, planes)
       .select(col("vec_id"), col("embedding"), col("bucket"),
         VecDot.norm(col("embedding")).as("nrm"))

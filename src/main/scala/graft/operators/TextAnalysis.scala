@@ -13,7 +13,7 @@ import graft.sources.Tables
 object TextAnalysis {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+    Tables.loadParallel(s, dir, "documents")
 
   /** Per-document surface statistics — the oracle-checkable core: counts and
     * one single-division ratio (exact-deterministic IEEE on both engines).
@@ -99,15 +99,17 @@ object TextAnalysis {
     import graft.functions.TextFunctions.shingles
     val staged = docs(s, dir).select(col("doc_id"),
       transform(shingles(col("text"), n), x => xxhash64(x)).as("hs"))
-    staged.select(
+    // the O(len·w) sliding-min scan is staged once and referenced twice —
+    // CollapseProject keeps non-cheap multi-referenced projections, so it is
+    // NOT inlined per consumer (the same trap minhashSignatures documents)
+    val selected = staged.select(col("doc_id"),
+      array_distinct(transform(
+        sequence(lit(0), greatest(size(col("hs")) - w, lit(0))),
+        i => array_min(slice(col("hs"), i + 1, lit(w))))).as("fps"))
+    selected.select(
       col("doc_id"),
-      size(array_distinct(transform(
-        sequence(lit(0), greatest(size(col("hs")) - w, lit(0))),
-        i => array_min(slice(col("hs"), i + 1, lit(w)))))).cast("long").as("n_fps"),
-      md5(concat_ws(",", array_sort(array_distinct(transform(
-        sequence(lit(0), greatest(size(col("hs")) - w, lit(0))),
-        i => array_min(slice(col("hs"), i + 1, lit(w))))))
-        .cast("array<string>"))).as("doc_fp"))
+      size(col("fps")).cast("long").as("n_fps"),
+      md5(concat_ws(",", array_sort(col("fps")).cast("array<string>"))).as("doc_fp"))
       .orderBy("doc_id")
   }
 
@@ -131,7 +133,7 @@ object TextAnalysis {
     * Emit (label, dim, quantized sum, count); mean ≈ qsum / (n · 2^20).
     */
   def embed_centroids(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "embeddings")
+    Tables.loadParallel(s, dir, "embeddings")
       .select(col("label"), posexplode(col("embedding")))
       .groupBy(col("label"), col("pos"))
       .agg(sum(floor(col("col").cast("double") * (1L << 20))).as("comp_qsum"),

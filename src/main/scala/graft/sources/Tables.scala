@@ -29,6 +29,21 @@ object Tables {
       else raw
     } else spark.read.parquet(s"$dir/$name.parquet")
 
+  /** [[load]] + guarantee at least the session's default parallelism in
+    * partitions. Expression-heavy per-row pipelines (shingle hashing,
+    * winnowing, vector dot products) otherwise run on however many splits
+    * the SCAN yields — and a small single-row-group parquet file is one
+    * unsplittable partition, pinning the whole map side to one core. At
+    * real scale the scan is already split and this is a no-op; when it does
+    * fire, the extra exchange moves only the raw rows once, far less than
+    * the compute it unlocks.
+    */
+  def loadParallel(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = load(spark, dir, name)
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Register every table as a temp view named exactly like its parquet file. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
