@@ -48,6 +48,17 @@ class Engine(
 
   private val tempViews: mutable.Set[String] = mutable.Set.empty
 
+  /** Generated-statement ledger, one `(kind, text)` entry per emitted SQL
+    * statement — the rebuild's analogue of the reference's statement IR
+    * (`generation.py`), pinned by the §2.C statement-count fingerprint
+    * tests (`tests/test_translation.py:378-399`). Kinds: `script`,
+    * `temp_table` (one per CREATE TEMP TABLE), `spine_select` (one per pk
+    * source), `skeleton` (one per table — the reference's
+    * `INSERT INTO omop.t (pk) SELECT id FROM mapping.t`,
+    * `schema.py:320-328`), `column_update` (one per enabled column rule).
+    */
+  val statementLog: mutable.Buffer[(String, String)] = mutable.Buffer.empty
+
   /** Register a source table under its schema-qualified view name. */
   def registerSource(schema: String, name: String, df: DataFrame): Unit =
     df.createOrReplaceTempView(s"${schema}_$name")
@@ -97,6 +108,7 @@ class Engine(
     rule.dep.scripts.foreach { script =>
       val fn = "(?is)create\\s+(or\\s+replace\\s+)?function\\s+(\\w+)".r
         .findFirstMatchIn(script).map(_.group(2))
+      statementLog += (("script", script))
       fn match {
         case Some(name) =>
           udfs.get(name) match {
@@ -124,6 +136,7 @@ class Engine(
   private def runTempTables(qs: Seq[QueryRef], dep: DependencyParts): Unit =
     qs.foreach { q =>
       // materialized like Postgres CREATE TEMP TABLE … AS (`generation.py:106-112`)
+      statementLog += (("temp_table", translate(q.query, dep)))
       val df = sql(translate(q.query, dep)).persist()
       df.createOrReplaceTempView(q.alias)
       tempViews += q.alias
@@ -145,7 +158,9 @@ class Engine(
         val where =
           if (src.constraints.isEmpty) ""
           else " WHERE " + src.constraints.map(c => s"(${translate(c, rule.dep)})").mkString(" AND ")
-        val df = sql(s"SELECT $selectCols FROM ${fromItem(src.table, rule.dep)}$where")
+        val text = s"SELECT $selectCols FROM ${fromItem(src.table, rule.dep)}$where"
+        statementLog += (("spine_select", text))
+        val df = sql(text)
         df.withColumn("__ord", lit(ordinal))
     }
 
@@ -161,6 +176,9 @@ class Engine(
 
     // `insert into omop.t (pk) select mapping.t.id from mapping.t`
     // (`schema.py:320-328`): the target starts as the bare key skeleton.
+    statementLog += (("skeleton",
+      s"INSERT INTO omop.${rule.name} (${rule.primaryKey.name}) " +
+        s"SELECT id FROM mapping.${rule.name}"))
     targets(rule.name) = spine.select(col("id").as(rule.primaryKey.name))
 
     runTempTables(rule.dep.postInit, rule.dep)
@@ -206,10 +224,12 @@ class Engine(
       if (perRule.isEmpty) ColPlan(colName, default, None)
       else if (types.size > 1) {
         // incompatible rule value types → sequential overlay fallback
+        // (reuses the already-analyzed perRule frames: no second
+        // columnRuleSelect pass, no duplicate statementLog entries)
         var t = targets(rule.name)
         default.foreach(v => t = t.withColumn(colName, lit(v)))
-        keyed.foreach { case (tc, _) =>
-          t = Overlay(t, pkName, colName, columnRuleSelect(rule, tc))
+        perRule.foreach { f =>
+          t = Overlay(t, pkName, colName, f.select("__id", "__val"))
         }
         targets(rule.name) = t
         ColPlan(colName, None, None)
@@ -297,6 +317,7 @@ class Engine(
       s"""SELECT ${rule.name}.id AS __id, ($valueExpr) AS __val
          |FROM ${fromItems.mkString(", ")}
          |WHERE ${preds.map(p => s"($p)").mkString(" AND ")}""".stripMargin
+    statementLog += (("column_update", text))
     // attach rule/column context to analysis errors — the reference only
     // surfaces raw Postgres errors at script-run time (`__main__.py:137-142`);
     // a rules author needs to know WHICH rule produced the bad SQL
