@@ -48,16 +48,17 @@ class Engine(
 
   private val tempViews: mutable.Set[String] = mutable.Set.empty
 
-  /** Generated-statement ledger, one `(kind, text)` entry per emitted SQL
-    * statement — the rebuild's analogue of the reference's statement IR
+  /** Generated-statement ledger, one entry per emitted SQL statement —
+    * the rebuild's analogue of the reference's statement IR
     * (`generation.py`), pinned by the §2.C statement-count fingerprint
-    * tests (`tests/test_translation.py:378-399`). Kinds: `script`,
-    * `temp_table` (one per CREATE TEMP TABLE), `spine_select` (one per pk
-    * source), `skeleton` (one per table — the reference's
+    * tests (`tests/test_translation.py:378-399`) and dumped by
+    * [[Etl.compileDirectory]]. Kinds: `script`, `temp_table` (one per
+    * CREATE TEMP TABLE), `spine_select` (one per pk source), `skeleton`
+    * (one per table — the reference's
     * `INSERT INTO omop.t (pk) SELECT id FROM mapping.t`,
     * `schema.py:320-328`), `column_update` (one per enabled column rule).
     */
-  val statementLog: mutable.Buffer[(String, String)] = mutable.Buffer.empty
+  val statementLog: mutable.Buffer[Engine.Statement] = mutable.Buffer.empty
 
   /** Register a source table under its schema-qualified view name. */
   def registerSource(schema: String, name: String, df: DataFrame): Unit =
@@ -108,7 +109,7 @@ class Engine(
     rule.dep.scripts.foreach { script =>
       val fn = "(?is)create\\s+(or\\s+replace\\s+)?function\\s+(\\w+)".r
         .findFirstMatchIn(script).map(_.group(2))
-      statementLog += (("script", script))
+      statementLog += Engine.Statement(rule.name, "script", script)
       fn match {
         case Some(name) =>
           udfs.get(name) match {
@@ -133,10 +134,10 @@ class Engine(
       }
     }
 
-  private def runTempTables(qs: Seq[QueryRef], dep: DependencyParts): Unit =
+  private def runTempTables(rule: String, qs: Seq[QueryRef], dep: DependencyParts): Unit =
     qs.foreach { q =>
       // materialized like Postgres CREATE TEMP TABLE … AS (`generation.py:106-112`)
-      statementLog += (("temp_table", translate(q.query, dep)))
+      statementLog += Engine.Statement(rule, "temp_table", translate(q.query, dep))
       val df = sql(translate(q.query, dep)).persist()
       df.createOrReplaceTempView(q.alias)
       tempViews += q.alias
@@ -147,7 +148,7 @@ class Engine(
     */
   def initialize(rule: TableRule): Unit = {
     runScripts(rule)
-    runTempTables(rule.dep.preInit, rule.dep)
+    runTempTables(rule.name, rule.dep.preInit, rule.dep)
 
     val perSource = rule.primaryKey.sources.zipWithIndex.map {
       case ((_, src), ordinal) =>
@@ -159,7 +160,7 @@ class Engine(
           if (src.constraints.isEmpty) ""
           else " WHERE " + src.constraints.map(c => s"(${translate(c, rule.dep)})").mkString(" AND ")
         val text = s"SELECT $selectCols FROM ${fromItem(src.table, rule.dep)}$where"
-        statementLog += (("spine_select", text))
+        statementLog += Engine.Statement(rule.name, "spine_select", text)
         val df = sql(text)
         df.withColumn("__ord", lit(ordinal))
     }
@@ -176,12 +177,12 @@ class Engine(
 
     // `insert into omop.t (pk) select mapping.t.id from mapping.t`
     // (`schema.py:320-328`): the target starts as the bare key skeleton.
-    statementLog += (("skeleton",
+    statementLog += Engine.Statement(rule.name, "skeleton",
       s"INSERT INTO omop.${rule.name} (${rule.primaryKey.name}) " +
-        s"SELECT id FROM mapping.${rule.name}"))
+        s"SELECT id FROM mapping.${rule.name}")
     targets(rule.name) = spine.select(col("id").as(rule.primaryKey.name))
 
-    runTempTables(rule.dep.postInit, rule.dep)
+    runTempTables(rule.name, rule.dep.postInit, rule.dep)
   }
 
   /** Phase-2 for one table: apply its column rules in declaration order
@@ -317,7 +318,7 @@ class Engine(
       s"""SELECT ${rule.name}.id AS __id, ($valueExpr) AS __val
          |FROM ${fromItems.mkString(", ")}
          |WHERE ${preds.map(p => s"($p)").mkString(" AND ")}""".stripMargin
-    statementLog += (("column_update", text))
+    statementLog += Engine.Statement(rule.name, "column_update", text)
     // attach rule/column context to analysis errors — the reference only
     // surfaces raw Postgres errors at script-run time (`__main__.py:137-142`);
     // a rules author needs to know WHICH rule produced the bad SQL
@@ -348,8 +349,8 @@ class Engine(
     }
     deps.foreach { d =>
       runScripts(d)
-      runTempTables(d.dep.preInit, d.dep)
-      runTempTables(d.dep.postInit, d.dep)
+      runTempTables(d.name, d.dep.preInit, d.dep)
+      runTempTables(d.name, d.dep.postInit, d.dep)
     }
     // `depends_on` env inheritance (`__main__.py:67-80`): each dependency
     // file with a non-null `default_schema` overwrites the dependent table's
@@ -368,6 +369,11 @@ class Engine(
     effective.foreach(process)
     targets.toMap
   }
+}
+
+object Engine {
+  /** One generated SQL statement, attributed to the rule that emitted it. */
+  case class Statement(rule: String, kind: String, sql: String)
 }
 
 /** UPDATE…FROM as a left-join overlay (SURVEY.md §7.5). */

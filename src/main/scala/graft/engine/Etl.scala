@@ -25,14 +25,55 @@ object Etl {
       configure: Engine => Unit = _ => ()): Map[String, DataFrame] = {
     val engine = new Engine(spark, udfs)
     configure(engine)
-    val rules = Files.list(Paths.get(rulesDir)).iterator().asScala
+    engine.run(loadRules(rulesDir).map(_._2))
+  }
+
+  /** (file stem, parsed rule) in sorted file order — the reference keys
+    * per-file outputs by stem (`__main__.py:17-31`), while a table rule's
+    * NAME comes from its YAML `name:` field.
+    */
+  private def loadRules(rulesDir: String): Seq[(String, graft.rules.Rule)] =
+    Files.list(Paths.get(rulesDir)).iterator().asScala
       .filter(p => p.toString.endsWith(".yaml") || p.toString.endsWith(".yml"))
       .toSeq.sortBy(_.getFileName.toString)
       .map { p =>
         val stem = p.getFileName.toString.replaceAll("\\.(yaml|yml)$", "")
-        RuleParser.parse(stem, Files.readString(p))
+        stem -> RuleParser.parse(stem, Files.readString(p))
       }
-    engine.run(rules)
+
+  /** The reference's `compile` CLI surface (`__main__.py:33-96`): run the
+    * rules and write the generated statements as script artifacts — one
+    * `etl.sql` by default, or one `<rule>.sql` per rule file when
+    * `oneFile = false` (the `--no-one-file` flag, `__main__.py:45-49`).
+    * The engine executes Catalyst plans directly, so the scripts are a
+    * readable translation artifact in Spark SQL dialect (statement order =
+    * execution order), not a runnable Postgres script.
+    */
+  def compileDirectory(
+      spark: SparkSession,
+      rulesDir: String,
+      outDir: String,
+      oneFile: Boolean = true,
+      udfs: Map[String, SparkSession => Unit] = Map.empty,
+      configure: Engine => Unit = _ => ()): Map[String, DataFrame] = {
+    val engine = new Engine(spark, udfs)
+    configure(engine)
+    val loaded = loadRules(rulesDir)
+    val targets = engine.run(loaded.map(_._2))
+    val stemOf: Map[String, String] = loaded.map { case (stem, r) => r.name -> stem }.toMap
+    val out = Paths.get(outDir)
+    if (!Files.exists(out)) Files.createDirectories(out)
+    def render(ss: Seq[Engine.Statement]): String =
+      ss.map(s => s"-- ${s.rule}: ${s.kind}\n${s.sql.trim.stripSuffix(";")};\n")
+        .mkString("\n")
+    val log = engine.statementLog.toSeq
+    if (oneFile)
+      Files.writeString(out.resolve("etl.sql"), render(log))
+    else
+      log.groupBy(s => stemOf.getOrElse(s.rule, s.rule)).foreach { case (stem, ss) =>
+        Files.writeString(out.resolve(s"$stem.sql"), render(ss))
+      }
+    targets
   }
 
   /** Load the `external` schema from a directory of CSVs, one view per file

@@ -68,6 +68,41 @@ class EtlSpec extends AnyFunSuite {
     assert(runOnce() == runOnce())
   }
 
+  test("compileDirectory: one etl.sql or per-rule scripts (`--no-one-file`, `__main__.py:45-49`)") {
+    val dir = Files.createTempDirectory("graft-compile")
+    Files.writeString(dir.resolve("10_dep.yaml"), """
+      |pre_init:
+      |  - alias: cmp_temp
+      |    query: select 1 as one
+      |""".stripMargin)
+    Files.writeString(dir.resolve("20_tab.yaml"), """
+      |name: baz
+      |primary_key:
+      |  name: id
+      |  sources:
+      |    foo_pk: {table: foo, columns: {id: integer}}
+      |columns:
+      |  - {name: alpha, tables: [foo], expression: foo.alpha}
+      |""".stripMargin)
+    def cfg(e: Engine): Unit =
+      e.registerSource("cerner", "foo", Seq((0, "a"), (1, "b")).toDF("id", "alpha"))
+    val one = Files.createTempDirectory("graft-out1")
+    val out = Etl.compileDirectory(spark, dir.toString, one.toString, configure = cfg)
+    assert(out("baz").count() == 2)
+    val script = Files.readString(one.resolve("etl.sql"))
+    assert(script.contains("-- 10_dep: temp_table"))
+    assert(script.contains("-- baz: column_update")) // statements carry the RULE name
+    // dependency statements precede the table's (execution order)
+    assert(script.indexOf("10_dep") < script.indexOf("-- baz:"))
+    val per = Files.createTempDirectory("graft-out2")
+    Etl.compileDirectory(spark, dir.toString, per.toString, oneFile = false, configure = cfg)
+    // files are keyed by FILE STEM like the reference (`__main__.py:17-31`)
+    assert(Files.exists(per.resolve("10_dep.sql")))
+    val tab = Files.readString(per.resolve("20_tab.sql"))
+    assert(tab.contains("spine_select") && tab.contains("skeleton") && tab.contains("column_update"))
+    assert(!tab.contains("10_dep"))
+  }
+
   test("depends_on inherits the dep file's default_schema (`__main__.py:67-80`)") {
     val dir = Files.createTempDirectory("graft-depschema")
     Files.writeString(dir.resolve("10_src.yaml"), """

@@ -35,7 +35,7 @@ class TranslationShapeSpec extends AnyFunSuite {
     |    expression: bar.beta
     |""".stripMargin
 
-  private def ledger(yaml: String): Seq[(String, String)] = {
+  private def ledger(yaml: String): Seq[Engine.Statement] = {
     val e = new Engine(spark)
     e.registerSource("cerner", "foo",
       Seq((0, "a", 4), (1, "c", 5)).toDF("id", "alpha", "beta"))
@@ -55,15 +55,15 @@ class TranslationShapeSpec extends AnyFunSuite {
 
   test("statement kinds and shapes are pinned") {
     val log = ledger(copyYaml(true, true))
-    assert(log.map(_._1) == Seq("spine_select", "skeleton", "column_update", "column_update"))
-    val spine = log.head._2
+    assert(log.map(_.kind) == Seq("spine_select", "skeleton", "column_update", "column_update"))
+    val spine = log.head.sql
     assert(spine.contains("CAST(foo.id AS INT) AS foo_id"))
     assert(spine.contains("FROM cerner_foo AS foo"))
-    assert(log(1)._2 ==
+    assert(log(1).sql ==
       "INSERT INTO omop.baz (id) SELECT id FROM mapping.baz")
     // the beta rule joins its second table and carries the constraint +
     // pk-link predicates
-    val beta = log(3)._2
+    val beta = log(3).sql
     assert(beta.contains("cerner_bar AS bar"))
     assert(beta.contains("foo.id = bar.id"))
     assert(beta.contains("foo.id = baz.foo_id"))
@@ -89,7 +89,7 @@ class TranslationShapeSpec extends AnyFunSuite {
       |  - {name: alpha, tables: [foo], expression: foo.alpha}
       |""".stripMargin)
     e.run(Seq(rule))
-    assert(e.statementLog.map(_._1).toSeq ==
+    assert(e.statementLog.map(_.kind).toSeq ==
       Seq("script", "temp_table", "spine_select", "skeleton", "temp_table", "column_update"))
   }
 }
