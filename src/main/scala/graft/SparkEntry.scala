@@ -58,6 +58,7 @@ object SparkEntry {
     "dd_embed_lsh" -> ((s, d) => Dedup.dd_embed_lsh(s, d)),
     "ann_bruteforce" -> ((s, d) => Similarity.ann_bruteforce(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.ann_lsh(s, d)),
+    "ann_ivf" -> ((s, d) => Similarity.ann_ivf(s, d)),
     "tx_stats" -> (TextAnalysis.tx_stats _),
     "tx_tokens" -> (TextAnalysis.tx_tokens _),
     "tx_quality" -> (TextAnalysis.tx_quality _),

@@ -120,4 +120,50 @@ object Similarity {
       .select("q_id", "rank", "vec_id", "cos")
       .orderBy("q_id", "rank")
   }
+
+  /** IVF-flat ANN — the inverted-file scale path beside [[ann_lsh]]: a
+    * fixed coarse quantizer (the first `nlist` corpus vectors —
+    * deterministic; a trained k-means codebook drops in by swapping
+    * `cents` without changing the operator shape) assigns every corpus
+    * vector to its nearest centroid's posting list in ONE broadcast pass +
+    * one shuffle; queries probe their `nprobe` nearest lists and rank
+    * exact cosine within candidates. Candidate sets ~nprobe/nlist of the
+    * corpus; the corpus-side partitioning by list id is exactly how a
+    * cluster would lay the index out on disk.
+    */
+  def ann_ivf(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 10,
+      nlist: Int = 16, nprobe: Int = 6): DataFrame = {
+    val emb = Tables.loadParallel(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), VecDot.norm(col("embedding")).as("nrm"))
+    val cents = emb.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    // argmax-cosine list assignment; ties break to the smallest centroid id
+    val assigned = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        struct(
+          VecDot.cosineFast(VecDot.dot(col("c_emb"), col("embedding")), col("c_nrm"), col("nrm")).as("ccos"),
+          (-col("cid")).as("nc")).as("sc"))
+      .groupBy("vec_id")
+      .agg(max(col("sc")).getField("nc").as("nc"),
+        first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), (-col("nc")).as("cid"))
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cid"))
+    val queryLists = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+      .crossJoin(broadcast(cents))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("cid"),
+        VecDot.cosineFast(VecDot.dot(col("c_emb"), col("q_emb")), col("c_nrm"), col("q_nrm")).as("ccos"))
+      .withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") <= nprobe)
+      .select("q_id", "q_emb", "q_nrm", "cid")
+    val scored = assigned.join(broadcast(queryLists), Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        VecDot.cosineFast(VecDot.dot(col("q_emb"), col("embedding")), col("q_nrm"), col("nrm")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "cos")
+      .orderBy("q_id", "rank")
+  }
 }

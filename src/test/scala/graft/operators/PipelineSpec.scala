@@ -175,6 +175,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= recallSingle)
   }
 
+  test("ann_ivf: recall >= 0.8 vs bruteforce; ranks dense and self excluded") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = pairs(Similarity.ann_bruteforce(spark, "/root/testdata/sf0.01"))
+    val rows = Similarity.ann_ivf(spark, "/root/testdata/sf0.01").collect()
+    val ivf = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    assert(recall >= 0.8, s"IVF recall $recall < 0.8")
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_.getLong(1))
+      assert(byRank.map(_.getLong(1)).toSeq == (1L to byRank.length))
+      assert(byRank.forall(_.getLong(2) != q))
+      val scores = byRank.map(_.getDouble(3)).toSeq
+      assert(scores == scores.sorted.reverse)
+    }
+  }
+
   test("band-bucket cap bounds hot buckets; droppedBuckets reports them") {
     // 6 exact copies: every band-bucket they occupy holds 6 members
     val text = "spark catalyst optimizer rewrites logical plans into physical plans"

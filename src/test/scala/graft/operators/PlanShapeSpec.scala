@@ -62,6 +62,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
 
+  test("dd_ngram_jaccard: prefix-filter candidate join is an equi-join, never cartesian") {
+    val p = plan(Dedup.dd_ngram_jaccard(spark, dir))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("dd_embed_lsh: bucket join is an equi-join (vs the all-pairs baseline's NL join)") {
+    assert(!plan(Dedup.dd_embed_lsh(spark, dir)).contains("NestedLoop"))
+    // the exact baseline is, by construction, the nested-loop shape
+    assert(plan(Dedup.dd_embed_cosine(spark, dir)).contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("ann_lsh: probe set explodes on the broadcast query side; corpus joins by hash") {
+    val p = plan(Similarity.ann_lsh(spark, dir))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("NestedLoop"))
+  }
+
   test("bucketed join: no exchange on either side") {
     val loc = java.nio.file.Files.createTempDirectory("graft-buckets").toString
     val li = graft.sources.Tables.load(spark, dir, "lineitem")
