@@ -97,6 +97,42 @@ object Etl {
       }
 }
 
+/** The reference's web-API surface minus the HTTP transport
+  * (`api.py:43-45`, `POST /api/translate`): one rule document in, the
+  * generated script plus structured required-column warnings out. A JSON
+  * body is accepted verbatim — JSON is valid YAML, and the reference's
+  * endpoint takes the same object model. Divergence: the reference
+  * compiles without a database; this engine's compilation IS execution,
+  * so source tables must be registered via `configure`.
+  */
+object Api {
+
+  /** Mirrors the reference's `Result` (`api.py:14-17`); each warning
+    * carries the pydantic error envelope fields (`loc`, `msg`, `type` —
+    * `api.py:26-31`, RequestValidationError.errors()).
+    */
+  case class Warning(loc: Seq[String], msg: String, tpe: String)
+  case class Result(script: String, warnings: Seq[Warning])
+
+  def translateTable(
+      spark: SparkSession,
+      ruleText: String,
+      name: String = "rule",
+      udfs: Map[String, SparkSession => Unit] = Map.empty,
+      configure: Engine => Unit = _ => ()): Result = {
+    val rule = RuleParser.parseTable(name, ruleText)
+    val engine = new Engine(spark, udfs)
+    configure(engine)
+    engine.run(Seq(rule))
+    val script = engine.statementLog
+      .map(s => s"-- ${s.rule}: ${s.kind}\n${s.sql.trim.stripSuffix(";")};\n")
+      .mkString("\n")
+    val warnings = RequiredColumns.warnings(rule)
+      .map(msg => Warning(Seq("body", "columns"), msg, "value_error"))
+    Result(script, warnings)
+  }
+}
+
 /** Required-column validation (A20): the reference's API computes structured
   * warnings for target columns that OMOP CDM v6 marks required but the rule
   * doesn't populate (`api.py:19-40`, `schema.py:44-52`,

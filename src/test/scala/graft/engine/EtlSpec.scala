@@ -169,6 +169,26 @@ class EtlSpec extends AnyFunSuite {
     assert(err.getMessage.contains("no_such_column"))
   }
 
+  test("Api.translateTable: JSON rule in, script + structured warnings out (`api.py:43-45`)") {
+    // JSON body exactly as the reference's POST /api/translate would take
+    val json = """{"name": "person",
+      |"primary_key": {"name": "person_id",
+      |  "sources": {"p_pk": {"table": "p", "columns": {"id": "bigint"}}}},
+      |"columns": [
+      |  {"name": "year_of_birth", "tables": ["p"], "expression": "p.y"}]}""".stripMargin
+    val res = Api.translateTable(spark, json, configure = { e =>
+      e.registerSource("cerner", "p", Seq((1L, 1980)).toDF("id", "y"))
+    })
+    assert(res.script.contains("-- person: spine_select"))
+    assert(res.script.contains("-- person: column_update"))
+    val w = res.warnings
+    assert(w.nonEmpty)
+    assert(w.forall(x => x.loc == Seq("body", "columns") && x.tpe == "value_error"))
+    assert(w.exists(_.msg == "Column \"gender_concept_id\" is not defined"))
+    assert(!w.exists(_.msg.contains("person_id"))) // pk exempt
+    assert(!w.exists(_.msg.contains("year_of_birth"))) // defined
+  }
+
   test("required-column warnings (A20, `api.py:19-40`)") {
     val rule = RuleParser.parseTable("person", """
       |name: person
