@@ -117,18 +117,22 @@ object Dedup {
     */
   def dd_simhash(s: SparkSession, dir: String, maxHamming: Int = 3,
       maxBucket: Int = 10000): DataFrame = {
+    // same shuffle shape as [[dd_minhash]]: ids only through the band
+    // self-join; fingerprints re-attach after the candidate set is deduped
     val fps = simhashFingerprints(docs(s, dir)).persist()
-    val banded = capBuckets(fps.select(col("doc_id"), col("fp"),
+    val banded = capBuckets(fps.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(3)),
         b => struct(b.as("band"),
           call_function("shiftright", col("fp"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bkey")))).as("bb"))
-      .select(col("doc_id"), col("fp"), col("bb.band"), col("bb.bkey")), maxBucket)
-    val a = banded.select(col("band"), col("bkey"), col("doc_id").as("a"), col("fp").as("fp_a"))
-    val b = banded.select(col("band"), col("bkey"), col("doc_id").as("b"), col("fp").as("fp_b"))
-    a.join(b, Seq("band", "bkey"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bkey")), maxBucket)
+    val candidates = banded.select(col("band"), col("bkey"), col("doc_id").as("a"))
+      .join(banded.select(col("band"), col("bkey"), col("doc_id").as("b")), Seq("band", "bkey"))
       .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    candidates
+      .join(fps.select(col("doc_id").as("a"), col("fp").as("fp_a")), Seq("a"))
+      .join(fps.select(col("doc_id").as("b"), col("fp").as("fp_b")), Seq("b"))
       .select(col("a"), col("b"), hamming64(col("fp_a"), col("fp_b")).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy("a", "b")
   }

@@ -211,6 +211,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(dropped.nonEmpty && dropped.forall(_.getLong(2) == 6L))
   }
 
+  test("prefix filtering is exact: dd_ngram_jaccard == naive all-pairs on random corpora") {
+    // seeded corpora with heavy word overlap (worst case for candidate
+    // explosion, best case for finding a dropped qualifying pair)
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta")
+    for (trial <- 1 to 3) {
+      val docs = (1L to 25L).map { id =>
+        val n = 4 + rnd.nextInt(9)
+        (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "), "en", "s", 1L)
+      }
+      val dir = tmpDocs(docs)
+      val got = Dedup.dd_ngram_jaccard(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // naive oracle: full distinct-shingle sets, all pairs, same arithmetic
+      val naive = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), hashedShingles(col("text"), 3).as("shs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      val expected = (for {
+        a <- naive.keys; b <- naive.keys if a < b
+        inter = (naive(a) & naive(b)).size
+        j = inter.toDouble / (naive(a).size + naive(b).size - inter)
+        if j >= 0.4
+      } yield (a, b, j)).toSet
+      assert(got == expected, s"trial $trial: prefix filter diverged from all-pairs")
+    }
+  }
+
   /** Write a tiny documents corpus to a temp dir shaped like testdata. */
   private def tmpDocs(rows: Seq[(Long, String, String, String, Long)]): String = {
     val dir = java.nio.file.Files.createTempDirectory("graftdocs").toString
