@@ -80,6 +80,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("NestedLoop"))
   }
 
+  test("sweep: no façade query plans CartesianProduct; NL joins only where intended") {
+    // intended nested-loop shapes: the explicit all-pairs baselines and the
+    // non-equi joins whose predicates Spark cannot hash on
+    val allowNL = Set("dd_embed_cosine", "ann_bruteforce", "q16_range_join",
+      "q25_theta_join", "q26_asof_join",
+      "ann_ivf") // corpus × broadcast codebook: the IVF assignment pass
+    graft.SparkEntry.queries.foreach { case (name, fn) =>
+      val p = fn(spark, dir).queryExecution.sparkPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+      if (!allowNL(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans an NL join")
+    }
+  }
+
   test("bucketed join: no exchange on either side") {
     val loc = java.nio.file.Files.createTempDirectory("graft-buckets").toString
     val li = graft.sources.Tables.load(spark, dir, "lineitem")
