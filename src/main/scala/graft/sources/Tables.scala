@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.types.LongType
 
 /** Source registry for the driver-provided synthetic tables (TESTDATA.md).
@@ -24,9 +24,15 @@ object Tables {
       // (the generator emits microsecond-precision values, so this is lossless).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
-      if (raw.schema("ts").dataType == LongType)
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else raw
+      raw.schema("ts").dataType match {
+        case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        // files written isAdjustedToUTC=false read as TIMESTAMP_NTZ, which
+        // time functions like unix_micros reject — normalize (session TZ is
+        // pinned UTC, so the instant is unchanged)
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** [[load]] + guarantee at least the session's default parallelism in
