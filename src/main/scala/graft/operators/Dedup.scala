@@ -50,9 +50,15 @@ object Dedup {
     */
   def dd_minhash(s: SparkSession, dir: String, k: Int = 32, bands: Int = 8,
       threshold: Double = 0.5, maxBucket: Int = 10000): DataFrame = {
-    // read by band explode + both verify joins: persist so the
-    // shingle+signature pipeline runs once
-    val sigs = minhashSignatures(docs(s, dir), k).persist()
+    // identical signatures collapse to one representative (same rationale
+    // and same output-preserving expansion as [[dd_ngram_jaccard]]): an
+    // exact-dup clique costs output rows, not clique² banded-join rows, and
+    // unlike the bucket cap the clique's pairs are KEPT
+    val grouped = minhashSignatures(docs(s, dir), k)
+      .groupBy("sig")
+      .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
+      .persist()
+    val sigs = grouped.select(col("rep").as("doc_id"), col("sig"))
     val banded = capBuckets(sigs
       .select(col("doc_id"), posexplode(minhashBands(col("sig"), k, bands)))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey")),
@@ -61,7 +67,7 @@ object Dedup {
       .join(banded.select(col("band"), col("bkey"), col("doc_id").as("b")), Seq("band", "bkey"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    candidates
+    val repPairs = candidates
       .join(sigs.select(col("doc_id").as("a"), col("sig").as("sig_a")), Seq("a"))
       .join(sigs.select(col("doc_id").as("b"), col("sig").as("sig_b")), Seq("b"))
       .select(col("a"), col("b"),
@@ -69,7 +75,32 @@ object Dedup {
           (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, x) => acc + x)
           .cast("double") / k).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+    expandPairs(repPairs, "est_jaccard", grouped, lit(1.0), lit(1.0) >= threshold)
       .orderBy("a", "b")
+  }
+
+  /** Expand representative-level pairs back to member pairs: cross-group
+    * pairs inherit the representatives' score verbatim; intra-group pairs
+    * (identical sketches/sets) are emitted directly with `selfScore` when
+    * `selfQualifies`. Output-only work — no verification re-runs.
+    */
+  private def expandPairs(repPairs: DataFrame, scoreCol: String,
+      grouped: DataFrame, selfScore: org.apache.spark.sql.Column,
+      selfQualifies: org.apache.spark.sql.Column): DataFrame = {
+    val inter = repPairs
+      .join(grouped.select(col("rep").as("a"), col("members").as("ma")), Seq("a"))
+      .join(grouped.select(col("rep").as("b"), col("members").as("mb")), Seq("b"))
+      .select(explode(col("ma")).as("x"), col("mb"), col(scoreCol))
+      .select(col("x"), explode(col("mb")).as("y"), col(scoreCol))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"), col(scoreCol))
+    val intra = grouped.filter(size(col("members")) > 1)
+      .select(explode(col("members")).as("x"), col("members"))
+      .select(col("x"), explode(col("members")).as("y"))
+      .filter(col("x") < col("y"))
+      .select(col("x").as("a"), col("y").as("b"), selfScore.as(scoreCol))
+      .filter(selfQualifies)
+    inter.union(intra)
   }
 
   /** Skew guard for band-bucket self-joins: a bucket holding m members emits
@@ -81,7 +112,7 @@ object Dedup {
     * [[dd_exact]] already reports. Default is far above any bucket the test
     * corpora produce, so small-SF output is unchanged.
     */
-  private def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
+  private[operators] def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
     val sizes = banded.groupBy("band", "bkey").agg(count(lit(1)).as("__bsz"))
     banded.join(sizes.filter(col("__bsz") <= maxBucket), Seq("band", "bkey"))
       .drop("__bsz")
@@ -117,9 +148,13 @@ object Dedup {
     */
   def dd_simhash(s: SparkSession, dir: String, maxHamming: Int = 3,
       maxBucket: Int = 10000): DataFrame = {
-    // same shuffle shape as [[dd_minhash]]: ids only through the band
-    // self-join; fingerprints re-attach after the candidate set is deduped
-    val fps = simhashFingerprints(docs(s, dir)).persist()
+    // identical fingerprints collapse to a representative (Hamming 0);
+    // ids only through the band self-join, fps re-attach after dedup
+    val grouped = simhashFingerprints(docs(s, dir))
+      .groupBy("fp")
+      .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
+      .persist()
+    val fps = grouped.select(col("rep").as("doc_id"), col("fp"))
     val banded = capBuckets(fps.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(3)),
         b => struct(b.as("band"),
@@ -129,11 +164,13 @@ object Dedup {
       .join(banded.select(col("band"), col("bkey"), col("doc_id").as("b")), Seq("band", "bkey"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    candidates
+    val repPairs = candidates
       .join(fps.select(col("doc_id").as("a"), col("fp").as("fp_a")), Seq("a"))
       .join(fps.select(col("doc_id").as("b"), col("fp").as("fp_b")), Seq("b"))
       .select(col("a"), col("b"), hamming64(col("fp_a"), col("fp_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+    expandPairs(repPairs, "hamming", grouped,
+      lit(0).cast("int"), lit(0) <= maxHamming)
       .orderBy("a", "b")
   }
 
@@ -210,22 +247,11 @@ object Dedup {
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
     // 2. Expand representative pairs to member pairs (every cross-group
-    //    combination has the representatives' exact jaccard), and emit
-    //    intra-group pairs directly: identical sets ⇒ jaccard exactly 1.0.
-    val inter = repPairs
-      .join(grouped.select(col("rep").as("a"), col("members").as("ma")), Seq("a"))
-      .join(grouped.select(col("rep").as("b"), col("members").as("mb")), Seq("b"))
-      .select(explode(col("ma")).as("x"), col("mb"), col("jaccard"))
-      .select(col("x"), explode(col("mb")).as("y"), col("jaccard"))
-      .select(least(col("x"), col("y")).as("a"),
-        greatest(col("x"), col("y")).as("b"), col("jaccard"))
-    val intra = grouped.filter(size(col("members")) > 1)
-      .select(explode(col("members")).as("x"), col("members"))
-      .select(col("x"), explode(col("members")).as("y"))
-      .filter(col("x") < col("y"))
-      .select(col("x").as("a"), col("y").as("b"), lit(1.0).as("jaccard"))
-      .filter(lit(1.0) >= threshold)
-    inter.union(intra).orderBy("a", "b")
+    //    combination has the representatives' exact jaccard); intra-group
+    //    pairs (identical sets) are jaccard exactly 1.0.
+    expandPairs(repPairs.select("a", "b", "jaccard"), "jaccard", grouped,
+      lit(1.0), lit(1.0) >= threshold)
+      .orderBy("a", "b")
   }
 
   /** Connected components over a near-dup pair graph → duplicate clusters

@@ -192,23 +192,25 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
-  test("band-bucket cap bounds hot buckets; droppedBuckets reports them") {
-    // 6 exact copies: every band-bucket they occupy holds 6 members
+  test("band-bucket cap bounds hot buckets; exact-dup cliques survive any cap") {
+    // 6 exact copies: identical signatures collapse to ONE representative,
+    // so no band bucket is hot and every clique pair survives even a cap of 1
     val text = "spark catalyst optimizer rewrites logical plans into physical plans"
     val dir = tmpDocs((1L to 6L).map(i => (i, text, "en", "s", 1L)) :+
       ((7L, "totally unrelated words about zebras and quarks", "en", "s", 1L)))
-    // default cap: all 15 pairs of the 6-clique found
-    assert(Dedup.dd_minhash(spark, dir).count() == 15)
-    // cap below the clique size: the hot buckets drop from candidate
-    // generation (members are exact dups — dd_exact's job), none invented
-    assert(Dedup.dd_minhash(spark, dir, maxBucket = 5).count() == 0)
-    val banded = Dedup.minhashSignatures(
-      spark.read.parquet(s"$dir/documents.parquet"), 32)
-      .select(col("doc_id"),
-        posexplode(minhashBands(col("sig"), 32, 8)))
-      .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
-    val dropped = Dedup.droppedBuckets(banded, 5).collect()
-    assert(dropped.nonEmpty && dropped.forall(_.getLong(2) == 6L))
+    val atCap1 = Dedup.dd_minhash(spark, dir, maxBucket = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(atCap1.length == 15) // all C(6,2) pairs, via member expansion
+    assert(atCap1.forall(_._3 == 1.0)) // identical sigs ⇒ est exactly 1.0
+    // the cap itself: members of an over-limit (band, bkey) bucket are
+    // excluded from candidate generation, and droppedBuckets reports it
+    val banded = Seq(
+      (0, 7L, 1L), (0, 7L, 2L), (0, 7L, 3L), // bucket of 3 distinct docs
+      (1, 9L, 1L), (1, 9L, 4L))              // bucket of 2
+      .toDF("band", "bkey", "doc_id").select("doc_id", "band", "bkey")
+    assert(Dedup.capBuckets(banded, 2).count() == 2)
+    val dropped = Dedup.droppedBuckets(banded, 2).collect()
+    assert(dropped.length == 1 && dropped.head.getLong(2) == 3L)
   }
 
   test("prefix filtering is exact: dd_ngram_jaccard == naive all-pairs on random corpora") {
