@@ -50,6 +50,18 @@ object Dedup {
     */
   def dd_minhash(s: SparkSession, dir: String, k: Int = 32, bands: Int = 8,
       threshold: Double = 0.5, maxBucket: Int = 10000): DataFrame = {
+    val (grouped, repPairs) = minhashRepPairs(s, dir, k, bands, threshold, maxBucket)
+    expandPairs(repPairs, "est_jaccard", grouped, lit(1.0), lit(1.0) >= threshold)
+      .orderBy("a", "b")
+  }
+
+  /** The representative-level core of [[dd_minhash]]: (signature groups,
+    * qualifying pairs between group representatives). Shared with
+    * [[dd_cluster]], which propagates labels over representatives and maps
+    * members through — identical result, clique-size-smaller graph.
+    */
+  private[operators] def minhashRepPairs(s: SparkSession, dir: String, k: Int,
+      bands: Int, threshold: Double, maxBucket: Int): (DataFrame, DataFrame) = {
     // identical signatures collapse to one representative (same rationale
     // and same output-preserving expansion as [[dd_ngram_jaccard]]): an
     // exact-dup clique costs output rows, not clique² banded-join rows, and
@@ -75,8 +87,7 @@ object Dedup {
           (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, x) => acc + x)
           .cast("double") / k).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-    expandPairs(repPairs, "est_jaccard", grouped, lit(1.0), lit(1.0) >= threshold)
-      .orderBy("a", "b")
+    (grouped, repPairs)
   }
 
   /** Expand representative-level pairs back to member pairs: cross-group
@@ -294,9 +305,28 @@ object Dedup {
     labels.withColumnRenamed("label", "cluster").orderBy("id")
   }
 
-  /** Near-dup clusters from the MinHash candidate graph. */
-  def dd_cluster(s: SparkSession, dir: String): DataFrame =
-    clusterPairs(dd_minhash(s, dir).select("a", "b"))
+  /** Near-dup clusters from the MinHash candidate graph. Labels propagate
+    * over group REPRESENTATIVES only, and members inherit their rep's
+    * cluster — provably identical to clustering the expanded pair graph
+    * (rep = min member of its group, so the component minimum over reps IS
+    * the component minimum over members) with a clique-size-smaller graph:
+    * at a 10×-replicated corpus this was 19 s → the rep graph is the 1×
+    * graph.
+    */
+  def dd_cluster(s: SparkSession, dir: String): DataFrame = {
+    val (grouped, repPairs) = minhashRepPairs(s, dir, k = 32, bands = 8,
+      threshold = 0.5, maxBucket = 10000)
+    // multi-member groups are cliques: their members are graph nodes even
+    // when the rep has no inter-group edge (self-pair makes the rep a node)
+    val selfNodes = grouped.filter(size(col("members")) > 1)
+      .select(col("rep").as("a"), col("rep").as("b"))
+    val repClusters = clusterPairs(repPairs.select("a", "b").union(selfNodes))
+      .withColumnRenamed("id", "rep").withColumnRenamed("cluster", "__c")
+    grouped.select(col("rep"), explode(col("members")).as("id"))
+      .join(repClusters, Seq("rep"))
+      .select(col("id"), col("__c").as("cluster"))
+      .orderBy("id")
+  }
 
   /** Embedding-cosine near-dup over the embeddings table: the exact all-pairs
     * baseline (a < b halves the space; cosine is the bit-deterministic double

@@ -213,6 +213,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(dropped.length == 1 && dropped.head.getLong(2) == 3L)
   }
 
+  test("dd_cluster over representatives equals clustering the expanded pair graph") {
+    val dir = "/root/testdata/sf0.01"
+    val direct = Dedup.clusterPairs(Dedup.dd_minhash(spark, dir).select("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.dd_cluster(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == direct)
+  }
+
   test("prefix filtering is exact: dd_ngram_jaccard == naive all-pairs on random corpora") {
     // seeded corpora with heavy word overlap (worst case for candidate
     // explosion, best case for finding a dropped qualifying pair)
