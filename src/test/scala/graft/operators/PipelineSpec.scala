@@ -249,6 +249,17 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup/text operators return empty results on an empty corpus, no errors") {
+    val dir = tmpDocs(Seq.empty)
+    assert(Dedup.dd_exact(spark, dir).count() == 0)
+    assert(Dedup.dd_minhash(spark, dir).count() == 0)
+    assert(Dedup.dd_simhash(spark, dir).count() == 0)
+    assert(Dedup.dd_ngram_jaccard(spark, dir).count() == 0)
+    assert(Dedup.dd_cluster(spark, dir).count() == 0)
+    assert(TextAnalysis.tx_fingerprint(spark, dir).count() == 0)
+    assert(TextAnalysis.tx_langid(spark, dir).count() == 0)
+  }
+
   /** Write a tiny documents corpus to a temp dir shaped like testdata. */
   private def tmpDocs(rows: Seq[(Long, String, String, String, Long)]): String = {
     val dir = java.nio.file.Files.createTempDirectory("graftdocs").toString
