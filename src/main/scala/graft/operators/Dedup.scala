@@ -92,8 +92,11 @@ object Dedup {
 
   /** Expand representative-level pairs back to member pairs: cross-group
     * pairs inherit the representatives' score verbatim; intra-group pairs
-    * (identical sketches/sets) are emitted directly with `selfScore` when
-    * `selfQualifies`. Output-only work — no verification re-runs.
+    * (identical sketches/sets) are emitted directly with `selfScore` —
+    * evaluated against `grouped`'s columns BEFORE members explode, so it
+    * may be a constant (est 1.0, Hamming 0) or computed from the group key
+    * (the self-cosine of an embedding) — when `selfQualifies` (evaluated
+    * after `scoreCol` exists). Output-only work — no verification re-runs.
     */
   private def expandPairs(repPairs: DataFrame, scoreCol: String,
       grouped: DataFrame, selfScore: org.apache.spark.sql.Column,
@@ -106,11 +109,12 @@ object Dedup {
       .select(least(col("x"), col("y")).as("a"),
         greatest(col("x"), col("y")).as("b"), col(scoreCol))
     val intra = grouped.filter(size(col("members")) > 1)
-      .select(explode(col("members")).as("x"), col("members"))
-      .select(col("x"), explode(col("members")).as("y"))
-      .filter(col("x") < col("y"))
-      .select(col("x").as("a"), col("y").as("b"), selfScore.as(scoreCol))
+      .select(selfScore.as(scoreCol), col("members"))
       .filter(selfQualifies)
+      .select(col(scoreCol), explode(col("members")).as("x"), col("members"))
+      .select(col(scoreCol), col("x"), explode(col("members")).as("y"))
+      .filter(col("x") < col("y"))
+      .select(col("x").as("a"), col("y").as("b"), col(scoreCol))
     inter.union(intra)
   }
 
@@ -337,14 +341,27 @@ object Dedup {
   def dd_embed_cosine(s: SparkSession, dir: String,
       threshold: Double = 0.4): DataFrame = {
     import graft.functions.VecDot
-    val emb = Tables.loadParallel(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"), VecDot.norm(col("embedding")).as("nrm"))
+    // bit-identical embeddings collapse to one representative: an exact-dup
+    // clique costs output rows, not clique² cosine evaluations. The intra
+    // score is COMPUTED from the group's vector — cos(e,e) is ~1 minus sqrt
+    // rounding, exactly the double the all-pairs form yields for two
+    // bit-identical arrays, so the output (and the oracle hash) is unchanged.
+    val grouped = Tables.loadParallel(s, dir, "embeddings")
+      .groupBy("embedding")
+      .agg(min(col("vec_id")).as("rep"), collect_list(col("vec_id")).as("members"))
+      .persist()
+    val emb = grouped.select(col("rep").as("vec_id"), col("embedding"),
+      VecDot.norm(col("embedding")).as("nrm"))
     val a = emb.select(col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
     val b = emb.select(col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb"))
-    a.join(b, col("a") < col("b"))
+    val repPairs = a.join(b, col("a") < col("b"))
       .select(col("a"), col("b"),
         VecDot.cosineFast(VecDot.dot(col("ea"), col("eb")), col("na"), col("nb")).as("cos"))
       .filter(col("cos") >= threshold)
+    val selfCos = VecDot.cosineFast(
+      VecDot.dot(col("embedding"), col("embedding")),
+      VecDot.norm(col("embedding")), VecDot.norm(col("embedding")))
+    expandPairs(repPairs, "cos", grouped, selfCos, col("cos") >= threshold)
       .orderBy("a", "b")
   }
 
