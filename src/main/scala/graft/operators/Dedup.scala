@@ -377,16 +377,28 @@ object Dedup {
   def dd_embed_lsh(s: SparkSession, dir: String, threshold: Double = 0.4,
       planes: Int = 4): DataFrame = {
     import graft.functions.VecDot
-    val emb = Similarity.withLshBucket(Tables.loadParallel(s, dir, "embeddings"), planes)
+    // bit-identical embeddings collapse before bucketing (identical vectors
+    // always share a bucket, so a clique would pay clique² within-bucket
+    // pairs); expansion emits them with the computed self-cosine
+    val grouped = Tables.loadParallel(s, dir, "embeddings")
+      .groupBy("embedding")
+      .agg(min(col("vec_id")).as("rep"), collect_list(col("vec_id")).as("members"))
+      .persist()
+    val emb = Similarity.withLshBucket(
+      grouped.select(col("rep").as("vec_id"), col("embedding")), planes)
       .select(col("vec_id"), col("embedding"), col("bucket"),
         VecDot.norm(col("embedding")).as("nrm"))
     val a = emb.select(col("bucket"), col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
     val b = emb.select(col("bucket"), col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb"))
-    a.join(b, Seq("bucket"))
+    val repPairs = a.join(b, Seq("bucket"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"),
         VecDot.cosineFast(VecDot.dot(col("ea"), col("eb")), col("na"), col("nb")).as("cos"))
       .filter(col("cos") >= threshold)
+    val selfCos = VecDot.cosineFast(
+      VecDot.dot(col("embedding"), col("embedding")),
+      VecDot.norm(col("embedding")), VecDot.norm(col("embedding")))
+    expandPairs(repPairs, "cos", grouped, selfCos, col("cos") >= threshold)
       .orderBy("a", "b")
   }
 }
