@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Ingest-time near-duplicate screening: a STREAM of incoming documents is
+  * checked against a STATIC band index of the existing corpus — the gate a
+  * training-data pipeline runs before admitting new documents.
+  *
+  * Per-document signatures use the pure-expression minhash form
+  * ([[graft.functions.TextFunctions.minhash]]), NOT the aggregate form the
+  * batch operators use: per-row expressions keep the stream STATELESS — no
+  * groupBy state, no watermark needed — and the stream-static equi-join on
+  * (band, bkey) holds no streaming state either (the static side is
+  * re-resolved per micro-batch, so a growing corpus index is picked up).
+  * A matched pair may emit once per shared band (a streaming
+  * dropDuplicates would need unbounded state without an event-time
+  * column); collapse per batch downstream via foreachBatch if exact
+  * multiplicity matters.
+  */
+object DocsStream {
+
+  /** Band index over (doc_id, text) rows — works for both the static
+    * corpus side and the probe stream (same pipeline ⇒ same keys).
+    */
+  def bandIndex(docs: DataFrame, k: Int = 32, bands: Int = 8): DataFrame =
+    docs
+      .withColumn("hs", hashedShingles(col("text"), 3)) // staged once; see TextFunctions
+      .withColumn("sig", minhash(col("hs"), k))
+      .select(col("doc_id"), col("sig"),
+        posexplode(minhashBands(col("sig"), k, bands)))
+      .select(col("doc_id"), col("sig"), col("pos").as("band"), col("col").as("bkey"))
+
+  /** Screen a document stream (or batch frame) against a corpus band index;
+    * emits (in_doc, corpus_doc, est_jaccard) for collisions with estimated
+    * Jaccard ≥ threshold.
+    */
+  def nearDupScreen(stream: DataFrame, corpusIndex: DataFrame, k: Int = 32,
+      bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+    val probe = bandIndex(stream, k, bands)
+      .select(col("doc_id").as("in_doc"), col("sig").as("in_sig"),
+        col("band"), col("bkey"))
+    val corpus = corpusIndex
+      .select(col("doc_id").as("corpus_doc"), col("sig").as("corpus_sig"),
+        col("band"), col("bkey"))
+    probe.join(corpus, Seq("band", "bkey"))
+      .filter(col("in_doc") =!= col("corpus_doc"))
+      .select(col("in_doc"), col("corpus_doc"),
+        (aggregate(zip_with(col("in_sig"), col("corpus_sig"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, x) => acc + x)
+          .cast("double") / k).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+}

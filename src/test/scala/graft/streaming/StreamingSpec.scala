@@ -71,6 +71,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup screen: stream-static band join flags planted dup, batch-parity") {
+    val corpus = Seq(
+      (100L, "spark catalyst optimizer rewrites logical plans into physical plans with codegen"),
+      (101L, "completely different words about zebras and quarks and lattices and embers"))
+      .toDF("doc_id", "text")
+    val index = DocsStream.bandIndex(corpus)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = DocsStream.nearDupScreen(
+      input.toDS().toDF("doc_id", "text"), index, threshold = 0.3)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("screen_out").start()
+    try {
+      input.addData(
+        (1L, "spark catalyst optimizer rewrites logical plans into physical plans with whole codegen"),
+        (2L, "nothing in common with any corpus document at all here"))
+      q.processAllAvailable()
+      val hits = spark.table("screen_out")
+        .select("in_doc", "corpus_doc").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(hits == Set((1L, 100L)))
+      // the same function over the same data as a plain batch frame agrees
+      val batchHits = DocsStream.nearDupScreen(
+        Seq((1L, "spark catalyst optimizer rewrites logical plans into physical plans with whole codegen"),
+          (2L, "nothing in common with any corpus document at all here")).toDF("doc_id", "text"),
+        index, threshold = 0.3)
+        .select("in_doc", "corpus_doc").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batchHits == hits)
+    } finally q.stop()
+  }
+
   test("vec_dot available from SQL via install and via extensions class") {
     graft.functions.GraftFunctions.install(spark)
     Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))).toDF("a", "b")
