@@ -36,7 +36,8 @@ import graft.rules._
   */
 class Engine(
     spark: SparkSession,
-    val udfs: Map[String, SparkSession => Unit] = Map.empty) {
+    val udfs: Map[String, SparkSession => Unit] = Map.empty,
+    val dropTables: Boolean = false) {
 
   /** target table name → mapping spine (id + one column per source natural
     * key, named `<table>_<col>`)
@@ -149,6 +150,14 @@ class Engine(
   def initialize(rule: TableRule): Unit = {
     runScripts(rule)
     runTempTables(rule.name, rule.dep.preInit, rule.dep)
+
+    // `--drop-tables` (`__main__.py:41,70`; `schema.py:269-271`): the
+    // reference prepends DROP TABLE IF EXISTS to each mapping build. This
+    // engine always overwrites its in-session state (drop semantics are
+    // implicit — A6 idempotency), so the flag affects the LEDGER only.
+    if (dropTables)
+      statementLog += Engine.Statement(rule.name, "drop_table",
+        s"DROP TABLE IF EXISTS mapping.${rule.name}")
 
     val perSource = rule.primaryKey.sources.zipWithIndex.map {
       case ((_, src), ordinal) =>

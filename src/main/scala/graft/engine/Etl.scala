@@ -54,9 +54,10 @@ object Etl {
       rulesDir: String,
       outDir: String,
       oneFile: Boolean = true,
+      dropTables: Boolean = false,
       udfs: Map[String, SparkSession => Unit] = Map.empty,
       configure: Engine => Unit = _ => ()): Map[String, DataFrame] = {
-    val engine = new Engine(spark, udfs)
+    val engine = new Engine(spark, udfs, dropTables)
     configure(engine)
     val loaded = loadRules(rulesDir)
     val targets = engine.run(loaded.map(_._2))

@@ -101,6 +101,15 @@ class EtlSpec extends AnyFunSuite {
     val tab = Files.readString(per.resolve("20_tab.sql"))
     assert(tab.contains("spine_select") && tab.contains("skeleton") && tab.contains("column_update"))
     assert(!tab.contains("10_dep"))
+    // --drop-tables (`__main__.py:41`, `schema.py:269-271`): one DROP per
+    // mapping table, before its build
+    val drops = Files.createTempDirectory("graft-out3")
+    Etl.compileDirectory(spark, dir.toString, drops.toString,
+      dropTables = true, configure = cfg)
+    val withDrops = Files.readString(drops.resolve("etl.sql"))
+    assert(withDrops.contains("DROP TABLE IF EXISTS mapping.baz"))
+    assert(withDrops.indexOf("drop_table") < withDrops.indexOf("spine_select"))
+    assert(!script.contains("DROP TABLE")) // default stays drop-free
   }
 
   test("depends_on inherits the dep file's default_schema (`__main__.py:67-80`)") {
