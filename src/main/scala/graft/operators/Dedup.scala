@@ -247,11 +247,28 @@ object Dedup {
       .persist()
     val prefLen = size(col("shs")) -
       ceil(size(col("shs")).cast("double") * threshold).cast("int") + 1
-    val pref = sets.select(col("doc_id"), explode(slice(col("shs"), lit(1), prefLen)).as("sh"))
-    val candidates = pref.select(col("sh"), col("doc_id").as("a"))
-      .join(pref.select(col("sh"), col("doc_id").as("b")), Seq("sh"))
+    // prefix tokens with their 0-based position in the ranked set: feeds the
+    // ppjoin positional filter below
+    val pref = sets.select(col("doc_id"), size(col("shs")).as("n"),
+      posexplode(slice(col("shs"), lit(1), prefLen)))
+      .select(col("doc_id"), col("n"), col("pos").as("p"), col("col").as("sh"))
+    // Positional filter (Xiao et al., ppjoin): a token matched at ranked
+    // positions (i, j) bounds the overlap — common elements before it number
+    // ≤ min(i, j), after it ≤ min(|A|-i-1, |B|-j-1) — and J ≥ t needs
+    // overlap ≥ t(|A|+|B|)/(1+t). Any matched token's bound is valid, so
+    // candidates are kept only when their tightest bound can still reach the
+    // requirement (ε guards the inexact double threshold — conservative,
+    // never prunes a qualifying pair).
+    val bound = least(col("pa"), col("pb")) + lit(1) +
+      least(col("na") - col("pa") - 1, col("nb") - col("pb") - 1)
+    val candidates = pref.select(col("sh"), col("doc_id").as("a"), col("n").as("na"), col("p").as("pa"))
+      .join(pref.select(col("sh"), col("doc_id").as("b"), col("n").as("nb"), col("p").as("pb")), Seq("sh"))
       .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+      .groupBy("a", "b")
+      .agg(min(bound).as("ub"), first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .filter(col("ub").cast("double") >=
+        (col("na") + col("nb")).cast("double") * (threshold / (1 + threshold)) - 1e-9)
+      .select("a", "b")
     val repPairs = candidates
       .join(sets.select(col("doc_id").as("a"), col("shs").as("sa")), Seq("a"))
       .join(sets.select(col("doc_id").as("b"), col("shs").as("sb")), Seq("b"))
