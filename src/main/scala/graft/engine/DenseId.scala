@@ -34,12 +34,18 @@ object DenseId {
       .toDF("__pid", "__before")
 
     val local = Window.partitionBy(col("__pid")).orderBy(order: _*)
+    // Eager localCheckpoint, not persist: (a) it materializes the assigned
+    // ids ONCE — every later consumer (all of the table's column rules,
+    // other tables' FK remaps) reads the same blocks, and a lost block
+    // fails loudly instead of silently renumbering ids through a
+    // recomputed (resampled) range partitioning; (b) the blocks are
+    // released by the ContextCleaner when the spine is dropped, instead of
+    // pinning CacheManager memory for the session's lifetime.
     val out = parted
       .join(broadcast(offsetsDf), Seq("__pid"), "left")
       .withColumn(idCol, row_number().over(local).cast("long") + coalesce(col("__before"), lit(0L)))
       .drop("__pid", "__before")
-      .persist()
-    out.count() // materialize so the keyed-range lineage can be released
+      .localCheckpoint()
     parted.unpersist()
     out
   }

@@ -57,7 +57,9 @@ class Engine(
     * CREATE TEMP TABLE), `spine_select` (one per pk source), `skeleton`
     * (one per table — the reference's
     * `INSERT INTO omop.t (pk) SELECT id FROM mapping.t`,
-    * `schema.py:320-328`), `column_update` (one per enabled column rule).
+    * `schema.py:320-328`), `column_update` (one per enabled column rule),
+    * `drop_table` (one per table when `dropTables` is set — the
+    * `--drop-tables` ledger entry emitted by [[initialize]]).
     */
   val statementLog: mutable.Buffer[Engine.Statement] = mutable.Buffer.empty
 
@@ -137,9 +139,13 @@ class Engine(
 
   private def runTempTables(rule: String, qs: Seq[QueryRef], dep: DependencyParts): Unit =
     qs.foreach { q =>
-      // materialized like Postgres CREATE TEMP TABLE … AS (`generation.py:106-112`)
+      // materialized like Postgres CREATE TEMP TABLE … AS
+      // (`generation.py:106-112`) — an eager localCheckpoint, not persist:
+      // computed exactly once at creation (CREATE TEMP TABLE semantics),
+      // blocks auto-released when the engine is dropped, no session-lifetime
+      // CacheManager entry
       statementLog += Engine.Statement(rule, "temp_table", translate(q.query, dep))
-      val df = sql(translate(q.query, dep)).persist()
+      val df = sql(translate(q.query, dep)).localCheckpoint()
       df.createOrReplaceTempView(q.alias)
       tempViews += q.alias
     }

@@ -13,6 +13,8 @@ import graft.sources.Tables
   */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup")
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.loadParallel(s, dir, "documents")
 
@@ -59,6 +61,17 @@ object Dedup {
     * qualifying pairs between group representatives). Shared with
     * [[dd_cluster]], which propagates labels over representatives and maps
     * members through — identical result, clique-size-smaller graph.
+    *
+    * The signature-group aggregate is read by every downstream stage (the
+    * band join, both verification joins, the member expansion — and in
+    * [[dd_cluster]] by several separate label-propagation jobs), so it is
+    * materialized ONCE with an eager localCheckpoint. Not `persist`:
+    * checkpoint blocks are released by the ContextCleaner as soon as the
+    * query's frames are dropped, where a `persist` pins CacheManager
+    * memory for the whole session unless every caller remembers to
+    * unpersist (the round-2 leak). Recompute-above-the-exchange is not an
+    * alternative — the collect_list re-aggregation per consumer measured
+    * ~2-4× slower than reading the checkpointed blocks.
     */
   private[operators] def minhashRepPairs(s: SparkSession, dir: String, k: Int,
       bands: Int, threshold: Double, maxBucket: Int): (DataFrame, DataFrame) = {
@@ -69,12 +82,13 @@ object Dedup {
     val grouped = minhashSignatures(docs(s, dir), k)
       .groupBy("sig")
       .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
-      .persist()
+      .localCheckpoint()
     val sigs = grouped.select(col("rep").as("doc_id"), col("sig"))
-    val banded = capBuckets(sigs
+    val preBanded = sigs
       .select(col("doc_id"), posexplode(minhashBands(col("sig"), k, bands)))
-      .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey")),
-      maxBucket)
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
+    logDroppedBuckets("dd_minhash", preBanded, maxBucket)
+    val banded = capBuckets(preBanded, maxBucket)
     val candidates = banded.select(col("band"), col("bkey"), col("doc_id").as("a"))
       .join(banded.select(col("band"), col("bkey"), col("doc_id").as("b")), Seq("band", "bkey"))
       .filter(col("a") < col("b"))
@@ -119,13 +133,20 @@ object Dedup {
   }
 
   /** Skew guard for band-bucket self-joins: a bucket holding m members emits
-    * m² candidate pairs, so one mega-bucket (an exact-duplicate cluster
-    * sharing every band) can dominate the whole job at scale. Buckets larger
-    * than `maxBucket` are dropped from CANDIDATE GENERATION only, bounding
-    * any single bucket's cost at maxBucket²; members of a dropped bucket are
-    * near-certain exact duplicates (they collide on a whole band), which
-    * [[dd_exact]] already reports. Default is far above any bucket the test
-    * corpora produce, so small-SF output is unchanged.
+    * m² candidate pairs, so one mega-bucket can dominate the whole job at
+    * scale. Buckets larger than `maxBucket` are dropped from CANDIDATE
+    * GENERATION only, bounding any single bucket's cost at maxBucket².
+    *
+    * What a dropped bucket LOSES: exact duplicates are already collapsed to
+    * one representative before banding, so an over-cap bucket holds more
+    * than `maxBucket` DISTINCT sketches agreeing on a whole band — a
+    * boilerplate pathology (e.g. thousands of variants of the same
+    * template). Its members are genuine near-dup CANDIDATES that no other
+    * operator recovers; dropping them is a deliberate recall-for-boundedness
+    * trade, so the loss must be OBSERVABLE, not silent — [[dd_minhash]] /
+    * [[dd_simhash]] log dropped-bucket counts via [[logDroppedBuckets]], and
+    * [[droppedBuckets]] exposes the full audit frame. Default is far above
+    * any bucket the test corpora produce, so small-SF output is unchanged.
     */
   private[operators] def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
     val sizes = banded.groupBy("band", "bkey").agg(count(lit(1)).as("__bsz"))
@@ -140,6 +161,24 @@ object Dedup {
   def droppedBuckets(banded: DataFrame, maxBucket: Int): DataFrame =
     banded.groupBy("band", "bkey").agg(count(lit(1)).as("bucket_size"))
       .filter(col("bucket_size") > maxBucket)
+
+  /** Log-level-gated audit of [[capBuckets]] loss: at INFO, run the (one
+    * cheap aggregate) [[droppedBuckets]] scan and report how many buckets /
+    * members candidate generation will skip. Gated so the default WARN-level
+    * bench/verify runs pay zero extra jobs; a production run at INFO sees
+    * every silent-recall-loss event with its operator name.
+    */
+  private def logDroppedBuckets(op: String, banded: DataFrame, maxBucket: Int): Unit =
+    if (log.isInfoEnabled) {
+      val dropped = droppedBuckets(banded, maxBucket)
+        .agg(count(lit(1)).as("n"), sum(col("bucket_size")).as("members"))
+        .collect()(0)
+      if (dropped.getLong(0) > 0)
+        log.info(s"$op: capBuckets($maxBucket) drops ${dropped.getLong(0)} " +
+          s"band-buckets covering ${dropped.getLong(1)} sketch slots — " +
+          "near-dup pairs inside them are NOT reported; raise maxBucket or " +
+          "pre-filter the boilerplate band")
+    }
 
   /** MinHash signatures in aggregate form: shingle-hashes exploded to rows,
     * then k `min` aggregates — map-side partial aggregation, whole-stage
@@ -164,17 +203,20 @@ object Dedup {
   def dd_simhash(s: SparkSession, dir: String, maxHamming: Int = 3,
       maxBucket: Int = 10000): DataFrame = {
     // identical fingerprints collapse to a representative (Hamming 0);
-    // ids only through the band self-join, fps re-attach after dedup
+    // ids only through the band self-join, fps re-attach after dedup;
+    // materialized once, auto-released (see [[minhashRepPairs]])
     val grouped = simhashFingerprints(docs(s, dir))
       .groupBy("fp")
       .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
-      .persist()
+      .localCheckpoint()
     val fps = grouped.select(col("rep").as("doc_id"), col("fp"))
-    val banded = capBuckets(fps.select(col("doc_id"),
+    val preBanded = fps.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(3)),
         b => struct(b.as("band"),
           call_function("shiftright", col("fp"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bkey")))).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bkey")), maxBucket)
+      .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
+    logDroppedBuckets("dd_simhash", preBanded, maxBucket)
+    val banded = capBuckets(preBanded, maxBucket)
     val candidates = banded.select(col("band"), col("bkey"), col("doc_id").as("a"))
       .join(banded.select(col("band"), col("bkey"), col("doc_id").as("b")), Seq("band", "bkey"))
       .filter(col("a") < col("b"))
@@ -231,20 +273,23 @@ object Dedup {
       .select(col("doc_id"), array_sort(hashedShingles(col("text"), n)).as("shs"))
       .groupBy("shs")
       .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
-      .persist()
+      .localCheckpoint() // multi-consumer; materialized once, auto-released
     // 1. Posting list over REPRESENTATIVES, on 64-bit shingle hashes (same
     //    pair counts — collisions at 2^-64 are below any practical risk —
-    //    far cheaper shuffle + compare than shingle strings).
+    //    far cheaper shuffle + compare than shingle strings). `sh` appears
+    //    twice inside the `sets` build (the df aggregate and the join's
+    //    probe side) — ReuseExchange shares its shuffle within that job.
     val sh = grouped.select(col("rep").as("doc_id"), explode(col("shs")).as("sh"))
-      .persist() // read by the df build and both sides of the df join
     val df = sh.groupBy("sh").agg(count(lit(1)).as("df")) // map-side partials
     // per-rep shingle set re-assembled rarest-first; read by candidate
-    // generation (prefix) and verification (full set) → persist
+    // generation (prefix) and verification (both join sides) → checkpointed
+    // (the collect_list re-aggregation per consumer measured ~4× the cost
+    // of reading the blocks back)
     val sets = sh.join(df, Seq("sh"))
       .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("df"), col("sh")))).as("ranked"))
       .select(col("doc_id"), transform(col("ranked"), r => r("sh")).as("shs"))
-      .persist()
+      .localCheckpoint()
     val prefLen = size(col("shs")) -
       ceil(size(col("shs")).cast("double") * threshold).cast("int") + 1
     // prefix tokens with their 0-based position in the ranked set: feeds the
@@ -353,20 +398,35 @@ object Dedup {
     * baseline (a < b halves the space; cosine is the bit-deterministic double
     * fold of [[graft.functions.TextFunctions.cosine]]). The sub-quadratic
     * scale path is the LSH bucketing of [[Similarity.withLshBucket]] /
-    * [[Similarity.ann_lsh]].
+    * [[dd_embed_lsh]].
+    *
+    * This plan is O(N²) BY CONSTRUCTION — it exists as the oracle anchor for
+    * the LSH twin, not as a production path — so it fails fast above
+    * `maxVectors` distinct embeddings (after the exact-dup collapse) instead
+    * of silently launching a quadratic job on a corpus-sized input. The
+    * guard's count doubles as the logged corpus-size observability hook.
     */
   def dd_embed_cosine(s: SparkSession, dir: String,
-      threshold: Double = 0.4): DataFrame = {
+      threshold: Double = 0.4, maxVectors: Long = 100000L): DataFrame = {
     import graft.functions.VecDot
     // bit-identical embeddings collapse to one representative: an exact-dup
     // clique costs output rows, not clique² cosine evaluations. The intra
     // score is COMPUTED from the group's vector — cos(e,e) is ~1 minus sqrt
     // rounding, exactly the double the all-pairs form yields for two
     // bit-identical arrays, so the output (and the oracle hash) is unchanged.
+    // Checkpointed: the guard count below and the pair join are separate
+    // jobs, and the all-pairs join reads both sides from the same blocks.
     val grouped = Tables.loadParallel(s, dir, "embeddings")
       .groupBy("embedding")
       .agg(min(col("vec_id")).as("rep"), collect_list(col("vec_id")).as("members"))
-      .persist()
+      .localCheckpoint()
+    val nReps = grouped.count()
+    log.info(s"dd_embed_cosine: $nReps distinct embeddings → ~${nReps * nReps / 2} candidate pairs")
+    require(nReps <= maxVectors,
+      s"dd_embed_cosine is the exact all-pairs baseline: $nReps distinct " +
+        s"embeddings exceed maxVectors=$maxVectors (~${nReps * nReps / 2} " +
+        "candidate pairs). Use dd_embed_lsh (the sub-quadratic bucketed " +
+        "path) at this scale, or raise maxVectors explicitly.")
     val emb = grouped.select(col("rep").as("vec_id"), col("embedding"),
       VecDot.norm(col("embedding")).as("nrm"))
     val a = emb.select(col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
@@ -396,11 +456,12 @@ object Dedup {
     import graft.functions.VecDot
     // bit-identical embeddings collapse before bucketing (identical vectors
     // always share a bucket, so a clique would pay clique² within-bucket
-    // pairs); expansion emits them with the computed self-cosine
+    // pairs); expansion emits them with the computed self-cosine.
+    // Materialized once, auto-released (see [[minhashRepPairs]]).
     val grouped = Tables.loadParallel(s, dir, "embeddings")
       .groupBy("embedding")
       .agg(min(col("vec_id")).as("rep"), collect_list(col("vec_id")).as("members"))
-      .persist()
+      .localCheckpoint()
     val emb = Similarity.withLshBucket(
       grouped.select(col("rep").as("vec_id"), col("embedding")), planes)
       .select(col("vec_id"), col("embedding"), col("bucket"),

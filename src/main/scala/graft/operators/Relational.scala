@@ -238,10 +238,12 @@ object Relational {
     * a left-semi join.
     */
   def q20_in_subquery(s: SparkSession, dir: String): DataFrame = {
+    // query-scoped view names: a bare `orders` view would collide with a
+    // concurrent engine run's temp tables in the same session
     Seq("orders", "customer").foreach(n =>
-      Tables.load(s, dir, n).createOrReplaceTempView(n))
-    s.sql("""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
-             WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      Tables.load(s, dir, n).createOrReplaceTempView(s"graft_q20_$n"))
+    s.sql("""SELECT o_orderkey, o_custkey, o_orderstatus FROM graft_q20_orders
+             WHERE o_custkey IN (SELECT c_custkey FROM graft_q20_customer WHERE c_mktsegment = 'BUILDING')
              ORDER BY o_orderkey""")
   }
 
@@ -250,9 +252,9 @@ object Relational {
     * output row.
     */
   def q22_scalar_subquery(s: SparkSession, dir: String): DataFrame = {
-    Tables.load(s, dir, "part").createOrReplaceTempView("part")
-    s.sql("""SELECT p_brand, count(*) AS n, (SELECT count(*) FROM part) AS total
-             FROM part GROUP BY p_brand ORDER BY p_brand""")
+    Tables.load(s, dir, "part").createOrReplaceTempView("graft_q22_part")
+    s.sql("""SELECT p_brand, count(*) AS n, (SELECT count(*) FROM graft_q22_part) AS total
+             FROM graft_q22_part GROUP BY p_brand ORDER BY p_brand""")
   }
 
   /** GROUP BY + HAVING. */
@@ -269,10 +271,10 @@ object Relational {
     * (`tests/rules/custom_query.yaml:26,17`), joined to a real table.
     */
   def q15_values_cast(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "region").createOrReplaceTempView("region")
+    t(s, dir, "region").createOrReplaceTempView("graft_q15_region")
     s.sql("""SELECT x.id, x.alpha, CAST(x.id AS INT) + 1 AS id2, r_name
              FROM (VALUES (0, 'a1'), (2, 'b1'), (4, 'c1')) AS x(id, alpha)
-             JOIN region ON r_regionkey = x.id
+             JOIN graft_q15_region ON r_regionkey = x.id
              ORDER BY x.id""")
   }
 
