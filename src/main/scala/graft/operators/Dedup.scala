@@ -232,21 +232,38 @@ object Dedup {
   }
 
   /** SimHash fingerprints in aggregate form (same rationale as
-    * [[minhashSignatures]]): one word-hash row per occurrence, 64 signed
-    * bit-vote sums, then a static 64-term OR packs the fingerprint.
+    * [[minhashSignatures]]): one word-hash row per occurrence, bit votes
+    * summed per doc, then a static 64-term OR packs the fingerprint.
     * Identical output to [[graft.functions.TextFunctions.simhash64]].
+    *
+    * Vote state is LANE-PACKED: 16 longs of 4×16-bit one-counts instead of
+    * 64 separate ±1 sums — 4× less aggregation-buffer state per group on
+    * the map-side combine (the widest aggregate in the corpus before this).
+    * `vote_j > 0 ⟺ 2·ones_j > n` reproduces the signed-sum sign exactly,
+    * ties included. A 16-bit lane counts to 65535 words per doc; beyond
+    * that a lane would carry into its neighbor, so the unpack asserts
+    * `n ≤ 65535` (`assert_true` — free unless triggered) rather than
+    * corrupt fingerprints silently.
     */
   def simhashFingerprints(documents: DataFrame): DataFrame = {
     val wh = documents
       .select(col("doc_id"), explode(words(col("text"))).as("w"))
       .select(col("doc_id"), xxhash64(col("w")).as("h"))
-    val votes = (0 until 64).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"__v$j"))
+    // long L, lane k (k = 0..3) counts words with bit j = 4L+k set
+    val packed = (0 until 16).map { l =>
+      sum((0 until 4).map(k =>
+        shiftright(col("h"), 4 * l + k).bitwiseAND(lit(1L)) * lit(1L << (16 * k)))
+        .reduce(_ + _)).as(s"__p$l")
+    }
+    val ones = (j: Int) =>
+      shiftright(col(s"__p${j / 4}"), 16 * (j % 4)).bitwiseAND(lit(0xFFFFL))
     wh.groupBy("doc_id")
-      .agg(votes.head, votes.tail: _*)
+      .agg(packed.head, (packed.tail :+ count(lit(1)).as("__n")): _*)
       .select(col("doc_id"),
-        (0 until 64).map(j => when(col(s"__v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce((a, b) => a.bitwiseOR(b)).as("fp"))
+        when(assert_true(col("__n") <= 65535,
+            lit("simhashFingerprints: doc exceeds 65535 words (16-bit lane bound)")).isNull,
+          (0 until 64).map(j => when(ones(j) * 2 > col("__n"), lit(1L << j)).otherwise(lit(0L)))
+            .reduce((a, b) => a.bitwiseOR(b))).as("fp"))
   }
 
   /** Exact n-gram Jaccard near-dup via prefix filtering (the all-pairs

@@ -90,15 +90,22 @@ object Similarity {
     * cheapest buckets of its [[probeBuckets]] sequence; exact cosine +
     * top-k within candidates. Candidate sets are ~nProbes·|corpus| /
     * 2^planes and the corpus side never re-shuffles — the probe set is
-    * exploded on the broadcast QUERY side only. Recall/cost is tuned by
-    * (planes, nProbes): clustered real-world embeddings concentrate
-    * neighbors in the home bucket so few probes suffice; the near-uniform
-    * synthetic test corpus is the worst case and needs nProbes ≈ 12 of 16
-    * for recall ≥ 0.8 (see PipelineSpec) — at scale, raise `planes` with
-    * nProbes rather than brute-forcing.
+    * exploded on the broadcast QUERY side only.
+    *
+    * Defaults (planes=8, nProbes=2·planes) scan ~6 % of the corpus
+    * (asserted ≤ 25 % in PipelineSpec). What that buys is data-dependent,
+    * and honestly so: for CLUSTERED embeddings — the case LSH exists for —
+    * a true near neighbor disagrees with its query only on planes the query
+    * sits close to, which are exactly the cheapest probes, so recall ≥ 0.8
+    * at that 6 % scan (PipelineSpec's planted-neighbor eval proves it on
+    * perturbed copies of real corpus vectors, cosine ≈ 0.97). On data
+    * UNIFORM on the sphere there is no free lunch — measured recall tracks
+    * the scanned fraction almost linearly (top-10 of uniform noise at
+    * cosine ≈ 0.35 is itself noise) — so if your "neighbors" are that weak,
+    * use [[ann_bruteforce]]; no sublinear index can help.
     */
   def ann_lsh(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 10,
-      planes: Int = 4, nProbes: Int = 12): DataFrame = {
+      planes: Int = 8, nProbes: Int = 16): DataFrame = {
     val raw = Tables.loadParallel(s, dir, "embeddings")
     val emb = withLshBucket(raw, planes)
       .select(col("vec_id"), col("embedding"), col("bucket"),
