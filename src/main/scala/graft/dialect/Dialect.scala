@@ -43,23 +43,122 @@ object Dialect {
     rewritten.head + seps.zip(rewritten.tail).map { case (s, p) => s" $s $p" }.mkString
   }
 
+  /** Depth-aware branch rewrite: the key list may contain nested calls
+    * (`DISTINCT ON (substring(zip, 1, 3))`) and the select list may contain
+    * function-call commas, so the pieces are located by paren/literal-aware
+    * scanning ([[matchingParen]], [[findTopLevelKeyword]], [[splitTopLevel]])
+    * rather than regex groups.
+    */
   private def rewriteDistinctOnBranch(sql: String): String = {
-    val re = "(?is)\\s*select\\s+distinct\\s+on\\s*\\(([^)]*)\\)(.*?)(\\bfrom\\b.*?)(order\\s+by\\s+(.*?))?\\s*$".r
-    re.findFirstMatchIn(sql) match {
+    "(?is)^\\s*select\\s+distinct\\s+on\\s*\\(".r.findFirstMatchIn(sql) match {
       case None => sql
-      case Some(m) =>
-        val keys = m.group(1).trim
-        val selectList = m.group(2).trim.stripSuffix(",")
-        val fromPart = m.group(3).trim
-        val explicit = Option(m.group(5)).map(_.trim).filter(_.nonEmpty)
-        val tieBreak = selectList.split(",").map(_.trim)
+      case Some(pre) =>
+        val open = pre.end - 1
+        val close = matchingParen(sql, open)
+        if (close < 0) return sql
+        val keys = sql.substring(open + 1, close).trim
+        val rest = sql.substring(close + 1)
+        val fromIdx = findTopLevelKeyword(rest, "FROM")
+        if (fromIdx < 0) return sql
+        val selectList = rest.substring(0, fromIdx).trim.stripSuffix(",")
+        val afterSelect = rest.substring(fromIdx)
+        val obIdx = findTopLevelKeyword(afterSelect, "ORDER")
+        val (fromPart, explicit) =
+          if (obIdx < 0) (afterSelect.trim, None)
+          else {
+            val ob = "(?is)^order\\s+by\\s+".r.findFirstMatchIn(afterSelect.substring(obIdx))
+            ob match {
+              case Some(m) =>
+                (afterSelect.substring(0, obIdx).trim,
+                  Some(afterSelect.substring(obIdx + m.end).trim).filter(_.nonEmpty))
+              case None => (afterSelect.trim, None)
+            }
+          }
+        // Tie-breakers: simple column refs from the select list make the
+        // arbitrary-survivor pick deterministic; computed entries are skipped
+        // (they may not be ORDER-BY-stable expressions).
+        val tieBreak = splitTopLevel(selectList, ',').map(_.trim)
           .filter(_.matches("[\\w.]+"))
-        val orderBy = (explicit.getOrElse(keys) +: tieBreak.toSeq).distinct.mkString(", ")
+        val orderBy = (explicit.getOrElse(keys) +: tieBreak).distinct.mkString(", ")
         s"""SELECT $selectList FROM (
            |  SELECT $selectList, row_number() OVER (PARTITION BY $keys ORDER BY $orderBy) AS __rn
            |  $fromPart
            |) WHERE __rn = 1""".stripMargin
     }
+  }
+
+  /** Index of the `)` matching the `(` at `open` (literal-aware), or -1. */
+  private def matchingParen(sql: String, open: Int): Int = {
+    var depth = 0
+    var inLit = false
+    var i = open
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inLit) { if (c == '\'') inLit = false }
+      else c match {
+        case '\'' => inLit = true
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return i
+        case _ => ()
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** First word-boundary occurrence of `kw` at paren depth 0 outside string
+    * literals (case-insensitive), or -1.
+    */
+  private def findTopLevelKeyword(sql: String, kw: String): Int = {
+    val upper = sql.toUpperCase
+    val k = kw.toUpperCase
+    var depth = 0
+    var inLit = false
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inLit) { if (c == '\'') inLit = false }
+      else c match {
+        case '\'' => inLit = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && upper.startsWith(k, i) &&
+              (i == 0 || !Character.isLetterOrDigit(sql.charAt(i - 1)) && sql.charAt(i - 1) != '_') &&
+              (i + k.length >= sql.length ||
+                !Character.isLetterOrDigit(sql.charAt(i + k.length)) && sql.charAt(i + k.length) != '_'))
+            return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Split on `sep` at paren depth 0 outside string literals. */
+  private def splitTopLevel(sql: String, sep: Char): Seq[String] = {
+    val parts = Seq.newBuilder[String]
+    var depth = 0
+    var inLit = false
+    var start = 0
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inLit) { if (c == '\'') inLit = false }
+      else c match {
+        case '\'' => inLit = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case `sep` if depth == 0 =>
+          parts += sql.substring(start, i)
+          start = i + 1
+        case _ => ()
+      }
+      i += 1
+    }
+    parts += sql.substring(start)
+    parts.result()
   }
 
   /** Split on top-level UNION [ALL] (outside parens and string literals).

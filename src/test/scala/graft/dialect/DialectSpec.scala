@@ -44,6 +44,25 @@ class DialectSpec extends AnyFunSuite {
     assert("__rn = 1".r.findAllIn(union).length == 2)
   }
 
+  test("rewriteDistinctOn: nested parens in keys, function commas in select list") {
+    // key list containing a function call (nested parens + commas)
+    val fn = Dialect.rewriteDistinctOn(
+      "select distinct on (substring(zip, 1, 3)) zip, city from cerner.address")
+    assert(fn.contains("PARTITION BY substring(zip, 1, 3)"))
+    assert(fn.contains("WHERE __rn = 1"))
+    // function-call commas in the select list must not split the tie-break
+    // scan mid-call: only simple column refs become tie-breakers
+    val sel = Dialect.rewriteDistinctOn(
+      "select distinct on (city) city, substring(zip, 1, 2), zip from cerner.address")
+    assert(sel.contains("ORDER BY city, zip)"))
+    assert(!sel.contains("ORDER BY city, 1"))
+    // FROM inside a string literal is not the FROM clause
+    val lit = Dialect.rewriteDistinctOn(
+      "select distinct on (k) k, ' from x ' as tag from cerner.t")
+    assert(lit.contains("PARTITION BY k"))
+    assert(lit.contains("FROM (") && lit.contains("cerner.t"))
+  }
+
   test("type map (SURVEY.md §1.2)") {
     assert(Dialect.sparkType("integer") == "INT")
     assert(Dialect.sparkType("serial") == "INT")
