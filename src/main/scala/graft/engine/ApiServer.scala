@@ -1,0 +1,108 @@
+package graft.engine
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+
+import graft.rules.RuleParser.RuleParseException
+
+/** HTTP transport for [[Api]] — the reference serves `POST /api/translate`
+  * over FastAPI (`api.py:43-45`, uvicorn); here the same endpoint rides the
+  * JDK's built-in `com.sun.net.httpserver`, so the engine's web surface
+  * costs zero extra dependencies. One rule document per request (YAML or
+  * JSON body — JSON is valid YAML and matches the reference's object
+  * model); the response is the reference's `Result` shape
+  * (`api.py:14-17`): `{"script": …, "warnings": [{loc, msg, type}…]}`.
+  * A body that fails target-table validation returns 422 with a
+  * FastAPI-style `{"detail": […]}` envelope.
+  *
+  * Concurrency: requests are serialized on a single-thread executor —
+  * translation registers temp views in the one shared SparkSession, so
+  * concurrent translates could observe each other's views. Translation is
+  * driver-side plan construction plus the spine's count job; it holds no
+  * cluster resources between requests.
+  */
+object ApiServer {
+
+  /** Start serving on `port` (0 = ephemeral; read the bound port off the
+    * returned server). `configure` registers source tables per request,
+    * exactly as [[Api.translateTable]] takes it.
+    */
+  def start(
+      spark: SparkSession,
+      port: Int = 8000,
+      udfs: Map[String, SparkSession => Unit] = Map.empty,
+      configure: Engine => Unit = _ => ()): HttpServer = {
+    val server = HttpServer.create(new InetSocketAddress(port), 0)
+    server.createContext("/api/translate", (ex: HttpExchange) => handle(ex, spark, udfs, configure))
+    server.setExecutor(java.util.concurrent.Executors.newSingleThreadExecutor())
+    server.start()
+    server
+  }
+
+  private def handle(ex: HttpExchange, spark: SparkSession,
+      udfs: Map[String, SparkSession => Unit], configure: Engine => Unit): Unit =
+    try {
+      if (ex.getRequestMethod != "POST") { respond(ex, 405, errJson("method not allowed, POST a rule document")) }
+      else {
+        val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+        val name = Option(ex.getRequestURI.getQuery)
+          .flatMap(_.split("&").collectFirst {
+            case kv if kv.startsWith("name=") => kv.substring(5)
+          }).getOrElse("rule")
+        try {
+          val res = Api.translateTable(spark, body, name, udfs, configure)
+          val warnings = res.warnings.map(w =>
+            s"""{"loc":${w.loc.map(jstr).mkString("[", ",", "]")},"msg":${jstr(w.msg)},"type":${jstr(w.tpe)}}""")
+          respond(ex, 200,
+            s"""{"script":${jstr(res.script)},"warnings":${warnings.mkString("[", ",", "]")}}""")
+        } catch {
+          // invalid rule document → FastAPI's RequestValidationError shape
+          case e @ (_: RuleParseException | _: IllegalArgumentException) =>
+            respond(ex, 422, errJson(e.getMessage))
+          case e: Throwable =>
+            respond(ex, 500, errJson(s"translation failed: ${e.getMessage}"))
+        }
+      }
+    } finally ex.close()
+
+  private def errJson(msg: String): String =
+    s"""{"detail":[{"loc":["body"],"msg":${jstr(msg)},"type":"value_error"}]}"""
+
+  private def respond(ex: HttpExchange, status: Int, json: String): Unit = {
+    val bytes = json.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length)
+    ex.getResponseBody.write(bytes)
+  }
+
+  private def jstr(s: String): String =
+    Option(s).getOrElse("").flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }.mkString("\"", "", "\"")
+
+  /** Standalone server: `graft.engine.ApiServer <port>` on a local session.
+    * Sources must be registered per deployment via [[start]]'s `configure`;
+    * the bare main translates rules whose sources the session already has.
+    */
+  def main(args: Array[String]): Unit = {
+    val port = args.headOption.map(_.toInt).getOrElse(8000)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val server = start(spark, port)
+    println(s"graft api listening on port ${server.getAddress.getPort} (POST /api/translate)")
+    Thread.currentThread.join()
+  }
+}

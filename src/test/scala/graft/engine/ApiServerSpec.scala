@@ -1,0 +1,62 @@
+package graft.engine
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Round-trips the reference's `POST /api/translate` endpoint
+  * (`api.py:43-45`) over the real socket: rule in, Result JSON out,
+  * validation failure → 422 pydantic envelope, wrong method → 405.
+  */
+class ApiServerSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  private def post(uri: String, body: String): HttpResponse[String] =
+    HttpClient.newHttpClient().send(
+      HttpRequest.newBuilder(URI.create(uri))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("POST /api/translate: rule in, script + warnings out; 422 on invalid; 405 on GET") {
+    val server = ApiServer.start(spark, port = 0, configure = { e =>
+      e.registerSource("cerner", "p", Seq((1L, 1980)).toDF("id", "y"))
+    })
+    try {
+      val base = s"http://localhost:${server.getAddress.getPort}/api/translate"
+      // same JSON body the reference endpoint takes (JSON is valid YAML)
+      val rule = """{"name": "person",
+        |"primary_key": {"name": "person_id",
+        |  "sources": {"p_pk": {"table": "p", "columns": {"id": "bigint"}}}},
+        |"columns": [
+        |  {"name": "year_of_birth", "tables": ["p"], "expression": "p.y"}]}""".stripMargin
+      val ok = post(s"$base?name=person", rule)
+      assert(ok.statusCode() == 200)
+      assert(ok.headers().firstValue("Content-Type").orElse("") == "application/json")
+      assert(ok.body().contains("\"script\":"))
+      assert(ok.body().contains("person: spine_select"))
+      assert(ok.body().contains("person: column_update"))
+      // structured warnings in the pydantic envelope shape
+      assert(ok.body().contains("\"loc\":[\"body\",\"columns\"]"))
+      assert(ok.body().contains("Column \\\"gender_concept_id\\\" is not defined"))
+      assert(ok.body().contains("\"type\":\"value_error\""))
+
+      // a document that is valid YAML but not a target table → 422
+      val bad = post(base, """{"scripts": ["not a table rule"]}""")
+      assert(bad.statusCode() == 422)
+      assert(bad.body().contains("\"detail\""))
+      assert(bad.body().contains("\"type\":\"value_error\""))
+
+      // non-POST → 405
+      val get = HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(URI.create(base)).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(get.statusCode() == 405)
+    } finally server.stop(0)
+  }
+}
