@@ -55,14 +55,17 @@ object Bench {
       }
     }
     // A crashed query must be VISIBLE in the artifact, not a near-zero
-    // timing: it reports -1 and an entry in "errors", and is excluded from
-    // the total.
+    // timing: it reports -1 and an entry in "errors", and POISONS the
+    // headline total (value -1, valid false) — otherwise a regression that
+    // kills a query would shrink the total and read as a speedup to any
+    // consumer comparing totals across rounds.
     val results = names.map(n => n -> (if (failed(n)) -1.0 else best(n)))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"passes":$passes,"sf":"$sfDir"}""")
+    val valid = failed.isEmpty
+    val total = if (valid) results.map(_._2).sum else -1.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","valid":$valid,"queries":$qs,"errors":$errs,"passes":$passes,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

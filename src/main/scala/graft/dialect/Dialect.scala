@@ -87,16 +87,29 @@ object Dialect {
     }
   }
 
-  /** Index of the `)` matching the `(` at `open` (literal-aware), or -1. */
+  /** Delimiter-state step shared by the scanners: `lit` is 0 outside any
+    * quoted region, else the delimiter char that opened it — `'` (string
+    * literal), `"` (SQL quoted identifier), `` ` `` (backtick identifier).
+    * Doubled delimiters (`''`, `""`) scan as exit-then-reenter, which
+    * classifies every char region identically to true escape handling.
+    */
+  private def litStep(lit: Char, c: Char): Char =
+    if (lit != 0) { if (c == lit) 0.toChar else lit }
+    else if (c == '\'' || c == '"' || c == '`') c
+    else lit
+
+  /** Index of the `)` matching the `(` at `open` (literal/identifier-aware),
+    * or -1.
+    */
   private def matchingParen(sql: String, open: Int): Int = {
     var depth = 0
-    var inLit = false
+    var lit: Char = 0
     var i = open
     while (i < sql.length) {
       val c = sql.charAt(i)
-      if (inLit) { if (c == '\'') inLit = false }
-      else c match {
-        case '\'' => inLit = true
+      val prev = lit
+      lit = litStep(lit, c)
+      if (prev == 0 && lit == 0) c match {
         case '(' => depth += 1
         case ')' =>
           depth -= 1
@@ -109,19 +122,19 @@ object Dialect {
   }
 
   /** First word-boundary occurrence of `kw` at paren depth 0 outside string
-    * literals (case-insensitive), or -1.
+    * literals and quoted identifiers (case-insensitive), or -1.
     */
   private def findTopLevelKeyword(sql: String, kw: String): Int = {
     val upper = sql.toUpperCase
     val k = kw.toUpperCase
     var depth = 0
-    var inLit = false
+    var lit: Char = 0
     var i = 0
     while (i < sql.length) {
       val c = sql.charAt(i)
-      if (inLit) { if (c == '\'') inLit = false }
-      else c match {
-        case '\'' => inLit = true
+      val prev = lit
+      lit = litStep(lit, c)
+      if (prev == 0 && lit == 0) c match {
         case '(' => depth += 1
         case ')' => depth -= 1
         case _ =>
@@ -136,18 +149,20 @@ object Dialect {
     -1
   }
 
-  /** Split on `sep` at paren depth 0 outside string literals. */
+  /** Split on `sep` at paren depth 0 outside string literals and quoted
+    * identifiers.
+    */
   private def splitTopLevel(sql: String, sep: Char): Seq[String] = {
     val parts = Seq.newBuilder[String]
     var depth = 0
-    var inLit = false
+    var lit: Char = 0
     var start = 0
     var i = 0
     while (i < sql.length) {
       val c = sql.charAt(i)
-      if (inLit) { if (c == '\'') inLit = false }
-      else c match {
-        case '\'' => inLit = true
+      val prev = lit
+      lit = litStep(lit, c)
+      if (prev == 0 && lit == 0) c match {
         case '(' => depth += 1
         case ')' => depth -= 1
         case `sep` if depth == 0 =>
@@ -169,15 +184,15 @@ object Dialect {
     val parts = Seq.newBuilder[String]
     val seps = Seq.newBuilder[String]
     var depth = 0
-    var inLit = false
+    var lit: Char = 0
     var start = 0
     var i = 0
     val upper = sql.toUpperCase
     while (i < sql.length) {
       val c = sql.charAt(i)
-      if (inLit) { if (c == '\'') inLit = false }
-      else c match {
-        case '\'' => inLit = true
+      val prev = lit
+      lit = litStep(lit, c)
+      if (prev == 0 && lit == 0) c match {
         case '(' => depth += 1
         case ')' => depth -= 1
         case 'u' | 'U' if depth == 0 && upper.startsWith("UNION", i) &&

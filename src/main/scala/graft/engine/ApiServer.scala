@@ -1,6 +1,6 @@
 package graft.engine
 
-import java.net.InetSocketAddress
+import java.net.{InetAddress, InetSocketAddress}
 import java.nio.charset.StandardCharsets.UTF_8
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
@@ -26,16 +26,26 @@ import graft.rules.RuleParser.RuleParseException
   */
 object ApiServer {
 
+  /** Largest accepted request body; a rule document is a few KB, so 10 MB is
+    * generous. Oversized requests are rejected with 413 before any read —
+    * the server runs Spark jobs per request, so unbounded bodies from the
+    * network are a trivial resource exhaustion otherwise.
+    */
+  val MaxBodyBytes: Long = 10L * 1024 * 1024
+
   /** Start serving on `port` (0 = ephemeral; read the bound port off the
     * returned server). `configure` registers source tables per request,
-    * exactly as [[Api.translateTable]] takes it.
+    * exactly as [[Api.translateTable]] takes it. Binds loopback by default —
+    * the reference's uvicorn default is 127.0.0.1 (`api.py`); pass `host`
+    * explicitly to expose the service.
     */
   def start(
       spark: SparkSession,
       port: Int = 8000,
       udfs: Map[String, SparkSession => Unit] = Map.empty,
-      configure: Engine => Unit = _ => ()): HttpServer = {
-    val server = HttpServer.create(new InetSocketAddress(port), 0)
+      configure: Engine => Unit = _ => (),
+      host: InetAddress = InetAddress.getLoopbackAddress): HttpServer = {
+    val server = HttpServer.create(new InetSocketAddress(host, port), 0)
     server.createContext("/api/translate", (ex: HttpExchange) => handle(ex, spark, udfs, configure))
     server.setExecutor(java.util.concurrent.Executors.newSingleThreadExecutor())
     server.start()
@@ -45,9 +55,17 @@ object ApiServer {
   private def handle(ex: HttpExchange, spark: SparkSession,
       udfs: Map[String, SparkSession => Unit], configure: Engine => Unit): Unit =
     try {
+      val contentLength =
+        Option(ex.getRequestHeaders.getFirst("Content-Length")).flatMap(_.toLongOption)
       if (ex.getRequestMethod != "POST") { respond(ex, 405, errJson("method not allowed, POST a rule document")) }
-      else {
-        val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      else if (contentLength.exists(_ > MaxBodyBytes)) {
+        respond(ex, 413, errJson(s"request body exceeds $MaxBodyBytes bytes"))
+      } else {
+        // readNBytes caps chunked/unstated-length bodies at the same bound
+        val raw = ex.getRequestBody.readNBytes(MaxBodyBytes.toInt + 1)
+        if (raw.length > MaxBodyBytes) { respond(ex, 413, errJson(s"request body exceeds $MaxBodyBytes bytes")) }
+        else {
+        val body = new String(raw, UTF_8)
         val name = Option(ex.getRequestURI.getQuery)
           .flatMap(_.split("&").collectFirst {
             case kv if kv.startsWith("name=") => kv.substring(5)
@@ -64,6 +82,7 @@ object ApiServer {
             respond(ex, 422, errJson(e.getMessage))
           case e: Throwable =>
             respond(ex, 500, errJson(s"translation failed: ${e.getMessage}"))
+        }
         }
       }
     } finally ex.close()
@@ -89,20 +108,22 @@ object ApiServer {
       case c => c.toString
     }.mkString("\"", "", "\"")
 
-  /** Standalone server: `graft.engine.ApiServer <port>` on a local session.
+  /** Standalone server: `graft.engine.ApiServer <port> [host]` on a local
+    * session (host defaults to loopback — pass 0.0.0.0 to expose).
     * Sources must be registered per deployment via [[start]]'s `configure`;
     * the bare main translates rules whose sources the session already has.
     */
   def main(args: Array[String]): Unit = {
     val port = args.headOption.map(_.toInt).getOrElse(8000)
+    val host = args.lift(1).map(InetAddress.getByName).getOrElse(InetAddress.getLoopbackAddress)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val server = start(spark, port)
-    println(s"graft api listening on port ${server.getAddress.getPort} (POST /api/translate)")
+    val server = start(spark, port, host = host)
+    println(s"graft api listening on ${server.getAddress} (POST /api/translate)")
     Thread.currentThread.join()
   }
 }

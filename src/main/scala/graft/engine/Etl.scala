@@ -77,6 +77,62 @@ object Etl {
     targets
   }
 
+  private val usage: String =
+    """usage: graft.engine.Etl compile --rules DIR --output DIR
+      |         [--drop-tables] [--no-one-file]
+      |         [--source schema.table=path.parquet]... [--external-csv DIR]
+      |The reference's `omop_etl compile` flags (`__main__.py:34-49`) plus
+      |source registration: the reference compiles against no database, but
+      |here compilation IS execution, so source tables are supplied as
+      |parquet paths (and/or a CSV directory for the external schema).""".stripMargin
+
+  /** Argument parsing + dispatch for [[main]], separated so tests can drive
+    * the CLI against an existing session. Returns the compiled targets.
+    */
+  def cliMain(args: Array[String], spark: SparkSession): Map[String, DataFrame] = {
+    require(args.headOption.contains("compile"), s"expected `compile` subcommand\n$usage")
+    var rules = "rules"
+    var output = "sql"
+    var oneFile = true
+    var dropTables = false
+    val sources = Seq.newBuilder[(String, String, String)]
+    val csvDirs = Seq.newBuilder[String]
+    val it = args.iterator.drop(1)
+    while (it.hasNext) it.next() match {
+      case "--rules" => rules = it.next()
+      case "--output" => output = it.next()
+      case "--drop-tables" => dropTables = true
+      case "--one-file" => oneFile = true
+      case "--no-one-file" => oneFile = false
+      case "--source" =>
+        val Array(qualified, path) = it.next().split("=", 2)
+        val Array(schema, table) = qualified.split("\\.", 2)
+        sources += ((schema, table, path))
+      case "--external-csv" => csvDirs += it.next()
+      case other => throw new IllegalArgumentException(s"unknown option: $other\n$usage")
+    }
+    compileDirectory(spark, rules, output, oneFile, dropTables, configure = { e =>
+      sources.result().foreach { case (sc, t, p) => e.registerSource(sc, t, spark.read.parquet(p)) }
+      csvDirs.result().foreach(d => registerExternalCsvDir(e, spark, d))
+    })
+  }
+
+  /** `graft.engine.Etl compile …` — the reference CLI (`__main__.py:34-49`). */
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try cliMain(args, spark)
+    catch {
+      case e @ (_: IllegalArgumentException | _: MatchError) =>
+        System.err.println(e.getMessage); sys.exit(2)
+    }
+    finally spark.stop()
+  }
+
   /** Load the `external` schema from a directory of CSVs, one view per file
     * (`FACILITY_POSTCODE.csv` → `external_facility_postcode`) — the
     * reference's external-table path (`schema/external.sql`,

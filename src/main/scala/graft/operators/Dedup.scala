@@ -236,34 +236,34 @@ object Dedup {
     * summed per doc, then a static 64-term OR packs the fingerprint.
     * Identical output to [[graft.functions.TextFunctions.simhash64]].
     *
-    * Vote state is LANE-PACKED: 16 longs of 4×16-bit one-counts instead of
-    * 64 separate ±1 sums — 4× less aggregation-buffer state per group on
+    * Vote state is LANE-PACKED: 32 longs of 2×32-bit one-counts instead of
+    * 64 separate ±1 sums — 2× less aggregation-buffer state per group on
     * the map-side combine (the widest aggregate in the corpus before this).
     * `vote_j > 0 ⟺ 2·ones_j > n` reproduces the signed-sum sign exactly,
-    * ties included. A 16-bit lane counts to 65535 words per doc; beyond
-    * that a lane would carry into its neighbor, so the unpack asserts
-    * `n ≤ 65535` (`assert_true` — free unless triggered) rather than
-    * corrupt fingerprints silently.
+    * ties included. With 32-bit lanes the top lane carries weight 2^32, so
+    * the per-group `sum` stays below 2^63 (Spark 4 ANSI overflow check) for
+    * any doc under ~2^31 words — no practical bound, no assert needed.
+    * (The earlier 4×16-bit packing overflowed Long under ANSI at 32768
+    * words — the top lane's 2^48 weight crossed the sign bit during the
+    * aggregation itself, before any post-agg assert could fire.)
     */
   def simhashFingerprints(documents: DataFrame): DataFrame = {
     val wh = documents
       .select(col("doc_id"), explode(words(col("text"))).as("w"))
       .select(col("doc_id"), xxhash64(col("w")).as("h"))
-    // long L, lane k (k = 0..3) counts words with bit j = 4L+k set
-    val packed = (0 until 16).map { l =>
-      sum((0 until 4).map(k =>
-        shiftright(col("h"), 4 * l + k).bitwiseAND(lit(1L)) * lit(1L << (16 * k)))
+    // long L, lane k (k = 0..1) counts words with bit j = 2L+k set
+    val packed = (0 until 32).map { l =>
+      sum((0 until 2).map(k =>
+        shiftright(col("h"), 2 * l + k).bitwiseAND(lit(1L)) * lit(1L << (32 * k)))
         .reduce(_ + _)).as(s"__p$l")
     }
     val ones = (j: Int) =>
-      shiftright(col(s"__p${j / 4}"), 16 * (j % 4)).bitwiseAND(lit(0xFFFFL))
+      shiftright(col(s"__p${j / 2}"), 32 * (j % 2)).bitwiseAND(lit(0xFFFFFFFFL))
     wh.groupBy("doc_id")
       .agg(packed.head, (packed.tail :+ count(lit(1)).as("__n")): _*)
       .select(col("doc_id"),
-        when(assert_true(col("__n") <= 65535,
-            lit("simhashFingerprints: doc exceeds 65535 words (16-bit lane bound)")).isNull,
-          (0 until 64).map(j => when(ones(j) * 2 > col("__n"), lit(1L << j)).otherwise(lit(0L)))
-            .reduce((a, b) => a.bitwiseOR(b))).as("fp"))
+        (0 until 64).map(j => when(ones(j) * 2 > col("__n"), lit(1L << j)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("fp"))
   }
 
   /** Exact n-gram Jaccard near-dup via prefix filtering (the all-pairs

@@ -63,6 +63,26 @@ class DialectSpec extends AnyFunSuite {
     assert(lit.contains("FROM (") && lit.contains("cerner.t"))
   }
 
+  test("rewriteDistinctOn: quoted identifiers shield keywords, commas, parens") {
+    // a column aliased "from" (double-quoted identifier) must not be taken
+    // for the FROM clause
+    val q = Dialect.rewriteDistinctOn(
+      """select distinct on (k) k, x as "from" from cerner.t""")
+    assert(q.contains("PARTITION BY k"))
+    assert(q.contains("""x as "from""""))
+    assert(q.contains("cerner.t"))
+    // same for a backtick identifier carrying a comma and a paren
+    val bt = Dialect.rewriteDistinctOn(
+      "select distinct on (k) k, x as `a, (order` from cerner.t")
+    assert(bt.contains("PARTITION BY k"))
+    assert(bt.contains("ORDER BY k)"))
+    assert(bt.contains("`a, (order`"))
+    // quoted identifier inside the key list must not derail the paren scan
+    val qk = Dialect.rewriteDistinctOn(
+      """select distinct on ("weird)col") "weird)col", v from cerner.t""")
+    assert(qk.contains("""PARTITION BY "weird)col""""))
+  }
+
   test("type map (SURVEY.md §1.2)") {
     assert(Dialect.sparkType("integer") == "INT")
     assert(Dialect.sparkType("serial") == "INT")

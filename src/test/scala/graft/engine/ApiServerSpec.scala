@@ -59,4 +59,24 @@ class ApiServerSpec extends AnyFunSuite {
       assert(get.statusCode() == 405)
     } finally server.stop(0)
   }
+
+  test("binds loopback by default — not the wildcard address") {
+    val server = ApiServer.start(spark, port = 0)
+    try {
+      assert(server.getAddress.getAddress.isLoopbackAddress)
+      assert(!server.getAddress.getAddress.isAnyLocalAddress)
+    } finally server.stop(0)
+  }
+
+  test("oversized request body -> 413 before translation runs") {
+    val server = ApiServer.start(spark, port = 0)
+    try {
+      val base = s"http://localhost:${server.getAddress.getPort}/api/translate"
+      // HttpClient sends an accurate Content-Length for ofString, so a
+      // body one byte over the cap exercises the pre-read rejection
+      val r = post(base, "x" * (ApiServer.MaxBodyBytes.toInt + 1))
+      assert(r.statusCode() == 413)
+      assert(r.body().contains("exceeds"))
+    } finally server.stop(0)
+  }
 }

@@ -20,187 +20,20 @@ class CorpusSpec extends AnyFunSuite {
 
   val corpus = "src/test/resources/corpus"
 
-  // ported from /root/reference/validation/person.yaml
-  val personRule = RuleParser.parse("person", """
-    |name: PERSON
-    |primary_key:
-    |  name: person_id
-    |  sources:
-    |    PERSON_PK:
-    |      table: CERNER.PERSON
-    |      columns:
-    |        person_id: bigint
-    |      constraints:
-    |        - CERNER.PERSON.active_ind=1
-    |columns:
-    |  - name: year_of_birth
-    |    tables: [CERNER.PERSON]
-    |    expression: extract(year FROM CERNER.PERSON.birth_dt_tm)
-    |  - name: death_datetime
-    |    tables: [CERNER.PERSON]
-    |    expression: CERNER.PERSON.deceased_dt_tm
-    |  - name: gender_source_value
-    |    tables: [CERNER.PERSON, CERNER.CODE_VALUE]
-    |    constraints:
-    |      - CERNER.PERSON.sex_cd=CERNER.CODE_VALUE.code_value
-    |    expression: CERNER.CODE_VALUE.display
-    |  - name: gender_source_concept_id
-    |    constant: "0"
-    |""".stripMargin)
-
-  // ported from /root/reference/validation/location.yaml
-  val locationRule = RuleParser.parse("location", """
-    |name: LOCATION
-    |variables:
-    |  - &FACILITY_TABLE
-    |    alias: FACILITY_QUERY
-    |    query: |
-    |      select distinct on (loc_facility_cd) loc_facility_cd, active_ind
-    |      from CERNER.ENCOUNTER
-    |      UNION
-    |      select distinct on (loc_facility_cd) loc_facility_cd, active_ind
-    |      from CERNER.ENCNTR_LOC_HIST
-    |      order by loc_facility_cd
-    |  - &NURSE_UNIT_TABLE
-    |    alias: NURSE_UNIT_QUERY
-    |    query: |
-    |      select distinct on (loc_nurse_unit_cd) loc_nurse_unit_cd, loc_facility_cd, active_ind
-    |      from CERNER.ENCOUNTER
-    |      UNION
-    |      select distinct on (loc_nurse_unit_cd) loc_nurse_unit_cd, loc_facility_cd, active_ind
-    |      from CERNER.ENCNTR_LOC_HIST
-    |      order by loc_nurse_unit_cd
-    |primary_key:
-    |  name: location_id
-    |  sources:
-    |    FACILITY_PK:
-    |      table: *FACILITY_TABLE
-    |      columns:
-    |        loc_facility_cd: bigint
-    |    NURSE_UNIT_PK:
-    |      table: *NURSE_UNIT_TABLE
-    |      columns:
-    |        loc_nurse_unit_cd: bigint
-    |    ADDRESS_PK:
-    |      table: CERNER.ADDRESS
-    |      columns:
-    |        address_id: bigint
-    |columns:
-    |  - {name: state, enabled: true, expression: "'NSW'", tables: [*FACILITY_TABLE], primary_key: FACILITY_PK}
-    |  - {name: state, enabled: true, expression: "'NSW'", tables: [*NURSE_UNIT_TABLE], primary_key: NURSE_UNIT_PK}
-    |  - {name: state, enabled: true, tables: [CERNER.ADDRESS], expression: ADDRESS.state, primary_key: ADDRESS_PK}
-    |  - name: zip
-    |    enabled: true
-    |    tables: [*FACILITY_TABLE, EXTERNAL.FACILITY_POSTCODE]
-    |    constraints:
-    |      - FACILITY_QUERY.loc_facility_cd=EXTERNAL.FACILITY_POSTCODE.source_facility_cd
-    |    expression: EXTERNAL.FACILITY_POSTCODE.target_postcode
-    |    primary_key: FACILITY_PK
-    |  - name: zip
-    |    enabled: true
-    |    tables: [*NURSE_UNIT_TABLE, EXTERNAL.FACILITY_POSTCODE]
-    |    constraints:
-    |      - NURSE_UNIT_QUERY.loc_facility_cd=EXTERNAL.FACILITY_POSTCODE.source_facility_cd
-    |    expression: EXTERNAL.FACILITY_POSTCODE.target_postcode
-    |    primary_key: NURSE_UNIT_PK
-    |  - {name: zip, enabled: true, tables: [CERNER.ADDRESS], expression: ADDRESS.zipcode, primary_key: ADDRESS_PK}
-    |""".stripMargin)
-
-  // ported from /root/reference/validation/visit_occurrence.yaml
-  val visitRule = RuleParser.parse("visit_occurrence", """
-    |name: VISIT_OCCURRENCE
-    |primary_key:
-    |  name: visit_occurrence_id
-    |  data_type: bigint
-    |  sources:
-    |    ENCOUNTER_PK:
-    |      table: ENCOUNTER
-    |      columns:
-    |        encntr_id: bigint
-    |columns:
-    |  - column:
-    |    name: person_id
-    |    data_type: bigint
-    |    tables: [ENCOUNTER]
-    |    expression: ENCOUNTER.person_id
-    |    primary_key: ENCOUNTER_PK
-    |    references:
-    |      table: person
-    |      column: PERSON_person_id
-    |""".stripMargin)
-
-  // ported from /root/reference/validation/condition_occurrence.yaml
-  val conditionRule = RuleParser.parse("condition_occurrence", """
-    |name: CONDITION_OCCURRENCE
-    |primary_key:
-    |  name: condition_occurrence_id
-    |  sources:
-    |    DIAGNOSIS_PK:
-    |      table: CERNER.DIAGNOSIS
-    |      columns:
-    |        diagnosis_id: bigint
-    |    PROBLEM_PK:
-    |      table: CERNER.PROBLEM
-    |      columns:
-    |        problem_instance_id: bigint
-    |columns:
-    |  - name: person_id
-    |    enabled: true
-    |    tables: [CERNER.DIAGNOSIS]
-    |    expression: CERNER.DIAGNOSIS.person_id
-    |    primary_key: DIAGNOSIS_PK
-    |    references: {table: person, column: PERSON_person_id}
-    |  - name: person_id
-    |    enabled: true
-    |    tables: [CERNER.PROBLEM]
-    |    expression: CERNER.PROBLEM.person_id
-    |    primary_key: PROBLEM_PK
-    |    references: {table: person, column: PERSON_person_id}
-    |  - name: condition_concept_id
-    |    enabled: true
-    |    tables: [CERNER.DIAGNOSIS, CERNER.NOMENCLATURE, OMOP.CONCEPT, OMOP.CONCEPT_RELATIONSHIP]
-    |    constraints:
-    |      - CERNER.DIAGNOSIS.nomenclature_id=CERNER.NOMENCLATURE.nomenclature_id
-    |      - CERNER.NOMENCLATURE.source_vocabulary_cd=10752
-    |      - CERNER.NOMENCLATURE.source_identifier_keycap=OMOP.CONCEPT.concept_code
-    |      - OMOP.CONCEPT.vocabulary_id='ICD10'
-    |      - OMOP.CONCEPT.concept_id=OMOP.CONCEPT_RELATIONSHIP.concept_id_1
-    |      - OMOP.CONCEPT_RELATIONSHIP.relationship_id='Maps to'
-    |    expression: OMOP.CONCEPT_RELATIONSHIP.concept_id_2
-    |    primary_key: DIAGNOSIS_PK
-    |  - name: condition_concept_id
-    |    enabled: true
-    |    tables: [CERNER.DIAGNOSIS, CERNER.NOMENCLATURE, OMOP.CONCEPT]
-    |    constraints:
-    |      - CERNER.DIAGNOSIS.nomenclature_id=CERNER.NOMENCLATURE.nomenclature_id
-    |      - CERNER.NOMENCLATURE.source_vocabulary_cd=13837739
-    |      - substring(CERNER.NOMENCLATURE.concept_cki, position('!' in CERNER.NOMENCLATURE.concept_cki )+1, length(CERNER.NOMENCLATURE.concept_cki))=OMOP.CONCEPT.concept_code
-    |      - OMOP.CONCEPT.vocabulary_id='SNOMED'
-    |    expression: OMOP.CONCEPT.concept_id
-    |    primary_key: DIAGNOSIS_PK
-    |  - name: condition_concept_id
-    |    enabled: true
-    |    tables: [CERNER.PROBLEM, CERNER.NOMENCLATURE, OMOP.CONCEPT, OMOP.CONCEPT_RELATIONSHIP, OMOP.VOCABULARY]
-    |    constraints:
-    |      - CERNER.PROBLEM.nomenclature_id=CERNER.NOMENCLATURE.nomenclature_id
-    |      - CERNER.NOMENCLATURE.source_vocabulary_cd=10752
-    |      - CERNER.NOMENCLATURE.source_identifier_keycap=OMOP.CONCEPT.concept_code
-    |      - OMOP.CONCEPT.vocabulary_id='ICD10'
-    |      - OMOP.CONCEPT.concept_id=OMOP.CONCEPT_RELATIONSHIP.concept_id_1
-    |      - OMOP.CONCEPT_RELATIONSHIP.relationship_id='Maps to'
-    |    expression: OMOP.CONCEPT_RELATIONSHIP.concept_id_2
-    |    primary_key: PROBLEM_PK
-    |  - name: condition_concept_id
-    |    enabled: true
-    |    tables: [CERNER.PROBLEM, CERNER.NOMENCLATURE, OMOP.CONCEPT]
-    |    constraints:
-    |      - CERNER.PROBLEM.nomenclature_id=CERNER.NOMENCLATURE.nomenclature_id
-    |      - CERNER.NOMENCLATURE.source_vocabulary_cd=13837739
-    |      - substring(CERNER.NOMENCLATURE.concept_cki, position('!' in CERNER.NOMENCLATURE.concept_cki )+1, length(CERNER.NOMENCLATURE.concept_cki))=OMOP.CONCEPT.concept_code
-    |      - OMOP.CONCEPT.vocabulary_id='SNOMED'
-    |    expression: OMOP.CONCEPT.concept_id
-    |    primary_key: PROBLEM_PK
-    |""".stripMargin)
+  /** The four rules ship as main resources (src/main/resources/validation)
+    * so [[EtlScaleBench]] drives the identical documents; texts ported from
+    * /root/reference/validation/<name>.yaml (see git history for the inline
+    * originals).
+    */
+  private def rule(name: String): graft.rules.Rule = {
+    val in = getClass.getResourceAsStream(s"/validation/$name.yaml")
+    val text = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    RuleParser.parse(name, text)
+  }
+  val personRule = rule("person")
+  val locationRule = rule("location")
+  val visitRule = rule("visit_occurrence")
+  val conditionRule = rule("condition_occurrence")
 
   lazy val targets: Map[String, DataFrame] = {
     val e = new Engine(spark)

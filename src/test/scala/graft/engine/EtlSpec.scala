@@ -112,6 +112,39 @@ class EtlSpec extends AnyFunSuite {
     assert(!script.contains("DROP TABLE")) // default stays drop-free
   }
 
+  test("cliMain: `compile` flags drive compileDirectory (`__main__.py:34-49`)") {
+    val dir = Files.createTempDirectory("graft-cli-rules")
+    Files.writeString(dir.resolve("20_tab.yaml"), """
+      |name: baz
+      |primary_key:
+      |  name: id
+      |  sources:
+      |    foo_pk: {table: foo, columns: {id: integer}}
+      |columns:
+      |  - {name: alpha, tables: [foo], expression: foo.alpha}
+      |""".stripMargin)
+    val src = Files.createTempDirectory("graft-cli-src")
+    Seq((0, "a"), (1, "b")).toDF("id", "alpha")
+      .write.mode("overwrite").parquet(src.resolve("foo.parquet").toString)
+    val one = Files.createTempDirectory("graft-cli-out1")
+    val out = Etl.cliMain(Array("compile",
+      "--rules", dir.toString, "--output", one.toString,
+      "--source", s"cerner.foo=${src.resolve("foo.parquet")}"), spark)
+    assert(out("baz").count() == 2)
+    assert(Files.readString(one.resolve("etl.sql")).contains("-- baz: column_update"))
+    // --no-one-file + --drop-tables, same flag names as the reference
+    val per = Files.createTempDirectory("graft-cli-out2")
+    Etl.cliMain(Array("compile",
+      "--rules", dir.toString, "--output", per.toString,
+      "--no-one-file", "--drop-tables",
+      "--source", s"cerner.foo=${src.resolve("foo.parquet")}"), spark)
+    assert(Files.exists(per.resolve("20_tab.sql")))
+    assert(Files.readString(per.resolve("20_tab.sql")).contains("DROP TABLE IF EXISTS mapping.baz"))
+    // unknown flag and missing subcommand are loud
+    intercept[IllegalArgumentException](Etl.cliMain(Array("compile", "--bogus"), spark))
+    intercept[IllegalArgumentException](Etl.cliMain(Array("execute"), spark))
+  }
+
   test("depends_on inherits the dep file's default_schema (`__main__.py:67-80`)") {
     val dir = Files.createTempDirectory("graft-depschema")
     Files.writeString(dir.resolve("10_src.yaml"), """

@@ -172,6 +172,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(packed == expr)
   }
 
+  test("simhashFingerprints: ~40k-word doc aggregates without ANSI Long overflow") {
+    // Regression: the former 4x16-bit lane packing overflowed Long during the
+    // vote sum (top lane weight 2^48) at >= 32768 words under Spark 4 ANSI
+    // mode. The 2x32-bit packing must match the reference expression exactly.
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta")
+    val text = (0 until 40000).map(i => vocab(i % vocab.size)).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val packed = Dedup.simhashFingerprints(docs).collect()
+    assert(packed.length == 1)
+    val expected = docs.select(simhash64(col("text"))).collect()(0).getLong(0)
+    assert(packed(0).getLong(1) == expected)
+  }
+
   test("dd_embed_cosine: fails fast above maxVectors, pointing at dd_embed_lsh") {
     val dir = tmpEmb(Seq(
       (1L, Seq(0.5f, 0.1f, 0.9f, -0.2f), "a"),
