@@ -20,13 +20,14 @@ object Dialect {
     * scheme. `schemas` = the schema names in force (KnownSchemas plus any
     * custom default schema).
     */
-  def qualify(sql: String, schemas: Set[String]): String =
+  def qualify(sql: String, schemas: Set[String]): String = {
+    val qualified = ("(?i)\\b(" + schemas.mkString("|") + ")\\.(\\w+)(\\.\\w+)").r
+    val bare = ("(?i)\\b(" + schemas.mkString("|") + ")\\.(\\w+)").r
     mapOutsideLiterals(sql) { seg =>
-      val qualified = ("(?i)\\b(" + schemas.mkString("|") + ")\\.(\\w+)(\\.\\w+)").r
       val step1 = qualified.replaceAllIn(seg, m => s"${m.group(2)}${m.group(3)}")
-      val bare = ("(?i)\\b(" + schemas.mkString("|") + ")\\.(\\w+)").r
       bare.replaceAllIn(step1, m => s"${m.group(1)}_${m.group(2)} AS ${m.group(2)}")
     }
+  }
 
   /** Postgres `SELECT DISTINCT ON (k…) cols FROM … [WHERE …] [ORDER BY o…]`
     * (first row per key; `validation/location.yaml:14-29`) → ranked-window
@@ -223,10 +224,12 @@ object Dialect {
     * Handles the observed forms: literal/identifier `::` type-name
     * (`tests/rules/custom_query.yaml:17`).
     */
+  private val castRe =
+    "(\\w+(?:\\.\\w+)*|\\))\\s*::\\s*(\\w+(?:\\s+precision)?)(\\s*\\(\\s*\\d+(?:\\s*,\\s*\\d+)?\\s*\\))?".r
+
   def rewriteCasts(sql: String): String =
     mapOutsideLiterals(sql) { seg =>
-      val re = "(\\w+(?:\\.\\w+)*|\\))\\s*::\\s*(\\w+(?:\\s+precision)?)(\\s*\\(\\s*\\d+(?:\\s*,\\s*\\d+)?\\s*\\))?".r
-      re.replaceAllIn(seg, m => {
+      castRe.replaceAllIn(seg, m => {
         val target = sparkType(m.group(2) + Option(m.group(3)).getOrElse(""))
         // `)` ending means the cast applies to a parenthesized expression —
         // leave those to Spark's native `::` (rare; not in shipped rules).
@@ -262,32 +265,34 @@ object Dialect {
     */
   def stripNewlines(s: String): String = s.replace('\n', ' ').trim
 
-  /** Apply `f` to the segments of `sql` outside single-quoted string
-    * literals, leaving literal contents untouched.
+  /** Apply `f` to the segments of `sql` outside quoted regions — string
+    * literals AND double-quoted/backtick identifiers — leaving quoted
+    * contents untouched (a column aliased `"cerner.x"` or `"a::int"` must
+    * not be name-qualified or cast-rewritten).
     */
   private def mapOutsideLiterals(sql: String)(f: String => String): String = {
     val out = new StringBuilder
     var i = 0
     var segStart = 0
-    var inLit = false
+    var lit: Char = 0
     while (i < sql.length) {
       val c = sql.charAt(i)
-      if (!inLit && c == '\'') {
+      if (lit == 0 && (c == '\'' || c == '"' || c == '`')) {
         out.append(f(sql.substring(segStart, i)))
         segStart = i
-        inLit = true
-      } else if (inLit && c == '\'') {
-        // '' escape stays inside the literal
-        if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') i += 1
+        lit = c
+      } else if (lit != 0 && c == lit) {
+        // doubled delimiter ('' or "") escapes stay inside the region
+        if (i + 1 < sql.length && sql.charAt(i + 1) == lit) i += 1
         else {
           out.append(sql.substring(segStart, i + 1))
           segStart = i + 1
-          inLit = false
+          lit = 0
         }
       }
       i += 1
     }
-    out.append(if (inLit) sql.substring(segStart) else f(sql.substring(segStart)))
+    out.append(if (lit != 0) sql.substring(segStart) else f(sql.substring(segStart)))
     out.toString
   }
 }

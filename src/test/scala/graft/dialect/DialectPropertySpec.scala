@@ -112,4 +112,16 @@ object DialectPropertySpec extends Properties("Dialect") {
 
   private def countOf(s: String, sub: String): Int =
     s.sliding(sub.length).count(_ == sub)
+
+  property("translate keeps quoted regions verbatim while qualifying real refs") =
+    forAll(
+      ident.suchThat(t => !Dialect.KnownSchemas(t)),
+      Gen.oneOf("'cerner.foo'", "\"cerner.foo\"", "`omop.x`", "'a::int'", "\"b::int\"")) {
+      (t, hazard) =>
+        val out = Dialect.translate(s"select $hazard, cerner.$t.x from cerner.$t")
+        out.contains(hazard) &&
+          out.contains(s"cerner_$t AS $t") &&
+          out.contains(s"$t.x") &&
+          !out.contains(s"cerner.$t")
+    }
 }

@@ -83,6 +83,20 @@ class DialectSpec extends AnyFunSuite {
     assert(qk.contains("""PARTITION BY "weird)col""""))
   }
 
+  test("qualify/rewriteCasts: quoted identifiers are protected regions") {
+    // a quoted identifier that LOOKS like a schema-qualified name or a cast
+    // must pass through untouched
+    val q = Dialect.qualify("""select "cerner.foo" from cerner.bar""", Dialect.KnownSchemas)
+    assert(q.contains(""""cerner.foo""""))
+    assert(q.contains("cerner_bar AS bar"))
+    val c = Dialect.rewriteCasts("""select "a::int", b::int from t""")
+    assert(c.contains(""""a::int""""))
+    assert(c.contains("CAST(b AS INT)"))
+    val bt = Dialect.qualify("select `cerner.foo`, cerner.foo.x from cerner.foo", Dialect.KnownSchemas)
+    assert(bt.contains("`cerner.foo`"))
+    assert(bt.contains("foo.x"))
+  }
+
   test("type map (SURVEY.md §1.2)") {
     assert(Dialect.sparkType("integer") == "INT")
     assert(Dialect.sparkType("serial") == "INT")
