@@ -267,6 +267,33 @@ object OracleSql {
         |WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.4
         |ORDER BY a, b""".stripMargin,
 
+    // dd_cluster_jaccard: same pair extraction as dd_ngram_jaccard, then
+    // min-label connected components as a recursive transitive-closure walk
+    // (edges both directions; min reachable id per node = component minimum)
+    "dd_cluster_jaccard" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |         ELSE list_transform(generate_series(0, len(w) - 3),
+        |                             i -> array_to_string(w[i+1:i+3], ' ')) END)) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |good AS (
+        |  SELECT a, b
+        |  FROM pairs JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+        |  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.4),
+        |edges AS (SELECT a AS src, b AS dst FROM good
+        |          UNION SELECT b, a FROM good),
+        |walk(id, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, w.label FROM edges e JOIN walk w ON w.id = e.dst)
+        |SELECT id, min(label) AS cluster FROM walk GROUP BY id ORDER BY id""".stripMargin,
+
     "tx_stats" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,

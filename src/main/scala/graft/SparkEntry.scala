@@ -66,6 +66,7 @@ object SparkEntry {
     "tx_langid_eval" -> (TextAnalysis.tx_langid_eval _),
     "mm_pipeline" -> (Multimodal.mm_pipeline _),
     "dd_cluster" -> (Dedup.dd_cluster _),
+    "dd_cluster_jaccard" -> ((s, d) => Dedup.dd_cluster_jaccard(s, d)),
     "tx_ngrams" -> ((s, d) => TextAnalysis.tx_ngrams(s, d)),
     "tx_fingerprint" -> ((s, d) => TextAnalysis.tx_fingerprint(s, d)),
     "embed_centroids" -> (TextAnalysis.embed_centroids _),

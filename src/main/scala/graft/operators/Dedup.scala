@@ -411,6 +411,19 @@ object Dedup {
       .orderBy("id")
   }
 
+  /** Connected components over the EXACT n-gram Jaccard pair graph — the
+    * oracle-checkable twin of [[dd_cluster]] (whose MinHash candidate graph
+    * is xxhash64-based, which the DuckDB oracle cannot express):
+    * [[dd_ngram_jaccard]]'s pair set is deterministic and itself
+    * oracle-verified, and min-label components are expressible in SQL as a
+    * recursive transitive-closure walk, so the full cluster output
+    * hash-checks end to end — closing the only operator family whose
+    * semantics previously carried unit tests alone.
+    */
+  def dd_cluster_jaccard(s: SparkSession, dir: String, n: Int = 3,
+      threshold: Double = 0.4): DataFrame =
+    clusterPairs(dd_ngram_jaccard(s, dir, n, threshold).select("a", "b"))
+
   /** Embedding-cosine near-dup over the embeddings table: the exact all-pairs
     * baseline (a < b halves the space; cosine is the bit-deterministic double
     * fold of [[graft.functions.TextFunctions.cosine]]). The sub-quadratic

@@ -172,6 +172,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(packed == expr)
   }
 
+  test("dd_cluster_jaccard: disjoint near-dup groups get distinct min-label clusters") {
+    val g1a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val g1b = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    val g2a = "one two three four five six seven eight nine ten"
+    val g2b = "one two three four five six seven eight nine eleven"
+    val dir = tmpDocs(Seq(
+      (1L, g1a, "en", "s", 1L), (2L, g1b, "en", "s", 1L),
+      (5L, g2a, "en", "s", 1L), (6L, g2b, "en", "s", 1L),
+      (9L, "totally unrelated zebra quark lattice osmosis vortex plasma quill ember", "en", "s", 1L)))
+    val got = Dedup.dd_cluster_jaccard(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // each group collapses to its min member; the unrelated doc is no node
+    assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("simhashFingerprints: ~40k-word doc aggregates without ANSI Long overflow") {
     // Regression: the former 4x16-bit lane packing overflowed Long during the
     // vote sum (top lane weight 2^48) at >= 32768 words under Spark 4 ANSI
