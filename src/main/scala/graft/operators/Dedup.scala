@@ -281,6 +281,21 @@ object Dedup {
     */
   def dd_ngram_jaccard(s: SparkSession, dir: String, n: Int = 3,
       threshold: Double = 0.4): DataFrame = {
+    val (grouped, repPairs) = ngramRepPairs(s, dir, n, threshold)
+    // 2. Expand representative pairs to member pairs (every cross-group
+    //    combination has the representatives' exact jaccard); intra-group
+    //    pairs (identical sets) are jaccard exactly 1.0.
+    expandPairs(repPairs.select("a", "b", "jaccard"), "jaccard", grouped,
+      lit(1.0), lit(1.0) >= threshold)
+      .orderBy("a", "b")
+  }
+
+  /** The (grouped, repPairs) stage of [[dd_ngram_jaccard]] — shared with
+    * [[dd_cluster_jaccard]], which clusters representatives directly
+    * instead of paying the clique² member expansion only to collapse it.
+    */
+  private[operators] def ngramRepPairs(s: SparkSession, dir: String, n: Int,
+      threshold: Double): (DataFrame, DataFrame) = {
     // 0. Collapse identical shingle SETS to one representative. Exact-dup
     //    cliques (the classic corpus pathology) otherwise multiply every
     //    candidate pair by clique² — measured 22× runtime at a 10×-replicated
@@ -340,12 +355,7 @@ object Dedup {
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
-    // 2. Expand representative pairs to member pairs (every cross-group
-    //    combination has the representatives' exact jaccard); intra-group
-    //    pairs (identical sets) are jaccard exactly 1.0.
-    expandPairs(repPairs.select("a", "b", "jaccard"), "jaccard", grouped,
-      lit(1.0), lit(1.0) >= threshold)
-      .orderBy("a", "b")
+    (grouped, repPairs)
   }
 
   /** Connected components over a near-dup pair graph → duplicate clusters
@@ -419,10 +429,26 @@ object Dedup {
     * recursive transitive-closure walk, so the full cluster output
     * hash-checks end to end — closing the only operator family whose
     * semantics previously carried unit tests alone.
+    *
+    * Labels propagate over shingle-set REPRESENTATIVES only, and members
+    * inherit their rep's cluster — identical output to clustering the
+    * expanded member-pair graph (rep = min member, so the component minimum
+    * over reps IS the component minimum over members; see [[dd_cluster]])
+    * without paying the clique² expansion that [[expandPairs]] exists to
+    * emit as OUTPUT rows.
     */
   def dd_cluster_jaccard(s: SparkSession, dir: String, n: Int = 3,
-      threshold: Double = 0.4): DataFrame =
-    clusterPairs(dd_ngram_jaccard(s, dir, n, threshold).select("a", "b"))
+      threshold: Double = 0.4): DataFrame = {
+    val (grouped, repPairs) = ngramRepPairs(s, dir, n, threshold)
+    val selfNodes = grouped.filter(size(col("members")) > 1)
+      .select(col("rep").as("a"), col("rep").as("b"))
+    val repClusters = clusterPairs(repPairs.select("a", "b").union(selfNodes))
+      .withColumnRenamed("id", "rep").withColumnRenamed("cluster", "__c")
+    grouped.select(col("rep"), explode(col("members")).as("id"))
+      .join(repClusters, Seq("rep"))
+      .select(col("id"), col("__c").as("cluster"))
+      .orderBy("id")
+  }
 
   /** Embedding-cosine near-dup over the embeddings table: the exact all-pairs
     * baseline (a < b halves the space; cosine is the bit-deterministic double
