@@ -371,5 +371,114 @@ object OracleSql {
         |              / len(string_split(text, ' ')) < 0.3 THEN 'repetitive'
         |       ELSE 'ok' END AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // --- grouping sets / pivot / percentiles / outer joins ------------------
+
+    "q28_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+
+    "q29_pivot" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_a,
+        |  CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_n,
+        |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_r
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    // exact interpolated percentile: both engines compute pos = p*(n-1),
+    // then lower + frac*(upper-lower) in doubles — bit-identical
+    "q30_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+        |  quantile_cont(l_quantity, 0.95) AS p95_qty,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50_price,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q31_full_outer" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000),
+        |ords AS (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT COALESCE(c_custkey, o_custkey) AS custkey, c_name, n_orders, total_price
+        |FROM cust FULL OUTER JOIN ords ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
+
+    "q32_lead_lag" ->
+      """SELECT user_id, event_id,
+        |  lag(event_type, 1) OVER w AS prev_type,
+        |  lead(event_type, 1) OVER w AS next_type,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  first_value(event_type) OVER w AS first_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    // --- curation / normalization / repetition ------------------------------
+
+    "tx_norm" ->
+      """SELECT doc_id,
+        |  CAST(length(n) AS BIGINT) AS norm_len, md5(n) AS norm_digest
+        |FROM (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |        '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS n
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "tx_repetition" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+        |         ELSE list_transform(generate_series(0, len(w) - 2),
+        |                             i -> array_to_string(w[i+1:i+2], ' ')) END) AS gram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |pg AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, max(c) AS top_gram_n, sum(c) AS n_grams FROM pg GROUP BY 1),
+        |d AS (SELECT doc_id,
+        |        1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |          / len(string_split(text, ' ')) AS dup_word_frac
+        |      FROM documents)
+        |SELECT d.doc_id, dup_word_frac,
+        |  CAST(top_gram_n AS DOUBLE) / n_grams AS top_bigram_frac,
+        |  CAST(top_gram_n AS DOUBLE) / n_grams > 0.18 AS repetitive
+        |FROM d JOIN agg ON d.doc_id = agg.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "dd_para" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(0, (len(w) - 1) // 16),
+        |    i -> array_to_string(w[i*16+1:i*16+16], ' '))) AS chunk
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+        |SELECT md5(chunk) AS digest, count(*) AS n_occ,
+        |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS keeper
+        |FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
+        |ORDER BY digest""".stripMargin,
+
+    "samp_stratified" ->
+      """SELECT lang, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN substr(md5(text), 1, 2) < '40' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN substr(md5(text), 1, 2) < '40' THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) AS rate
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "decon_ngram" ->
+      """WITH g AS (
+        |  SELECT doc_id, source, unnest(list_distinct(
+        |    CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
+        |         ELSE list_transform(generate_series(0, len(w) - 8),
+        |                             i -> array_to_string(w[i+1:i+8], ' ')) END)) AS sh
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents)),
+        |ev AS (SELECT DISTINCT md5(sh) AS gh FROM g WHERE source = 'src0'),
+        |tr AS (SELECT doc_id, md5(sh) AS gh FROM g WHERE source <> 'src0')
+        |SELECT doc_id, count(*) AS n_overlap
+        |FROM tr JOIN ev USING (gh)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

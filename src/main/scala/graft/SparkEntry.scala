@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, EtlQueries, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, EtlQueries, Multimodal, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -48,6 +48,11 @@ object SparkEntry {
     "q24_sessionize" -> (Relational.q24_sessionize _),
     "q25_theta_join" -> (Relational.q25_theta_join _),
     "q27_count_distinct" -> (Relational.q27_count_distinct _),
+    "q28_rollup" -> (Relational.q28_rollup _),
+    "q29_pivot" -> (Relational.q29_pivot _),
+    "q30_percentile" -> (Relational.q30_percentile _),
+    "q31_full_outer" -> (Relational.q31_full_outer _),
+    "q32_lead_lag" -> (Relational.q32_lead_lag _),
     // LLM-data-pipeline operators (builder brief; SURVEY.md §7.7)
     "dd_exact" -> (Dedup.dd_exact _),
     "dd_fingerprint" -> (Dedup.dd_fingerprint _),
@@ -70,6 +75,11 @@ object SparkEntry {
     "tx_ngrams" -> ((s, d) => TextAnalysis.tx_ngrams(s, d)),
     "tx_fingerprint" -> ((s, d) => TextAnalysis.tx_fingerprint(s, d)),
     "embed_centroids" -> (TextAnalysis.embed_centroids _),
+    "tx_norm" -> (TextAnalysis.tx_norm _),
+    "tx_repetition" -> ((s, d) => TextAnalysis.tx_repetition(s, d)),
+    "dd_para" -> ((s, d) => Curation.dd_para(s, d)),
+    "samp_stratified" -> ((s, d) => Curation.samp_stratified(s, d)),
+    "decon_ngram" -> ((s, d) => Curation.decon_ngram(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the

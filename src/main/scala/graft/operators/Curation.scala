@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.{shingles, words}
+import graft.sources.Tables
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between ingest and tokenization: sub-document exact dedup, deterministic
+  * stratified sampling, and benchmark-contamination screening. All three are
+  * oracle-checkable (pure string/hash algebra, no RNG, no hash families
+  * private to one engine).
+  */
+object Curation {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.loadParallel(s, dir, "documents")
+
+  /** Paragraph-level exact dedup (the C4 / RefinedWeb "drop repeated
+    * lines/paragraphs across the corpus" pass). The synthetic corpus has no
+    * newlines, so a "paragraph" is a fixed stride of `chunkWords` consecutive
+    * words — same operator shape: explode sub-document units, hash, count
+    * across the corpus. Emits each duplicated chunk's digest with its
+    * occurrence/document counts and keeper (min doc_id).
+    *
+    * Scale: the explode multiplies rows by ~len/chunkWords, but each row
+    * carries only a 32-char digest + doc_id; the groupBy partial-aggregates
+    * map-side, so the shuffle carries one row per DISTINCT chunk. No driver
+    * state, no skew hotspot (digests are uniform).
+    */
+  def dd_para(s: SparkSession, dir: String, chunkWords: Int = 16): DataFrame = {
+    val w = words(col("text"))
+    val chunks = transform(
+      sequence(lit(0), floor((size(w) - 1) / chunkWords).cast("int")),
+      i => concat_ws(" ", slice(w, i * chunkWords + 1, lit(chunkWords))))
+    docs(s, dir)
+      .select(col("doc_id"), explode(chunks).as("chunk"))
+      .select(col("doc_id"), md5(col("chunk")).as("digest"))
+      .groupBy(col("digest"))
+      .agg(
+        count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("keeper"))
+      .filter(col("n_docs") > 1)
+      .orderBy("digest")
+  }
+
+  /** Deterministic hash-stratified sampling: a row is kept iff the first two
+    * hex chars of md5(text) fall below a threshold — here "40" = 64/256 =
+    * exactly 25 %. Every row decides membership locally from its own bytes:
+    * no RNG seed to coordinate, no shuffle, reproducible across engines,
+    * runs, and partitionings — the only sampling scheme that stays
+    * referentially transparent when the 100 TB corpus is re-partitioned.
+    * Emits per-(lang) stratum totals, kept counts, and the realized rate.
+    */
+  def samp_stratified(s: SparkSession, dir: String, hexThreshold: String = "40"): DataFrame = {
+    val kept = substring(md5(col("text")), 1, 2) < lit(hexThreshold)
+    docs(s, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("rate", col("n_kept").cast("double") / col("n_total"))
+      .orderBy("lang")
+  }
+
+  /** Benchmark-contamination screen (the n-gram overlap check run before
+    * training): does a candidate training document share any `n`-word
+    * shingle with the held-out evaluation set? Here the `src0` slice of the
+    * corpus stands in for the benchmark. Emits contaminated training docs
+    * with overlap counts.
+    *
+    * Scale: real benchmark suites are a few MB of text, so the distinct
+    * eval-shingle set is broadcast — the 100 TB training side never
+    * shuffles; contamination is a map-side hash probe. Shingles travel as
+    * md5 digests, not raw strings, to keep the broadcast and probe rows
+    * narrow.
+    */
+  def decon_ngram(s: SparkSession, dir: String, n: Int = 8, evalSource: String = "src0"): DataFrame = {
+    val d = docs(s, dir)
+    def grams(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), col("source"),
+        explode(array_distinct(shingles(col("text"), n))).as("sh"))
+        .select(col("doc_id"), col("source"), md5(col("sh")).as("g"))
+    val evalGrams = grams(d.filter(col("source") === evalSource))
+      .select(col("g")).distinct()
+    grams(d.filter(col("source") =!= evalSource))
+      .join(broadcast(evalGrams), "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .orderBy("doc_id")
+  }
+}

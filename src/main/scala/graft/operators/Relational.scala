@@ -349,4 +349,92 @@ object Relational {
       .agg(count(lit(1)).as("n_events"), min(col("ts")).as("t0"), max(col("ts")).as("t1"))
       .orderBy("user_id", "sess")
   }
+
+  // --- grouping sets / pivot / percentiles / outer joins -------------------
+
+  /** ROLLUP over (returnflag, linestatus): per-pair, per-flag, and grand
+    * totals in ONE pass — Catalyst plans grouping sets as a single Expand +
+    * hash aggregate, so the scan and shuffle are paid once, not once per
+    * level. `grouping_id` disambiguates subtotal NULLs from data NULLs.
+    */
+  def q28_rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        sum2(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("gid", "l_returnflag", "l_linestatus")
+
+  /** Pivot returnflag into columns (long→wide): Spark's `pivot` with an
+    * explicit value list compiles to a single-shuffle conditional aggregate —
+    * identical plan shape to the CASE-WHEN formulation the oracle uses, so
+    * no per-value scan multiplication.
+    */
+  def q29_pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum(dec2(col("l_quantity"))))
+      .select(
+        col("l_linestatus"),
+        col("A").cast("double").as("qty_a"),
+        col("N").cast("double").as("qty_n"),
+        col("R").cast("double").as("qty_r"))
+      .orderBy("l_linestatus")
+
+  /** Exact interpolated percentiles per group (`percentile`, not the
+    * t-digest approximation): both engines compute pos = p·(n−1) and
+    * lower + frac·(upper−lower) in doubles, so results are bit-identical.
+    * At 100 TB the exact form needs a per-group sort — the production
+    * variant is `approx_percentile`, emitted alongside in the plan but not
+    * oracle-compared (sketches differ across engines by design).
+    */
+  def q30_percentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile(col("l_quantity"), lit(0.5)).as("p50_qty"),
+        percentile(col("l_quantity"), lit(0.95)).as("p95_qty"),
+        percentile(col("l_extendedprice"), lit(0.5)).as("p50_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** FULL OUTER join of two filtered sides (high-balance customers vs
+    * per-customer order totals): rows survive from both dangling sides.
+    * Spark plans full-outer as a sort-merge join — both sides shuffle on the
+    * key once; no broadcast variant exists for full-outer by definition.
+    */
+  def q31_full_outer(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey"), col("c_name"))
+    val ords = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), sum2(col("o_totalprice")).as("total_price"))
+    cust.join(ords, cust("c_custkey") === ords("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_name"),
+        col("n_orders"),
+        col("total_price"))
+      .orderBy("custkey")
+  }
+
+  /** Navigation window functions — lag / lead / ntile / first-in-partition
+    * over the per-user event sequence; one shuffle on user_id serves all
+    * four (same window spec → one Window operator).
+    */
+  def q32_lead_lag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .select(
+        col("user_id"),
+        col("event_id"),
+        lag(col("event_type"), 1).over(w).as("prev_type"),
+        lead(col("event_type"), 1).over(w).as("next_type"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        first(col("event_type")).over(w).as("first_type"))
+      .orderBy("user_id", "event_id")
+  }
 }

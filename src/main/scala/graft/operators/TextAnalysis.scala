@@ -147,4 +147,53 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"),
         sum(when(col("predicted") === col("actual"), 1L).otherwise(0L)).as("n_correct"))
       .orderBy("actual")
+
+  /** Text normalization — the canonicalization pass that precedes dedup and
+    * tokenization in a training pipeline: lowercase, strip everything outside
+    * [a-z0-9 ], collapse whitespace runs, trim. Pure regexp column ops
+    * (codegen'd, map-only — no shuffle at any scale); the character classes
+    * are identical in Java regex and RE2, so the DuckDB oracle matches
+    * byte-for-byte. Also emits the normalized digest — the join key a
+    * normalize-then-dedup stage would group on.
+    */
+  def tx_norm(s: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+      " +", " "))
+    docs(s, dir)
+      .withColumn("norm", norm)
+      .select(
+        col("doc_id"),
+        length(col("norm")).cast("long").as("norm_len"),
+        md5(col("norm")).as("norm_digest"))
+      .orderBy("doc_id")
+  }
+
+  /** Within-document repetition scoring (Gopher-style quality filter, Rae et
+    * al. 2021 §A1.1): fraction of duplicate words and fraction of all word
+    * bigrams occupied by the single most-frequent bigram. Computed by
+    * explode + two-level aggregate rather than per-row quadratic array
+    * lambdas — the distributed shape: counts partial-aggregate map-side and
+    * only (doc, distinct-gram) rows cross the shuffle.
+    */
+  def tx_repetition(s: SparkSession, dir: String, threshold: Double = 0.18): DataFrame = {
+    import graft.functions.TextFunctions.shingles
+    val d = docs(s, dir)
+    val perGram = d
+      .select(col("doc_id"), explode(shingles(col("text"), 2)).as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_gram_n"), sum(col("c")).as("n_grams"))
+    val w = words(col("text"))
+    d.select(
+      col("doc_id"),
+      (lit(1.0) - size(array_distinct(w)).cast("double") / size(w)).as("dup_word_frac"))
+      .join(perGram, "doc_id")
+      .select(
+        col("doc_id"),
+        col("dup_word_frac"),
+        (col("top_gram_n").cast("double") / col("n_grams")).as("top_bigram_frac"),
+        (col("top_gram_n").cast("double") / col("n_grams") > threshold).as("repetitive"))
+      .orderBy("doc_id")
+  }
 }

@@ -1,0 +1,96 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Controlled-input semantics for the curation operators (the DuckDB oracle
+  * covers the synthetic corpus; these pin edge behavior and the documented
+  * guarantees: determinism, keeper choice, broadcast-side dedup).
+  */
+class CurationSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  /** Write a documents table with the corpus schema to a temp dir. */
+  private def docsDir(rows: Seq[(Long, String, String, String)]): String = {
+    val dir = Files.createTempDirectory("curation").toString
+    rows.map { case (id, text, lang, source) => (id, text, lang, source, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private val sixteen = (1 to 16).map(i => s"w$i").mkString(" ")
+
+  test("dd_para: a 16-word chunk shared by two docs is reported once, keeper = min doc_id") {
+    val dir = docsDir(Seq(
+      (1L, sixteen + " tail one two three", "en", "s"),
+      (2L, sixteen, "en", "s"),
+      (3L, "entirely different words here", "en", "s")))
+    val rows = Curation.dd_para(spark, dir).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Long]("n_docs") == 2)
+    assert(rows(0).getAs[Long]("n_occ") == 2)
+    assert(rows(0).getAs[Long]("keeper") == 1L)
+  }
+
+  test("dd_para: chunking is stride-aligned — the same words at a different offset do not collide") {
+    val dir = docsDir(Seq(
+      (1L, sixteen, "en", "s"),
+      (2L, "shift " + sixteen, "en", "s"))) // chunk boundaries differ
+    assert(Curation.dd_para(spark, dir).count() == 0)
+  }
+
+  test("samp_stratified: membership matches an independent md5 computation and is deterministic") {
+    val rows = (1L to 40L).map(i => (i, s"document body number $i", if (i % 2 == 0) "en" else "de", "s"))
+    val dir = docsDir(rows)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val expected = rows.groupBy(_._3).map { case (lang, rs) =>
+      lang -> (rs.size.toLong, rs.count(r => md5hex(r._2).substring(0, 2) < "40").toLong)
+    }
+    val got = Curation.samp_stratified(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+    val again = Curation.samp_stratified(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(again == got)
+  }
+
+  test("decon_ngram: a training doc sharing an 8-gram with the eval slice is flagged; others are not") {
+    val eight = "alpha beta gamma delta epsilon zeta eta theta"
+    val dir = docsDir(Seq(
+      (1L, s"$eight and some eval padding", "en", "src0"),
+      (2L, s"prefix words $eight suffix words", "en", "src1"), // contaminated
+      (3L, "totally unrelated training document text body", "en", "src1")))
+    val got = Curation.decon_ngram(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.map(_._1).toSet == Set(2L))
+    assert(got.head._2 >= 1L)
+  }
+
+  test("tx_norm: lowercases, strips punctuation, collapses whitespace") {
+    val dir = docsDir(Seq((1L, "  Hello,   WORLD!  it's 42 ", "en", "s")))
+    val row = TextAnalysis.tx_norm(spark, dir).collect().head
+    // normalized text is "hello world its 42" (len 18)
+    assert(row.getAs[Long]("norm_len") == 18L)
+  }
+
+  test("tx_repetition: a doc that is one bigram repeated scores top_bigram_frac near 1") {
+    val dir = docsDir(Seq(
+      (1L, "spam ham spam ham spam ham spam ham", "en", "s"),
+      (2L, "each of the twelve words appearing here is completely distinct overall", "en", "s")))
+    val got = TextAnalysis.tx_repetition(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 1: 7 bigrams, "spam ham" occurs 4 times -> 4/7
+    assert(math.abs(got(1L).getAs[Double]("top_bigram_frac") - 4.0 / 7.0) < 1e-12)
+    assert(got(1L).getAs[Boolean]("repetitive"))
+    assert(!got(2L).getAs[Boolean]("repetitive"))
+    assert(got(2L).getAs[Double]("dup_word_frac") == 0.0)
+  }
+}

@@ -147,4 +147,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(m.columns.toSeq == Seq("id", "foo_id", "bar_id"))
     assert(m.schema("foo_id").dataType == org.apache.spark.sql.types.IntegerType)
   }
+
+  test("q28: rollup plans as ONE Expand + partial aggregate — not a union of per-level scans") {
+    val p = plan(Relational.q28_rollup(spark, dir))
+    assert("Expand".r.findAllIn(p).size == 1)
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert("FileScan".r.findAllIn(p).size == 1, "each rollup level must reuse the same scan")
+  }
+
+  test("q29: pivot compiles to a single-scan conditional aggregate, not one job per value") {
+    val p = plan(Relational.q29_pivot(spark, dir))
+    assert("FileScan".r.findAllIn(p).size == 1)
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("decon_ngram: eval shingle set broadcast — the training side never shuffles for the probe") {
+    val p = plan(Curation.decon_ngram(spark, dir))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("NestedLoop"))
+  }
+
+  test("dd_para / samp_stratified: map-side partial aggregation before the shuffle") {
+    assert("HashAggregate".r.findAllIn(plan(Curation.dd_para(spark, dir))).size >= 2)
+    assert("HashAggregate".r.findAllIn(plan(Curation.samp_stratified(spark, dir))).size >= 2)
+  }
 }
