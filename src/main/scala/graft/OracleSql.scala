@@ -468,6 +468,49 @@ object OracleSql {
         |    / count(*) AS rate
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
+    "samp_reservoir" ->
+      """SELECT source, doc_id, rk FROM (
+        |  SELECT source, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS BIGINT) AS rk
+        |  FROM documents)
+        |WHERE rk <= 20 ORDER BY source, rk""".stripMargin,
+
+    "samp_split" ->
+      """SELECT source,
+        |  CASE WHEN substr(md5(text), 1, 3) < 'e66' THEN 'train'
+        |       WHEN substr(md5(text), 1, 3) < 'f33' THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n
+        |FROM documents GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
+
+    "tx_gopher" ->
+      """SELECT doc_id,
+        |  len(w) >= 50 AND len(w) <= 100000 AS ok_word_count,
+        |  ml >= 3.0 AND ml <= 10.0 AS ok_mean_word_len,
+        |  len(list_intersect(w, ['the','be','to','of','and','that','have','with'])) >= 2 AS ok_stopwords,
+        |  (len(w) >= 50 AND len(w) <= 100000 AND ml >= 3.0 AND ml <= 10.0
+        |   AND len(list_intersect(w, ['the','be','to','of','and','that','have','with'])) >= 2) AS keep
+        |FROM (SELECT doc_id, w,
+        |        CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w) AS ml
+        |      FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+
+    "embed_quantize" ->
+      """SELECT vec_id, maxabs,
+        |  CAST(list_min(q) AS BIGINT) AS q_min,
+        |  CAST(list_max(q) AS BIGINT) AS q_max,
+        |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+        |  md5(array_to_string(q, ',')) AS q_digest
+        |FROM (
+        |  SELECT vec_id, maxabs,
+        |    CASE WHEN maxabs = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(embedding,
+        |                x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / maxabs)) AS BIGINT)) END AS q
+        |  FROM (SELECT vec_id, embedding,
+        |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+        |        FROM embeddings))
+        |ORDER BY vec_id""".stripMargin,
+
     "decon_ngram" ->
       """WITH g AS (
         |  SELECT doc_id, source, unnest(list_distinct(

@@ -79,7 +79,11 @@ object SparkEntry {
     "tx_repetition" -> ((s, d) => TextAnalysis.tx_repetition(s, d)),
     "dd_para" -> ((s, d) => Curation.dd_para(s, d)),
     "samp_stratified" -> ((s, d) => Curation.samp_stratified(s, d)),
+    "samp_reservoir" -> ((s, d) => Curation.samp_reservoir(s, d)),
+    "samp_split" -> (Curation.samp_split _),
     "decon_ngram" -> ((s, d) => Curation.decon_ngram(s, d)),
+    "tx_gopher" -> (TextAnalysis.tx_gopher _),
+    "embed_quantize" -> (TextAnalysis.embed_quantize _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the

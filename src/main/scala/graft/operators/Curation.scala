@@ -65,6 +65,41 @@ object Curation {
       .orderBy("lang")
   }
 
+  /** Deterministic quota ("reservoir") sampling: keep the `k` docs with the
+    * smallest md5(text) per source — rank-by-hash is a uniform sample that,
+    * unlike `rand()`-based reservoirs, is reproducible across runs, engines,
+    * and partitionings, so a re-run of the 100 TB job selects the identical
+    * mix. The balanced-mix primitive: every source capped at the same quota.
+    * One shuffle on source; at extreme stratum sizes the full per-stratum
+    * sort would be replaced by a two-pass hash-threshold estimate, same
+    * selection rule.
+    */
+  def samp_reservoir(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    docs(s, dir)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("source"), col("doc_id"), col("rk"))
+      .orderBy("source", "rk")
+  }
+
+  /** Deterministic train/val/test split (≈ 0.90/0.05/0.05) from the first
+    * three hex chars of md5(text): content-addressed assignment, so the same
+    * document lands in the same split no matter when or where it is
+    * processed — the property that keeps eval sets stable as a 100 TB corpus
+    * is incrementally re-ingested. Emits per-(source, split) counts.
+    */
+  def samp_split(s: SparkSession, dir: String): DataFrame = {
+    val p3 = substring(md5(col("text")), 1, 3)
+    val split = when(p3 < "e66", "train").when(p3 < "f33", "val").otherwise("test")
+    docs(s, dir)
+      .groupBy(col("source"), split.as("split"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("source", "split")
+  }
+
   /** Benchmark-contamination screen (the n-gram overlap check run before
     * training): does a candidate training document share any `n`-word
     * shingle with the held-out evaluation set? Here the `src0` slice of the

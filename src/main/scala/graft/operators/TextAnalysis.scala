@@ -148,6 +148,57 @@ object TextAnalysis {
         sum(when(col("predicted") === col("actual"), 1L).otherwise(0L)).as("n_correct"))
       .orderBy("actual")
 
+  /** Gopher quality-filter battery (Rae et al. 2021 §A1.1), the standard
+    * document-level pre-training filters: word-count band, mean-word-length
+    * band, and the ≥2-distinct-common-stopwords requirement, each emitted as
+    * its own column plus the conjunction. Pure column algebra over one scan —
+    * map-only at any scale. (The symbol-ratio rule is omitted: the corpus is
+    * already symbol-free, and its `replace`-count formulation adds nothing
+    * to the operator shape.)
+    */
+  def tx_gopher(s: SparkSession, dir: String): DataFrame = {
+    val w = words(col("text"))
+    val nWords = size(w)
+    val meanLen = (length(col("text")) - (nWords - 1)).cast("double") / nWords
+    val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopHits = size(array_intersect(w, array(gopherStops.map(lit): _*)))
+    docs(s, dir).select(
+      col("doc_id"),
+      (nWords >= 50 && nWords <= 100000).as("ok_word_count"),
+      (meanLen >= 3.0 && meanLen <= 10.0).as("ok_mean_word_len"),
+      (stopHits >= 2).as("ok_stopwords"),
+      (nWords >= 50 && nWords <= 100000 && meanLen >= 3.0 && meanLen <= 10.0 &&
+        stopHits >= 2).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Symmetric int8 quantization of the embedding column (the compression
+    * pass before ANN index build): scale = 127 / max|x|, q = floor(x·scale).
+    * Every output is integer-derived or a single division — no float
+    * summation anywhere — so the digest is bit-identical on any engine and
+    * any partitioning. Map-only; at 100 TB this is the column transform
+    * feeding the IVF/LSH index writers.
+    */
+  def embed_quantize(s: SparkSession, dir: String): DataFrame = {
+    val maxabs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+    val staged = Tables.loadParallel(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), maxabs.as("maxabs"))
+    val q = when(col("maxabs") === 0.0,
+        transform(col("embedding"), _ => lit(0L)))
+      .otherwise(transform(col("embedding"),
+        x => floor(x.cast("double") * (lit(127.0) / col("maxabs")))))
+    staged
+      .withColumn("q", q)
+      .select(
+        col("vec_id"),
+        col("maxabs"),
+        array_min(col("q")).cast("long").as("q_min"),
+        array_max(col("q")).cast("long").as("q_max"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+        md5(concat_ws(",", col("q").cast("array<string>"))).as("q_digest"))
+      .orderBy("vec_id")
+  }
+
   /** Text normalization — the canonicalization pass that precedes dedup and
     * tokenization in a training pipeline: lowercase, strip everything outside
     * [a-z0-9 ], collapse whitespace runs, trim. Pure regexp column ops

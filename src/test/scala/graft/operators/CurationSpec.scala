@@ -74,6 +74,66 @@ class CurationSpec extends AnyFunSuite {
     assert(got.head._2 >= 1L)
   }
 
+  test("samp_reservoir: exact per-source quota, ranked by md5 — smallest hashes win deterministically") {
+    val rows = (1L to 60L).map(i => (i, s"reservoir doc $i", "en", if (i <= 40) "sA" else "sB"))
+    val dir = docsDir(rows)
+    val got = Curation.samp_reservoir(spark, dir, k = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.count(_._1 == "sA") == 5 && got.count(_._1 == "sB") == 5)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val expectA = rows.filter(_._4 == "sA").sortBy(r => (md5hex(r._2), r._1)).take(5).map(_._1)
+    assert(got.filter(_._1 == "sA").sortBy(_._3).map(_._2).toSeq == expectA)
+  }
+
+  test("samp_split: content-addressed — the same text gets the same split regardless of source") {
+    val rows = (1L to 30L).map(i => (i, s"split doc body $i", "en", s"src${i % 3}"))
+    val dir = docsDir(rows)
+    val counts = Curation.samp_split(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(counts.values.sum == 30L)
+    assert(counts.keys.map(_._2).forall(Set("train", "val", "test")))
+    // same text in a different source → identical split assignment
+    val dir2 = docsDir(rows.map { case (id, text, lang, _) => (id, text, lang, "other") })
+    val bySplit2 = Curation.samp_split(spark, dir2).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    val bySplit1 = counts.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    assert(bySplit2 == bySplit1)
+  }
+
+  test("tx_gopher: each criterion trips independently; keep is their conjunction") {
+    val fifty = (1 to 50).map(i => s"the of word$i").mkString(" ") // 150 words, has stopwords
+    val dir = docsDir(Seq(
+      (1L, fifty, "en", "s"),                           // passes everything
+      (2L, "too short to pass the word count", "en", "s"), // fails word count
+      (3L, (1 to 60).map(_ => "a b").mkString(" ").trim, "en", "s"))) // mean word len 1 → fails
+    val got = TextAnalysis.tx_gopher(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Boolean]("keep"))
+    assert(!got(2L).getAs[Boolean]("ok_word_count") && !got(2L).getAs[Boolean]("keep"))
+    assert(got(3L).getAs[Boolean]("ok_word_count") && !got(3L).getAs[Boolean]("ok_mean_word_len"))
+  }
+
+  test("embed_quantize: values bounded by int8 range, zero vectors guarded, reconstruction within 1/scale") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("quant").toString
+    Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f), 0),
+      (2L, Seq(0f, 0f, 0f), 0),
+      (3L, Seq(3.5f, 2.0f, -3.5f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = TextAnalysis.embed_quantize(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(2L).getAs[Long]("q_min") == 0L && got(2L).getAs[Long]("q_max") == 0L)
+    got.values.foreach { r =>
+      assert(r.getAs[Long]("q_max") <= 127L && r.getAs[Long]("q_min") >= -128L)
+    }
+    // vec 1: scale = 127, q = floor(x*127) = [63, -127, 31]
+    assert(got(1L).getAs[Long]("q_sum") == (63L - 127L + 31L))
+  }
+
   test("tx_norm: lowercases, strips punctuation, collapses whitespace") {
     val dir = docsDir(Seq((1L, "  Hello,   WORLD!  it's 42 ", "en", "s")))
     val row = TextAnalysis.tx_norm(spark, dir).collect().head
