@@ -53,6 +53,8 @@ object SparkEntry {
     "q30_percentile" -> (Relational.q30_percentile _),
     "q31_full_outer" -> (Relational.q31_full_outer _),
     "q32_lead_lag" -> (Relational.q32_lead_lag _),
+    "q33_intersect_except" -> (Relational.q33_intersect_except _),
+    "q34_listagg" -> (Relational.q34_listagg _),
     // LLM-data-pipeline operators (builder brief; SURVEY.md §7.7)
     "dd_exact" -> (Dedup.dd_exact _),
     "dd_fingerprint" -> (Dedup.dd_fingerprint _),

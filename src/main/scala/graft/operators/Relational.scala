@@ -421,6 +421,37 @@ object Relational {
       .orderBy("custkey")
   }
 
+  /** INTERSECT / EXCEPT set operations (distinct semantics) over two derived
+    * key sets, emitted as one tagged union. Spark plans both as hash
+    * joins (LeftSemi / LeftAnti over aggregated children) — no sort, no
+    * cartesian; the two branches share the scan via exchange reuse.
+    */
+  def q33_intersect_except(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    def custsIn(y: Int) =
+      o.filter(year(col("o_orderdate")) === y).select(col("o_custkey")).distinct()
+    val a = custsIn(1995)
+    val b = custsIn(1996)
+    a.intersect(b).select(lit("both").as("tag"), col("o_custkey"))
+      .unionAll(a.except(b).select(lit("only_1995").as("tag"), col("o_custkey")))
+      .orderBy("tag", "o_custkey")
+  }
+
+  /** Ordered string aggregation — `LISTAGG(...) WITHIN GROUP (ORDER BY ...)`
+    * (ANSI / Spark 4); the WITHIN GROUP ordering makes the concatenation
+    * deterministic under any partitioning, which is what lets it be
+    * oracle-compared at all (an unordered listagg is partition-order
+    * dependent by construction).
+    */
+  def q34_listagg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation")
+      .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").as("nations"),
+        count(lit(1)).as("n"))
+      .orderBy("r_name")
+
   /** Navigation window functions — lag / lead / ntile / first-in-partition
     * over the per-user event sequence; one shuffle on user_id serves all
     * four (same window spec → one Window operator).

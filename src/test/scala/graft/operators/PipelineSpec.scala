@@ -348,6 +348,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(Dedup.dd_cluster(spark, dir).count() == 0)
     assert(TextAnalysis.tx_fingerprint(spark, dir).count() == 0)
     assert(TextAnalysis.tx_langid(spark, dir).count() == 0)
+    assert(Curation.dd_para(spark, dir).count() == 0)
+    assert(Curation.samp_stratified(spark, dir).count() == 0)
+    assert(Curation.samp_reservoir(spark, dir).count() == 0)
+    assert(Curation.samp_split(spark, dir).count() == 0)
+    assert(Curation.decon_ngram(spark, dir).count() == 0)
+    assert(TextAnalysis.tx_gopher(spark, dir).count() == 0)
+    assert(TextAnalysis.tx_norm(spark, dir).count() == 0)
+    assert(TextAnalysis.tx_repetition(spark, dir).count() == 0)
   }
 
   /** Write a tiny documents corpus to a temp dir shaped like testdata. */
