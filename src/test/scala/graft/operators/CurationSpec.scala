@@ -141,6 +141,25 @@ class CurationSpec extends AnyFunSuite {
     assert(row.getAs[Long]("norm_len") == 18L)
   }
 
+  test("tx_norm merges case/punctuation variants that exact dedup keeps apart") {
+    val dir = docsDir(Seq(
+      (1L, "Spark Shuffles, Windows & Joins!", "en", "s"),
+      (2L, "spark shuffles windows  joins", "en", "s")))
+    val digests = TextAnalysis.tx_norm(spark, dir).collect().map(_.getAs[String]("norm_digest"))
+    assert(digests.distinct.length == 1, "variants must normalize to one digest")
+    // the raw texts differ, so exact dedup sees two singleton groups
+    assert(Dedup.dd_exact(spark, dir).count() == 2)
+  }
+
+  test("decon_ngram: a verbatim copy of an eval doc overlaps on EVERY distinct 8-gram") {
+    val twelve = (1 to 12).map(i => s"u$i").mkString(" ") // 12 distinct words -> 5 distinct 8-grams
+    val dir = docsDir(Seq(
+      (1L, twelve, "en", "src0"),
+      (2L, twelve, "en", "src1")))
+    val got = Curation.decon_ngram(spark, dir).collect()
+    assert(got.length == 1 && got.head.getLong(0) == 2L && got.head.getLong(1) == 5L)
+  }
+
   test("tx_repetition: a doc that is one bigram repeated scores top_bigram_frac near 1") {
     val dir = docsDir(Seq(
       (1L, "spam ham spam ham spam ham spam ham", "en", "s"),

@@ -171,4 +171,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(plan(Curation.dd_para(spark, dir))).size >= 2)
     assert("HashAggregate".r.findAllIn(plan(Curation.samp_stratified(spark, dir))).size >= 2)
   }
+
+  test("samp_reservoir: rank limit pushed below the shuffle (WindowGroupLimit, no full-stratum sort)") {
+    val p = plan(Curation.samp_reservoir(spark, dir))
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      "per-partition top-k must run map-side before the stratum shuffle")
+  }
+
+  test("q33: set operations plan as hash semi/anti joins, never cartesian") {
+    val p = plan(Relational.q33_intersect_except(spark, dir))
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("tx_norm: scan prunes to (doc_id, text) — normalization reads 2 of 5 columns") {
+    val p = plan(TextAnalysis.tx_norm(spark, dir))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+  }
 }
