@@ -36,6 +36,13 @@ object OracleSql {
     s"list_sort([${structs.mkString(", ")}])[${structs.size}].lang"
   }
 
+  /** Gopher stopword list as a DuckDB list literal — built from the SAME
+    * Seq the Spark operator uses ([[graft.operators.TextAnalysis.gopherStops]])
+    * so the two can never drift.
+    */
+  private val gopherListSql: String =
+    graft.operators.TextAnalysis.gopherStops.map(w => s"'$w'").mkString("[", ",", "]")
+
   val sql: Map[String, String] = Map(
     "q01_scan_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -499,16 +506,16 @@ object OracleSql {
         |FROM documents GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
 
     "tx_gopher" ->
-      """SELECT doc_id,
-        |  len(w) >= 50 AND len(w) <= 100000 AS ok_word_count,
-        |  ml >= 3.0 AND ml <= 10.0 AS ok_mean_word_len,
-        |  len(list_intersect(w, ['the','be','to','of','and','that','have','with'])) >= 2 AS ok_stopwords,
-        |  (len(w) >= 50 AND len(w) <= 100000 AND ml >= 3.0 AND ml <= 10.0
-        |   AND len(list_intersect(w, ['the','be','to','of','and','that','have','with'])) >= 2) AS keep
-        |FROM (SELECT doc_id, w,
-        |        CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w) AS ml
-        |      FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents))
-        |ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id,
+         |  len(w) >= 20 AND len(w) <= 100000 AS ok_word_count,
+         |  ml >= 3.0 AND ml <= 10.0 AS ok_mean_word_len,
+         |  len(list_intersect(w, $gopherListSql)) >= 2 AS ok_stopwords,
+         |  (len(w) >= 20 AND len(w) <= 100000 AND ml >= 3.0 AND ml <= 10.0
+         |   AND len(list_intersect(w, $gopherListSql)) >= 2) AS keep
+         |FROM (SELECT doc_id, w,
+         |        CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w) AS ml
+         |      FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents))
+         |ORDER BY doc_id""".stripMargin,
 
     "embed_quantize" ->
       """SELECT vec_id, maxabs,
@@ -525,6 +532,32 @@ object OracleSql {
         |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
         |        FROM embeddings))
         |ORDER BY vec_id""".stripMargin,
+
+    "pipeline_curate" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text,
+         |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+         |         ' +', ' ', 'g')) AS norm,
+         |    string_split(text, ' ') AS w
+         |  FROM documents),
+         |q AS (
+         |  SELECT * FROM base
+         |  WHERE len(w) >= 20 AND len(w) <= 100000
+         |    AND CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w) >= 3.0
+         |    AND CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w) <= 10.0
+         |    AND len(list_intersect(w, $gopherListSql)) >= 2),
+         |k AS (
+         |  SELECT *, row_number() OVER (PARTITION BY md5(norm) ORDER BY doc_id) AS rn FROM q),
+         |keep AS (SELECT * FROM k WHERE rn = 1)
+         |SELECT '0_raw' AS stage, count(*) AS n FROM base
+         |UNION ALL SELECT '1_quality', count(*) FROM q
+         |UNION ALL SELECT '2_dedup', count(*) FROM keep
+         |UNION ALL
+         |SELECT '3_split_' || CASE WHEN substr(md5(text), 1, 3) < 'e66' THEN 'train'
+         |                          WHEN substr(md5(text), 1, 3) < 'f33' THEN 'val'
+         |                          ELSE 'test' END AS stage, count(*) AS n
+         |FROM keep GROUP BY 1
+         |ORDER BY stage""".stripMargin,
 
     "decon_ngram" ->
       """WITH g AS (

@@ -84,7 +84,8 @@ object SparkEntry {
     "samp_reservoir" -> ((s, d) => Curation.samp_reservoir(s, d)),
     "samp_split" -> (Curation.samp_split _),
     "decon_ngram" -> ((s, d) => Curation.decon_ngram(s, d)),
-    "tx_gopher" -> (TextAnalysis.tx_gopher _),
+    "pipeline_curate" -> (Curation.pipeline_curate _),
+    "tx_gopher" -> ((s, d) => TextAnalysis.tx_gopher(s, d)),
     "embed_quantize" -> (TextAnalysis.embed_quantize _),
   )
 

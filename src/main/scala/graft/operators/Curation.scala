@@ -100,6 +100,41 @@ object Curation {
       .orderBy("source", "split")
   }
 
+  /** The full curation funnel as ONE audit query — the composition these
+    * operators exist for: normalize → Gopher quality gate → exact dedup on
+    * the normalized digest (min doc_id kept) → content-addressed
+    * train/val/test split. Emits a (stage, n) funnel: raw count, quality
+    * survivors, dedup keepers, and per-split keeper counts. Each stage is a
+    * narrow projection over the same scan; the only shuffles are the dedup
+    * window (on digest) and the tiny count aggregates.
+    */
+  def pipeline_curate(s: SparkSession, dir: String): DataFrame = {
+    val w = words(col("text"))
+    val nWords = size(w)
+    val meanLen = (length(col("text")) - (nWords - 1)).cast("double") / nWords
+    val stops = TextAnalysis.gopherStops
+    val keep = nWords >= 20 && nWords <= 100000 && meanLen >= 3.0 &&
+      meanLen <= 10.0 && size(array_intersect(w, array(stops.map(lit): _*))) >= 2
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    val base = docs(s, dir).select(col("doc_id"), col("text"))
+    val quality = base.filter(keep)
+    val dw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("digest")).orderBy(col("doc_id"))
+    val keepers = quality
+      .withColumn("digest", md5(norm))
+      .withColumn("rn", row_number().over(dw))
+      .filter(col("rn") === 1)
+    val p3 = substring(md5(col("text")), 1, 3)
+    val split = when(p3 < "e66", "train").when(p3 < "f33", "val").otherwise("test")
+    base.agg(count(lit(1)).as("n")).select(lit("0_raw").as("stage"), col("n"))
+      .unionAll(quality.agg(count(lit(1)).as("n")).select(lit("1_quality").as("stage"), col("n")))
+      .unionAll(keepers.agg(count(lit(1)).as("n")).select(lit("2_dedup").as("stage"), col("n")))
+      .unionAll(keepers.groupBy(concat(lit("3_split_"), split).as("stage"))
+        .agg(count(lit(1)).as("n")))
+      .orderBy("stage")
+  }
+
   /** Benchmark-contamination screen (the n-gram overlap check run before
     * training): does a candidate training document share any `n`-word
     * shingle with the held-out evaluation set? Here the `src0` slice of the

@@ -155,20 +155,29 @@ object TextAnalysis {
     * map-only at any scale. (The symbol-ratio rule is omitted: the corpus is
     * already symbol-free, and its `replace`-count formulation adds nothing
     * to the operator shape.)
+    *
+    * The paper's bounds are [50, 100k] words and ≥2 of 8 common English
+    * words; the façade defaults scale the word floor to 20 and use the
+    * corpus's own `en` stopword profile so the gate actually discriminates
+    * on the synthetic corpus (~63 % keep) — a filter that rejects 100 % of
+    * its input exercises nothing.
     */
-  def tx_gopher(s: SparkSession, dir: String): DataFrame = {
+  val gopherStops: Seq[String] = Seq("the", "a", "of", "and", "to")
+
+  def tx_gopher(s: SparkSession, dir: String, minWords: Int = 20,
+      maxWords: Int = 100000, minStopHits: Int = 2,
+      stops: Seq[String] = gopherStops): DataFrame = {
     val w = words(col("text"))
     val nWords = size(w)
     val meanLen = (length(col("text")) - (nWords - 1)).cast("double") / nWords
-    val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-    val stopHits = size(array_intersect(w, array(gopherStops.map(lit): _*)))
+    val stopHits = size(array_intersect(w, array(stops.map(lit): _*)))
     docs(s, dir).select(
       col("doc_id"),
-      (nWords >= 50 && nWords <= 100000).as("ok_word_count"),
+      (nWords >= minWords && nWords <= maxWords).as("ok_word_count"),
       (meanLen >= 3.0 && meanLen <= 10.0).as("ok_mean_word_len"),
-      (stopHits >= 2).as("ok_stopwords"),
-      (nWords >= 50 && nWords <= 100000 && meanLen >= 3.0 && meanLen <= 10.0 &&
-        stopHits >= 2).as("keep"))
+      (stopHits >= minStopHits).as("ok_stopwords"),
+      (nWords >= minWords && nWords <= maxWords && meanLen >= 3.0 &&
+        meanLen <= 10.0 && stopHits >= minStopHits).as("keep"))
       .orderBy("doc_id")
   }
 

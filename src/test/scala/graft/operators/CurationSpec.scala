@@ -134,6 +134,20 @@ class CurationSpec extends AnyFunSuite {
     assert(got(1L).getAs[Long]("q_sum") == (63L - 127L + 31L))
   }
 
+  test("pipeline_curate: quality gate drops, normalized dedup merges, splits partition the keepers") {
+    val base = (Seq("the", "of") ++ (1 to 22).map(i => s"word$i")).mkString(" ")
+    val dir = docsDir(Seq(
+      (1L, base, "en", "s"),
+      (2L, base + ".", "en", "s"), // punctuation variant -> same normalized digest
+      (3L, "way too short", "en", "s"))) // fails the word-count gate
+    val got = Curation.pipeline_curate(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("0_raw") == 3L)
+    assert(got("1_quality") == 2L)
+    assert(got("2_dedup") == 1L)
+    assert(got.filter(_._1.startsWith("3_split_")).values.sum == 1L)
+  }
+
   test("tx_norm: lowercases, strips punctuation, collapses whitespace") {
     val dir = docsDir(Seq((1L, "  Hello,   WORLD!  it's 42 ", "en", "s")))
     val row = TextAnalysis.tx_norm(spark, dir).collect().head
