@@ -55,6 +55,8 @@ object SparkEntry {
     "q32_lead_lag" -> (Relational.q32_lead_lag _),
     "q33_intersect_except" -> (Relational.q33_intersect_except _),
     "q34_listagg" -> (Relational.q34_listagg _),
+    "q35_json" -> (Relational.q35_json _),
+    "q36_cube" -> (Relational.q36_cube _),
     // LLM-data-pipeline operators (builder brief; SURVEY.md §7.7)
     "dd_exact" -> (Dedup.dd_exact _),
     "dd_fingerprint" -> (Dedup.dd_fingerprint _),

@@ -452,6 +452,37 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("r_name")
 
+  /** Semi-structured JSON column access: `events.props` is a JSON string;
+    * extract a typed field with a JSON path and aggregate it. Spark's
+    * `get_json_object` is codegen'd — the extraction runs inside the scan
+    * stage, so at 100 TB this costs one pass with no shuffle beyond the tiny
+    * per-type aggregate.
+    */
+  def q35_json(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  /** CUBE over (returnflag, linestatus): all 2^k grouping combinations in
+    * one Expand pass — same single-scan property as ROLLUP (q28) with the
+    * flag-only subtotal level added.
+    */
+  def q36_cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        sum2(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("gid", "l_returnflag", "l_linestatus")
+
   /** Navigation window functions — lag / lead / ntile / first-in-partition
     * over the per-user event sequence; one shuffle on user_id serves all
     * four (same window spec → one Window operator).

@@ -148,6 +148,20 @@ class CurationSpec extends AnyFunSuite {
     assert(got.filter(_._1.startsWith("3_split_")).values.sum == 1L)
   }
 
+  test("outputs are invariant under shuffle-partition count (the property oracle parity rests on)") {
+    val dir = "/root/testdata/sf0.001"
+    def snap(): Seq[Seq[String]] = Seq(
+      Curation.pipeline_curate(spark, dir),
+      Curation.samp_reservoir(spark, dir, k = 7),
+      TextAnalysis.embed_quantize(spark, dir))
+      .map(_.collect().map(_.toString).toSeq)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val at3 =
+      try { spark.conf.set("spark.sql.shuffle.partitions", "3"); snap() }
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert(snap() == at3)
+  }
+
   test("tx_norm: lowercases, strips punctuation, collapses whitespace") {
     val dir = docsDir(Seq((1L, "  Hello,   WORLD!  it's 42 ", "en", "s")))
     val row = TextAnalysis.tx_norm(spark, dir).collect().head
