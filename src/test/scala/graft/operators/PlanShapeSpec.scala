@@ -188,4 +188,27 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan(TextAnalysis.tx_norm(spark, dir))
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
   }
+
+  test("AQE splits a skewed sort-merge join partition at runtime (skew=true in the final plan)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 95% of the left side lands on one key — the classic hot-key join
+      val left = spark.range(0, 100000).select(
+        when($"id" % 20 =!= 0, lit(0L)).otherwise($"id").as("k"), $"id".as("payload"))
+      val right = spark.range(0, 100000, 1000).select($"id".as("k"), lit("dim").as("d"))
+      val j = left.join(right, "k")
+      j.collect() // materialize so the adaptive plan finalizes
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), s"expected AQE to split the hot partition:\n$p")
+    } finally prev.foreach { case (k, v) => v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
 }
