@@ -14,6 +14,16 @@ object TextFunctions {
     */
   def words(text: Column): Column = split(text, " ")
 
+  /** Canonical text normalization (shared by `tx_norm` and
+    * `pipeline_curate`, mirrored by the DuckDB oracles): lowercase, strip
+    * everything outside [a-z0-9 ], collapse whitespace runs, trim.
+    * Idempotent by construction — the output alphabet is a fixed point of
+    * every pass (property-tested in CurationSpec).
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
   /** Word n-gram shingles: sliding windows of `n` tokens joined by a space.
     * `transform(sequence(...))` keeps it codegen'd.
     */

@@ -115,8 +115,7 @@ object Curation {
     val stops = TextAnalysis.gopherStops
     val keep = nWords >= 20 && nWords <= 100000 && meanLen >= 3.0 &&
       meanLen <= 10.0 && size(array_intersect(w, array(stops.map(lit): _*))) >= 2
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    val norm = graft.functions.TextFunctions.normalize(col("text"))
     val base = docs(s, dir).select(col("doc_id"), col("text"))
     val quality = base.filter(keep)
     val dw = org.apache.spark.sql.expressions.Window

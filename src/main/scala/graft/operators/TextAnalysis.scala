@@ -217,9 +217,7 @@ object TextAnalysis {
     * normalize-then-dedup stage would group on.
     */
   def tx_norm(s: SparkSession, dir: String): DataFrame = {
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
-      " +", " "))
+    val norm = graft.functions.TextFunctions.normalize(col("text"))
     docs(s, dir)
       .withColumn("norm", norm)
       .select(

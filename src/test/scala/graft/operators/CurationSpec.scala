@@ -148,6 +148,48 @@ class CurationSpec extends AnyFunSuite {
     assert(got.filter(_._1.startsWith("3_split_")).values.sum == 1L)
   }
 
+  test("normalize is idempotent on 300 seeded-random strings (unicode, punctuation, space runs)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.normalize
+    val rnd = new scala.util.Random(42)
+    val pool = "abcXYZ019 ,.!?'\"()-_#@/\\\tü漢éĄ   "
+    val strs = (1 to 300).map(_ =>
+      (1 to rnd.nextInt(60)).map(_ => pool(rnd.nextInt(pool.length))).mkString)
+    val mismatches = strs.toDF("t")
+      .select(normalize(col("t")).as("n1"))
+      .select(col("n1"), normalize(col("n1")).as("n2"))
+      .filter(col("n1") =!= col("n2"))
+      .count()
+    assert(mismatches == 0L)
+  }
+
+  test("dd_para finds every planted stride-aligned chunk across 50 seeded-random doc pairs") {
+    val rnd = new scala.util.Random(7)
+    def word() = (1 to 4).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val rows = (0 until 50).flatMap { i =>
+      val chunk = (1 to 16).map(_ => word()).mkString(" ")
+      val tailA = (1 to rnd.nextInt(20)).map(_ => word()).mkString(" ")
+      val tailB = (1 to rnd.nextInt(20)).map(_ => word()).mkString(" ")
+      Seq((2L * i, s"$chunk $tailA".trim, "en", "s"),
+        (2L * i + 1, s"$chunk $tailB".trim, "en", "s"))
+    }
+    val dir = docsDir(rows)
+    val found = Curation.dd_para(spark, dir).collect()
+    assert(found.length == 50, s"expected all 50 planted chunks, got ${found.length}")
+    assert(found.forall(_.getAs[Long]("n_docs") == 2L))
+  }
+
+  test("samp_reservoir quota is exactly min(k, stratum size) on a seeded-random corpus") {
+    val rnd = new scala.util.Random(13)
+    val rows = (1L to 120L).map(i =>
+      (i, s"random body ${rnd.nextInt(1000000)} of doc $i", "en", s"src${rnd.nextInt(4)}"))
+    val dir = docsDir(rows)
+    val bySource = rows.groupBy(_._4).view.mapValues(_.size.toLong).toMap
+    val counts = Curation.samp_reservoir(spark, dir, k = 25).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.length.toLong).toMap
+    assert(counts == bySource.map { case (s, n) => s -> math.min(25L, n) })
+  }
+
   test("outputs are invariant under shuffle-partition count (the property oracle parity rests on)") {
     val dir = "/root/testdata/sf0.001"
     def snap(): Seq[Seq[String]] = Seq(
