@@ -179,10 +179,11 @@ object Relational {
       .orderBy("o_custkey", "seq")
   }
 
-  /** Exact + approximate distinct aggregation: countDistinct is the exact
-    * (oracle-checked) path; approx_count_distinct (HLL++) is the sketch a
-    * 100 TB pipeline would use — emitted alongside to keep the oracle column
-    * set exact (the sketch value itself differs across engines by design).
+  /** Exact distinct aggregation — the oracle-checked path. The 100 TB
+    * variant is approx_count_distinct (HLL++), a drop-in swap here; it is
+    * deliberately NOT emitted in this query because sketch values differ
+    * across engines by design and any non-exact column would break the
+    * oracle's full-row hash compare.
     */
   def q27_count_distinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -387,8 +388,9 @@ object Relational {
     * t-digest approximation): both engines compute pos = p·(n−1) and
     * lower + frac·(upper−lower) in doubles, so results are bit-identical.
     * At 100 TB the exact form needs a per-group sort — the production
-    * variant is `approx_percentile`, emitted alongside in the plan but not
-    * oracle-compared (sketches differ across engines by design).
+    * variant is `approx_percentile` (t-digest), a drop-in swap kept OUT of
+    * this query so every emitted column stays oracle-exact (sketches differ
+    * across engines by design and would break the full-row hash compare).
     */
   def q30_percentile(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")

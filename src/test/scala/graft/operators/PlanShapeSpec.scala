@@ -189,6 +189,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
   }
 
+  test("partitioned layout: a filter on the partition column prunes at planning time") {
+    val out = java.nio.file.Files.createTempDirectory("graft-part").toString
+    graft.sources.Tables.loadParallel(spark, dir, "documents")
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    val back = spark.read.parquet(out).filter(org.apache.spark.sql.functions.col("lang") === "en")
+    val p = back.queryExecution.sparkPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(lang"), s"expected partition pruning:\n$p")
+    assert(back.count() > 0)
+  }
+
   test("AQE splits a skewed sort-merge join partition at runtime (skew=true in the final plan)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
