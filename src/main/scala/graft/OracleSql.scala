@@ -43,6 +43,22 @@ object OracleSql {
   private val gopherListSql: String =
     graft.operators.TextAnalysis.gopherStops.map(w => s"'$w'").mkString("[", ",", "]")
 
+  /** Shared SQL fragments for the curation twins — one definition per rule,
+    * interpolated everywhere it appears (tx_norm / tx_gopher / samp_split /
+    * pipeline_curate), mirroring the shared Columns on the Spark side
+    * (`TextFunctions.normalize`, `TextAnalysis.gopherCriteria`,
+    * `Curation.splitOf`).
+    */
+  private val normSql: String =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+  private val wordBandSql = "len(w) >= 20 AND len(w) <= 100000"
+  private val meanBandSql = "ml >= 3.0 AND ml <= 10.0"
+  private val stopHitsSql = s"len(list_intersect(w, $gopherListSql)) >= 2"
+  private val splitCaseSql =
+    """CASE WHEN substr(md5(text), 1, 3) < 'e66' THEN 'train'
+      |     WHEN substr(md5(text), 1, 3) < 'f33' THEN 'val'
+      |     ELSE 'test' END""".stripMargin.replace("\n", " ").replaceAll(" +", " ")
+
   val sql: Map[String, String] = Map(
     "q01_scan_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -397,8 +413,9 @@ object OracleSql {
         |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_r
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
 
-    // exact interpolated percentile: both engines compute pos = p*(n-1),
-    // then lower + frac*(upper-lower) in doubles — bit-identical
+    // exact interpolated percentile: both engines use pos = p*(n-1); the
+    // interpolation combine differs in form, so parity is verified
+    // empirically by this gate per corpus (see q30's Scaladoc)
     "q30_percentile" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS p50_qty,
@@ -464,12 +481,10 @@ object OracleSql {
     // --- curation / normalization / repetition ------------------------------
 
     "tx_norm" ->
-      """SELECT doc_id,
-        |  CAST(length(n) AS BIGINT) AS norm_len, md5(n) AS norm_digest
-        |FROM (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
-        |        '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS n
-        |      FROM documents)
-        |ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id,
+         |  CAST(length(n) AS BIGINT) AS norm_len, md5(n) AS norm_digest
+         |FROM (SELECT doc_id, $normSql AS n FROM documents)
+         |ORDER BY doc_id""".stripMargin,
 
     "tx_repetition" ->
       """WITH g AS (
@@ -516,20 +531,15 @@ object OracleSql {
         |WHERE rk <= 20 ORDER BY source, rk""".stripMargin,
 
     "samp_split" ->
-      """SELECT source,
-        |  CASE WHEN substr(md5(text), 1, 3) < 'e66' THEN 'train'
-        |       WHEN substr(md5(text), 1, 3) < 'f33' THEN 'val'
-        |       ELSE 'test' END AS split,
-        |  count(*) AS n
-        |FROM documents GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
+      s"""SELECT source, $splitCaseSql AS split, count(*) AS n
+         |FROM documents GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
 
     "tx_gopher" ->
       s"""SELECT doc_id,
-         |  len(w) >= 20 AND len(w) <= 100000 AS ok_word_count,
-         |  ml >= 3.0 AND ml <= 10.0 AS ok_mean_word_len,
-         |  len(list_intersect(w, $gopherListSql)) >= 2 AS ok_stopwords,
-         |  (len(w) >= 20 AND len(w) <= 100000 AND ml >= 3.0 AND ml <= 10.0
-         |   AND len(list_intersect(w, $gopherListSql)) >= 2) AS keep
+         |  $wordBandSql AS ok_word_count,
+         |  $meanBandSql AS ok_mean_word_len,
+         |  $stopHitsSql AS ok_stopwords,
+         |  ($wordBandSql AND $meanBandSql AND $stopHitsSql) AS keep
          |FROM (SELECT doc_id, w,
          |        CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w) AS ml
          |      FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents))
@@ -553,17 +563,13 @@ object OracleSql {
 
     "pipeline_curate" ->
       s"""WITH base AS (
-         |  SELECT doc_id, text,
-         |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
-         |         ' +', ' ', 'g')) AS norm,
-         |    string_split(text, ' ') AS w
+         |  SELECT doc_id, text, $normSql AS norm, string_split(text, ' ') AS w,
+         |    CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+         |      / len(string_split(text, ' ')) AS ml
          |  FROM documents),
          |q AS (
          |  SELECT * FROM base
-         |  WHERE len(w) >= 20 AND len(w) <= 100000
-         |    AND CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w) >= 3.0
-         |    AND CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w) <= 10.0
-         |    AND len(list_intersect(w, $gopherListSql)) >= 2),
+         |  WHERE $wordBandSql AND $meanBandSql AND $stopHitsSql),
          |k AS (
          |  SELECT *, row_number() OVER (PARTITION BY md5(norm) ORDER BY doc_id) AS rn FROM q),
          |keep AS (SELECT * FROM k WHERE rn = 1)
@@ -571,9 +577,7 @@ object OracleSql {
          |UNION ALL SELECT '1_quality', count(*) FROM q
          |UNION ALL SELECT '2_dedup', count(*) FROM keep
          |UNION ALL
-         |SELECT '3_split_' || CASE WHEN substr(md5(text), 1, 3) < 'e66' THEN 'train'
-         |                          WHEN substr(md5(text), 1, 3) < 'f33' THEN 'val'
-         |                          ELSE 'test' END AS stage, count(*) AS n
+         |SELECT '3_split_' || $splitCaseSql AS stage, count(*) AS n
          |FROM keep GROUP BY 1
          |ORDER BY stage""".stripMargin,
 

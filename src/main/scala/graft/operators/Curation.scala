@@ -91,45 +91,48 @@ object Curation {
     * processed — the property that keeps eval sets stable as a 100 TB corpus
     * is incrementally re-ingested. Emits per-(source, split) counts.
     */
-  def samp_split(s: SparkSession, dir: String): DataFrame = {
-    val p3 = substring(md5(col("text")), 1, 3)
-    val split = when(p3 < "e66", "train").when(p3 < "f33", "val").otherwise("test")
-    docs(s, dir)
-      .groupBy(col("source"), split.as("split"))
-      .agg(count(lit(1)).as("n"))
-      .orderBy("source", "split")
+  /** Content-addressed split assignment — the ONE definition shared by
+    * [[samp_split]] and [[pipeline_curate]].
+    */
+  private[operators] def splitOf(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val p3 = substring(md5(text), 1, 3)
+    when(p3 < "e66", "train").when(p3 < "f33", "val").otherwise("test")
   }
 
+  def samp_split(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(col("source"), splitOf(col("text")).as("split"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("source", "split")
+
   /** The full curation funnel as ONE audit query — the composition these
-    * operators exist for: normalize → Gopher quality gate → exact dedup on
-    * the normalized digest (min doc_id kept) → content-addressed
-    * train/val/test split. Emits a (stage, n) funnel: raw count, quality
-    * survivors, dedup keepers, and per-split keeper counts. Each stage is a
-    * narrow projection over the same scan; the only shuffles are the dedup
-    * window (on digest) and the tiny count aggregates.
+    * operators exist for: normalize → Gopher quality gate (the SAME criteria
+    * columns as [[TextAnalysis.tx_gopher]]) → exact dedup on the normalized
+    * digest (min doc_id kept, via `min_by`) → content-addressed split (the
+    * SAME rule as [[samp_split]]). Emits a (stage, n) funnel: raw count,
+    * quality survivors, dedup keepers, per-split keeper counts.
+    *
+    * Two scans total: one for the raw/quality counts (stack'd from a single
+    * aggregate row) and one shared subtree for the keeper stages — the
+    * 2_dedup and 3_split branches contain the identical groupBy(digest)
+    * exchange, which ReuseExchange materializes once.
     */
   def pipeline_curate(s: SparkSession, dir: String): DataFrame = {
-    val w = words(col("text"))
-    val nWords = size(w)
-    val meanLen = (length(col("text")) - (nWords - 1)).cast("double") / nWords
-    val stops = TextAnalysis.gopherStops
-    val keep = nWords >= 20 && nWords <= 100000 && meanLen >= 3.0 &&
-      meanLen <= 10.0 && size(array_intersect(w, array(stops.map(lit): _*))) >= 2
-    val norm = graft.functions.TextFunctions.normalize(col("text"))
+    val (okCount, okMean, okStops) = TextAnalysis.gopherCriteria()
+    val keep = okCount && okMean && okStops
     val base = docs(s, dir).select(col("doc_id"), col("text"))
-    val quality = base.filter(keep)
-    val dw = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("digest")).orderBy(col("doc_id"))
-    val keepers = quality
-      .withColumn("digest", md5(norm))
-      .withColumn("rn", row_number().over(dw))
-      .filter(col("rn") === 1)
-    val p3 = substring(md5(col("text")), 1, 3)
-    val split = when(p3 < "e66", "train").when(p3 < "f33", "val").otherwise("test")
-    base.agg(count(lit(1)).as("n")).select(lit("0_raw").as("stage"), col("n"))
-      .unionAll(quality.agg(count(lit(1)).as("n")).select(lit("1_quality").as("stage"), col("n")))
+      .withColumn("keep", keep)
+      .withColumn("digest", md5(graft.functions.TextFunctions.normalize(col("text"))))
+      .withColumn("split", splitOf(col("text")))
+    val head = base
+      .agg(count(lit(1)).as("raw"), sum(when(col("keep"), 1L).otherwise(0L)).as("q"))
+      .select(expr("stack(2, '0_raw', raw, '1_quality', q) AS (stage, n)"))
+    val keepers = base.filter(col("keep"))
+      .groupBy(col("digest"))
+      .agg(min_by(col("split"), col("doc_id")).as("split"))
+    head
       .unionAll(keepers.agg(count(lit(1)).as("n")).select(lit("2_dedup").as("stage"), col("n")))
-      .unionAll(keepers.groupBy(concat(lit("3_split_"), split).as("stage"))
+      .unionAll(keepers.groupBy(concat(lit("3_split_"), col("split")).as("stage"))
         .agg(count(lit(1)).as("n")))
       .orderBy("stage")
   }

@@ -385,8 +385,11 @@ object Relational {
       .orderBy("l_linestatus")
 
   /** Exact interpolated percentiles per group (`percentile`, not the
-    * t-digest approximation): both engines compute pos = p·(n−1) and
-    * lower + frac·(upper−lower) in doubles, so results are bit-identical.
+    * t-digest approximation). Both engines compute pos = p·(n−1), but the
+    * final interpolation combine differs in form (Spark weights each
+    * endpoint; DuckDB's varies), so agreement is verified EMPIRICALLY by
+    * the oracle gate per corpus — it holds on every group of the shipped
+    * data, but is not guaranteed to the last ulp on adversarial inputs.
     * At 100 TB the exact form needs a per-group sort — the production
     * variant is `approx_percentile` (t-digest), a drop-in swap kept OUT of
     * this query so every emitted column stays oracle-exact (sketches differ

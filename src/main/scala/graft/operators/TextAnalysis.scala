@@ -164,20 +164,34 @@ object TextAnalysis {
     */
   val gopherStops: Seq[String] = Seq("the", "a", "of", "and", "to")
 
-  def tx_gopher(s: SparkSession, dir: String, minWords: Int = 20,
-      maxWords: Int = 100000, minStopHits: Int = 2,
-      stops: Seq[String] = gopherStops): DataFrame = {
+  /** The three Gopher criteria as Columns over a `text` column — the ONE
+    * definition shared by [[tx_gopher]] and [[Curation.pipeline_curate]] so
+    * the standalone filter and the funnel can never drift. Paper bounds:
+    * words ∈ [50, 100k], mean word length ∈ [3, 10], ≥2 common stopwords.
+    */
+  def gopherCriteria(minWords: Int = 20, maxWords: Int = 100000,
+      minStopHits: Int = 2, minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      stops: Seq[String] = gopherStops): (Column, Column, Column) = {
     val w = words(col("text"))
     val nWords = size(w)
     val meanLen = (length(col("text")) - (nWords - 1)).cast("double") / nWords
     val stopHits = size(array_intersect(w, array(stops.map(lit): _*)))
+    (nWords >= minWords && nWords <= maxWords,
+      meanLen >= minMeanLen && meanLen <= maxMeanLen,
+      stopHits >= minStopHits)
+  }
+
+  def tx_gopher(s: SparkSession, dir: String, minWords: Int = 20,
+      maxWords: Int = 100000, minStopHits: Int = 2,
+      stops: Seq[String] = gopherStops): DataFrame = {
+    val (okCount, okMean, okStops) =
+      gopherCriteria(minWords, maxWords, minStopHits, stops = stops)
     docs(s, dir).select(
       col("doc_id"),
-      (nWords >= minWords && nWords <= maxWords).as("ok_word_count"),
-      (meanLen >= 3.0 && meanLen <= 10.0).as("ok_mean_word_len"),
-      (stopHits >= minStopHits).as("ok_stopwords"),
-      (nWords >= minWords && nWords <= maxWords && meanLen >= 3.0 &&
-        meanLen <= 10.0 && stopHits >= minStopHits).as("keep"))
+      okCount.as("ok_word_count"),
+      okMean.as("ok_mean_word_len"),
+      okStops.as("ok_stopwords"),
+      (okCount && okMean && okStops).as("keep"))
       .orderBy("doc_id")
   }
 

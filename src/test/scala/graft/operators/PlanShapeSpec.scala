@@ -189,6 +189,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
   }
 
+  test("pipeline_curate: two scans — raw/quality stack'd from one aggregate, keeper branches share their exchange") {
+    val p = Curation.pipeline_curate(spark, dir).queryExecution.executedPlan.toString
+    assert("FileScan".r.findAllIn(p).size <= 3,
+      s"funnel must not scan once per stage:\n$p")
+  }
+
   test("partitioned layout: a filter on the partition column prunes at planning time") {
     val out = java.nio.file.Files.createTempDirectory("graft-part").toString
     graft.sources.Tables.loadParallel(spark, dir, "documents")
