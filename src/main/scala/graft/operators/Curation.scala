@@ -92,9 +92,10 @@ object Curation {
     * is incrementally re-ingested. Emits per-(source, split) counts.
     */
   /** Content-addressed split assignment — the ONE definition shared by
-    * [[samp_split]] and [[pipeline_curate]].
+    * [[samp_split]], [[pipeline_curate]], and the streaming gate
+    * ([[graft.streaming.DocsStream.curationGate]]).
     */
-  private[operators] def splitOf(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  private[graft] def splitOf(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val p3 = substring(md5(text), 1, 3)
     when(p3 < "e66", "train").when(p3 < "f33", "val").otherwise("test")
   }

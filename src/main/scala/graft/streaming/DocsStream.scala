@@ -33,6 +33,23 @@ object DocsStream {
         posexplode(minhashBands(col("sig"), k, bands)))
       .select(col("doc_id"), col("sig"), col("pos").as("band"), col("col").as("bkey"))
 
+  /** Ingest-time curation gate: the batch curation Columns (Gopher quality
+    * criteria, normalized-text digest, content-addressed split) applied to a
+    * document STREAM — the operators are plain Column expressions, so the
+    * EXACT batch definitions ([[graft.operators.TextAnalysis.gopherCriteria]],
+    * [[normalize]], [[graft.operators.Curation.splitOf]]) drop into
+    * `readStream` unchanged. Stateless: no watermark, no state store — a
+    * map-only pass-through at any ingest rate; downstream exact dedup groups
+    * on the emitted digest.
+    */
+  def curationGate(stream: DataFrame): DataFrame = {
+    val (okCount, okMean, okStops) = graft.operators.TextAnalysis.gopherCriteria()
+    stream
+      .filter(okCount && okMean && okStops)
+      .withColumn("digest", md5(normalize(col("text"))))
+      .withColumn("split", graft.operators.Curation.splitOf(col("text")))
+  }
+
   /** Screen a document stream (or batch frame) against a corpus band index;
     * emits (in_doc, corpus_doc, est_jaccard) for collisions with estimated
     * Jaccard ≥ threshold.

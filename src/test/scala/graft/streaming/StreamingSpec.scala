@@ -102,6 +102,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming curation gate: quality filter + digest + split agree with the batch twin") {
+    val pass = (Seq("the", "a", "of") ++ (1 to 20).map(i => s"word$i")).mkString(" ")
+    val fail = "way too short"
+    val input = MemoryStream[(Long, String)](spark)
+    val q = DocsStream.curationGate(input.toDS().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("gate_out").start()
+    try {
+      input.addData((1L, pass), (2L, fail))
+      q.processAllAvailable()
+      val streamed = spark.table("gate_out")
+        .select("doc_id", "digest", "split").collect().map(_.toSeq).toSet
+      val batch = DocsStream.curationGate(
+        Seq((1L, pass), (2L, fail)).toDF("doc_id", "text"))
+        .select("doc_id", "digest", "split").collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(streamed.map(_.head) == Set(1L))
+    } finally q.stop()
+  }
+
   test("vec_dot available from SQL via install and via extensions class") {
     graft.functions.GraftFunctions.install(spark)
     Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))).toDF("a", "b")
