@@ -469,6 +469,18 @@ object OracleSql {
         |      FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    "ev_anomaly" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |st AS (
+        |  SELECT event_type, count(*) AS n, sum(cents) AS s1, sum(cents * cents) AS s2
+        |  FROM ev GROUP BY 1)
+        |SELECT event_id, event_type, cents
+        |FROM ev JOIN st USING (event_type)
+        |WHERE (n * cents - s1) * (n * cents - s1) > 4 * (n * s2 - s1 * s1)
+        |ORDER BY event_id""".stripMargin,
+
     "q36_cube" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
@@ -580,6 +592,20 @@ object OracleSql {
          |SELECT '3_split_' || $splitCaseSql AS stage, count(*) AS n
          |FROM keep GROUP BY 1
          |ORDER BY stage""".stripMargin,
+
+    "tx_salient" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT doc_id, term, CAST(tf AS DOUBLE) / df AS score,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY CAST(tf AS DOUBLE) / df DESC, term) AS BIGINT) AS rk
+        |  FROM tf JOIN df USING (term))
+        |SELECT doc_id, rk, term, score FROM scored WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin,
 
     "decon_ngram" ->
       """WITH g AS (

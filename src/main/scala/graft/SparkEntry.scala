@@ -57,6 +57,7 @@ object SparkEntry {
     "q34_listagg" -> (Relational.q34_listagg _),
     "q35_json" -> (Relational.q35_json _),
     "q36_cube" -> (Relational.q36_cube _),
+    "ev_anomaly" -> (Relational.ev_anomaly _),
     // LLM-data-pipeline operators (builder brief; SURVEY.md §7.7)
     "dd_exact" -> (Dedup.dd_exact _),
     "dd_fingerprint" -> (Dedup.dd_fingerprint _),
@@ -88,6 +89,7 @@ object SparkEntry {
     "decon_ngram" -> ((s, d) => Curation.decon_ngram(s, d)),
     "pipeline_curate" -> (Curation.pipeline_curate _),
     "tx_gopher" -> ((s, d) => TextAnalysis.tx_gopher(s, d)),
+    "tx_salient" -> ((s, d) => TextAnalysis.tx_salient(s, d)),
     "embed_quantize" -> (TextAnalysis.embed_quantize _),
   )
 

@@ -457,6 +457,29 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("r_name")
 
+  /** Per-type 2σ outlier detection with ZERO floating-point statistics:
+    * values quantize to integer cents (`floor(v·100)` — one deterministic
+    * double op), the per-type moments (n, Σx, Σx²) aggregate as exact
+    * integers, and the z-test |v−μ| > 2σ is multiplied through to
+    * (n·v − S1)² > 4·(n·S2 − S1²) — no division, no sqrt, no summation-order
+    * sensitivity anywhere. The tiny per-type stats table broadcasts back
+    * onto the fact scan. Long arithmetic holds to ~10⁶ rows/type (≈ sf1);
+    * past that the products move to DECIMAL(38,0) unchanged in shape.
+    */
+  def ev_anomaly(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    val stats = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s1"),
+        sum(col("cents") * col("cents")).as("s2"))
+    val dev = col("n") * col("cents") - col("s1")
+    ev.join(broadcast(stats), "event_type")
+      .filter(dev * dev > lit(4L) * (col("n") * col("s2") - col("s1") * col("s1")))
+      .select(col("event_id"), col("event_type"), col("cents"))
+      .orderBy("event_id")
+  }
+
   /** Semi-structured JSON column access: `events.props` is a JSON string;
     * extract a typed field with a JSON path and aggregate it. Spark's
     * `get_json_object` is codegen'd — the extraction runs inside the scan

@@ -222,6 +222,29 @@ object TextAnalysis {
       .orderBy("vec_id")
   }
 
+  /** Per-document salient terms by TF-IDF-style ranking: score = tf / df
+    * (a single exact division — no log, so the ranking is bit-deterministic
+    * across engines), top-3 per doc with (score desc, term asc) tie-break.
+    * Shuffle shape: one (doc, term) count aggregate, one broadcast-size df
+    * table joined on term, one per-doc window — the same posting-list
+    * skeleton as the dedup family, all partial-aggregated map-side.
+    */
+  def tx_salient(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val tf = docs(s, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .withColumn("score", col("tf").cast("double") / col("df"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("term"), col("score"))
+      .orderBy("doc_id", "rk")
+  }
+
   /** Text normalization — the canonicalization pass that precedes dedup and
     * tokenization in a training pipeline: lowercase, strip everything outside
     * [a-z0-9 ], collapse whitespace runs, trim. Pure regexp column ops

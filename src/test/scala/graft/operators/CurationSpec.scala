@@ -204,6 +204,35 @@ class CurationSpec extends AnyFunSuite {
     assert(snap() == at3)
   }
 
+  test("ev_anomaly flags exactly the >2-sigma events (independent Scala recomputation)") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.sources.Tables.load(spark, dir, "events")
+      .select("event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), math.floor(r.getDouble(2) * 100).toLong))
+    val expected = ev.groupBy(_._2).flatMap { case (_, rows) =>
+      val n = rows.length.toLong
+      val s1 = rows.map(_._3).sum
+      val s2 = rows.map(x => x._3 * x._3).sum
+      rows.toSeq.filter { r => val dev = n * r._3 - s1; dev * dev > 4L * (n * s2 - s1 * s1) }
+        .map(_._1)
+    }.toSet
+    val got = Relational.ev_anomaly(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("tx_salient ranks a rare repeated term above a ubiquitous one") {
+    val dir = docsDir(Seq(
+      (1L, "zzz zzz zzz the the end", "en", "s"),
+      (2L, "the quick brown fox jumps", "en", "s"),
+      (3L, "the slow green turtle rests", "en", "s")))
+    val top = TextAnalysis.tx_salient(spark, dir).collect()
+      .filter(r => r.getLong(0) == 1L && r.getLong(1) == 1L)
+    assert(top.length == 1 && top.head.getAs[String]("term") == "zzz")
+    // tf/df: zzz = 3/1 = 3.0; the = 2/3 on doc 1
+    assert(top.head.getAs[Double]("score") == 3.0)
+  }
+
   test("tx_norm: lowercases, strips punctuation, collapses whitespace") {
     val dir = docsDir(Seq((1L, "  Hello,   WORLD!  it's 42 ", "en", "s")))
     val row = TextAnalysis.tx_norm(spark, dir).collect().head
