@@ -469,6 +469,16 @@ object OracleSql {
         |      FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    "q37_lateral" ->
+      """SELECT c_custkey, o.o_orderkey, o.price
+        |FROM customer,
+        |LATERAL (SELECT o_orderkey,
+        |           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+        |         FROM orders WHERE o_custkey = c_custkey
+        |         ORDER BY price DESC, o_orderkey LIMIT 2) o
+        |WHERE c_acctbal > 9000
+        |ORDER BY c_custkey, price DESC, o_orderkey""".stripMargin,
+
     "ev_anomaly" ->
       """WITH ev AS (
         |  SELECT event_id, event_type, CAST(floor(value * 100) AS BIGINT) AS cents

@@ -457,6 +457,26 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("r_name")
 
+  /** Correlated LATERAL derived table (SQL:2016; Spark ≥ 3.2): top-2 orders
+    * per high-balance customer, expressed through the `spark.sql` entry
+    * path the dialect layer feeds. Catalyst rewrites the correlated LIMIT
+    * subquery into a ranked-window join — the same plan a hand-written
+    * row_number formulation gets, so there is no per-customer re-scan.
+    */
+  def q37_lateral(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer_v")
+    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT c_custkey, o.o_orderkey, o.price
+        |FROM customer_v,
+        |LATERAL (SELECT o_orderkey,
+        |           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+        |         FROM orders_v WHERE o_custkey = c_custkey
+        |         ORDER BY price DESC, o_orderkey LIMIT 2) o
+        |WHERE c_acctbal > 9000
+        |ORDER BY c_custkey, price DESC, o_orderkey""".stripMargin)
+  }
+
   /** Per-type 2σ outlier detection with ZERO floating-point statistics:
     * values quantize to integer cents (`floor(v·100)` — one deterministic
     * double op), the per-type moments (n, Σx, Σx²) aggregate as exact

@@ -195,6 +195,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"funnel must not scan once per stage:\n$p")
   }
 
+  test("q37: correlated LATERAL LIMIT decorrelates to a ranked window + single join, not per-row re-scans") {
+    val p = plan(Relational.q37_lateral(spark, dir))
+    assert("WindowGroupLimit".r.findAllIn(p).nonEmpty)
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("partitioned layout: a filter on the partition column prunes at planning time") {
     val out = java.nio.file.Files.createTempDirectory("graft-part").toString
     graft.sources.Tables.loadParallel(spark, dir, "documents")
