@@ -488,7 +488,10 @@ object OracleSql {
         |  FROM ev GROUP BY 1)
         |SELECT event_id, event_type, cents
         |FROM ev JOIN st USING (event_type)
-        |WHERE (n * cents - s1) * (n * cents - s1) > 4 * (n * s2 - s1 * s1)
+        |WHERE (CAST(n AS DOUBLE) * CAST(cents AS DOUBLE) - CAST(s1 AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * CAST(cents AS DOUBLE) - CAST(s1 AS DOUBLE))
+        |      > 4.0 * (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
         |ORDER BY event_id""".stripMargin,
 
     "q36_cube" ->

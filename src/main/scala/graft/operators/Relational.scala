@@ -464,27 +464,29 @@ object Relational {
     * row_number formulation gets, so there is no per-customer re-scan.
     */
   def q37_lateral(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "customer").createOrReplaceTempView("customer_v")
-    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    t(s, dir, "customer").createOrReplaceTempView("graft_q37_customer")
+    t(s, dir, "orders").createOrReplaceTempView("graft_q37_orders")
     s.sql(
       """SELECT c_custkey, o.o_orderkey, o.price
-        |FROM customer_v,
+        |FROM graft_q37_customer,
         |LATERAL (SELECT o_orderkey,
         |           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
-        |         FROM orders_v WHERE o_custkey = c_custkey
+        |         FROM graft_q37_orders WHERE o_custkey = c_custkey
         |         ORDER BY price DESC, o_orderkey LIMIT 2) o
         |WHERE c_acctbal > 9000
         |ORDER BY c_custkey, price DESC, o_orderkey""".stripMargin)
   }
 
-  /** Per-type 2σ outlier detection with ZERO floating-point statistics:
+  /** Per-type 2σ outlier detection with no floating-point STATISTICS:
     * values quantize to integer cents (`floor(v·100)` — one deterministic
-    * double op), the per-type moments (n, Σx, Σx²) aggregate as exact
-    * integers, and the z-test |v−μ| > 2σ is multiplied through to
-    * (n·v − S1)² > 4·(n·S2 − S1²) — no division, no sqrt, no summation-order
-    * sensitivity anywhere. The tiny per-type stats table broadcasts back
-    * onto the fact scan. Long arithmetic holds to ~10⁶ rows/type (≈ sf1);
-    * past that the products move to DECIMAL(38,0) unchanged in shape.
+    * double op), and the per-type moments (n, Σx, Σx²) aggregate as exact
+    * integers — order-independent under any partitioning. The z-test
+    * |v−μ| > 2σ is multiplied through to (n·v − S1)² > 4·(n·S2 − S1²) and
+    * evaluated in DOUBLE from those exact moments: the same operation order
+    * on both engines gives bit-identical comparisons, and doubles never
+    * overflow (the all-integer form wraps int64 past ~10⁵ rows/type at
+    * these value magnitudes — measured, not theoretical). The tiny per-type
+    * stats table broadcasts back onto the fact scan.
     */
   def ev_anomaly(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
@@ -493,9 +495,12 @@ object Relational {
     val stats = ev.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("s1"),
         sum(col("cents") * col("cents")).as("s2"))
-    val dev = col("n") * col("cents") - col("s1")
+    val nD = col("n").cast("double")
+    val s1D = col("s1").cast("double")
+    val s2D = col("s2").cast("double")
+    val devD = nD * col("cents").cast("double") - s1D
     ev.join(broadcast(stats), "event_type")
-      .filter(dev * dev > lit(4L) * (col("n") * col("s2") - col("s1") * col("s1")))
+      .filter(devD * devD > lit(4.0) * (nD * s2D - s1D * s1D))
       .select(col("event_id"), col("event_type"), col("cents"))
       .orderBy("event_id")
   }
