@@ -309,26 +309,27 @@ object Dedup {
     // 1. Posting list over REPRESENTATIVES, on 64-bit shingle hashes (same
     //    pair counts — collisions at 2^-64 are below any practical risk —
     //    far cheaper shuffle + compare than shingle strings). `sh` appears
-    //    twice inside the `sets` build (the df aggregate and the join's
-    //    probe side) — ReuseExchange shares its shuffle within that job.
-    val sh = grouped.select(col("rep").as("doc_id"), explode(col("shs")).as("sh"))
+    //    twice (the df aggregate and the join's probe side) — ReuseExchange
+    //    shares its shuffle within that job.
+    val sh = grouped.select(col("rep").as("doc_id"),
+      size(col("shs")).as("n"), explode(col("shs")).as("sh"))
     val df = sh.groupBy("sh").agg(count(lit(1)).as("df")) // map-side partials
-    // per-rep shingle set re-assembled rarest-first; read by candidate
-    // generation (prefix) and verification (both join sides) → checkpointed
-    // (the collect_list re-aggregation per consumer measured ~4× the cost
-    // of reading the blocks back)
-    val sets = sh.join(df, Seq("sh"))
-      .groupBy("doc_id")
-      .agg(array_sort(collect_list(struct(col("df"), col("sh")))).as("ranked"))
-      .select(col("doc_id"), transform(col("ranked"), r => r("sh")).as("shs"))
+    // Prefix tokens with their 0-based rank in the rarest-first (df, sh)
+    // total order — the ranked ORDER only matters here, for candidate
+    // generation, so rank with a window instead of re-assembling per-doc
+    // ranked arrays (the former `collect_list` + checkpoint of full arrays
+    // measured ~0.5 s slower per query at sf0.1): a doc keeps its first
+    // n - ceil(n·t) + 1 tokens. Checkpointed because the candidate self-join
+    // below consumes it twice (its rows are ~60 % of tokens at t=0.4, but 4
+    // scalar columns — far lighter than the full-array frame it replaces).
+    val pref = sh.join(df, Seq("sh"))
+      .withColumn("p", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("df", "sh")) - lit(1))
+      .filter(col("p") <
+        col("n") - ceil(col("n").cast("double") * threshold).cast("int") + 1)
+      .select(col("doc_id"), col("n"), col("p"), col("sh"))
       .localCheckpoint()
-    val prefLen = size(col("shs")) -
-      ceil(size(col("shs")).cast("double") * threshold).cast("int") + 1
-    // prefix tokens with their 0-based position in the ranked set: feeds the
-    // ppjoin positional filter below
-    val pref = sets.select(col("doc_id"), size(col("shs")).as("n"),
-      posexplode(slice(col("shs"), lit(1), prefLen)))
-      .select(col("doc_id"), col("n"), col("pos").as("p"), col("col").as("sh"))
     // Positional filter (Xiao et al., ppjoin): a token matched at ranked
     // positions (i, j) bounds the overlap — common elements before it number
     // ≤ min(i, j), after it ≤ min(|A|-i-1, |B|-j-1) — and J ≥ t needs
@@ -346,11 +347,18 @@ object Dedup {
       .filter(col("ub").cast("double") >=
         (col("na") + col("nb")).cast("double") * (threshold / (1 + threshold)) - 1e-9)
       .select("a", "b")
+    // Verification needs only intersection SIZE — order-independent — so it
+    // reads the hash-sorted arrays already materialized in `grouped` rather
+    // than a second ranked-array frame, and counts the overlap with a
+    // codegen'd two-pointer merge (the arrays are sorted+distinct by
+    // construction) instead of `size(array_intersect(...))`'s per-pair hash
+    // set + discarded result array.
+    val repSets = grouped.select(col("rep").as("doc_id"), col("shs"))
     val repPairs = candidates
-      .join(sets.select(col("doc_id").as("a"), col("shs").as("sa")), Seq("a"))
-      .join(sets.select(col("doc_id").as("b"), col("shs").as("sb")), Seq("b"))
+      .join(repSets.select(col("doc_id").as("a"), col("shs").as("sa")), Seq("a"))
+      .join(repSets.select(col("doc_id").as("b"), col("shs").as("sb")), Seq("b"))
       .select(col("a"), col("b"),
-        size(array_intersect(col("sa"), col("sb"))).as("inter"),
+        graft.functions.SortedOverlap.count(col("sa"), col("sb")).as("inter"),
         size(col("sa")).as("na"), size(col("sb")).as("nb"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))

@@ -358,6 +358,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(TextAnalysis.tx_repetition(spark, dir).count() == 0)
   }
 
+  test("SortedOverlapCount == size(array_intersect) on sorted distinct arrays; null-safe") {
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 200).map { i =>
+      val a = Seq.fill(rnd.nextInt(60))(rnd.nextInt(80).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(60))(rnd.nextInt(80).toLong).distinct.sorted
+      (i, a, b)
+    } ++ Seq((201, Seq.empty[Long], Seq(1L, 2L)), (202, Seq(3L), Seq.empty[Long]))
+    val df = rows.toDF("id", "a", "b")
+    val mismatches = df.select(
+        graft.functions.SortedOverlap.count(col("a"), col("b")).as("fast"),
+        size(array_intersect(col("a"), col("b"))).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(mismatches == 0)
+    // null input -> null out (nullIntolerant), on both codegen and eval paths
+    val nulls = df.limit(1)
+      .select(graft.functions.SortedOverlap.count(lit(null).cast("array<bigint>"), col("b")))
+      .collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
   /** Write a tiny documents corpus to a temp dir shaped like testdata. */
   private def tmpDocs(rows: Seq[(Long, String, String, String, Long)]): String = {
     val dir = java.nio.file.Files.createTempDirectory("graftdocs").toString
