@@ -479,6 +479,17 @@ object OracleSql {
         |WHERE c_acctbal > 9000
         |ORDER BY c_custkey, price DESC, o_orderkey""".stripMargin,
 
+    "q38_range_frame" ->
+      """SELECT o_orderkey, o_custkey, day, cents,
+        |  CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY day
+        |                        RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |       AS BIGINT) AS spend_30d
+        |FROM (SELECT o_orderkey, o_custkey,
+        |        datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+        |        CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |      FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+
     "ev_anomaly" ->
       """WITH ev AS (
         |  SELECT event_id, event_type, CAST(floor(value * 100) AS BIGINT) AS cents

@@ -59,6 +59,7 @@ object SparkEntry {
     "q36_cube" -> (Relational.q36_cube _),
     "ev_anomaly" -> (Relational.ev_anomaly _),
     "q37_lateral" -> (Relational.q37_lateral _),
+    "q38_range_frame" -> (Relational.q38_range_frame _),
     // LLM-data-pipeline operators (builder brief; SURVEY.md §7.7)
     "dd_exact" -> (Dedup.dd_exact _),
     "dd_fingerprint" -> (Dedup.dd_fingerprint _),

@@ -477,6 +477,28 @@ object Relational {
         |ORDER BY c_custkey, price DESC, o_orderkey""".stripMargin)
   }
 
+  /** Value-based (RANGE) window frame — trailing-30-day customer spend per
+    * order. Distinct semantics from the ROWS frames elsewhere: the frame is
+    * bounded by the ORDER-BY VALUE (epoch day), so same-day orders are
+    * peers and every peer row sees the identical frame — deterministic
+    * under any tie order, which is exactly why the money flows as exact
+    * integer cents (a double sum would vary with each engine's internal
+    * frame-evaluation order; DuckDB uses segment trees, Spark a running
+    * accumulator). One shuffle on o_custkey; the sort inside the window
+    * covers the frame scan.
+    */
+  def q38_range_frame(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate").cast("date"), to_date(lit("1970-01-01")))
+          .cast("long").as("day"),
+        (dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+    val w = Window.partitionBy("o_custkey").orderBy("day")
+      .rangeBetween(-30, Window.currentRow)
+    orders.withColumn("spend_30d", sum(col("cents")).over(w))
+      .orderBy("o_orderkey")
+  }
+
   /** Per-type 2σ outlier detection with no floating-point STATISTICS:
     * values quantize to integer cents (`floor(v·100)` — one deterministic
     * double op), and the per-type moments (n, Σx, Σx²) aggregate as exact

@@ -201,6 +201,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q38: RANGE frame plans as one custkey exchange + RangeFrame window, pruned scan") {
+    val p = plan(Relational.q38_range_frame(spark, dir))
+    assert(p.contains("RangeFrame"))
+    // one shuffle for the window partition, one for the output sort — no more
+    assert("Exchange".r.findAllIn(p).size <= 2, s"unexpected extra shuffle:\n$p")
+  }
+
   test("partitioned layout: a filter on the partition column prunes at planning time") {
     val out = java.nio.file.Files.createTempDirectory("graft-part").toString
     graft.sources.Tables.loadParallel(spark, dir, "documents")
