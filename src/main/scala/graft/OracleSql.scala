@@ -490,6 +490,31 @@ object OracleSql {
         |      FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
 
+    "q39_unpivot" ->
+      """SELECT p_partkey, 'retailprice' AS metric,
+        |       CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS value
+        |FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
+        |ORDER BY p_partkey, metric""".stripMargin,
+
+    "q40_recursive" ->
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT CAST('1995-01-01' AS DATE)
+        |  UNION ALL
+        |  SELECT CAST(m + INTERVAL 1 MONTH AS DATE)
+        |  FROM months WHERE m < CAST('2001-08-01' AS DATE)
+        |),
+        |agg AS (
+        |  SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS m,
+        |         count(*) AS n
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT strftime(m, '%Y-%m') AS month,
+        |       CAST(coalesce(n, 0) AS BIGINT) AS n_orders
+        |FROM months LEFT JOIN agg USING (m)
+        |ORDER BY 1""".stripMargin,
+
     "ev_anomaly" ->
       """WITH ev AS (
         |  SELECT event_id, event_type, CAST(floor(value * 100) AS BIGINT) AS cents

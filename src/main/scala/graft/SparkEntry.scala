@@ -60,6 +60,8 @@ object SparkEntry {
     "ev_anomaly" -> (Relational.ev_anomaly _),
     "q37_lateral" -> (Relational.q37_lateral _),
     "q38_range_frame" -> (Relational.q38_range_frame _),
+    "q39_unpivot" -> (Relational.q39_unpivot _),
+    "q40_recursive" -> (Relational.q40_recursive _),
     // LLM-data-pipeline operators (builder brief; SURVEY.md §7.7)
     "dd_exact" -> (Dedup.dd_exact _),
     "dd_fingerprint" -> (Dedup.dd_fingerprint _),

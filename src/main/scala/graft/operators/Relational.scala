@@ -499,6 +499,53 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** UNPIVOT / melt — wide metric columns to long (entity, metric, value)
+    * form, the inverse of [[q29_pivot]]. Spark's native `unpivot` plans as
+    * an Expand (each input row emits one output row per metric, no shuffle
+    * at all); the oracle expresses the same relation as the portable
+    * UNION ALL form. Values meet in DOUBLE; prices go through DECIMAL(12,2)
+    * first so both engines quantize identically.
+    */
+  def q39_unpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_partkey"),
+        dec2(col("p_retailprice")).cast("double").as("retailprice"),
+        col("p_size").cast("double").as("size"))
+      .unpivot(Array(col("p_partkey")), Array(col("retailprice"), col("size")),
+        "metric", "value")
+      .orderBy("p_partkey", "metric")
+
+  /** Recursive CTE (SQL:1999; Spark ≥ 4.0): a month spine generated by the
+    * recursion, left-joined to orders for gap-filled monthly counts — the
+    * date-scaffold pattern reporting pipelines need (months with zero
+    * orders must appear). The recursion is 80 iterations over ONE row each
+    * — driver-cheap scaffolding. The fact side aggregates to per-month
+    * counts FIRST (distributed, map-side partials), and the spine joins the
+    * tiny aggregate — never the raw fact table, which a naive
+    * spine-LEFT-JOIN-orders formulation would have to broadcast or shuffle
+    * whole. Bounds are fixture constants (the testdata generator's
+    * order-date span), not data-derived, so the query stays a single
+    * statement on both engines.
+    */
+  def q40_recursive(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("graft_q40_orders")
+    s.sql(
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT CAST('1995-01-01' AS DATE)
+        |  UNION ALL
+        |  SELECT add_months(m, 1) FROM months WHERE m < CAST('2001-08-01' AS DATE)
+        |),
+        |agg AS (
+        |  SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS m,
+        |         count(*) AS n
+        |  FROM graft_q40_orders GROUP BY 1
+        |)
+        |SELECT date_format(m, 'yyyy-MM') AS month,
+        |       coalesce(n, CAST(0 AS BIGINT)) AS n_orders
+        |FROM months LEFT JOIN agg USING (m)
+        |ORDER BY 1""".stripMargin)
+  }
+
   /** Per-type 2σ outlier detection with no floating-point STATISTICS:
     * values quantize to integer cents (`floor(v·100)` — one deterministic
     * double op), and the per-type moments (n, Σx, Σx²) aggregate as exact

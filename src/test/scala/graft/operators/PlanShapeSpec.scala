@@ -208,6 +208,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size <= 2, s"unexpected extra shuffle:\n$p")
   }
 
+  test("q39: unpivot plans as Expand — one output row per metric, no shuffle before the sort") {
+    val p = plan(Relational.q39_unpivot(spark, dir))
+    assert(p.contains("Expand"))
+    assert("Exchange".r.findAllIn(p).size <= 1, s"unpivot must not shuffle:\n$p")
+  }
+
+  test("q40: recursive spine joins the PRE-AGGREGATED fact side, never the raw table") {
+    val p = plan(Relational.q40_recursive(spark, dir))
+    assert(p.contains("UnionLoop"))
+    // the broadcast/build side must be the per-month aggregate: the join sits
+    // ABOVE the aggregate in the tree, so the raw-orders formulation (join
+    // below agg) would show the FileScan directly under the broadcast
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(joinIdx >= 0 && aggIdx > joinIdx,
+      s"fact side must aggregate before the spine join:\n$p")
+  }
+
   test("partitioned layout: a filter on the partition column prunes at planning time") {
     val out = java.nio.file.Files.createTempDirectory("graft-part").toString
     graft.sources.Tables.loadParallel(spark, dir, "documents")
