@@ -58,6 +58,7 @@ object SparkEntry {
     "q35_json" -> (Relational.q35_json _),
     "q36_cube" -> (Relational.q36_cube _),
     "ev_anomaly" -> (Relational.ev_anomaly _),
+    "ev_hll" -> (Relational.ev_hll _),
     "q37_lateral" -> (Relational.q37_lateral _),
     "q38_range_frame" -> (Relational.q38_range_frame _),
     "q39_unpivot" -> (Relational.q39_unpivot _),

@@ -194,6 +194,25 @@ object Relational {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
+  /** HyperLogLog++ approximate distinct counts — the scale path for
+    * [[q27_count_distinct]]. Exact count-distinct shuffles every distinct
+    * key; the sketch aggregates a fixed-size register set with map-side
+    * partials, so the shuffle is O(groups × sketch), independent of
+    * cardinality — at 100 TB that is the difference between a re-shuffle of
+    * the key universe and a few KB per group. rsd=0.01 ⇒ ±1 % typical
+    * error (tolerance-tested against the exact counts in PipelineSpec; no
+    * DuckDB oracle — its approx_count_distinct is a different sketch with
+    * different estimates).
+    */
+  def ev_hll(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("n_parts_approx"),
+        approx_count_distinct(col("l_suppkey"), 0.01).as("n_supps_approx"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
   // --- set ops -------------------------------------------------------------
 
   /** UNION (distinct) of two scans — `validation/location.yaml:15-18`. */

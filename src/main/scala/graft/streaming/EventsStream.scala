@@ -66,6 +66,31 @@ object EventsStream {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Watermarked stream-stream interval join: each click joins the same
+    * user's views from the preceding `lookback`. Both sides carry
+    * watermarks and the join condition bounds event time in BOTH
+    * directions, so the state store can evict rows once the watermark
+    * passes `c_ts - lookback` — bounded state at any input rate; without
+    * the time bounds Spark would have to buffer each side forever. Written
+    * against plain DataFrames so the same code is the batch attribution
+    * join when fed a batch frame.
+    */
+  def clickAttribution(events: DataFrame, lookback: String = "10 minutes",
+      watermark: Boolean = true): DataFrame = {
+    def side(tpe: String, prefix: String) = {
+      val s = events.filter(col("event_type") === tpe)
+        .select(col("user_id").as(s"${prefix}_user"),
+          col("ts").as(s"${prefix}_ts"), col("event_id").as(s"${prefix}_id"))
+      if (watermark) s.withWatermark(s"${prefix}_ts", "2 hours") else s
+    }
+    side("click", "c").join(side("view", "v"),
+      col("c_user") === col("v_user") &&
+        col("v_ts") <= col("c_ts") &&
+        col("v_ts") >= col("c_ts") - expr(s"INTERVAL $lookback"))
+      .select(col("c_user").as("user_id"), col("c_id").as("click_id"),
+        col("v_id").as("view_id"), col("c_ts"), col("v_ts"))
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class SessionState(sessionStart: Long, lastSeen: Long, n: Long)

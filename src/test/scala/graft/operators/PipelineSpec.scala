@@ -358,6 +358,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(TextAnalysis.tx_repetition(spark, dir).count() == 0)
   }
 
+  test("ev_hll: HLL estimates within 5% of exact count-distinct per group") {
+    val dir = "/root/testdata/sf0.01"
+    val exact = graft.operators.Relational.q27_count_distinct(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val approx = graft.operators.Relational.ev_hll(spark, dir).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val (eParts, eSupps) = exact(r.getString(0))
+      assert(math.abs(r.getLong(1) - eParts).toDouble / eParts < 0.05,
+        s"n_parts ${r.getLong(1)} vs exact $eParts")
+      assert(math.abs(r.getLong(2) - eSupps).toDouble / eSupps < 0.05,
+        s"n_supps ${r.getLong(2)} vs exact $eSupps")
+    }
+  }
+
   test("SortedOverlapCount == size(array_intersect) on sorted distinct arrays; null-safe") {
     val rnd = new scala.util.Random(42)
     val rows = (1 to 200).map { i =>

@@ -31,6 +31,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: click attributes in-lookback views, batch-parity") {
+    val stream = EventsStream.readStream(spark, dir)
+    val q = EventsStream.clickAttribution(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("attr_out")
+        .orderBy("click_id", "view_id").collect().toSeq
+      val batch = EventsStream.clickAttribution(
+          Tables.load(spark, dir, "events"), watermark = false)
+        .orderBy("click_id", "view_id").collect().toSeq
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+      // every attributed view is within the lookback, never after the click
+      spark.table("attr_out").collect().foreach { r =>
+        val c = r.getTimestamp(3).getTime
+        val v = r.getTimestamp(4).getTime
+        assert(v <= c && v >= c - 10 * 60 * 1000)
+      }
+    } finally q.stop()
+  }
+
   test("stateful sessionization: gap splits sessions, in-gap events extend them") {
     val input = MemoryStream[EventsStream.Event](spark)
     def ev(id: Long, user: Long, sec: Long) =
