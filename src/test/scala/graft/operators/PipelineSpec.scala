@@ -373,6 +373,30 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("RewriteSortedOverlap rewrites the provable composed shape — and ONLY that shape") {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ graft.functions.RewriteSortedOverlap
+    try {
+      // x/y have duplicates: the distinct-then-sort branch may rewrite (the
+      // merge count is then exact); the sort-only branch must NOT (a merge
+      // over duplicates would count 2 where array_intersect's set answer is 1)
+      // arrays derive from the range column so constant folding can't
+      // pre-collapse the whole expression into a LocalRelation
+      val df = spark.range(1)
+        .select(array(col("id") + 2L, lit(2L)).as("x"),
+          array(col("id") + 2L, lit(2L)).as("y"))
+        .select(
+          size(array_intersect(array_sort(array_distinct(col("x"))),
+            array_sort(array_distinct(col("y"))))).as("proven"),
+          size(array_intersect(array_sort(col("x")), array_sort(col("y")))).as("unproven"))
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("sorted_overlap_count"), s"expected rewrite in:\n$opt")
+      assert(opt.contains("array_intersect"), s"sort-only shape must survive:\n$opt")
+      val row = df.collect().head
+      assert(row.getInt(0) == 1 && row.getInt(1) == 1)
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("SortedOverlapCount == size(array_intersect) on sorted distinct arrays; null-safe") {
     val rnd = new scala.util.Random(42)
     val rows = (1 to 200).map { i =>
