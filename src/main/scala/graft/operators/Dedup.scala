@@ -380,8 +380,13 @@ object Dedup {
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // Initial labels fold the FIRST propagation step into the node-distinct
+    // aggregation: label₀ = min(self, neighbors) is exactly one min-label
+    // round from the identity init, for free — the node list needed a
+    // groupBy anyway, and small-diameter graphs (near-dup clusters are
+    // mostly pairs/triples) converge one materialized round earlier.
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(col("id"), min(col("dst"))).as("label"))
       .localCheckpoint()
     var converged = false
     var i = 0
@@ -396,10 +401,11 @@ object Dedup {
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         .localCheckpoint()
       i += 1
-      // probe the driver only every `checkEvery` rounds (min-label
-      // propagation usually needs several): a wasted extra round is one
-      // cheap leaf-scan join, a probe is a full driver round-trip
-      if (i % checkEvery == 0 || i >= maxIter)
+      // probe after round 1 (the fused init means small-diameter graphs —
+      // the common near-dup case — are often already stable there), then
+      // only every `checkEvery` rounds: a wasted extra round is one cheap
+      // leaf-scan join, a probe is a full driver round-trip
+      if (i == 1 || i % checkEvery == 0 || i >= maxIter)
         converged = updated.filter(col("label") =!= col("__old")).isEmpty
       labels = updated.select("id", "label")
     }

@@ -389,6 +389,23 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("gid", "l_returnflag", "l_linestatus")
 
+  /** Plain GROUPING SETS — the non-hierarchical shape ROLLUP/CUBE cannot
+    * express: per-returnflag totals and per-linestatus totals in one pass,
+    * with NO combined and NO grand-total row. One Expand (2 replicas) + one
+    * aggregate — same single-shuffle cost as two separate groupBys minus a
+    * scan.
+    */
+  def q41_grouping_sets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        sum2(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("gid", "l_returnflag", "l_linestatus")
+
   /** Pivot returnflag into columns (long→wide): Spark's `pivot` with an
     * explicit value list compiles to a single-shuffle conditional aggregate —
     * identical plan shape to the CASE-WHEN formulation the oracle uses, so
