@@ -406,6 +406,19 @@ object OracleSql {
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
 
+    "q42_locf" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    CASE WHEN CAST(floor(value * 100) AS BIGINT) % 10 = 0 THEN NULL
+        |         ELSE CAST(floor(value * 100) AS BIGINT) END AS cents
+        |  FROM events)
+        |SELECT event_id, user_id, cents,
+        |  last_value(cents IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents_filled
+        |FROM ev
+        |ORDER BY event_id""".stripMargin,
+
     "q41_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,

@@ -516,6 +516,27 @@ object Relational {
         |ORDER BY c_custkey, price DESC, o_orderkey""".stripMargin)
   }
 
+  /** IGNORE NULLS window navigation — last-observation-carried-forward
+    * (LOCF) gap fill, the standard sensor/feature-pipeline repair: each
+    * user's missing readings take the most recent present one. `last(...,
+    * ignoreNulls)` over a running frame is the Spark spelling; DuckDB's is
+    * `last_value(... IGNORE NULLS)`. "Missing" is synthesized
+    * deterministically (`nullif(value too small)`) since the fixture has no
+    * physical NULLs. Readings quantize to integer cents so the carried
+    * value is bit-stable. One shuffle on user_id.
+    */
+  def q42_locf(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(floor(col("value") * 100).cast("long") % 10 === 0, lit(null))
+          .otherwise(floor(col("value") * 100).cast("long")).as("cents"))
+      .withColumn("cents_filled", last(col("cents"), ignoreNulls = true).over(w))
+      .select("event_id", "user_id", "cents", "cents_filled")
+      .orderBy("event_id")
+  }
+
   /** Value-based (RANGE) window frame — trailing-30-day customer spend per
     * order. Distinct semantics from the ROWS frames elsewhere: the frame is
     * bounded by the ORDER-BY VALUE (epoch day), so same-day orders are
