@@ -29,6 +29,12 @@ object RewriteSortedOverlap extends Rule[LogicalPlan] {
     * structural: `if (l < r) -1 else if (l > r) 1 else 0` over exactly the
     * lambda's own two arguments, in order (ascending).
     */
+  // NOTE: this matches the post-NullPropagation folded shape (the raw
+  // default comparator carries IsNull branches that fold away for
+  // containsNull=false elements, and the injected rule runs in the same
+  // fixed-point batch). If a Spark upgrade reshapes the default comparator
+  // the rewrite stops firing — by design it fails CLOSED (composed form
+  // keeps running, just slower) and the pinned PipelineSpec test turns red.
   private def isDefaultAscComparator(f: Expression): Boolean = f match {
     case LambdaFunction(
         If(LessThan(a1: NamedLambdaVariable, b1: NamedLambdaVariable), IntegerLiteral(-1),

@@ -29,6 +29,23 @@ case class SortedOverlapCount(left: Expression, right: Expression) extends Binar
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "sorted_overlap_count"
 
+  // The sorted/distinct precondition is only documentable, but the TYPE
+  // precondition is mechanically checkable: anything but long elements would
+  // make getLong misread the packed array bytes and return garbage counts.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull) =>
+        !containsNull
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint> with non-null elements on both sides, " +
+          s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]

@@ -613,9 +613,10 @@ object Relational {
     * |v−μ| > 2σ is multiplied through to (n·v − S1)² > 4·(n·S2 − S1²) and
     * evaluated in DOUBLE from those exact moments: the same operation order
     * on both engines gives bit-identical comparisons, and doubles never
-    * overflow (the all-integer form wraps int64 past ~10⁵ rows/type at
-    * these value magnitudes — measured, not theoretical). The tiny per-type
-    * stats table broadcasts back onto the fact scan.
+    * overflow (the all-integer form exceeds int64 past ~10⁵ rows/type at
+    * these value magnitudes — under Spark 4's default ANSI mode that is a
+    * query-killing ArithmeticException, measured, not theoretical). The
+    * tiny per-type stats table broadcasts back onto the fact scan.
     */
   def ev_anomaly(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")

@@ -410,11 +410,17 @@ class PipelineSpec extends AnyFunSuite {
         size(array_intersect(col("a"), col("b"))).as("ref"))
       .filter(col("fast") =!= col("ref")).count()
     assert(mismatches == 0)
-    // null input -> null out (nullIntolerant), on both codegen and eval paths
+    // null input -> null out (nullIntolerant); when(false, a) keeps the
+    // non-null-element array type the expression's type check requires
     val nulls = df.limit(1)
-      .select(graft.functions.SortedOverlap.count(lit(null).cast("array<bigint>"), col("b")))
+      .select(graft.functions.SortedOverlap.count(when(lit(false), col("a")), col("b")))
       .collect()
     assert(nulls.head.isNullAt(0))
+    // nullable-element or non-long arrays must fail analysis, not misread bytes
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(graft.functions.SortedOverlap.count(
+        lit(null).cast("array<bigint>"), col("b"))).collect()
+    }
   }
 
   /** Write a tiny documents corpus to a temp dir shaped like testdata. */
