@@ -419,6 +419,39 @@ object OracleSql {
         |FROM ev
         |ORDER BY event_id""".stripMargin,
 
+    "q43_interp" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    CASE WHEN CAST(floor(value * 100) AS BIGINT) % 10 = 0 THEN NULL
+        |         ELSE CAST(floor(value * 100) AS BIGINT) END AS cents
+        |  FROM events),
+        |seq AS (
+        |  SELECT event_id, user_id, ts, cents,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |         AS BIGINT) AS rn
+        |  FROM ev),
+        |win AS (
+        |  SELECT event_id, user_id, cents, rn,
+        |    last_value(cents IGNORE NULLS) OVER
+        |      (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    first_value(cents IGNORE NULLS) OVER
+        |      (w ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    last_value(CASE WHEN cents IS NOT NULL THEN rn END IGNORE NULLS)
+        |      OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp,
+        |    first_value(CASE WHEN cents IS NOT NULL THEN rn END IGNORE NULLS)
+        |      OVER (w ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS np
+        |  FROM seq
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_id, user_id, cents,
+        |  CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+        |       WHEN pv IS NULL THEN CAST(nv AS DOUBLE)
+        |       WHEN nv IS NULL THEN CAST(pv AS DOUBLE)
+        |       ELSE CAST(pv AS DOUBLE) + CAST(nv - pv AS DOUBLE) *
+        |            (CAST(rn - pp AS DOUBLE) / CAST(np - pp AS DOUBLE))
+        |  END AS cents_interp
+        |FROM win
+        |ORDER BY event_id""".stripMargin,
+
     "q41_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,

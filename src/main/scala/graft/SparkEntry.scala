@@ -65,6 +65,7 @@ object SparkEntry {
     "q40_recursive" -> (Relational.q40_recursive _),
     "q41_grouping_sets" -> (Relational.q41_grouping_sets _),
     "q42_locf" -> (Relational.q42_locf _),
+    "q43_interp" -> (Relational.q43_interp _),
     // LLM-data-pipeline operators (builder brief; SURVEY.md §7.7)
     "dd_exact" -> (Dedup.dd_exact _),
     "dd_fingerprint" -> (Dedup.dd_fingerprint _),

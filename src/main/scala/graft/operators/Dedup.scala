@@ -330,23 +330,36 @@ object Dedup {
         col("n") - ceil(col("n").cast("double") * threshold).cast("int") + 1)
       .select(col("doc_id"), col("n"), col("p"), col("sh"))
       .localCheckpoint()
-    // Positional filter (Xiao et al., ppjoin): a token matched at ranked
-    // positions (i, j) bounds the overlap — common elements before it number
+    // Candidate generation is the ppjoin ASYMMETRIC join (Xiao et al.): a
+    // qualifying pair must share a token in the probe prefix of its LONGER
+    // record (|x| − ⌈t·|x|⌉ + 1 — what `pref` holds) AND in the tighter
+    // INDEX prefix of its shorter one (|y| − ⌈2t/(1+t)·|y|⌉ + 1, from
+    // |x| ≥ |y| ⇒ overlap ≥ 2t/(1+t)·|y|). Orientation is lexicographic
+    // (length, id): each unordered pair joins in exactly one orientation,
+    // and the shorter-indexed prefix is ~0.43n vs 0.6n at t=0.4 — ~30 %
+    // fewer join rows for identical output. The length filter
+    // (J ≤ |y|/|x| < t prunes outright) runs before the pair aggregation.
+    val idxPrefLen = col("n") -
+      ceil(col("n").cast("double") * (2 * threshold / (1 + threshold))).cast("int") + 1
+    val index = pref.filter(col("p") < idxPrefLen)
+    // Positional filter (ppjoin): a token matched at ranked positions
+    // (i, j) bounds the overlap — common elements before it number
     // ≤ min(i, j), after it ≤ min(|A|-i-1, |B|-j-1) — and J ≥ t needs
     // overlap ≥ t(|A|+|B|)/(1+t). Any matched token's bound is valid, so
-    // candidates are kept only when their tightest bound can still reach the
-    // requirement (ε guards the inexact double threshold — conservative,
-    // never prunes a qualifying pair).
+    // candidates are kept only when their tightest bound can still reach
+    // the requirement (ε guards the inexact double threshold —
+    // conservative, never prunes a qualifying pair).
     val bound = least(col("pa"), col("pb")) + lit(1) +
       least(col("na") - col("pa") - 1, col("nb") - col("pb") - 1)
-    val candidates = pref.select(col("sh"), col("doc_id").as("a"), col("n").as("na"), col("p").as("pa"))
+    val candidates = index.select(col("sh"), col("doc_id").as("a"), col("n").as("na"), col("p").as("pa"))
       .join(pref.select(col("sh"), col("doc_id").as("b"), col("n").as("nb"), col("p").as("pb")), Seq("sh"))
-      .filter(col("a") < col("b"))
+      .filter(col("na") < col("nb") || (col("na") === col("nb") && col("a") < col("b")))
+      .filter(col("na").cast("double") >= col("nb").cast("double") * threshold - 1e-9)
       .groupBy("a", "b")
       .agg(min(bound).as("ub"), first(col("na")).as("na"), first(col("nb")).as("nb"))
       .filter(col("ub").cast("double") >=
         (col("na") + col("nb")).cast("double") * (threshold / (1 + threshold)) - 1e-9)
-      .select("a", "b")
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
     // Verification needs only intersection SIZE — order-independent — so it
     // reads the hash-sorted arrays already materialized in `grouped` rather
     // than a second ranked-array frame, and counts the overlap with a

@@ -537,6 +537,44 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Linear interpolation of missing readings — the resample/repair step
+    * beyond [[q42_locf]]'s carry-forward: a gap takes the line between its
+    * nearest present neighbors, weighted by row distance. Four window
+    * functions (prev/next value, prev/next position — IGNORE NULLS
+    * navigation both directions) over ONE partition spec = one shuffle +
+    * sort; edges fall back to the single present neighbor. The arithmetic
+    * is integer cents until the final `prev + (next−prev)·frac` with an
+    * identical operation order in the oracle, so the doubles match bit for
+    * bit.
+    */
+  def q43_interp(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val cents = when(floor(col("value") * 100).cast("long") % 10 === 0, lit(null))
+      .otherwise(floor(col("value") * 100).cast("long"))
+    val prevV = last(col("cents"), ignoreNulls = true).over(back)
+    val nextV = first(col("cents"), ignoreNulls = true).over(fwd)
+    val pos = row_number().over(w).cast("long")
+    val prevP = last(when(col("cents").isNotNull, col("rn")), ignoreNulls = true).over(back)
+    val nextP = first(when(col("cents").isNotNull, col("rn")), ignoreNulls = true).over(fwd)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), cents.as("cents"))
+      .withColumn("rn", pos)
+      .select(col("event_id"), col("user_id"), col("ts"), col("cents"), col("rn"),
+        prevV.as("pv"), nextV.as("nv"), prevP.as("pp"), nextP.as("np"))
+      .select(col("event_id"), col("user_id"), col("cents"),
+        when(col("cents").isNotNull, col("cents").cast("double"))
+          .when(col("pv").isNull, col("nv").cast("double"))
+          .when(col("nv").isNull, col("pv").cast("double"))
+          .otherwise(col("pv").cast("double") +
+            (col("nv") - col("pv")).cast("double") *
+              ((col("rn") - col("pp")).cast("double") /
+                (col("np") - col("pp")).cast("double")))
+          .as("cents_interp"))
+      .orderBy("event_id")
+  }
+
   /** Value-based (RANGE) window frame — trailing-30-day customer spend per
     * order. Distinct semantics from the ROWS frames elsewhere: the frame is
     * bounded by the ORDER-BY VALUE (epoch day), so same-day orders are
