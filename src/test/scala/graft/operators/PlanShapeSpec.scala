@@ -226,6 +226,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"fact side must aggregate before the spine join:\n$p")
   }
 
+  test("q41: grouping sets is one Expand + one aggregate — not a scan per set") {
+    val p = plan(Relational.q41_grouping_sets(spark, dir))
+    assert(p.contains("Expand"))
+    assert("FileScan".r.findAllIn(p).size == 1, s"one scan only:\n$p")
+  }
+
+  test("q42/q43: LOCF and interpolation windows share ONE user_id shuffle each") {
+    for (q <- Seq(Relational.q42_locf _, Relational.q43_interp _)) {
+      val p = plan(q(spark, dir))
+      // single-partition test input can elide the exchange entirely; the
+      // invariant is that the window specs never force a SECOND one
+      assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+        s"all window specs must reuse the same partitioning:\n$p")
+    }
+  }
+
   test("partitioned layout: a filter on the partition column prunes at planning time") {
     val out = java.nio.file.Files.createTempDirectory("graft-part").toString
     graft.sources.Tables.loadParallel(spark, dir, "documents")
