@@ -646,6 +646,18 @@ object OracleSql {
         |  FROM documents)
         |WHERE rk <= 20 ORDER BY source, rk""".stripMargin,
 
+    "samp_balanced" ->
+      """WITH ranked AS (
+        |  SELECT lang, md5(text) AS h,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS BIGINT) AS rk
+        |  FROM documents),
+        |cap AS (
+        |  SELECT CAST(min(n) AS BIGINT) AS cap FROM (
+        |    SELECT count(*) AS n FROM documents GROUP BY lang))
+        |SELECT lang, count(*) AS n_kept, min(h) AS first_h
+        |FROM ranked, cap WHERE rk <= cap
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
     "samp_split" ->
       s"""SELECT source, $splitCaseSql AS split, count(*) AS n
          |FROM documents GROUP BY 1, 2 ORDER BY source, split""".stripMargin,

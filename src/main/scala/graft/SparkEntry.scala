@@ -93,6 +93,7 @@ object SparkEntry {
     "dd_para" -> ((s, d) => Curation.dd_para(s, d)),
     "samp_stratified" -> ((s, d) => Curation.samp_stratified(s, d)),
     "samp_reservoir" -> ((s, d) => Curation.samp_reservoir(s, d)),
+    "samp_balanced" -> ((s, d) => Curation.samp_balanced(s, d)),
     "samp_split" -> (Curation.samp_split _),
     "decon_ngram" -> ((s, d) => Curation.decon_ngram(s, d)),
     "pipeline_curate" -> (Curation.pipeline_curate _),

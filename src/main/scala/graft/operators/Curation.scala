@@ -85,6 +85,28 @@ object Curation {
       .orderBy("source", "rk")
   }
 
+  /** Class-balanced downsampling: every language capped at the SMALLEST
+    * language's document count — the source/language equalization step a
+    * multilingual training mix needs, distinct from rate-based
+    * [[samp_stratified]] and global-quota [[samp_reservoir]]. Which docs
+    * survive is content-addressed (rank by md5 within language), so the
+    * balanced corpus is reproducible under any partitioning or re-ingest
+    * order. Two shuffles total: the per-language count (tiny, broadcast
+    * back) and the ranking window.
+    */
+  def samp_balanced(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("lang"), md5(col("text")).as("h"))
+    val cap = d.groupBy("lang").agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("cap"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    d.withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(cap))
+      .filter(col("rk") <= col("cap"))
+      .groupBy("lang").agg(count(lit(1)).as("n_kept"), min(col("h")).as("first_h"))
+      .orderBy("lang")
+  }
+
   /** Deterministic train/val/test split (≈ 0.90/0.05/0.05) from the first
     * three hex chars of md5(text): content-addressed assignment, so the same
     * document lands in the same split no matter when or where it is
