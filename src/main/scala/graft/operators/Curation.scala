@@ -96,12 +96,18 @@ object Curation {
     */
   def samp_balanced(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), col("lang"), md5(col("text")).as("h"))
-    val cap = d.groupBy("lang").agg(count(lit(1)).as("n"))
-      .agg(min(col("n")).as("cap"))
+    // per-lang counts are a bounded-domain frame (#languages rows), so the
+    // global-min window over it is scale-safe, and carrying cap per lang
+    // keeps the join back onto the corpus an EQUI join (broadcast hash),
+    // not the nested-loop a 1-row scalar cross join would plan
+    val caps = d.groupBy("lang").agg(count(lit(1)).as("n"))
+      .withColumn("cap",
+        min(col("n")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select("lang", "cap")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
     d.withColumn("rk", row_number().over(w).cast("long"))
-      .join(broadcast(cap))
+      .join(broadcast(caps), Seq("lang"))
       .filter(col("rk") <= col("cap"))
       .groupBy("lang").agg(count(lit(1)).as("n_kept"), min(col("h")).as("first_h"))
       .orderBy("lang")
