@@ -735,5 +735,35 @@ object OracleSql {
         |SELECT doc_id, count(*) AS n_overlap
         |FROM tr JOIN ev USING (gh)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // With capacity (64) ≥ the corpus vocabulary the Misra–Gries sketch is
+    // in its exact regime, so the plain group-by twin matches exactly; the
+    // lossy regime is bound-tested in HeavyHittersSpec instead.
+    "tx_heavy" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 15""".stripMargin,
+
+    "tx_blocklist" -> {
+      val lst = graft.operators.TextAnalysis.blockTerms.map(t => s"'$t'").mkString(", ")
+      s"""SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+         |  CAST(sum(hits) AS BIGINT) AS n_hits,
+         |  min(scrub_digest) AS scrub_probe
+         |FROM (
+         |  SELECT source,
+         |    len(list_filter(string_split(text, ' '), t -> t IN ($lst))) AS hits,
+         |    md5(array_to_string(
+         |      list_filter(string_split(text, ' '), t -> t NOT IN ($lst)), ' ')) AS scrub_digest
+         |  FROM documents)
+         |GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    "q44_regex" ->
+      """SELECT lang,
+        |  CAST(sum(CASE WHEN regexp_matches(text, '\bdup\b') THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  max(regexp_extract(text, '([a-z]+) dup', 1)) AS before_dup,
+        |  min(md5(regexp_replace(text, '[aeiou]', '', 'g'))) AS vowel_probe
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

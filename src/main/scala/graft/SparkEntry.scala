@@ -100,6 +100,9 @@ object SparkEntry {
     "tx_gopher" -> ((s, d) => TextAnalysis.tx_gopher(s, d)),
     "tx_salient" -> ((s, d) => TextAnalysis.tx_salient(s, d)),
     "embed_quantize" -> (TextAnalysis.embed_quantize _),
+    "tx_heavy" -> ((s, d) => TextAnalysis.tx_heavy(s, d)),
+    "tx_blocklist" -> ((s, d) => TextAnalysis.tx_blocklist(s, d)),
+    "q44_regex" -> (Relational.q44_regex _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the

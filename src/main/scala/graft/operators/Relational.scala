@@ -720,4 +720,23 @@ object Relational {
         first(col("event_type")).over(w).as("first_type"))
       .orderBy("user_id", "event_id")
   }
+
+  /** Regex surface — match (`rlike`), group extraction (`regexp_extract`),
+    * and global substitution (`regexp_replace`) in one per-lang audit.
+    * Patterns stay in the RE2 ∩ java.util.regex common subset (character
+    * classes, `\b`, capture groups — no backreferences or lookaround) so the
+    * DuckDB twin evaluates them identically; Spark's regexp_replace is
+    * global by default where DuckDB needs the 'g' flag. All three run in the
+    * scan stage under whole-stage codegen with the compiled pattern cached
+    * per task — at scale this is a map-only pass, shuffling only the
+    * bounded (lang, partial) rows.
+    */
+  def q44_regex(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        sum(when(col("text").rlike("\\bdup\\b"), 1L).otherwise(0L)).as("n_dup"),
+        max(regexp_extract(col("text"), "([a-z]+) dup", 1)).as("before_dup"),
+        min(md5(regexp_replace(col("text"), "[aeiou]", ""))).as("vowel_probe"))
+      .orderBy("lang")
 }

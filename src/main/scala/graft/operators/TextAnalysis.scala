@@ -291,4 +291,56 @@ object TextAnalysis {
         (col("top_gram_n").cast("double") / col("n_grams") > threshold).as("repetitive"))
       .orderBy("doc_id")
   }
+
+  /** Corpus heavy hitters via the Misra–Gries sketch
+    * ([[graft.functions.MisraGriesAgg]]): top-`k` tokens with frequency
+    * estimates from O(capacity)-memory partial aggregates. The exact twin
+    * (`groupBy(token).count` → top-k) shuffles one row per DISTINCT token —
+    * unbounded over web text; the sketch's shuffle is `capacity` rows per
+    * map partition, full stop. The default capacity (64) exceeds the test
+    * corpus's vocabulary, putting the sketch in its exact regime so the
+    * DuckDB group-by oracle hash-matches; HeavyHittersSpec drives the lossy
+    * regime (capacity ≪ distinct) against the paper's guarantee instead.
+    */
+  def tx_heavy(s: SparkSession, dir: String, k: Int = 15, capacity: Int = 64): DataFrame =
+    docs(s, dir)
+      .select(explode(words(col("text"))).as("token"))
+      .agg(graft.functions.HeavyHitters.heavyHitters(col("token"), capacity).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.token").as("token"), col("e.n").as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
+  /** Blocklist terms for [[tx_blocklist]] — shared with the DuckDB oracle so
+    * the two can never drift. Tuned to the synthetic corpus's vocabulary
+    * (like C4's bad-words list is tuned to web text); the operator takes any
+    * list.
+    */
+  val blockTerms: Seq[String] = Seq("dup", "slow")
+
+  /** Blocklist screening + scrubbing (the C4 "bad words" pass, Raffel et
+    * al. 2020 §2.2 — C4 drops the document; the scrub variant keeps it with
+    * the terms removed, both emitted here). Token-membership matching, not
+    * regex: exact, cheap, and language-agnostic. Per-source audit counts
+    * plus a content probe (min digest of the scrubbed text) so the oracle
+    * pins the scrub TRANSFORM, not just the counts. Map-only until the
+    * final bounded-domain aggregate — at 100 TB the scan dominates and
+    * nothing shuffles but (source, partial) rows.
+    */
+  def tx_blocklist(s: SparkSession, dir: String,
+      terms: Seq[String] = blockTerms): DataFrame = {
+    val w = words(col("text"))
+    val isBlocked: Column => Column = t => t.isInCollection(terms)
+    val hits = size(filter(w, isBlocked))
+    val scrubbed = concat_ws(" ", filter(w, t => !isBlocked(t)))
+    docs(s, dir)
+      .select(col("source"), hits.as("hits"), md5(scrubbed).as("scrub_digest"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("hits") > 0, 1L).otherwise(0L)).as("n_flagged"),
+        sum(col("hits")).as("n_hits"),
+        min(col("scrub_digest")).as("scrub_probe"))
+      .orderBy("source")
+  }
 }
