@@ -13,9 +13,23 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
   */
 object GraftFunctions {
 
-  def install(spark: SparkSession): Unit =
+  def install(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "misra_gries", exprs => mkMisraGries(exprs), "scala_udf")
+  }
+
+  /** `misra_gries(token, capacity)` — capacity must be a literal int. */
+  private[functions] def mkMisraGries(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): MisraGriesAgg = {
+    val cap = exprs(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"misra_gries capacity must be an integer literal, got $other")
+    }
+    MisraGriesAgg(exprs(0), cap)
+  }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -26,6 +40,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[VecDot].getName, "vec_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VecDot(exprs(0), exprs(1))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("misra_gries"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[MisraGriesAgg].getName, "misra_gries"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GraftFunctions.mkMisraGries(exprs)))
     e.injectOptimizerRule(_ => RewriteSortedOverlap)
   }
 }

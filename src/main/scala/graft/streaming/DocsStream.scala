@@ -50,6 +50,23 @@ object DocsStream {
       .withColumn("split", graft.operators.Curation.splitOf(col("text")))
   }
 
+  /** Ingest-time EXACT dedup with bounded state: admit a document only if
+    * its normalized-content digest has not been seen within the watermark
+    * horizon. `dropDuplicates` on an unbounded stream keeps every digest
+    * forever — state grows with the corpus; `dropDuplicatesWithinWatermark`
+    * expires digests once the event-time watermark passes them, so state is
+    * bounded by (ingest rate × horizon) regardless of total corpus size.
+    * The right gate for the dominant real-world duplicate mode (the same
+    * document re-crawled/re-submitted close in time); corpus-wide historical
+    * dedup stays a batch job ([[graft.operators.Dedup.dd_exact]]).
+    * Expects an `ingest_ts` timestamp column (arrival time) plus `text`.
+    */
+  def ingestDedup(stream: DataFrame, horizon: String = "10 minutes"): DataFrame =
+    stream
+      .withColumn("digest", md5(normalize(col("text"))))
+      .withWatermark("ingest_ts", horizon)
+      .dropDuplicatesWithinWatermark("digest")
+
   /** Screen a document stream (or batch frame) against a corpus band index;
     * emits (in_doc, corpus_doc, est_jaccard) for collisions with estimated
     * Jaccard ≥ threshold.

@@ -274,4 +274,14 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(p.contains("skew=true"), s"expected AQE to split the hot partition:\n$p")
     } finally prev.foreach { case (k, v) => v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
+
+  test("tx_heavy: sketch aggregates via ObjectHashAggregate with a map-side partial") {
+    val p = plan(TextAnalysis.tx_heavy(spark, dir))
+    // TypedImperativeAggregate must take the hash path (one buffer object per
+    // group), not SortAggregate (a sort per aggregation step); two occurrences
+    // = partial + final, so each map task ships ONE capacity-bounded summary.
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"Misra-Gries must plan as partial+final ObjectHashAggregate:\n$p")
+    assert(!p.contains("SortAggregate"))
+  }
 }

@@ -153,6 +153,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(d == 32.0)
   }
 
+  test("ingestDedup: same-content docs within the horizon collapse to the first") {
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val stream = input.toDF().toDF("doc_id", "ingest_ts", "text")
+    val q = DocsStream.ingestDedup(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      // batch 1: two distinct texts + one near-instant duplicate (normalized
+      // equal: punctuation/case differ only)
+      input.addData(
+        (1L, t(0), "spark scan join"),
+        (2L, t(1), "Spark SCAN join!"),
+        (3L, t(2), "window sort merge"))
+      q.processAllAvailable()
+      // batch 2: duplicate arriving 60s later — still inside the 10m horizon
+      input.addData((4L, t(60), "spark scan join"))
+      q.processAllAvailable()
+      val admitted = spark.table("dedup_out").select("doc_id")
+        .as[Long].collect().toSet
+      // exactly one of the same-batch duplicate pair (which one wins the
+      // state-store race within a batch is not defined), plus the distinct
+      // doc; the cross-batch duplicate (doc 4) must be rejected
+      assert(admitted.contains(3L) && !admitted.contains(4L))
+      assert((admitted & Set(1L, 2L)).size == 1 && admitted.size == 2)
+      // admitted digest set matches the batch twin's distinct digests
+      val batchDigests = Seq(
+        (1L, t(0), "spark scan join"), (2L, t(1), "Spark SCAN join!"),
+        (3L, t(2), "window sort merge"), (4L, t(60), "spark scan join"))
+        .toDF("doc_id", "ingest_ts", "text")
+        .select(md5(graft.functions.TextFunctions.normalize(col("text"))).as("digest"))
+        .distinct().as[String].collect().toSet
+      val admittedDigests = spark.table("dedup_out").select("digest")
+        .as[String].collect().toSet
+      assert(admittedDigests == batchDigests)
+    } finally q.stop()
+  }
+
+  test("misra_gries available from SQL via install") {
+    graft.functions.GraftFunctions.install(spark)
+    Seq("a", "a", "b").toDF("token").createOrReplaceTempView("toks")
+    val top = spark.sql(
+      "SELECT misra_gries(token, 4)[0].token AS t FROM toks")
+      .collect().head.getString(0)
+    assert(top == "a")
+  }
+
   test("enforceRequired filters rows with NULL required columns (A13)") {
     val e = new graft.engine.Engine(spark)
     val df = Seq((1L, Some("x")), (2L, None), (3L, Some("z")))
