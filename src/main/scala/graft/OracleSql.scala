@@ -765,5 +765,32 @@ object OracleSql {
         |  max(regexp_extract(text, '([a-z]+) dup', 1)) AS before_dup,
         |  min(md5(regexp_replace(text, '[aeiou]', '', 'g'))) AS vowel_probe
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // One Lloyd assignment step from the deterministic init (k lowest
+    // vec_ids): exact double distances with the same fold order as the Spark
+    // side, ties to the lowest cluster, fixed-point content sums — the
+    // oracle anchor for the iterative embed_kmeans twin (which carries
+    // determinism/monotonicity tests instead; iteration is not reasonably
+    // expressible in one DuckDB query).
+    "embed_kmeans_assign" ->
+      """WITH c AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c,
+        |         embedding AS ce
+        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 10)),
+        |a AS (
+        |  SELECT e.vec_id,
+        |    (min({'d': list_sum(list_transform(list_zip(e.embedding, c.ce),
+        |            p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+        |               * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+        |          'c': c.c})).c AS cluster
+        |  FROM embeddings e, c GROUP BY e.vec_id),
+        |q AS (
+        |  SELECT vec_id, CAST(list_sum(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))) AS BIGINT) AS q
+        |  FROM embeddings)
+        |SELECT cluster, count(*) AS n, min(a.vec_id) AS first_vec,
+        |  CAST(sum(q) AS BIGINT) AS qsum
+        |FROM a JOIN q USING (vec_id)
+        |GROUP BY cluster ORDER BY cluster""".stripMargin,
   )
 }

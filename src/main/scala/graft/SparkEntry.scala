@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Curation, Dedup, EtlQueries, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Clustering, Curation, Dedup, EtlQueries, Multimodal, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -103,6 +103,8 @@ object SparkEntry {
     "tx_heavy" -> ((s, d) => TextAnalysis.tx_heavy(s, d)),
     "tx_blocklist" -> ((s, d) => TextAnalysis.tx_blocklist(s, d)),
     "q44_regex" -> (Relational.q44_regex _),
+    "embed_kmeans_assign" -> ((s, d) => Clustering.embed_kmeans_assign(s, d)),
+    "embed_kmeans" -> ((s, d) => Clustering.embed_kmeans(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the

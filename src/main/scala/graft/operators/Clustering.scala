@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Embedding clustering — deterministic Lloyd (k-means) over the
+  * `embeddings` table, the corpus-organization step a training pipeline runs
+  * for mixture balancing, semantic dedup regions, and IVF coarse quantizers
+  * ([[Similarity.ann_ivf]] takes exactly this kind of centroid set).
+  *
+  * Everything is content-deterministic: init is the k lowest `vec_id`
+  * vectors (no RNG), assignment distance is a left-to-right double fold with
+  * a defined operation order (the [[graft.functions.TextFunctions.cosine]]
+  * trick), ties break to the lowest cluster index, and centroid updates
+  * accumulate in fixed-point integers (`floor(x·2^20)` — power-of-two
+  * scaling is exact IEEE), so the result is bit-identical under any
+  * partitioning, task order, or re-run — on Spark or any other engine.
+  *
+  * Scale shape (Lloyd is inherently iterative; this is the MLlib shape, not
+  * a driver loop over data): per iteration, ONE map pass assigns against a
+  * plan-literal centroid table (k·dim doubles — broadcast-sized at any k
+  * that makes sense) and ONE map-side-combined aggregate reduces to
+  * k·dim partial rows per partition; only the k·dim centroid table ever
+  * reaches the driver.
+  */
+object Clustering {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.loadParallel(s, dir, "embeddings")
+
+  /** Squared euclidean distance as a sequential double fold — defined
+    * evaluation order, so DuckDB's `list_sum` twin matches bit for bit.
+    */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0),
+      (acc, d) => acc + d)
+
+  /** Argmin over the literal centroid set: `least` of (distance, index)
+    * structs — struct comparison is lexicographic, so equal distances break
+    * to the lowest cluster index.
+    */
+  private def assignTo(centroids: Seq[Seq[Double]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(sqDist(col("embedding"), typedLit(c)).as("d"), lit(i).as("c"))
+    }
+    least(scored: _*)
+  }
+
+  /** Fixed-point per-row component sum: Σ_dims floor(x·2^20) — one exact
+    * integer per vector, an order-independent content probe.
+    */
+  private val qrow: Column =
+    aggregate(col("embedding"), lit(0L),
+      (acc, x) => acc + floor(x.cast("double") * (1L << 20)).cast("long"))
+
+  /** The k lowest-vec_id vectors as driver-side doubles — deterministic,
+    * RNG-free init (k·dim values, independent of corpus size).
+    */
+  private[operators] def initCentroids(e: DataFrame, k: Int): Seq[Seq[Double]] =
+    e.orderBy("vec_id").limit(k).select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+
+  /** One Lloyd assignment step from the deterministic init, summarized per
+    * cluster — the DuckDB-oracle anchor for the iterative twin: exact double
+    * distances, exact tie-breaks, exact fixed-point content sums.
+    */
+  def embed_kmeans_assign(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val e = emb(s, dir)
+    e.select(col("vec_id"), assignTo(initCentroids(e, k)).getField("c").as("cluster"), qrow.as("q"))
+      .groupBy("cluster")
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("vec_id")).as("first_vec"),
+        sum(col("q")).as("qsum"))
+      .orderBy("cluster")
+  }
+
+  /** Full deterministic k-means: `iters` Lloyd rounds. Returns per-cluster
+    * size, fixed-point content sum, and fixed-point inertia (Σ floor(d·2^20)
+    * over members — integer, so order-independent). Empty clusters keep
+    * their previous centroid.
+    */
+  def embed_kmeans(s: SparkSession, dir: String, k: Int = 10, iters: Int = 5): DataFrame =
+    kmeansRounds(emb(s, dir), k, iters).last._2
+
+  /** The per-iteration trace (inertia, summary frame) — exposed so the spec
+    * can assert Lloyd's monotone-inertia invariant without re-running.
+    */
+  private[operators] def kmeansRounds(
+      e: DataFrame, k: Int, iters: Int): Seq[(Long, DataFrame)] = {
+    val dims = e.select(size(col("embedding"))).first().getInt(0)
+    var centroids = initCentroids(e, k)
+    (1 to iters).map { _ =>
+      val assigned = e
+        .withColumn("a", assignTo(centroids)) // staged once; both fields read from it
+        .select(col("vec_id"), col("embedding"),
+          col("a").getField("c").as("cluster"),
+          col("a").getField("d").as("d"),
+          qrow.as("q"))
+      // centroid update: per-(cluster, dim) fixed-point integer sums — the
+      // only shuffle, k·dims partial rows per partition after map-side combine
+      val sums = assigned
+        .select(col("cluster"), posexplode(col("embedding")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(floor(col("col").cast("double") * (1L << 20))).as("qs"),
+          count(lit(1)).as("n"))
+        .collect()
+      val byCluster = sums.groupBy(_.getInt(0))
+      centroids = centroids.zipWithIndex.map { case (prev, c) =>
+        byCluster.get(c) match {
+          case Some(rows) =>
+            val dim = rows.map(r => r.getInt(1) ->
+              (r.getLong(2).toDouble / (r.getLong(3) * (1L << 20)).toDouble)).toMap
+            (0 until dims).map(dim)
+          case None => prev // empty cluster: carry the previous centroid
+        }
+      }
+      val inertia = assigned
+        .agg(sum(floor(col("d") * (1L << 20)).cast("long"))).first().getLong(0)
+      val summary = assigned
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n"), min(col("vec_id")).as("first_vec"),
+          sum(col("q")).as("qsum"))
+        .orderBy("cluster")
+      (inertia, summary)
+    }
+  }
+}
