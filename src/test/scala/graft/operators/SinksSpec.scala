@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.sources.{Sinks, Tables}
+
+class SinksSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("writeShards: content-addressed, lossless, and hash-balanced") {
+    val out = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val docs = Tables.loadParallel(spark, dir, "documents")
+    Sinks.writeShards(docs, out, shards = 8)
+    val back = spark.read.parquet(out)
+    assert(back.count() == docs.count(), "no rows lost or duplicated")
+    // shard is a pure function of content: recompute and compare
+    val mismatches = back
+      .filter(col("shard") =!= pmod(xxhash64(col("text")), lit(8)).cast("int"))
+      .count()
+    assert(mismatches == 0)
+    // hash balance: with 500 docs over 8 shards no shard should be pathological
+    val sizes = back.groupBy("shard").count().collect().map(_.getLong(1))
+    assert(sizes.length == 8 && sizes.min > 20, s"unbalanced: ${sizes.toSeq}")
+    // re-writing a REPARTITIONED corpus lands every doc in the same shard
+    val out2 = java.nio.file.Files.createTempDirectory("graft-shards2").toString
+    Sinks.writeShards(docs.repartition(17), out2, shards = 8)
+    val a = spark.read.parquet(out).select("doc_id", "shard")
+    val b = spark.read.parquet(out2).select(col("doc_id"), col("shard").as("shard2"))
+    assert(a.join(b, "doc_id").filter(col("shard") =!= col("shard2")).count() == 0)
+  }
+
+  test("writeLayout: partition pruning + row-group stats filters on the sort column") {
+    val out = java.nio.file.Files.createTempDirectory("graft-layout").toString
+    val docs = Tables.loadParallel(spark, dir, "documents")
+    Sinks.writeLayout(docs, out, partCol = "lang", sortCol = "source")
+    val q = spark.read.parquet(out)
+      .filter(col("lang") === "en" && col("source") === "src3")
+    val p = q.queryExecution.sparkPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(lang"), "dir-level pruning")
+    assert(p.contains("PushedFilters: [IsNotNull(source), EqualTo(source,src3)"),
+      "source filter must reach the scan where sorted row-group stats apply")
+    assert(q.count() > 0)
+  }
+}
