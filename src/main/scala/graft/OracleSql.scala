@@ -792,5 +792,13 @@ object OracleSql {
         |  CAST(sum(q) AS BIGINT) AS qsum
         |FROM a JOIN q USING (vec_id)
         |GROUP BY cluster ORDER BY cluster""".stripMargin,
+
+    "tx_vocab" ->
+      """SELECT CAST(row_number() OVER (ORDER BY n DESC, token) - 1 AS BIGINT) AS id,
+        |  token, n
+        |FROM (SELECT token, count(*) AS n
+        |      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |      GROUP BY token)
+        |ORDER BY id""".stripMargin,
   )
 }

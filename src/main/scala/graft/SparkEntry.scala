@@ -105,6 +105,8 @@ object SparkEntry {
     "q44_regex" -> (Relational.q44_regex _),
     "embed_kmeans_assign" -> ((s, d) => Clustering.embed_kmeans_assign(s, d)),
     "embed_kmeans" -> ((s, d) => Clustering.embed_kmeans(s, d)),
+    "ev_quantile" -> (Relational.ev_quantile _),
+    "tx_vocab" -> ((s, d) => TextAnalysis.tx_vocab(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the

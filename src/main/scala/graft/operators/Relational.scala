@@ -216,6 +216,29 @@ object Relational {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
+  /** Approximate percentiles (Greenwald–Khanna) — the scale path for
+    * [[q30_percentile]] the same way [[ev_hll]] is for [[q27_count_distinct]]:
+    * the exact form materializes each group's full value set on one reducer
+    * to sort it; the GK summary is a fixed-size (accuracy-bound) buffer with
+    * map-side partials, so the shuffle is O(groups × summary) regardless of
+    * row count. accuracy=1000 ⇒ rank error ≤ 0.1 % (tolerance-tested
+    * against exact per-group percentiles in PipelineSpec; no DuckDB oracle —
+    * its approximate quantile is a t-digest with different estimates).
+    */
+  def ev_quantile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        approx_percentile(col("value"), array(lit(0.5), lit(0.95), lit(0.99)), lit(1000))
+          .as("p_approx"),
+        count(lit(1)).as("n_rows"))
+      .select(col("event_type"),
+        col("p_approx").getItem(0).as("p50"),
+        col("p_approx").getItem(1).as("p95"),
+        col("p_approx").getItem(2).as("p99"),
+        col("n_rows"))
+      .orderBy("event_type")
+
   // --- set ops -------------------------------------------------------------
 
   /** UNION (distinct) of two scans — `validation/location.yaml:15-18`. */

@@ -327,6 +327,27 @@ object TextAnalysis {
     * final bounded-domain aggregate — at 100 TB the scan dominates and
     * nothing shuffles but (source, partial) rows.
     */
+  /** Vocabulary construction (tokenizer prep): the distinct-token table with
+    * corpus counts and dense frequency-ranked ids — deterministic because
+    * the rank order (count desc, token asc) is total. The global window runs
+    * over the DISTINCT-TOKEN table, not the corpus: the groupBy partial-
+    * aggregates map-side, so the single-partition ranking sort sees one row
+    * per vocabulary entry — the inherent (and tiny, relative to corpus)
+    * serial step of assigning a total order. A BPE trainer would take the
+    * same counted table as its input.
+    */
+  def tx_vocab(s: SparkSession, dir: String, minCount: Long = 1L): DataFrame = {
+    val byFreq = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("token"))
+    docs(s, dir)
+      .select(explode(words(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .withColumn("id", row_number().over(byFreq).cast("long") - 1)
+      .select("id", "token", "n")
+      .orderBy("id")
+  }
+
   def tx_blocklist(s: SparkSession, dir: String,
       terms: Seq[String] = blockTerms): DataFrame = {
     val w = words(col("text"))

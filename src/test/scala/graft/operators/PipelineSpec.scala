@@ -373,6 +373,26 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("ev_quantile: GK approx percentiles within 0.5% rank error of exact per group") {
+    val dir = "/root/testdata/sf0.01"
+    val events = graft.sources.Tables.load(spark, dir, "events")
+    val approx = graft.operators.Relational.ev_quantile(spark, dir).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val tpe = r.getString(0)
+      val vals = events.filter(col("event_type") === tpe)
+        .select("value").as[Double].collect().sorted
+      for ((p, i) <- Seq(0.5, 0.95, 0.99).zipWithIndex) {
+        val est = r.getDouble(i + 1)
+        // rank of the estimate in the exact sorted values must be within
+        // 0.5% of the requested rank (GK guarantees 1/accuracy = 0.1%)
+        val rank = vals.count(_ <= est).toDouble / vals.length
+        assert(math.abs(rank - p) <= 0.005 || est == vals.last,
+          s"$tpe p$p: estimate $est sits at rank $rank")
+      }
+    }
+  }
+
   test("RewriteSortedOverlap rewrites the provable composed shape — and ONLY that shape") {
     val prev = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations = prev :+ graft.functions.RewriteSortedOverlap
