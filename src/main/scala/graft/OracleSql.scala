@@ -793,6 +793,27 @@ object OracleSql {
         |FROM a JOIN q USING (vec_id)
         |GROUP BY cluster ORDER BY cluster""".stripMargin,
 
+    // Integer shingle-set sizes and overlap; one double division at the end
+    // with the same operand order as the Spark side — bit-identical.
+    "decon_jaccard" ->
+      """WITH g AS (
+        |  SELECT doc_id, source, unnest(list_distinct(
+        |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |         ELSE list_transform(generate_series(0, len(w) - 3),
+        |                             i -> array_to_string(w[i+1:i+3], ' ')) END)) AS sh
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+        |ev AS (SELECT doc_id AS eval_doc, sh FROM g WHERE source = 'src0'),
+        |tr AS (SELECT doc_id, sh FROM g WHERE source <> 'src0'),
+        |ov AS (SELECT tr.doc_id, ev.eval_doc, count(*) AS o
+        |       FROM tr JOIN ev USING (sh) GROUP BY 1, 2)
+        |SELECT doc_id, eval_doc, jaccard FROM (
+        |  SELECT ov.doc_id, eval_doc,
+        |    CAST(o AS DOUBLE) / (nt.n + ne.n - o) AS jaccard
+        |  FROM ov JOIN sz nt ON ov.doc_id = nt.doc_id
+        |          JOIN sz ne ON ov.eval_doc = ne.doc_id)
+        |WHERE jaccard >= 0.5 ORDER BY doc_id, eval_doc""".stripMargin,
+
     "tx_vocab" ->
       """SELECT CAST(row_number() OVER (ORDER BY n DESC, token) - 1 AS BIGINT) AS id,
         |  token, n

@@ -96,6 +96,7 @@ object SparkEntry {
     "samp_balanced" -> ((s, d) => Curation.samp_balanced(s, d)),
     "samp_split" -> (Curation.samp_split _),
     "decon_ngram" -> ((s, d) => Curation.decon_ngram(s, d)),
+    "decon_jaccard" -> ((s, d) => Curation.decon_jaccard(s, d)),
     "pipeline_curate" -> (Curation.pipeline_curate _),
     "tx_gopher" -> ((s, d) => TextAnalysis.tx_gopher(s, d)),
     "tx_salient" -> ((s, d) => TextAnalysis.tx_salient(s, d)),

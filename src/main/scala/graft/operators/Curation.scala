@@ -178,6 +178,84 @@ object Curation {
     * md5 digests, not raw strings, to keep the broadcast and probe rows
     * narrow.
     */
+  /** FUZZY benchmark decontamination: exact n-gram Jaccard between every
+    * training document and every eval document sharing at least one shingle
+    * — the near-dup complement to [[decon_ngram]]'s exact-overlap screen
+    * (a lightly paraphrased eval item shares most but not all 8-grams, so
+    * the exact screen under-flags it; set similarity catches it).
+    *
+    * Recall is 1 by construction, not probabilistic: any pair with J > 0
+    * shares a shingle, so the postings equi-join enumerates every
+    * qualifying pair — which is what makes this oracle-checkable where a
+    * banded-minhash screen would not be. The scale shape exploits the
+    * asymmetry decontamination always has: the EVAL side (a benchmark) is
+    * small, so its exploded postings broadcast and the 100 TB training side
+    * joins map-side — it never shuffles; the only shuffle is the
+    * (train_doc, eval_doc) overlap count, map-side-combined and bounded by
+    * actually-shared shingles. Jaccard = o/(n_a + n_b − o) is one double
+    * division over exact integers — bit-identical on any engine.
+    */
+  def decon_jaccard(s: SparkSession, dir: String, n: Int = 3,
+      evalSource: String = "src0", threshold: Double = 0.5): DataFrame = {
+    import graft.functions.TextFunctions.hashedShingles
+    val w = org.apache.spark.sql.expressions.Window
+    val base = docs(s, dir).select(col("doc_id"), col("source"),
+      array_sort(hashedShingles(col("text"), n)).as("shs"))
+    // identical shingle sets collapse to one representative PER SIDE — the
+    // same clique² guard as dd_ngram_jaccard: re-crawled exact copies cost
+    // output rows, never verification work
+    def collapse(side: DataFrame): DataFrame = side
+      .groupBy("shs")
+      .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
+      .localCheckpoint() // consumed by postings, verification, and expansion
+    val tg = collapse(base.filter(col("source") =!= evalSource))
+    val eg = collapse(base.filter(col("source") === evalSource))
+    // Eval-side prefix postings, rarest-first (Chaudhuri/Bayardo): a pair
+    // with overlap ≥ ⌈t·|y|⌉ cannot hide ALL its common tokens in y's last
+    // ⌈t·|y|⌉ − 1 ranked positions, so joining the FULL training postings
+    // against only y's first |y| − ⌈t·|y|⌉ + 1 tokens keeps recall exactly 1
+    // — one-sided prefix filtering needs no global order on the 100 TB side
+    // (no train-side window, no train-side df): all ranking work happens on
+    // the benchmark-sized eval corpus and broadcasts.
+    val esh = eg.select(col("rep").as("eval_doc"), size(col("shs")).as("ne"),
+      explode(col("shs")).as("sh"))
+    val edf = esh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val eprefix = esh.join(edf, Seq("sh"))
+      .withColumn("p", row_number().over(
+        w.partitionBy("eval_doc").orderBy("df", "sh")) - lit(1))
+      .filter(col("p") <
+        col("ne") - ceil(col("ne").cast("double") * threshold).cast("int") + 1)
+      .select(col("sh"), col("eval_doc"), col("ne"))
+    // candidates: training postings map-side-join the broadcast prefix,
+    // with the Jaccard length filter (t·|y| ≤ |x| ≤ |y|/t) applied in-join
+    val tsh = tg.select(col("rep").as("doc_id"), size(col("shs")).as("nt"),
+      explode(col("shs")).as("sh"))
+    val cands = tsh.join(broadcast(eprefix), Seq("sh"))
+      .filter(col("nt").cast("double") >= col("ne").cast("double") * threshold - 1e-9 &&
+        col("nt").cast("double") <= col("ne").cast("double") / threshold + 1e-9)
+      .select("doc_id", "eval_doc").distinct()
+    // exact verification on the sorted arrays (codegen'd two-pointer merge)
+    val repPairs = cands
+      .join(tg.select(col("rep").as("doc_id"), col("shs").as("sa")), Seq("doc_id"))
+      .join(broadcast(eg.select(col("rep").as("eval_doc"), col("shs").as("sb"))),
+        Seq("eval_doc"))
+      .select(col("doc_id"), col("eval_doc"),
+        graft.functions.SortedOverlap.count(col("sa"), col("sb")).as("o"),
+        size(col("sa")).as("na"), size(col("sb")).as("nb"))
+      .select(col("doc_id"), col("eval_doc"),
+        (col("o").cast("double") / (col("na") + col("nb") - col("o")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    // expand representatives to member pairs (scores carry verbatim)
+    repPairs
+      .join(tg.select(col("rep").as("doc_id"), col("members").as("ma")), Seq("doc_id"))
+      .join(broadcast(eg.select(col("rep").as("eval_doc"), col("members").as("mb"))),
+        Seq("eval_doc"))
+      .select(explode(col("ma")).as("doc_id"), col("mb"), col("jaccard"))
+      .select(col("doc_id"), explode(col("mb")).as("eval_doc"), col("jaccard"))
+      .orderBy("doc_id", "eval_doc")
+  }
+
   def decon_ngram(s: SparkSession, dir: String, n: Int = 8, evalSource: String = "src0"): DataFrame = {
     val d = docs(s, dir)
     def grams(df: DataFrame): DataFrame =

@@ -275,6 +275,12 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally prev.foreach { case (k, v) => v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("decon_jaccard: eval postings broadcast — the training side joins without shuffling") {
+    val p = plan(Curation.decon_jaccard(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"eval side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("tx_heavy: sketch aggregates via ObjectHashAggregate with a map-side partial") {
     val p = plan(TextAnalysis.tx_heavy(spark, dir))
     // TypedImperativeAggregate must take the hash path (one buffer object per
