@@ -793,6 +793,34 @@ object OracleSql {
         |FROM a JOIN q USING (vec_id)
         |GROUP BY cluster ORDER BY cluster""".stripMargin,
 
+    "q45_nulls" ->
+      """SELECT event_id, user_id, cents,
+        |  CAST(row_number() OVER (PARTITION BY user_id
+        |    ORDER BY cents ASC NULLS LAST, event_id) AS BIGINT) AS rk_nulls_last,
+        |  CAST(row_number() OVER (PARTITION BY user_id
+        |    ORDER BY cents ASC NULLS FIRST, event_id) AS BIGINT) AS rk_nulls_first,
+        |  cents IS NOT DISTINCT FROM lag(cents) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS same_as_prev
+        |FROM (SELECT event_id, user_id, ts,
+        |        CASE WHEN CAST(floor(value * 100) AS BIGINT) % 7 = 0 THEN NULL
+        |             ELSE CAST(floor(value * 100) AS BIGINT) END AS cents
+        |      FROM events)
+        |ORDER BY event_id""".stripMargin,
+
+    "samp_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, substr(md5(text), 1, 1) AS shard, md5(text) AS h,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, sum(toks) OVER (PARTITION BY shard ORDER BY h, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d)
+        |SELECT shard, CAST(floor(CAST(cum - toks AS DOUBLE) / 256) AS BIGINT) AS seq_id,
+        |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS first_doc
+        |FROM c GROUP BY 1, 2 ORDER BY shard, seq_id""".stripMargin,
+
     // Integer shingle-set sizes and overlap; one double division at the end
     // with the same operand order as the Spark side — bit-identical.
     "decon_jaccard" ->

@@ -108,6 +108,8 @@ object SparkEntry {
     "embed_kmeans" -> ((s, d) => Clustering.embed_kmeans(s, d)),
     "ev_quantile" -> (Relational.ev_quantile _),
     "tx_vocab" -> ((s, d) => TextAnalysis.tx_vocab(s, d)),
+    "q45_nulls" -> (Relational.q45_nulls _),
+    "samp_pack" -> ((s, d) => Curation.samp_pack(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the

@@ -178,6 +178,36 @@ object Curation {
     * md5 digests, not raw strings, to keep the broadcast and probe rows
     * narrow.
     */
+  /** Sequence packing (training-batch prep): concatenate documents in a
+    * deterministic order and cut the stream into fixed token-budget
+    * training sequences — the GPT-style packing pass between curation and
+    * tokenization. Packing is per content-addressed SHARD
+    * (first md5 hex char, 16 shards): a global greedy pack would serialize
+    * on one cumulative sum, while per-shard packing runs one window per
+    * shard partition — embarrassingly parallel, and still fully
+    * deterministic because shard membership and intra-shard order are both
+    * functions of content alone. A doc whose tokens cross the boundary
+    * starts at its cumsum's bucket (documents are not split here; the
+    * budget is a soft target, standard for doc-boundary-respecting
+    * packing). Emits per-(shard, seq) audit rows.
+    */
+  def samp_pack(s: SparkSession, dir: String, budget: Int = 256): DataFrame = {
+    val toks = size(words(col("text"))).cast("long")
+    val shard = substring(md5(col("text")), 1, 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("h"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs(s, dir)
+      .select(col("doc_id"), shard.as("shard"), md5(col("text")).as("h"), toks.as("toks"))
+      .withColumn("cum", sum(col("toks")).over(w))
+      .withColumn("seq_id", floor((col("cum") - col("toks")).cast("double") / budget).cast("long"))
+      .groupBy("shard", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy("shard", "seq_id")
+  }
+
   /** FUZZY benchmark decontamination: exact n-gram Jaccard between every
     * training document and every eval document sharing at least one shingle
     * — the near-dup complement to [[decon_ngram]]'s exact-overlap screen

@@ -754,6 +754,30 @@ object Relational {
     * per task — at scale this is a map-only pass, shuffling only the
     * bounded (lang, partial) rows.
     */
+  /** NULL semantics surface — the dialect corners that silently differ
+    * between engines if untested: explicit NULLS FIRST/LAST ordering (Spark
+    * defaults nulls-first on ASC, Postgres/DuckDB default nulls-LAST, so
+    * rank columns materialize the difference into values the oracle hashes)
+    * and null-safe equality (`<=>` / IS NOT DISTINCT FROM). Both rank
+    * windows and the lag share one partition key — one shuffle, two sorts.
+    */
+  def q45_nulls(s: SparkSession, dir: String): DataFrame = {
+    val cents = when(floor(col("value") * 100).cast("long") % 7 === 0, lit(null))
+      .otherwise(floor(col("value") * 100).cast("long"))
+    val byUser = Window.partitionBy("user_id")
+    val wLast = byUser.orderBy(col("cents").asc_nulls_last, col("event_id"))
+    val wFirst = byUser.orderBy(col("cents").asc_nulls_first, col("event_id"))
+    val wSeq = byUser.orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), cents.as("cents"))
+      .select(
+        col("event_id"), col("user_id"), col("cents"),
+        row_number().over(wLast).cast("long").as("rk_nulls_last"),
+        row_number().over(wFirst).cast("long").as("rk_nulls_first"),
+        (col("cents") <=> lag(col("cents"), 1).over(wSeq)).as("same_as_prev"))
+      .orderBy("event_id")
+  }
+
   def q44_regex(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .groupBy(col("lang"))
