@@ -793,6 +793,52 @@ object OracleSql {
         |FROM a JOIN q USING (vec_id)
         |GROUP BY cluster ORDER BY cluster""".stripMargin,
 
+    "ev_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, event_type, ts,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS mv
+        |  FROM events),
+        |s2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts >= mv THEN ts END)
+        |    OVER (PARTITION BY user_id) AS mc
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= mc THEN ts END)
+        |    OVER (PARTITION BY user_id) AS mp
+        |  FROM s2),
+        |u AS (SELECT DISTINCT user_id, mv, mc, mp FROM s3)
+        |SELECT count(*) AS n_users,
+        |  CAST(sum(CASE WHEN mv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+        |  CAST(sum(CASE WHEN mc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked,
+        |  CAST(sum(CASE WHEN mp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased,
+        |  CAST(sum(CASE WHEN mp IS NOT NULL THEN epoch_us(mp) - epoch_us(mv)
+        |                ELSE 0 END) AS BIGINT) AS lag_micros_sum
+        |FROM u""".stripMargin,
+
+    "ev_retention" ->
+      """WITH wk AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week,
+        |    min(CAST(date_trunc('week', ts) AS DATE))
+        |      OVER (PARTITION BY user_id) AS cohort
+        |  FROM events)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+        |  CAST(datediff('day', cohort, week) // 7 AS BIGINT) AS "offset",
+        |  count(*) AS n_users
+        |FROM wk GROUP BY 1, 2 ORDER BY cohort, "offset"""".stripMargin,
+
+    "tx_surprisal" ->
+      """WITH v AS (
+        |  SELECT token, CAST(row_number() OVER (ORDER BY n DESC, token) - 1 AS BIGINT) AS id
+        |  FROM (SELECT token, count(*) AS n
+        |        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |        GROUP BY token)),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(id) AS BIGINT) AS rank_sum, CAST(max(id) AS BIGINT) AS rank_max
+        |FROM tok JOIN v USING (token)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q45_nulls" ->
       """SELECT event_id, user_id, cents,
         |  CAST(row_number() OVER (PARTITION BY user_id

@@ -110,6 +110,9 @@ object SparkEntry {
     "tx_vocab" -> ((s, d) => TextAnalysis.tx_vocab(s, d)),
     "q45_nulls" -> (Relational.q45_nulls _),
     "samp_pack" -> ((s, d) => Curation.samp_pack(s, d)),
+    "ev_funnel" -> (Relational.ev_funnel _),
+    "ev_retention" -> (Relational.ev_retention _),
+    "tx_surprisal" -> (TextAnalysis.tx_surprisal _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the

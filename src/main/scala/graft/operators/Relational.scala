@@ -754,6 +754,60 @@ object Relational {
     * per task — at scale this is a map-only pass, shuffling only the
     * bounded (lang, partial) rows.
     */
+  /** Event funnel (view → click-after-view → purchase-after-click) in ONE
+    * shuffle: each stage's per-user first-qualifying timestamp is a window
+    * min over an expression referencing the previous stage's window result,
+    * and every window shares the user partition spec — three chained Window
+    * operators, one exchange, no self-joins (the naive formulation re-scans
+    * and re-joins the events table once per stage). Stage timestamps are
+    * exact epoch integers; the emitted per-stage user counts and summed
+    * view→purchase lag are integer-exact.
+    */
+  def ev_funnel(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val mv = min(when(col("event_type") === "view", col("ts"))).over(w)
+    val events = t(s, dir, "events")
+      .withColumn("mv", mv)
+    val mc = min(when(col("event_type") === "click" && col("ts") >= col("mv"),
+      col("ts"))).over(w)
+    val mp = min(when(col("event_type") === "purchase" && col("ts") >= col("mc"),
+      col("ts"))).over(w)
+    events
+      .withColumn("mc", mc)
+      .withColumn("mp", mp)
+      .select(col("user_id"), col("mv"), col("mc"), col("mp")).distinct()
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("mv").isNotNull, 1L).otherwise(0L)).as("n_viewed"),
+        sum(when(col("mc").isNotNull, 1L).otherwise(0L)).as("n_clicked"),
+        sum(when(col("mp").isNotNull, 1L).otherwise(0L)).as("n_purchased"),
+        sum(when(col("mp").isNotNull,
+          unix_micros(col("mp")) - unix_micros(col("mv"))).otherwise(0L))
+          .as("lag_micros_sum"))
+  }
+
+  /** Cohort retention: users grouped by the week of their first event, and
+    * for each (cohort, week-offset) the count of users active that week.
+    * Two bounded-domain aggregates after one window min — the (user, week)
+    * distinct is the only corpus-sized shuffle; the retention matrix itself
+    * is cohorts × offsets rows.
+    */
+  def ev_retention(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    t(s, dir, "events")
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("week"))
+      .withColumn("cohort", min(col("week")).over(w))
+      .distinct()
+      .withColumn("offset",
+        (datediff(col("week"), col("cohort")) / 7).cast("long"))
+      // ISO string, not DATE: date-typed result cells round-trip differently
+      // through the two oracle readers (date vs timestamp objects)
+      .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"), col("offset"))
+      .agg(count(lit(1)).as("n_users")) // (user, week) already distinct
+      .orderBy("cohort", "offset")
+  }
+
   /** NULL semantics surface — the dialect corners that silently differ
     * between engines if untested: explicit NULLS FIRST/LAST ordering (Spark
     * defaults nulls-first on ASC, Postgres/DuckDB default nulls-LAST, so

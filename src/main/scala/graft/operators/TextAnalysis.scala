@@ -348,6 +348,27 @@ object TextAnalysis {
       .orderBy("id")
   }
 
+  /** Rank-based surprisal scoring (the integer-exact stand-in for a
+    * unigram-LM perplexity filter à la CCNet: rare tokens ⇒ high vocabulary
+    * rank ⇒ high score; log-probabilities would put engine-specific `ln`
+    * rounding in the oracle's way, token ranks are exact everywhere). The
+    * vocabulary is corpus-derived ([[tx_vocab]] order) and broadcast — at
+    * 100 TB the corpus scans once against a vocabulary-sized build side.
+    * Emits integer rank sums; consumers threshold `rank_sum/n_tokens`.
+    */
+  def tx_surprisal(s: SparkSession, dir: String): DataFrame = {
+    val vocab = tx_vocab(s, dir).select(col("token"), col("id"))
+    docs(s, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("token"))
+      .join(broadcast(vocab), Seq("token"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("id")).as("rank_sum"),
+        max(col("id")).as("rank_max"))
+      .orderBy("doc_id")
+  }
+
   def tx_blocklist(s: SparkSession, dir: String,
       terms: Seq[String] = blockTerms): DataFrame = {
     val w = words(col("text"))
