@@ -275,6 +275,14 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally prev.foreach { case (k, v) => v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("ev_funnel: three chained stage windows share ONE user-partitioned exchange") {
+    val p = Relational.ev_funnel(spark, dir).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"funnel stages must not add per-stage shuffles or self-joins:\n$p")
+    assert("Window".r.findAllIn(p).size >= 3)
+    assert(!p.contains("Join"))
+  }
+
   test("decon_jaccard: eval postings broadcast — the training side joins without shuffling") {
     val p = plan(Curation.decon_jaccard(spark, dir))
     assert(p.contains("BroadcastHashJoin"), s"eval side must broadcast:\n$p")
