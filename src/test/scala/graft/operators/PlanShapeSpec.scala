@@ -275,6 +275,30 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally prev.foreach { case (k, v) => v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("runtime bloom filter: a selective dim filter is pushed to the fact scan as might_contain") {
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a shuffle join
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = graft.sources.Tables.load(spark, dir, "lineitem")
+      val ord = graft.sources.Tables.load(spark, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      // at 100 TB this is the difference between shuffling the full fact
+      // table and shuffling only rows that can match the filtered dim: the
+      // optimizer builds a bloom filter on the dim side and applies it as a
+      // semi-filter on the fact scan BEFORE the exchange
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") || p.contains("bloom_filter_agg"),
+        s"expected an injected runtime bloom filter:\n$p")
+    } finally prev.foreach { case (k, v) => v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("ev_funnel: three chained stage windows share ONE user-partitioned exchange") {
     val p = Relational.ev_funnel(spark, dir).queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
