@@ -793,6 +793,27 @@ object OracleSql {
         |FROM a JOIN q USING (vec_id)
         |GROUP BY cluster ORDER BY cluster""".stripMargin,
 
+    // the payload column is the text bytes (stand-in corpus), so the digest
+    // twin is md5(text); format derives from doc_id exactly as mediaTable's
+    "mm_dedup" ->
+      """SELECT md5(text) AS digest, count(*) AS n_copies, min(doc_id) AS keeper,
+        |  count(DISTINCT ['png','jpeg','wav'][CAST(doc_id % 3 AS INTEGER) + 1]) AS n_formats
+        |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin,
+
+    "q46_session_native" ->
+      """WITH s1 AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s2 AS (
+        |  SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM s1)
+        |SELECT user_id, min(ts) AS t0, max(ts) AS t1, count(*) AS n_events
+        |FROM s2 GROUP BY user_id, sess ORDER BY user_id, t0""".stripMargin,
+
     "ev_funnel" ->
       """WITH s1 AS (
         |  SELECT user_id, event_type, ts,

@@ -83,6 +83,7 @@ object SparkEntry {
     "tx_langid" -> (TextAnalysis.tx_langid _),
     "tx_langid_eval" -> (TextAnalysis.tx_langid_eval _),
     "mm_pipeline" -> (Multimodal.mm_pipeline _),
+    "mm_dedup" -> (Multimodal.mm_dedup _),
     "dd_cluster" -> (Dedup.dd_cluster _),
     "dd_cluster_jaccard" -> ((s, d) => Dedup.dd_cluster_jaccard(s, d)),
     "tx_ngrams" -> ((s, d) => TextAnalysis.tx_ngrams(s, d)),
@@ -110,6 +111,7 @@ object SparkEntry {
     "tx_vocab" -> ((s, d) => TextAnalysis.tx_vocab(s, d)),
     "q45_nulls" -> (Relational.q45_nulls _),
     "samp_pack" -> ((s, d) => Curation.samp_pack(s, d)),
+    "q46_session_native" -> (Relational.q46_session_native _),
     "ev_funnel" -> (Relational.ev_funnel _),
     "ev_retention" -> (Relational.ev_retention _),
     "tx_surprisal" -> (TextAnalysis.tx_surprisal _),

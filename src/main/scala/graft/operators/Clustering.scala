@@ -89,10 +89,13 @@ object Clustering {
     kmeansRounds(emb(s, dir), k, iters).last._2
 
   /** The per-iteration trace (inertia, summary frame) — exposed so the spec
-    * can assert Lloyd's monotone-inertia invariant without re-running.
+    * can assert Lloyd's monotone-inertia invariant without re-running. The
+    * inertia scan is its own per-round job, so it only runs when traced
+    * (`traceInertia`); the production path pays one aggregate per round.
     */
   private[operators] def kmeansRounds(
-      e: DataFrame, k: Int, iters: Int): Seq[(Long, DataFrame)] = {
+      e: DataFrame, k: Int, iters: Int,
+      traceInertia: Boolean = false): Seq[(Long, DataFrame)] = {
     val dims = e.select(size(col("embedding"))).first().getInt(0)
     var centroids = initCentroids(e, k)
     (1 to iters).map { _ =>
@@ -120,8 +123,9 @@ object Clustering {
           case None => prev // empty cluster: carry the previous centroid
         }
       }
-      val inertia = assigned
-        .agg(sum(floor(col("d") * (1L << 20)).cast("long"))).first().getLong(0)
+      val inertia = if (traceInertia)
+        assigned.agg(sum(floor(col("d") * (1L << 20)).cast("long"))).first().getLong(0)
+      else -1L
       val summary = assigned
         .groupBy("cluster")
         .agg(count(lit(1)).as("n"), min(col("vec_id")).as("first_vec"),

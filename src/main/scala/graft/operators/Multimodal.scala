@@ -75,6 +75,21 @@ object Multimodal {
         expr(s"substring(payload, frame_idx * $stride * $frameBytes + 1, $frameBytes)")
           .as("frame_bytes"))
 
+  /** Exact media dedup: group by payload digest — the binary-column twin of
+    * [[Dedup.dd_exact]] (re-encoded/re-crawled byte-identical assets are the
+    * dominant duplicate mode in image corpora). The digest is computed in
+    * the scan projection, so only (digest, doc_id) rows shuffle, never
+    * payloads; near-dup on the decoded feature vectors is the
+    * [[Similarity]] LSH path. Oracle-checked (md5 over the binary payload).
+    */
+  def mm_dedup(s: SparkSession, dir: String): DataFrame =
+    mediaTable(s, dir)
+      .select(col("doc_id"), col("format"), md5(col("payload")).as("digest"))
+      .groupBy("digest")
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"),
+        countDistinct(col("format")).as("n_formats"))
+      .orderBy("digest") // full census (dd_exact convention): dedupe = keep `keeper`
+
   /** The pipeline as a queries-façade entry: features joined back to frame
     * counts — exercises binary plumbing end to end and returns a stable,
     * comparable projection.

@@ -396,6 +396,22 @@ object Relational {
       .orderBy("user_id", "sess")
   }
 
+  /** Sessionization via the NATIVE `session_window` operator — the built-in
+    * twin of [[q24_sessionize]]'s lag/cumsum formulation (same 30-minute
+    * gap; session_window splits at gap ≥ 30 m where the manual form used
+    * > — the oracle twin mirrors ≥). One aggregate, no window functions:
+    * Catalyst merges overlapping candidate windows in the aggregation
+    * itself, and the SAME operator works unchanged in Structured Streaming
+    * (where the lag/cumsum form cannot — no unbounded window over a
+    * stream). Oracle-checked against the manual DuckDB sessionizer.
+    */
+  def q46_session_native(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+      .select(col("user_id"), col("t0"), col("t1"), col("n_events"))
+      .orderBy("user_id", "t0")
+
   // --- grouping sets / pivot / percentiles / outer joins -------------------
 
   /** ROLLUP over (returnflag, linestatus): per-pair, per-flag, and grand

@@ -27,7 +27,7 @@ class ClusteringSpec extends AnyFunSuite {
 
   test("Lloyd invariant: inertia is non-increasing across iterations") {
     val e = Tables.loadParallel(spark, dir, "embeddings")
-    val inertias = Clustering.kmeansRounds(e, k = 6, iters = 4).map(_._1)
+    val inertias = Clustering.kmeansRounds(e, k = 6, iters = 4, traceInertia = true).map(_._1)
     // centroids are fixed-point-rounded means (≤ 2^-20 per component), so
     // allow that rounding's worth of slack on the comparison
     inertias.sliding(2).foreach { case Seq(prev, next) =>
