@@ -793,6 +793,15 @@ object OracleSql {
         |FROM a JOIN q USING (vec_id)
         |GROUP BY cluster ORDER BY cluster""".stripMargin,
 
+    "q47_corr_subquery" ->
+      """SELECT user_id, count(*) AS n_above
+        |FROM events e
+        |WHERE CAST(floor(value * 100) AS BIGINT) *
+        |      (SELECT count(*) FROM events e2 WHERE e2.user_id = e.user_id)
+        |    > (SELECT sum(CAST(floor(value * 100) AS BIGINT))
+        |       FROM events e3 WHERE e3.user_id = e.user_id)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     // the payload column is the text bytes (stand-in corpus), so the digest
     // twin is md5(text); format derives from doc_id exactly as mediaTable's
     "mm_dedup" ->

@@ -112,6 +112,7 @@ object SparkEntry {
     "q45_nulls" -> (Relational.q45_nulls _),
     "samp_pack" -> ((s, d) => Curation.samp_pack(s, d)),
     "q46_session_native" -> (Relational.q46_session_native _),
+    "q47_corr_subquery" -> (Relational.q47_corr_subquery _),
     "ev_funnel" -> (Relational.ev_funnel _),
     "ev_retention" -> (Relational.ev_retention _),
     "tx_surprisal" -> (TextAnalysis.tx_surprisal _),

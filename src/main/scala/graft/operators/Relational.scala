@@ -555,6 +555,26 @@ object Relational {
         |ORDER BY c_custkey, price DESC, o_orderkey""".stripMargin)
   }
 
+  /** Correlated scalar AGGREGATE subqueries (events above their user's own
+    * average) through the SQL entry path — Catalyst decorrelates both
+    * correlated aggregates into one grouped join, not a per-row re-scan.
+    * "Above average" is evaluated in exact integers (cents·n > Σcents —
+    * multiplied through like [[ev_anomaly]]) so no engine's double
+    * summation order can flip a boundary row.
+    */
+  def q47_corr_subquery(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events").createOrReplaceTempView("graft_q47_events")
+    s.sql(
+      """SELECT user_id, count(*) AS n_above
+        |FROM graft_q47_events e
+        |WHERE CAST(floor(value * 100) AS BIGINT) *
+        |      (SELECT count(*) FROM graft_q47_events e2
+        |       WHERE e2.user_id = e.user_id)
+        |    > (SELECT sum(CAST(floor(value * 100) AS BIGINT))
+        |       FROM graft_q47_events e3 WHERE e3.user_id = e.user_id)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin)
+  }
+
   /** IGNORE NULLS window navigation — last-observation-carried-forward
     * (LOCF) gap fill, the standard sensor/feature-pipeline repair: each
     * user's missing readings take the most recent present one. `last(...,
