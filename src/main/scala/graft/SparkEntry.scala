@@ -107,6 +107,7 @@ object SparkEntry {
     "q44_regex" -> (Relational.q44_regex _),
     "embed_kmeans_assign" -> ((s, d) => Clustering.embed_kmeans_assign(s, d)),
     "embed_kmeans" -> ((s, d) => Clustering.embed_kmeans(s, d)),
+    "embed_pq" -> ((s, d) => Clustering.embed_pq(s, d)),
     "ev_quantile" -> (Relational.ev_quantile _),
     "tx_vocab" -> ((s, d) => TextAnalysis.tx_vocab(s, d)),
     "q45_nulls" -> (Relational.q45_nulls _),

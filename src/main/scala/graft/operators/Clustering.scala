@@ -88,6 +88,99 @@ object Clustering {
   def embed_kmeans(s: SparkSession, dir: String, k: Int = 10, iters: Int = 5): DataFrame =
     kmeansRounds(emb(s, dir), k, iters).last._2
 
+  /** Product quantization (Jégou et al., TPAMI 2011): split the embedding
+    * into `m` subspaces, k-means each (the same deterministic Lloyd as
+    * [[embed_kmeans]] — RNG-free init, fixed-point centroid updates), and
+    * encode every vector as `m` small codes. The compression story at
+    * 100 TB: a 64-dim float vector is 256 bytes; its PQ code is `m` bytes —
+    * 32× less to store, shuffle, and scan, with asymmetric-distance (ADC)
+    * search reading codes only. All m subspaces train in the SAME pass:
+    * one aggregate per Lloyd round total (not per subspace), collecting
+    * only the m·k·(dims/m) fixed-point centroid table per round.
+    *
+    * Output per vector: the code word, a digest of it, and the fixed-point
+    * quantization error — deterministic under any partitioning, so the
+    * whole frame is bit-reproducible (PipelineSpec pins determinism,
+    * self-match, and error-vs-codebook-size invariants; no DuckDB oracle —
+    * iterative training isn't reasonably expressible there).
+    */
+  def embed_pq(s: SparkSession, dir: String, m: Int = 8, k: Int = 16,
+      iters: Int = 2): DataFrame = {
+    val e = emb(s, dir)
+    val dims = e.select(size(col("embedding"))).first().getInt(0)
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val sub = dims / m
+    val codebooks = pqTrain(e, m, k, iters, sub)
+    encodePq(e, codebooks, sub)
+      .select(col("vec_id"),
+        md5(concat_ws(",", col("codes"))).as("code_digest"),
+        col("err_q"))
+      .orderBy("vec_id")
+  }
+
+  /** Train per-subspace codebooks; returns codebooks(s)(j) = centroid j of
+    * subspace s. Init: the k lowest-vec_id vectors' subvectors (RNG-free).
+    */
+  private[operators] def pqTrain(e: DataFrame, m: Int, k: Int, iters: Int,
+      sub: Int): Seq[Seq[Seq[Double]]] = {
+    val seed = e.orderBy("vec_id").limit(k).select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble))
+    var books: Seq[Seq[Seq[Double]]] =
+      (0 until m).map(s => seed.toSeq.map(v => v.slice(s * sub, (s + 1) * sub).toSeq))
+    for (_ <- 1 to iters) {
+      // one pass assigns EVERY subspace: array of (s, code, subvec) structs
+      val parts = (0 until m).map { s =>
+        val sv = slice(col("embedding"), s * sub + 1, sub)
+        val code = assignSub(sv, books(s)).getField("c")
+        struct(lit(s).as("s"), code.as("code"), sv.as("sv"))
+      }
+      val sums = e
+        .select(explode(array(parts: _*)).as("p"))
+        .select(col("p.s").as("s"), col("p.code").as("code"),
+          posexplode(col("p.sv")))
+        .groupBy(col("s"), col("code"), col("pos"))
+        .agg(sum(floor(col("col").cast("double") * (1L << 20))).as("qs"),
+          count(lit(1)).as("n"))
+        .collect()
+      val byKey = sums.map(r =>
+        (r.getInt(0), r.getInt(1), r.getInt(2)) -> (r.getLong(3), r.getLong(4))).toMap
+      books = books.zipWithIndex.map { case (book, s) =>
+        book.zipWithIndex.map { case (prev, j) =>
+          if (byKey.contains((s, j, 0)))
+            (0 until sub).map { p =>
+              val (qs, n) = byKey((s, j, p))
+              qs.toDouble / (n * (1L << 20)).toDouble
+            }
+          else prev // empty cell keeps its previous centroid
+        }
+      }
+    }
+    books
+  }
+
+  /** Argmin over one subspace's codebook (same lexicographic tie-break as
+    * [[assignTo]]).
+    */
+  private def assignSub(sv: Column, book: Seq[Seq[Double]]): Column =
+    least(book.zipWithIndex.map { case (c, j) =>
+      struct(sqDist(sv, typedLit(c)).as("d"), lit(j).as("c"))
+    }: _*)
+
+  /** Encode vectors against trained codebooks: per-subspace code +
+    * fixed-point total quantization error.
+    */
+  private[operators] def encodePq(e: DataFrame, books: Seq[Seq[Seq[Double]]],
+      sub: Int): DataFrame = {
+    val m = books.size
+    val assigned = (0 until m).map { s =>
+      assignSub(slice(col("embedding"), s * sub + 1, sub), books(s))
+    }
+    val codes = array(assigned.map(_.getField("c")): _*)
+    val err = assigned.map(_.getField("d")).reduce(_ + _)
+    e.select(col("vec_id"), codes.as("codes"),
+      floor(err * (1L << 20)).cast("long").as("err_q"))
+  }
+
   /** The per-iteration trace (inertia, summary frame) — exposed so the spec
     * can assert Lloyd's monotone-inertia invariant without re-running. The
     * inertia scan is its own per-round job, so it only runs when traced

@@ -43,6 +43,44 @@ class ClusteringSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).sum == total)
   }
 
+  test("embed_pq: bit-deterministic across partitionings; finer codebooks reduce error") {
+    val a = Clustering.embed_pq(spark, dir, m = 8, k = 8, iters = 2)
+      .collect().map(_.toSeq).toSeq
+    val e = Tables.loadParallel(spark, dir, "embeddings").repartition(11)
+    val sub = 64 / 8
+    val b = Clustering.encodePq(e, Clustering.pqTrain(e, 8, 8, 2, sub), sub)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.md5(
+          org.apache.spark.sql.functions.concat_ws(",",
+            org.apache.spark.sql.functions.col("codes"))).as("code_digest"),
+        org.apache.spark.sql.functions.col("err_q"))
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(a == b, "PQ must be partitioning-invariant")
+    // larger codebooks (k 8 → 16) can only lower total quantization error
+    val err8 = a.map(_(2).asInstanceOf[Long]).sum
+    val err16 = Clustering.embed_pq(spark, dir, m = 8, k = 16, iters = 2)
+      .collect().map(_.getLong(2)).sum
+    assert(err16 < err8, s"k=16 err $err16 !< k=8 err $err8")
+  }
+
+  test("embed_pq: ADC self-match — a corpus vector's own code is its nearest code") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.loadParallel(spark, dir, "embeddings")
+    val sub = 8
+    val books = Clustering.pqTrain(e, 8, 16, 2, sub)
+    val coded = Clustering.encodePq(e, books, sub)
+      .select(col("vec_id"), col("err_q")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the quantization error IS the ADC distance from a vector to its own
+    // code; for planted exact-duplicate vectors the codes must be identical
+    val dupCodes = Clustering.encodePq(
+      e.limit(5).union(e.limit(5)), books, sub)
+      .groupBy("vec_id").agg(countDistinct(col("codes")).as("n"))
+      .collect().map(_.getLong(1))
+    assert(dupCodes.forall(_ == 1L), "identical vectors must encode identically")
+    assert(coded.values.forall(_ >= 0L), "fixed-point error is non-negative")
+  }
+
   test("assign step: one shuffle-free map pass + bounded-domain aggregate") {
     val p = Clustering.embed_kmeans_assign(spark, dir)
       .queryExecution.sparkPlan.toString
