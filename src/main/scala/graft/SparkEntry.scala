@@ -77,6 +77,7 @@ object SparkEntry {
     "ann_bruteforce" -> ((s, d) => Similarity.ann_bruteforce(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.ann_lsh(s, d)),
     "ann_ivf" -> ((s, d) => Similarity.ann_ivf(s, d)),
+    "ann_pq" -> ((s, d) => Similarity.ann_pq(s, d)),
     "tx_stats" -> (TextAnalysis.tx_stats _),
     "tx_tokens" -> (TextAnalysis.tx_tokens _),
     "tx_quality" -> (TextAnalysis.tx_quality _),

@@ -173,4 +173,47 @@ object Similarity {
       .select("q_id", "rank", "vec_id", "cos")
       .orderBy("q_id", "rank")
   }
+
+  /** PQ asymmetric-distance (ADC) search: the corpus scan reads ONLY the
+    * `m`-code words produced by [[Clustering.embed_pq]]'s encoder — never
+    * the raw vectors. Each query precomputes its m×k subspace distance
+    * table driver-side (queries × m × k × dims/m work — trivial) and ships
+    * it as plan literals; a corpus row's distance is then m table lookups.
+    * At 100 TB this is THE reason PQ exists: the scan touches 32× fewer
+    * bytes, and the per-row cost is m array indexings instead of a dims-
+    * long float loop. Euclidean ADC (the PQ-native metric), top-k per
+    * query; recall vs exact euclidean is floor-tested in PipelineSpec.
+    */
+  def ann_pq(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 10,
+      m: Int = 8, codes: Int = 16, iters: Int = 2): DataFrame = {
+    val emb = Tables.loadParallel(s, dir, "embeddings")
+    val dims = emb.select(size(col("embedding"))).first().getInt(0)
+    val sub = dims / m
+    val books = Clustering.pqTrain(emb, m, codes, iters, sub)
+    val coded = Clustering.encodePq(emb, books, sub).select("vec_id", "codes")
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+    // per (query, subspace): distances to every codeword, as plan literals
+    def table(q: Seq[Double], s: Int): Seq[Double] =
+      books(s).map { c =>
+        val qs = q.slice(s * sub, (s + 1) * sub)
+        qs.zip(c).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+      }
+    val perQuery = queries.map { case (qid, q) =>
+      val dist = (0 until m).map { s =>
+        element_at(typedLit(table(q, s)), element_at(col("codes"), s + 1) + 1)
+      }.reduce(_ + _)
+      struct(lit(qid).as("q_id"), dist.as("dist"))
+    }
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("vec_id"))
+    coded
+      .select(col("vec_id"), explode(array(perQuery: _*)).as("p"))
+      .select(col("vec_id"), col("p.q_id").as("q_id"), col("p.dist").as("dist"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "dist")
+      .orderBy("q_id", "rank")
+  }
 }

@@ -213,6 +213,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(Dedup.dd_embed_cosine(spark, dir, threshold = -1.0, maxVectors = 3L).count() == 3L)
   }
 
+  test("ann_pq: planted-neighbor recall >= 0.8 searching codes only") {
+    // same planted-twin construction as the LSH test: a lightly perturbed
+    // copy of each query vector must surface in the ADC top-k even though
+    // the search never reads a raw corpus vector, only m-code words
+    val base = graft.sources.Tables.loadParallel(spark, "/root/testdata/sf0.01", "embeddings")
+    val offset = 1000000L
+    val planted = base.filter(col("vec_id") < 8)
+      .select((col("vec_id") + offset).as("vec_id"),
+        zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+          (x, i) => (x.cast("double") +
+            ((pmod(xxhash64(col("vec_id"), i), lit(1000L)).cast("double") / 1000.0) - 0.5) * 0.08)
+            .cast("float")).as("embedding"),
+        col("label"))
+    val dir = java.nio.file.Files.createTempDirectory("graftpq").toString
+    base.unionByName(planted).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.ann_pq(spark, dir)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (0L until 8L).map(q => (q, q + offset)).toSet
+    val recall = (want & got).size.toDouble / want.size
+    assert(recall >= 0.8, s"planted-neighbor ADC recall $recall < 0.8")
+  }
+
   test("ann_lsh defaults: planted-neighbor recall >= 0.8, candidate scan <= 25%") {
     // Clustered eval — the case an LSH index exists for. The sf0.01 corpus
     // is uniform on the sphere (strongest pair cosine ≈ 0.38), where recall
