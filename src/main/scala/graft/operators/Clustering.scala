@@ -121,7 +121,7 @@ object Clustering {
   /** Train per-subspace codebooks; returns codebooks(s)(j) = centroid j of
     * subspace s. Init: the k lowest-vec_id vectors' subvectors (RNG-free).
     */
-  private[operators] def pqTrain(e: DataFrame, m: Int, k: Int, iters: Int,
+  private[graft] def pqTrain(e: DataFrame, m: Int, k: Int, iters: Int,
       sub: Int): Seq[Seq[Seq[Double]]] = {
     val seed = e.orderBy("vec_id").limit(k).select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble))
@@ -169,7 +169,7 @@ object Clustering {
   /** Encode vectors against trained codebooks: per-subspace code +
     * fixed-point total quantization error.
     */
-  private[operators] def encodePq(e: DataFrame, books: Seq[Seq[Seq[Double]]],
+  private[graft] def encodePq(e: DataFrame, books: Seq[Seq[Seq[Double]]],
       sub: Int): DataFrame = {
     val m = books.size
     val assigned = (0 until m).map { s =>

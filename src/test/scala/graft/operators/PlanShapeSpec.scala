@@ -307,6 +307,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"))
   }
 
+  test("tx_surprisal: vocabulary joins broadcast — the token stream never shuffles for it") {
+    val p = plan(TextAnalysis.tx_surprisal(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"vocab side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("decon_jaccard: eval postings broadcast — the training side joins without shuffling") {
     val p = plan(Curation.decon_jaccard(spark, dir))
     assert(p.contains("BroadcastHashJoin"), s"eval side must broadcast:\n$p")

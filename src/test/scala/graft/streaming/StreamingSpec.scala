@@ -191,6 +191,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("PQ encoding is stream-ready: encodePq columns produce batch-identical codes on a stream") {
+    // the encoder is pure column algebra over plan-literal codebooks, so the
+    // EXACT batch definition drops into readStream unchanged — the property
+    // that lets a 100 TB ingest pipeline quantize embeddings on arrival
+    val e = graft.sources.Tables.loadParallel(spark, dir, "embeddings")
+    val books = graft.operators.Clustering.pqTrain(e, m = 8, k = 8, iters = 1, sub = 8)
+    val batch = graft.operators.Clustering.encodePq(e, books, sub = 8)
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    val input = MemoryStream[(Long, Seq[Float])](spark)
+    val stream = graft.operators.Clustering.encodePq(
+      input.toDF().toDF("vec_id", "embedding"), books, sub = 8)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("pq_out").start()
+    try {
+      input.addData(e.collect().map(r =>
+        (r.getLong(0), r.getSeq[Float](1))).toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("pq_out").orderBy("vec_id")
+        .collect().map(_.toSeq).toSeq
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("misra_gries available from SQL via install") {
     graft.functions.GraftFunctions.install(spark)
     Seq("a", "a", "b").toDF("token").createOrReplaceTempView("toks")
