@@ -67,6 +67,32 @@ object DocsStream {
       .withWatermark("ingest_ts", horizon)
       .dropDuplicatesWithinWatermark("digest")
 
+  /** Per-source quota admission (ingest control): admit at most `quota`
+    * documents per source across the stream's lifetime — the gate that
+    * stops one domain/source from flooding a training mix as it is
+    * ingested (the streaming counterpart of the batch cap in
+    * [[graft.operators.Curation.samp_reservoir]]). State per source is one
+    * long; admission within a batch is ordered by (doc_id) so replaying
+    * the same batches admits the same documents. flatMapGroupsWithState
+    * because the output is the admitted ROWS, not an aggregate.
+    */
+  def quotaGate(docs: org.apache.spark.sql.Dataset[(String, Long, String)],
+      quota: Long): org.apache.spark.sql.Dataset[(String, Long)] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    docs
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (source: String, rows: Iterator[(String, Long, String)],
+            state: GroupState[Long]) => {
+          val admitted = state.getOption.getOrElse(0L)
+          val room = math.max(quota - admitted, 0L)
+          val take = rows.toSeq.sortBy(_._2).take(room.toInt)
+          state.update(admitted + take.size)
+          take.map(r => (source, r._2)).iterator
+        })
+  }
+
   /** Screen a document stream (or batch frame) against a corpus band index;
     * emits (in_doc, corpus_doc, est_jaccard) for collisions with estimated
     * Jaccard ≥ threshold.

@@ -191,6 +191,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("quotaGate: per-source admission cap holds across batches; order deterministic") {
+    val input = MemoryStream[(String, Long, String)](spark)
+    val q = DocsStream.quotaGate(input.toDS(), quota = 2)
+      .toDF("source", "doc_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("quota_out").start()
+    try {
+      input.addData(("a", 3L, "t"), ("a", 1L, "t"), ("b", 10L, "t"))
+      q.processAllAvailable()
+      // batch 2: source a is already at quota 2 after admitting {1,3}
+      input.addData(("a", 2L, "t"), ("b", 11L, "t"), ("b", 12L, "t"))
+      q.processAllAvailable()
+      val got = spark.table("quota_out").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toSet
+      assert(got == Set("a" -> 1L, "a" -> 3L, "b" -> 10L, "b" -> 11L),
+        s"got $got")
+    } finally q.stop()
+  }
+
   test("PQ encoding is stream-ready: encodePq columns produce batch-identical codes on a stream") {
     // the encoder is pure column algebra over plan-literal codebooks, so the
     // EXACT batch definition drops into readStream unchanged — the property
