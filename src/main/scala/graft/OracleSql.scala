@@ -883,6 +883,24 @@ object OracleSql {
         |      FROM events)
         |ORDER BY event_id""".stripMargin,
 
+    // one divide + one sqrt + one multiply + one floor, all IEEE
+    // correctly-rounded with a fixed order — bit-identical thresholds
+    "samp_temperature" ->
+      """WITH c AS (
+        |  SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |t AS (
+        |  SELECT lang, n,
+        |    printf('%06x', CAST(least(
+        |      floor(sqrt(CAST((SELECT min(n) FROM c) AS DOUBLE) / CAST(n AS DOUBLE))
+        |            * 16777216.0), 16777215.0) AS BIGINT)) AS thr
+        |  FROM c)
+        |SELECT d.lang, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN substr(md5(text), 1, 6) < thr THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  min(thr) AS thr
+        |FROM documents d JOIN t ON d.lang = t.lang
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
     "samp_pack" ->
       """WITH d AS (
         |  SELECT doc_id, substr(md5(text), 1, 1) AS shard, md5(text) AS h,

@@ -113,6 +113,7 @@ object SparkEntry {
     "tx_vocab" -> ((s, d) => TextAnalysis.tx_vocab(s, d)),
     "q45_nulls" -> (Relational.q45_nulls _),
     "samp_pack" -> ((s, d) => Curation.samp_pack(s, d)),
+    "samp_temperature" -> (Curation.samp_temperature _),
     "q46_session_native" -> (Relational.q46_session_native _),
     "q47_corr_subquery" -> (Relational.q47_corr_subquery _),
     "ev_funnel" -> (Relational.ev_funnel _),

@@ -178,6 +178,39 @@ object Curation {
     * md5 digests, not raw strings, to keep the broadcast and probe rows
     * narrow.
     */
+  /** Temperature-flattened multilingual sampling (the mT5/XLM-R mixture
+    * step, α = 0.5): each language keeps a sqrt-flattened fraction of its
+    * documents relative to the SMALLEST language — rate_l = √(n_min/n_l),
+    * so the smallest language keeps ~everything and dominant languages are
+    * downsampled toward balance without the hard cap of [[samp_balanced]].
+    * Selection is content-addressed: keep iff the first 6 hex chars of
+    * md5(text) fall below the language's threshold. Bit-reproducible across
+    * engines because every float op in the threshold (one divide, one sqrt,
+    * one multiply, one floor) is IEEE correctly-rounded with a fixed order —
+    * no summations, no pow — and the comparison itself is hex-string vs
+    * hex-string. Thresholds derive from the bounded per-language count
+    * frame (broadcast); the corpus pass is map-only.
+    */
+  def samp_temperature(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val counts = d.groupBy("lang").agg(count(lit(1)).as("n"))
+      .withColumn("minn",
+        min(col("n")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("thr_long",
+        least(floor(sqrt(col("minn").cast("double") / col("n").cast("double"))
+          * (1 << 24)).cast("long"), lit((1L << 24) - 1)))
+      .withColumn("thr", lower(lpad(hex(col("thr_long")), 6, "0")))
+      .select("lang", "thr")
+    d.select(col("lang"), substring(md5(col("text")), 1, 6).as("p6"))
+      .join(broadcast(counts), Seq("lang"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("p6") < col("thr"), 1L).otherwise(0L)).as("n_kept"),
+        first(col("thr")).as("thr"))
+      .orderBy("lang")
+  }
+
   /** Sequence packing (training-batch prep): concatenate documents in a
     * deterministic order and cut the stream into fixed token-budget
     * training sequences — the GPT-style packing pass between curation and
