@@ -883,6 +883,59 @@ object OracleSql {
         |      FROM events)
         |ORDER BY event_id""".stripMargin,
 
+    // the full funnel: every stage reuses the standalone operator's fragment
+    "pipeline_train" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source, lang, text,
+         |    ($wordBandSql AND $meanBandSql AND $stopHitsSql) AS keep,
+         |    md5($normSql) AS digest
+         |  FROM (SELECT doc_id, source, lang, text, string_split(text, ' ') AS w,
+         |          CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+         |            / len(string_split(text, ' ')) AS ml
+         |        FROM documents)),
+         |train AS (SELECT * FROM base WHERE source <> 'src0'),
+         |dd AS (SELECT digest, min(doc_id) AS doc_id FROM train WHERE keep GROUP BY digest),
+         |dedup AS (SELECT t.doc_id, t.lang, t.text FROM train t JOIN dd ON t.doc_id = dd.doc_id),
+         |g AS (
+         |  SELECT doc_id, source, unnest(list_distinct(
+         |    CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
+         |         ELSE list_transform(generate_series(0, len(w) - 8),
+         |                             i -> array_to_string(w[i+1:i+8], ' ')) END)) AS sh
+         |  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents)),
+         |ev AS (SELECT DISTINCT md5(sh) AS gh FROM g WHERE source = 'src0'),
+         |flagged AS (
+         |  SELECT DISTINCT d.doc_id
+         |  FROM (SELECT doc_id, md5(sh) AS gh FROM g
+         |        WHERE doc_id IN (SELECT doc_id FROM dedup)) d
+         |  JOIN ev USING (gh)),
+         |clean AS (SELECT * FROM dedup WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+         |caps AS (
+         |  SELECT lang, printf('%06x', CAST(least(
+         |    floor(sqrt(CAST((SELECT min(n) FROM (SELECT count(*) AS n FROM clean GROUP BY lang)) AS DOUBLE)
+         |          / CAST(count(*) AS DOUBLE)) * 16777216.0), 16777215.0) AS BIGINT)) AS thr
+         |  FROM clean GROUP BY lang),
+         |sampled AS (
+         |  SELECT c.* FROM clean c JOIN caps USING (lang)
+         |  WHERE substr(md5(text), 1, 6) < thr),
+         |pk AS (
+         |  SELECT substr(md5(text), 1, 1) AS shard, md5(text) AS h, doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+         |  FROM sampled),
+         |cums AS (
+         |  SELECT shard, toks, sum(toks) OVER (PARTITION BY shard ORDER BY h, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM pk),
+         |seqs AS (
+         |  SELECT DISTINCT shard, CAST(floor(CAST(cum - toks AS DOUBLE) / 256) AS BIGINT) AS seq_id
+         |  FROM cums)
+         |SELECT '0_raw' AS stage, count(*) AS n FROM train
+         |UNION ALL SELECT '1_quality', count(*) FROM train WHERE keep
+         |UNION ALL SELECT '2_dedup', count(*) FROM dedup
+         |UNION ALL SELECT '3_decon', count(*) FROM clean
+         |UNION ALL SELECT '4_sample', count(*) FROM sampled
+         |UNION ALL SELECT '5_sequences', count(*) FROM seqs
+         |ORDER BY stage""".stripMargin,
+
     // one divide + one sqrt + one multiply + one floor, all IEEE
     // correctly-rounded with a fixed order — bit-identical thresholds
     "samp_temperature" ->

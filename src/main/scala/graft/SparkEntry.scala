@@ -100,6 +100,7 @@ object SparkEntry {
     "decon_ngram" -> ((s, d) => Curation.decon_ngram(s, d)),
     "decon_jaccard" -> ((s, d) => Curation.decon_jaccard(s, d)),
     "pipeline_curate" -> (Curation.pipeline_curate _),
+    "pipeline_train" -> ((s, d) => Curation.pipeline_train(s, d)),
     "tx_gopher" -> ((s, d) => TextAnalysis.tx_gopher(s, d)),
     "tx_salient" -> ((s, d) => TextAnalysis.tx_salient(s, d)),
     "embed_quantize" -> (TextAnalysis.embed_quantize _),

@@ -39,6 +39,11 @@ class Engine(
     val udfs: Map[String, SparkSession => Unit] = Map.empty,
     val dropTables: Boolean = false) {
 
+  // graft's native SQL functions (vec_dot, misra_gries) are always in scope
+  // for rule expressions — the engine-level analogue of installing an
+  // extension in the reference's Postgres target database
+  graft.functions.GraftFunctions.install(spark)
+
   /** target table name → mapping spine (id + one column per source natural
     * key, named `<table>_<col>`)
     */

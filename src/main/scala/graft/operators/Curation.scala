@@ -166,6 +166,75 @@ object Curation {
       .orderBy("stage")
   }
 
+  /** THE end-to-end training-data job, as one audit query: quality gate →
+    * exact dedup → benchmark decontamination → temperature sampling →
+    * sequence packing, emitting per-stage survivor counts (documents; the
+    * final stage counts SEQUENCES). Every stage reuses the shared
+    * definitions of its standalone operator ([[TextAnalysis.gopherCriteria]],
+    * normalized digests, [[decon_ngram]]'s broadcast 8-gram screen,
+    * [[samp_temperature]]'s hex thresholds, [[samp_pack]]'s shard windows),
+    * so this query IS the composition a real pipeline would run — and the
+    * DuckDB twin pins the whole funnel end to end. Scale shape: three
+    * passes over the corpus (gate+digest, decon probe, pack) with only
+    * digests, (lang, count) frames, and per-shard running sums shuffling.
+    */
+  def pipeline_train(s: SparkSession, dir: String,
+      evalSource: String = "src0", budget: Int = 256): DataFrame = {
+    import graft.functions.TextFunctions.normalize
+    val (okCount, okMean, okStops) = TextAnalysis.gopherCriteria()
+    val base = docs(s, dir)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      .withColumn("keep", okCount && okMean && okStops)
+      .withColumn("digest", md5(normalize(col("text"))))
+    val train = base.filter(col("source") =!= evalSource)
+    // 2: exact dedup among quality survivors (keeper = min doc_id)
+    val deduped = train.filter(col("keep"))
+      .groupBy(col("digest"))
+      .agg(min_by(struct(col("doc_id"), col("lang"), col("text")), col("doc_id")).as("r"))
+      .select(col("r.doc_id"), col("r.lang"), col("r.text"))
+    // 3: drop docs sharing an 8-gram with the eval slice (broadcast set)
+    val evalGrams = base.filter(col("source") === evalSource)
+      .select(explode(array_distinct(shingles(col("text"), 8))).as("sh"))
+      .select(md5(col("sh")).as("gh")).distinct()
+    val flagged = deduped
+      .select(col("doc_id"), explode(array_distinct(shingles(col("text"), 8))).as("sh"))
+      .select(col("doc_id"), md5(col("sh")).as("gh"))
+      .join(broadcast(evalGrams), Seq("gh"))
+      .select("doc_id").distinct()
+    val clean = deduped.join(flagged, Seq("doc_id"), "left_anti")
+    // 4: temperature sampling over the decontaminated population
+    val caps = clean.groupBy("lang").agg(count(lit(1)).as("n"))
+      .withColumn("minn",
+        min(col("n")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("thr", lower(lpad(hex(least(
+        floor(sqrt(col("minn").cast("double") / col("n").cast("double"))
+          * (1 << 24)).cast("long"), lit((1L << 24) - 1))), 6, "0")))
+      .select("lang", "thr")
+    val sampled = clean
+      .join(broadcast(caps), Seq("lang"))
+      .filter(substring(md5(col("text")), 1, 6) < col("thr"))
+    // 5: pack survivors into token-budget sequences per content shard
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("h"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val seqs = sampled
+      .select(col("doc_id"), substring(md5(col("text")), 1, 1).as("shard"),
+        md5(col("text")).as("h"),
+        size(words(col("text"))).cast("long").as("toks"))
+      .withColumn("cum", sum(col("toks")).over(w))
+      .select(col("shard"),
+        floor((col("cum") - col("toks")).cast("double") / budget).cast("long").as("seq_id"))
+      .distinct()
+    train.agg(count(lit(1)).as("raw"), sum(when(col("keep"), 1L).otherwise(0L)).as("q"))
+      .select(expr("stack(2, '0_raw', raw, '1_quality', q) AS (stage, n)"))
+      .unionAll(deduped.agg(count(lit(1)).as("n")).select(lit("2_dedup").as("stage"), col("n")))
+      .unionAll(clean.agg(count(lit(1)).as("n")).select(lit("3_decon").as("stage"), col("n")))
+      .unionAll(sampled.agg(count(lit(1)).as("n")).select(lit("4_sample").as("stage"), col("n")))
+      .unionAll(seqs.agg(count(lit(1)).as("n")).select(lit("5_sequences").as("stage"), col("n")))
+      .orderBy("stage")
+  }
+
   /** Benchmark-contamination screen (the n-gram overlap check run before
     * training): does a candidate training document share any `n`-word
     * shingle with the held-out evaluation set? Here the `src0` slice of the

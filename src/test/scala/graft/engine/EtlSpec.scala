@@ -49,6 +49,18 @@ class EtlSpec extends AnyFunSuite {
     assert(df.count() == 2)
   }
 
+  test("Engine init installs graft natives: rule expressions can call vec_dot / misra_gries") {
+    new Engine(spark) // constructor side effect under test
+    val d = spark.sql(
+      "SELECT vec_dot(array(CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT)))")
+      .collect().head.getDouble(0)
+    assert(d == 6.0)
+    val hh = spark.sql(
+      "SELECT misra_gries(t, 4)[0].token FROM VALUES ('a'), ('a'), ('b') AS v(t)")
+      .collect().head.getString(0)
+    assert(hh == "a")
+  }
+
   test("re-running the same rules is idempotent (--drop-tables semantics, A6)") {
     val yaml = """
       |name: baz
