@@ -23,6 +23,8 @@ object GraftFunctions {
   /** `misra_gries(token, capacity)` — capacity must be a literal int. */
   private[functions] def mkMisraGries(
       exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): MisraGriesAgg = {
+    require(exprs.length == 2,
+      s"misra_gries takes (token, capacity), got ${exprs.length} argument(s)")
     val cap = exprs(1) match {
       case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
       case other => throw new IllegalArgumentException(

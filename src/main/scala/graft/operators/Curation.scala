@@ -202,30 +202,15 @@ object Curation {
       .join(broadcast(evalGrams), Seq("gh"))
       .select("doc_id").distinct()
     val clean = deduped.join(flagged, Seq("doc_id"), "left_anti")
-    // 4: temperature sampling over the decontaminated population
-    val caps = clean.groupBy("lang").agg(count(lit(1)).as("n"))
-      .withColumn("minn",
-        min(col("n")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
-      .withColumn("thr", lower(lpad(hex(least(
-        floor(sqrt(col("minn").cast("double") / col("n").cast("double"))
-          * (1 << 24)).cast("long"), lit((1L << 24) - 1))), 6, "0")))
-      .select("lang", "thr")
+    // 4: temperature sampling over the decontaminated population — the
+    // SHARED threshold definition ([[tempThresholds]])
     val sampled = clean
-      .join(broadcast(caps), Seq("lang"))
+      .join(broadcast(tempThresholds(clean)), Seq("lang"))
       .filter(substring(md5(col("text")), 1, 6) < col("thr"))
-    // 5: pack survivors into token-budget sequences per content shard
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("shard").orderBy(col("h"), col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val seqs = sampled
-      .select(col("doc_id"), substring(md5(col("text")), 1, 1).as("shard"),
-        md5(col("text")).as("h"),
-        size(words(col("text"))).cast("long").as("toks"))
-      .withColumn("cum", sum(col("toks")).over(w))
-      .select(col("shard"),
-        floor((col("cum") - col("toks")).cast("double") / budget).cast("long").as("seq_id"))
-      .distinct()
+    // 5: pack survivors into token-budget sequences per content shard —
+    // the SHARED packing assignment ([[packAssign]])
+    val seqs = packAssign(sampled, budget)
+      .select("shard", "seq_id").distinct()
     train.agg(count(lit(1)).as("raw"), sum(when(col("keep"), 1L).otherwise(0L)).as("q"))
       .select(expr("stack(2, '0_raw', raw, '1_quality', q) AS (stage, n)"))
       .unionAll(deduped.agg(count(lit(1)).as("n")).select(lit("2_dedup").as("stage"), col("n")))
@@ -260,16 +245,41 @@ object Curation {
     * hex-string. Thresholds derive from the bounded per-language count
     * frame (broadcast); the corpus pass is map-only.
     */
-  def samp_temperature(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    val counts = d.groupBy("lang").agg(count(lit(1)).as("n"))
+  /** Per-language α=0.5 temperature thresholds — the ONE definition shared
+    * by [[samp_temperature]] and [[pipeline_train]] (stage 4), mirroring
+    * the DuckDB fragment, so the standalone operator and the funnel can
+    * never drift. Input: any frame with a `lang` column; output:
+    * (lang, thr) where thr is the 6-hex-char keep threshold.
+    */
+  private[graft] def tempThresholds(d: DataFrame): DataFrame =
+    d.groupBy("lang").agg(count(lit(1)).as("n"))
       .withColumn("minn",
         min(col("n")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
-      .withColumn("thr_long",
-        least(floor(sqrt(col("minn").cast("double") / col("n").cast("double"))
-          * (1 << 24)).cast("long"), lit((1L << 24) - 1)))
-      .withColumn("thr", lower(lpad(hex(col("thr_long")), 6, "0")))
+      .withColumn("thr", lower(lpad(hex(least(
+        floor(sqrt(col("minn").cast("double") / col("n").cast("double"))
+          * (1 << 24)).cast("long"), lit((1L << 24) - 1))), 6, "0")))
       .select("lang", "thr")
+
+  /** Per-document sequence-packing assignment — the ONE definition shared
+    * by [[samp_pack]] and [[pipeline_train]] (stage 5). Input: any frame
+    * with (doc_id, text); output adds (shard, h, toks, seq_id).
+    */
+  private[graft] def packAssign(d: DataFrame, budget: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("h"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    d.select(col("doc_id"), substring(md5(col("text")), 1, 1).as("shard"),
+      md5(col("text")).as("h"),
+      size(words(col("text"))).cast("long").as("toks"))
+      .withColumn("cum", sum(col("toks")).over(w))
+      .withColumn("seq_id",
+        floor((col("cum") - col("toks")).cast("double") / budget).cast("long"))
+  }
+
+  def samp_temperature(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val counts = tempThresholds(d)
     d.select(col("lang"), substring(md5(col("text")), 1, 6).as("p6"))
       .join(broadcast(counts), Seq("lang"))
       .groupBy("lang")
@@ -293,22 +303,12 @@ object Curation {
     * budget is a soft target, standard for doc-boundary-respecting
     * packing). Emits per-(shard, seq) audit rows.
     */
-  def samp_pack(s: SparkSession, dir: String, budget: Int = 256): DataFrame = {
-    val toks = size(words(col("text"))).cast("long")
-    val shard = substring(md5(col("text")), 1, 1)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("shard").orderBy(col("h"), col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    docs(s, dir)
-      .select(col("doc_id"), shard.as("shard"), md5(col("text")).as("h"), toks.as("toks"))
-      .withColumn("cum", sum(col("toks")).over(w))
-      .withColumn("seq_id", floor((col("cum") - col("toks")).cast("double") / budget).cast("long"))
+  def samp_pack(s: SparkSession, dir: String, budget: Int = 256): DataFrame =
+    packAssign(docs(s, dir), budget)
       .groupBy("shard", "seq_id")
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
         min(col("doc_id")).as("first_doc"))
       .orderBy("shard", "seq_id")
-  }
 
   /** FUZZY benchmark decontamination: exact n-gram Jaccard between every
     * training document and every eval document sharing at least one shingle

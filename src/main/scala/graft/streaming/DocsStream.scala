@@ -87,9 +87,19 @@ object DocsStream {
             state: GroupState[Long]) => {
           val admitted = state.getOption.getOrElse(0L)
           val room = math.max(quota - admitted, 0L)
-          val take = rows.toSeq.sortBy(_._2).take(room.toInt)
-          state.update(admitted + take.size)
-          take.map(r => (source, r._2)).iterator
+          if (room == 0L) {
+            // saturated source: drain without buffering or sorting — the
+            // flooding case is exactly when this branch runs
+            rows.foreach(_ => ())
+            Iterator.empty
+          } else {
+            // clamp before toInt: a >2^31 quota must not wrap negative and
+            // silently admit nothing
+            val take = rows.toSeq.sortBy(_._2)
+              .take(math.min(room, Int.MaxValue.toLong).toInt)
+            state.update(admitted + take.size)
+            take.map(r => (source, r._2)).iterator
+          }
         })
   }
 

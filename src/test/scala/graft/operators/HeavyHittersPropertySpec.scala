@@ -42,8 +42,9 @@ object HeavyHittersPropertySpec extends Properties("MisraGries") {
   private val skewedStream: Gen[Seq[String]] = for {
     heavy <- Gen.listOfN(400, Gen.oneOf("w", "x"))
     noise <- Gen.listOfN(300, Gen.chooseNum(0, 5000).map(i => s"n$i"))
-    shuffled <- Gen.const(scala.util.Random.shuffle(heavy ++ noise))
-  } yield shuffled
+    // shuffle with a Gen-drawn seed so a ScalaCheck failure replays exactly
+    seed <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+  } yield new scala.util.Random(seed).shuffle(heavy ++ noise)
 
   private def cutsFor(n: Int): Gen[Seq[Int]] =
     Gen.listOf(Gen.chooseNum(0, math.max(n, 1))).map(_.take(6))

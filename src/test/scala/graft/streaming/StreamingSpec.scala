@@ -208,6 +208,17 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == Set("a" -> 1L, "a" -> 3L, "b" -> 10L, "b" -> 11L),
         s"got $got")
     } finally q.stop()
+    // a quota beyond Int.MaxValue must admit everything, not wrap negative
+    val big = MemoryStream[(String, Long, String)](spark)
+    val q2 = DocsStream.quotaGate(big.toDS(), quota = 3000000000L)
+      .toDF("source", "doc_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("quota_big").start()
+    try {
+      big.addData(("a", 1L, "t"), ("a", 2L, "t"))
+      q2.processAllAvailable()
+      assert(spark.table("quota_big").count() == 2)
+    } finally q2.stop()
   }
 
   test("PQ encoding is stream-ready: encodePq columns produce batch-identical codes on a stream") {
