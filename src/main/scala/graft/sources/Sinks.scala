@@ -28,6 +28,20 @@ object Sinks {
       .partitionBy("shard")
       .parquet(path)
 
+  /** JSONL (newline-delimited JSON) interchange — the lingua franca of
+    * text-corpus releases. Write: one JSON object per line, gzip-splittable
+    * only at file granularity, so shard count = task parallelism downstream;
+    * read: schema given explicitly (inference would scan twice and type
+    * drift across shards). Parquet remains the internal format — JSONL is
+    * the import/export edge.
+    */
+  def writeJsonl(df: DataFrame, path: String, shards: Int = 8): Unit =
+    df.repartition(shards).write.mode("overwrite").json(path)
+
+  def readJsonl(spark: org.apache.spark.sql.SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** Pruning-friendly curated layout: directory-partitioned by `partCol`
     * (planning-time pruning), rows inside each file ordered by `sortCol` so
     * parquet row-group min/max statistics make point/range filters on it

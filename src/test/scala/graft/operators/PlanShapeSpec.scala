@@ -307,6 +307,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"))
   }
 
+  test("samp_temperature / samp_pack: threshold frame broadcasts; packing parallel per shard") {
+    val pt = plan(Curation.samp_temperature(spark, dir))
+    assert(pt.contains("BroadcastHashJoin"), s"per-lang thresholds must broadcast:\n$pt")
+    assert(!pt.contains("SortMergeJoin"))
+    // executedPlan: exchanges only exist after EnsureRequirements
+    val pp = Curation.samp_pack(spark, dir).queryExecution.executedPlan.toString
+    assert(pp.contains("hashpartitioning(shard"),
+      s"packing windows must partition by shard (parallel), not a global sort:\n$pp")
+  }
+
   test("tx_surprisal: vocabulary joins broadcast — the token stream never shuffles for it") {
     val p = plan(TextAnalysis.tx_surprisal(spark, dir))
     assert(p.contains("BroadcastHashJoin"), s"vocab side must broadcast:\n$p")

@@ -34,6 +34,17 @@ class SinksSpec extends AnyFunSuite {
     assert(a.join(b, "doc_id").filter(col("shard") =!= col("shard2")).count() == 0)
   }
 
+  test("JSONL round-trip: values and schema survive the interchange edge") {
+    val out = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    val docs = Tables.loadParallel(spark, dir, "documents")
+    Sinks.writeJsonl(docs, out, shards = 4)
+    val back = Sinks.readJsonl(spark, out, docs.schema)
+    assert(back.schema == docs.schema)
+    val a = docs.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = back.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("writeLayout: partition pruning + row-group stats filters on the sort column") {
     val out = java.nio.file.Files.createTempDirectory("graft-layout").toString
     val docs = Tables.loadParallel(spark, dir, "documents")
