@@ -65,7 +65,14 @@ object Bench {
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val valid = failed.isEmpty
     val total = if (valid) results.map(_._2).sum else -1.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","valid":$valid,"queries":$qs,"errors":$errs,"passes":$passes,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","valid":$valid,"queries":$qs,"errors":$errs,"passes":$passes,"sf":"$sfDir"}"""
+    println(json)
+    // The driver captures only the TAIL of stdout — with ~100 queries the
+    // headline line gets truncated out of the artifact. Persist the full
+    // record to a file beside the run as well (path overridable).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
     spark.stop()
   }
 }

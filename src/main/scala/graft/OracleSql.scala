@@ -745,7 +745,10 @@ object OracleSql {
         |GROUP BY token ORDER BY n DESC, token LIMIT 15""".stripMargin,
 
     "tx_blocklist" -> {
-      val lst = graft.operators.TextAnalysis.blockTerms.map(t => s"'$t'").mkString(", ")
+      // SQL-escape each term (' -> '') — the Spark side takes arbitrary
+      // terms safely via isInCollection; the oracle literal list must too
+      val lst = graft.operators.TextAnalysis.blockTerms
+        .map(t => s"'${t.replace("'", "''")}'").mkString(", ")
       s"""SELECT source, count(*) AS n_docs,
          |  CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
          |  CAST(sum(hits) AS BIGINT) AS n_hits,
@@ -918,7 +921,7 @@ object OracleSql {
          |  SELECT c.* FROM clean c JOIN caps USING (lang)
          |  WHERE substr(md5(text), 1, 6) < thr),
          |pk AS (
-         |  SELECT substr(md5(text), 1, 1) AS shard, md5(text) AS h, doc_id,
+         |  SELECT substr(md5(text), 1, 2) AS shard, md5(text) AS h, doc_id,
          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
          |  FROM sampled),
          |cums AS (
@@ -956,7 +959,7 @@ object OracleSql {
 
     "samp_pack" ->
       """WITH d AS (
-        |  SELECT doc_id, substr(md5(text), 1, 1) AS shard, md5(text) AS h,
+        |  SELECT doc_id, substr(md5(text), 1, 2) AS shard, md5(text) AS h,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
         |  FROM documents),
         |c AS (

@@ -78,6 +78,7 @@ object SparkEntry {
     "ann_lsh" -> ((s, d) => Similarity.ann_lsh(s, d)),
     "ann_ivf" -> ((s, d) => Similarity.ann_ivf(s, d)),
     "ann_pq" -> ((s, d) => Similarity.ann_pq(s, d)),
+    "ann_ivfpq" -> ((s, d) => Similarity.ann_ivfpq(s, d)),
     "tx_stats" -> (TextAnalysis.tx_stats _),
     "tx_tokens" -> (TextAnalysis.tx_tokens _),
     "tx_quality" -> (TextAnalysis.tx_quality _),

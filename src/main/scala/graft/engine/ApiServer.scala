@@ -59,11 +59,19 @@ object ApiServer {
         Option(ex.getRequestHeaders.getFirst("Content-Length")).flatMap(_.toLongOption)
       if (ex.getRequestMethod != "POST") { respond(ex, 405, errJson("method not allowed, POST a rule document")) }
       else if (contentLength.exists(_ > MaxBodyBytes)) {
+        // Drain (bounded) BEFORE responding: writing the 413 while the
+        // client is still streaming its body makes com.sun.net.httpserver
+        // reset the connection, and the client may never read the response
+        // (observed as a flaky oversized-body test under full-suite load).
+        drain(ex, contentLength.get)
         respond(ex, 413, errJson(s"request body exceeds $MaxBodyBytes bytes"))
       } else {
         // readNBytes caps chunked/unstated-length bodies at the same bound
         val raw = ex.getRequestBody.readNBytes(MaxBodyBytes.toInt + 1)
-        if (raw.length > MaxBodyBytes) { respond(ex, 413, errJson(s"request body exceeds $MaxBodyBytes bytes")) }
+        if (raw.length > MaxBodyBytes) {
+          drain(ex, DrainCapBytes) // unstated length: drain up to the cap
+          respond(ex, 413, errJson(s"request body exceeds $MaxBodyBytes bytes"))
+        }
         else {
         val body = new String(raw, UTF_8)
         val name = Option(ex.getRequestURI.getQuery)
@@ -86,6 +94,27 @@ object ApiServer {
         }
       }
     } finally ex.close()
+
+  /** How much of an oversized body the server is willing to read to keep
+    * the connection coherent. Beyond this the response is sent anyway and
+    * the exchange closed — a deliberately hostile multi-GB body should not
+    * buy unbounded server reads.
+    */
+  private val DrainCapBytes: Long = 4L * MaxBodyBytes
+
+  /** Consume (discard) up to `min(declared, DrainCapBytes)` request-body
+    * bytes so the client finishes its send before we answer.
+    */
+  private def drain(ex: HttpExchange, declared: Long): Unit = {
+    val in = ex.getRequestBody
+    var remaining = math.min(declared, DrainCapBytes)
+    val buf = new Array[Byte](64 * 1024)
+    var n = 0
+    while (remaining > 0 && n >= 0) {
+      n = in.read(buf, 0, math.min(remaining, buf.length.toLong).toInt)
+      if (n > 0) remaining -= n
+    }
+  }
 
   private def errJson(msg: String): String =
     s"""{"detail":[{"loc":["body"],"msg":${jstr(msg)},"type":"value_error"}]}"""

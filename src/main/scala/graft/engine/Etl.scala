@@ -81,16 +81,43 @@ object Etl {
     """usage: graft.engine.Etl compile --rules DIR --output DIR
       |         [--drop-tables] [--no-one-file]
       |         [--source schema.table=path.parquet]... [--external-csv DIR]
-      |The reference's `omop_etl compile` flags (`__main__.py:34-49`) plus
-      |source registration: the reference compiles against no database, but
-      |here compilation IS execution, so source tables are supplied as
-      |parquet paths (and/or a CSV directory for the external schema).""".stripMargin
+      |       graft.engine.Etl run --rules DIR --output DIR
+      |         [--source schema.table=path.parquet]... [--external-csv DIR]
+      |`compile` mirrors the reference's `omop_etl compile` flags
+      |(`__main__.py:34-49`) and writes SQL script artifacts; `run` is the
+      |working form of the reference's `omop_etl execute`
+      |(`__main__.py:95-143`, bit-rotted there): execute the rules directory
+      |and write each target table as parquet under --output. Source tables
+      |are supplied as parquet paths (and/or a CSV directory for the
+      |external schema) — the reference compiles against a live database;
+      |here compilation IS execution.""".stripMargin
+
+  /** Execute a rules directory and write every target table as parquet
+    * under `outDir/<target>.parquet` — the `run` CLI verb's body, exposed
+    * for library callers. Returns the targets.
+    */
+  def executeDirectory(
+      spark: SparkSession,
+      rulesDir: String,
+      outDir: String,
+      udfs: Map[String, SparkSession => Unit] = Map.empty,
+      configure: Engine => Unit = _ => ()): Map[String, DataFrame] = {
+    val targets = runDirectory(spark, rulesDir, udfs, configure)
+    val out = Paths.get(outDir)
+    if (!Files.exists(out)) Files.createDirectories(out)
+    targets.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(out.resolve(s"$name.parquet").toString)
+    }
+    targets
+  }
 
   /** Argument parsing + dispatch for [[main]], separated so tests can drive
     * the CLI against an existing session. Returns the compiled targets.
     */
   def cliMain(args: Array[String], spark: SparkSession): Map[String, DataFrame] = {
-    require(args.headOption.contains("compile"), s"expected `compile` subcommand\n$usage")
+    val verb = args.headOption.getOrElse("")
+    require(verb == "compile" || verb == "run",
+      s"expected `compile` or `run` subcommand\n$usage")
     var rules = "rules"
     var output = "sql"
     var oneFile = true
@@ -101,9 +128,13 @@ object Etl {
     while (it.hasNext) it.next() match {
       case "--rules" => rules = it.next()
       case "--output" => output = it.next()
-      case "--drop-tables" => dropTables = true
-      case "--one-file" => oneFile = true
-      case "--no-one-file" => oneFile = false
+      case f @ ("--drop-tables" | "--one-file" | "--no-one-file") =>
+        require(verb == "compile", s"$f is a compile-only flag\n$usage")
+        f match {
+          case "--drop-tables" => dropTables = true
+          case "--one-file" => oneFile = true
+          case "--no-one-file" => oneFile = false
+        }
       case "--source" =>
         val Array(qualified, path) = it.next().split("=", 2)
         val Array(schema, table) = qualified.split("\\.", 2)
@@ -111,13 +142,17 @@ object Etl {
       case "--external-csv" => csvDirs += it.next()
       case other => throw new IllegalArgumentException(s"unknown option: $other\n$usage")
     }
-    compileDirectory(spark, rules, output, oneFile, dropTables, configure = { e =>
+    val configure: Engine => Unit = { e =>
       sources.result().foreach { case (sc, t, p) => e.registerSource(sc, t, spark.read.parquet(p)) }
       csvDirs.result().foreach(d => registerExternalCsvDir(e, spark, d))
-    })
+    }
+    if (verb == "compile")
+      compileDirectory(spark, rules, output, oneFile, dropTables, configure = configure)
+    else
+      executeDirectory(spark, rules, output, configure = configure)
   }
 
-  /** `graft.engine.Etl compile …` — the reference CLI (`__main__.py:34-49`). */
+  /** `graft.engine.Etl compile|run …` — the reference CLI (`__main__.py:34-49`, `95-143`). */
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")

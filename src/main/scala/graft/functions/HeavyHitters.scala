@@ -82,9 +82,12 @@ case class MisraGriesAgg(
           // buffer — copy before it becomes a map key
           buf.update(t.clone(), 1L)
         case None =>
-          // classic MG step: a full summary + unseen item decrements all
+          // classic MG step: a full summary + unseen item decrements all.
+          // Snapshot the keys first — updating a mutable.HashMap while
+          // iterating its live keysIterator only happens to be safe for
+          // value-only updates, and that's an implementation detail.
           val dead = mutable.ArrayBuffer.empty[UTF8String]
-          buf.keysIterator.foreach { k =>
+          buf.keys.toArray.foreach { k =>
             val n = buf(k) - 1
             if (n == 0) dead += k else buf.update(k, n)
           }
@@ -108,7 +111,7 @@ case class MisraGriesAgg(
       java.util.Arrays.sort(counts)
       val cut = counts(counts.length - capacity - 1) // (capacity+1)-th largest
       val dead = mutable.ArrayBuffer.empty[UTF8String]
-      buf.keysIterator.foreach { k =>
+      buf.keys.toArray.foreach { k => // snapshot: see update()
         val n = buf(k) - cut
         if (n <= 0) dead += k else buf.update(k, n)
       }

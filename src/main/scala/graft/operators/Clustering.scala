@@ -44,7 +44,7 @@ object Clustering {
     * structs — struct comparison is lexicographic, so equal distances break
     * to the lowest cluster index.
     */
-  private def assignTo(centroids: Seq[Seq[Double]]): Column = {
+  private[operators] def assignTo(centroids: Seq[Seq[Double]]): Column = {
     val scored = centroids.zipWithIndex.map { case (c, i) =>
       struct(sqDist(col("embedding"), typedLit(c)).as("d"), lit(i).as("c"))
     }
@@ -161,7 +161,7 @@ object Clustering {
   /** Argmin over one subspace's codebook (same lexicographic tie-break as
     * [[assignTo]]).
     */
-  private def assignSub(sv: Column, book: Seq[Seq[Double]]): Column =
+  private[operators] def assignSub(sv: Column, book: Seq[Seq[Double]]): Column =
     least(book.zipWithIndex.map { case (c, j) =>
       struct(sqDist(sv, typedLit(c)).as("d"), lit(j).as("c"))
     }: _*)

@@ -263,13 +263,23 @@ object Curation {
   /** Per-document sequence-packing assignment — the ONE definition shared
     * by [[samp_pack]] and [[pipeline_train]] (stage 5). Input: any frame
     * with (doc_id, text); output adds (shard, h, toks, seq_id).
+    *
+    * `shardHexChars` bounds packing parallelism at 16^width shards: the
+    * per-shard cumulative-sum window sorts one shard per task, so width 1
+    * (16 shards) caps the whole cluster at 16 tasks — ~6 TB per task at
+    * 100 TB. Width 2 (256 shards, the default) keeps the same
+    * content-addressed determinism (shard membership and intra-shard order
+    * are functions of the text alone) while each task sorts 1/256 of the
+    * corpus; widen further for larger inputs — assignments change with
+    * width, but reproducibly so.
     */
-  private[graft] def packAssign(d: DataFrame, budget: Int): DataFrame = {
+  private[graft] def packAssign(d: DataFrame, budget: Int,
+      shardHexChars: Int = 2): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy(col("h"), col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    d.select(col("doc_id"), substring(md5(col("text")), 1, 1).as("shard"),
+    d.select(col("doc_id"), substring(md5(col("text")), 1, shardHexChars).as("shard"),
       md5(col("text")).as("h"),
       size(words(col("text"))).cast("long").as("toks"))
       .withColumn("cum", sum(col("toks")).over(w))
@@ -294,9 +304,9 @@ object Curation {
     * deterministic order and cut the stream into fixed token-budget
     * training sequences — the GPT-style packing pass between curation and
     * tokenization. Packing is per content-addressed SHARD
-    * (first md5 hex char, 16 shards): a global greedy pack would serialize
-    * on one cumulative sum, while per-shard packing runs one window per
-    * shard partition — embarrassingly parallel, and still fully
+    * (first two md5 hex chars, 256 shards): a global greedy pack would
+    * serialize on one cumulative sum, while per-shard packing runs one
+    * window per shard partition — embarrassingly parallel, and still fully
     * deterministic because shard membership and intra-shard order are both
     * functions of content alone. A doc whose tokens cross the boundary
     * starts at its cumsum's bucket (documents are not split here; the
@@ -336,10 +346,14 @@ object Curation {
     // identical shingle sets collapse to one representative PER SIDE — the
     // same clique² guard as dd_ngram_jaccard: re-crawled exact copies cost
     // output rows, never verification work
+    // consumed by postings, verification, and expansion — persist (lazy,
+    // lineage kept) rather than localCheckpoint: eager executor-only blocks
+    // would compute at construction time and die with an executor on a real
+    // cluster, killing the job instead of recomputing
     def collapse(side: DataFrame): DataFrame = side
       .groupBy("shs")
       .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
-      .localCheckpoint() // consumed by postings, verification, and expansion
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tg = collapse(base.filter(col("source") =!= evalSource))
     val eg = collapse(base.filter(col("source") === evalSource))
     // Eval-side prefix postings, rarest-first (Chaudhuri/Bayardo): a pair

@@ -188,6 +188,7 @@ object Similarity {
       m: Int = 8, codes: Int = 16, iters: Int = 2): DataFrame = {
     val emb = Tables.loadParallel(s, dir, "embeddings")
     val dims = emb.select(size(col("embedding"))).first().getInt(0)
+    require(dims % m == 0, s"embedding dims ($dims) must be divisible by m ($m)")
     val sub = dims / m
     val books = Clustering.pqTrain(emb, m, codes, iters, sub)
     val coded = Clustering.encodePq(emb, books, sub).select("vec_id", "codes")
@@ -211,6 +212,93 @@ object Similarity {
       .select(col("vec_id"), explode(array(perQuery: _*)).as("p"))
       .select(col("vec_id"), col("p.q_id").as("q_id"), col("p.dist").as("dist"))
       .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "dist")
+      .orderBy("q_id", "rank")
+  }
+
+  /** Corpus-side IVF×PQ index: every vector gets its coarse list id and the
+    * PQ codes of its RESIDUAL (vector − list centroid) — the layout both
+    * [[ann_ivfpq]] and its spec's scan-fraction audit read. Returned with
+    * the trained residual codebooks so the query side prices distances
+    * against the same tables.
+    */
+  private[operators] def ivfpqIndex(emb: DataFrame, nlist: Int, m: Int,
+      codes: Int, iters: Int, sub: Int): (Seq[Seq[Double]], Seq[Seq[Seq[Double]]], DataFrame) = {
+    val cents = Clustering.initCentroids(emb, nlist)
+    val withList = emb.select(col("vec_id"), col("embedding"),
+      Clustering.assignTo(cents).getField("c").as("cid"))
+    // residuals re-cast to float: the PQ trainer/encoder read a float
+    // `embedding` column, and float rounding is correctly-rounded IEEE —
+    // deterministic under any partitioning
+    val resid = withList.select(col("vec_id"), col("cid"),
+      zip_with(col("embedding"), element_at(typedLit(cents), col("cid") + 1),
+        (x, c) => (x.cast("double") - c).cast("float")).as("embedding"))
+    val books = Clustering.pqTrain(resid, m, codes, iters, sub)
+    val assignedSubs = (0 until m).map { s =>
+      Clustering.assignSub(slice(col("embedding"), s * sub + 1, sub), books(s)).getField("c")
+    }
+    val coded = resid.select(col("vec_id"), col("cid"),
+      array(assignedSubs: _*).as("codes"))
+    (cents, books, coded)
+  }
+
+  /** IVF×PQ — the composed production ANN layout (Jégou et al., TPAMI'11,
+    * the structure every large-corpus vector index ships): the coarse
+    * quantizer PRUNES (each query probes only its `nprobe` nearest of
+    * `nlist` inverted lists — [[ann_ivf]]'s half) and the scan inside a
+    * probed list reads PQ code words of the residuals ONLY, never a raw
+    * vector ([[ann_pq]]'s half). At 100 TB the two compose multiplicatively:
+    * ~nprobe/nlist of the corpus is touched, at m bytes per vector touched.
+    *
+    * Encoding quantizes residuals (vector − its list centroid), the detail
+    * that makes composed recall work: residual energy is a fraction of
+    * vector energy, so the same codebook budget prices distances much more
+    * finely than whole-vector PQ. Query side: per (query, probed list), an
+    * m×k table of subspace distances from the query's residual to every
+    * codeword — nQueries·nprobe·m·k doubles, computed driver-side and
+    * BROADCAST as an array column; a corpus row's distance is m array
+    * lookups after the equi-join on list id. Euclidean ADC, top-k per
+    * query; everything content-deterministic (RNG-free coarse init,
+    * fixed-point Lloyd, lexicographic tie-breaks).
+    */
+  def ann_ivfpq(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 10,
+      nlist: Int = 32, nprobe: Int = 3, m: Int = 8, codes: Int = 16,
+      iters: Int = 2): DataFrame = {
+    import s.implicits._
+    val emb = Tables.loadParallel(s, dir, "embeddings")
+    val dims = emb.select(size(col("embedding"))).first().getInt(0)
+    require(dims % m == 0, s"embedding dims ($dims) must be divisible by m ($m)")
+    val sub = dims / m
+    val (cents, books, coded) = ivfpqIndex(emb, nlist, m, codes, iters, sub)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+    // per (query, probed list): the residual ADC tables, shipped as data in
+    // a broadcast frame — only matched lists ever evaluate them
+    val probes = queries.toSeq.flatMap { case (qid, q) =>
+      val nearest = cents.zipWithIndex.map { case (c, i) =>
+        (q.zip(c).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }, i)
+      }.sorted.take(nprobe)
+      nearest.map { case (_, cid) =>
+        val resid = q.zip(cents(cid)).map { case (x, c) => x - c }
+        val tabs: Seq[Seq[Double]] = (0 until m).map { sx =>
+          books(sx).map { cw =>
+            resid.slice(sx * sub, (sx + 1) * sub).zip(cw)
+              .foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+          }
+        }
+        (qid, cid, tabs)
+      }
+    }.toDF("q_id", "cid", "tabs")
+    val dist = (0 until m).map { sx =>
+      element_at(element_at(col("tabs"), sx + 1), element_at(col("codes"), sx + 1) + 1)
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("vec_id"))
+    coded.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), dist.as("dist"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("q_id", "rank", "vec_id", "dist")

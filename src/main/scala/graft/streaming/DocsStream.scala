@@ -93,14 +93,29 @@ object DocsStream {
             rows.foreach(_ => ())
             Iterator.empty
           } else {
-            // clamp before toInt: a >2^31 quota must not wrap negative and
-            // silently admit nothing
-            val take = rows.toSeq.sortBy(_._2)
-              .take(math.min(room, Int.MaxValue.toLong).toInt)
+            val take = admitSmallest(rows.map(_._2), room)
             state.update(admitted + take.size)
-            take.map(r => (source, r._2)).iterator
+            take.iterator.map(id => (source, id))
           }
         })
+  }
+
+  /** Select the `room` smallest doc_ids from a batch WITHOUT materializing
+    * it: a bounded max-heap of capacity `min(room, batch)` — a flooding
+    * source that still has quota room costs O(room) memory, not O(batch).
+    * (The previous `toSeq.sortBy` buffered the entire per-source batch on
+    * one task.) Returns the admitted ids in ascending order, same
+    * replay-deterministic selection as the full sort. `room` is clamped
+    * before toInt so a >2^31 quota cannot wrap negative.
+    */
+  private[streaming] def admitSmallest(ids: Iterator[Long], room: Long): Seq[Long] = {
+    val cap = math.min(room, Int.MaxValue.toLong).toInt
+    val heap = scala.collection.mutable.PriorityQueue.empty[Long] // max-heap
+    ids.foreach { id =>
+      if (heap.size < cap) heap.enqueue(id)
+      else if (id < heap.head) { heap.dequeue(); heap.enqueue(id) }
+    }
+    heap.dequeueAll.reverse // ascending
   }
 
   /** Screen a document stream (or batch frame) against a corpus band index;

@@ -155,6 +155,68 @@ class EtlSpec extends AnyFunSuite {
     // unknown flag and missing subcommand are loud
     intercept[IllegalArgumentException](Etl.cliMain(Array("compile", "--bogus"), spark))
     intercept[IllegalArgumentException](Etl.cliMain(Array("execute"), spark))
+    // compile-only flags are rejected under `run`
+    intercept[IllegalArgumentException](Etl.cliMain(Array("run", "--drop-tables"), spark))
+  }
+
+  test("cliMain: `run` executes the 4 validation rules end-to-end, writes target parquet") {
+    // the working form of the reference's `omop_etl execute`
+    // (`__main__.py:95-143`, bit-rotted there): rules dir in, parquet out
+    val rulesDir = Files.createTempDirectory("graft-run-rules")
+    Seq("person", "location", "visit_occurrence", "condition_occurrence").foreach { n =>
+      val in = getClass.getResourceAsStream(s"/validation/$n.yaml")
+      val text = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      Files.writeString(rulesDir.resolve(s"$n.yaml"), text)
+    }
+    val corpus = "src/test/resources/corpus"
+    val srcDir = Files.createTempDirectory("graft-run-src")
+    val sourceArgs = Seq.newBuilder[String]
+    def stage(schema: String, t: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val p = srcDir.resolve(s"${schema}_$t.parquet").toString
+      df.write.mode("overwrite").parquet(p)
+      sourceArgs += "--source" += s"$schema.$t=$p"
+    }
+    // same supplementation as CorpusSpec: the workbook populates a subset of
+    // each DDL table's columns; rule-referenced ones must exist (as NULL)
+    def withNullCol(df: org.apache.spark.sql.DataFrame, name: String) =
+      if (df.columns.contains(name)) df
+      else df.withColumn(name, org.apache.spark.sql.functions.lit(null).cast("double"))
+    Seq("person", "encounter", "encntr_loc_hist", "diagnosis", "problem",
+      "address", "nomenclature", "code_value").foreach { t =>
+      val df = spark.read.parquet(s"$corpus/cerner_$t.parquet")
+      val full = if (t == "encounter" || t == "encntr_loc_hist") withNullCol(df, "active_ind") else df
+      stage("cerner", t, full)
+    }
+    Seq("concept", "concept_relationship").foreach { t =>
+      stage("omop", t, spark.read.parquet(s"$corpus/omop_$t.parquet"))
+    }
+    stage("omop", "vocabulary", spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vocabulary_id",
+          org.apache.spark.sql.types.StringType)))))
+    Seq("facility_postcode", "person_ethnicity_concept").foreach { t =>
+      stage("external", t, spark.read.parquet(s"$corpus/external_$t.parquet"))
+    }
+    val outDir = Files.createTempDirectory("graft-run-out")
+    val targets = Etl.cliMain(Array("run",
+      "--rules", rulesDir.toString, "--output", outDir.toString) ++ sourceArgs.result(), spark)
+    // target keys carry the rules' own (uppercase) `name:` fields
+    assert(targets.keySet == Set("PERSON", "LOCATION", "VISIT_OCCURRENCE", "CONDITION_OCCURRENCE"))
+    // written artifacts match the workbook's expected row counts
+    Seq("person", "location", "visit_occurrence", "condition_occurrence").foreach { t =>
+      val written = spark.read.parquet(outDir.resolve(s"${t.toUpperCase}.parquet").toString)
+      val expected = spark.read.parquet(s"$corpus/expected_$t.parquet")
+      assert(written.count() == expected.count(), s"row count for $t")
+    }
+    // spot-check one value column end-to-end through the CLI path
+    val person = spark.read.parquet(outDir.resolve("PERSON.parquet").toString)
+    val expected = spark.read.parquet(s"$corpus/expected_person.parquet")
+    val pk = expected.columns.head
+    def vals(df: org.apache.spark.sql.DataFrame): Seq[Any] =
+      df.orderBy(pk).select(org.apache.spark.sql.functions.col("year_of_birth").cast("double"))
+        .collect().map(_.get(0)).toSeq
+    assert(vals(person) == vals(expected))
   }
 
   test("depends_on inherits the dep file's default_schema (`__main__.py:67-80`)") {

@@ -304,6 +304,49 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("ann_ivfpq: planted-neighbor recall >= 0.8 AND scan fraction < 15% of codes") {
+    // the composed index must deliver BOTH halves at once: find the planted
+    // twin (recall, like ann_pq's spec) while touching only the probed
+    // lists' code words (scan fraction, like ann_lsh's spec)
+    val base = graft.sources.Tables.loadParallel(spark, "/root/testdata/sf0.01", "embeddings")
+    val offset = 1000000L
+    val planted = base.filter(col("vec_id") < 8)
+      .select((col("vec_id") + offset).as("vec_id"),
+        zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+          (x, i) => (x.cast("double") +
+            ((pmod(xxhash64(col("vec_id"), i), lit(1000L)).cast("double") / 1000.0) - 0.5) * 0.08)
+            .cast("float")).as("embedding"),
+        col("label"))
+    val dir = java.nio.file.Files.createTempDirectory("graftivfpq").toString
+    base.unionByName(planted).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.ann_ivfpq(spark, dir)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (0L until 8L).map(q => (q, q + offset)).toSet
+    val recall = (want & got).size.toDouble / want.size
+    assert(recall >= 0.8, s"planted-neighbor IVFPQ recall $recall < 0.8")
+
+    // scan-fraction audit at defaults (nlist=32, nprobe=3): candidates per
+    // query = the probed lists' populations; expected ~nprobe/nlist ≈ 9.4 %
+    // — assert < 15 % so the composed index genuinely prunes (ann_pq alone
+    // scans 100 % of codes)
+    val emb = graft.sources.Tables.loadParallel(spark, dir, "embeddings")
+    val dims = emb.select(size(col("embedding"))).first().getInt(0)
+    val (cents, _, coded) = Similarity.ivfpqIndex(emb, nlist = 32, m = 8,
+      codes = 16, iters = 2, sub = dims / 8)
+    val listSizes = coded.groupBy("cid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = emb.count()
+    val queries = emb.filter(col("vec_id") < 8).select("vec_id", "embedding")
+      .collect().map(_.getSeq[Float](1).map(_.toDouble))
+    val scanned = queries.map { q =>
+      cents.zipWithIndex.map { case (c, i) =>
+        (q.zip(c).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }, i)
+      }.sorted.take(3).map { case (_, cid) => listSizes.getOrElse(cid, 0L) }.sum
+    }.sum
+    val frac = scanned.toDouble / (queries.length * n)
+    assert(frac < 0.15, s"IVFPQ scans $frac of the corpus' codes")
+  }
+
   test("band-bucket cap bounds hot buckets; exact-dup cliques survive any cap") {
     // 6 exact copies: identical signatures collapse to ONE representative,
     // so no band bucket is hot and every clique pair survives even a cap of 1

@@ -221,6 +221,22 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("quotaGate admission is heap-bounded: a 10^5-row flood admits exactly `room` without materializing the batch") {
+    // the ids arrive through a LAZY one-shot iterator (no backing
+    // collection, worst-first order so the heap churns); selecting the
+    // `room` smallest must consume it streaming — the previous
+    // toSeq.sortBy buffered the whole batch on one task
+    var produced = 0L
+    val ids = Iterator.range(0, 100000).map { i => produced += 1; 99999L - i }
+    val got = DocsStream.admitSmallest(ids, room = 10)
+    assert(produced == 100000L, "iterator fully consumed (state must count the whole batch)")
+    assert(got == (0L until 10L), s"the 10 smallest ids, ascending: $got")
+    // room >= batch admits everything
+    assert(DocsStream.admitSmallest(Iterator(5L, 3L, 9L), room = 100L) == Seq(3L, 5L, 9L))
+    // a >2^31 room clamps instead of wrapping negative
+    assert(DocsStream.admitSmallest(Iterator(1L, 2L), room = 3000000000L) == Seq(1L, 2L))
+  }
+
   test("PQ encoding is stream-ready: encodePq columns produce batch-identical codes on a stream") {
     // the encoder is pure column algebra over plan-literal codebooks, so the
     // EXACT batch definition drops into readStream unchanged — the property
