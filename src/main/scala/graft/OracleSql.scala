@@ -339,6 +339,38 @@ object OracleSql {
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4
          |ORDER BY a, b""".stripMargin,
 
+    // SemDeDup: the one-step Lloyd assignment (same CTE shape as
+    // embed_kmeans_assign's oracle) + within-cluster defined-order cosine —
+    // both halves already bit-match, so the composition does too.
+    "dd_semdedup" ->
+      s"""WITH c AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c,
+         |         embedding AS ce
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 10)),
+         |asg AS (
+         |  SELECT e.vec_id,
+         |    (min({'d': list_sum(list_transform(list_zip(e.embedding, c.ce),
+         |            p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+         |               * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+         |          'c': c.c})).c AS cluster
+         |  FROM embeddings e, c GROUP BY e.vec_id),
+         |e AS (SELECT em.vec_id, em.embedding, asg.cluster
+         |      FROM embeddings em JOIN asg USING (vec_id)),
+         |p AS (
+         |  SELECT x.cluster AS cluster, y.vec_id AS b
+         |  FROM e x JOIN e y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+         |  WHERE ${cosSql("x.embedding", "y.embedding")} >= 0.4
+         |  GROUP BY 1, 2),
+         |d AS (SELECT cluster, count(*) AS n_dups, min(b) AS first_dup
+         |      FROM p GROUP BY cluster)
+         |SELECT e.cluster, count(*) AS n_members,
+         |  COALESCE(max(d.n_dups), 0) AS n_dups,
+         |  count(*) - COALESCE(max(d.n_dups), 0) AS n_keep,
+         |  max(d.first_dup) AS first_dup
+         |FROM e LEFT JOIN d USING (cluster)
+         |GROUP BY e.cluster
+         |ORDER BY cluster""".stripMargin,
+
     "ann_bruteforce" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
          |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM e WHERE vec_id < 8),

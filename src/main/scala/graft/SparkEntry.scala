@@ -74,6 +74,7 @@ object SparkEntry {
     "dd_ngram_jaccard" -> ((s, d) => Dedup.dd_ngram_jaccard(s, d)),
     "dd_embed_cosine" -> ((s, d) => Dedup.dd_embed_cosine(s, d)),
     "dd_embed_lsh" -> ((s, d) => Dedup.dd_embed_lsh(s, d)),
+    "dd_semdedup" -> ((s, d) => Dedup.dd_semdedup(s, d)),
     "ann_bruteforce" -> ((s, d) => Similarity.ann_bruteforce(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.ann_lsh(s, d)),
     "ann_ivf" -> ((s, d) => Similarity.ann_ivf(s, d)),

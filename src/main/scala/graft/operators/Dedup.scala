@@ -572,4 +572,47 @@ object Dedup {
     expandPairs(repPairs, "cos", grouped, selfCos, col("cos") >= threshold)
       .orderBy("a", "b")
   }
+
+  /** SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup by
+    * WITHIN-CLUSTER cosine pruning — cluster the embeddings with the
+    * deterministic one-step Lloyd assignment (the same RNG-free-init step
+    * [[Clustering.embed_kmeans_assign]] anchors to the oracle), then flag
+    * every vector whose cosine to a lower-id member of its OWN cluster
+    * meets `threshold`. This is how a real curation stack composes the
+    * clustering and dedup families: the k-means cells bound the quadratic
+    * (each cell pair-joins only against itself — an equi-join on cluster
+    * id, never a cartesian), and at corpus scale k grows with N so cells
+    * stay fixed-size; cross-cluster near-dups are forgone by design — the
+    * documented SemDeDup approximation. Fully oracle-checked: both halves
+    * (the assignment and the defined-order cosine fold) are exact algebra
+    * DuckDB reproduces bit for bit.
+    *
+    * Emits the per-cluster audit frame: members, flagged duplicates,
+    * keepers (members − dups), and the first flagged id.
+    */
+  def dd_semdedup(s: SparkSession, dir: String, k: Int = 10,
+      threshold: Double = 0.4): DataFrame = {
+    import graft.functions.VecDot
+    val raw = Tables.loadParallel(s, dir, "embeddings")
+    val cents = Clustering.initCentroids(raw, k)
+    val e = raw.select(col("vec_id"), col("embedding"),
+      VecDot.norm(col("embedding")).as("nrm"),
+      Clustering.assignTo(cents).getField("c").as("cluster"))
+    val a = e.select(col("cluster"), col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("cluster"), col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb"))
+    val dups = a.join(b, Seq("cluster"))
+      .filter(col("a") < col("b"))
+      .filter(VecDot.cosineFast(VecDot.dot(col("ea"), col("eb")), col("na"), col("nb")) >= threshold)
+      // a vector may be close to several lower-id members — flag it once
+      .select(col("cluster"), col("b")).distinct()
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_dups"), min(col("b")).as("first_dup"))
+    e.groupBy("cluster").agg(count(lit(1)).as("n_members"))
+      .join(dups, Seq("cluster"), "left")
+      .select(col("cluster"), col("n_members"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        (col("n_members") - coalesce(col("n_dups"), lit(0L))).as("n_keep"),
+        col("first_dup"))
+      .orderBy("cluster")
+  }
 }

@@ -231,10 +231,14 @@ object Similarity {
       Clustering.assignTo(cents).getField("c").as("cid"))
     // residuals re-cast to float: the PQ trainer/encoder read a float
     // `embedding` column, and float rounding is correctly-rounded IEEE —
-    // deterministic under any partitioning
+    // deterministic under any partitioning. Persisted: the PQ trainer's
+    // seed + per-round aggregates and the final encode each scan this
+    // frame, and the nlist-way coarse assignment shouldn't recompute per
+    // scan (lazy persist, lineage kept — recomputable on executor loss).
     val resid = withList.select(col("vec_id"), col("cid"),
       zip_with(col("embedding"), element_at(typedLit(cents), col("cid") + 1),
         (x, c) => (x.cast("double") - c).cast("float")).as("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val books = Clustering.pqTrain(resid, m, codes, iters, sub)
     val assignedSubs = (0 until m).map { s =>
       Clustering.assignSub(slice(col("embedding"), s * sub + 1, sub), books(s)).getField("c")
@@ -266,7 +270,6 @@ object Similarity {
   def ann_ivfpq(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 10,
       nlist: Int = 32, nprobe: Int = 3, m: Int = 8, codes: Int = 16,
       iters: Int = 2): DataFrame = {
-    import s.implicits._
     val emb = Tables.loadParallel(s, dir, "embeddings")
     val dims = emb.select(size(col("embedding"))).first().getInt(0)
     require(dims % m == 0, s"embedding dims ($dims) must be divisible by m ($m)")
@@ -274,10 +277,22 @@ object Similarity {
     val (cents, books, coded) = ivfpqIndex(emb, nlist, m, codes, iters, sub)
     val queries = emb.filter(col("vec_id") < nQueries)
       .select("vec_id", "embedding").collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
-    // per (query, probed list): the residual ADC tables, shipped as data in
-    // a broadcast frame — only matched lists ever evaluate them
-    val probes = queries.toSeq.flatMap { case (qid, q) =>
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
+    adcSearch(s, coded, cents, books, queries, nprobe, k, m, sub)
+  }
+
+  /** Residual-ADC search over a coded corpus frame (vec_id, cid, codes).
+    * Per (query, probed list): the m×k subspace distance tables from the
+    * query's residual to every codeword, shipped as DATA in a broadcast
+    * frame — only rows of matched lists ever evaluate them, and a corpus
+    * row's distance is m array lookups after the equi-join on list id.
+    */
+  private def adcSearch(s: SparkSession, coded: DataFrame,
+      cents: Seq[Seq[Double]], books: Seq[Seq[Seq[Double]]],
+      queries: Array[(Long, Seq[Double])], nprobe: Int, k: Int,
+      m: Int, sub: Int): DataFrame = {
+    import s.implicits._
+    val probeRows = queries.toSeq.flatMap { case (qid, q) =>
       val nearest = cents.zipWithIndex.map { case (c, i) =>
         (q.zip(c).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }, i)
       }.sorted.take(nprobe)
@@ -291,17 +306,73 @@ object Similarity {
         }
         (qid, cid, tabs)
       }
-    }.toDF("q_id", "cid", "tabs")
+    }
+    val probes = probeRows.toDF("q_id", "cid", "tabs")
+    // the probed list ids are known driver-side — push them as a STATIC
+    // filter so a partitioned index scan prunes to nprobe directories per
+    // query before the join even runs
+    val probedLists = probeRows.map(_._2).distinct
     val dist = (0 until m).map { sx =>
       element_at(element_at(col("tabs"), sx + 1), element_at(col("codes"), sx + 1) + 1)
     }.reduce(_ + _)
     val w = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("vec_id"))
-    coded.join(broadcast(probes), Seq("cid"))
+    coded.filter(col("cid").isInCollection(probedLists))
+      .join(broadcast(probes), Seq("cid"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), dist.as("dist"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("q_id", "rank", "vec_id", "dist")
       .orderBy("q_id", "rank")
+  }
+
+  /** Persist the IVF×PQ index — build ONCE, search many: at 100 TB the
+    * expensive parts (coarse assignment + PQ training + encoding) must not
+    * rerun per query batch. Layout: the coded corpus parquet-partitioned BY
+    * LIST ID (probing a list = reading one directory — planning-time
+    * partition pruning, asserted in the spec) plus the centroid/codebook
+    * tables as tiny parquet sidecars (nlist·dims + m·codes·sub doubles) —
+    * no JSON hand-rolling, any Hadoop-compatible FS works.
+    */
+  def writeIvfPqIndex(s: SparkSession, dir: String, path: String,
+      nlist: Int = 32, m: Int = 8, codes: Int = 16, iters: Int = 2): Unit = {
+    import s.implicits._
+    val emb = Tables.loadParallel(s, dir, "embeddings")
+    val dims = emb.select(size(col("embedding"))).first().getInt(0)
+    require(dims % m == 0, s"embedding dims ($dims) must be divisible by m ($m)")
+    val sub = dims / m
+    val (cents, books, coded) = ivfpqIndex(emb, nlist, m, codes, iters, sub)
+    coded.repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/codes")
+    cents.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cid", "centroid")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    books.zipWithIndex.flatMap { case (book, sx) =>
+      book.zipWithIndex.map { case (cw, j) => (sx, j, cw) }
+    }.toDF("s", "j", "codeword")
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** Search a persisted IVF×PQ index: loads the tiny centroid/codebook
+    * sidecars driver-side, prices the query residuals against them, and
+    * scans ONLY the probed lists' code partitions. `queries` is any frame
+    * with (vec_id, embedding) — a handful of rows, collected.
+    */
+  def searchIvfPqIndex(s: SparkSession, path: String, queries: DataFrame,
+      k: Int = 10, nprobe: Int = 3): DataFrame = {
+    val cents = s.read.parquet(s"$path/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
+      .sortBy(_._1).map(_._2).toSeq
+    val bookRows = s.read.parquet(s"$path/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+    val m = bookRows.map(_._1).max + 1
+    val books: Seq[Seq[Seq[Double]]] = (0 until m).map { sx =>
+      bookRows.filter(_._1 == sx).sortBy(_._2).map(_._3).toSeq
+    }
+    val sub = books.head.head.size
+    val coded = s.read.parquet(s"$path/codes")
+    val q = queries.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
+    adcSearch(s, coded, cents, books, q, nprobe, k, m, sub)
   }
 }

@@ -304,6 +304,36 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("dd_semdedup: a planted within-cluster twin is flagged; keepers partition members") {
+    val base = graft.sources.Tables.loadParallel(spark, "/root/testdata/sf0.01", "embeddings")
+    val offset = 1000000L
+    // a barely-perturbed copy of vector 0 lands in vector 0's cluster and
+    // must be flagged as its semantic duplicate (higher id ⇒ it, not the
+    // original, is the flagged member)
+    val planted = base.filter(col("vec_id") === 0)
+      .select((col("vec_id") + offset).as("vec_id"),
+        zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+          (x, i) => (x.cast("double") +
+            ((pmod(xxhash64(col("vec_id"), i), lit(1000L)).cast("double") / 1000.0) - 0.5) * 0.01)
+            .cast("float")).as("embedding"),
+        col("label"))
+    val dir = java.nio.file.Files.createTempDirectory("graftsem").toString
+    base.unionByName(planted).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = Dedup.dd_semdedup(spark, dir).collect()
+    // invariants: every cluster's keepers + dups = members; dup counts bound
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3), s"members != dups + keepers: $r")
+      assert(r.getLong(2) >= 0 && r.getLong(2) < r.getLong(1))
+    }
+    // the planted twin is flagged somewhere (cosine to vec 0 ≈ 0.999)
+    val flaggedWithPlant = rows.filter(r => !r.isNullAt(4) && r.getLong(4) == offset)
+    val baseline = Dedup.dd_semdedup(spark, "/root/testdata/sf0.01")
+      .agg(org.apache.spark.sql.functions.sum("n_dups")).first().getLong(0)
+    val total = rows.map(_.getLong(2)).sum
+    assert(total >= baseline + 1, s"planting a twin must add a flagged dup ($baseline -> $total)")
+    assert(flaggedWithPlant.nonEmpty || total > baseline, "twin flagged")
+  }
+
   test("ann_ivfpq: planted-neighbor recall >= 0.8 AND scan fraction < 15% of codes") {
     // the composed index must deliver BOTH halves at once: find the planted
     // twin (recall, like ann_pq's spec) while touching only the probed
@@ -345,6 +375,23 @@ class PipelineSpec extends AnyFunSuite {
     }.sum
     val frac = scanned.toDouble / (queries.length * n)
     assert(frac < 0.15, s"IVFPQ scans $frac of the corpus' codes")
+  }
+
+  test("IVFxPQ index persists: search equals the inline operator; probed lists prune the scan") {
+    // build once / search many: deterministic training means the persisted-
+    // index search must be IDENTICAL to the inline operator, and the probed
+    // list ids (known driver-side) must prune the partitioned codes scan
+    val dir = "/root/testdata/sf0.01"
+    val path = java.nio.file.Files.createTempDirectory("graftivfidx").toString
+    Similarity.writeIvfPqIndex(spark, dir, path)
+    val queries = graft.sources.Tables.loadParallel(spark, dir, "embeddings")
+      .filter(col("vec_id") < 8)
+    val fromIndex = Similarity.searchIvfPqIndex(spark, path, queries)
+    val inline = Similarity.ann_ivfpq(spark, dir)
+    assert(fromIndex.collect().map(_.toSeq).toSeq == inline.collect().map(_.toSeq).toSeq)
+    val p = fromIndex.queryExecution.sparkPlan.toString
+    assert(p.contains("PartitionFilters: [cid"),
+      s"probed lists must prune the partitioned index scan:\n$p")
   }
 
   test("band-bucket cap bounds hot buckets; exact-dup cliques survive any cap") {
