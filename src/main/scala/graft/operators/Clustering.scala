@@ -30,26 +30,18 @@ object Clustering {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.loadParallel(s, dir, "embeddings")
 
-  /** Squared euclidean distance as a sequential double fold — defined
-    * evaluation order, so DuckDB's `list_sum` twin matches bit for bit.
+  /** Argmin over the literal centroid set as ONE native expression
+    * ([[graft.functions.VecNearest]]): struct(d, c) of the nearest
+    * centroid, ties to the lowest index — value-identical to the previous
+    * `least` of (sqdist, index) structs (same left-to-right double
+    * accumulation the DuckDB twins mirror), but a single small codegen'd
+    * loop instead of k inlined distance folds: the composed form either
+    * evaluated interpreted (HOF lambdas) or, once made codegen-able, grew
+    * the fused consume method past HotSpot's JIT threshold — both
+    * dominated k-means/PQ training scans at 2M vectors.
     */
-  private def sqDist(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) =>
-        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-      lit(0.0),
-      (acc, d) => acc + d)
-
-  /** Argmin over the literal centroid set: `least` of (distance, index)
-    * structs — struct comparison is lexicographic, so equal distances break
-    * to the lowest cluster index.
-    */
-  private[operators] def assignTo(centroids: Seq[Seq[Double]]): Column = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct(sqDist(col("embedding"), typedLit(c)).as("d"), lit(i).as("c"))
-    }
-    least(scored: _*)
-  }
+  private[operators] def assignTo(centroids: Seq[Seq[Double]]): Column =
+    graft.functions.VecNearest.nearest(col("embedding"), centroids)
 
   /** Fixed-point per-row component sum: Σ_dims floor(x·2^20) — one exact
     * integer per vector, an order-independent content probe.
@@ -158,13 +150,11 @@ object Clustering {
     books
   }
 
-  /** Argmin over one subspace's codebook (same lexicographic tie-break as
-    * [[assignTo]]).
+  /** Argmin over one subspace's codebook (same tie-break as [[assignTo]],
+    * same single-expression rationale).
     */
   private[operators] def assignSub(sv: Column, book: Seq[Seq[Double]]): Column =
-    least(book.zipWithIndex.map { case (c, j) =>
-      struct(sqDist(sv, typedLit(c)).as("d"), lit(j).as("c"))
-    }: _*)
+    graft.functions.VecNearest.nearest(sv, book)
 
   /** Encode vectors against trained codebooks: per-subspace code +
     * fixed-point total quantization error.

@@ -587,17 +587,35 @@ object Dedup {
     * (the assignment and the defined-order cosine fold) are exact algebra
     * DuckDB reproduces bit for bit.
     *
+    * Like [[dd_embed_cosine]], the per-cell work is quadratic BY
+    * CONSTRUCTION (that is SemDeDup's design — the cells bound it), so the
+    * operator fails fast when the largest cell exceeds `maxCellVectors`
+    * instead of silently launching a cell² job: raise `k` (more, smaller
+    * cells) or the bound explicitly. The literal-centroid assignment here
+    * serves k up to a few hundred; a 100 TB deployment would assign cells
+    * with the same coarse quantizer the persisted IVF index uses
+    * ([[Similarity.writeIvfPqIndex]]) and run this pruning within lists.
+    *
     * Emits the per-cluster audit frame: members, flagged duplicates,
     * keepers (members − dups), and the first flagged id.
     */
   def dd_semdedup(s: SparkSession, dir: String, k: Int = 10,
-      threshold: Double = 0.4): DataFrame = {
+      threshold: Double = 0.4, maxCellVectors: Long = 100000L): DataFrame = {
     import graft.functions.VecDot
     val raw = Tables.loadParallel(s, dir, "embeddings")
     val cents = Clustering.initCentroids(raw, k)
     val e = raw.select(col("vec_id"), col("embedding"),
       VecDot.norm(col("embedding")).as("nrm"),
       Clustering.assignTo(cents).getField("c").as("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val biggest = e.groupBy("cluster").count()
+      .agg(max(col("count"))).first().getLong(0)
+    log.info(s"dd_semdedup: largest cell $biggest of ${k} cells")
+    require(biggest <= maxCellVectors,
+      s"dd_semdedup pair work is quadratic per cell: largest cell has " +
+        s"$biggest vectors (> maxCellVectors=$maxCellVectors, " +
+        s"~${biggest * biggest / 2} pairs). Raise k so cells shrink, or " +
+        "raise maxCellVectors explicitly.")
     val a = e.select(col("cluster"), col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
     val b = e.select(col("cluster"), col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb"))
     val dups = a.join(b, Seq("cluster"))

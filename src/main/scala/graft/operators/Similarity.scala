@@ -186,6 +186,7 @@ object Similarity {
     */
   def ann_pq(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 10,
       m: Int = 8, codes: Int = 16, iters: Int = 2): DataFrame = {
+    import s.implicits._
     val emb = Tables.loadParallel(s, dir, "embeddings")
     val dims = emb.select(size(col("embedding"))).first().getInt(0)
     require(dims % m == 0, s"embedding dims ($dims) must be divisible by m ($m)")
@@ -195,23 +196,25 @@ object Similarity {
     val queries = emb.filter(col("vec_id") < nQueries)
       .select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
-    // per (query, subspace): distances to every codeword, as plan literals
+    // per (query, subspace): distances to every codeword. Shipped as DATA in
+    // a broadcast frame (same shape as ann_ivfpq's probe tables), NOT as
+    // plan literals inside an exploded struct array — the literal form fell
+    // out of whole-stage codegen and evaluated interpreted, 80× slower on a
+    // 2M-vector scan (217 s → this form is training-dominated).
     def table(q: Seq[Double], s: Int): Seq[Double] =
       books(s).map { c =>
         val qs = q.slice(s * sub, (s + 1) * sub)
         qs.zip(c).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
       }
-    val perQuery = queries.map { case (qid, q) =>
-      val dist = (0 until m).map { s =>
-        element_at(typedLit(table(q, s)), element_at(col("codes"), s + 1) + 1)
-      }.reduce(_ + _)
-      struct(lit(qid).as("q_id"), dist.as("dist"))
-    }
+    val probes = queries.toSeq
+      .map { case (qid, q) => (qid, (0 until m).map(sx => table(q, sx))) }
+      .toDF("q_id", "tabs")
+    val dist = (0 until m).map { sx =>
+      element_at(element_at(col("tabs"), sx + 1), element_at(col("codes"), sx + 1) + 1)
+    }.reduce(_ + _)
     val w = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("vec_id"))
-    coded
-      .select(col("vec_id"), explode(array(perQuery: _*)).as("p"))
-      .select(col("vec_id"), col("p.q_id").as("q_id"), col("p.dist").as("dist"))
-      .filter(col("vec_id") =!= col("q_id"))
+    coded.join(broadcast(probes), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), dist.as("dist"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("q_id", "rank", "vec_id", "dist")

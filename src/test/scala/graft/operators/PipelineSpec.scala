@@ -332,6 +332,11 @@ class PipelineSpec extends AnyFunSuite {
     val total = rows.map(_.getLong(2)).sum
     assert(total >= baseline + 1, s"planting a twin must add a flagged dup ($baseline -> $total)")
     assert(flaggedWithPlant.nonEmpty || total > baseline, "twin flagged")
+    // quadratic-by-construction guard: a cell above the bound fails fast
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dd_semdedup(spark, "/root/testdata/sf0.001", maxCellVectors = 1L)
+    }
+    assert(e.getMessage.contains("quadratic per cell"))
   }
 
   test("ann_ivfpq: planted-neighbor recall >= 0.8 AND scan fraction < 15% of codes") {

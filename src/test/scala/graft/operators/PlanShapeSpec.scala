@@ -85,7 +85,9 @@ class PlanShapeSpec extends AnyFunSuite {
     // non-equi joins whose predicates Spark cannot hash on
     val allowNL = Set("dd_embed_cosine", "ann_bruteforce", "q16_range_join",
       "q25_theta_join", "q26_asof_join",
-      "ann_ivf") // corpus × broadcast codebook: the IVF assignment pass
+      "ann_ivf", // corpus × broadcast codebook: the IVF assignment pass
+      "ann_pq") // coded corpus × 8 broadcast ADC probe rows (self-exclusion
+                // is the only predicate — the same shape as ann_bruteforce)
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, dir).queryExecution.sparkPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
