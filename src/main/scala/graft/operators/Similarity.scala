@@ -26,8 +26,19 @@ object Similarity {
   /** Signed margins of `embedding` against the `planes` hyperplanes — the
     * raw material for both the bucket id (sign bits) and multi-probe
     * ordering (|margin| says how close the vector is to each boundary).
+    * Native expression ([[graft.functions.VecMatDots]]): the composed HOF
+    * form below re-derived the constant plane matrix per row per element,
+    * interpreted — it cost ann_lsh 44 s at 2M vectors; the native loop is
+    * bit-identical (parity-tested against [[planeDotsComposed]]).
     */
   def planeDots(emb: Column, planes: Int): Column =
+    graft.functions.VecMatDots.dots(emb, planes)
+
+  /** The composed-HOF reference form of [[planeDots]] — kept as the parity
+    * oracle for the native expression (PipelineSpec asserts exact equality
+    * of every margin), not used in any operator path.
+    */
+  private[operators] def planeDotsComposed(emb: Column, planes: Int): Column =
     transform(sequence(lit(0), lit(planes - 1)), p =>
       aggregate(
         zip_with(emb, sequence(lit(0), size(emb) - 1),

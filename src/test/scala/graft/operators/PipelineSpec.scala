@@ -382,6 +382,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(frac < 0.15, s"IVFPQ scans $frac of the corpus' codes")
   }
 
+  test("native planeDots is bit-identical to the composed HOF form") {
+    // the native expression re-derives the plane matrix from XXH64 directly;
+    // every margin must equal the xxhash64-Column composition EXACTLY or
+    // bucket assignments (and thus every LSH index) silently change
+    val emb = graft.sources.Tables.loadParallel(spark, "/root/testdata/sf0.01", "embeddings")
+    val both = emb.select(
+      Similarity.planeDots(col("embedding"), 8).as("fast"),
+      Similarity.planeDotsComposed(col("embedding"), 8).as("ref"))
+    val bad = both.filter(col("fast") =!= col("ref")).count()
+    assert(bad == 0, s"$bad rows diverge between native and composed planeDots")
+    // and spot-check actual doubles, not just SQL equality semantics
+    val r = both.limit(5).collect()
+    r.foreach { row =>
+      assert(row.getSeq[Double](0) == row.getSeq[Double](1))
+    }
+  }
+
   test("IVFxPQ index persists: search equals the inline operator; probed lists prune the scan") {
     // build once / search many: deterministic training means the persisted-
     // index search must be IDENTICAL to the inline operator, and the probed
