@@ -18,16 +18,33 @@ object TextFunctions {
     * `pipeline_curate`, mirrored by the DuckDB oracles): lowercase, strip
     * everything outside [a-z0-9 ], collapse whitespace runs, trim.
     * Idempotent by construction — the output alphabet is a fixed point of
-    * every pass (property-tested in CurationSpec).
+    * every pass (property-tested in CurationSpec). Native expression
+    * ([[NormalizeText]], one byte pass) — the two-regex composed form
+    * below cost 100 s per pass over 1.5M documents; parity-spec'd
+    * string-identical.
     */
-  def normalize(text: Column): Column =
+  def normalize(text: Column): Column = NormalizeText.of(text)
+
+  /** The composed two-regex reference form of [[normalize]] — the parity
+    * oracle for the native expression (and the exact chain the DuckDB
+    * oracle twins run), not used in any operator path.
+    */
+  private[graft] def normalizeComposed(text: Column): Column =
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
 
   /** Word n-gram shingles: sliding windows of `n` tokens joined by a space.
-    * `transform(sequence(...))` keeps it codegen'd.
+    * Native expression ([[Shingles]]) — the composed HOF form below hid a
+    * quadratic re-split (the lambda body carries the `split` subtree, and
+    * interpreted HOFs re-evaluate it per element: once per shingle).
+    * Parity-spec'd bit-identical.
     */
-  def shingles(text: Column, n: Int): Column = {
+  def shingles(text: Column, n: Int): Column = Shingles.of(text, n)
+
+  /** The composed-HOF reference form of [[shingles]] — the parity oracle
+    * for the native expression, not used in any operator path.
+    */
+  private[graft] def shinglesComposed(text: Column, n: Int): Column = {
     val w = words(text)
     when(size(w) < n, array(concat_ws(" ", w)))
       .otherwise(transform(
@@ -46,9 +63,18 @@ object TextFunctions {
 
   /** MinHash signature of length `k` over pre-hashed shingles: family i's
     * value is min over shingles of `xxhash64(h, i)` — k cheap long-rehashes
-    * per shingle instead of k string hashes. Fully deterministic.
+    * per shingle instead of k string hashes. Fully deterministic. Native
+    * expression ([[MinHashSig]]) — the composed HOF form below ran
+    * interpreted at k×|shingles| boxed calls per document on the streaming
+    * ingest path; parity-spec'd bit-identical.
     */
   def minhash(hashedShingleArr: Column, k: Int): Column =
+    MinHashSig.sig(hashedShingleArr, k)
+
+  /** The composed-HOF reference form of [[minhash]] — the parity oracle
+    * for the native expression, not used in any operator path.
+    */
+  private[graft] def minhashComposed(hashedShingleArr: Column, k: Int): Column =
     transform(
       sequence(lit(0), lit(k - 1)),
       s => array_min(transform(hashedShingleArr, h => xxhash64(h, s))))

@@ -382,6 +382,64 @@ class PipelineSpec extends AnyFunSuite {
     assert(frac < 0.15, s"IVFPQ scans $frac of the corpus' codes")
   }
 
+  test("native normalize is string-identical to the composed regex form") {
+    // normalize feeds md5 digests in oracle-checked operators (tx_norm,
+    // pipeline_curate/train) — the byte-pass must reproduce the regex chain
+    // exactly, including unicode stripping and lowercase-to-ascii cases
+    import graft.functions.TextFunctions.{normalize, normalizeComposed}
+    val docs = graft.sources.Tables.loadParallel(spark, "/root/testdata/sf0.01", "documents")
+    val both = docs.select(normalize(col("text")).as("fast"),
+      normalizeComposed(col("text")).as("ref"))
+    assert(both.filter(col("fast") =!= col("ref")).count() == 0)
+    val edge = spark.sql(
+      """SELECT * FROM VALUES (''), ('  '), ('A  B!!c'), ('a\tb'),
+        |('Ünïcode — stripped'), ('ABC123  '), ('..a..'), ('É K à 9')
+        |AS v(text)""".stripMargin)
+    val e = edge.select(normalize(col("text")).as("fast"),
+      normalizeComposed(col("text")).as("ref")).collect()
+    e.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+  }
+
+  test("native shingles are bit-identical to the composed HOF form") {
+    // shingles feed md5/xxhash64 digests in oracle-checked operators — any
+    // byte difference (split semantics, join, the fewer-than-n case) breaks
+    // hash parity corpus-wide
+    import graft.functions.TextFunctions.{shingles, shinglesComposed}
+    val docs = graft.sources.Tables.loadParallel(spark, "/root/testdata/sf0.01", "documents")
+    for (n <- Seq(1, 3, 8)) {
+      val both = docs.select(shingles(col("text"), n).as("fast"),
+        shinglesComposed(col("text"), n).as("ref"))
+      assert(both.filter(col("fast") =!= col("ref")).count() == 0, s"n=$n diverges")
+    }
+    // edge cases: empty text, single word, text shorter than n, double space
+    val edge = spark.sql(
+      "SELECT * FROM VALUES (''), ('one'), ('a b'), ('x  y z') AS v(text)")
+    val e = edge.select(shingles(col("text"), 3).as("fast"),
+      shinglesComposed(col("text"), 3).as("ref")).collect()
+    e.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString))
+  }
+
+  test("native minhash signature is bit-identical to the composed HOF form") {
+    // the streaming gate's per-row signature: the native rehash must equal
+    // the xxhash64-Column composition exactly, including all-null families
+    // for an empty shingle array
+    import graft.functions.TextFunctions.{hashedShingles, minhashComposed, minhash}
+    val docs = graft.sources.Tables.loadParallel(spark, "/root/testdata/sf0.01", "documents")
+      .withColumn("hs", hashedShingles(col("text"), 3))
+    val both = docs.select(
+      minhash(col("hs"), 32).as("fast"),
+      minhashComposed(col("hs"), 32).as("ref"))
+    assert(both.filter(col("fast") =!= col("ref")).count() == 0)
+    val r = both.limit(3).collect()
+    r.foreach(row => assert(row.getSeq[Long](0) == row.getSeq[Long](1)))
+    // empty input → k null families on both forms
+    val empty = spark.sql("SELECT CAST(array() AS array<bigint>) AS hs")
+    val e = empty.select(minhash(col("hs"), 4).as("fast"),
+      minhashComposed(col("hs"), 4).as("ref")).collect().head
+    assert(e.getSeq[Any](0) == Seq(null, null, null, null))
+    assert(e.getSeq[Any](0) == e.getSeq[Any](1))
+  }
+
   test("native planeDots is bit-identical to the composed HOF form") {
     // the native expression re-derives the plane matrix from XXH64 directly;
     // every margin must equal the xxhash64-Column composition EXACTLY or
