@@ -91,9 +91,26 @@ object TextFunctions {
 
   /** 64-bit SimHash over the word multiset: each word votes ±1 on every bit
     * of its xxhash64; the fingerprint keeps bits with positive balance.
-    * Expressed as a 64-wide bit-balance vector fold — codegen'd, no UDF.
+    * Native expression ([[SimHash64]]) — the composed fold below ran
+    * interpreted AND re-hashed each word once per bit (the inner lambda
+    * carries `xxhash64(w)`); parity-spec'd bit-identical.
     */
-  def simhash64(text: Column): Column = {
+  def simhash64(text: Column): Column = SimHash64.of(text)
+
+  /** Winnowing selection: distinct sliding-window minima of a hash array.
+    * Native ([[WinnowSelect]]); the composed form is its parity oracle.
+    */
+  def winnowSelect(hs: Column, w: Int): Column = WinnowSelect.of(hs, w)
+
+  private[graft] def winnowSelectComposed(hs: Column, w: Int): Column =
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(hs) - w, lit(0))),
+      i => array_min(slice(hs, i + 1, lit(w)))))
+
+  /** The composed-HOF reference form of [[simhash64]] — the parity oracle
+    * for the native expression, not used in any operator path.
+    */
+  private[graft] def simhash64Composed(text: Column): Column = {
     val votes = aggregate(
       words(text),
       array_repeat(lit(0), 64),

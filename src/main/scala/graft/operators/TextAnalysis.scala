@@ -99,13 +99,11 @@ object TextAnalysis {
     import graft.functions.TextFunctions.shingles
     val staged = docs(s, dir).select(col("doc_id"),
       transform(shingles(col("text"), n), x => xxhash64(x)).as("hs"))
-    // the O(len·w) sliding-min scan is staged once and referenced twice —
-    // CollapseProject keeps non-cheap multi-referenced projections, so it is
-    // NOT inlined per consumer (the same trap minhashSignatures documents)
+    // the O(len·w) sliding-min scan is one native loop per row
+    // ([[graft.functions.WinnowSelect]], parity-spec'd against the
+    // composed transform/array_min form it replaced)
     val selected = staged.select(col("doc_id"),
-      array_distinct(transform(
-        sequence(lit(0), greatest(size(col("hs")) - w, lit(0))),
-        i => array_min(slice(col("hs"), i + 1, lit(w))))).as("fps"))
+      graft.functions.TextFunctions.winnowSelect(col("hs"), w).as("fps"))
     selected.select(
       col("doc_id"),
       size(col("fps")).cast("long").as("n_fps"),

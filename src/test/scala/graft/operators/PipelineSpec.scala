@@ -382,6 +382,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(frac < 0.15, s"IVFPQ scans $frac of the corpus' codes")
   }
 
+  test("native simhash64 and winnowSelect are bit-identical to their composed forms") {
+    import graft.functions.TextFunctions._
+    val docs = graft.sources.Tables.loadParallel(spark, "/root/testdata/sf0.01", "documents")
+    val sh = docs.select(simhash64(col("text")).as("fast"),
+      simhash64Composed(col("text")).as("ref"))
+    assert(sh.filter(col("fast") =!= col("ref")).count() == 0)
+    val edge = spark.sql("SELECT * FROM VALUES (''), ('one'), ('a a a b') AS v(text)")
+      .select(simhash64(col("text")).as("fast"), simhash64Composed(col("text")).as("ref"))
+      .collect()
+    edge.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    // winnowing: windows, clamped tail, first-occurrence dedup, empty input
+    val hs = docs.select(col("doc_id"),
+      transform(shingles(col("text"), 3), x => xxhash64(x)).as("hs"))
+    val wn = hs.select(winnowSelect(col("hs"), 4).as("fast"),
+      winnowSelectComposed(col("hs"), 4).as("ref"))
+    assert(wn.filter(col("fast") =!= col("ref")).count() == 0)
+    val wedge = spark.sql(
+      "SELECT * FROM VALUES (CAST(array() AS array<bigint>)), (array(5L)), (array(3L,1L,1L,4L,1L,5L)) AS v(hs)")
+      .select(winnowSelect(col("hs"), 4).as("fast"),
+        winnowSelectComposed(col("hs"), 4).as("ref")).collect()
+    wedge.foreach(r => assert(r.getSeq[Any](0) == r.getSeq[Any](1), r.toString))
+  }
+
   test("native normalize is string-identical to the composed regex form") {
     // normalize feeds md5 digests in oracle-checked operators (tx_norm,
     // pipeline_curate/train) — the byte-pass must reproduce the regex chain
