@@ -30,10 +30,10 @@ object Curation {
     * state, no skew hotspot (digests are uniform).
     */
   def dd_para(s: SparkSession, dir: String, chunkWords: Int = 16): DataFrame = {
-    val w = words(col("text"))
-    val chunks = transform(
-      sequence(lit(0), floor((size(w) - 1) / chunkWords).cast("int")),
-      i => concat_ws(" ", slice(w, i * chunkWords + 1, lit(chunkWords))))
+    // native chunker ([[graft.functions.WordChunks]]) — the composed
+    // transform/slice form re-split the document once per chunk
+    // (parity-spec'd byte-identical in PipelineSpec)
+    val chunks = graft.functions.WordChunks.of(col("text"), chunkWords)
     docs(s, dir)
       .select(col("doc_id"), explode(chunks).as("chunk"))
       .select(col("doc_id"), md5(col("chunk")).as("digest"))

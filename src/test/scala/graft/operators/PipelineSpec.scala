@@ -382,6 +382,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(frac < 0.15, s"IVFPQ scans $frac of the corpus' codes")
   }
 
+  test("native word chunks are byte-identical to the composed HOF form") {
+    // dd_para's oracle md5-hashes every chunk: byte equality is the bar
+    import graft.functions.{TextFunctions, WordChunks}
+    def composed(cw: Int) = {
+      val w = TextFunctions.words(col("text"))
+      transform(
+        sequence(lit(0), floor((size(w) - 1) / cw).cast("int")),
+        i => concat_ws(" ", slice(w, i * cw + 1, lit(cw))))
+    }
+    val docs = graft.sources.Tables.loadParallel(spark, "/root/testdata/sf0.01", "documents")
+    for (cw <- Seq(1, 16)) {
+      val both = docs.select(WordChunks.of(col("text"), cw).as("fast"),
+        composed(cw).as("ref"))
+      assert(both.filter(col("fast") =!= col("ref")).count() == 0, s"cw=$cw diverges")
+    }
+    val edge = spark.sql("SELECT * FROM VALUES (''), ('one'), ('a b c') AS v(text)")
+      .select(WordChunks.of(col("text"), 2).as("fast"), composed(2).as("ref")).collect()
+    edge.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString))
+  }
+
   test("native simhash64 and winnowSelect are bit-identical to their composed forms") {
     import graft.functions.TextFunctions._
     val docs = graft.sources.Tables.loadParallel(spark, "/root/testdata/sf0.01", "documents")
