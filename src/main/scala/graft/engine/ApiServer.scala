@@ -102,17 +102,36 @@ object ApiServer {
     */
   private val DrainCapBytes: Long = 4L * MaxBodyBytes
 
+  /** How long the server will spend draining before answering anyway. The
+    * server runs a single-thread executor, so a blocking unbounded drain
+    * would let one stalled/trickling client wedge every other request; a
+    * fast local client (the case whose connection reset made the 413 test
+    * flaky) finishes well inside this.
+    */
+  private val DrainDeadlineMs: Long = 2000L
+
   /** Consume (discard) up to `min(declared, DrainCapBytes)` request-body
-    * bytes so the client finishes its send before we answer.
+    * bytes so the client finishes its send before we answer — but only
+    * while bytes keep arriving and only until [[DrainDeadlineMs]]: a
+    * stalled client gets the response (and possibly a reset) rather than
+    * a wedged server.
     */
   private def drain(ex: HttpExchange, declared: Long): Unit = {
     val in = ex.getRequestBody
     var remaining = math.min(declared, DrainCapBytes)
+    val deadline = System.nanoTime() + DrainDeadlineMs * 1000000L
     val buf = new Array[Byte](64 * 1024)
-    var n = 0
-    while (remaining > 0 && n >= 0) {
-      n = in.read(buf, 0, math.min(remaining, buf.length.toLong).toInt)
-      if (n > 0) remaining -= n
+    while (remaining > 0 && System.nanoTime() < deadline) {
+      val avail = in.available()
+      if (avail > 0) {
+        val n = in.read(buf, 0, math.min(math.min(avail.toLong, remaining), buf.length.toLong).toInt)
+        if (n < 0) return
+        remaining -= n
+      } else {
+        // nothing buffered: poll briefly instead of parking in a blocking
+        // read with no timeout (com.sun.net.httpserver offers none)
+        Thread.sleep(5)
+      }
     }
   }
 

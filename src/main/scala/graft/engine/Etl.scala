@@ -119,7 +119,9 @@ object Etl {
     require(verb == "compile" || verb == "run",
       s"expected `compile` or `run` subcommand\n$usage")
     var rules = "rules"
-    var output = "sql"
+    // verbs default to distinct artifact dirs: compile writes SQL scripts,
+    // run writes target parquet — sharing one default would interleave them
+    var output = if (verb == "compile") "sql" else "out"
     var oneFile = true
     var dropTables = false
     val sources = Seq.newBuilder[(String, String, String)]

@@ -24,9 +24,11 @@ import org.apache.spark.sql.types._
   *
   * Value-identical to the composition, bit for bit: distances accumulate
   * left-to-right in double from 0.0 ((x−y)² per element, float inputs cast
-  * to double first); ties break to the LOWEST index (strict `<` scanning j
-  * ascending == `least`'s lexicographic struct order); all-NaN inputs leave
-  * index 0 winning with d = NaN (no NaNs exist in the data paths).
+  * to double first); ties break to the LOWEST index (strictly-better scan
+  * seeded from codeword 0 == `least`'s lexicographic struct order); NaN
+  * distances follow Spark's double ordering (a non-NaN candidate displaces
+  * a NaN incumbent, all-NaN yields struct(NaN, 0)) — the NaN case is
+  * covered by a dedicated spec even though no data path produces NaNs.
   */
 case class VecNearest(child: Expression, book: Seq[Seq[Double]])
     extends UnaryExpression {
@@ -62,9 +64,23 @@ case class VecNearest(child: Expression, book: Seq[Seq[Double]])
     val x = input.asInstanceOf[ArrayData]
     val xf = isFloat
     val n = math.min(x.numElements(), len)
+    // init from codeword 0, then strictly-better scan: replicates `least`
+    // of (d, idx) structs exactly, INCLUDING NaN — Spark's double ordering
+    // puts NaN above every number and equal to itself, so a non-NaN beats
+    // a NaN incumbent and an all-NaN input yields struct(NaN, 0)
     var best = 0
-    var bestD = Double.PositiveInfinity
-    var j = 0
+    var bestD = {
+      var d = 0.0
+      var p = 0
+      while (p < n) {
+        val xv = if (xf) x.getFloat(p).toDouble else x.getDouble(p)
+        val diff = xv - flat(p)
+        d += diff * diff
+        p += 1
+      }
+      d
+    }
+    var j = 1
     while (j < k) {
       var d = 0.0
       var p = 0
@@ -74,7 +90,9 @@ case class VecNearest(child: Expression, book: Seq[Seq[Double]])
         d += diff * diff
         p += 1
       }
-      if (d < bestD) { bestD = d; best = j }
+      if (d < bestD || (java.lang.Double.isNaN(bestD) && !java.lang.Double.isNaN(d))) {
+        bestD = d; best = j
+      }
       j += 1
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
@@ -95,14 +113,22 @@ case class VecNearest(child: Expression, book: Seq[Seq[Double]])
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $len);
          |int $best = 0;
-         |double $bestD = Double.POSITIVE_INFINITY;
-         |for (int $j = 0; $j < $k; $j++) {
+         |double $bestD = 0.0;
+         |for (int $p = 0; $p < $n; $p++) {
+         |  double $diff = $get - $bk[$p];
+         |  $bestD += $diff * $diff;
+         |}
+         |for (int $j = 1; $j < $k; $j++) {
          |  double $d = 0.0;
          |  for (int $p = 0; $p < $n; $p++) {
          |    double $diff = $get - $bk[$j * $len + $p];
          |    $d += $diff * $diff;
          |  }
-         |  if ($d < $bestD) { $bestD = $d; $best = $j; }
+         |  // strictly-better scan seeded from codeword 0 == least(struct(d, idx)),
+         |  // NaN included (non-NaN beats a NaN incumbent; all-NaN -> (NaN, 0))
+         |  if ($d < $bestD || (Double.isNaN($bestD) && !Double.isNaN($d))) {
+         |    $bestD = $d; $best = $j;
+         |  }
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
          |  new Object[]{$bestD, $best});

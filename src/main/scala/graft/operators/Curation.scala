@@ -346,14 +346,17 @@ object Curation {
     // identical shingle sets collapse to one representative PER SIDE — the
     // same clique² guard as dd_ngram_jaccard: re-crawled exact copies cost
     // output rows, never verification work
-    // consumed by postings, verification, and expansion — persist (lazy,
-    // lineage kept) rather than localCheckpoint: eager executor-only blocks
-    // would compute at construction time and die with an executor on a real
-    // cluster, killing the job instead of recomputing
+    // consumed by postings, verification, and expansion — LAZY
+    // localCheckpoint: not eager (nothing computes at operator-construction
+    // time) and, unlike persist, blocks are released by the ContextCleaner
+    // when the query's frames drop (persist pinned CacheManager memory for
+    // the whole session — the round-2 leak). Executor-local storage is a
+    // documented single-node assumption; a multi-executor deployment would
+    // swap in reliable checkpointing (spark.sparkContext.setCheckpointDir).
     def collapse(side: DataFrame): DataFrame = side
       .groupBy("shs")
       .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val tg = collapse(base.filter(col("source") =!= evalSource))
     val eg = collapse(base.filter(col("source") === evalSource))
     // Eval-side prefix postings, rarest-first (Chaudhuri/Bayardo): a pair

@@ -604,10 +604,14 @@ object Dedup {
     import graft.functions.VecDot
     val raw = Tables.loadParallel(s, dir, "embeddings")
     val cents = Clustering.initCentroids(raw, k)
+    // lazy localCheckpoint, not persist: the guard count below plus the
+    // pair join and member count each read this frame, and the blocks must
+    // release with the frames (including on the guard's failure path) —
+    // see [[minhashRepPairs]] on the persist leak
     val e = raw.select(col("vec_id"), col("embedding"),
       VecDot.norm(col("embedding")).as("nrm"),
       Clustering.assignTo(cents).getField("c").as("cluster"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val biggest = e.groupBy("cluster").count()
       .agg(max(col("count"))).first().getLong(0)
     log.info(s"dd_semdedup: largest cell $biggest of ${k} cells")

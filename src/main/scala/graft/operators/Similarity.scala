@@ -199,9 +199,7 @@ object Similarity {
       m: Int = 8, codes: Int = 16, iters: Int = 2): DataFrame = {
     import s.implicits._
     val emb = Tables.loadParallel(s, dir, "embeddings")
-    val dims = emb.select(size(col("embedding"))).first().getInt(0)
-    require(dims % m == 0, s"embedding dims ($dims) must be divisible by m ($m)")
-    val sub = dims / m
+    val sub = subWidth(emb, m)
     val books = Clustering.pqTrain(emb, m, codes, iters, sub)
     val coded = Clustering.encodePq(emb, books, sub).select("vec_id", "codes")
     val queries = emb.filter(col("vec_id") < nQueries)
@@ -220,16 +218,37 @@ object Similarity {
     val probes = queries.toSeq
       .map { case (qid, q) => (qid, (0 until m).map(sx => table(q, sx))) }
       .toDF("q_id", "tabs")
-    val dist = (0 until m).map { sx =>
+    distTopK(
+      coded.join(broadcast(probes), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), adcDist(m).as("dist")),
+      k)
+  }
+
+  /** ADC distance of a coded row against its matched probe row: m array
+    * lookups into the `tabs` (m×k) column by the `codes` column — shared by
+    * [[ann_pq]] and [[adcSearch]] so the lookup convention cannot drift.
+    */
+  private def adcDist(m: Int): Column =
+    (0 until m).map { sx =>
       element_at(element_at(col("tabs"), sx + 1), element_at(col("codes"), sx + 1) + 1)
     }.reduce(_ + _)
+
+  /** Top-k per query by ascending distance, ties to the lowest vec_id —
+    * the shared tail of every ADC search.
+    */
+  private def distTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("vec_id"))
-    coded.join(broadcast(probes), col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), dist.as("dist"))
-      .withColumn("rank", row_number().over(w).cast("long"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("q_id", "rank", "vec_id", "dist")
       .orderBy("q_id", "rank")
+  }
+
+  /** Subvector width after the shared dims probe + divisibility guard. */
+  private def subWidth(emb: DataFrame, m: Int): Int = {
+    val dims = emb.select(size(col("embedding"))).first().getInt(0)
+    require(dims % m == 0, s"embedding dims ($dims) must be divisible by m ($m)")
+    dims / m
   }
 
   /** Corpus-side IVF×PQ index: every vector gets its coarse list id and the
@@ -245,14 +264,15 @@ object Similarity {
       Clustering.assignTo(cents).getField("c").as("cid"))
     // residuals re-cast to float: the PQ trainer/encoder read a float
     // `embedding` column, and float rounding is correctly-rounded IEEE —
-    // deterministic under any partitioning. Persisted: the PQ trainer's
-    // seed + per-round aggregates and the final encode each scan this
-    // frame, and the nlist-way coarse assignment shouldn't recompute per
-    // scan (lazy persist, lineage kept — recomputable on executor loss).
+    // deterministic under any partitioning. LAZY localCheckpoint: the PQ
+    // trainer's seed + per-round aggregates and the final encode each scan
+    // this frame, and the nlist-way coarse assignment shouldn't recompute
+    // per scan; unlike persist, the blocks release with the frames
+    // (ContextCleaner) instead of pinning CacheManager memory per call.
     val resid = withList.select(col("vec_id"), col("cid"),
       zip_with(col("embedding"), element_at(typedLit(cents), col("cid") + 1),
         (x, c) => (x.cast("double") - c).cast("float")).as("embedding"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val books = Clustering.pqTrain(resid, m, codes, iters, sub)
     val assignedSubs = (0 until m).map { s =>
       Clustering.assignSub(slice(col("embedding"), s * sub + 1, sub), books(s)).getField("c")
@@ -285,9 +305,7 @@ object Similarity {
       nlist: Int = 32, nprobe: Int = 3, m: Int = 8, codes: Int = 16,
       iters: Int = 2): DataFrame = {
     val emb = Tables.loadParallel(s, dir, "embeddings")
-    val dims = emb.select(size(col("embedding"))).first().getInt(0)
-    require(dims % m == 0, s"embedding dims ($dims) must be divisible by m ($m)")
-    val sub = dims / m
+    val sub = subWidth(emb, m)
     val (cents, books, coded) = ivfpqIndex(emb, nlist, m, codes, iters, sub)
     val queries = emb.filter(col("vec_id") < nQueries)
       .select("vec_id", "embedding").collect()
@@ -326,18 +344,12 @@ object Similarity {
     // filter so a partitioned index scan prunes to nprobe directories per
     // query before the join even runs
     val probedLists = probeRows.map(_._2).distinct
-    val dist = (0 until m).map { sx =>
-      element_at(element_at(col("tabs"), sx + 1), element_at(col("codes"), sx + 1) + 1)
-    }.reduce(_ + _)
-    val w = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("vec_id"))
-    coded.filter(col("cid").isInCollection(probedLists))
-      .join(broadcast(probes), Seq("cid"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), dist.as("dist"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("q_id", "rank", "vec_id", "dist")
-      .orderBy("q_id", "rank")
+    distTopK(
+      coded.filter(col("cid").isInCollection(probedLists))
+        .join(broadcast(probes), Seq("cid"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), adcDist(m).as("dist")),
+      k)
   }
 
   /** Persist the IVF×PQ index — build ONCE, search many: at 100 TB the
@@ -352,9 +364,7 @@ object Similarity {
       nlist: Int = 32, m: Int = 8, codes: Int = 16, iters: Int = 2): Unit = {
     import s.implicits._
     val emb = Tables.loadParallel(s, dir, "embeddings")
-    val dims = emb.select(size(col("embedding"))).first().getInt(0)
-    require(dims % m == 0, s"embedding dims ($dims) must be divisible by m ($m)")
-    val sub = dims / m
+    val sub = subWidth(emb, m)
     val (cents, books, coded) = ivfpqIndex(emb, nlist, m, codes, iters, sub)
     coded.repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/codes")

@@ -15,6 +15,35 @@ class ClusteringSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
   val dir = "/root/testdata/sf0.001"
 
+  test("VecNearest matches least(struct(dist, idx)) exactly, NaN included") {
+    import org.apache.spark.sql.functions._
+    val book = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(0.0, 1.0))
+    val composed = least(book.zipWithIndex.map { case (c, i) =>
+      struct(
+        aggregate(zip_with(col("embedding"), typedLit(c),
+          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), (acc, d) => acc + d).as("d"),
+        lit(i).as("c"))
+    }: _*)
+    val df = spark.sql(
+      """SELECT array(CAST('NaN' AS FLOAT), CAST(1.0 AS FLOAT)) AS embedding
+        |UNION ALL SELECT array(CAST(0.5 AS FLOAT), CAST(0.5 AS FLOAT))
+        |UNION ALL SELECT array(CAST(0.0 AS FLOAT), CAST(1.0 AS FLOAT))""".stripMargin)
+    val rows = df.select(
+      graft.functions.VecNearest.nearest(col("embedding"), book).as("fast"),
+      composed.as("ref")).collect()
+    rows.foreach { r =>
+      val (fd, fc) = (r.getStruct(0).getDouble(0), r.getStruct(0).getInt(1))
+      val (rd, rc) = (r.getStruct(1).getDouble(0), r.getStruct(1).getInt(1))
+      assert(fc == rc, s"index diverges: $r")
+      assert(fd == rd || (fd.isNaN && rd.isNaN), s"distance diverges: $r")
+    }
+    // the NaN row picks index 0 with d = NaN on both forms (ties -> lowest
+    // idx), and the duplicate codeword tie also resolves to the lower idx
+    val nanRow = rows.head
+    assert(nanRow.getStruct(0).getDouble(0).isNaN && nanRow.getStruct(0).getInt(1) == 0)
+  }
+
   test("kmeans is bit-deterministic across runs and partitionings") {
     val a = Clustering.embed_kmeans(spark, dir, k = 6, iters = 3)
       .collect().map(_.toSeq).toSeq

@@ -325,13 +325,20 @@ class PipelineSpec extends AnyFunSuite {
       assert(r.getLong(1) == r.getLong(2) + r.getLong(3), s"members != dups + keepers: $r")
       assert(r.getLong(2) >= 0 && r.getLong(2) < r.getLong(1))
     }
-    // the planted twin is flagged somewhere (cosine to vec 0 ≈ 0.999)
-    val flaggedWithPlant = rows.filter(r => !r.isNullAt(4) && r.getLong(4) == offset)
-    val baseline = Dedup.dd_semdedup(spark, "/root/testdata/sf0.01")
-      .agg(org.apache.spark.sql.functions.sum("n_dups")).first().getLong(0)
-    val total = rows.map(_.getLong(2)).sum
-    assert(total >= baseline + 1, s"planting a twin must add a flagged dup ($baseline -> $total)")
-    assert(flaggedWithPlant.nonEmpty || total > baseline, "twin flagged")
+    // the planted twin (cosine to vec 0 ≈ 0.999, id above every base id)
+    // must be flagged in ITS cluster: centroids are the 10 lowest vec_ids,
+    // so base memberships are unchanged — exactly one cluster gains one
+    // member, and that same cluster's dup count rises by exactly one (the
+    // twin, flagged once), with every other cluster row identical
+    def byCluster(df: org.apache.spark.sql.DataFrame): Map[Int, (Long, Long)] =
+      df.collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val base2 = byCluster(Dedup.dd_semdedup(spark, "/root/testdata/sf0.01"))
+    val plant = byCluster(Dedup.dd_semdedup(spark, dir))
+    val changed = plant.filter { case (c, v) => base2(c) != v }
+    assert(changed.size == 1, s"exactly one cluster changes: $changed")
+    val (c, (members, dups)) = changed.head
+    assert(members == base2(c)._1 + 1, "the twin joins its cluster")
+    assert(dups == base2(c)._2 + 1, "the twin itself is flagged as the duplicate")
     // quadratic-by-construction guard: a cell above the bound fails fast
     val e = intercept[IllegalArgumentException] {
       Dedup.dd_semdedup(spark, "/root/testdata/sf0.001", maxCellVectors = 1L)
