@@ -4,7 +4,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    // Default 3 passes: this box shows ±30 % load variance between rounds
+    // (round 7 measured a uniform +15 % drift on identical code), and
+    // min-of-3 tightens the artifact enough to compare rounds meaningfully.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -70,7 +73,16 @@ object Bench {
     // The driver captures only the TAIL of stdout — with ~100 queries the
     // headline line gets truncated out of the artifact. Persist the full
     // record to a file beside the run as well (path overridable).
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    // Anchor the default at the sbt project root (nearest ancestor of cwd
+    // holding build.sbt) rather than bare cwd, so a driver launched from
+    // another directory doesn't scatter bench.json artifacts around.
+    val defaultOut = {
+      var d = java.nio.file.Paths.get(sys.props("user.dir")).toAbsolutePath
+      while (d != null && !java.nio.file.Files.exists(d.resolve("build.sbt"))) d = d.getParent
+      (if (d == null) java.nio.file.Paths.get(sys.props("user.dir")) else d)
+        .resolve("bench.json").toString
+    }
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
     spark.stop()

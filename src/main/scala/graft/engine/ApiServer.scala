@@ -110,16 +110,28 @@ object ApiServer {
     */
   private val DrainDeadlineMs: Long = 2000L
 
+  /** How long the server keeps polling an empty stream before concluding
+    * the client has stopped sending. The drain exists to let a FAST client
+    * finish its in-flight send (the 413 connection-reset flake); a stream
+    * that has been empty this long is either done (body shorter than the
+    * drain target — chunked bodies drain toward a synthetic cap, and a
+    * lying Content-Length under-delivers) or stalled, and in both cases
+    * the right move is to answer now, not to sleep out the full deadline.
+    */
+  private val DrainIdleMs: Long = 100L
+
   /** Consume (discard) up to `min(declared, DrainCapBytes)` request-body
     * bytes so the client finishes its send before we answer — but only
-    * while bytes keep arriving and only until [[DrainDeadlineMs]]: a
-    * stalled client gets the response (and possibly a reset) rather than
-    * a wedged server.
+    * while bytes keep arriving: [[DrainIdleMs]] of consecutive empty polls
+    * ends the drain (client done or stalled), and [[DrainDeadlineMs]]
+    * bounds the whole affair so a trickling client can't wedge the
+    * single-thread server.
     */
   private def drain(ex: HttpExchange, declared: Long): Unit = {
     val in = ex.getRequestBody
     var remaining = math.min(declared, DrainCapBytes)
     val deadline = System.nanoTime() + DrainDeadlineMs * 1000000L
+    var idleSince = System.nanoTime()
     val buf = new Array[Byte](64 * 1024)
     while (remaining > 0 && System.nanoTime() < deadline) {
       val avail = in.available()
@@ -127,9 +139,13 @@ object ApiServer {
         val n = in.read(buf, 0, math.min(math.min(avail.toLong, remaining), buf.length.toLong).toInt)
         if (n < 0) return
         remaining -= n
+        idleSince = System.nanoTime()
       } else {
-        // nothing buffered: poll briefly instead of parking in a blocking
-        // read with no timeout (com.sun.net.httpserver offers none)
+        // Nothing buffered: poll briefly instead of parking in a blocking
+        // read with no timeout (com.sun.net.httpserver offers none), and
+        // give up once the stream has been idle long enough that no more
+        // bytes are coming (early EOF / client stopped sending).
+        if (System.nanoTime() - idleSince >= DrainIdleMs * 1000000L) return
         Thread.sleep(5)
       }
     }

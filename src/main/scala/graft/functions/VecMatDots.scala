@@ -40,25 +40,30 @@ case class VecMatDots(child: Expression, planes: Int) extends UnaryExpression {
   }
 
   /** Plane matrix for row width `dims`, row-major: m(p·dims + i). Cached
-    * per expression instance (each task deserializes its own copy; guarded
-    * anyway for shared-instance safety).
+    * per expression instance as an immutable (dims, matrix) pair behind a
+    * volatile read, so the per-row path — this is ann_lsh's hottest loop,
+    * called from generated code once per row — is lock-free; the lock is
+    * taken only to (re)build on a width change (shared-instance safety).
     */
-  @transient private var cached: Array[Double] = _
-  @transient private var cachedDims: Int = -1
+  @transient @volatile private var cached: (Int, Array[Double]) = _
 
-  def matrixFor(dims: Int): Array[Double] = synchronized {
-    if (cachedDims != dims) {
-      val m = new Array[Double](planes * dims)
-      var p = 0
-      while (p < planes) {
-        var i = 0
-        while (i < dims) { m(p * dims + i) = planeEntry(p, i); i += 1 }
-        p += 1
-      }
-      cached = m
-      cachedDims = dims
+  def matrixFor(dims: Int): Array[Double] = {
+    val c = cached
+    if (c != null && c._1 == dims) c._2 else buildMatrix(dims)
+  }
+
+  private def buildMatrix(dims: Int): Array[Double] = synchronized {
+    val c = cached // re-check under the lock: another thread may have built it
+    if (c != null && c._1 == dims) return c._2
+    val m = new Array[Double](planes * dims)
+    var p = 0
+    while (p < planes) {
+      var i = 0
+      while (i < dims) { m(p * dims + i) = planeEntry(p, i); i += 1 }
+      p += 1
     }
-    cached
+    cached = (dims, m)
+    m
   }
 
   private def isFloat: Boolean = child.dataType match {

@@ -63,7 +63,12 @@ case class VecNearest(child: Expression, book: Seq[Seq[Double]])
   override def nullSafeEval(input: Any): Any = {
     val x = input.asInstanceOf[ArrayData]
     val xf = isFloat
-    val n = math.min(x.numElements(), len)
+    // A dims mismatch is a data bug (mis-sliced subvector, wrong codebook) —
+    // fail loudly rather than silently scoring a prefix distance.
+    if (x.numElements() != len)
+      throw new IllegalArgumentException(
+        s"vec_nearest: input has ${x.numElements()} dims but codebook has $len")
+    val n = len
     // init from codeword 0, then strictly-better scan: replicates `least`
     // of (d, idx) structs exactly, INCLUDING NaN — Spark's double ordering
     // puts NaN above every number and equal to itself, so a non-NaN beats
@@ -111,7 +116,11 @@ case class VecNearest(child: Expression, book: Seq[Seq[Double]])
       val bestD = ctx.freshName("bestD")
       val get = if (isFloat) s"((double) $a.getFloat($p))" else s"$a.getDouble($p)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $len);
+         |if ($a.numElements() != $len) {
+         |  throw new IllegalArgumentException(
+         |    "vec_nearest: input has " + $a.numElements() + " dims but codebook has " + $len);
+         |}
+         |int $n = $len;
          |int $best = 0;
          |double $bestD = 0.0;
          |for (int $p = 0; $p < $n; $p++) {

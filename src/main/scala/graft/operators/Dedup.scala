@@ -612,8 +612,10 @@ object Dedup {
       VecDot.norm(col("embedding")).as("nrm"),
       Clustering.assignTo(cents).getField("c").as("cluster"))
       .localCheckpoint(false)
+    // coalesce: max() over an empty embeddings table is NULL, and a raw
+    // getLong would NPE here instead of reaching the intended diagnostic
     val biggest = e.groupBy("cluster").count()
-      .agg(max(col("count"))).first().getLong(0)
+      .agg(coalesce(max(col("count")), lit(0L))).first().getLong(0)
     log.info(s"dd_semdedup: largest cell $biggest of ${k} cells")
     require(biggest <= maxCellVectors,
       s"dd_semdedup pair work is quadratic per cell: largest cell has " +
