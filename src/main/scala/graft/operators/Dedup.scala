@@ -592,9 +592,10 @@ object Dedup {
     * operator fails fast when the largest cell exceeds `maxCellVectors`
     * instead of silently launching a cell² job: raise `k` (more, smaller
     * cells) or the bound explicitly. The literal-centroid assignment here
-    * serves k up to a few hundred; a 100 TB deployment would assign cells
-    * with the same coarse quantizer the persisted IVF index uses
-    * ([[Similarity.writeIvfPqIndex]]) and run this pruning within lists.
+    * serves k up to a few hundred; a 100 TB deployment assigns cells with
+    * the same coarse quantizer the persisted IVF index uses — that form is
+    * [[dd_semdedup_indexed]], which reads [[Similarity.writeIvfPqIndex]]'s
+    * list partitions and runs this pruning within lists.
     *
     * Emits the per-cluster audit frame: members, flagged duplicates,
     * keepers (members − dups), and the first flagged id.
@@ -612,6 +613,58 @@ object Dedup {
       VecDot.norm(col("embedding")).as("nrm"),
       Clustering.assignTo(cents).getField("c").as("cluster"))
       .localCheckpoint(false)
+    semdedupAudit(e, k, threshold, maxCellVectors)
+  }
+
+  /** [[dd_semdedup]] assigned by a PERSISTED coarse quantizer — the 100 TB
+    * form the inline operator's scaladoc promises: instead of re-deriving
+    * cells from literal centroids per run, read the (vec_id, list id)
+    * assignment straight off a [[Similarity.writeIvfPqIndex]] layout (the
+    * index's coarse quantizer IS the same deterministic one-step Lloyd
+    * assignment, so at `nlist == k` the cells — and therefore the flags —
+    * are bit-identical to the inline operator; the parity spec proves it).
+    *
+    * Scale shape: the codes scan reads the `vec_id` column plus the `cid`
+    * PARTITION value only — the PQ code words are pruned out (plan-asserted
+    * in the spec), so the assignment read is a fraction of the index bytes.
+    * Raw vectors come from the embeddings table via one equi-join on
+    * vec_id; the within-cell pruning then equi-joins on list id exactly
+    * like the inline form — quadratic only inside cells, never across.
+    * Build the index once, then every semantic-dedup sweep (and every ANN
+    * query batch) reuses the same cell structure without retraining.
+    */
+  def dd_semdedup_indexed(s: SparkSession, dir: String, indexPath: String,
+      threshold: Double = 0.4, maxCellVectors: Long = 100000L): DataFrame = {
+    import graft.functions.VecDot
+    val assigned = indexAssignment(s, indexPath)
+    val raw = Tables.loadParallel(s, dir, "embeddings")
+    val e = raw.select(col("vec_id"), col("embedding"),
+      VecDot.norm(col("embedding")).as("nrm"))
+      .join(assigned, Seq("vec_id"))
+      .localCheckpoint(false)
+    val k = s.read.parquet(s"$indexPath/centroids").count().toInt
+    semdedupAudit(e, k, threshold, maxCellVectors)
+  }
+
+  /** The (vec_id → list id) assignment read off a persisted IVF×PQ index:
+    * `cid` is the partition value, so the FILE read prunes to the vec_id
+    * column alone — the PQ code words never leave disk (plan-asserted in
+    * the spec against this exact frame; the operator checkpoints it, which
+    * hides the scan from its own final plan).
+    */
+  private[operators] def indexAssignment(s: SparkSession, indexPath: String): DataFrame =
+    s.read.parquet(s"$indexPath/codes")
+      .select(col("vec_id"), col("cid").cast("int").as("cluster"))
+
+  /** The shared SemDeDup core: guard the largest cell, flag every vector
+    * whose cosine to a lower-id member of its own cell meets `threshold`,
+    * and emit the per-cluster audit frame. `e` carries (vec_id, embedding,
+    * nrm, cluster) — how the cluster column was assigned (literal
+    * centroids vs persisted index) is the variants' only difference.
+    */
+  private def semdedupAudit(e: DataFrame, k: Int, threshold: Double,
+      maxCellVectors: Long): DataFrame = {
+    import graft.functions.VecDot
     // coalesce: max() over an empty embeddings table is NULL, and a raw
     // getLong would NPE here instead of reaching the intended diagnostic
     val biggest = e.groupBy("cluster").count()

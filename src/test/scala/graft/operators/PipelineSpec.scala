@@ -524,6 +524,24 @@ class PipelineSpec extends AnyFunSuite {
       s"probed lists must prune the partitioned index scan:\n$p")
   }
 
+  test("dd_semdedup_indexed: persisted-quantizer cells flag bit-equal to inline; PQ codes pruned from the read") {
+    // the index's coarse quantizer is the same deterministic one-step Lloyd
+    // assignment dd_semdedup derives inline, so at nlist == k the cells —
+    // and therefore every audit row — must match bit for bit
+    val dir = "/root/testdata/sf0.01"
+    val path = java.nio.file.Files.createTempDirectory("graftsemidx").toString
+    Similarity.writeIvfPqIndex(spark, dir, path, nlist = 10)
+    val fromIndex = Dedup.dd_semdedup_indexed(spark, dir, path)
+    assert(fromIndex.collect().map(_.toSeq).toSeq ==
+      Dedup.dd_semdedup(spark, dir).collect().map(_.toSeq).toSeq)
+    // the assignment read wants (vec_id, cid) only — cid is the partition
+    // value, so the codes FILE read must prune down to vec_id alone (the
+    // operator checkpoints this frame, so assert on the read itself)
+    val p = Dedup.indexAssignment(spark, path).queryExecution.executedPlan.toString
+    assert(p.contains("ReadSchema: struct<vec_id:bigint>"),
+      s"assignment read must prune the PQ codes column:\n$p")
+  }
+
   test("band-bucket cap bounds hot buckets; exact-dup cliques survive any cap") {
     // 6 exact copies: identical signatures collapse to ONE representative,
     // so no band bucket is hot and every clique pair survives even a cap of 1
