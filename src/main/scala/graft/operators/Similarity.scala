@@ -361,9 +361,17 @@ object Similarity {
     * no JSON hand-rolling, any Hadoop-compatible FS works.
     */
   def writeIvfPqIndex(s: SparkSession, dir: String, path: String,
+      nlist: Int = 32, m: Int = 8, codes: Int = 16, iters: Int = 2): Unit =
+    writeIvfPqIndexFrom(s, Tables.loadParallel(s, dir, "embeddings"), path,
+      nlist, m, codes, iters)
+
+  /** [[writeIvfPqIndex]] over any (vec_id, embedding) frame — the corpus is
+    * not always "the embeddings table at dir" (incremental deployments
+    * build from a base snapshot and [[appendToIvfPqIndex]] the rest).
+    */
+  def writeIvfPqIndexFrom(s: SparkSession, emb: DataFrame, path: String,
       nlist: Int = 32, m: Int = 8, codes: Int = 16, iters: Int = 2): Unit = {
     import s.implicits._
-    val emb = Tables.loadParallel(s, dir, "embeddings")
     val sub = subWidth(emb, m)
     val (cents, books, coded) = ivfpqIndex(emb, nlist, m, codes, iters, sub)
     coded.repartition(col("cid"))
@@ -377,13 +385,12 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/codebooks")
   }
 
-  /** Search a persisted IVF×PQ index: loads the tiny centroid/codebook
-    * sidecars driver-side, prices the query residuals against them, and
-    * scans ONLY the probed lists' code partitions. `queries` is any frame
-    * with (vec_id, embedding) — a handful of rows, collected.
+  /** The tiny centroid/codebook sidecars of a persisted index, loaded
+    * driver-side: (centroids, codebooks, m, sub). nlist·dims + m·codes·sub
+    * doubles — KBs, never a cluster job.
     */
-  def searchIvfPqIndex(s: SparkSession, path: String, queries: DataFrame,
-      k: Int = 10, nprobe: Int = 3): DataFrame = {
+  private def loadSidecars(s: SparkSession, path: String):
+      (Seq[Seq[Double]], Seq[Seq[Seq[Double]]], Int, Int) = {
     val cents = s.read.parquet(s"$path/centroids").collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
       .sortBy(_._1).map(_._2).toSeq
@@ -393,10 +400,55 @@ object Similarity {
     val books: Seq[Seq[Seq[Double]]] = (0 until m).map { sx =>
       bookRows.filter(_._1 == sx).sortBy(_._2).map(_._3).toSeq
     }
-    val sub = books.head.head.size
+    (cents, books, m, books.head.head.size)
+  }
+
+  /** Search a persisted IVF×PQ index: loads the tiny centroid/codebook
+    * sidecars driver-side, prices the query residuals against them, and
+    * scans ONLY the probed lists' code partitions. `queries` is any frame
+    * with (vec_id, embedding) — a handful of rows, collected.
+    */
+  def searchIvfPqIndex(s: SparkSession, path: String, queries: DataFrame,
+      k: Int = 10, nprobe: Int = 3): DataFrame = {
+    val (cents, books, m, sub) = loadSidecars(s, path)
     val coded = s.read.parquet(s"$path/codes")
     val q = queries.select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
     adcSearch(s, coded, cents, books, q, nprobe, k, m, sub)
+  }
+
+  /** Incremental index append — a real corpus grows daily, and a full
+    * rebuild re-trains and re-encodes 100 TB to admit a 0.1 % delta.
+    * Instead: encode `newVecs` (any frame with vec_id, embedding) against
+    * the EXISTING centroid/codebook sidecars — the same deterministic
+    * assignment and subspace quantizer the build used — and append the
+    * coded rows to the list partitions. No retrain, no touch of existing
+    * files; parquet partition-append only creates/extends the `cid=`
+    * directories the delta lands in, and planning-time partition pruning
+    * keeps working across old and appended files alike (spec-asserted).
+    *
+    * The append is a map-only encode plus one shuffle by list id —
+    * O(|delta|), independent of index size. Codebooks go stale only if the
+    * DATA DISTRIBUTION drifts (new vectors far from every centroid quantize
+    * coarsely); when lists skew, rebuild — the equivalence spec guarantees
+    * appends lose nothing vs a fixed-codebook rebuild, so rebuild cadence
+    * is purely a drift-monitoring decision.
+    */
+  def appendToIvfPqIndex(s: SparkSession, path: String, newVecs: DataFrame): Unit = {
+    val (cents, books, m, sub) = loadSidecars(s, path)
+    val withList = newVecs.select(col("vec_id"), col("embedding"),
+      Clustering.assignTo(cents).getField("c").as("cid"))
+    // residual re-cast to float, exactly like the build ([[ivfpqIndex]]):
+    // append-time codes must be bit-identical to what a build-time encode
+    // of the same vector against the same sidecars would produce
+    val resid = withList.select(col("vec_id"), col("cid"),
+      zip_with(col("embedding"), element_at(typedLit(cents), col("cid") + 1),
+        (x, c) => (x.cast("double") - c).cast("float")).as("embedding"))
+    val assignedSubs = (0 until m).map { sx =>
+      Clustering.assignSub(slice(col("embedding"), sx * sub + 1, sub), books(sx)).getField("c")
+    }
+    resid.select(col("vec_id"), col("cid"), array(assignedSubs: _*).as("codes"))
+      .repartition(col("cid"))
+      .write.mode("append").partitionBy("cid").parquet(s"$path/codes")
   }
 }

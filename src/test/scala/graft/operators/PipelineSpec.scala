@@ -524,6 +524,44 @@ class PipelineSpec extends AnyFunSuite {
       s"probed lists must prune the partitioned index scan:\n$p")
   }
 
+  test("appendToIvfPqIndex: append(delta) equals a fixed-codebook rebuild; pruning survives appended files") {
+    def copyDir(from: String, to: String): Unit = {
+      val src = java.nio.file.Paths.get(from)
+      java.nio.file.Files.walk(src).forEach { p =>
+        val dst = java.nio.file.Paths.get(to).resolve(src.relativize(p))
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(dst)
+        else java.nio.file.Files.copy(p, dst)
+      }
+    }
+    val dir = "/root/testdata/sf0.01"
+    val emb = graft.sources.Tables.loadParallel(spark, dir, "embeddings")
+    val split = emb.agg(max(col("vec_id"))).first().getLong(0) / 2
+    val pathInc = java.nio.file.Files.createTempDirectory("graftivfinc").toString
+    Similarity.writeIvfPqIndexFrom(spark, emb.filter(col("vec_id") < split), pathInc)
+    // the fixed-codebook rebuild: SAME sidecars, every vector (base and
+    // delta) encoded through the append path into a fresh codes layout
+    val pathReb = java.nio.file.Files.createTempDirectory("graftivfreb").toString
+    copyDir(s"$pathInc/centroids", s"$pathReb/centroids")
+    copyDir(s"$pathInc/codebooks", s"$pathReb/codebooks")
+    Similarity.appendToIvfPqIndex(spark, pathReb, emb)
+    // the incremental path: delta appended onto the BUILT base index —
+    // build-time codes and append-time codes must agree row for row
+    Similarity.appendToIvfPqIndex(spark, pathInc, emb.filter(col("vec_id") >= split))
+    def codesOf(path: String) = spark.read.parquet(s"$path/codes")
+      .collect().map(r => (r.getLong(0), r.getAs[Int]("cid"), r.getSeq[Int](1)))
+      .sortBy(_._1).toSeq
+    assert(codesOf(pathInc) == codesOf(pathReb))
+    // and the search surface agrees too, with partition pruning intact
+    // across the mix of original and appended files
+    val queries = emb.filter(col("vec_id") < 8)
+    val inc = Similarity.searchIvfPqIndex(spark, pathInc, queries)
+    assert(inc.collect().map(_.toSeq).toSeq ==
+      Similarity.searchIvfPqIndex(spark, pathReb, queries).collect().map(_.toSeq).toSeq)
+    val p = inc.queryExecution.sparkPlan.toString
+    assert(p.contains("PartitionFilters: [cid"),
+      s"probed lists must still prune after appends:\n$p")
+  }
+
   test("dd_semdedup_indexed: persisted-quantizer cells flag bit-equal to inline; PQ codes pruned from the read") {
     // the index's coarse quantizer is the same deterministic one-step Lloyd
     // assignment dd_semdedup derives inline, so at nlist == k the cells —
