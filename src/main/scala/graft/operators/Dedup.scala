@@ -87,8 +87,7 @@ object Dedup {
     val preBanded = sigs
       .select(col("doc_id"), posexplode(minhashBands(col("sig"), k, bands)))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
-    logDroppedBuckets("dd_minhash", preBanded, maxBucket)
-    val banded = capBuckets(preBanded, maxBucket)
+    val banded = capBuckets(preBanded, maxBucket, "dd_minhash")
     val candidates = banded.select(col("band"), col("bkey"), col("doc_id").as("a"))
       .join(banded.select(col("band"), col("bkey"), col("doc_id").as("b")), Seq("band", "bkey"))
       .filter(col("a") < col("b"))
@@ -143,13 +142,28 @@ object Dedup {
     * boilerplate pathology (e.g. thousands of variants of the same
     * template). Its members are genuine near-dup CANDIDATES that no other
     * operator recovers; dropping them is a deliberate recall-for-boundedness
-    * trade, so the loss must be OBSERVABLE, not silent — [[dd_minhash]] /
-    * [[dd_simhash]] log dropped-bucket counts via [[logDroppedBuckets]], and
-    * [[droppedBuckets]] exposes the full audit frame. Default is far above
-    * any bucket the test corpora produce, so small-SF output is unchanged.
+    * trade, so the loss must be OBSERVABLE, not silent — every action on a
+    * capped operator reports dropped buckets/slots through the in-plan
+    * observe() metric (see below), and [[droppedBuckets]] exposes the full
+    * audit frame. Default is far above any bucket the test corpora produce,
+    * so small-SF output is unchanged.
     */
-  private[operators] def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
+  private[operators] def capBuckets(banded: DataFrame, maxBucket: Int,
+      op: String = "capBuckets"): DataFrame = {
+    // Always-on loss observability at zero extra jobs: the bucket-size
+    // aggregate every row flows through carries an observe() metric
+    // (CollectMetrics in-plan), so any action on the operator's result
+    // reports how many buckets/slots the cap silently dropped — read it
+    // with [[capBucketsLoss]] at ANY log level, where the previous
+    // INFO-gated audit ran a whole extra job or nothing. Caveat: if AQE
+    // empty-propagates the whole candidate branch (zero SURVIVING buckets
+    // anywhere — a degenerate corpus), the metric node is replaced along
+    // with the branch and the observation is absent; [[droppedBuckets]]
+    // remains the authoritative deep-dive audit frame for that case.
     val sizes = banded.groupBy("band", "bkey").agg(count(lit(1)).as("__bsz"))
+      .observe(s"graft.$op.capBuckets",
+        sum(when(col("__bsz") > maxBucket, lit(1L)).otherwise(lit(0L))).as("dropped_buckets"),
+        sum(when(col("__bsz") > maxBucket, col("__bsz")).otherwise(lit(0L))).as("dropped_slots"))
     banded.join(sizes.filter(col("__bsz") <= maxBucket), Seq("band", "bkey"))
       .drop("__bsz")
   }
@@ -162,23 +176,15 @@ object Dedup {
     banded.groupBy("band", "bkey").agg(count(lit(1)).as("bucket_size"))
       .filter(col("bucket_size") > maxBucket)
 
-  /** Log-level-gated audit of [[capBuckets]] loss: at INFO, run the (one
-    * cheap aggregate) [[droppedBuckets]] scan and report how many buckets /
-    * members candidate generation will skip. Gated so the default WARN-level
-    * bench/verify runs pay zero extra jobs; a production run at INFO sees
-    * every silent-recall-loss event with its operator name.
+  /** The (dropped_buckets, dropped_slots) loss observed during `result`'s
+    * LAST action, for a capped operator's frame (`op` = "dd_minhash" /
+    * "dd_simhash"). Free — the metric rides [[capBuckets]]'s in-plan
+    * observe() aggregate, no extra job at any log level. None when the
+    * frame hasn't executed or isn't a capped operator's output.
     */
-  private def logDroppedBuckets(op: String, banded: DataFrame, maxBucket: Int): Unit =
-    if (log.isInfoEnabled) {
-      val dropped = droppedBuckets(banded, maxBucket)
-        .agg(count(lit(1)).as("n"), sum(col("bucket_size")).as("members"))
-        .collect()(0)
-      if (dropped.getLong(0) > 0)
-        log.info(s"$op: capBuckets($maxBucket) drops ${dropped.getLong(0)} " +
-          s"band-buckets covering ${dropped.getLong(1)} sketch slots — " +
-          "near-dup pairs inside them are NOT reported; raise maxBucket or " +
-          "pre-filter the boilerplate band")
-    }
+  def capBucketsLoss(result: DataFrame, op: String): Option[(Long, Long)] =
+    org.apache.spark.sql.GraftObservedMetrics.of(result)
+      .get(s"graft.$op.capBuckets").map(r => (r.getLong(0), r.getLong(1)))
 
   /** MinHash signatures in aggregate form: shingle-hashes exploded to rows,
     * then k `min` aggregates — map-side partial aggregation, whole-stage
@@ -215,8 +221,7 @@ object Dedup {
         b => struct(b.as("band"),
           call_function("shiftright", col("fp"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bkey")))).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
-    logDroppedBuckets("dd_simhash", preBanded, maxBucket)
-    val banded = capBuckets(preBanded, maxBucket)
+    val banded = capBuckets(preBanded, maxBucket, "dd_simhash")
     val candidates = banded.select(col("band"), col("bkey"), col("doc_id").as("a"))
       .join(banded.select(col("band"), col("bkey"), col("doc_id").as("b")), Seq("band", "bkey"))
       .filter(col("a") < col("b"))

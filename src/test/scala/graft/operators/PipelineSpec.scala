@@ -601,6 +601,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(dropped.length == 1 && dropped.head.getLong(2) == 3L)
   }
 
+  test("capBuckets loss is always-on observable: observe() metric matches the droppedBuckets audit") {
+    // planted overflow beside planted survivors: docs 1-5 are near-identical
+    // variants (distinct signatures, shared band buckets of size ~5 — over a
+    // cap of 2, dropped), docs 6-7 are a separate near-dup pair (buckets of
+    // size 2 — survive and produce candidates, so the result is non-empty
+    // and AQE cannot empty-propagate the branch carrying the metric node)
+    val baseA = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    val baseB = "winter summer autumn spring monday tuesday thursday friday " +
+      "january march april june july september october december harvest sunrise"
+    val dir = tmpDocs((1L to 5L).map(i => (i, s"$baseA tail$i", "en", "s", 1L)) ++
+      Seq((6L, s"$baseB endingone", "en", "s", 1L), (7L, s"$baseB endingtwo", "en", "s", 1L),
+        (9L, "unrelated zebra quark plasma lattice entirely different words", "en", "s", 1L)))
+    val mh = Dedup.dd_minhash(spark, dir, maxBucket = 2)
+    assert(mh.collect().nonEmpty, "surviving pair must keep the result non-empty")
+    val got = Dedup.capBucketsLoss(mh, "dd_minhash").get
+    // expected loss from the audit frame over the same pre-cap banding —
+    // exact equality also proves the self-joined metric node doesn't
+    // double-count
+    val sigs = Dedup.minhashSignatures(
+      graft.sources.Tables.loadParallel(spark, dir, "documents"), 32)
+      .groupBy("sig").agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("sig"))
+    val preBanded = sigs
+      .select(col("doc_id"), posexplode(graft.functions.TextFunctions.minhashBands(col("sig"), 32, 8)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
+    val audit = Dedup.droppedBuckets(preBanded, 2)
+      .agg(count(lit(1)), coalesce(sum(col("bucket_size")), lit(0L))).first()
+    assert(audit.getLong(0) > 0, "planted overflow must actually overflow")
+    assert(got == ((audit.getLong(0), audit.getLong(1))),
+      s"observed loss $got != audit (${audit.getLong(0)}, ${audit.getLong(1)})")
+    // and at a cap nothing exceeds, the metric reports zero loss
+    val clean = Dedup.dd_minhash(spark, dir)
+    clean.collect()
+    assert(Dedup.capBucketsLoss(clean, "dd_minhash").get == ((0L, 0L)))
+    // dd_simhash carries the same observation under its own name
+    val sh = Dedup.dd_simhash(spark, dir, maxBucket = 2)
+    sh.collect()
+    val shm = Dedup.capBucketsLoss(sh, "dd_simhash").get
+    assert(shm._1 > 0 && shm._2 > 2 * shm._1,
+      s"five distinct fingerprints sharing bands must overflow a cap of 2: $shm")
+  }
+
   test("dd_cluster over representatives equals clustering the expanded pair graph") {
     val dir = "/root/testdata/sf0.01"
     val direct = Dedup.clusterPairs(Dedup.dd_minhash(spark, dir).select("a", "b"))

@@ -331,6 +331,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("dd_minhash / dd_simhash: cap-loss observation is IN the plan, not an extra job") {
+    // the dropped-bucket metric must ride the query itself (CollectMetrics
+    // node on the bucket-size aggregate) so loss reporting costs zero jobs
+    // and works at any log level
+    for ((name, df) <- Seq(
+        "dd_minhash" -> Dedup.dd_minhash(spark, dir),
+        "dd_simhash" -> Dedup.dd_simhash(spark, dir))) {
+      val p = plan(df)
+      assert(p.contains(s"CollectMetrics graft.$name.capBuckets"),
+        s"$name must carry its cap-loss observation in-plan:\n$p")
+    }
+  }
+
   test("tx_heavy: sketch aggregates via ObjectHashAggregate with a map-side partial") {
     val p = plan(TextAnalysis.tx_heavy(spark, dir))
     // TypedImperativeAggregate must take the hash path (one buffer object per
