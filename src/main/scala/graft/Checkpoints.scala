@@ -1,0 +1,68 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.Dataset
+
+/** One switch between fast-but-lossy and reliable materialization barriers.
+  *
+  * Every multi-consumer / iterative frame in the library (signature groups,
+  * label-propagation rounds, PQ codebooks, pack assignments, the rule-engine
+  * temp tables) is cut from its lineage with a checkpoint rather than
+  * `persist` — blocks are released by the ContextCleaner when the frame is
+  * dropped instead of pinning CacheManager memory for the session. The
+  * DEFAULT barrier is `localCheckpoint`: executor-local blocks, no
+  * distributed filesystem needed, right for local runs and benchmarks. Its
+  * known cost is fault-tolerance — lose an executor and the blocks (and the
+  * truncated lineage needed to rebuild them) are gone, failing the job.
+  *
+  * On a real cluster, set ONE conf key:
+  *
+  * {{{ spark.conf.set(Checkpoints.DirKey, "hdfs:///tmp/graft-ckpt") }}}
+  *
+  * and every barrier in the library becomes a reliable `checkpoint()`
+  * against that directory: executor loss re-reads the checkpoint files, a
+  * 1000-executor week-long dedup run survives preemption. The directory is
+  * registered with the SparkContext on first use (once per (app, dir) —
+  * `setCheckpointDir` mints a fresh UUID subdir per call, so re-registering
+  * per barrier would scatter files). Set
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` to have the
+  * ContextCleaner delete reliable checkpoint files when frames are
+  * collected, mirroring the local behavior; otherwise clean the directory
+  * after the run.
+  */
+object Checkpoints {
+
+  /** Runtime conf key: when set (non-empty), barriers are reliable
+    * `checkpoint()`s into this directory; when unset, `localCheckpoint`.
+    */
+  val DirKey = "graft.checkpoint.dir"
+
+  // last directory registered per application — setCheckpointDir appends a
+  // random UUID segment, so SparkContext.getCheckpointDir never equals the
+  // raw conf value and can't serve as the idempotence check
+  private val registered = new ConcurrentHashMap[String, String]()
+
+  /** `ds.localCheckpoint(eager)`, or `ds.checkpoint(eager)` into
+    * [[DirKey]]'s directory when configured. Semantics match: lineage
+    * truncated, result deterministic-identical either way.
+    */
+  def barrier[T](ds: Dataset[T], eager: Boolean): Dataset[T] = {
+    val spark = ds.sparkSession
+    spark.conf.getOption(DirKey).map(_.trim).filter(_.nonEmpty) match {
+      case Some(dir) =>
+        val sc = spark.sparkContext
+        if (registered.put(sc.applicationId, dir) != dir) sc.setCheckpointDir(dir)
+        ds.checkpoint(eager)
+      case None =>
+        ds.localCheckpoint(eager)
+    }
+  }
+
+  /** `.graftCheckpoint()` in place of `.localCheckpoint()` everywhere the
+    * library cuts lineage, keeping call sites fluent.
+    */
+  implicit class DatasetCheckpointOps[T](private val ds: Dataset[T]) extends AnyVal {
+    def graftCheckpoint(eager: Boolean = true): Dataset[T] = barrier(ds, eager)
+  }
+}

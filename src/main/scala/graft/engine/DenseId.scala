@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Checkpoints.DatasetCheckpointOps
+
 /** Dense, 1-based, deterministically-ordered surrogate ids — the Spark
   * equivalent of Postgres `serial` in the reference's mapping tables
   * (`generation.py:103`; id-range golden `tests/test_integration.py:963-971`).
@@ -45,7 +47,7 @@ object DenseId {
       .join(broadcast(offsetsDf), Seq("__pid"), "left")
       .withColumn(idCol, row_number().over(local).cast("long") + coalesce(col("__before"), lit(0L)))
       .drop("__pid", "__before")
-      .localCheckpoint()
+      .graftCheckpoint()
     parted.unpersist()
     out
   }

@@ -5,6 +5,7 @@ import scala.collection.mutable
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Checkpoints.DatasetCheckpointOps
 import graft.dialect.Dialect
 import graft.rules._
 
@@ -150,7 +151,7 @@ class Engine(
       // blocks auto-released when the engine is dropped, no session-lifetime
       // CacheManager entry
       statementLog += Engine.Statement(rule, "temp_table", translate(q.query, dep))
-      val df = sql(translate(q.query, dep)).localCheckpoint()
+      val df = sql(translate(q.query, dep)).graftCheckpoint()
       df.createOrReplaceTempView(q.alias)
       tempViews += q.alias
     }

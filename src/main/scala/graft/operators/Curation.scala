@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Checkpoints.DatasetCheckpointOps
 import graft.functions.TextFunctions.{shingles, words}
 import graft.sources.Tables
 
@@ -346,17 +347,17 @@ object Curation {
     // identical shingle sets collapse to one representative PER SIDE — the
     // same clique² guard as dd_ngram_jaccard: re-crawled exact copies cost
     // output rows, never verification work
-    // consumed by postings, verification, and expansion — LAZY
-    // localCheckpoint: not eager (nothing computes at operator-construction
-    // time) and, unlike persist, blocks are released by the ContextCleaner
-    // when the query's frames drop (persist pinned CacheManager memory for
-    // the whole session — the round-2 leak). Executor-local storage is a
-    // documented single-node assumption; a multi-executor deployment would
-    // swap in reliable checkpointing (spark.sparkContext.setCheckpointDir).
+    // consumed by postings, verification, and expansion — LAZY barrier
+    // ([[graft.Checkpoints]]): not eager (nothing computes at
+    // operator-construction time) and, unlike persist, blocks are released
+    // by the ContextCleaner when the query's frames drop (persist pinned
+    // CacheManager memory for the whole session — the round-2 leak). A
+    // cluster deployment sets graft.checkpoint.dir once and this becomes a
+    // reliable checkpoint that survives executor loss.
     def collapse(side: DataFrame): DataFrame = side
       .groupBy("shs")
       .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
-      .localCheckpoint(false)
+      .graftCheckpoint(false)
     val tg = collapse(base.filter(col("source") =!= evalSource))
     val eg = collapse(base.filter(col("source") === evalSource))
     // Eval-side prefix postings, rarest-first (Chaudhuri/Bayardo): a pair

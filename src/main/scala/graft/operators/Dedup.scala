@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Checkpoints.DatasetCheckpointOps
 import graft.functions.TextFunctions._
 import graft.sources.Tables
 
@@ -65,7 +66,9 @@ object Dedup {
     * The signature-group aggregate is read by every downstream stage (the
     * band join, both verification joins, the member expansion — and in
     * [[dd_cluster]] by several separate label-propagation jobs), so it is
-    * materialized ONCE with an eager localCheckpoint. Not `persist`:
+    * materialized ONCE with an eager [[graft.Checkpoints]] barrier
+    * (localCheckpoint, or a reliable checkpoint when graft.checkpoint.dir
+    * is set for cluster runs). Not `persist`:
     * checkpoint blocks are released by the ContextCleaner as soon as the
     * query's frames are dropped, where a `persist` pins CacheManager
     * memory for the whole session unless every caller remembers to
@@ -82,7 +85,7 @@ object Dedup {
     val grouped = minhashSignatures(docs(s, dir), k)
       .groupBy("sig")
       .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
-      .localCheckpoint()
+      .graftCheckpoint()
     val sigs = grouped.select(col("rep").as("doc_id"), col("sig"))
     val preBanded = sigs
       .select(col("doc_id"), posexplode(minhashBands(col("sig"), k, bands)))
@@ -214,7 +217,7 @@ object Dedup {
     val grouped = simhashFingerprints(docs(s, dir))
       .groupBy("fp")
       .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
-      .localCheckpoint()
+      .graftCheckpoint()
     val fps = grouped.select(col("rep").as("doc_id"), col("fp"))
     val preBanded = fps.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(3)),
@@ -320,7 +323,7 @@ object Dedup {
       .select(col("doc_id"), array_sort(hashedShingles(col("text"), n)).as("shs"))
       .groupBy("shs")
       .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
-      .localCheckpoint() // multi-consumer; materialized once, auto-released
+      .graftCheckpoint() // multi-consumer; materialized once, auto-released
     // 1. Posting list over REPRESENTATIVES, on 64-bit shingle hashes (same
     //    pair counts — collisions at 2^-64 are below any practical risk —
     //    far cheaper shuffle + compare than shingle strings). `sh` appears
@@ -344,7 +347,7 @@ object Dedup {
       .filter(col("p") <
         col("n") - ceil(col("n").cast("double") * threshold).cast("int") + 1)
       .select(col("doc_id"), col("n"), col("p"), col("sh"))
-      .localCheckpoint()
+      .graftCheckpoint()
     // Candidate generation is the ppjoin ASYMMETRIC join (Xiao et al.): a
     // qualifying pair must share a token in the probe prefix of its LONGER
     // record (|x| − ⌈t·|x|⌉ + 1 — what `pref` holds) AND in the tighter
@@ -407,7 +410,7 @@ object Dedup {
     // bench charged 18 s to exactly that.
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .distinct().localCheckpoint()
+      .distinct().graftCheckpoint()
     // Initial labels fold the FIRST propagation step into the node-distinct
     // aggregation: label₀ = min(self, neighbors) is exactly one min-label
     // round from the identity init, for free — the node list needed a
@@ -415,7 +418,7 @@ object Dedup {
     // mostly pairs/triples) converge one materialized round earlier.
     var labels = edges.groupBy(col("src").as("id"))
       .agg(least(col("id"), min(col("dst"))).as("label"))
-      .localCheckpoint()
+      .graftCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -427,7 +430,7 @@ object Dedup {
       val updated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("label").as("__old"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint()
+        .graftCheckpoint()
       i += 1
       // probe after round 1 (the fused init means small-diameter graphs —
       // the common near-dup case — are often already stable there), then
@@ -517,7 +520,7 @@ object Dedup {
     val grouped = Tables.loadParallel(s, dir, "embeddings")
       .groupBy("embedding")
       .agg(min(col("vec_id")).as("rep"), collect_list(col("vec_id")).as("members"))
-      .localCheckpoint()
+      .graftCheckpoint()
     val nReps = grouped.count()
     log.info(s"dd_embed_cosine: $nReps distinct embeddings → ~${nReps * nReps / 2} candidate pairs")
     require(nReps <= maxVectors,
@@ -559,7 +562,7 @@ object Dedup {
     val grouped = Tables.loadParallel(s, dir, "embeddings")
       .groupBy("embedding")
       .agg(min(col("vec_id")).as("rep"), collect_list(col("vec_id")).as("members"))
-      .localCheckpoint()
+      .graftCheckpoint()
     val emb = Similarity.withLshBucket(
       grouped.select(col("rep").as("vec_id"), col("embedding")), planes)
       .select(col("vec_id"), col("embedding"), col("bucket"),
@@ -617,7 +620,7 @@ object Dedup {
     val e = raw.select(col("vec_id"), col("embedding"),
       VecDot.norm(col("embedding")).as("nrm"),
       Clustering.assignTo(cents).getField("c").as("cluster"))
-      .localCheckpoint(false)
+      .graftCheckpoint(false)
     semdedupAudit(e, k, threshold, maxCellVectors)
   }
 
@@ -646,7 +649,7 @@ object Dedup {
     val e = raw.select(col("vec_id"), col("embedding"),
       VecDot.norm(col("embedding")).as("nrm"))
       .join(assigned, Seq("vec_id"))
-      .localCheckpoint(false)
+      .graftCheckpoint(false)
     val k = s.read.parquet(s"$indexPath/centroids").count().toInt
     semdedupAudit(e, k, threshold, maxCellVectors)
   }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Checkpoints.DatasetCheckpointOps
 import graft.functions.VecDot
 import graft.sources.Tables
 
@@ -264,7 +265,8 @@ object Similarity {
       Clustering.assignTo(cents).getField("c").as("cid"))
     // residuals re-cast to float: the PQ trainer/encoder read a float
     // `embedding` column, and float rounding is correctly-rounded IEEE —
-    // deterministic under any partitioning. LAZY localCheckpoint: the PQ
+    // deterministic under any partitioning. LAZY [[graft.Checkpoints]]
+    // barrier: the PQ
     // trainer's seed + per-round aggregates and the final encode each scan
     // this frame, and the nlist-way coarse assignment shouldn't recompute
     // per scan; unlike persist, the blocks release with the frames
@@ -272,7 +274,7 @@ object Similarity {
     val resid = withList.select(col("vec_id"), col("cid"),
       zip_with(col("embedding"), element_at(typedLit(cents), col("cid") + 1),
         (x, c) => (x.cast("double") - c).cast("float")).as("embedding"))
-      .localCheckpoint(false)
+      .graftCheckpoint(false)
     val books = Clustering.pqTrain(resid, m, codes, iters, sub)
     val assignedSubs = (0 until m).map { s =>
       Clustering.assignSub(slice(col("embedding"), s * sub + 1, sub), books(s)).getField("c")

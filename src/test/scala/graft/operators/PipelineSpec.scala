@@ -644,6 +644,33 @@ class PipelineSpec extends AnyFunSuite {
       s"five distinct fingerprints sharing bands must overflow a cap of 2: $shm")
   }
 
+  test("graft.checkpoint.dir switches barriers to reliable checkpoints, results hash-equal") {
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    val dir = tmpDocs(Seq((1L, s"$base one", "en", "s", 1L), (2L, s"$base two", "en", "s", 1L),
+      (3L, "unrelated zebra quark plasma lattice entirely different words", "en", "s", 1L)))
+    def run() = Dedup.dd_minhash(spark, dir).collect().map(_.toSeq).sortBy(_.toString)
+    val local = run()
+    assert(local.nonEmpty)
+    val ckptDir = java.nio.file.Files.createTempDirectory("graftckpt")
+    try {
+      spark.conf.set(graft.Checkpoints.DirKey, ckptDir.toString)
+      assert(run().toSeq == local.toSeq, "reliable-checkpoint run must be result-identical")
+      // the barrier actually took the reliable path: rdd checkpoint files
+      // landed under the configured directory (setCheckpointDir's UUID
+      // subdir contains rdd-<id> dirs)
+      val rddDirs = scala.jdk.CollectionConverters.IteratorHasAsScala(
+        java.nio.file.Files.walk(ckptDir).iterator()).asScala
+        .count(p => p.getFileName.toString.startsWith("rdd-"))
+      assert(rddDirs > 0, s"no rdd-* checkpoint dirs under $ckptDir")
+    } finally {
+      spark.conf.unset(graft.Checkpoints.DirKey)
+      org.apache.commons.io.FileUtils.deleteQuietly(ckptDir.toFile)
+    }
+    // and with the key unset the default local path still runs
+    assert(run().toSeq == local.toSeq)
+  }
+
   test("dd_cluster over representatives equals clustering the expanded pair graph") {
     val dir = "/root/testdata/sf0.01"
     val direct = Dedup.clusterPairs(Dedup.dd_minhash(spark, dir).select("a", "b"))
