@@ -683,13 +683,7 @@ object Dedup {
         s"$biggest vectors (> maxCellVectors=$maxCellVectors, " +
         s"~${biggest * biggest / 2} pairs). Raise k so cells shrink, or " +
         "raise maxCellVectors explicitly.")
-    val a = e.select(col("cluster"), col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
-    val b = e.select(col("cluster"), col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb"))
-    val dups = a.join(b, Seq("cluster"))
-      .filter(col("a") < col("b"))
-      .filter(VecDot.cosineFast(VecDot.dot(col("ea"), col("eb")), col("na"), col("nb")) >= threshold)
-      // a vector may be close to several lower-id members — flag it once
-      .select(col("cluster"), col("b")).distinct()
+    val dups = semdedupFlags(e, threshold)
       .groupBy("cluster")
       .agg(count(lit(1)).as("n_dups"), min(col("b")).as("first_dup"))
     e.groupBy("cluster").agg(count(lit(1)).as("n_members"))
@@ -699,5 +693,23 @@ object Dedup {
         (col("n_members") - coalesce(col("n_dups"), lit(0L))).as("n_keep"),
         col("first_dup"))
       .orderBy("cluster")
+  }
+
+  /** The flagged-id frame behind [[semdedupAudit]]: (cluster, b) for every
+    * vector `b` with a lower-id same-cell member at cosine ≥ `threshold`,
+    * distinct per vector (closeness to several lower-id members flags it
+    * once). Exposed separately so the forgone-recall measurement (SemDeDup
+    * flags vs the exact all-pairs [[dd_embed_cosine]] flags — the
+    * RecallSpec floor and the README scale row) reads the production flag
+    * logic rather than a reimplementation.
+    */
+  private[operators] def semdedupFlags(e: DataFrame, threshold: Double): DataFrame = {
+    import graft.functions.VecDot
+    val a = e.select(col("cluster"), col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("cluster"), col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, Seq("cluster"))
+      .filter(col("a") < col("b"))
+      .filter(VecDot.cosineFast(VecDot.dot(col("ea"), col("eb")), col("na"), col("nb")) >= threshold)
+      .select(col("cluster"), col("b")).distinct()
   }
 }

@@ -644,6 +644,55 @@ class PipelineSpec extends AnyFunSuite {
       s"five distinct fingerprints sharing bands must overflow a cap of 2: $shm")
   }
 
+  test("SemDeDup forgone cross-cluster recall: >= 0.7 on near-identical dups; broad regime measured") {
+    // SemDeDup's documented approximation forgoes near-dup pairs that
+    // straddle cell boundaries. Within-cell pairs are a subset of all
+    // pairs, so the flag set is a subset of the exact one and
+    // recall = |sem| / |exact|. Two regimes, measured with the PRODUCTION
+    // flag logic both times (exact = semdedupFlags with every vector in
+    // one cell):
+    import graft.functions.VecDot
+    val dir = "/root/testdata/sf0.01"
+    val raw = graft.sources.Tables.loadParallel(spark, dir, "embeddings")
+      .select("vec_id", "embedding")
+
+    def recallAt(corpus: org.apache.spark.sql.DataFrame, t: Double): (Double, Int, Int) = {
+      val cents = Clustering.initCentroids(corpus, 10)
+      val base = corpus.select(col("vec_id"), col("embedding"),
+        VecDot.norm(col("embedding")).as("nrm"))
+      val e = base.withColumn("cluster", Clustering.assignTo(cents).getField("c"))
+      val eAll = base.withColumn("cluster", lit(0))
+      val sem = Dedup.semdedupFlags(e, t).select("b").collect().map(_.getLong(0)).toSet
+      val exact = Dedup.semdedupFlags(eAll, t).select("b").collect().map(_.getLong(0)).toSet
+      assert(sem.subsetOf(exact), "within-cell flags must be a subset of all-pairs flags")
+      (if (exact.isEmpty) 1.0 else sem.size.toDouble / exact.size, sem.size, exact.size)
+    }
+
+    // (1) intended regime — near-identical duplicates (the paper's use
+    // case, threshold ~0.9): plant a perturbed copy of every 5th vector
+    // (cos ≈ 0.9999 to its source). A copy lands in its source's cell
+    // unless the pair sits on a cell boundary, so recall must be high.
+    val maxId = raw.agg(max(col("vec_id"))).first().getLong(0)
+    val planted = raw.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + maxId + 1).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, (x * lit(1.001)).cast("float")).otherwise(x)).as("embedding"))
+    val (rNear, semN, exactN) = recallAt(raw.unionByName(planted), 0.9)
+    assert(exactN > 0, "planted perturbed copies must qualify at t=0.9")
+    info(f"semdedup recall, planted near-identical t=0.9 k=10: $rNear%.3f ($semN/$exactN)")
+    assert(rNear >= 0.7, f"cross-cluster loss too high in the intended regime: $rNear%.3f")
+
+    // (2) broad-similarity regime on the raw corpus (t=0.4, the operator
+    // default): qualifying pairs here are only loosely similar and
+    // straddle cells freely — recall is LOW by design (measured 0.226;
+    // README records it). SemDeDup is not a substitute for
+    // dd_embed_cosine / dd_embed_lsh at low thresholds, and the spec pins
+    // that documented reality rather than hiding it.
+    val (rBroad, semB, exactB) = recallAt(raw, 0.4)
+    info(f"semdedup recall, corpus broad regime t=0.4 k=10: $rBroad%.3f ($semB/$exactB)")
+    assert(exactB > 0 && rBroad < 0.7, "broad-regime loss vanished — update README row")
+  }
+
   test("graft.checkpoint.dir switches barriers to reliable checkpoints, results hash-equal") {
     val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
       "juliet kilo lima mike november oscar papa quebec romeo sierra tango"
