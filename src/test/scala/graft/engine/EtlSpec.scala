@@ -219,6 +219,51 @@ class EtlSpec extends AnyFunSuite {
     assert(vals(person) == vals(expected))
   }
 
+  test("cliMain: --external-csv feeds EXTERNAL.* tables to a pure-CLI run") {
+    // a CLI-only user ships lookup tables as a directory of CSVs; the flag
+    // must carry them through registerExternalCsvDir into a rule that joins
+    // EXTERNAL.FACILITY_POSTCODE (location.yaml) — no --source staging of
+    // the external schema
+    val rulesDir = Files.createTempDirectory("graft-extcli-rules")
+    val in = getClass.getResourceAsStream("/validation/location.yaml")
+    val text = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    Files.writeString(rulesDir.resolve("location.yaml"), text)
+    val corpus = "src/test/resources/corpus"
+    val srcDir = Files.createTempDirectory("graft-extcli-src")
+    val sourceArgs = Seq.newBuilder[String]
+    def withNullCol(df: org.apache.spark.sql.DataFrame, name: String) =
+      if (df.columns.contains(name)) df
+      else df.withColumn(name, org.apache.spark.sql.functions.lit(null).cast("double"))
+    Seq("encounter", "encntr_loc_hist", "address").foreach { t =>
+      val df = spark.read.parquet(s"$corpus/cerner_$t.parquet")
+      val full = if (t == "address") df else withNullCol(df, "active_ind")
+      val p = srcDir.resolve(s"cerner_$t.parquet").toString
+      full.write.mode("overwrite").parquet(p)
+      sourceArgs += "--source" += s"cerner.$t=$p"
+    }
+    // the external table as a user would ship it: just the columns the rule
+    // reads, PREFIX.-qualified headers (the loader strips them)
+    val extDir = Files.createTempDirectory("graft-extcli-csv")
+    val rows = spark.read.parquet(s"$corpus/external_facility_postcode.parquet")
+      .select("source_facility_cd", "target_postcode")
+      .collect().map(r => s"${r.get(0)},${r.get(1)}")
+    Files.writeString(extDir.resolve("FACILITY_POSTCODE.csv"),
+      ("EXT.source_facility_cd,EXT.target_postcode" +: rows.toSeq).mkString("\n"))
+    val outDir = Files.createTempDirectory("graft-extcli-out")
+    val targets = Etl.cliMain(Array("run",
+      "--rules", rulesDir.toString, "--output", outDir.toString,
+      "--external-csv", extDir.toString) ++ sourceArgs.result(), spark)
+    assert(targets.keySet == Set("LOCATION"))
+    val written = spark.read.parquet(outDir.resolve("LOCATION.parquet").toString)
+    val expected = spark.read.parquet(s"$corpus/expected_location.parquet")
+    assert(written.count() == expected.count())
+    def zips(df: org.apache.spark.sql.DataFrame): Seq[Option[Double]] =
+      df.select(org.apache.spark.sql.functions.col("zip").cast("double"))
+        .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+        .toSeq.sortBy(_.getOrElse(-1.0))
+    assert(zips(written) == zips(expected), "postcodes joined from the CSV external must match")
+  }
+
   test("depends_on inherits the dep file's default_schema (`__main__.py:67-80`)") {
     val dir = Files.createTempDirectory("graft-depschema")
     Files.writeString(dir.resolve("10_src.yaml"), """
