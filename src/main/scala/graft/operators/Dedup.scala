@@ -598,8 +598,11 @@ object Dedup {
     * Like [[dd_embed_cosine]], the per-cell work is quadratic BY
     * CONSTRUCTION (that is SemDeDup's design — the cells bound it), so the
     * operator fails fast when the largest cell exceeds `maxCellVectors`
-    * instead of silently launching a cell² job: raise `k` (more, smaller
-    * cells) or the bound explicitly. The literal-centroid assignment here
+    * DISTINCT embeddings instead of silently launching a cell² job: raise
+    * `k` (more, smaller cells) or the bound explicitly. Bit-identical
+    * copies don't count against the bound — they collapse to one
+    * representative before the pair join (see [[semdedupFlags]]), so
+    * exact-dup cliques cost flag rows, never clique² pairs. The literal-centroid assignment here
     * serves k up to a few hundred; a 100 TB deployment assigns cells with
     * the same coarse quantizer the persisted IVF index uses — that form is
     * [[dd_semdedup_indexed]], which reads [[Similarity.writeIvfPqIndex]]'s
@@ -672,15 +675,18 @@ object Dedup {
     */
   private def semdedupAudit(e: DataFrame, k: Int, threshold: Double,
       maxCellVectors: Long): DataFrame = {
-    import graft.functions.VecDot
+    // the guard counts DISTINCT embeddings per cell — bit-identical copies
+    // collapse to one representative before the pair join (semdedupFlags),
+    // so a re-crawled exact-dup clique costs flag rows, not clique² pairs.
     // coalesce: max() over an empty embeddings table is NULL, and a raw
     // getLong would NPE here instead of reaching the intended diagnostic
-    val biggest = e.groupBy("cluster").count()
+    val biggest = e.select(col("cluster"), col("embedding")).distinct()
+      .groupBy("cluster").count()
       .agg(coalesce(max(col("count")), lit(0L))).first().getLong(0)
-    log.info(s"dd_semdedup: largest cell $biggest of ${k} cells")
+    log.info(s"dd_semdedup: largest cell $biggest distinct embeddings of ${k} cells")
     require(biggest <= maxCellVectors,
       s"dd_semdedup pair work is quadratic per cell: largest cell has " +
-        s"$biggest vectors (> maxCellVectors=$maxCellVectors, " +
+        s"$biggest distinct embeddings (> maxCellVectors=$maxCellVectors, " +
         s"~${biggest * biggest / 2} pairs). Raise k so cells shrink, or " +
         "raise maxCellVectors explicitly.")
     val dups = semdedupFlags(e, threshold)
@@ -702,14 +708,48 @@ object Dedup {
     * flags vs the exact all-pairs [[dd_embed_cosine]] flags — the
     * RecallSpec floor and the README scale row) reads the production flag
     * logic rather than a reimplementation.
+    *
+    * Bit-identical embeddings collapse to one representative per cell
+    * BEFORE the pair join — the same exact-dup clique guard as
+    * [[dd_embed_cosine]] / [[dd_embed_lsh]], which SemDeDup needs even
+    * more: identical vectors always share a cell (the assignment is a
+    * deterministic function of the embedding alone), so a re-crawled
+    * 1000-copy clique would otherwise pay clique² within-cell pairs
+    * before the threshold ever filters. The flag set expands back
+    * EXACTLY, because flaggedness only depends on a vector's group and
+    * its group's qualifying partners:
+    *   - a non-representative member's lowest-id same-cell partner is its
+    *     own representative at the self-cosine (the identical-pair cosine
+    *     the all-pairs form computes), so it is flagged iff that
+    *     self-cosine meets the threshold;
+    *   - any member `v` (representative included) is also flagged iff
+    *     some OTHER group in the cell qualifies with representative
+    *     (= min id) below `v` — a partner x < v exists iff min(h) < v.
     */
   private[operators] def semdedupFlags(e: DataFrame, threshold: Double): DataFrame = {
     import graft.functions.VecDot
-    val a = e.select(col("cluster"), col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
-    val b = e.select(col("cluster"), col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb"))
-    a.join(b, Seq("cluster"))
-      .filter(col("a") < col("b"))
+    val groups = e.groupBy("cluster", "embedding", "nrm")
+      .agg(min(col("vec_id")).as("rep"), array_sort(collect_list(col("vec_id"))).as("members"))
+    val a = groups.select(col("cluster"), col("rep").as("arep"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = groups.select(col("cluster"), col("rep").as("brep"), col("embedding").as("eb"), col("nrm").as("nb"))
+    // rep-level qualifying partners, both orientations (no a<b): for each
+    // group, the smallest representative of any OTHER qualifying group
+    val minExt = a.join(b, Seq("cluster"))
+      .filter(col("arep") =!= col("brep"))
       .filter(VecDot.cosineFast(VecDot.dot(col("ea"), col("eb")), col("na"), col("nb")) >= threshold)
-      .select(col("cluster"), col("b")).distinct()
+      .groupBy(col("cluster"), col("brep").as("rep"))
+      .agg(min(col("arep")).as("min_ext"))
+    val withExt = groups.join(minExt, Seq("cluster", "rep"), "left")
+    // the identical-pair cosine, the exact expression the all-pairs form
+    // evaluates for two bit-identical arrays (see dd_embed_cosine)
+    val selfCos = VecDot.cosineFast(
+      VecDot.dot(col("embedding"), col("embedding")), col("nrm"), col("nrm"))
+    val intra = withExt.filter(selfCos >= threshold)
+      .select(col("cluster"),
+        explode(slice(col("members"), lit(2), size(col("members")) - 1)).as("b"))
+    val cross = withExt.filter(col("min_ext").isNotNull)
+      .select(col("cluster"),
+        explode(filter(col("members"), m => m > col("min_ext"))).as("b"))
+    intra.unionByName(cross).distinct()
   }
 }

@@ -693,6 +693,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(exactB > 0 && rBroad < 0.7, "broad-regime loss vanished — update README row")
   }
 
+  test("semdedupFlags: exact-dup collapse expands back bit-equal to the all-pairs form") {
+    // planted shapes that exercise every expansion branch: a 5-copy
+    // bit-identical clique (intra flags), a scaled copy at cos exactly 1
+    // in a DIFFERENT group (cross flags), a near pair, an unrelated
+    // singleton, and a clique member with an id BELOW a qualifying other
+    // group's rep (rep-flagged-by-cross case)
+    import graft.functions.VecDot
+    val base = Seq(1.0f, 2.0f, 3.0f, 4.0f)
+    val near = Seq(1.0f, 2.0f, 3.0f, 4.5f)
+    val scaled = base.map(_ * 2.0f)
+    val far = Seq(-4.0f, 3.0f, -2.0f, 1.0f)
+    val rows = Seq(10L, 11L, 12L, 13L, 14L).map(i => (i, base)) ++
+      Seq((5L, scaled), (20L, near), (30L, far))
+    val e = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding"),
+        VecDot.norm(col("embedding")).as("nrm"),
+        // one cell: the collapse/expansion logic is what's under test,
+        // cell assignment is covered by the oracle + parity specs
+        lit(0).as("cluster"))
+    def flags(t: Double): Set[Long] =
+      Dedup.semdedupFlags(e, t).select("b").collect().map(_.getLong(0)).toSet
+    // brute-force reference: literal all-pairs a<b at the same expression
+    def brute(t: Double): Set[Long] = {
+      val a = e.select(col("cluster"), col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
+      val b = e.select(col("cluster"), col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb"))
+      a.join(b, Seq("cluster")).filter(col("a") < col("b"))
+        .filter(VecDot.cosineFast(VecDot.dot(col("ea"), col("eb")), col("na"), col("nb")) >= t)
+        .select("b").distinct().collect().map(_.getLong(0)).toSet
+    }
+    for (t <- Seq(0.9, 0.999999, 0.4)) assert(flags(t) == brute(t), s"t=$t")
+    // the cos-1.0 cross-group copy must flag ids above its rep (5 < 10):
+    // every clique member is cross-flagged even at a threshold where
+    // nothing else qualifies
+    assert(flags(0.999999) == Set(10L, 11L, 12L, 13L, 14L))
+    // near pair qualifies at 0.9 (cos ≈ 0.997) but far singleton never does
+    assert(flags(0.9).contains(20L) && !flags(0.4).contains(30L))
+  }
+
   test("graft.checkpoint.dir switches barriers to reliable checkpoints, results hash-equal") {
     val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
       "juliet kilo lima mike november oscar papa quebec romeo sierra tango"
