@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale evidence for the SemDeDup family: times the inline operator
+  * (re-derives cells from literal centroids per run) against
+  * [[Dedup.dd_semdedup_indexed]] reading a persisted
+  * [[Similarity.writeIvfPqIndex]] layout — the build-once/sweep-many
+  * shape a recurring curation job runs — on the same corpus, and reports
+  * the flagged/keep totals so the two sweeps are comparable. On a
+  * replicated corpus this also exercises the exact-dup clique collapse:
+  * every clique costs flag rows, never clique² within-cell pairs.
+  *
+  * Usage: `graft.operators.SemDedupScaleBench [embDir] [indexPath] [reps]`;
+  * prints one JSON line. The index must already exist (build it with
+  * [[IvfPqBench]], which reports the one-time build cost separately).
+  */
+object SemDedupScaleBench {
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val path = args.lift(1).getOrElse(
+      sys.error("pass the index path (build with graft.operators.IvfPqBench)"))
+    val reps = args.lift(2).map(_.toInt).getOrElse(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val n = graft.sources.Tables.loadParallel(spark, dir, "embeddings").count()
+    def sweep(f: () => org.apache.spark.sql.DataFrame): (Double, Long, Long) = {
+      var out = (0.0, 0L, 0L)
+      for (_ <- 1 to reps) {
+        val t0 = System.nanoTime()
+        val audit = f().agg(sum("n_dups"), sum("n_keep")).first()
+        out = ((System.nanoTime() - t0) / 1e9, audit.getLong(0), audit.getLong(1))
+      }
+      out // last rep = warm
+    }
+    val (inlineSec, inDups, inKeep) = sweep(() => Dedup.dd_semdedup(spark, dir))
+    val (indexedSec, ixDups, ixKeep) =
+      sweep(() => Dedup.dd_semdedup_indexed(spark, dir, path))
+    println(s"""{"metric":"semdedup_scale","vectors":$n,""" +
+      s""""inline_sec":$inlineSec,"inline_dups":$inDups,"inline_keep":$inKeep,""" +
+      s""""indexed_sec":$indexedSec,"indexed_dups":$ixDups,"indexed_keep":$ixKeep}""")
+    spark.stop()
+  }
+}
