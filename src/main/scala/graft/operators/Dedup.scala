@@ -616,14 +616,12 @@ object Dedup {
     import graft.functions.VecDot
     val raw = Tables.loadParallel(s, dir, "embeddings")
     val cents = Clustering.initCentroids(raw, k)
-    // lazy localCheckpoint, not persist: the guard count below plus the
-    // pair join and member count each read this frame, and the blocks must
-    // release with the frames (including on the guard's failure path) —
-    // see [[minhashRepPairs]] on the persist leak
+    // no barrier on the corpus frame: the audit's single corpus-wide
+    // aggregate (the group collapse) is its only consumer — the barrier
+    // sits on the smaller collapsed frame inside [[semdedupAudit]]
     val e = raw.select(col("vec_id"), col("embedding"),
       VecDot.norm(col("embedding")).as("nrm"),
       Clustering.assignTo(cents).getField("c").as("cluster"))
-      .graftCheckpoint(false)
     semdedupAudit(e, k, threshold, maxCellVectors)
   }
 
@@ -652,7 +650,6 @@ object Dedup {
     val e = raw.select(col("vec_id"), col("embedding"),
       VecDot.norm(col("embedding")).as("nrm"))
       .join(assigned, Seq("vec_id"))
-      .graftCheckpoint(false)
     val k = s.read.parquet(s"$indexPath/centroids").count().toInt
     semdedupAudit(e, k, threshold, maxCellVectors)
   }
@@ -660,8 +657,8 @@ object Dedup {
   /** The (vec_id → list id) assignment read off a persisted IVF×PQ index:
     * `cid` is the partition value, so the FILE read prunes to the vec_id
     * column alone — the PQ code words never leave disk (plan-asserted in
-    * the spec against this exact frame; the operator checkpoints it, which
-    * hides the scan from its own final plan).
+    * the spec against this exact frame; the operator's group-collapse
+    * barrier sits above it, which hides the scan from the final plan).
     */
   private[operators] def indexAssignment(s: SparkSession, indexPath: String): DataFrame =
     s.read.parquet(s"$indexPath/codes")
@@ -675,13 +672,19 @@ object Dedup {
     */
   private def semdedupAudit(e: DataFrame, k: Int, threshold: Double,
       maxCellVectors: Long): DataFrame = {
-    // the guard counts DISTINCT embeddings per cell — bit-identical copies
+    // ONE corpus-wide aggregate serves everything downstream: the guard,
+    // the rep-level pair join, and the member counts all read the collapsed
+    // groups frame, so the lazy barrier sits HERE — on the
+    // distinct-embedding frame, smaller than the corpus — and the blocks
+    // release with the frames (including on the guard's failure path); see
+    // [[minhashRepPairs]] on the persist leak.
+    // The guard counts DISTINCT embeddings per cell — bit-identical copies
     // collapse to one representative before the pair join (semdedupFlags),
     // so a re-crawled exact-dup clique costs flag rows, not clique² pairs.
     // coalesce: max() over an empty embeddings table is NULL, and a raw
     // getLong would NPE here instead of reaching the intended diagnostic
-    val biggest = e.select(col("cluster"), col("embedding")).distinct()
-      .groupBy("cluster").count()
+    val groups = groupsOf(e).graftCheckpoint(false)
+    val biggest = groups.groupBy("cluster").count()
       .agg(coalesce(max(col("count")), lit(0L))).first().getLong(0)
     log.info(s"dd_semdedup: largest cell $biggest distinct embeddings of ${k} cells")
     require(biggest <= maxCellVectors,
@@ -689,10 +692,10 @@ object Dedup {
         s"$biggest distinct embeddings (> maxCellVectors=$maxCellVectors, " +
         s"~${biggest * biggest / 2} pairs). Raise k so cells shrink, or " +
         "raise maxCellVectors explicitly.")
-    val dups = semdedupFlags(e, threshold)
+    val dups = flagsFromGroups(groups, threshold)
       .groupBy("cluster")
       .agg(count(lit(1)).as("n_dups"), min(col("b")).as("first_dup"))
-    e.groupBy("cluster").agg(count(lit(1)).as("n_members"))
+    groups.groupBy("cluster").agg(sum(size(col("members"))).as("n_members"))
       .join(dups, Seq("cluster"), "left")
       .select(col("cluster"), col("n_members"),
         coalesce(col("n_dups"), lit(0L)).as("n_dups"),
@@ -726,10 +729,16 @@ object Dedup {
     *     some OTHER group in the cell qualifies with representative
     *     (= min id) below `v` — a partner x < v exists iff min(h) < v.
     */
-  private[operators] def semdedupFlags(e: DataFrame, threshold: Double): DataFrame = {
-    import graft.functions.VecDot
-    val groups = e.groupBy("cluster", "embedding", "nrm")
+  private[operators] def semdedupFlags(e: DataFrame, threshold: Double): DataFrame =
+    flagsFromGroups(groupsOf(e), threshold)
+
+  /** One representative per (cell, distinct embedding), members sorted. */
+  private def groupsOf(e: DataFrame): DataFrame =
+    e.groupBy("cluster", "embedding", "nrm")
       .agg(min(col("vec_id")).as("rep"), array_sort(collect_list(col("vec_id"))).as("members"))
+
+  private def flagsFromGroups(groups: DataFrame, threshold: Double): DataFrame = {
+    import graft.functions.VecDot
     val a = groups.select(col("cluster"), col("rep").as("arep"), col("embedding").as("ea"), col("nrm").as("na"))
     val b = groups.select(col("cluster"), col("rep").as("brep"), col("embedding").as("eb"), col("nrm").as("nb"))
     // rep-level qualifying partners, both orientations (no a<b): for each
