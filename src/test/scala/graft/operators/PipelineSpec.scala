@@ -731,6 +731,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(flags(0.9).contains(20L) && !flags(0.4).contains(30L))
   }
 
+  test("semdedupFlags: randomized corpora match the all-pairs form (seeded)") {
+    // randomized sweep over the collapse/expansion algebra: small vector
+    // pool so exact copies, scaled copies (cos 1 across groups), and near
+    // pairs all occur, cells assigned ARBITRARILY (the collapse groups
+    // per (cell, embedding), so parity must hold even when identical
+    // vectors land in different cells), thresholds spanning negative to
+    // 1.0. Zero vectors are excluded: cosine on them is a loud ANSI
+    // divide-by-zero in BOTH forms (parity in failure, not a flag case).
+    // Seeded for exact replay.
+    import graft.functions.VecDot
+    val rnd = new scala.util.Random(0x5EED5EED)
+    for (round <- 1 to 5) {
+      val pool = Vector.fill(5) {
+        val v = Array.fill(4)((rnd.nextInt(9) - 4).toFloat)
+        v(rnd.nextInt(4)) = (1 + rnd.nextInt(4)).toFloat // never the zero vector
+        v
+      }
+      val n = 20 + rnd.nextInt(15)
+      val rows = (0 until n).map { i =>
+        val v = pool(rnd.nextInt(pool.size))
+        val vec = rnd.nextInt(4) match {
+          case 0 => v
+          case 1 => v.map(_ * (1 + rnd.nextInt(3)).toFloat)
+          case _ =>
+            val p = v.map(x => x + (rnd.nextInt(3) - 1) * 0.5f)
+            if (p.forall(_ == 0.0f)) v else p
+        }
+        (i.toLong, vec.toSeq, i % (1 + rnd.nextInt(3)))
+      }
+      val e = rows.toDF("vec_id", "embedding", "cluster")
+        .select(col("vec_id"), col("embedding"),
+          VecDot.norm(col("embedding")).as("nrm"), col("cluster"))
+      val a = e.select(col("cluster"), col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
+      val b = e.select(col("cluster"), col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb"))
+      for (t <- Seq(-0.5, 0.3, 0.9, 1.0)) {
+        val brute = a.join(b, Seq("cluster")).filter(col("a") < col("b"))
+          .filter(VecDot.cosineFast(VecDot.dot(col("ea"), col("eb")), col("na"), col("nb")) >= t)
+          .select(col("cluster"), col("b")).distinct()
+          .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+        val got = Dedup.semdedupFlags(e, t)
+          .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+        assert(got == brute, s"round=$round t=$t corpus=${rows.take(8)}...")
+      }
+    }
+  }
+
   test("graft.checkpoint.dir switches barriers to reliable checkpoints, results hash-equal") {
     val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
       "juliet kilo lima mike november oscar papa quebec romeo sierra tango"
