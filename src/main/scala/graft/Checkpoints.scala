@@ -46,14 +46,33 @@ object Checkpoints {
   /** `ds.localCheckpoint(eager)`, or `ds.checkpoint(eager)` into
     * [[DirKey]]'s directory when configured. Semantics match: lineage
     * truncated, result deterministic-identical either way.
+    *
+    * Cost note for reliable mode: an RDD checkpoint recomputes its subtree
+    * to write the files (Spark's documented behavior without a persist), so
+    * EAGER barriers cache the frame for the duration of the checkpoint and
+    * release it after — one compute, not two. A LAZY barrier checkpoints
+    * during its first action, where no unpersist hook exists; it pays the
+    * one extra subtree compute at that first action only.
     */
   def barrier[T](ds: Dataset[T], eager: Boolean): Dataset[T] = {
     val spark = ds.sparkSession
     spark.conf.getOption(DirKey).map(_.trim).filter(_.nonEmpty) match {
       case Some(dir) =>
         val sc = spark.sparkContext
-        if (registered.put(sc.applicationId, dir) != dir) sc.setCheckpointDir(dir)
-        ds.checkpoint(eager)
+        // compute() is atomic per key: concurrent first-use barriers block
+        // until the directory is registered (a bare put would let the loser
+        // race into checkpoint() before setCheckpointDir ran), and a
+        // registration failure leaves the mapping unchanged so the next
+        // barrier retries instead of inheriting a poisoned entry
+        registered.compute(sc.applicationId, (_, prev) => {
+          if (prev != dir) sc.setCheckpointDir(dir)
+          dir
+        })
+        if (eager) {
+          val cached = ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try cached.checkpoint(true)
+          finally cached.unpersist()
+        } else ds.checkpoint(false)
       case None =>
         ds.localCheckpoint(eager)
     }

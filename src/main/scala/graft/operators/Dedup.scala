@@ -163,13 +163,21 @@ object Dedup {
     // anywhere — a degenerate corpus), the metric node is replaced along
     // with the branch and the observation is absent; [[droppedBuckets]]
     // remains the authoritative deep-dive audit frame for that case.
+    // observation names carry a per-invocation sequence number: Spark's
+    // CheckAnalysis rejects a plan holding two observed-metric nodes with
+    // the same name unless their subtrees are sameResult (fine for this
+    // operator's self-join, fatal for compositions like
+    // dd_minhash(dirA).union(dd_minhash(dirB))). [[capBucketsLoss]]
+    // prefix-matches and sums, so composition aggregates losses naturally.
     val sizes = banded.groupBy("band", "bkey").agg(count(lit(1)).as("__bsz"))
-      .observe(s"graft.$op.capBuckets",
+      .observe(s"graft.$op.capBuckets.${metricSeq.incrementAndGet()}",
         sum(when(col("__bsz") > maxBucket, lit(1L)).otherwise(lit(0L))).as("dropped_buckets"),
         sum(when(col("__bsz") > maxBucket, col("__bsz")).otherwise(lit(0L))).as("dropped_slots"))
     banded.join(sizes.filter(col("__bsz") <= maxBucket), Seq("band", "bkey"))
       .drop("__bsz")
   }
+
+  private val metricSeq = new java.util.concurrent.atomic.AtomicLong()
 
   /** Band-buckets that [[capBuckets]] would drop at `maxBucket` — the
     * observability hook: run it (one cheap aggregate) and log the result
@@ -183,11 +191,18 @@ object Dedup {
     * LAST action, for a capped operator's frame (`op` = "dd_minhash" /
     * "dd_simhash"). Free — the metric rides [[capBuckets]]'s in-plan
     * observe() aggregate, no extra job at any log level. None when the
-    * frame hasn't executed or isn't a capped operator's output.
+    * frame hasn't executed or isn't a capped operator's output (a metric
+    * node that never saw an action holds null sums — reported as None,
+    * not a crash). A composed frame (e.g. a union of two runs) carries
+    * one metric node per constituent; their losses sum.
     */
-  def capBucketsLoss(result: DataFrame, op: String): Option[(Long, Long)] =
-    org.apache.spark.sql.GraftObservedMetrics.of(result)
-      .get(s"graft.$op.capBuckets").map(r => (r.getLong(0), r.getLong(1)))
+  def capBucketsLoss(result: DataFrame, op: String): Option[(Long, Long)] = {
+    val rows = org.apache.spark.sql.GraftObservedMetrics.of(result)
+      .collect { case (name, r) if name.startsWith(s"graft.$op.capBuckets") &&
+        !r.isNullAt(0) && !r.isNullAt(1) => (r.getLong(0), r.getLong(1)) }
+    if (rows.isEmpty) None
+    else Some(rows.foldLeft((0L, 0L))((acc, x) => (acc._1 + x._1, acc._2 + x._2)))
+  }
 
   /** MinHash signatures in aggregate form: shingle-hashes exploded to rows,
     * then k `min` aggregates — map-side partial aggregation, whole-stage
@@ -622,7 +637,7 @@ object Dedup {
     val e = raw.select(col("vec_id"), col("embedding"),
       VecDot.norm(col("embedding")).as("nrm"),
       Clustering.assignTo(cents).getField("c").as("cluster"))
-    semdedupAudit(e, k, threshold, maxCellVectors)
+    semdedupAudit(e, threshold, maxCellVectors)
   }
 
   /** [[dd_semdedup]] assigned by a PERSISTED coarse quantizer — the 100 TB
@@ -650,8 +665,12 @@ object Dedup {
     val e = raw.select(col("vec_id"), col("embedding"),
       VecDot.norm(col("embedding")).as("nrm"))
       .join(assigned, Seq("vec_id"))
-    val k = s.read.parquet(s"$indexPath/centroids").count().toInt
-    semdedupAudit(e, k, threshold, maxCellVectors)
+    // the assignment join is inner: a corpus vector absent from the index
+    // (a delta appended to the table but not yet to the index) would be
+    // silently unflaggable and shrink the audit's member counts — require
+    // the index to cover the corpus instead (the parquet count is
+    // metadata-only). Run appendToIvfPqIndex on the delta first.
+    semdedupAudit(e, threshold, maxCellVectors, expectedMembers = Some(raw.count()))
   }
 
   /** The (vec_id → list id) assignment read off a persisted IVF×PQ index:
@@ -670,8 +689,8 @@ object Dedup {
     * nrm, cluster) — how the cluster column was assigned (literal
     * centroids vs persisted index) is the variants' only difference.
     */
-  private def semdedupAudit(e: DataFrame, k: Int, threshold: Double,
-      maxCellVectors: Long): DataFrame = {
+  private def semdedupAudit(e: DataFrame, threshold: Double,
+      maxCellVectors: Long, expectedMembers: Option[Long] = None): DataFrame = {
     // ONE corpus-wide aggregate serves everything downstream: the guard,
     // the rep-level pair join, and the member counts all read the collapsed
     // groups frame, so the lazy barrier sits HERE — on the
@@ -681,17 +700,25 @@ object Dedup {
     // The guard counts DISTINCT embeddings per cell — bit-identical copies
     // collapse to one representative before the pair join (semdedupFlags),
     // so a re-crawled exact-dup clique costs flag rows, not clique² pairs.
-    // coalesce: max() over an empty embeddings table is NULL, and a raw
-    // getLong would NPE here instead of reaching the intended diagnostic
+    // coalesce: aggregates over an empty embeddings table are NULL, and a
+    // raw getLong would NPE here instead of reaching the intended diagnostic
     val groups = groupsOf(e).graftCheckpoint(false)
-    val biggest = groups.groupBy("cluster").count()
-      .agg(coalesce(max(col("count")), lit(0L))).first().getLong(0)
-    log.info(s"dd_semdedup: largest cell $biggest distinct embeddings of ${k} cells")
+    val stats = groups.groupBy("cluster")
+      .agg(count(lit(1)).as("__g"), sum(size(col("members"))).as("__m"))
+      .agg(coalesce(max(col("__g")), lit(0L)), count(lit(1)),
+        coalesce(sum(col("__m")), lit(0L))).first()
+    val (biggest, nCells, nMembers) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    log.info(s"dd_semdedup: largest cell $biggest distinct embeddings of $nCells cells")
     require(biggest <= maxCellVectors,
       s"dd_semdedup pair work is quadratic per cell: largest cell has " +
         s"$biggest distinct embeddings (> maxCellVectors=$maxCellVectors, " +
         s"~${biggest * biggest / 2} pairs). Raise k so cells shrink, or " +
         "raise maxCellVectors explicitly.")
+    expectedMembers.foreach(expected => require(nMembers == expected,
+      s"dd_semdedup_indexed: the index covers $nMembers of $expected corpus " +
+        "vectors — the rest joined away silently and could never be " +
+        "flagged. The index is stale: appendToIvfPqIndex the delta (or " +
+        "rebuild) before sweeping."))
     val dups = flagsFromGroups(groups, threshold)
       .groupBy("cluster")
       .agg(count(lit(1)).as("n_dups"), min(col("b")).as("first_dup"))

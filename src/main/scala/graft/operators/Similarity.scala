@@ -438,6 +438,23 @@ object Similarity {
     */
   def appendToIvfPqIndex(s: SparkSession, path: String, newVecs: DataFrame): Unit = {
     val (cents, books, m, sub) = loadSidecars(s, path)
+    // guard re-appends: a retried delta (or one overlapping the base build)
+    // would silently duplicate (vec_id, codes) rows — search would return
+    // the same neighbor twice inside top-k and the indexed SemDeDup join
+    // would fan out corpus rows. The check reads the pruned vec_id column
+    // only; AQE broadcasts the usual small-delta side at runtime. A
+    // sidecars-only layout (first append populates codes/) has nothing to
+    // overlap with.
+    val codesPath = new org.apache.hadoop.fs.Path(s"$path/codes")
+    if (codesPath.getFileSystem(s.sparkContext.hadoopConfiguration).exists(codesPath)) {
+      val dup = s.read.parquet(s"$path/codes").select("vec_id")
+        .join(newVecs.select("vec_id"), Seq("vec_id"), "left_semi")
+        .limit(1).count()
+      require(dup == 0L,
+        s"appendToIvfPqIndex: the delta overlaps vec_ids already in $path/codes " +
+          "— appending would duplicate index rows (double neighbors in top-k, " +
+          "fanned-out joins). Deduplicate the delta against the index first.")
+    }
     val withList = newVecs.select(col("vec_id"), col("embedding"),
       Clustering.assignTo(cents).getField("c").as("cid"))
     // residual re-cast to float, exactly like the build ([[ivfpqIndex]]):

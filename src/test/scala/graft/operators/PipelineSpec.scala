@@ -560,6 +560,24 @@ class PipelineSpec extends AnyFunSuite {
     val p = inc.queryExecution.sparkPlan.toString
     assert(p.contains("PartitionFilters: [cid"),
       s"probed lists must still prune after appends:\n$p")
+    // a retried delta must fail loudly, not silently duplicate index rows
+    val again = intercept[IllegalArgumentException](
+      Similarity.appendToIvfPqIndex(spark, pathInc, emb.filter(col("vec_id") >= split)))
+    assert(again.getMessage.contains("overlaps"))
+  }
+
+  test("dd_semdedup_indexed: a stale index (missing corpus vectors) fails loudly") {
+    // index built from half the corpus, swept against all of it: the inner
+    // assignment join would silently drop the un-indexed half — the audit
+    // must refuse instead and name the remedy
+    val dir = "/root/testdata/sf0.01"
+    val emb = graft.sources.Tables.loadParallel(spark, dir, "embeddings")
+    val split = emb.agg(max(col("vec_id"))).first().getLong(0) / 2
+    val path = java.nio.file.Files.createTempDirectory("graftsemstale").toString
+    Similarity.writeIvfPqIndexFrom(spark, emb.filter(col("vec_id") < split), path)
+    val ex = intercept[IllegalArgumentException](
+      Dedup.dd_semdedup_indexed(spark, dir, path).collect())
+    assert(ex.getMessage.contains("stale") && ex.getMessage.contains("appendToIvfPqIndex"))
   }
 
   test("dd_semdedup_indexed: persisted-quantizer cells flag bit-equal to inline; PQ codes pruned from the read") {
@@ -636,6 +654,15 @@ class PipelineSpec extends AnyFunSuite {
     val clean = Dedup.dd_minhash(spark, dir)
     clean.collect()
     assert(Dedup.capBucketsLoss(clean, "dd_minhash").get == ((0L, 0L)))
+    // a frame that has NOT executed reports None (the metric node holds
+    // null sums before any action), never an NPE
+    assert(Dedup.capBucketsLoss(Dedup.dd_minhash(spark, dir), "dd_minhash").isEmpty)
+    // composition: two differently-parameterized invocations union'd must
+    // analyze (per-invocation metric names) and their losses sum
+    val u = Dedup.dd_minhash(spark, dir, maxBucket = 2)
+      .unionByName(Dedup.dd_minhash(spark, dir))
+    u.collect()
+    assert(Dedup.capBucketsLoss(u, "dd_minhash").get == got)
     // dd_simhash carries the same observation under its own name
     val sh = Dedup.dd_simhash(spark, dir, maxBucket = 2)
     sh.collect()
