@@ -331,6 +331,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("dd_semdedup: the within-cell pair join is an equi-join on the cell id, never cartesian") {
+    // SemDeDup's whole scale argument is that cells bound the quadratic:
+    // the rep-level pair join must shuffle/broadcast on `cluster` (plus
+    // the rep inequality as a post-join filter), not cross-join
+    val p = plan(Dedup.dd_semdedup(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cell pair join degenerated to a cross join:\n$p")
+  }
+
   test("dd_minhash / dd_simhash: cap-loss observation is IN the plan, not an extra job") {
     // the dropped-bucket metric must ride the query itself (CollectMetrics
     // node on the bucket-size aggregate) so loss reporting costs zero jobs
