@@ -69,9 +69,16 @@ object Checkpoints {
           dir
         })
         if (eager) {
-          val cached = ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          try cached.checkpoint(true)
-          finally cached.unpersist()
+          // already cached by the caller (or a shared plan): checkpoint
+          // reads the existing cache; unpersisting here would destroy a
+          // cache the caller still owns
+          if (ds.storageLevel != org.apache.spark.storage.StorageLevel.NONE) {
+            ds.checkpoint(true)
+          } else {
+            val cached = ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try cached.checkpoint(true)
+            finally cached.unpersist()
+          }
         } else ds.checkpoint(false)
       case None =>
         ds.localCheckpoint(eager)

@@ -110,35 +110,35 @@ object ApiServer {
     */
   private val DrainDeadlineMs: Long = 2000L
 
-  /** How long the server keeps polling an empty stream AFTER it has read
-    * at least one chunk before concluding the client stopped sending. The
-    * drain exists to let a FAST client finish its in-flight send (the 413
-    * connection-reset flake); once bytes have flowed and then stop for
-    * this long, the body most likely ended short of the drain target
-    * (chunked bodies drain toward a synthetic cap; a lying Content-Length
-    * under-delivers) and the right move is to answer. A client that has
-    * not sent ANY body byte yet (slow start, long RTT) gets the full
-    * [[DrainDeadlineMs]] — bailing early on it is what caused the
-    * original RST-instead-of-413 flake. The window is a compromise forced
-    * by com.sun.net.httpserver exposing no socket timeout: a blocking
-    * read could park the single-thread server forever, so EOF cannot be
-    * probed safely and a mid-send stall longer than this reads as done.
+  /** How long the server keeps polling an empty stream before concluding
+    * no more bytes are coming. The drain exists to let a FAST client
+    * finish its in-flight send (the 413 connection-reset flake); a stream
+    * empty for this long is finished (body ended short of the drain
+    * target — chunked bodies drain toward a synthetic cap; a lying
+    * Content-Length under-delivers; the stream may even be at EOF
+    * already), aborted, or stalled, and in every case the single-thread
+    * server must answer rather than park: one wedged exchange delays all
+    * queued clients, so bounded liveness beats indulging a client that
+    * pauses longer than this mid-send. The window is a compromise forced
+    * by com.sun.net.httpserver exposing no socket timeout — a blocking
+    * read could park the server forever, so EOF cannot be probed safely.
+    * It is deliberately UNCONDITIONAL (not gated on having read bytes
+    * first): an already-exhausted or never-producing stream must bail
+    * here too, not sleep out the full deadline.
     */
   private val DrainIdleMs: Long = 500L
 
   /** Consume (discard) up to `min(declared, DrainCapBytes)` request-body
     * bytes so the client finishes its send before we answer — but only
     * while bytes keep arriving: [[DrainIdleMs]] of consecutive empty polls
-    * after the first successful read ends the drain (body ended short),
-    * and [[DrainDeadlineMs]] bounds the whole affair so a trickling or
-    * never-starting client can't wedge the single-thread server.
+    * ends the drain, and [[DrainDeadlineMs]] bounds the whole affair so a
+    * trickling client can't wedge the single-thread server.
     */
   private def drain(ex: HttpExchange, declared: Long): Unit = {
     val in = ex.getRequestBody
     var remaining = math.min(declared, DrainCapBytes)
     val deadline = System.nanoTime() + DrainDeadlineMs * 1000000L
     var idleSince = System.nanoTime()
-    var readAny = false
     val buf = new Array[Byte](64 * 1024)
     while (remaining > 0 && System.nanoTime() < deadline) {
       val avail = in.available()
@@ -146,14 +146,13 @@ object ApiServer {
         val n = in.read(buf, 0, math.min(math.min(avail.toLong, remaining), buf.length.toLong).toInt)
         if (n < 0) return
         remaining -= n
-        readAny = true
         idleSince = System.nanoTime()
       } else {
         // Nothing buffered: poll briefly instead of parking in a blocking
-        // read with no timeout (com.sun.net.httpserver offers none). Only
-        // a stream that already produced bytes and then went quiet is
-        // treated as finished; an untouched stream waits out the deadline.
-        if (readAny && System.nanoTime() - idleSince >= DrainIdleMs * 1000000L) return
+        // read with no timeout (com.sun.net.httpserver offers none), and
+        // stop once the stream has been quiet long enough that no more
+        // bytes are coming.
+        if (System.nanoTime() - idleSince >= DrainIdleMs * 1000000L) return
         Thread.sleep(5)
       }
     }

@@ -668,9 +668,13 @@ object Dedup {
     // the assignment join is inner: a corpus vector absent from the index
     // (a delta appended to the table but not yet to the index) would be
     // silently unflaggable and shrink the audit's member counts — require
-    // the index to cover the corpus instead (the parquet count is
-    // metadata-only). Run appendToIvfPqIndex on the delta first.
-    semdedupAudit(e, threshold, maxCellVectors, expectedMembers = Some(raw.count()))
+    // the index to cover the corpus instead. The expected count reads the
+    // UN-repartitioned table (Tables.load): a count over loadParallel's
+    // repartition() would scan + shuffle, where this stays a
+    // metadata-level parquet count. Run appendToIvfPqIndex on the delta
+    // first.
+    val expected = Tables.load(s, dir, "embeddings").count()
+    semdedupAudit(e, threshold, maxCellVectors, expectedMembers = Some(expected))
   }
 
   /** The (vec_id → list id) assignment read off a persisted IVF×PQ index:

@@ -438,25 +438,40 @@ object Similarity {
     */
   def appendToIvfPqIndex(s: SparkSession, path: String, newVecs: DataFrame): Unit = {
     val (cents, books, m, sub) = loadSidecars(s, path)
-    // guard re-appends: a retried delta (or one overlapping the base build)
-    // would silently duplicate (vec_id, codes) rows — search would return
-    // the same neighbor twice inside top-k and the indexed SemDeDup join
-    // would fan out corpus rows. The check reads the pruned vec_id column
-    // only; AQE broadcasts the usual small-delta side at runtime. A
-    // sidecars-only layout (first append populates codes/) has nothing to
-    // overlap with.
+    val withList = newVecs.select(col("vec_id"), col("embedding"),
+      Clustering.assignTo(cents).getField("c").as("cid"))
+      .graftCheckpoint(false) // read by the dup guards and the encode below
+    // guard duplicate vec_ids: a retried delta, one overlapping the base
+    // build, or a delta carrying internal repeats would silently duplicate
+    // (vec_id, codes) rows — search would return the same neighbor twice
+    // inside top-k and the indexed SemDeDup join would fan out corpus
+    // rows. Internal repeats first (one delta-sized aggregate) ...
+    val idStats = withList.agg(count(lit(1)), count_distinct(col("vec_id"))).first()
+    require(idStats.getLong(0) == idStats.getLong(1),
+      s"appendToIvfPqIndex: the delta repeats vec_ids internally " +
+        s"(${idStats.getLong(0)} rows, ${idStats.getLong(1)} distinct) — " +
+        "appending would duplicate index rows. Deduplicate the delta first.")
+    // ... then overlap with the index, scanning ONLY the cid= partitions
+    // the delta lands in (partition-pruned — O(touched lists), keeping the
+    // append independent of total index size) and only the vec_id column.
+    // The pruning is sound for the failure this guards (retried/overlapping
+    // deltas): an unchanged vector re-assigns to the same list. A vec_id
+    // re-appended with a DIFFERENT embedding is an update — the append-only
+    // layout doesn't support updates at all; rebuild instead. A
+    // sidecars-only layout (first append populates codes/) has nothing
+    // to overlap with. AQE broadcasts the usual small-delta side.
     val codesPath = new org.apache.hadoop.fs.Path(s"$path/codes")
     if (codesPath.getFileSystem(s.sparkContext.hadoopConfiguration).exists(codesPath)) {
-      val dup = s.read.parquet(s"$path/codes").select("vec_id")
-        .join(newVecs.select("vec_id"), Seq("vec_id"), "left_semi")
+      val touched = withList.select("cid").distinct().collect().map(_.getInt(0)).toSeq
+      val dup = s.read.parquet(s"$path/codes")
+        .filter(col("cid").isin(touched: _*)).select("vec_id")
+        .join(withList.select("vec_id"), Seq("vec_id"), "left_semi")
         .limit(1).count()
       require(dup == 0L,
         s"appendToIvfPqIndex: the delta overlaps vec_ids already in $path/codes " +
           "— appending would duplicate index rows (double neighbors in top-k, " +
           "fanned-out joins). Deduplicate the delta against the index first.")
     }
-    val withList = newVecs.select(col("vec_id"), col("embedding"),
-      Clustering.assignTo(cents).getField("c").as("cid"))
     // residual re-cast to float, exactly like the build ([[ivfpqIndex]]):
     // append-time codes must be bit-identical to what a build-time encode
     // of the same vector against the same sidecars would produce

@@ -564,6 +564,14 @@ class PipelineSpec extends AnyFunSuite {
     val again = intercept[IllegalArgumentException](
       Similarity.appendToIvfPqIndex(spark, pathInc, emb.filter(col("vec_id") >= split)))
     assert(again.getMessage.contains("overlaps"))
+    // and so must a delta that repeats vec_ids internally (e.g. an
+    // upstream retry concatenated into one batch) — even when none of
+    // them exist in the index yet
+    val fresh = emb.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      .limit(4)
+    val internal = intercept[IllegalArgumentException](
+      Similarity.appendToIvfPqIndex(spark, pathInc, fresh.unionByName(fresh)))
+    assert(internal.getMessage.contains("repeats"))
   }
 
   test("dd_semdedup_indexed: a stale index (missing corpus vectors) fails loudly") {
