@@ -40,7 +40,7 @@ object Clustering {
     * the fused consume method past HotSpot's JIT threshold — both
     * dominated k-means/PQ training scans at 2M vectors.
     */
-  private[operators] def assignTo(centroids: Seq[Seq[Double]]): Column =
+  private[graft] def assignTo(centroids: Seq[Seq[Double]]): Column =
     graft.functions.VecNearest.nearest(col("embedding"), centroids)
 
   /** Fixed-point per-row component sum: Σ_dims floor(x·2^20) — one exact
@@ -53,7 +53,7 @@ object Clustering {
   /** The k lowest-vec_id vectors as driver-side doubles — deterministic,
     * RNG-free init (k·dim values, independent of corpus size).
     */
-  private[operators] def initCentroids(e: DataFrame, k: Int): Seq[Seq[Double]] =
+  private[graft] def initCentroids(e: DataFrame, k: Int): Seq[Seq[Double]] =
     e.orderBy("vec_id").limit(k).select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
 

@@ -278,6 +278,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(e.enforceRequired(df, Seq("not_a_col")).count() == 3)
   }
 
+  test("EmbStream.semanticDedupGate: cross-batch cell state, capped-state loss is flagged") {
+    import graft.streaming.EmbStream
+    val cents = Seq(Seq(10.0, 0.0), Seq(-10.0, 0.0)) // two cells by x sign
+    val input = MemoryStream[(Long, Seq[Float])](spark)
+    val stream = input.toDF().toDF("vec_id", "embedding")
+    val q = EmbStream.semanticDedupGate(stream, cents, threshold = 0.95, stateCap = 2)
+      .writeStream.outputMode("append").format("memory").queryName("emb_gate").start()
+    try {
+      // batch 1: v1 admitted (cell 0); v2 is its near-parallel — refused
+      // WITHIN the same batch (vec_id order); v3 lands in the other cell
+      input.addData((1L, Seq(1f, 0f)), (2L, Seq(2f, 0.01f)), (3L, Seq(-1f, 0f)))
+      q.processAllAvailable()
+      // batch 2: a cross-batch duplicate of v1 — cell state survived
+      input.addData((4L, Seq(3f, 0f)))
+      q.processAllAvailable()
+      // batch 3: v5 is same-cell but dissimilar — admitted, filling the cap
+      input.addData((5L, Seq(0.5f, 5f)))
+      q.processAllAvailable()
+      // batch 4 at cap: v6 duplicates v5 (still caught — the cap affects
+      // RECORDING, not checking); v7 is new — admitted but NOT recorded,
+      // and both decisions carry state_full
+      input.addData((6L, Seq(0.4f, 6f)), (7L, Seq(5f, -5f)))
+      q.processAllAvailable()
+      // batch 5: v8 duplicates the unrecorded v7 — the documented recall
+      // loss: admitted, but visibly under state_full, never silently
+      input.addData((8L, Seq(6f, -6f)))
+      q.processAllAvailable()
+      val got = spark.table("emb_gate")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getInt(1), r.getBoolean(2), Option(r.get(3)).map(_.asInstanceOf[Long]),
+            r.getBoolean(5)))).toMap
+      assert(got(1L) == ((0, true, None, false)))
+      assert(got(2L) == ((0, false, Some(1L), false)))
+      assert(got(3L) == ((1, true, None, false)))
+      assert(got(4L) == ((0, false, Some(1L), false)))
+      assert(got(5L) == ((0, true, None, false)))
+      assert(got(6L)._2 == false && got(6L)._3 == Some(5L) && got(6L)._4 == true)
+      assert(got(7L) == ((0, true, None, true)))
+      assert(got(8L) == ((0, true, None, true)))
+    } finally q.stop()
+  }
+
+  test("EmbStream.centroidsOf reads the persisted index's coarse centroids in cid order") {
+    val p = java.nio.file.Files.createTempDirectory("graftcents").toString
+    Seq((1, Seq(-10.0, 0.0)), (0, Seq(10.0, 0.0)))
+      .toDF("cid", "centroid").write.parquet(s"$p/centroids")
+    assert(graft.streaming.EmbStream.centroidsOf(spark, p) ==
+      Seq(Seq(10.0, 0.0), Seq(-10.0, 0.0)))
+  }
+
   test("mm_pipeline: binary plumbing end to end, deterministic features") {
     val out = graft.operators.Multimodal.mm_pipeline(spark, dir)
     val rows = out.collect()
