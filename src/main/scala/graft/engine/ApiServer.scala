@@ -63,13 +63,17 @@ object ApiServer {
         // client is still streaming its body makes com.sun.net.httpserver
         // reset the connection, and the client may never read the response
         // (observed as a flaky oversized-body test under full-suite load).
-        drain(ex, contentLength.get)
+        // nothing read yet: allow the full deadline for the first byte of
+        // a slow-starting client before idle-bailing (bytesFlowed = false)
+        drain(ex, contentLength.get, bytesFlowed = false)
         respond(ex, 413, errJson(s"request body exceeds $MaxBodyBytes bytes"))
       } else {
         // readNBytes caps chunked/unstated-length bodies at the same bound
         val raw = ex.getRequestBody.readNBytes(MaxBodyBytes.toInt + 1)
         if (raw.length > MaxBodyBytes) {
-          drain(ex, DrainCapBytes) // unstated length: drain up to the cap
+          // the stream already produced MaxBodyBytes+1 bytes (and may be
+          // exhausted): idle-bail applies immediately, don't park 2 s
+          drain(ex, DrainCapBytes, bytesFlowed = true)
           respond(ex, 413, errJson(s"request body exceeds $MaxBodyBytes bytes"))
         }
         else {
@@ -122,23 +126,29 @@ object ApiServer {
     * pauses longer than this mid-send. The window is a compromise forced
     * by com.sun.net.httpserver exposing no socket timeout — a blocking
     * read could park the server forever, so EOF cannot be probed safely.
-    * It is deliberately UNCONDITIONAL (not gated on having read bytes
-    * first): an already-exhausted or never-producing stream must bail
-    * here too, not sleep out the full deadline.
+    * The bail applies once bytes HAVE flowed — through this drain or
+    * through the caller's own reads (`bytesFlowed`): an already-consumed,
+    * possibly-exhausted stream must bail promptly, not sleep out the full
+    * deadline, while a client whose FIRST body byte is still in flight
+    * (slow start, long RTT) gets the whole [[DrainDeadlineMs]] — bailing
+    * early on it is what caused the original RST-instead-of-413 flake.
     */
   private val DrainIdleMs: Long = 500L
 
   /** Consume (discard) up to `min(declared, DrainCapBytes)` request-body
     * bytes so the client finishes its send before we answer — but only
     * while bytes keep arriving: [[DrainIdleMs]] of consecutive empty polls
+    * after bytes have flowed (here, or before the call — `bytesFlowed`)
     * ends the drain, and [[DrainDeadlineMs]] bounds the whole affair so a
-    * trickling client can't wedge the single-thread server.
+    * trickling or never-starting client can't wedge the single-thread
+    * server.
     */
-  private def drain(ex: HttpExchange, declared: Long): Unit = {
+  private def drain(ex: HttpExchange, declared: Long, bytesFlowed: Boolean): Unit = {
     val in = ex.getRequestBody
     var remaining = math.min(declared, DrainCapBytes)
     val deadline = System.nanoTime() + DrainDeadlineMs * 1000000L
     var idleSince = System.nanoTime()
+    var readAny = bytesFlowed
     val buf = new Array[Byte](64 * 1024)
     while (remaining > 0 && System.nanoTime() < deadline) {
       val avail = in.available()
@@ -146,13 +156,14 @@ object ApiServer {
         val n = in.read(buf, 0, math.min(math.min(avail.toLong, remaining), buf.length.toLong).toInt)
         if (n < 0) return
         remaining -= n
+        readAny = true
         idleSince = System.nanoTime()
       } else {
         // Nothing buffered: poll briefly instead of parking in a blocking
         // read with no timeout (com.sun.net.httpserver offers none), and
-        // stop once the stream has been quiet long enough that no more
-        // bytes are coming.
-        if (System.nanoTime() - idleSince >= DrainIdleMs * 1000000L) return
+        // stop once bytes have flowed and the stream has been quiet long
+        // enough that no more are coming.
+        if (readAny && System.nanoTime() - idleSince >= DrainIdleMs * 1000000L) return
         Thread.sleep(5)
       }
     }

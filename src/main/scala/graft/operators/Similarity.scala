@@ -391,11 +391,19 @@ object Similarity {
     * driver-side: (centroids, codebooks, m, sub). nlist·dims + m·codes·sub
     * doubles — KBs, never a cluster job.
     */
-  private def loadSidecars(s: SparkSession, path: String):
-      (Seq[Seq[Double]], Seq[Seq[Seq[Double]]], Int, Int) = {
-    val cents = s.read.parquet(s"$path/centroids").collect()
+  /** The coarse centroids of a persisted index in cid order — the ONE
+    * decoder of the centroids sidecar, shared by the index's own loader
+    * and by [[graft.streaming.EmbStream.centroidsOf]] (a layout change
+    * must not let the stream gate read cells differently than the index).
+    */
+  private[graft] def loadCentroids(s: SparkSession, path: String): Seq[Seq[Double]] =
+    s.read.parquet(s"$path/centroids").collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
       .sortBy(_._1).map(_._2).toSeq
+
+  private def loadSidecars(s: SparkSession, path: String):
+      (Seq[Seq[Double]], Seq[Seq[Seq[Double]]], Int, Int) = {
+    val cents = loadCentroids(s, path)
     val bookRows = s.read.parquet(s"$path/codebooks").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
     val m = bookRows.map(_._1).max + 1
@@ -436,7 +444,8 @@ object Similarity {
     * appends lose nothing vs a fixed-codebook rebuild, so rebuild cadence
     * is purely a drift-monitoring decision.
     */
-  def appendToIvfPqIndex(s: SparkSession, path: String, newVecs: DataFrame): Unit = {
+  def appendToIvfPqIndex(s: SparkSession, path: String, newVecs: DataFrame,
+      fullIdCheck: Boolean = false): Unit = {
     val (cents, books, m, sub) = loadSidecars(s, path)
     val withList = newVecs.select(col("vec_id"), col("embedding"),
       Clustering.assignTo(cents).getField("c").as("cid"))
@@ -445,26 +454,31 @@ object Similarity {
     // build, or a delta carrying internal repeats would silently duplicate
     // (vec_id, codes) rows — search would return the same neighbor twice
     // inside top-k and the indexed SemDeDup join would fan out corpus
-    // rows. Internal repeats first (one delta-sized aggregate) ...
-    val idStats = withList.agg(count(lit(1)), count_distinct(col("vec_id"))).first()
-    require(idStats.getLong(0) == idStats.getLong(1),
+    // rows. ONE delta-sized aggregate yields the repeat check and the
+    // touched list ids together.
+    val stats = withList.agg(count(lit(1)), count_distinct(col("vec_id")),
+      collect_set(col("cid"))).first()
+    require(stats.getLong(0) == stats.getLong(1),
       s"appendToIvfPqIndex: the delta repeats vec_ids internally " +
-        s"(${idStats.getLong(0)} rows, ${idStats.getLong(1)} distinct) — " +
+        s"(${stats.getLong(0)} rows, ${stats.getLong(1)} distinct) — " +
         "appending would duplicate index rows. Deduplicate the delta first.")
-    // ... then overlap with the index, scanning ONLY the cid= partitions
-    // the delta lands in (partition-pruned — O(touched lists), keeping the
+    // Overlap with the index: by default scan ONLY the cid= partitions the
+    // delta lands in (partition-pruned — O(touched lists), keeping the
     // append independent of total index size) and only the vec_id column.
-    // The pruning is sound for the failure this guards (retried/overlapping
-    // deltas): an unchanged vector re-assigns to the same list. A vec_id
-    // re-appended with a DIFFERENT embedding is an update — the append-only
-    // layout doesn't support updates at all; rebuild instead. A
-    // sidecars-only layout (first append populates codes/) has nothing
-    // to overlap with. AQE broadcasts the usual small-delta side.
+    // The pruning is sound when a re-appended vector carries the SAME
+    // bytes (the plain-retry case — identical embedding, identical list);
+    // a recomputed embedding can drift across a cell boundary and land the
+    // same vec_id in a DIFFERENT list, which the pruned scan cannot see —
+    // set `fullIdCheck` when deltas are recomputed rather than replayed,
+    // paying a full-index vec_id-column scan for complete coverage. A
+    // sidecars-only layout (first append populates codes/) has nothing to
+    // overlap with. AQE broadcasts the usual small-delta side.
     val codesPath = new org.apache.hadoop.fs.Path(s"$path/codes")
     if (codesPath.getFileSystem(s.sparkContext.hadoopConfiguration).exists(codesPath)) {
-      val touched = withList.select("cid").distinct().collect().map(_.getInt(0)).toSeq
-      val dup = s.read.parquet(s"$path/codes")
-        .filter(col("cid").isin(touched: _*)).select("vec_id")
+      val touched = stats.getSeq[Int](2)
+      val existing = s.read.parquet(s"$path/codes")
+      val scoped = if (fullIdCheck) existing else existing.filter(col("cid").isin(touched: _*))
+      val dup = scoped.select("vec_id")
         .join(withList.select("vec_id"), Seq("vec_id"), "left_semi")
         .limit(1).count()
       require(dup == 0L,

@@ -37,9 +37,18 @@ object EmbStream {
     * dedup strictness) but flags every such decision `state_full`.
     * Within a batch, a cell's arrivals are processed in vec_id order, so
     * replaying the same batches reproduces the same admissions
-    * bit-for-bit; the within-batch self-dedup this implies (later
-    * arrivals check earlier admits of the same batch) matches the batch
-    * operator's lower-id-wins rule.
+    * bit-for-bit.
+    *
+    * Semantics vs the batch operator — greedy keeper set, NOT identical
+    * on similarity chains: the gate compares an arrival against ADMITTED
+    * vectors only (a refused vector is never recorded), so every refusal
+    * has a KEPT witness. The batch audit flags a vector near ANY lower-id
+    * cell member, flagged or not — on a chain v1 ≈ v2 ≈ v3 (v1 !≈ v3)
+    * the batch keeps {v1} while the gate keeps {v1, v3}. The gate's set
+    * is the right contract for an online filter (everything it dropped
+    * is near something it KEPT — batch flagging can drop v3 whose only
+    * witness v2 was itself dropped); the divergence is spec-pinned, not
+    * accidental.
     */
   def semanticDedupGate(stream: DataFrame, cents: Seq[Seq[Double]],
       threshold: Double = 0.9, stateCap: Int = 10000): Dataset[EmbGate] = {
@@ -90,10 +99,8 @@ object EmbStream {
   /** The persisted IVF index's coarse centroids ([[
     * graft.operators.Similarity.writeIvfPqIndex]] layout), for gating a
     * stream on the SAME cells a batch index serves — KBs, loaded
-    * driver-side once.
+    * driver-side once through the index's own sidecar decoder.
     */
   def centroidsOf(s: SparkSession, indexPath: String): Seq[Seq[Double]] =
-    s.read.parquet(s"$indexPath/centroids").collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
-      .sortBy(_._1).map(_._2).toSeq
+    graft.operators.Similarity.loadCentroids(s, indexPath)
 }

@@ -320,6 +320,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("EmbStream.semanticDedupGate: greedy keeper set on chains — refusals always have a KEPT witness") {
+    import graft.streaming.EmbStream
+    // chain: v1 ≈ v2, v2 ≈ v3, v1 !≈ v3 (rotating unit-ish vectors). The
+    // batch audit would flag v2 AND v3 (any lower-id member); the online
+    // gate refuses v2 (witness v1, kept) but must ADMIT v3 — its only
+    // near neighbor v2 was refused and never entered state. This is the
+    // documented divergence, pinned so it can't drift silently.
+    val cents = Seq(Seq(10.0, 0.0))
+    val v1 = Seq(1f, 0f)
+    val v2 = Seq(math.cos(0.6).toFloat, math.sin(0.6).toFloat)  // cos≈0.825 to v1
+    val v3 = Seq(math.cos(1.2).toFloat, math.sin(1.2).toFloat)  // cos≈0.825 to v2, 0.36 to v1
+    val input = MemoryStream[(Long, Seq[Float])](spark)
+    val q = EmbStream.semanticDedupGate(input.toDF().toDF("vec_id", "embedding"),
+        cents, threshold = 0.8, stateCap = 100)
+      .writeStream.outputMode("append").format("memory").queryName("emb_chain").start()
+    try {
+      input.addData((1L, v1), (2L, v2), (3L, v3))
+      q.processAllAvailable()
+      val got = spark.table("emb_chain").collect()
+        .map(r => r.getLong(0) -> ((r.getBoolean(2), Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+      assert(got(1L) == ((true, None)))
+      assert(got(2L) == ((false, Some(1L))), "v2's witness v1 is kept")
+      assert(got(3L) == ((true, None)), "v3 admitted: its only near neighbor was refused")
+    } finally q.stop()
+  }
+
   test("EmbStream.centroidsOf reads the persisted index's coarse centroids in cid order") {
     val p = java.nio.file.Files.createTempDirectory("graftcents").toString
     Seq((1, Seq(-10.0, 0.0)), (0, Seq(10.0, 0.0)))
