@@ -50,7 +50,12 @@ object Checkpoints {
     * Cost note for reliable mode: an RDD checkpoint recomputes its subtree
     * to write the files (Spark's documented behavior without a persist), so
     * EAGER barriers cache the frame for the duration of the checkpoint and
-    * release it after — one compute, not two. A LAZY barrier checkpoints
+    * release it after — one compute, not two, PROVIDED the Dataset's
+    * physical plan hasn't been forced before the barrier. A frame the
+    * caller already ran an action on has its RDD materialized without the
+    * cache in its lineage, so the checkpoint write recomputes that subtree
+    * once despite the persist (correctness unaffected; the library's own
+    * call sites barrier before any action). A LAZY barrier checkpoints
     * during its first action, where no unpersist hook exists; it pays the
     * one extra subtree compute at that first action only.
     */

@@ -87,6 +87,8 @@ object SparkEntry {
     "tx_langid_eval" -> (TextAnalysis.tx_langid_eval _),
     "mm_pipeline" -> (Multimodal.mm_pipeline _),
     "mm_dedup" -> (Multimodal.mm_dedup _),
+    // planted-re-encode form: self-verifying rows (one pair per plant)
+    "mm_phash" -> ((s, d) => Multimodal.mm_phash_reenc(s, d)),
     "dd_cluster" -> (Dedup.dd_cluster _),
     "dd_cluster_jaccard" -> ((s, d) => Dedup.dd_cluster_jaccard(s, d)),
     "tx_ngrams" -> ((s, d) => TextAnalysis.tx_ngrams(s, d)),

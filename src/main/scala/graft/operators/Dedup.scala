@@ -114,7 +114,7 @@ object Dedup {
     * (the self-cosine of an embedding) — when `selfQualifies` (evaluated
     * after `scoreCol` exists). Output-only work — no verification re-runs.
     */
-  private def expandPairs(repPairs: DataFrame, scoreCol: String,
+  private[operators] def expandPairs(repPairs: DataFrame, scoreCol: String,
       grouped: DataFrame, selfScore: org.apache.spark.sql.Column,
       selfQualifies: org.apache.spark.sql.Column): DataFrame = {
     val inter = repPairs

@@ -90,6 +90,83 @@ object Multimodal {
         countDistinct(col("format")).as("n_formats"))
       .orderBy("digest") // full census (dd_exact convention): dedupe = keep `keeper`
 
+  /** Perceptual media near-dup — the multimodal twin of
+    * [[Dedup.dd_simhash]], closing the gap [[mm_dedup]]'s exact digest
+    * leaves: a RE-ENCODED asset (same content, different bytes — the
+    * dominant escape from digest dedup in image corpora) shares most of
+    * its [[graft.functions.DHash64]] gradient-sign fingerprint with the
+    * original, so it surfaces here while its md5 never collides.
+    *
+    * Scale shape, identical to the text SimHash path: fingerprints are
+    * computed in the scan projection (payloads never shuffle — only
+    * (doc_id, 64-bit fp) rows move), byte-identical payloads collapse to
+    * one representative per fingerprint BEFORE banding (an exact-dup
+    * clique costs clique rows, never clique² pairs), candidates must share
+    * one of four 16-bit bands (any pair within Hamming 3 provably agrees
+    * on ≥1 band; wider `maxHamming` trades recall like every banded
+    * scheme), hot bands are capped with in-plan-observable loss, and
+    * verification is one codegen'd `bit_count(xor)` per candidate pair.
+    * Pairs expand back through clique members, (a, b, hamming), a < b.
+    */
+  def mm_phash(s: SparkSession, dir: String, maxHamming: Int = 10,
+      maxBucket: Int = 10000): DataFrame =
+    mm_phashOn(mediaTable(s, dir), maxHamming, maxBucket)
+
+  /** [[mm_phash]] on a corpus carrying deterministic planted re-encodes —
+    * the registered façade form. Every `stride`-th payload re-appears
+    * (doc_id + 10⁷) under a minimal byte substitution (e→d, o→n: same
+    * length, ~15 % of bytes shifted by −1 — a digest-breaking,
+    * shape-preserving stand-in for a codec re-encode, which this
+    * container cannot produce for real). That makes the no-oracle rows
+    * check SELF-VERIFYING: the result is exactly one (source,
+    * source+10⁷) pair per plant at every SF, spec-asserted. The raw
+    * corpus alone is the honest zero: its organic near-dups differ by
+    * small INSERTIONS, and a 1-D byte-signal dHash is shift-sensitive by
+    * design — in production the decoder's fixed-grid resample (9×8
+    * pixels) absorbs byte-level shifts before the hash ever runs, which
+    * is exactly the step the fake decode cannot perform.
+    */
+  def mm_phash_reenc(s: SparkSession, dir: String, stride: Int = 25,
+      maxHamming: Int = 10, maxBucket: Int = 10000): DataFrame = {
+    val plants = Tables.loadParallel(s, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(stride)) === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        translate(col("text"), "eo", "dn").cast("binary").as("payload"),
+        lit("png").as("format"), lit(64).as("width"), lit(64).as("height"))
+    mm_phashOn(mediaTable(s, dir).unionByName(plants), maxHamming, maxBucket)
+  }
+
+  /** The banded perceptual-dedup core over any (doc_id, payload) frame. */
+  private def mm_phashOn(media: DataFrame, maxHamming: Int,
+      maxBucket: Int): DataFrame = {
+    import graft.Checkpoints.DatasetCheckpointOps
+    import graft.functions.TextFunctions.hamming64
+    val grouped = media
+      .select(col("doc_id"), graft.functions.DHash64.of(col("payload")).as("fp"))
+      .groupBy("fp")
+      .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
+      .graftCheckpoint()
+    val fps = grouped.select(col("rep").as("doc_id"), col("fp"))
+    val preBanded = fps.select(col("doc_id"),
+      explode(transform(sequence(lit(0), lit(3)),
+        b => struct(b.as("band"),
+          call_function("shiftright", col("fp"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bkey")))).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
+    val banded = Dedup.capBuckets(preBanded, maxBucket, "mm_phash")
+    val candidates = banded.select(col("band"), col("bkey"), col("doc_id").as("a"))
+      .join(banded.select(col("band"), col("bkey"), col("doc_id").as("b")), Seq("band", "bkey"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val repPairs = candidates
+      .join(fps.select(col("doc_id").as("a"), col("fp").as("fp_a")), Seq("a"))
+      .join(fps.select(col("doc_id").as("b"), col("fp").as("fp_b")), Seq("b"))
+      .select(col("a"), col("b"), hamming64(col("fp_a"), col("fp_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+    Dedup.expandPairs(repPairs, "hamming", grouped,
+      lit(0).cast("int"), lit(0) <= maxHamming)
+      .orderBy("a", "b")
+  }
+
   /** The pipeline as a queries-façade entry: features joined back to frame
     * counts — exercises binary plumbing end to end and returns a stable,
     * comparable projection.

@@ -37,7 +37,10 @@ object SemDedupScaleBench {
       var out = (0.0, 0L, 0L)
       for (_ <- 1 to reps) {
         val t0 = System.nanoTime()
-        val audit = f().agg(sum("n_dups"), sum("n_keep")).first()
+        // coalesce: sum over zero rows is null — an empty embeddings dir
+        // should report zeros, not NPE (same guard as semdedupAudit's stats)
+        val audit = f().agg(coalesce(sum("n_dups"), lit(0L)),
+          coalesce(sum("n_keep"), lit(0L))).first()
         out = ((System.nanoTime() - t0) / 1e9, audit.getLong(0), audit.getLong(1))
       }
       out // last rep = warm
@@ -45,9 +48,31 @@ object SemDedupScaleBench {
     val (inlineSec, inDups, inKeep) = sweep(() => Dedup.dd_semdedup(spark, dir))
     val (indexedSec, ixDups, ixKeep) =
       sweep(() => Dedup.dd_semdedup_indexed(spark, dir, path))
+    // streaming mode: the whole corpus through EmbStream.semanticDedupGate
+    // on the SAME persisted cells, as a one-shot file stream — measures the
+    // realized per-row witness-scan cost (O(|cell state|) cosines per
+    // arrival) that the gate's scaladoc bounds by stateCap
+    val cents = graft.streaming.EmbStream.centroidsOf(spark, path)
+    val sch = graft.sources.Tables.load(spark, dir, "embeddings").schema
+    val t0 = System.nanoTime()
+    // testdata tables are single parquet FILES and the file-stream source
+    // insists on a directory — stage a symlink dir (zero copy)
+    val streamDir = java.nio.file.Files.createTempDirectory("graftembstream")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("embeddings.parquet"),
+      java.nio.file.Paths.get(s"$dir/embeddings.parquet").toAbsolutePath)
+    val gq = graft.streaming.EmbStream.semanticDedupGate(
+        spark.readStream.schema(sch).parquet(streamDir.toString), cents)
+      .writeStream.format("noop").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    gq.awaitTermination()
+    val streamSec = (System.nanoTime() - t0) / 1e9
+    val usPerRow = if (n == 0) 0.0 else streamSec * 1e6 / n
     println(s"""{"metric":"semdedup_scale","vectors":$n,""" +
       s""""inline_sec":$inlineSec,"inline_dups":$inDups,"inline_keep":$inKeep,""" +
-      s""""indexed_sec":$indexedSec,"indexed_dups":$ixDups,"indexed_keep":$ixKeep}""")
+      s""""indexed_sec":$indexedSec,"indexed_dups":$ixDups,"indexed_keep":$ixKeep,""" +
+      s""""stream_gate_sec":$streamSec,"stream_gate_us_per_row":$usPerRow}""")
     spark.stop()
   }
 }

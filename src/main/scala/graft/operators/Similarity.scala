@@ -415,16 +415,139 @@ object Similarity {
 
   /** Search a persisted IVF×PQ index: loads the tiny centroid/codebook
     * sidecars driver-side, prices the query residuals against them, and
-    * scans ONLY the probed lists' code partitions. `queries` is any frame
-    * with (vec_id, embedding) — a handful of rows, collected.
+    * scans ONLY the probed lists' code partitions (planning-time partition
+    * pruning off a static list filter). `queries` is any frame with
+    * (vec_id, embedding) — a HANDFUL of rows, collected: the driver builds
+    * nQueries·nprobe·m·k probe-table doubles, so the batch is capped at
+    * `maxDriverQueries` (fail-fast, ~0.5 GB of tables at the default cap).
+    * A re-ranking batch beyond the cap belongs on
+    * [[searchIvfPqIndexDistributed]], which never collects.
     */
   def searchIvfPqIndex(s: SparkSession, path: String, queries: DataFrame,
-      k: Int = 10, nprobe: Int = 3): DataFrame = {
+      k: Int = 10, nprobe: Int = 3, maxDriverQueries: Int = 10000): DataFrame = {
     val (cents, books, m, sub) = loadSidecars(s, path)
     val coded = s.read.parquet(s"$path/codes")
-    val q = queries.select("vec_id", "embedding").collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
+    // limit(max+1) bounds the transfer BEFORE collect — an oversized batch
+    // costs one extra row, not an OOM, before the guard trips
+    val rows = queries.select("vec_id", "embedding")
+      .limit(maxDriverQueries + 1).collect()
+    require(rows.length <= maxDriverQueries,
+      s"searchIvfPqIndex: query batch exceeds maxDriverQueries=" +
+        s"$maxDriverQueries — probe tables for a batch this size would be " +
+        "built on the driver. Use searchIvfPqIndexDistributed for large " +
+        "batches (it prices residuals executor-side and never collects).")
+    val q = rows.map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
     adcSearch(s, coded, cents, books, q, nprobe, k, m, sub)
+  }
+
+  /** [[searchIvfPqIndex]] for LARGE query batches — the re-ranking shape
+    * (10⁶ queries against a 100 TB index) where collecting queries or
+    * building probe tables driver-side would OOM the driver. The queries
+    * stay a DataFrame end to end: each query's `nprobe` nearest lists and
+    * its per-(query, list) m×k residual distance tables are computed
+    * EXECUTOR-SIDE by codegen'd higher-order functions over the broadcast
+    * centroid/codebook literals (KBs), then joined to the coded corpus on
+    * list id — AQE picks broadcast vs shuffle by the actual probe-side
+    * size. Every double op replays the driver path's order (zip_with +
+    * left-fold aggregate ≡ zip + foldLeft; array_sort on (dist, cid)
+    * structs ≡ sorted tuples), so top-k is BIT-IDENTICAL to
+    * [[searchIvfPqIndex]] on the same batch (parity-spec'd), not merely
+    * close. The static probed-list partition filter is the one thing the
+    * distributed plan gives up (lists are data, not plan constants);
+    * dynamic partition pruning recovers it when the probe side broadcasts.
+    */
+  def searchIvfPqIndexDistributed(s: SparkSession, path: String,
+      queries: DataFrame, k: Int = 10, nprobe: Int = 3): DataFrame = {
+    val (cents, books, m, sub) = loadSidecars(s, path)
+    val coded = s.read.parquet(s"$path/codes")
+    val probes = distributedProbeTables(queries, cents, books, nprobe, m, sub)
+    distTopK(
+      coded.join(probes, Seq("cid"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), adcDist(m).as("dist")),
+      k)
+  }
+
+  /** The (q_id, cid, tabs) probe frame of [[searchIvfPqIndexDistributed]]:
+    * per query, the `nprobe` nearest coarse lists (squared euclidean, ties
+    * to the smallest cid) and the m×k table of subspace distances from the
+    * query's residual to every codeword — all as column algebra against
+    * literal sidecars, no driver compute wider than the sidecar load.
+    */
+  private def distributedProbeTables(queries: DataFrame,
+      cents: Seq[Seq[Double]], books: Seq[Seq[Seq[Double]]],
+      nprobe: Int, m: Int, sub: Int): DataFrame = {
+    val centsLit = typedLit(cents)
+    val booksLit = typedLit(books)
+    val costed = transform(sequence(lit(0), lit(cents.size - 1)), i =>
+      struct(
+        aggregate(zip_with(col("q"), element_at(centsLit, i + 1),
+          (x, c) => (x - c) * (x - c)), lit(0.0), (acc, x) => acc + x).as("d"),
+        i.as("cid")))
+    queries
+      .select(col("vec_id").as("q_id"),
+        transform(col("embedding"), x => x.cast("double")).as("q"))
+      .select(col("q_id"), col("q"),
+        explode(slice(array_sort(costed), 1, nprobe)).as("pc"))
+      .select(col("q_id"), col("q"), col("pc").getField("cid").as("cid"))
+      .withColumn("resid",
+        zip_with(col("q"), element_at(centsLit, col("cid") + 1), (x, c) => x - c))
+      .select(col("q_id"), col("cid"),
+        transform(sequence(lit(0), lit(m - 1)), sx =>
+          transform(element_at(booksLit, sx + 1), cw =>
+            aggregate(zip_with(slice(col("resid"), sx * lit(sub) + 1, lit(sub)), cw,
+              (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)))
+          .as("tabs"))
+  }
+
+  /** Per-list occupancy of a persisted index off ONE codes scan (vec_id
+    * column only): row count and share per list, so list skew — the
+    * rebuild trigger after many appends — is a number, not a guess. A
+    * healthy index has share ≈ 1/nlist per list; a drifted corpus piles
+    * deltas onto few lists, and those lists' scans dominate every probe.
+    */
+  def indexListStats(s: SparkSession, path: String): DataFrame = {
+    val counts = s.read.parquet(s"$path/codes")
+      .groupBy("cid").agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("share", col("n") / sum(col("n")).over(Window.partitionBy()))
+      .orderBy("cid")
+  }
+
+  /** Quantization-error drift of `vecs` (any (vec_id, embedding) frame —
+    * an incoming delta, or a corpus sample) against a persisted index's
+    * sidecars: assign each vector to its coarse list, price its residual
+    * against the trained codebooks, and report per-list count and
+    * mean / p95 residual quantization error. One map-only pass over
+    * `vecs` plus a tiny aggregate — never touches the index's codes.
+    *
+    * This is the number [[appendToIvfPqIndex]]'s rebuild-cadence decision
+    * needs: run it on each delta and compare against the base build's
+    * stats — rising error means new vectors land far from every centroid
+    * and quantize coarsely (recall decays silently); rebuild when it
+    * crosses your budget. Error is the same fixed-point-free double sum
+    * [[Clustering.encodePq]] reports, so numbers are comparable across
+    * builds.
+    */
+  def indexDriftStats(s: SparkSession, path: String, vecs: DataFrame): DataFrame = {
+    val (cents, books, m, sub) = loadSidecars(s, path)
+    val withList = vecs.select(col("vec_id"), col("embedding"),
+      Clustering.assignTo(cents).getField("c").as("cid"))
+    // residual re-cast to float exactly like build/append encode paths —
+    // drift numbers must price the SAME residuals the codes hold
+    val resid = withList.select(col("cid"),
+      zip_with(col("embedding"), element_at(typedLit(cents), col("cid") + 1),
+        (x, c) => (x.cast("double") - c).cast("float")).as("embedding"))
+    val err = (0 until m).map { sx =>
+      Clustering.assignSub(slice(col("embedding"), sx * sub + 1, sub), books(sx))
+        .getField("d")
+    }.reduce(_ + _)
+    resid.select(col("cid"), err.as("err"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n"),
+        avg(col("err")).as("mean_err"),
+        percentile_approx(col("err"), lit(0.95), lit(10000)).as("p95_err"))
+      .orderBy("cid")
   }
 
   /** Incremental index append — a real corpus grows daily, and a full
@@ -442,10 +565,40 @@ object Similarity {
     * DATA DISTRIBUTION drifts (new vectors far from every centroid quantize
     * coarsely); when lists skew, rebuild — the equivalence spec guarantees
     * appends lose nothing vs a fixed-codebook rebuild, so rebuild cadence
-    * is purely a drift-monitoring decision.
+    * is purely a drift-monitoring decision ([[indexDriftStats]] puts a
+    * number on it).
+    *
+    * Concurrency contract: SINGLE WRITER PER INDEX. The overlap guard is
+    * check-then-write, so two concurrent appends of overlapping deltas
+    * could both pass the scan and both land rows. A marker-file lock
+    * (`_append.lock` under the index path, created atomically with
+    * overwrite=false) enforces it: a second append while one is in flight
+    * fails fast instead of corrupting the index. The lock is removed on
+    * completion AND on failure; only a hard-killed JVM leaves it behind —
+    * the error message names the file to delete after confirming no
+    * append is running.
     */
   def appendToIvfPqIndex(s: SparkSession, path: String, newVecs: DataFrame,
       fullIdCheck: Boolean = false): Unit = {
+    val lockPath = new org.apache.hadoop.fs.Path(s"$path/_append.lock")
+    val fs = lockPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val lock =
+      try fs.create(lockPath, /* overwrite = */ false)
+      catch {
+        case e: java.io.IOException =>
+          throw new IllegalStateException(
+            s"appendToIvfPqIndex: could not acquire $lockPath — another " +
+              "append is in flight (indexes are single-writer), or a " +
+              "previous append's JVM was hard-killed. If no append is " +
+              "running, delete the lock file and retry.", e)
+      }
+    lock.close()
+    try appendToIvfPqIndexLocked(s, path, newVecs, fullIdCheck)
+    finally fs.delete(lockPath, false)
+  }
+
+  private def appendToIvfPqIndexLocked(s: SparkSession, path: String,
+      newVecs: DataFrame, fullIdCheck: Boolean): Unit = {
     val (cents, books, m, sub) = loadSidecars(s, path)
     val withList = newVecs.select(col("vec_id"), col("embedding"),
       Clustering.assignTo(cents).getField("c").as("cid"))

@@ -100,6 +100,49 @@ object DocsStream {
         })
   }
 
+  /** [[quotaGate]] with an event-time TTL — the unbounded-run shape: a
+    * source idle past `ttlMs` of event time has its admitted-count state
+    * DROPPED, so its quota window resets after inactivity instead of one
+    * long per source living forever (and a long-dead source stops costing
+    * state). Semantically the quota becomes "at most `quota` docs per
+    * source per activity burst" — the right contract for rolling ingest
+    * (a daily TTL ≈ a daily quota), while lifetime quotas stay on
+    * [[quotaGate]]. Input rows carry event time as `_4`; the stream must
+    * have a watermark on that column (`withWatermark` before the gate).
+    * Expiry keys off the source's own latest arrival, so an active source
+    * never resets mid-flow.
+    */
+  def quotaGateExpiring(
+      docs: org.apache.spark.sql.Dataset[(String, Long, String, java.sql.Timestamp)],
+      quota: Long, ttlMs: Long): org.apache.spark.sql.Dataset[(String, Long)] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    docs
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (source: String, rows: Iterator[(String, Long, String, java.sql.Timestamp)],
+            state: GroupState[Long]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val admitted = state.getOption.getOrElse(0L)
+            val room = math.max(quota - admitted, 0L)
+            // one pass: track the batch's max event time while draining or
+            // heap-selecting, same bounded-memory shape as [[quotaGate]]
+            var maxTs = Long.MinValue
+            val ids = rows.map { r => maxTs = math.max(maxTs, r._4.getTime); r._2 }
+            val take =
+              if (room == 0L) { ids.foreach(_ => ()); Seq.empty[Long] }
+              else admitSmallest(ids, room)
+            if (take.nonEmpty) state.update(admitted + take.size)
+            // a timeout needs existing state: set it whenever the source has
+            // any (a zero-quota gate keeps none and needs no expiry)
+            if (state.exists) state.setTimeoutTimestamp(
+              math.max(maxTs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            take.iterator.map(id => (source, id))
+          }
+        })
+  }
+
   /** Select the `room` smallest doc_ids from a batch WITHOUT materializing
     * it: a bounded max-heap of capacity `min(room, batch)` — a flooding
     * source that still has quota room costs O(room) memory, not O(batch).

@@ -49,45 +49,92 @@ object EmbStream {
     * is near something it KEPT — batch flagging can drop v3 whose only
     * witness v2 was itself dropped); the divergence is spec-pinned, not
     * accidental.
+    *
+    * Per-arrival cost: a linear witness scan of the cell's admitted list —
+    * O(|cell state|) cosines, bounded by `stateCap` (the worst case is a
+    * full hot cell: stateCap · dims multiply-adds per arriving vector;
+    * [[graft.operators.SemDedupScaleBench]]'s streaming mode measures the
+    * realized per-row cost). If hot cells dominate, shrink cells (more
+    * centroids) before reaching for an in-cell prefilter — the quantizer
+    * is the knob that bounds BOTH state and scan.
+    *
+    * State lifecycle: by default state never expires (`NoTimeout` — right
+    * for bounded backfills). For an unbounded week-long run, pass
+    * `stateTtlMs`: the input must then carry an `event_time` timestamp
+    * column WITH a watermark (`stream.withWatermark("event_time", …)`),
+    * and a cell idle past the TTL (no arrivals for `stateTtlMs` of event
+    * time) has its admitted list dropped — a later near-dup of an expired
+    * vector is RE-ADMITTED (visible as a second `admitted=true` row for
+    * near-identical content; the same trade `ingestDedup` takes with
+    * `dropDuplicatesWithinWatermark`). Expiry keys off each cell's own
+    * last-arrival event time, so a hot cell never expires while it flows.
     */
   def semanticDedupGate(stream: DataFrame, cents: Seq[Seq[Double]],
-      threshold: Double = 0.9, stateCap: Int = 10000): Dataset[EmbGate] = {
+      threshold: Double = 0.9, stateCap: Int = 10000,
+      stateTtlMs: Option[Long] = None): Dataset[EmbGate] = {
     import stream.sparkSession.implicits._
+    // the event-time attribute must pass through UNTOUCHED (no cast, no
+    // rebuild) — its watermark metadata is what licenses EventTimeTimeout
+    val ts = stateTtlMs match {
+      case Some(_) => col("event_time")
+      case None => lit(null).cast("timestamp").as("event_time")
+    }
+    val timeoutConf =
+      if (stateTtlMs.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     stream
       .select(col("vec_id").cast("long"), col("embedding"),
-        Clustering.assignTo(cents).getField("c").as("cluster"))
-      .as[(Long, Seq[Float], Int)]
+        Clustering.assignTo(cents).getField("c").as("cluster"), ts)
+      .as[(Long, Seq[Float], Int, java.sql.Timestamp)]
       .groupByKey(_._3)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (cell: Int, rows: Iterator[(Long, Seq[Float], Int)],
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        (cell: Int, rows: Iterator[(Long, Seq[Float], Int, java.sql.Timestamp)],
             state: GroupState[List[(Long, Seq[Float])]]) => {
-          var admitted = state.getOption.getOrElse(Nil)
-          var n = admitted.size
-          val out = rows.toSeq.sortBy(_._1).map { case (id, vec, _) =>
-            val witness = admitted.iterator
-              .map { case (aid, avec) => (aid, cosine(vec, avec)) }
-              .find(_._2 >= threshold)
-            witness match {
-              case Some((aid, c)) =>
-                EmbGate(id, cell, admitted = false, Some(aid), Some(c), n >= stateCap)
-              case None =>
-                val full = n >= stateCap
-                if (!full) { admitted = (id, vec) :: admitted; n += 1 }
-                EmbGate(id, cell, admitted = true, None, None, full)
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var admitted = state.getOption.getOrElse(Nil)
+            var n = admitted.size
+            val batch = rows.toSeq
+            val out = batch.sortBy(_._1).map { case (id, vec, _, _) =>
+              val witness = admitted.iterator
+                .map { case (aid, avec) => (aid, cosine(vec, avec)) }
+                .find(_._2 >= threshold)
+              witness match {
+                case Some((aid, c)) =>
+                  EmbGate(id, cell, admitted = false, Some(aid), Some(c), n >= stateCap)
+                case None =>
+                  val full = n >= stateCap
+                  if (!full) { admitted = (id, vec) :: admitted; n += 1 }
+                  EmbGate(id, cell, admitted = true, None, None, full)
+              }
             }
+            state.update(admitted)
+            stateTtlMs.foreach { ttl =>
+              // expire relative to the cell's own latest arrival; the
+              // timestamp must sit past the current watermark or Spark
+              // rejects it (a TTL shorter than the watermark delay)
+              val maxTs = batch.iterator.map(_._4.getTime).max
+              state.setTimeoutTimestamp(
+                math.max(maxTs + ttl, state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
           }
-          state.update(admitted)
-          out.iterator
         })
   }
 
   /** Plain-Scala cosine over float vectors — double accumulation, the same
-    * operation order as [[graft.functions.VecDot]]'s fast path.
+    * operation order as [[graft.functions.VecDot]]'s fast path. Fails loud
+    * on a dims mismatch (same contract as [[graft.functions.VecNearest]]):
+    * a mis-sized streamed vector is a data bug, and gating it on a silent
+    * prefix cosine would hide it.
     */
   private[streaming] def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+    require(a.length == b.length,
+      s"cosine: dims mismatch (${a.length} vs ${b.length}) — " +
+        "streamed vectors must share the corpus dimensionality")
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
-    val len = math.min(a.length, b.length)
+    val len = a.length
     while (i < len) {
       val x = a(i).toDouble; val y = b(i).toDouble
       dot += x * y; na += x * x; nb += y * y

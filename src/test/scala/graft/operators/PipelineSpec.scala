@@ -574,6 +574,78 @@ class PipelineSpec extends AnyFunSuite {
     assert(internal.getMessage.contains("repeats"))
   }
 
+  test("searchIvfPqIndexDistributed: bit-identical to the driver-side path; driver path guards its batch bound") {
+    val dir = "/root/testdata/sf0.01"
+    val path = java.nio.file.Files.createTempDirectory("graftivfdist").toString
+    Similarity.writeIvfPqIndex(spark, dir, path)
+    val queries = graft.sources.Tables.loadParallel(spark, dir, "embeddings")
+      .filter(col("vec_id") < 8)
+    // every double op in the distributed probe tables replays the driver
+    // path's operation order, so top-k must be IDENTICAL — ranks, ids, and
+    // raw distance doubles
+    val driver = Similarity.searchIvfPqIndex(spark, path, queries)
+      .collect().map(_.toSeq).toSeq
+    val dist = Similarity.searchIvfPqIndexDistributed(spark, path, queries)
+      .collect().map(_.toSeq).toSeq
+    assert(dist == driver)
+    // the driver-side path must fail fast past its bound, naming the
+    // distributed path — not OOM building probe tables
+    val ex = intercept[IllegalArgumentException](
+      Similarity.searchIvfPqIndex(spark, path, queries, maxDriverQueries = 4))
+    assert(ex.getMessage.contains("maxDriverQueries") &&
+      ex.getMessage.contains("searchIvfPqIndexDistributed"))
+  }
+
+  test("indexDriftStats: a planted off-distribution delta shows error growth; list stats census the codes") {
+    val dir = "/root/testdata/sf0.01"
+    val emb = graft.sources.Tables.loadParallel(spark, dir, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("graftivfdrift").toString
+    Similarity.writeIvfPqIndex(spark, dir, path)
+    def weightedMeanErr(stats: org.apache.spark.sql.DataFrame): Double = {
+      val r = stats.agg(sum(col("mean_err") * col("n")), sum(col("n"))).first()
+      r.getDouble(0) / r.getLong(1)
+    }
+    // in-distribution probe: the corpus the index was built from
+    val base = weightedMeanErr(Similarity.indexDriftStats(spark, path, emb))
+    // planted drift: the same vectors shifted far off every centroid —
+    // residuals blow up and the codebooks price them coarsely
+    val shifted = emb.select(col("vec_id"),
+      transform(col("embedding"), x => (x + lit(5.0f)).cast("float")).as("embedding"))
+    val drifted = weightedMeanErr(Similarity.indexDriftStats(spark, path, shifted))
+    assert(drifted > base * 5,
+      s"planted drift must inflate quantization error (base=$base drifted=$drifted)")
+    // list stats: one codes scan, full census — counts sum to the corpus,
+    // shares sum to 1
+    val ls = Similarity.indexListStats(spark, path)
+    val tot = ls.agg(sum("n"), sum("share")).first()
+    assert(tot.getLong(0) == emb.count())
+    assert(math.abs(tot.getDouble(1) - 1.0) < 1e-9)
+  }
+
+  test("appendToIvfPqIndex: marker-file lock makes concurrent appends fail fast; lock released after use") {
+    val dir = "/root/testdata/sf0.01"
+    val emb = graft.sources.Tables.loadParallel(spark, dir, "embeddings")
+    val split = emb.agg(max(col("vec_id"))).first().getLong(0) / 2
+    val path = java.nio.file.Files.createTempDirectory("graftivflock").toString
+    Similarity.writeIvfPqIndexFrom(spark, emb.filter(col("vec_id") < split), path)
+    // a held lock (an in-flight append, or a hard-killed one) refuses the
+    // second writer with the recovery path in the message
+    val lock = java.nio.file.Paths.get(path, "_append.lock")
+    java.nio.file.Files.createFile(lock)
+    val ex = intercept[IllegalStateException](
+      Similarity.appendToIvfPqIndex(spark, path, emb.filter(col("vec_id") >= split)))
+    assert(ex.getMessage.contains("single-writer") &&
+      ex.getMessage.contains("_append.lock"))
+    java.nio.file.Files.delete(lock)
+    // a successful append takes and RELEASES the lock
+    Similarity.appendToIvfPqIndex(spark, path, emb.filter(col("vec_id") >= split))
+    assert(!java.nio.file.Files.exists(lock))
+    // and a failed append (overlapping delta) must release it too
+    intercept[IllegalArgumentException](
+      Similarity.appendToIvfPqIndex(spark, path, emb.limit(4)))
+    assert(!java.nio.file.Files.exists(lock))
+  }
+
   test("dd_semdedup_indexed: a stale index (missing corpus vectors) fails loudly") {
     // index built from half the corpus, swept against all of it: the inner
     // assignment join would silently drop the un-indexed half — the audit
@@ -604,6 +676,58 @@ class PipelineSpec extends AnyFunSuite {
     val p = Dedup.indexAssignment(spark, path).queryExecution.executedPlan.toString
     assert(p.contains("ReadSchema: struct<vec_id:bigint>"),
       s"assignment read must prune the PQ codes column:\n$p")
+  }
+
+  test("mm_phash: a re-encoded payload escapes the exact digest but is caught perceptually") {
+    // the planted re-encode: same content, a handful of byte substitutions
+    // (codec/metadata drift stand-in) — md5 changes completely, the
+    // gradient-sign fingerprint barely moves
+    val base = "spark catalyst optimizer rewrites logical plans into physical plans " * 8
+    val reenc = base.replaceAll("optimizer", "optimiser")
+    val other = "zebras and quarks share no bytes with query engines at all " * 9
+    val dir = tmpDocs(Seq(
+      (1L, base, "en", "s", base.length.toLong),
+      (2L, reenc, "en", "s", reenc.length.toLong),
+      (3L, other, "en", "s", other.length.toLong)))
+    // exact digest: all three payloads are distinct — mm_dedup sees NO dup
+    val exact = Multimodal.mm_dedup(spark, dir).collect()
+    assert(exact.length == 3 && exact.forall(_.getLong(1) == 1L),
+      "the planted re-encode must be invisible to exact digests")
+    // perceptual: (1,2) surfaces, nothing pairs with the unrelated doc 3
+    val pairs = Multimodal.mm_phash(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)),
+      s"expected exactly the planted pair, got ${pairs.toSeq}")
+    assert(pairs.head._3 <= 10, s"re-encode should land within Hamming 10: ${pairs.head._3}")
+    // byte-identical payloads ride the clique collapse: adding an exact
+    // copy of doc 1 yields its pairs through member expansion at hamming 0
+    val dir2 = tmpDocs(Seq(
+      (1L, base, "en", "s", base.length.toLong),
+      (2L, reenc, "en", "s", reenc.length.toLong),
+      (4L, base, "en", "s", base.length.toLong)))
+    val withCopy = Multimodal.mm_phash(spark, dir2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(withCopy.contains((1L, 4L, 0)) && withCopy.contains((1L, 2L, withCopy.find(p => p._1 == 1L && p._2 == 2L).get._3)))
+    assert(withCopy.map(p => (p._1, p._2)) == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    // the façade form is SELF-verifying: one pair per planted re-encode,
+    // (source, source+10^7), nothing else — and deterministic
+    val sfDir = "/root/testdata/sf0.001"
+    val expected = graft.sources.Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") % 25 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(0) + 10000000L)).toSet
+    assert(expected.nonEmpty)
+    val a = Multimodal.mm_phash_reenc(spark, sfDir).collect().map(_.toSeq).toSeq
+    val b = Multimodal.mm_phash_reenc(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(a == b)
+    assert(a.map(r => (r(0), r(1))).toSet == expected.map(p => (p._1: Any, p._2: Any)),
+      s"façade pairs must be exactly the plants: got ${a.take(10)}")
+    // expression edge: empty payload hashes to 0, null stays null
+    val edge = Seq((Some(Array.emptyByteArray), 1), (None, 2))
+      .toDF("payload", "id")
+      .select(graft.functions.DHash64.of(col("payload")).as("h"))
+      .collect()
+    assert(edge.exists(r => !r.isNullAt(0) && r.getLong(0) == 0L))
+    assert(edge.exists(_.isNullAt(0)))
   }
 
   test("band-bucket cap bounds hot buckets; exact-dup cliques survive any cap") {

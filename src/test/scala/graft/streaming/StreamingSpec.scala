@@ -346,6 +346,77 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("EmbStream.semanticDedupGate TTL: idle cells expire, a post-expiry near-dup is re-admitted") {
+    import graft.streaming.EmbStream
+    val cents = Seq(Seq(10.0, 0.0), Seq(0.0, 10.0))
+    val v = Seq(1f, 0.05f) // cell 0
+    val other = Seq(0.05f, 1f) // cell 1 — its arrivals advance the watermark
+    // epoch-offset base: a t=0 event ties the INITIAL watermark and is
+    // dropped as late before the gate ever sees it
+    def t(s: Long) = new java.sql.Timestamp((100 + s) * 1000)
+    val input = MemoryStream[(Long, java.sql.Timestamp, Seq[Float])](spark)
+    val stream = input.toDF().toDF("vec_id", "event_time", "embedding")
+      .withWatermark("event_time", "0 seconds")
+    val q = EmbStream.semanticDedupGate(stream, cents, threshold = 0.9,
+        stateTtlMs = Some(10000L))
+      .writeStream.outputMode("append").format("memory").queryName("emb_ttl").start()
+    try {
+      input.addData((1L, t(0), v))
+      q.processAllAvailable()
+      // within the TTL: the cross-batch duplicate is still refused
+      input.addData((2L, t(5), v))
+      q.processAllAvailable()
+      // watermark advances far past cell 0's timeout (15 s) via cell 1
+      // traffic; the timeout fires on the NEXT trigger after the advance
+      input.addData((3L, t(60), other))
+      q.processAllAvailable()
+      input.addData((4L, t(61), other))
+      q.processAllAvailable()
+      // cell 0's state expired: the same content is RE-ADMITTED — the
+      // documented TTL trade, visible as a second admitted=true row
+      input.addData((5L, t(62), v))
+      q.processAllAvailable()
+      val got = spark.table("emb_ttl").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getBoolean(2), Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+      assert(got(1L) == ((true, None)))
+      assert(got(2L) == ((false, Some(1L))), "pre-expiry duplicate still refused")
+      assert(got(3L) == ((true, None)))
+      assert(got(4L) == ((false, Some(3L))), "active cell never expires mid-flow")
+      assert(got(5L) == ((true, None)), "post-expiry duplicate re-admitted")
+    } finally q.stop()
+  }
+
+  test("quotaGateExpiring: an idle source's quota window resets after the TTL") {
+    val input = MemoryStream[(String, Long, String, java.sql.Timestamp)](spark)
+    def t(s: Long) = new java.sql.Timestamp((100 + s) * 1000)
+    val docs = input.toDS()
+      .withWatermark("_4", "0 seconds")
+      .as[(String, Long, String, java.sql.Timestamp)]
+    val q = DocsStream.quotaGateExpiring(docs, quota = 2, ttlMs = 10000L)
+      .toDF("source", "doc_id")
+      .writeStream.outputMode("append").format("memory").queryName("quota_ttl").start()
+    try {
+      // burst 1: a admits its 2 smallest, then saturates
+      input.addData(("a", 3L, "t", t(0)), ("a", 1L, "t", t(0)), ("a", 2L, "t", t(0)))
+      q.processAllAvailable()
+      input.addData(("a", 4L, "t", t(5)))
+      q.processAllAvailable()
+      // other-source traffic advances the watermark past a's timeout (15 s)
+      input.addData(("b", 10L, "t", t(60)))
+      q.processAllAvailable()
+      input.addData(("b", 11L, "t", t(61)))
+      q.processAllAvailable()
+      // burst 2: a's state expired — its quota window reset, fresh docs admitted
+      input.addData(("a", 20L, "t", t(62)), ("a", 21L, "t", t(62)), ("a", 22L, "t", t(62)))
+      q.processAllAvailable()
+      val got = spark.table("quota_ttl").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toSet
+      assert(got == Set("a" -> 1L, "a" -> 2L, "b" -> 10L, "b" -> 11L,
+        "a" -> 20L, "a" -> 21L), s"got $got")
+    } finally q.stop()
+  }
+
   test("EmbStream.centroidsOf reads the persisted index's coarse centroids in cid order") {
     val p = java.nio.file.Files.createTempDirectory("graftcents").toString
     Seq((1, Seq(-10.0, 0.0)), (0, Seq(10.0, 0.0)))
