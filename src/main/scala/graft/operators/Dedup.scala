@@ -225,11 +225,25 @@ object Dedup {
     * verified by exact Hamming distance.
     */
   def dd_simhash(s: SparkSession, dir: String, maxHamming: Int = 3,
-      maxBucket: Int = 10000): DataFrame = {
-    // identical fingerprints collapse to a representative (Hamming 0);
-    // ids only through the band self-join, fps re-attach after dedup;
-    // materialized once, auto-released (see [[minhashRepPairs]])
-    val grouped = simhashFingerprints(docs(s, dir))
+      maxBucket: Int = 10000): DataFrame =
+    bandedHamming64Pairs(simhashFingerprints(docs(s, dir)),
+      maxHamming, maxBucket, "dd_simhash")
+
+  /** Banded-Hamming near-dup over ANY (doc_id, fp) 64-bit fingerprint
+    * frame — the one copy of the candidate/verify scaffold shared by
+    * [[dd_simhash]] and [[graft.operators.Multimodal.mm_phash]], so a
+    * shuffle-shape or cap fix lands in both: identical fingerprints
+    * collapse to a representative BEFORE banding (ids only through the
+    * band self-join, fps re-attach after dedup; materialized once,
+    * auto-released — see [[minhashRepPairs]]), candidates must share one
+    * of four 16-bit bands, hot buckets are capped with loss observable
+    * under `op`'s metric name, verification is one codegen'd
+    * `bit_count(xor)` per candidate pair, and pairs expand back through
+    * clique members, (a, b, hamming) with a < b.
+    */
+  private[operators] def bandedHamming64Pairs(withFp: DataFrame,
+      maxHamming: Int, maxBucket: Int, op: String): DataFrame = {
+    val grouped = withFp
       .groupBy("fp")
       .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
       .graftCheckpoint()
@@ -239,7 +253,7 @@ object Dedup {
         b => struct(b.as("band"),
           call_function("shiftright", col("fp"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bkey")))).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
-    val banded = capBuckets(preBanded, maxBucket, "dd_simhash")
+    val banded = capBuckets(preBanded, maxBucket, op)
     val candidates = banded.select(col("band"), col("bkey"), col("doc_id").as("a"))
       .join(banded.select(col("band"), col("bkey"), col("doc_id").as("b")), Seq("band", "bkey"))
       .filter(col("a") < col("b"))

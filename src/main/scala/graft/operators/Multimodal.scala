@@ -114,58 +114,43 @@ object Multimodal {
 
   /** [[mm_phash]] on a corpus carrying deterministic planted re-encodes —
     * the registered façade form. Every `stride`-th payload re-appears
-    * (doc_id + 10⁷) under a minimal byte substitution (e→d, o→n: same
-    * length, ~15 % of bytes shifted by −1 — a digest-breaking,
-    * shape-preserving stand-in for a codec re-encode, which this
-    * container cannot produce for real). That makes the no-oracle rows
-    * check SELF-VERIFYING: the result is exactly one (source,
-    * source+10⁷) pair per plant at every SF, spec-asserted. The raw
-    * corpus alone is the honest zero: its organic near-dups differ by
-    * small INSERTIONS, and a 1-D byte-signal dHash is shift-sensitive by
-    * design — in production the decoder's fixed-grid resample (9×8
-    * pixels) absorbs byte-level shifts before the hash ever runs, which
-    * is exactly the step the fake decode cannot perform.
+    * under the MIRRORED id −(doc_id+1) (collision-proof against any
+    * non-negative corpus id space, unlike an additive offset) with a
+    * minimal byte substitution (e→d, o→n: same length, ~15 % of bytes
+    * shifted by −1 — a digest-breaking, shape-preserving stand-in for a
+    * codec re-encode, which this container cannot produce for real).
+    * That makes the no-oracle rows check SELF-VERIFYING on the shipped
+    * testdata: exactly one (−(source+1), source) pair per plant,
+    * spec-asserted at sf0.001 and checked as a row count at the driver's
+    * SFs. (On a corpus whose stride positions carry byte-identical
+    * payloads, those cliques add their member pairs too — rows are then
+    * ≥ #plants, never fewer.) The raw corpus alone is the honest zero:
+    * its organic near-dups differ by small INSERTIONS, and a 1-D
+    * byte-signal dHash is shift-sensitive by design — in production the
+    * decoder's fixed-grid resample (9×8 pixels) absorbs byte-level
+    * shifts before the hash ever runs, which is exactly the step the
+    * fake decode cannot perform.
     */
   def mm_phash_reenc(s: SparkSession, dir: String, stride: Int = 25,
       maxHamming: Int = 10, maxBucket: Int = 10000): DataFrame = {
     val plants = Tables.loadParallel(s, dir, "documents")
       .filter(pmod(col("doc_id"), lit(stride)) === 0)
-      .select((col("doc_id") + 10000000L).as("doc_id"),
+      .select((-(col("doc_id") + 1)).cast("long").as("doc_id"),
         translate(col("text"), "eo", "dn").cast("binary").as("payload"),
         lit("png").as("format"), lit(64).as("width"), lit(64).as("height"))
     mm_phashOn(mediaTable(s, dir).unionByName(plants), maxHamming, maxBucket)
   }
 
-  /** The banded perceptual-dedup core over any (doc_id, payload) frame. */
+  /** The banded perceptual-dedup core over any (doc_id, payload) frame:
+    * fingerprint in the scan projection (payloads never shuffle past this
+    * point), then [[Dedup.bandedHamming64Pairs]] — the SAME scaffold
+    * dd_simhash runs, so the two stay fixed in lockstep.
+    */
   private def mm_phashOn(media: DataFrame, maxHamming: Int,
-      maxBucket: Int): DataFrame = {
-    import graft.Checkpoints.DatasetCheckpointOps
-    import graft.functions.TextFunctions.hamming64
-    val grouped = media
-      .select(col("doc_id"), graft.functions.DHash64.of(col("payload")).as("fp"))
-      .groupBy("fp")
-      .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
-      .graftCheckpoint()
-    val fps = grouped.select(col("rep").as("doc_id"), col("fp"))
-    val preBanded = fps.select(col("doc_id"),
-      explode(transform(sequence(lit(0), lit(3)),
-        b => struct(b.as("band"),
-          call_function("shiftright", col("fp"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bkey")))).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
-    val banded = Dedup.capBuckets(preBanded, maxBucket, "mm_phash")
-    val candidates = banded.select(col("band"), col("bkey"), col("doc_id").as("a"))
-      .join(banded.select(col("band"), col("bkey"), col("doc_id").as("b")), Seq("band", "bkey"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
-    val repPairs = candidates
-      .join(fps.select(col("doc_id").as("a"), col("fp").as("fp_a")), Seq("a"))
-      .join(fps.select(col("doc_id").as("b"), col("fp").as("fp_b")), Seq("b"))
-      .select(col("a"), col("b"), hamming64(col("fp_a"), col("fp_b")).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-    Dedup.expandPairs(repPairs, "hamming", grouped,
-      lit(0).cast("int"), lit(0) <= maxHamming)
-      .orderBy("a", "b")
-  }
+      maxBucket: Int): DataFrame =
+    Dedup.bandedHamming64Pairs(
+      media.select(col("doc_id"), graft.functions.DHash64.of(col("payload")).as("fp")),
+      maxHamming, maxBucket, "mm_phash")
 
   /** The pipeline as a queries-façade entry: features joined back to frame
     * counts — exercises binary plumbing end to end and returns a stable,

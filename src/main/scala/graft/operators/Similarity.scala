@@ -419,7 +419,8 @@ object Similarity {
     * pruning off a static list filter). `queries` is any frame with
     * (vec_id, embedding) — a HANDFUL of rows, collected: the driver builds
     * nQueries·nprobe·m·k probe-table doubles, so the batch is capped at
-    * `maxDriverQueries` (fail-fast, ~0.5 GB of tables at the default cap).
+    * `maxDriverQueries` (fail-fast; ~30 MB of tables at the defaults,
+    * growing with nprobe·m·codes — a tuned deployment can be 100× that).
     * A re-ranking batch beyond the cap belongs on
     * [[searchIvfPqIndexDistributed]], which never collects.
     */
@@ -568,15 +569,21 @@ object Similarity {
     * is purely a drift-monitoring decision ([[indexDriftStats]] puts a
     * number on it).
     *
-    * Concurrency contract: SINGLE WRITER PER INDEX. The overlap guard is
-    * check-then-write, so two concurrent appends of overlapping deltas
-    * could both pass the scan and both land rows. A marker-file lock
-    * (`_append.lock` under the index path, created atomically with
-    * overwrite=false) enforces it: a second append while one is in flight
-    * fails fast instead of corrupting the index. The lock is removed on
-    * completion AND on failure; only a hard-killed JVM leaves it behind —
-    * the error message names the file to delete after confirming no
-    * append is running.
+    * Concurrency contract: SINGLE WRITER PER INDEX — that is the
+    * requirement, and scheduling appends from one writer is the caller's
+    * job. The overlap guard is check-then-write, so two concurrent
+    * appends of overlapping deltas could both pass the scan and both
+    * land rows. A marker-file lock (`_append.lock` under the index path,
+    * created with overwrite=false) backs the contract up: a second
+    * append while one is in flight fails fast instead of corrupting the
+    * index. Honest scope: create-exclusive is atomic on HDFS-like
+    * filesystems; the local filesystem's exists-then-create and object
+    * stores without atomic create leave a tiny window, so the lock is a
+    * guard-rail there, not a mutex — the single-writer contract itself
+    * is what you must honor. The lock is removed on completion AND on
+    * failure; only a hard-killed JVM leaves it behind — the error
+    * message names the file to delete after confirming no append is
+    * running.
     */
   def appendToIvfPqIndex(s: SparkSession, path: String, newVecs: DataFrame,
       fullIdCheck: Boolean = false): Unit = {

@@ -118,25 +118,29 @@ object DocsStream {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     docs
+      // null event times can't drive an event-time lifecycle (and would
+      // NPE the bookkeeping) — drop at the edge, don't crash-loop
+      .filter(_._4 != null)
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (source: String, rows: Iterator[(String, Long, String, java.sql.Timestamp)],
-            state: GroupState[Long]) => {
+            state: GroupState[(Long, Long)]) => {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val admitted = state.getOption.getOrElse(0L)
+            // state = (admitted count, max event time EVER seen): the
+            // running max keeps the timeout monotone — a late-but-valid
+            // straggler batch must never shorten a prior expiry
+            val (admitted, seenTs) = state.getOption.getOrElse((0L, Long.MinValue))
             val room = math.max(quota - admitted, 0L)
             // one pass: track the batch's max event time while draining or
             // heap-selecting, same bounded-memory shape as [[quotaGate]]
-            var maxTs = Long.MinValue
+            var maxTs = seenTs
             val ids = rows.map { r => maxTs = math.max(maxTs, r._4.getTime); r._2 }
             val take =
               if (room == 0L) { ids.foreach(_ => ()); Seq.empty[Long] }
               else admitSmallest(ids, room)
-            if (take.nonEmpty) state.update(admitted + take.size)
-            // a timeout needs existing state: set it whenever the source has
-            // any (a zero-quota gate keeps none and needs no expiry)
-            if (state.exists) state.setTimeoutTimestamp(
+            state.update((admitted + take.size, maxTs))
+            state.setTimeoutTimestamp(
               math.max(maxTs + ttlMs, state.getCurrentWatermarkMs() + 1))
             take.iterator.map(id => (source, id))
           }

@@ -82,17 +82,29 @@ object EmbStream {
     val timeoutConf =
       if (stateTtlMs.isDefined) GroupStateTimeout.EventTimeTimeout
       else GroupStateTimeout.NoTimeout
-    stream
+    val assigned = stream
       .select(col("vec_id").cast("long"), col("embedding"),
         Clustering.assignTo(cents).getField("c").as("cluster"), ts)
+    // a null event time cannot participate in an event-time lifecycle
+    // (and would NPE the timeout bookkeeping) — drop it at the gate's
+    // edge rather than crash-looping the query on one bad row
+    val guarded =
+      if (stateTtlMs.isDefined) assigned.filter(col("event_time").isNotNull)
+      else assigned
+    // state carries (maxEventTimeSeen, admitted): the running max makes
+    // the timeout MONOTONE — a late-but-valid batch must never shorten a
+    // previously-set expiry (GroupState doesn't expose the current
+    // timeout, so the state remembers the arrival clock itself)
+    guarded
       .as[(Long, Seq[Float], Int, java.sql.Timestamp)]
       .groupByKey(_._3)
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
         (cell: Int, rows: Iterator[(Long, Seq[Float], Int, java.sql.Timestamp)],
-            state: GroupState[List[(Long, Seq[Float])]]) => {
+            state: GroupState[(Long, List[(Long, Seq[Float])])]) => {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            var admitted = state.getOption.getOrElse(Nil)
+            val (seenTs, prior) = state.getOption.getOrElse((Long.MinValue, Nil))
+            var admitted = prior
             var n = admitted.size
             val batch = rows.toSeq
             val out = batch.sortBy(_._1).map { case (id, vec, _, _) =>
@@ -108,12 +120,16 @@ object EmbStream {
                   EmbGate(id, cell, admitted = true, None, None, full)
               }
             }
-            state.update(admitted)
+            val maxTs = stateTtlMs match {
+              case Some(_) =>
+                math.max(seenTs, batch.iterator.map(_._4.getTime).max)
+              case None => seenTs
+            }
+            state.update((maxTs, admitted))
             stateTtlMs.foreach { ttl =>
-              // expire relative to the cell's own latest arrival; the
-              // timestamp must sit past the current watermark or Spark
-              // rejects it (a TTL shorter than the watermark delay)
-              val maxTs = batch.iterator.map(_._4.getTime).max
+              // expire relative to the cell's latest arrival EVER seen;
+              // the timestamp must sit past the current watermark or
+              // Spark rejects it (a TTL shorter than the watermark delay)
               state.setTimeoutTimestamp(
                 math.max(maxTs + ttl, state.getCurrentWatermarkMs() + 1))
             }

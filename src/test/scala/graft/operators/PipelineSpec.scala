@@ -707,14 +707,18 @@ class PipelineSpec extends AnyFunSuite {
       (4L, base, "en", "s", base.length.toLong)))
     val withCopy = Multimodal.mm_phash(spark, dir2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    assert(withCopy.contains((1L, 4L, 0)) && withCopy.contains((1L, 2L, withCopy.find(p => p._1 == 1L && p._2 == 2L).get._3)))
     assert(withCopy.map(p => (p._1, p._2)) == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    assert(withCopy.contains((1L, 4L, 0)), "byte-identical copy pairs at hamming 0")
+    val h12 = withCopy.find(p => p._1 == 1L && p._2 == 2L).get._3
+    assert(withCopy.contains((2L, 4L, h12)),
+      "the member-expanded (2,4) pair must inherit the representative pair's hamming")
     // the façade form is SELF-verifying: one pair per planted re-encode,
-    // (source, source+10^7), nothing else — and deterministic
+    // (-(source+1), source) — mirrored plant ids can't collide with any
+    // corpus id — nothing else, and deterministic
     val sfDir = "/root/testdata/sf0.001"
     val expected = graft.sources.Tables.load(spark, sfDir, "documents")
       .filter(col("doc_id") % 25 === 0)
-      .collect().map(r => (r.getLong(0), r.getLong(0) + 10000000L)).toSet
+      .collect().map(r => (-(r.getLong(0) + 1), r.getLong(0))).toSet
     assert(expected.nonEmpty)
     val a = Multimodal.mm_phash_reenc(spark, sfDir).collect().map(_.toSeq).toSeq
     val b = Multimodal.mm_phash_reenc(spark, sfDir).collect().map(_.toSeq).toSeq

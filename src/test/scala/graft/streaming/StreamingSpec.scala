@@ -417,6 +417,73 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("TTL timeouts are monotone: a late-but-valid batch never shortens a prior expiry") {
+    // the regression: keying the timeout off the CURRENT batch's max event
+    // time alone lets a straggler (valid under a long watermark delay)
+    // rewrite a later expiry to an earlier one, dropping state before ttl
+    // has elapsed since the group's true latest arrival. State now carries
+    // the running max, so expiry keys off the latest arrival EVER.
+    import graft.streaming.EmbStream
+    val cents = Seq(Seq(10.0, 0.0), Seq(0.0, 10.0))
+    val v = Seq(1f, 0.05f) // cell 0
+    val other = Seq(0.05f, 1f) // cell 1
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    val input = MemoryStream[(Long, java.sql.Timestamp, Seq[Float])](spark)
+    val stream = input.toDF().toDF("vec_id", "event_time", "embedding")
+      .withWatermark("event_time", "50 seconds")
+    val q = EmbStream.semanticDedupGate(stream, cents, threshold = 0.9,
+        stateTtlMs = Some(10000L))
+      .writeStream.outputMode("append").format("memory").queryName("emb_mono").start()
+    try {
+      input.addData((1L, t(1000), v)) // cell 0: seen=1000, expiry 1010
+      q.processAllAvailable()
+      // straggler at t=960: valid (wm=950) — must NOT pull expiry to 970
+      input.addData((2L, t(960), v))
+      q.processAllAvailable()
+      // cell-1 traffic pushes the watermark to 975/976 — past the buggy
+      // 970 expiry, still short of the correct 1010
+      input.addData((3L, t(1025), other))
+      q.processAllAvailable()
+      input.addData((4L, t(1026), other))
+      q.processAllAvailable()
+      // cell 0's state must still be alive: a near-dup of v1 is refused
+      input.addData((5L, t(1020), v))
+      q.processAllAvailable()
+      val got = spark.table("emb_mono").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(!got(2L), "straggler near-dup refused against live state")
+      assert(!got(5L), "state survived: expiry keyed off t=1000, not the straggler")
+    } finally q.stop()
+  }
+
+  test("quotaGateExpiring timeout is monotone under stragglers too") {
+    val input = MemoryStream[(String, Long, String, java.sql.Timestamp)](spark)
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    val docs = input.toDS()
+      .withWatermark("_4", "50 seconds")
+      .as[(String, Long, String, java.sql.Timestamp)]
+    val q = DocsStream.quotaGateExpiring(docs, quota = 1, ttlMs = 10000L)
+      .toDF("source", "doc_id")
+      .writeStream.outputMode("append").format("memory").queryName("quota_mono").start()
+    try {
+      input.addData(("a", 1L, "t", t(1000))) // admitted; expiry 1010
+      q.processAllAvailable()
+      input.addData(("a", 2L, "t", t(960))) // valid straggler, saturated — drained
+      q.processAllAvailable()
+      input.addData(("b", 10L, "t", t(1025))) // wm → 975: past the buggy 970
+      q.processAllAvailable()
+      input.addData(("b", 11L, "t", t(1026)))
+      q.processAllAvailable()
+      // a's quota window must still be closed at t=1020
+      input.addData(("a", 3L, "t", t(1020)))
+      q.processAllAvailable()
+      val got = spark.table("quota_mono").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toSet
+      assert(got == Set("a" -> 1L, "b" -> 10L),
+        s"doc 3 must be refused (window keyed off t=1000): $got")
+    } finally q.stop()
+  }
+
   test("EmbStream.centroidsOf reads the persisted index's coarse centroids in cid order") {
     val p = java.nio.file.Files.createTempDirectory("graftcents").toString
     Seq((1, Seq(-10.0, 0.0)), (0, Seq(10.0, 0.0)))
