@@ -794,6 +794,44 @@ object OracleSql {
          |GROUP BY source ORDER BY source""".stripMargin
     },
 
+    // The plant CASEs mirror TextAnalysis.piiPlant congruence-for-congruence
+    // and the patterns are the SAME Scala constants the Spark operator
+    // compiles — ASCII-only classes, identical in Java regex and RE2.
+    // DuckDB regexp_replace needs the explicit 'g' flag (Spark's is global
+    // by default); redaction order matches piiRedact: email → phone → IP.
+    "tx_pii" -> {
+      import graft.operators.TextAnalysis.{emailRe, ipRe, phoneRe}
+      val plant =
+        """text ||
+          |    CASE WHEN doc_id % 3 = 0
+          |         THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+          |         ELSE '' END ||
+          |    CASE WHEN doc_id % 4 = 1
+          |         THEN ' call 555-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+          |         ELSE '' END ||
+          |    CASE WHEN doc_id % 5 = 2
+          |         THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+          |              || '.' || CAST(doc_id % 97 AS VARCHAR)
+          |              || '.' || CAST(doc_id % 250 AS VARCHAR) || ' logged'
+          |         ELSE '' END""".stripMargin
+          // one line: the outer stripMargin below must never see these
+          // lines, or a leading '||' loses a bar and turns into bitwise-or
+          .replaceAll("\\s+", " ")
+      s"""WITH aug AS (SELECT doc_id, $plant AS t FROM documents),
+         |c AS (SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$emailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '$phoneRe')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(t, '$ipRe')) AS BIGINT) AS n_ips,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+         |    '$emailRe', '<EMAIL>', 'g'),
+         |    '$phoneRe', '<PHONE>', 'g'),
+         |    '$ipRe', '<IP>', 'g')) AS redact_digest
+         |FROM aug)
+         |SELECT doc_id, n_emails, n_phones, n_ips,
+         |  n_emails + n_phones + n_ips > 0 AS has_pii, redact_digest
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
+
     "q44_regex" ->
       """SELECT lang,
         |  CAST(sum(CASE WHEN regexp_matches(text, '\bdup\b') THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,

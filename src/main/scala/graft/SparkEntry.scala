@@ -124,6 +124,7 @@ object SparkEntry {
     "ev_funnel" -> (Relational.ev_funnel _),
     "ev_retention" -> (Relational.ev_retention _),
     "tx_surprisal" -> (TextAnalysis.tx_surprisal _),
+    "tx_pii" -> (TextAnalysis.tx_pii _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the

@@ -383,4 +383,70 @@ object TextAnalysis {
         min(col("scrub_digest")).as("scrub_probe"))
       .orderBy("source")
   }
+
+  // --- PII detection / redaction -------------------------------------------
+
+  /** PII patterns (ASCII-only character classes — identical semantics in
+    * Java regex and RE2, so the DuckDB twin matches byte-for-byte). Shared
+    * by [[piiRedact]], [[tx_pii]] and [[graft.OracleSql]] so the operator
+    * and its oracle can never drift.
+    */
+  val emailRe: String = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val phoneRe: String = "\\d{3}-\\d{4}"
+  val ipRe: String = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+
+  /** Deterministic PII plants keyed off `doc_id` — the synthetic corpus
+    * carries no PII, so the façade injects its own (exactly as the dedup
+    * family plants duplicates) and the scan is self-verifying: every count
+    * below is predictable from `doc_id` alone. The real operator surface is
+    * [[piiRedact]]/the count columns, which work over any text column.
+    * Plant shapes: email on `doc_id % 3 == 0`, NANP-style phone on
+    * `% 4 == 1`, dotted-quad IP on `% 5 == 2` (ids satisfying two of the
+    * congruences — 9, 12, 17, … — get two plants, exercising multi-hit docs).
+    */
+  def piiPlant(docId: Column, text: Column): Column = concat(
+    text,
+    when(docId % 3 === 0, concat(
+      lit(" reach user"), docId.cast("string"), lit("@example.com now")))
+      .otherwise(lit("")),
+    when(docId % 4 === 1, concat(
+      lit(" call 555-"), (docId % 9000 + 1000).cast("string")))
+      .otherwise(lit("")),
+    when(docId % 5 === 2, concat(
+      lit(" from 10."), (docId % 256).cast("string"),
+      lit("."), (docId % 97).cast("string"),
+      lit("."), (docId % 250).cast("string"), lit(" logged")))
+      .otherwise(lit("")))
+
+  /** Redaction transform: each PII class replaced by a typed marker. Email
+    * first (its local part can contain digits), then phone, then IP; the
+    * markers contain no pattern characters, so the passes compose safely.
+    */
+  def piiRedact(t: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(t, emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>"),
+      ipRe, "<IP>")
+
+  /** PII detection + redaction scan (the pre-training compliance pass —
+    * Penedo et al. 2023 §3.5 redact email/IP before release): per-document
+    * match counts per PII class, a flag, and the digest of the redacted
+    * text (pinning the TRANSFORM, not just the counts — same probe idea as
+    * [[tx_blocklist]]). Pure regexp column ops: codegen'd, map-only, no
+    * shuffle at any scale — at 100 TB this is a single scan whose cost is
+    * the regex automaton over each document.
+    */
+  def tx_pii(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).withColumn("t", piiPlant(col("doc_id"), col("text")))
+    d.select(
+      col("doc_id"),
+      regexp_count(col("t"), lit(emailRe)).cast("long").as("n_emails"),
+      regexp_count(col("t"), lit(phoneRe)).cast("long").as("n_phones"),
+      regexp_count(col("t"), lit(ipRe)).cast("long").as("n_ips"),
+      md5(piiRedact(col("t"))).as("redact_digest"))
+      .withColumn("has_pii", col("n_emails") + col("n_phones") + col("n_ips") > 0)
+      .select("doc_id", "n_emails", "n_phones", "n_ips", "has_pii", "redact_digest")
+      .orderBy("doc_id")
+  }
 }
