@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DataType, LongType, StructType, TimestampNTZType, TimestampType}
 
 /** Source registry for the driver-provided synthetic tables (TESTDATA.md).
   *
@@ -19,21 +19,50 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized reader
-      // rejects; read nanos as long and truncate to microsecond timestamps
-      // (the generator emits microsecond-precision values, so this is lossless).
+      // the generator has shipped events.ts as TIMESTAMP(NANOS), TIMESTAMP_NTZ
+      // and TIMESTAMP(MICROS) across regenerations — dispatch on what the
+      // reader OBSERVES, never assume a unit
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
-      raw.schema("ts").dataType match {
-        case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        // files written isAdjustedToUTC=false read as TIMESTAMP_NTZ, which
-        // time functions like unix_micros reject — normalize (session TZ is
-        // pinned UTC, so the instant is unchanged)
-        case org.apache.spark.sql.types.TimestampNTZType =>
-          raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
-        case _ => raw
-      }
+      eventsTsNormalizer(raw.schema("ts").dataType)(raw)
     } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The `ts`-normalizing transform keyed on the type the parquet reader
+    * observed for `events.ts` — ONE dispatch shared by the batch reader
+    * ([[load]]) and the stream reader
+    * ([[graft.streaming.EventsStream.readStream]]), so batch and stream can
+    * never disagree about a file's timestamp unit (the round-9 regression:
+    * the stream path hard-coded the nanos assumption and a testdata
+    * regeneration to micros shifted every streamed event 1000×). Fails loud
+    * on any other type: silently guessing a unit is a thousand-fold error.
+    */
+  def eventsTsNormalizer(observed: DataType): DataFrame => DataFrame = observed match {
+    // TIMESTAMP(NANOS), surfaced as a raw nanos long under
+    // spark.sql.legacy.parquet.nanosAsLong (the vectorized reader otherwise
+    // rejects the unit); the generator emits microsecond-precision values,
+    // so the truncation is lossless
+    case LongType => _.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // files written isAdjustedToUTC=false read as TIMESTAMP_NTZ, which time
+    // functions like unix_micros reject — normalize (session TZ is pinned
+    // UTC, so the instant is unchanged)
+    case TimestampNTZType => _.withColumn("ts", col("ts").cast(TimestampType))
+    case TimestampType => identity
+    case other => throw new IllegalArgumentException(
+      s"events.ts read as unsupported type ${other.sql} — expected " +
+        "TIMESTAMP(NANOS)-as-long, TIMESTAMP_NTZ, or TIMESTAMP; refusing to guess the unit")
+  }
+
+  /** Observed on-disk schema of an events parquet file/directory plus the
+    * matching [[eventsTsNormalizer]]. The schema comes from a batch read —
+    * a footer sniff, no data pass — because file-stream sources cannot
+    * infer schemas: `readStream` forces exactly what the footer declares
+    * and applies the same normalizer the batch path uses.
+    */
+  def eventsStreamSchema(spark: SparkSession, path: String): (StructType, DataFrame => DataFrame) = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val observed = spark.read.parquet(path).schema
+    (observed, eventsTsNormalizer(observed("ts").dataType))
+  }
 
   /** [[load]] + guarantee at least the session's default parallelism in
     * partitions. Expression-heavy per-row pipelines (shingle hashing,

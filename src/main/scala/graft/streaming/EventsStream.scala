@@ -14,24 +14,22 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** events.parquet stores ts as TIMESTAMP(NANOS); streaming reads need an
-    * explicit schema, so read the raw long and convert (same trick as
-    * [[graft.sources.Tables.load]]).
+  /** File-stream sources cannot infer schemas, and the testdata generator
+    * has shipped `events.ts` under several parquet timestamp encodings
+    * across regenerations (nanos, NTZ, micros) — so sniff the footer with a
+    * batch read and force EXACTLY the observed schema, normalizing `ts`
+    * through the same dispatch the batch reader uses
+    * ([[graft.sources.Tables.eventsTsNormalizer]]). One shared dispatch =
+    * batch and stream can never disagree about a file's unit (hard-coding
+    * nanos here once turned a micros regeneration into events 1000× in the
+    * past).
     */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   def readStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val (schema, normalizeTs) = graft.sources.Tables.eventsStreamSchema(spark, src.toString)
     // The file-stream source requires a directory; the testdata ships single
     // parquet files, so expose the file through a temp dir symlink. A real
     // deployment points this at the ingest drop directory.
-    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
     val streamPath =
       if (java.nio.file.Files.isDirectory(src)) src.toString
       else {
@@ -39,10 +37,10 @@ object EventsStream {
         java.nio.file.Files.createSymbolicLink(d.resolve("events.parquet"), src)
         d.toString
       }
-    spark.readStream
-      .schema(rawSchema)
-      .parquet(streamPath)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    normalizeTs(
+      spark.readStream
+        .schema(schema)
+        .parquet(streamPath))
   }
 
   /** Tumbling 1-hour windowed aggregate; the streaming twin of

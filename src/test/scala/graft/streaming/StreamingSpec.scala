@@ -31,6 +31,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("readStream dispatches on the file's ts unit: micros and nanos files yield identical events") {
+    // the round-9 regression class: the stream reader hard-coded one parquet
+    // timestamp encoding and a testdata regeneration to another shifted every
+    // event 1000×. The reader now footer-sniffs and dispatches — pin it by
+    // feeding the SAME logical events through two encodings.
+    def t(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    val logical = Seq(
+      (1L, t(3600), 7L, "view", 1.0, "{}"),
+      (2L, t(3660), 7L, "click", 2.0, "{}"),
+      (3L, t(7300), 8L, "view", 3.0, "{}"))
+    val root = java.nio.file.Files.createTempDirectory("graft-ts-unit")
+    // micros: a native timestamp column, written as parquet TIMESTAMP
+    logical.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$root/micros/events.parquet")
+    // nanos: the legacy shape — a raw nanos long in the ts slot (exactly how
+    // a TIMESTAMP(NANOS) file surfaces under legacy.parquet.nanosAsLong)
+    logical.map { case (id, ts, u, e, v, p) => (id, ts.getTime * 1000000L, u, e, v, p) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$root/nanos/events.parquet")
+    val outputs = Seq("micros", "nanos").map { unit =>
+      val q = EventsStream.readStream(spark, s"$root/$unit")
+        .writeStream.outputMode("append")
+        .format("memory").queryName(s"unit_$unit").start()
+      try {
+        q.processAllAvailable()
+        spark.table(s"unit_$unit").orderBy("event_id")
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .collect().map(_.toSeq).toSeq
+      } finally q.stop()
+    }
+    assert(outputs(0) == outputs(1), "both encodings decode to the same instants")
+    assert(outputs(0).map(r => (r(0), r(1))) ==
+      logical.map(e => (e._1, e._2)), "instants match the source rows exactly")
+    // and batch agrees with stream on both encodings
+    Seq("micros", "nanos").zip(outputs).foreach { case (unit, streamed) =>
+      val batch = Tables.load(spark, s"$root/$unit", "events")
+        .orderBy("event_id")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .collect().map(_.toSeq).toSeq
+      assert(batch == streamed, s"batch/stream parity on $unit")
+    }
+    // an unrecognized ts type must fail loud, not guess a unit
+    val e = intercept[IllegalArgumentException] {
+      Tables.eventsTsNormalizer(org.apache.spark.sql.types.StringType)
+    }
+    assert(e.getMessage.contains("refusing to guess"))
+  }
+
   test("stream-stream interval join: click attributes in-lookback views, batch-parity") {
     val stream = EventsStream.readStream(spark, dir)
     val q = EventsStream.clickAttribution(stream)
