@@ -68,7 +68,13 @@ object Bench {
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val valid = failed.isEmpty
     val total = if (valid) results.map(_._2).sum else -1.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","valid":$valid,"queries":$qs,"errors":$errs,"passes":$passes,"sf":"$sfDir"}"""
+    // Noise canary: one fixed, cheap, code-stable reference query. Rounds 7-9
+    // showed ~15-30 % box-wide clock drift on identical code; comparing this
+    // field across rounds separates environment drift (canary moves with the
+    // total) from a real regression (canary steady, specific queries move)
+    // without re-deriving per-query ratios every time.
+    val canary = best.getOrElse("q05_topk", -1.0)
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","valid":$valid,"canary_q05_topk":$canary,"queries":$qs,"errors":$errs,"passes":$passes,"sf":"$sfDir"}"""
     println(json)
     // The driver captures only the TAIL of stdout — with ~100 queries the
     // headline line gets truncated out of the artifact. Persist the full

@@ -800,7 +800,7 @@ object OracleSql {
     // DuckDB regexp_replace needs the explicit 'g' flag (Spark's is global
     // by default); redaction order matches piiRedact: email → phone → IP.
     "tx_pii" -> {
-      import graft.operators.TextAnalysis.{emailRe, ipRe, phoneRe}
+      import graft.operators.TextAnalysis.{emailRe, ibanRe, ipRe, phoneRe, ssnRe}
       val plant =
         """text ||
           |    CASE WHEN doc_id % 3 = 0
@@ -813,22 +813,38 @@ object OracleSql {
           |         THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
           |              || '.' || CAST(doc_id % 97 AS VARCHAR)
           |              || '.' || CAST(doc_id % 250 AS VARCHAR) || ' logged'
+          |         ELSE '' END ||
+          |    CASE WHEN doc_id % 6 = 3
+          |         THEN ' ssn ' || CAST(doc_id % 900 + 100 AS VARCHAR)
+          |              || '-' || CAST(doc_id % 90 + 10 AS VARCHAR)
+          |              || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) || ' filed'
+          |         ELSE '' END ||
+          |    CASE WHEN doc_id % 7 = 5
+          |         THEN ' acct GB' || CAST(doc_id % 90 + 10 AS VARCHAR) || 'TEST'
+          |              || lpad(CAST(doc_id % 100000000 AS VARCHAR), 10, '0') || ' ref'
           |         ELSE '' END""".stripMargin
           // one line: the outer stripMargin below must never see these
           // lines, or a leading '||' loses a bar and turns into bitwise-or
           .replaceAll("\\s+", " ")
+      // redaction chain mirrors TextAnalysis.piiClasses ORDER exactly:
+      // email → iban → ssn → phone → ip ('g' flag: Spark's replace is
+      // global by default, DuckDB's is first-match-only without it)
       s"""WITH aug AS (SELECT doc_id, $plant AS t FROM documents),
          |c AS (SELECT doc_id,
          |  CAST(len(regexp_extract_all(t, '$emailRe')) AS BIGINT) AS n_emails,
          |  CAST(len(regexp_extract_all(t, '$phoneRe')) AS BIGINT) AS n_phones,
          |  CAST(len(regexp_extract_all(t, '$ipRe')) AS BIGINT) AS n_ips,
-         |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+         |  CAST(len(regexp_extract_all(t, '$ssnRe')) AS BIGINT) AS n_ssns,
+         |  CAST(len(regexp_extract_all(t, '$ibanRe')) AS BIGINT) AS n_ibans,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
          |    '$emailRe', '<EMAIL>', 'g'),
+         |    '$ibanRe', '<IBAN>', 'g'),
+         |    '$ssnRe', '<SSN>', 'g'),
          |    '$phoneRe', '<PHONE>', 'g'),
          |    '$ipRe', '<IP>', 'g')) AS redact_digest
          |FROM aug)
-         |SELECT doc_id, n_emails, n_phones, n_ips,
-         |  n_emails + n_phones + n_ips > 0 AS has_pii, redact_digest
+         |SELECT doc_id, n_emails, n_phones, n_ips, n_ssns, n_ibans,
+         |  n_emails + n_phones + n_ips + n_ssns + n_ibans > 0 AS has_pii, redact_digest
          |FROM c ORDER BY doc_id""".stripMargin
     },
 
@@ -874,6 +890,42 @@ object OracleSql {
         |    > (SELECT sum(CAST(floor(value * 100) AS BIGINT))
         |       FROM events e3 WHERE e3.user_id = e.user_id)
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // DHash64 recomputed in SQL: payload bytes come back via ord() on the
+    // ASCII-only slice (strlen = length ⟺ every char one byte), span
+    // membership inverts the Scala reader's integer span bounds
+    // (b = ceil(65·(i+1)/n) − 1, integer-exact), span means are exact
+    // integer sums divided in double (bit-identical to the expression's
+    // double accumulation), and bit 63 lands as the signed value so the
+    // summed fingerprint equals the JVM's long. Validated fp-for-fp
+    // against the native expression on the full sf0.01 corpus.
+    "mm_phash_fp" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, strlen(text) AS n FROM documents
+        |  WHERE strlen(text) = length(text)),
+        |pos AS (
+        |  SELECT doc_id, text, n, unnest(range(n)) AS i FROM d),
+        |bytes AS (
+        |  SELECT doc_id, n,
+        |    ord(substr(text, CAST(i + 1 AS INTEGER), 1)) AS byte,
+        |    (65 * (i + 1) + n - 1) // n - 1 AS b
+        |  FROM pos),
+        |spans AS (
+        |  SELECT doc_id, b, CAST(sum(byte) AS DOUBLE) / count(*) AS mean
+        |  FROM bytes GROUP BY doc_id, b),
+        |allspans AS (
+        |  SELECT d.doc_id, sp.b, coalesce(s.mean, 0.0) AS mean
+        |  FROM d CROSS JOIN (SELECT unnest(range(65)) AS b) sp
+        |  LEFT JOIN spans s ON s.doc_id = d.doc_id AND s.b = sp.b),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |    CASE WHEN lead(mean) OVER (PARTITION BY doc_id ORDER BY b) > mean
+        |         THEN CASE WHEN b = 63 THEN -9223372036854775808
+        |              ELSE 1::BIGINT << CAST(b AS INTEGER) END
+        |         ELSE 0 END AS bit
+        |  FROM allspans)
+        |SELECT doc_id, CAST(sum(bit) AS BIGINT) AS fp
+        |FROM bits WHERE b < 64 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // the payload column is the text bytes (stand-in corpus), so the digest
     // twin is md5(text); format derives from doc_id exactly as mediaTable's

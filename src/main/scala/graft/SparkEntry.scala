@@ -89,6 +89,8 @@ object SparkEntry {
     "mm_dedup" -> (Multimodal.mm_dedup _),
     // planted-re-encode form: self-verifying rows (one pair per plant)
     "mm_phash" -> ((s, d) => Multimodal.mm_phash_reenc(s, d)),
+    // the exact fingerprint half, under full DuckDB oracle
+    "mm_phash_fp" -> (Multimodal.mm_phash_fp _),
     "dd_cluster" -> (Dedup.dd_cluster _),
     "dd_cluster_jaccard" -> ((s, d) => Dedup.dd_cluster_jaccard(s, d)),
     "tx_ngrams" -> ((s, d) => TextAnalysis.tx_ngrams(s, d)),

@@ -141,6 +141,24 @@ object Multimodal {
     mm_phashOn(mediaTable(s, dir).unionByName(plants), maxHamming, maxBucket)
   }
 
+  /** The EXACT half of [[mm_phash]] under full oracle check: per-payload
+    * [[graft.functions.DHash64]] fingerprints. The fingerprint is pure
+    * arithmetic over the payload bytes (65-span average pooling + gradient
+    * signs — no RNG, no seed), so a SQL twin can recompute it exactly;
+    * restricted to the ASCII-only slice of the corpus (char length = byte
+    * length), where the oracle can reconstruct the payload bytes from the
+    * text with `ord()` — on the shipped testdata that slice is the whole
+    * corpus. The BANDING half of mm_phash stays under its planted
+    * re-encode spec: banding is sketch-family (recall/caps), fingerprints
+    * are exact.
+    */
+  def mm_phash_fp(s: SparkSession, dir: String): DataFrame =
+    Tables.loadParallel(s, dir, "documents")
+      .filter(length(col("text")) === octet_length(col("text")))
+      .select(col("doc_id"),
+        graft.functions.DHash64.of(col("text").cast("binary")).as("fp"))
+      .orderBy("doc_id")
+
   /** The banded perceptual-dedup core over any (doc_id, payload) frame:
     * fingerprint in the scan projection (payloads never shuffle past this
     * point), then [[Dedup.bandedHamming64Pairs]] — the SAME scaffold

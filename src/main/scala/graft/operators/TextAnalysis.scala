@@ -389,11 +389,32 @@ object TextAnalysis {
   /** PII patterns (ASCII-only character classes — identical semantics in
     * Java regex and RE2, so the DuckDB twin matches byte-for-byte). Shared
     * by [[piiRedact]], [[tx_pii]] and [[graft.OracleSql]] so the operator
-    * and its oracle can never drift.
+    * and its oracle can never drift. Email/phone/IP are the RefinedWeb §3.5
+    * core; SSN-style and IBAN-like extend toward the full compliance
+    * surface (both stay in the RE2 ∩ java.regex subset: no lookaround, no
+    * backrefs, bounded repetition only).
     */
   val emailRe: String = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   val phoneRe: String = "\\d{3}-\\d{4}"
   val ipRe: String = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+  val ssnRe: String = "\\d{3}-\\d{2}-\\d{4}"
+  // country code + 2 check digits + 11-28 uppercase alphanumerics (IBANs
+  // are 15-32 chars total); uppercase-only so lowercase prose never trips it
+  val ibanRe: String = "[A-Z]{2}\\d{2}[A-Z0-9]{11,28}"
+
+  /** (class name, pattern, marker) in REDACTION ORDER. Email first (its
+    * local part can contain digits), IBAN before the digit-dash classes
+    * (its body holds digits), SSN before phone (defensive: neither pattern
+    * matches inside the other, but the wider one going first keeps that
+    * true if either is ever loosened); the markers contain no pattern
+    * characters, so the passes compose safely in this order.
+    */
+  val piiClasses: Seq[(String, String, String)] = Seq(
+    ("email", emailRe, "<EMAIL>"),
+    ("iban", ibanRe, "<IBAN>"),
+    ("ssn", ssnRe, "<SSN>"),
+    ("phone", phoneRe, "<PHONE>"),
+    ("ip", ipRe, "<IP>"))
 
   /** Deterministic PII plants keyed off `doc_id` — the synthetic corpus
     * carries no PII, so the façade injects its own (exactly as the dedup
@@ -416,18 +437,42 @@ object TextAnalysis {
       lit(" from 10."), (docId % 256).cast("string"),
       lit("."), (docId % 97).cast("string"),
       lit("."), (docId % 250).cast("string"), lit(" logged")))
+      .otherwise(lit("")),
+    // SSN-style on % 6 == 3 — fixed digit widths by construction (100-999,
+    // 10-99, 1000-9999), so the plant always matches ssnRe and never
+    // phoneRe (2 digits before the second dash, not 3)
+    when(docId % 6 === 3, concat(
+      lit(" ssn "), (docId % 900 + 100).cast("string"),
+      lit("-"), (docId % 90 + 10).cast("string"),
+      lit("-"), (docId % 9000 + 1000).cast("string"), lit(" filed")))
+      .otherwise(lit("")),
+    // IBAN-like on % 7 == 5: GB + 2 check digits + TEST + 10 zero-padded
+    // digits (14-char body ∈ [11,28]); the modulus keeps the id under the
+    // pad width so lpad never truncates
+    when(docId % 7 === 5, concat(
+      lit(" acct GB"), (docId % 90 + 10).cast("string"), lit("TEST"),
+      lpad((docId % 100000000).cast("string"), 10, "0"), lit(" ref")))
       .otherwise(lit("")))
 
-  /** Redaction transform: each PII class replaced by a typed marker. Email
-    * first (its local part can contain digits), then phone, then IP; the
-    * markers contain no pattern characters, so the passes compose safely.
+  /** Redaction transform: each ENABLED PII class replaced by its typed
+    * marker, in [[piiClasses]] order. The per-class toggle is the
+    * compliance knob — e.g. a corpus release that must scrub emails and
+    * SSNs but keep IPs for abuse analysis passes
+    * `Set("email", "ssn")`. Unknown class names fail loud (a typo'd class
+    * silently NOT redacting is the worst failure mode a scrubber can have).
     */
-  def piiRedact(t: Column): Column =
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(t, emailRe, "<EMAIL>"),
-        phoneRe, "<PHONE>"),
-      ipRe, "<IP>")
+  def piiRedact(t: Column, classes: Set[String]): Column = {
+    val known = piiClasses.map(_._1).toSet
+    val unknown = classes -- known
+    require(unknown.isEmpty,
+      s"piiRedact: unknown PII classes ${unknown.mkString(", ")} (known: ${known.mkString(", ")})")
+    piiClasses.foldLeft(t) { case (acc, (name, re, marker)) =>
+      if (classes(name)) regexp_replace(acc, re, marker) else acc
+    }
+  }
+
+  /** [[piiRedact]] with every class enabled — the full-scrub default. */
+  def piiRedact(t: Column): Column = piiRedact(t, piiClasses.map(_._1).toSet)
 
   /** PII detection + redaction scan (the pre-training compliance pass —
     * Penedo et al. 2023 §3.5 redact email/IP before release): per-document
@@ -444,9 +489,14 @@ object TextAnalysis {
       regexp_count(col("t"), lit(emailRe)).cast("long").as("n_emails"),
       regexp_count(col("t"), lit(phoneRe)).cast("long").as("n_phones"),
       regexp_count(col("t"), lit(ipRe)).cast("long").as("n_ips"),
+      regexp_count(col("t"), lit(ssnRe)).cast("long").as("n_ssns"),
+      regexp_count(col("t"), lit(ibanRe)).cast("long").as("n_ibans"),
       md5(piiRedact(col("t"))).as("redact_digest"))
-      .withColumn("has_pii", col("n_emails") + col("n_phones") + col("n_ips") > 0)
-      .select("doc_id", "n_emails", "n_phones", "n_ips", "has_pii", "redact_digest")
+      .withColumn("has_pii",
+        col("n_emails") + col("n_phones") + col("n_ips") +
+          col("n_ssns") + col("n_ibans") > 0)
+      .select("doc_id", "n_emails", "n_phones", "n_ips", "n_ssns", "n_ibans",
+        "has_pii", "redact_digest")
       .orderBy("doc_id")
   }
 }

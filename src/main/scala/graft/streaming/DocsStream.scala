@@ -68,84 +68,95 @@ object DocsStream {
       .dropDuplicatesWithinWatermark("digest")
 
   /** Per-source quota admission (ingest control): admit at most `quota`
-    * documents per source across the stream's lifetime — the gate that
-    * stops one domain/source from flooding a training mix as it is
-    * ingested (the streaming counterpart of the batch cap in
-    * [[graft.operators.Curation.samp_reservoir]]). State per source is one
-    * long; admission within a batch is ordered by (doc_id) so replaying
-    * the same batches admits the same documents. flatMapGroupsWithState
-    * because the output is the admitted ROWS, not an aggregate.
+    * documents per source — the gate that stops one domain/source from
+    * flooding a training mix as it is ingested (the streaming counterpart
+    * of the batch cap in [[graft.operators.Curation.samp_reservoir]]).
+    * State per source is one small tuple; admission within a batch is
+    * ordered by (doc_id) so replaying the same batches admits the same
+    * documents. flatMapGroupsWithState because the output is the admitted
+    * ROWS, not an aggregate.
+    *
+    * `stateTtlMs` picks the state lifecycle EXPLICITLY (no default — an
+    * unbounded run must not end up with immortal state by accident):
+    *  - `None`: lifetime quota; one state entry per source forever. Right
+    *    for bounded backfills. Rows may carry `null` event time (`_4` is
+    *    ignored).
+    *  - `Some(ttl)`: a source idle past `ttl` of EVENT time has its
+    *    admitted-count state DROPPED, so its quota window resets after
+    *    inactivity (and a long-dead source stops costing state) — "at
+    *    most `quota` docs per source per activity burst", the right
+    *    contract for rolling ingest (a daily TTL ≈ a daily quota). The
+    *    stream must carry a watermark on the `_4` event-time column
+    *    (`withWatermark` before the gate); null event times are dropped
+    *    at the edge (they can't drive an event-time lifecycle and would
+    *    NPE the bookkeeping). Expiry keys off the source's own latest
+    *    arrival EVER seen — the running max keeps the timeout monotone,
+    *    so an active source never resets mid-flow and a late-but-valid
+    *    straggler batch never shortens a prior expiry.
     */
-  def quotaGate(docs: org.apache.spark.sql.Dataset[(String, Long, String)],
-      quota: Long): org.apache.spark.sql.Dataset[(String, Long)] = {
+  def quotaGate(
+      docs: org.apache.spark.sql.Dataset[(String, Long, String, java.sql.Timestamp)],
+      quota: Long, stateTtlMs: Option[Long]): org.apache.spark.sql.Dataset[(String, Long)] = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    docs
-      .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (source: String, rows: Iterator[(String, Long, String)],
-            state: GroupState[Long]) => {
-          val admitted = state.getOption.getOrElse(0L)
-          val room = math.max(quota - admitted, 0L)
-          if (room == 0L) {
-            // saturated source: drain without buffering or sorting — the
-            // flooding case is exactly when this branch runs
-            rows.foreach(_ => ())
-            Iterator.empty
-          } else {
-            val take = admitSmallest(rows.map(_._2), room)
-            state.update(admitted + take.size)
+    val timeoutConf =
+      if (stateTtlMs.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    val in = if (stateTtlMs.isDefined) docs.filter(_._4 != null) else docs
+    in.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        (source: String, rows: Iterator[(String, Long, String, java.sql.Timestamp)],
+            state: GroupState[(Long, Long)]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // state = (admitted count, max event time EVER seen); the max
+            // stays at Long.MinValue (and is never consulted) without a TTL
+            val (admitted, seenTs) = state.getOption.getOrElse((0L, Long.MinValue))
+            val room = math.max(quota - admitted, 0L)
+            // one pass: track the batch's max event time while draining or
+            // heap-selecting — a saturated source is drained without
+            // buffering or sorting (the flooding case is exactly when the
+            // room == 0 branch runs)
+            var maxTs = seenTs
+            val ids = stateTtlMs match {
+              case Some(_) => rows.map { r => maxTs = math.max(maxTs, r._4.getTime); r._2 }
+              case None => rows.map(_._2)
+            }
+            val take =
+              if (room == 0L) { ids.foreach(_ => ()); Seq.empty[Long] }
+              else admitSmallest(ids, room)
+            state.update((admitted + take.size, maxTs))
+            stateTtlMs.foreach { ttl =>
+              // the timeout must sit past the current watermark or Spark
+              // rejects it (a TTL shorter than the watermark delay)
+              state.setTimeoutTimestamp(
+                math.max(maxTs + ttl, state.getCurrentWatermarkMs() + 1))
+            }
             take.iterator.map(id => (source, id))
           }
         })
   }
 
-  /** [[quotaGate]] with an event-time TTL — the unbounded-run shape: a
-    * source idle past `ttlMs` of event time has its admitted-count state
-    * DROPPED, so its quota window resets after inactivity instead of one
-    * long per source living forever (and a long-dead source stops costing
-    * state). Semantically the quota becomes "at most `quota` docs per
-    * source per activity burst" — the right contract for rolling ingest
-    * (a daily TTL ≈ a daily quota), while lifetime quotas stay on
-    * [[quotaGate]]. Input rows carry event time as `_4`; the stream must
-    * have a watermark on that column (`withWatermark` before the gate).
-    * Expiry keys off the source's own latest arrival, so an active source
-    * never resets mid-flow.
+  /** Lifetime-quota convenience over (source, doc_id, text) rows with no
+    * event-time column — widens with a null timestamp and runs
+    * [[quotaGate]] with `stateTtlMs = None`. Kept for callers whose input
+    * genuinely has no event time (and therefore could never pick a TTL).
+    */
+  def quotaGate(docs: org.apache.spark.sql.Dataset[(String, Long, String)],
+      quota: Long): org.apache.spark.sql.Dataset[(String, Long)] = {
+    import docs.sparkSession.implicits._
+    quotaGate(docs.map(r => (r._1, r._2, r._3, null: java.sql.Timestamp)),
+      quota, stateTtlMs = None)
+  }
+
+  /** Alias for [[quotaGate]] with `stateTtlMs = Some(ttlMs)` — the original
+    * name of the expiring variant, kept so existing call sites read as what
+    * they do.
     */
   def quotaGateExpiring(
       docs: org.apache.spark.sql.Dataset[(String, Long, String, java.sql.Timestamp)],
-      quota: Long, ttlMs: Long): org.apache.spark.sql.Dataset[(String, Long)] = {
-    import docs.sparkSession.implicits._
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    docs
-      // null event times can't drive an event-time lifecycle (and would
-      // NPE the bookkeeping) — drop at the edge, don't crash-loop
-      .filter(_._4 != null)
-      .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        (source: String, rows: Iterator[(String, Long, String, java.sql.Timestamp)],
-            state: GroupState[(Long, Long)]) => {
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
-            // state = (admitted count, max event time EVER seen): the
-            // running max keeps the timeout monotone — a late-but-valid
-            // straggler batch must never shorten a prior expiry
-            val (admitted, seenTs) = state.getOption.getOrElse((0L, Long.MinValue))
-            val room = math.max(quota - admitted, 0L)
-            // one pass: track the batch's max event time while draining or
-            // heap-selecting, same bounded-memory shape as [[quotaGate]]
-            var maxTs = seenTs
-            val ids = rows.map { r => maxTs = math.max(maxTs, r._4.getTime); r._2 }
-            val take =
-              if (room == 0L) { ids.foreach(_ => ()); Seq.empty[Long] }
-              else admitSmallest(ids, room)
-            state.update((admitted + take.size, maxTs))
-            state.setTimeoutTimestamp(
-              math.max(maxTs + ttlMs, state.getCurrentWatermarkMs() + 1))
-            take.iterator.map(id => (source, id))
-          }
-        })
-  }
+      quota: Long, ttlMs: Long): org.apache.spark.sql.Dataset[(String, Long)] =
+    quotaGate(docs, quota, stateTtlMs = Some(ttlMs))
 
   /** Select the `room` smallest doc_ids from a batch WITHOUT materializing
     * it: a bounded max-heap of capacity `min(room, batch)` — a flooding
