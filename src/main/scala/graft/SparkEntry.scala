@@ -80,6 +80,9 @@ object SparkEntry {
     "ann_ivf" -> ((s, d) => Similarity.ann_ivf(s, d)),
     "ann_pq" -> ((s, d) => Similarity.ann_pq(s, d)),
     "ann_ivfpq" -> ((s, d) => Similarity.ann_ivfpq(s, d)),
+    // index lifecycle report (no_oracle: deterministic build + planted
+    // drift; contract pinned by PipelineSpec)
+    "idx_health" -> (Similarity.idx_health _),
     "tx_stats" -> (TextAnalysis.tx_stats _),
     "tx_tokens" -> (TextAnalysis.tx_tokens _),
     "tx_quality" -> (TextAnalysis.tx_quality _),

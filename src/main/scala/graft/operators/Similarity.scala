@@ -385,6 +385,13 @@ object Similarity {
       book.zipWithIndex.map { case (cw, j) => (sx, j, cw) }
     }.toDF("s", "j", "codeword")
       .write.mode("overwrite").parquet(s"$path/codebooks")
+    // base-build health reference: the training corpus priced against the
+    // just-trained sidecars, same pricing core as indexDriftStats — the
+    // fixed point every later drift probe's err_ratio compares against
+    // ([[indexHealth]]). Deliberately NOT refreshed by appendToIvfPqIndex:
+    // appends drifting away from the base build is exactly the signal.
+    residualErrStats(emb, cents, books, m, sub)
+      .write.mode("overwrite").parquet(s"$path/health")
   }
 
   /** The tiny centroid/codebook sidecars of a persisted index, loaded
@@ -532,6 +539,17 @@ object Similarity {
     */
   def indexDriftStats(s: SparkSession, path: String, vecs: DataFrame): DataFrame = {
     val (cents, books, m, sub) = loadSidecars(s, path)
+    residualErrStats(vecs, cents, books, m, sub)
+  }
+
+  /** The pricing core behind [[indexDriftStats]] and the build-time
+    * `health` sidecar: per-list count and mean / p95 residual quantization
+    * error of `vecs` against in-memory centroids/codebooks. ONE function so
+    * the base-build reference numbers and every later drift probe are
+    * computed identically — comparable by construction.
+    */
+  private def residualErrStats(vecs: DataFrame, cents: Seq[Seq[Double]],
+      books: Seq[Seq[Seq[Double]]], m: Int, sub: Int): DataFrame = {
     val withList = vecs.select(col("vec_id"), col("embedding"),
       Clustering.assignTo(cents).getField("c").as("cid"))
     // residual re-cast to float exactly like build/append encode paths —
@@ -549,6 +567,61 @@ object Similarity {
         avg(col("err")).as("mean_err"),
         percentile_approx(col("err"), lit(0.95), lit(10000)).as("p95_err"))
       .orderBy("cid")
+  }
+
+  /** One-call lifecycle report for a persisted index: per-list occupancy
+    * (count + share — skew), the BASE build's quantization-error reference
+    * (the `health` sidecar [[writeIvfPqIndexFrom]] records from the very
+    * corpus it trained on), and `delta` priced against the same sidecars —
+    * plus `err_ratio` = delta mean error / base mean error per list. This
+    * is the rebuild decision on one screen: healthy ≈ shares near 1/nlist
+    * and err_ratio near 1; a drifted corpus shows err_ratio climbing
+    * (new vectors quantize coarsely — recall decays silently) and/or a few
+    * lists hoarding share (their scans dominate every probe). Recipe in
+    * README: rebuild when err_ratio's corpus-weighted mean crosses ~2× or
+    * max share crosses ~4/nlist, whichever first.
+    *
+    * Lists the delta never touches carry null delta columns; an index
+    * built before the health sidecar existed carries null base columns
+    * (report degrades, never fails). Cost: one map-only pass over `delta`
+    * plus a vec_id-only codes scan — never the payload corpus.
+    */
+  def indexHealth(s: SparkSession, path: String, delta: DataFrame): DataFrame = {
+    val occ = indexListStats(s, path)
+    val drift = indexDriftStats(s, path, delta)
+      .select(col("cid"), col("n").as("delta_n"),
+        col("mean_err").as("delta_mean_err"), col("p95_err").as("delta_p95_err"))
+    val healthPath = new org.apache.hadoop.fs.Path(s"$path/health")
+    val fs = healthPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val base =
+      if (fs.exists(healthPath))
+        s.read.parquet(healthPath.toString)
+          .select(col("cid"), col("n").as("base_n"),
+            col("mean_err").as("base_mean_err"), col("p95_err").as("base_p95_err"))
+      else // pre-sidecar index: degrade to nulls, don't fail the report
+        occ.select(col("cid"),
+          lit(null).cast("long").as("base_n"),
+          lit(null).cast("double").as("base_mean_err"),
+          lit(null).cast("double").as("base_p95_err"))
+    occ.join(base, Seq("cid"), "left")
+      .join(drift, Seq("cid"), "left")
+      .withColumn("err_ratio", col("delta_mean_err") / col("base_mean_err"))
+      .orderBy("cid")
+  }
+
+  /** Façade/bench form of [[indexHealth]]: build an index from the dir's
+    * embeddings at a temp path (deterministic Lloyd ⇒ deterministic
+    * report), then health-report a +2.0-shifted copy of the corpus as the
+    * incoming delta — a mid-strength planted drift, so every column of the
+    * report is exercised (occupancy, base reference, delta error, ratio).
+    */
+  def idx_health(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("graft-idx-health").toString
+    writeIvfPqIndex(s, dir, path)
+    val delta = Tables.loadParallel(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => (x + lit(2.0f)).cast("float")).as("embedding"))
+    indexHealth(s, path, delta)
   }
 
   /** Incremental index append — a real corpus grows daily, and a full

@@ -622,6 +622,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(tot.getDouble(1) - 1.0) < 1e-9)
   }
 
+  test("indexHealth: one-call report joins occupancy, base reference, and delta drift; degrades on pre-sidecar indexes") {
+    val dir = "/root/testdata/sf0.01"
+    val emb = graft.sources.Tables.loadParallel(spark, dir, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("graftivfhealth").toString
+    Similarity.writeIvfPqIndex(spark, dir, path)
+    val shifted = emb.select(col("vec_id"),
+      transform(col("embedding"), x => (x + lit(5.0f)).cast("float")).as("embedding"))
+    val h = Similarity.indexHealth(spark, path, shifted)
+    assert(h.columns.toSeq == Seq("cid", "n", "share", "base_n", "base_mean_err",
+      "base_p95_err", "delta_n", "delta_mean_err", "delta_p95_err", "err_ratio"))
+    val rows = h.collect()
+    // one row per list; occupancy and delta both census the corpus
+    assert(rows.map(_.getAs[Long]("n")).sum == emb.count())
+    assert(rows.map(_.getAs[Long]("delta_n")).sum == emb.count())
+    // the base reference came from the build-time health sidecar, priced on
+    // the training corpus itself — counts agree with occupancy per list
+    assert(rows.forall(r => r.getAs[Long]("base_n") == r.getAs[Long]("n")))
+    // planted drift: corpus-weighted err_ratio must blow past the ~2×
+    // rebuild threshold the README recipe names
+    val wRatio = rows.map(r => r.getAs[Double]("err_ratio") * r.getAs[Long]("delta_n")).sum /
+      rows.map(_.getAs[Long]("delta_n")).sum
+    assert(wRatio > 2.0, s"planted +5.0 shift must cross the rebuild threshold (got $wRatio)")
+    // an in-distribution delta sits near ratio 1 — the healthy reading
+    val healthy = Similarity.indexHealth(spark, path, emb).collect()
+    val wHealthy = healthy.map(r => r.getAs[Double]("err_ratio") * r.getAs[Long]("delta_n")).sum /
+      healthy.map(_.getAs[Long]("delta_n")).sum
+    assert(math.abs(wHealthy - 1.0) < 1e-9, s"training corpus vs its own build: $wHealthy")
+    // a pre-sidecar index (no health dir) degrades to null base columns
+    val legacy = java.nio.file.Files.createTempDirectory("graftivflegacy").toString
+    Similarity.writeIvfPqIndex(spark, dir, legacy)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$legacy/health"))
+    val lh = Similarity.indexHealth(spark, legacy, shifted).collect()
+    assert(lh.forall(r => r.isNullAt(r.fieldIndex("base_mean_err")) &&
+      r.isNullAt(r.fieldIndex("err_ratio"))))
+    // an off-distribution delta concentrates into few lists: touched lists
+    // carry delta stats, untouched ones null — never an error
+    assert(lh.exists(r => !r.isNullAt(r.fieldIndex("delta_mean_err"))))
+    assert(lh.forall(r =>
+      r.isNullAt(r.fieldIndex("delta_n")) == r.isNullAt(r.fieldIndex("delta_mean_err"))))
+  }
+
   test("appendToIvfPqIndex: marker-file lock makes concurrent appends fail fast; lock released after use") {
     val dir = "/root/testdata/sf0.01"
     val emb = graft.sources.Tables.loadParallel(spark, dir, "embeddings")
