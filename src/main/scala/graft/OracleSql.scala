@@ -1121,5 +1121,85 @@ object OracleSql {
         |      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |      GROUP BY token)
         |ORDER BY id""".stripMargin,
+
+    // dd_spans: duplicated k-gram (k=8) occurrences → per-doc interval merge
+    // (gaps-and-islands with a running max-end) → span audit. Parallel
+    // unnest of equal-length lists zips positionally in DuckDB, giving the
+    // (pos, shingle) pairs the Spark side builds with posexplode. Integer
+    // positions/counts throughout; the one division is the same
+    // double-by-bigint IEEE op on both sides.
+    "dd_spans" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0, len(w) - 8)) AS pos,
+        |    unnest(list_transform(generate_series(0, len(w) - 8),
+        |                          i -> array_to_string(w[i+1:i+8], ' '))) AS sh
+        |  FROM w WHERE len(w) >= 8),
+        |dup AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 1),
+        |iv AS (SELECT s.doc_id, s.pos AS st, s.pos + 7 AS e
+        |       FROM sh s JOIN dup USING (sh)),
+        |x AS (SELECT doc_id, st, e,
+        |        max(e) OVER (PARTITION BY doc_id ORDER BY st
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |      FROM iv),
+        |y AS (SELECT doc_id, st, e,
+        |        CASE WHEN pme IS NULL OR st > pme + 1 THEN 1 ELSE 0 END AS ni FROM x),
+        |z AS (SELECT doc_id, st, e,
+        |        sum(ni) OVER (PARTITION BY doc_id ORDER BY st
+        |                      ROWS UNBOUNDED PRECEDING) AS isl FROM y),
+        |sp AS (SELECT doc_id, isl, min(st) AS ss, max(e) AS se FROM z GROUP BY 1, 2)
+        |SELECT sp.doc_id, CAST(len(w.w) AS BIGINT) AS n_words,
+        |  count(*) AS n_spans,
+        |  CAST(sum(se - ss + 1) AS BIGINT) AS dup_words,
+        |  CAST(max(se - ss + 1) AS BIGINT) AS max_span,
+        |  CAST(sum(se - ss + 1) AS DOUBLE) / CAST(len(w.w) AS BIGINT) AS dup_frac
+        |FROM sp JOIN w ON sp.doc_id = w.doc_id
+        |GROUP BY sp.doc_id, len(w.w)
+        |ORDER BY sp.doc_id""".stripMargin,
+
+    // dd_incremental: incoming 20 % (doc_id mod 5 = 4) classified against
+    // the base 80 % — exact digest match wins, else best n-gram Jaccard
+    // >= 0.4 (ties to the smallest base id), else unique. The twin joins
+    // the full shared-shingle inverted index (no prefix filter needed for
+    // correctness — the Spark side's prefix bound is exact, see scaladoc).
+    "dd_incremental" ->
+      """WITH inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 4),
+        |base AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4),
+        |ex AS (SELECT i.doc_id, min(b.doc_id) AS bmatch
+        |       FROM inc i JOIN base b ON md5(i.text) = md5(b.text) GROUP BY 1),
+        |shi AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |         ELSE list_transform(generate_series(0, len(w) - 3),
+        |                             i -> array_to_string(w[i+1:i+3], ' ')) END)) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM inc)),
+        |shb AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |         ELSE list_transform(generate_series(0, len(w) - 3),
+        |                             i -> array_to_string(w[i+1:i+3], ' ')) END)) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM base)),
+        |szi AS (SELECT doc_id, count(*) AS n FROM shi GROUP BY 1),
+        |szb AS (SELECT doc_id, count(*) AS n FROM shb GROUP BY 1),
+        |ov AS (SELECT i.doc_id AS a, b.doc_id AS b, count(*) AS o
+        |       FROM shi i JOIN shb b USING (sh) GROUP BY 1, 2),
+        |sc AS (SELECT a, b, CAST(o AS DOUBLE) / (si.n + sb.n - o) AS j
+        |       FROM ov JOIN szi si ON si.doc_id = a JOIN szb sb ON sb.doc_id = b),
+        |best AS (SELECT a, b AS nmatch, j FROM (
+        |           SELECT a, b, j,
+        |             row_number() OVER (PARTITION BY a ORDER BY j DESC, b) AS rn
+        |           FROM sc WHERE j >= 0.4)
+        |         WHERE rn = 1)
+        |SELECT i.doc_id,
+        |  CASE WHEN ex.bmatch IS NOT NULL THEN 'exact_dup'
+        |       WHEN best.nmatch IS NOT NULL THEN 'near_dup'
+        |       ELSE 'unique' END AS verdict,
+        |  COALESCE(ex.bmatch, best.nmatch) AS match_id,
+        |  CASE WHEN ex.bmatch IS NOT NULL THEN CAST(1.0 AS DOUBLE)
+        |       ELSE best.j END AS jaccard
+        |FROM inc i LEFT JOIN ex ON ex.doc_id = i.doc_id
+        |           LEFT JOIN best ON best.a = i.doc_id
+        |ORDER BY i.doc_id""".stripMargin,
   )
 }

@@ -130,6 +130,8 @@ object SparkEntry {
     "ev_retention" -> (Relational.ev_retention _),
     "tx_surprisal" -> (TextAnalysis.tx_surprisal _),
     "tx_pii" -> (TextAnalysis.tx_pii _),
+    "dd_spans" -> ((s, d) => Dedup.dd_spans(s, d)),
+    "dd_incremental" -> ((s, d) => Dedup.dd_incremental(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the

@@ -806,4 +806,216 @@ object Dedup {
         explode(filter(col("members"), m => m > col("min_ext"))).as("b"))
     intra.unionByName(cross).distinct()
   }
+
+  /** Incremental dedup: classify an INCOMING batch of documents against an
+    * already-curated BASE corpus — the production shape of dedup at 100 TB,
+    * where yesterday's corpus is never re-paired with itself; only the
+    * day's delta is checked against the corpus signatures. Verdicts per
+    * incoming doc:
+    *   - `exact_dup`  — its md5 digest exists in the base (match_id = the
+    *     smallest base doc with that digest, jaccard = 1.0),
+    *   - `near_dup`   — otherwise, some base doc's n-gram Jaccard meets
+    *     `threshold` (match_id = the highest-Jaccard partner, ties to the
+    *     smallest base id),
+    *   - `unique`     — otherwise. Intra-batch duplicates are deliberately
+    *     out of scope (that is [[dd_exact]]'s job on the batch alone).
+    *
+    * The façade splits the documents table deterministically (doc_id mod
+    * `splitMod`: residue splitMod-1 is the incoming 20 %) so the DuckDB
+    * twin can reproduce the whole classification exactly. The
+    * store-backed pair [[writeCorpusSignatures]] / [[dd_incremental_stored]]
+    * runs the identical core off persisted signatures — parity-spec'd —
+    * which is the actual deployment shape: the base corpus is scanned once
+    * at signature-build time, and every later delta touches only
+    * signature parquet (digests + sorted shingle-hash sets + document
+    * frequencies), never the corpus text.
+    *
+    * Scale shape: candidate generation is an equi join of the incoming
+    * docs' PREFIX shingles against the base posting list — the one-sided
+    * ppjoin prefix bound (any pair at J ≥ t shares a shingle among the
+    * first |S| − ⌈t·|S|⌉ + 1 of the incoming doc's shingles in ANY fixed
+    * total order; rarest-first by base df minimizes candidates) plus the
+    * two-sided length filter (t·|A| ≤ |B| ≤ |A|/t). Verification reads the
+    * sorted hash arrays once per candidate with the codegen'd two-pointer
+    * [[graft.functions.SortedOverlap]]. No all-pairs path anywhere: work
+    * is O(|delta| × candidates), independent of base corpus size.
+    */
+  def dd_incremental(s: SparkSession, dir: String, n: Int = 3,
+      threshold: Double = 0.4, splitMod: Int = 5): DataFrame = {
+    val (inc, base) = incrementalSplit(s, dir, splitMod)
+    val (dig, sigs, df) = corpusSignatures(base, n)
+    incrementalCore(inc, dig, sigs, df, n, threshold)
+  }
+
+  /** Build + persist the base-corpus signature store under `path`:
+    * `digests` (digest → smallest doc), `shingles` (doc_id, sorted distinct
+    * 64-bit shingle hashes), `df` (shingle hash → document frequency).
+    * One scan of the base corpus; everything downstream reads only these.
+    */
+  def writeCorpusSignatures(s: SparkSession, dir: String, path: String,
+      n: Int = 3, splitMod: Int = 5): Unit = {
+    val (_, base) = incrementalSplit(s, dir, splitMod)
+    val (dig, sigs, df) = corpusSignatures(base, n)
+    dig.write.mode("overwrite").parquet(s"$path/digests")
+    sigs.write.mode("overwrite").parquet(s"$path/shingles")
+    df.write.mode("overwrite").parquet(s"$path/df")
+  }
+
+  /** [[dd_incremental]] off a persisted signature store — bit-identical to
+    * the inline form (parity-spec'd); the base corpus is never read.
+    */
+  def dd_incremental_stored(s: SparkSession, dir: String, path: String,
+      n: Int = 3, threshold: Double = 0.4, splitMod: Int = 5): DataFrame = {
+    val (inc, _) = incrementalSplit(s, dir, splitMod)
+    // parquet reads widen array elements to containsNull=true; the store is
+    // written from non-null frames, so array_compact is a data no-op that
+    // restores the non-null element type SortedOverlapCount requires
+    val sigs = s.read.parquet(s"$path/shingles")
+      .select(col("doc_id"), array_compact(col("shs")).as("shs"))
+    incrementalCore(inc,
+      s.read.parquet(s"$path/digests"), sigs,
+      s.read.parquet(s"$path/df"), n, threshold)
+  }
+
+  private def incrementalSplit(s: SparkSession, dir: String,
+      splitMod: Int): (DataFrame, DataFrame) = {
+    val all = docs(s, dir).select(col("doc_id"), col("text"))
+    val isInc = pmod(col("doc_id"), lit(splitMod)) === lit(splitMod - 1)
+    (all.filter(isInc), all.filter(!isInc))
+  }
+
+  private def corpusSignatures(base: DataFrame, n: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val dig = base.groupBy(md5(col("text")).as("digest"))
+      .agg(min(col("doc_id")).as("bmatch"))
+    val sigs = base.select(col("doc_id"),
+      array_sort(hashedShingles(col("text"), n)).as("shs"))
+    val df = sigs.select(explode(col("shs")).as("sh"))
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+    (dig, sigs, df)
+  }
+
+  private def incrementalCore(inc: DataFrame, baseDig: DataFrame,
+      baseSigs: DataFrame, df: DataFrame, n: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val exact = inc.select(col("doc_id"), md5(col("text")).as("digest"))
+      .join(baseDig, "digest").select(col("doc_id"), col("bmatch"))
+    val incSigs = inc.select(col("doc_id"),
+        array_sort(hashedShingles(col("text"), n)).as("shs"))
+      .graftCheckpoint() // consumed by the prefix build and the verify join
+    // incoming prefix, rarest-first by BASE df (a shingle absent from the
+    // base sorts first — it consumes a prefix slot but joins to nothing;
+    // the exactness argument is order-independent, see scaladoc)
+    val pref = incSigs
+      .select(col("doc_id").as("a"), size(col("shs")).as("na"),
+        explode(col("shs")).as("sh"))
+      .join(df, Seq("sh"), "left")
+      .withColumn("p", row_number().over(
+        Window.partitionBy("a").orderBy(coalesce(col("df"), lit(0L)), col("sh"))) - 1)
+      .filter(col("p") <
+        col("na") - ceil(col("na").cast("double") * threshold).cast("int") + 1)
+      .select(col("a"), col("na"), col("sh"))
+    val posting = baseSigs.select(col("doc_id").as("b"),
+      size(col("shs")).as("nb"), explode(col("shs")).as("sh"))
+    val candidates = pref.join(posting, "sh")
+      .filter(col("nb").cast("double") >= col("na").cast("double") * threshold - 1e-9)
+      .filter(col("nb").cast("double") <= col("na").cast("double") / threshold + 1e-9)
+      .select(col("a"), col("b")).distinct()
+    val verified = candidates
+      .join(incSigs.select(col("doc_id").as("a"), col("shs").as("sa")), Seq("a"))
+      .join(baseSigs.select(col("doc_id").as("b"), col("shs").as("sb")), Seq("b"))
+      .select(col("a"), col("b"),
+        graft.functions.SortedOverlap.count(col("sa"), col("sb")).as("inter"),
+        size(col("sa")).as("na"), size(col("sb")).as("nb"))
+      .withColumn("j",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("j") >= threshold)
+    val best = verified
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("a").orderBy(col("j").desc, col("b"))))
+      .filter(col("rn") === 1)
+      .select(col("a").as("doc_id"), col("b").as("nmatch"), col("j"))
+    inc.select("doc_id")
+      .join(exact, Seq("doc_id"), "left")
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("bmatch").isNotNull, lit("exact_dup"))
+          .when(col("nmatch").isNotNull, lit("near_dup"))
+          .otherwise(lit("unique")).as("verdict"),
+        coalesce(col("bmatch"), col("nmatch")).as("match_id"),
+        when(col("bmatch").isNotNull, lit(1.0)).otherwise(col("j")).as("jaccard"))
+      .orderBy("doc_id")
+  }
+
+  /** Duplicate-SPAN detection (the ExactSubstr shape of Lee et al., ACL'22
+    * "Deduplicating Training Data Makes Language Models Better"): find the
+    * maximal word-aligned spans of each document that also occur elsewhere
+    * in the corpus, at k-gram granularity. A k-gram (window of k
+    * consecutive words) is *duplicated* when it occurs more than once in
+    * the corpus — across documents or repeated within one, both of which
+    * ExactSubstr removes. Every occurrence of a duplicated k-gram covers
+    * its word interval [pos, pos+k-1]; per document, overlapping or
+    * adjacent covered intervals merge into maximal spans (gaps-and-islands
+    * over a running max-end window). Output is the per-document span
+    * audit: span count, covered word count, longest span, covered
+    * fraction — the frame a curation pipeline thresholds on (Lee et al.
+    * cut spans; a Spark pipeline more often drops or trims documents whose
+    * covered fraction is high).
+    *
+    * The suffix-array machinery of the paper is a single-machine
+    * construction; the k-gram relaxation is the distributed equivalent
+    * (it finds exactly the duplicated substrings of length ≥ k, quantized
+    * to word boundaries) and is pure DataFrame algebra:
+    *   - one shuffle on the 64-bit k-gram hash (map-side partial counts,
+    *     so one row per distinct k-gram crosses the wire),
+    *   - one shuffle join of occurrences against the duplicated-hash set
+    *     (equi join on the hash — no quadratic anywhere; a k-gram with f
+    *     occurrences contributes f rows, not f²),
+    *   - one shuffle on doc_id for the island merge windows + final agg.
+    * All arithmetic is integer (positions, counts) except the final
+    * covered-fraction division — the oracle twin reproduces it exactly.
+    *
+    * Docs shorter than k words carry no k-gram and cannot be covered
+    * (ExactSubstr's own length floor); they emit nothing.
+    */
+  def dd_spans(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+      .select(col("doc_id"), col("text"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= k)
+    // (doc_id, pos, 64-bit k-gram hash): pos is the 0-based word index of
+    // the window start. Hash before the shuffle — the corpus-wide count
+    // groups long keys, never strings (same collision stance as
+    // dd_ngram_jaccard: 2^-64 is below practical risk, and the DuckDB twin
+    // groups the strings themselves, so a collision would surface as a
+    // hash mismatch in the correctness gate).
+    val occ = d.select(col("doc_id"),
+        posexplode(shingles(col("text"), k)).as(Seq("pos", "sh")))
+      .select(col("doc_id"), col("pos"), xxhash64(col("sh")).as("h"))
+      .graftCheckpoint() // consumed twice: the dup-set count and the probe side
+    val dup = occ.groupBy("h").agg(count(lit(1)).as("occs"))
+      .filter(col("occs") > 1).select("h")
+    val iv = occ.join(dup, "h")
+      .select(col("doc_id"), col("pos").as("s"), (col("pos") + lit(k - 1)).as("e"))
+    // gaps-and-islands: a window starts a new island when it begins past
+    // the running max end + 1 (adjacent windows chain — they describe one
+    // contiguous duplicated region)
+    val byDoc = Window.partitionBy("doc_id").orderBy("s")
+    val pme = max(col("e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val isl = iv
+      .withColumn("ni", when(pme.isNull || col("s") > pme + 1, 1).otherwise(0))
+      .withColumn("isl", sum(col("ni")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "isl")
+      .agg(min(col("s")).as("ss"), max(col("e")).as("se"))
+    isl.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("se") - col("ss") + 1).as("dup_words"),
+        max(col("se") - col("ss") + 1).cast("long").as("max_span"))
+      .join(d.select(col("doc_id"), size(col("w")).cast("long").as("n_words")), "doc_id")
+      .select(col("doc_id"), col("n_words"), col("n_spans"), col("dup_words"),
+        col("max_span"),
+        (col("dup_words").cast("double") / col("n_words")).as("dup_frac"))
+      .orderBy("doc_id")
+  }
 }

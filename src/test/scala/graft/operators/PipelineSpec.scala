@@ -93,6 +93,63 @@ class PipelineSpec extends AnyFunSuite {
     assert(sh.toSeq == Seq((1L, 2L)))
   }
 
+  test("dd_spans: merges overlapping duplicated 8-grams into maximal spans") {
+    // doc 1 and doc 2 share the 10-word region s1..s10 (3 overlapping
+    // duplicated 8-grams → ONE merged span of 10 words in each); doc 3 is
+    // long but unique (no row); doc 4 is under 8 words (no k-grams, no
+    // row); doc 5 repeats an 8-word block internally with a 1-word gap
+    // (two disjoint spans — within-doc repetition counts as duplication).
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val block = (1 to 8).map(i => s"r$i").mkString(" ")
+    val dir = tmpDocs(Seq(
+      (1L, s"u1 u2 u3 u4 u5 $shared u6 u7 u8 u9 u10", "en", "s", 1L),
+      (2L, s"v1 v2 $shared v3 v4 v5 v6 v7 v8", "en", "s", 1L),
+      (3L, (1 to 12).map(i => s"x$i").mkString(" "), "en", "s", 1L),
+      (4L, "w1 w2 w3 w4 w5", "en", "s", 1L),
+      (5L, s"$block m1 $block", "en", "s", 1L)))
+    val out = Dedup.dd_spans(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.keySet == Set(1L, 2L, 5L))
+    assert(out(1L) == ((20L, 1L, 10L, 10L))) // n_words, n_spans, dup_words, max_span
+    assert(out(2L) == ((18L, 1L, 10L, 10L)))
+    assert(out(5L) == ((17L, 2L, 16L, 8L)))
+    val frac1 = Dedup.dd_spans(spark, dir)
+      .filter(col("doc_id") === 1L).select("dup_frac").head().getDouble(0)
+    assert(frac1 == 0.5)
+  }
+
+  test("dd_incremental: exact beats near, best-Jaccard partner, store parity") {
+    // split mod 5: incoming = residue 4 (docs 4, 9, 14, 19); base = rest
+    val t2 = "spark catalyst optimizer rewrites logical plans into physical plans"
+    val dir = tmpDocs(Seq(
+      (1L, "alpha beta gamma delta epsilon", "en", "s", 1L),
+      (2L, t2, "en", "s", 1L),
+      (3L, "completely different base content here", "en", "s", 1L),
+      (6L, "alpha beta gamma delta epsilon", "en", "s", 1L), // same digest as 1
+      (4L, "alpha beta gamma delta epsilon", "en", "s", 1L), // exact dup → min base id 1
+      (9L, s"$t2 with codegen", "en", "s", 1L),              // near dup of 2
+      (14L, "zebra quark lattice osmosis vortex plasma", "en", "s", 1L), // unique
+      (19L, t2, "en", "s", 1L)))                             // exact dup of 2
+    val out = Dedup.dd_incremental(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(out(4L) == (("exact_dup", 1L)))
+    assert(out(9L) == (("near_dup", 2L)))
+    assert(out(14L) == (("unique", -1L)))
+    assert(out(19L) == (("exact_dup", 2L)))
+    // exact dups carry jaccard 1.0; uniques carry null
+    val j = Dedup.dd_incremental(spark, dir).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(j(4L).contains(1.0) && j(19L).contains(1.0) && j(14L).isEmpty)
+    assert(j(9L).exists(v => v > 0.4 && v < 1.0))
+    // the persisted-signature path is bit-identical to the inline path
+    val store = java.nio.file.Files.createTempDirectory("graftsig").toString
+    Dedup.writeCorpusSignatures(spark, dir, store)
+    val inline = Dedup.dd_incremental(spark, dir).collect().toSeq
+    val stored = Dedup.dd_incremental_stored(spark, dir, store).collect().toSeq
+    assert(inline == stored)
+  }
+
   test("tx_fingerprint: identical docs collide; near-identical overlap heavily") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
     val dir = tmpDocs(Seq(
