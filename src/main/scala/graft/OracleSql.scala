@@ -1201,5 +1201,19 @@ object OracleSql {
         |FROM inc i LEFT JOIN ex ON ex.doc_id = i.doc_id
         |           LEFT JOIN best ON best.a = i.doc_id
         |ORDER BY i.doc_id""".stripMargin,
+
+    // q48_upsert: latest-wins MERGE over the tagged union — arg_max is
+    // DuckDB's max_by; versions are distinct per key so ties are impossible
+    "q48_upsert" ->
+      """SELECT o_orderkey,
+        |  arg_max(o_orderstatus, version) AS o_orderstatus,
+        |  arg_max(o_totalprice, version) AS o_totalprice,
+        |  CAST(max(version) AS INT) AS version
+        |FROM (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS version FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'X', o_totalprice + 10.0, 1 FROM orders
+        |  WHERE o_orderkey % 7 = 0)
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
   )
 }

@@ -132,6 +132,7 @@ object SparkEntry {
     "tx_pii" -> (TextAnalysis.tx_pii _),
     "dd_spans" -> ((s, d) => Dedup.dd_spans(s, d)),
     "dd_incremental" -> ((s, d) => Dedup.dd_incremental(s, d)),
+    "q48_upsert" -> (Relational.q48_upsert _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the

@@ -876,4 +876,29 @@ object Relational {
         max(regexp_extract(col("text"), "([a-z]+) dup", 1)).as("before_dup"),
         min(md5(regexp_replace(col("text"), "[aeiou]", ""))).as("vowel_probe"))
       .orderBy("lang")
+
+  /** MERGE-shaped latest-wins upsert (SCD type 1): a deterministic updates
+    * batch (every 7th order re-keyed to status 'X', price +10) overlays the
+    * base table; per key the highest version wins. Spelled as `max_by` over
+    * the tagged union rather than `row_number` = 1 — max_by partial-
+    * aggregates map-side, so one row per key per partition crosses the one
+    * shuffle, where the window form would shuffle every version of every
+    * key and sort each group. At 100 TB this is the difference between a
+    * shuffle sized by the delta-merged table and one sized by all versions.
+    * Versions are distinct per key (0 base / 1 update) → deterministic.
+    */
+  def q48_upsert(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val base = o.select(col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice"), lit(0).as("version"))
+    val upd = o.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), lit("X").as("o_orderstatus"),
+        (col("o_totalprice") + 10.0).as("o_totalprice"), lit(1).as("version"))
+    base.unionByName(upd)
+      .groupBy("o_orderkey")
+      .agg(max_by(col("o_orderstatus"), col("version")).as("o_orderstatus"),
+        max_by(col("o_totalprice"), col("version")).as("o_totalprice"),
+        max(col("version")).as("version"))
+      .orderBy("o_orderkey")
+  }
 }
