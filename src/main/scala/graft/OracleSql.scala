@@ -1202,6 +1202,47 @@ object OracleSql {
         |           LEFT JOIN best ON best.a = i.doc_id
         |ORDER BY i.doc_id""".stripMargin,
 
+    // dd_spans_trim: the removal half — same span CTEs as dd_spans, then
+    // words outside every span reassemble in position order; the md5 pins
+    // the exact reconstructed text (split-then-join is byte-exact).
+    "dd_spans_trim" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0, len(w) - 8)) AS pos,
+        |    unnest(list_transform(generate_series(0, len(w) - 8),
+        |                          i -> array_to_string(w[i+1:i+8], ' '))) AS sh
+        |  FROM w WHERE len(w) >= 8),
+        |dup AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 1),
+        |iv AS (SELECT s.doc_id, s.pos AS st, s.pos + 7 AS e
+        |       FROM sh s JOIN dup USING (sh)),
+        |x AS (SELECT doc_id, st, e,
+        |        max(e) OVER (PARTITION BY doc_id ORDER BY st
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |      FROM iv),
+        |y AS (SELECT doc_id, st, e,
+        |        CASE WHEN pme IS NULL OR st > pme + 1 THEN 1 ELSE 0 END AS ni FROM x),
+        |z AS (SELECT doc_id, st, e,
+        |        sum(ni) OVER (PARTITION BY doc_id ORDER BY st
+        |                      ROWS UNBOUNDED PRECEDING) AS isl FROM y),
+        |sp AS (SELECT doc_id, isl, min(st) AS ss, max(e) AS se FROM z GROUP BY 1, 2),
+        |w2 AS (SELECT doc_id,
+        |         unnest(w) AS word,
+        |         unnest(generate_series(0, len(w) - 1)) AS pos
+        |       FROM w),
+        |kept AS (SELECT w2.doc_id, w2.word, w2.pos
+        |         FROM w2 LEFT JOIN sp ON sp.doc_id = w2.doc_id
+        |                             AND w2.pos BETWEEN sp.ss AND sp.se
+        |         WHERE sp.doc_id IS NULL),
+        |agg AS (SELECT doc_id, count(*) AS kept_words,
+        |          coalesce(string_agg(word, ' ' ORDER BY pos), '') AS trimmed
+        |        FROM kept GROUP BY 1)
+        |SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_words,
+        |  CAST(coalesce(agg.kept_words, 0) AS BIGINT) AS kept_words,
+        |  md5(coalesce(agg.trimmed, '')) AS trimmed_digest
+        |FROM w LEFT JOIN agg ON agg.doc_id = w.doc_id
+        |ORDER BY w.doc_id""".stripMargin,
+
     // q48_upsert: latest-wins MERGE over the tagged union — arg_max is
     // DuckDB's max_by; versions are distinct per key so ties are impossible
     "q48_upsert" ->

@@ -133,6 +133,7 @@ object SparkEntry {
     "dd_spans" -> ((s, d) => Dedup.dd_spans(s, d)),
     "dd_incremental" -> ((s, d) => Dedup.dd_incremental(s, d)),
     "q48_upsert" -> (Relational.q48_upsert _),
+    "dd_spans_trim" -> ((s, d) => Dedup.dd_spans_trim(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the

@@ -979,17 +979,36 @@ object Dedup {
     * (ExactSubstr's own length floor); they emit nothing.
     */
   def dd_spans(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val (d, spans) = spanFrames(s, dir, k)
+    spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("se") - col("ss") + 1).as("dup_words"),
+        max(col("se") - col("ss") + 1).cast("long").as("max_span"))
+      .join(d.select(col("doc_id"), size(col("w")).cast("long").as("n_words")), "doc_id")
+      .select(col("doc_id"), col("n_words"), col("n_spans"), col("dup_words"),
+        col("max_span"),
+        (col("dup_words").cast("double") / col("n_words")).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** The all-docs words frame and the merged duplicated-span intervals
+    * behind [[dd_spans]] / [[dd_spans_trim]]: `d` carries every document
+    * (doc_id, text, w); `spans` carries (doc_id, ss, se) maximal intervals
+    * for documents of ≥ k words with duplicated k-grams.
+    */
+  private def spanFrames(s: SparkSession, dir: String, k: Int)
+      : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val d = docs(s, dir)
       .select(col("doc_id"), col("text"), words(col("text")).as("w"))
-      .filter(size(col("w")) >= k)
+    val eligible = d.filter(size(col("w")) >= k)
     // (doc_id, pos, 64-bit k-gram hash): pos is the 0-based word index of
     // the window start. Hash before the shuffle — the corpus-wide count
     // groups long keys, never strings (same collision stance as
     // dd_ngram_jaccard: 2^-64 is below practical risk, and the DuckDB twin
     // groups the strings themselves, so a collision would surface as a
     // hash mismatch in the correctness gate).
-    val occ = d.select(col("doc_id"),
+    val occ = eligible.select(col("doc_id"),
         posexplode(shingles(col("text"), k)).as(Seq("pos", "sh")))
       .select(col("doc_id"), col("pos"), xxhash64(col("sh")).as("h"))
       .graftCheckpoint() // consumed twice: the dup-set count and the probe side
@@ -1002,20 +1021,48 @@ object Dedup {
     // contiguous duplicated region)
     val byDoc = Window.partitionBy("doc_id").orderBy("s")
     val pme = max(col("e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
-    val isl = iv
+    val spans = iv
       .withColumn("ni", when(pme.isNull || col("s") > pme + 1, 1).otherwise(0))
       .withColumn("isl", sum(col("ni")).over(
         byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("doc_id", "isl")
       .agg(min(col("s")).as("ss"), max(col("e")).as("se"))
-    isl.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_spans"),
-        sum(col("se") - col("ss") + 1).as("dup_words"),
-        max(col("se") - col("ss") + 1).cast("long").as("max_span"))
-      .join(d.select(col("doc_id"), size(col("w")).cast("long").as("n_words")), "doc_id")
-      .select(col("doc_id"), col("n_words"), col("n_spans"), col("dup_words"),
-        col("max_span"),
-        (col("dup_words").cast("double") / col("n_words")).as("dup_frac"))
+    (d, spans)
+  }
+
+  /** The REMOVAL half of ExactSubstr dedup ([[dd_spans]] is the audit):
+    * rebuild every document with its duplicated spans cut out. Words whose
+    * position falls inside any merged span are dropped (left-anti join on
+    * doc_id + interval containment — spans are disjoint by construction,
+    * so no word matches twice); survivors reassemble in position order.
+    * Documents under k words or with no duplicated k-gram pass through
+    * verbatim (the reassembly is byte-exact: split-on-space then
+    * join-with-space reproduces the original, empty tokens included).
+    * Output is the per-doc trim audit with an md5 of the trimmed text, so
+    * the oracle pins the actual reconstruction, not just counts. A doc
+    * that is entirely duplicated trims to the empty string.
+    *
+    * Scale shape: word-level explode is linear in corpus tokens, the
+    * anti join is equi on doc_id (span lists are per-doc small), and the
+    * reassembly is one groupBy(doc_id) whose collect_list is bounded by
+    * document length — the same per-doc bound every text operator here
+    * already carries. No quadratic anywhere.
+    */
+  def dd_spans_trim(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val (d, spans) = spanFrames(s, dir, k)
+    val wp = d.select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "word")))
+    val kept = wp.join(spans,
+      wp("doc_id") === spans("doc_id") &&
+        col("pos") >= col("ss") && col("pos") <= col("se"), "left_anti")
+    val re = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("kept_words"),
+      array_join(transform(array_sort(collect_list(struct(col("pos"), col("word")))),
+        x => x.getField("word")), " ").as("trimmed"))
+    d.select(col("doc_id"), size(col("w")).cast("long").as("n_words"))
+      .join(re, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("kept_words"), lit(0L)).as("kept_words"),
+        md5(coalesce(col("trimmed"), lit(""))).as("trimmed_digest"))
       .orderBy("doc_id")
   }
 }

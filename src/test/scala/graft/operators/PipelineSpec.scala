@@ -118,6 +118,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(frac1 == 0.5)
   }
 
+  test("dd_spans_trim: cuts exactly the merged spans, passes short/unique docs") {
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val block = (1 to 8).map(i => s"r$i").mkString(" ")
+    val dir = tmpDocs(Seq(
+      (1L, s"u1 u2 $shared u3 u4", "en", "s", 1L),   // 14 words, span covers 10
+      (2L, s"v1 $shared v2 v3 v4", "en", "s", 1L),   // 15 words, span covers 10
+      (3L, "w1 w2 w3", "en", "s", 1L),               // short: verbatim
+      (4L, block, "en", "s", 1L),                    // fully duplicated → empty
+      (5L, block, "en", "s", 1L)))                   // fully duplicated → empty
+    def md5s(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val out = Dedup.dd_spans_trim(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((14L, 4L, md5s("u1 u2 u3 u4"))))
+    assert(out(2L) == ((14L, 4L, md5s("v1 v2 v3 v4"))))
+    assert(out(3L) == ((3L, 3L, md5s("w1 w2 w3"))))
+    assert(out(4L) == ((8L, 0L, md5s(""))))
+    assert(out(5L) == ((8L, 0L, md5s(""))))
+  }
+
   test("dd_incremental: exact beats near, best-Jaccard partner, store parity") {
     // split mod 5: incoming = residue 4 (docs 4, 9, 14, 19); base = rest
     val t2 = "spark catalyst optimizer rewrites logical plans into physical plans"
