@@ -884,12 +884,25 @@ object Dedup {
     (all.filter(isInc), all.filter(!isInc))
   }
 
+  /** Base-corpus signature frames: digest → smallest doc, one row per
+    * DISTINCT shingle set (representative = min doc_id — identical sets
+    * collapse, the same exact-dup-clique guard as [[ngramRepPairs]]), and
+    * per-shingle document frequency over the collapsed sets. The collapse
+    * is output-invariant: every base group member has the identical
+    * Jaccard to any probe, so the best partner at any J is always some
+    * group's MINIMUM member — exactly the representative — and the global
+    * (j desc, id asc) tie-break over representatives equals the tie-break
+    * over all members. A re-crawled 1000-copy clique costs one signature
+    * row instead of 1000× the candidate and verify work.
+    */
   private def corpusSignatures(base: DataFrame, n: Int)
       : (DataFrame, DataFrame, DataFrame) = {
     val dig = base.groupBy(md5(col("text")).as("digest"))
       .agg(min(col("doc_id")).as("bmatch"))
-    val sigs = base.select(col("doc_id"),
-      array_sort(hashedShingles(col("text"), n)).as("shs"))
+    val sigs = base
+      .select(col("doc_id"), array_sort(hashedShingles(col("text"), n)).as("shs"))
+      .groupBy("shs").agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("shs"))
     val df = sigs.select(explode(col("shs")).as("sh"))
       .groupBy("sh").agg(count(lit(1)).as("df"))
     (dig, sigs, df)
@@ -900,9 +913,23 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val exact = inc.select(col("doc_id"), md5(col("text")).as("digest"))
       .join(baseDig, "digest").select(col("doc_id"), col("bmatch"))
-    val incSigs = inc.select(col("doc_id"),
-        array_sort(hashedShingles(col("text"), n)).as("shs"))
-      .graftCheckpoint() // consumed by the prefix build and the verify join
+      .graftCheckpoint() // consumed by the near-path exclusion and the verdict join
+    // exact-matched docs never enter near-dup candidate generation: their
+    // verdict is already decided (exact wins in the output CASE regardless
+    // of any near partner), and in the dominant re-crawl workload MOST of
+    // the delta is exact dups — this anti join removes their entire
+    // shingle/prefix/verify cost, the bulk of the operator's work.
+    // The survivors then collapse by DISTINCT shingle set (the incoming
+    // side of the representative-collapse guard — see [[corpusSignatures]]
+    // for the base side and the output-invariance argument): every member
+    // of a group shares the identical best partner and Jaccard, so the
+    // near path runs once per distinct set and fans the result back out.
+    val incGroups = inc.join(exact.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), array_sort(hashedShingles(col("text"), n)).as("shs"))
+      .groupBy("shs")
+      .agg(min(col("doc_id")).as("irep"), collect_list(col("doc_id")).as("members"))
+      .graftCheckpoint() // consumed by the prefix build, verify join, and fan-out
+    val incSigs = incGroups.select(col("irep").as("doc_id"), col("shs"))
     // incoming prefix, rarest-first by BASE df (a shingle absent from the
     // base sorts first — it consumes a prefix slot but joins to nothing;
     // the exactness argument is order-independent, see scaladoc)
@@ -934,7 +961,10 @@ object Dedup {
       .withColumn("rn", row_number().over(
         Window.partitionBy("a").orderBy(col("j").desc, col("b"))))
       .filter(col("rn") === 1)
-      .select(col("a").as("doc_id"), col("b").as("nmatch"), col("j"))
+      .select(col("a").as("irep"), col("b").as("nmatch"), col("j"))
+      // fan the group verdict back out to every member (output-only work)
+      .join(incGroups.select(col("irep"), col("members")), Seq("irep"))
+      .select(explode(col("members")).as("doc_id"), col("nmatch"), col("j"))
     inc.select("doc_id")
       .join(exact, Seq("doc_id"), "left")
       .join(best, Seq("doc_id"), "left")
