@@ -1243,6 +1243,53 @@ object OracleSql {
         |FROM w LEFT JOIN agg ON agg.doc_id = w.doc_id
         |ORDER BY w.doc_id""".stripMargin,
 
+    // pipeline_incremental: the daily-delta audit — Gopher-gate the
+    // incoming split, classify survivors against the base (existence of a
+    // J >= t partner suffices for the verdict census; the argmax identity
+    // is dd_incremental's concern), count per stage.
+    "pipeline_incremental" ->
+      s"""WITH all0 AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS w,
+         |    CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+         |      / len(string_split(text, ' ')) AS ml
+         |  FROM documents),
+         |inc AS (SELECT * FROM all0 WHERE doc_id % 5 = 4),
+         |base AS (SELECT doc_id, text FROM all0 WHERE doc_id % 5 <> 4),
+         |q AS (SELECT doc_id, text FROM inc
+         |      WHERE $wordBandSql AND $meanBandSql AND $stopHitsSql),
+         |ex AS (SELECT DISTINCT i.doc_id
+         |       FROM q i JOIN base b ON md5(i.text) = md5(b.text)),
+         |shi AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+         |         ELSE list_transform(generate_series(0, len(w) - 3),
+         |                             i -> array_to_string(w[i+1:i+3], ' ')) END)) AS sh
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM q)),
+         |shb AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+         |         ELSE list_transform(generate_series(0, len(w) - 3),
+         |                             i -> array_to_string(w[i+1:i+3], ' ')) END)) AS sh
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM base)),
+         |szi AS (SELECT doc_id, count(*) AS n FROM shi GROUP BY 1),
+         |szb AS (SELECT doc_id, count(*) AS n FROM shb GROUP BY 1),
+         |ov AS (SELECT i.doc_id AS a, b.doc_id AS b, count(*) AS o
+         |       FROM shi i JOIN shb b USING (sh) GROUP BY 1, 2),
+         |nearhit AS (SELECT DISTINCT a AS doc_id
+         |            FROM ov JOIN szi si ON si.doc_id = a
+         |                    JOIN szb sb ON sb.doc_id = b
+         |            WHERE CAST(o AS DOUBLE) / (si.n + sb.n - o) >= 0.4),
+         |v AS (SELECT q.doc_id,
+         |        CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+         |             WHEN nh.doc_id IS NOT NULL THEN 'near_dup'
+         |             ELSE 'unique' END AS verdict
+         |      FROM q LEFT JOIN ex ON ex.doc_id = q.doc_id
+         |             LEFT JOIN nearhit nh ON nh.doc_id = q.doc_id)
+         |SELECT '0_delta' AS stage, count(*) AS n FROM inc
+         |UNION ALL SELECT '1_quality', count(*) FROM q
+         |UNION ALL SELECT '2_' || verdict, count(*) FROM v GROUP BY 1
+         |ORDER BY stage""".stripMargin,
+
     // q48_upsert: latest-wins MERGE over the tagged union — arg_max is
     // DuckDB's max_by; versions are distinct per key so ties are impossible
     "q48_upsert" ->

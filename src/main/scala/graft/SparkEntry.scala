@@ -134,6 +134,7 @@ object SparkEntry {
     "dd_incremental" -> ((s, d) => Dedup.dd_incremental(s, d)),
     "q48_upsert" -> (Relational.q48_upsert _),
     "dd_spans_trim" -> ((s, d) => Dedup.dd_spans_trim(s, d)),
+    "pipeline_incremental" -> (Curation.pipeline_incremental _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the

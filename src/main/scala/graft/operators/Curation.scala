@@ -167,6 +167,35 @@ object Curation {
       .orderBy("stage")
   }
 
+  /** The DAILY-DELTA ingestion pipeline as one audit query: the incoming
+    * 20 % split is quality-gated (the shared Gopher criteria), and the
+    * survivors are classified against the base corpus with the
+    * incremental-dedup core ([[Dedup.incrementalVerdicts]] — exact digest
+    * match, else best n-gram Jaccard partner, else unique). Emits the
+    * per-stage audit a production ingest run logs: delta size, quality
+    * survivors, and the verdict census that decides what actually enters
+    * the corpus. Same scale shape as [[Dedup.dd_incremental]]: work is
+    * O(|delta| × candidates), the base corpus is touched only for its
+    * signature frames, and the Gopher gate is a map-only filter applied
+    * BEFORE any shingling — rejected docs never pay dedup cost.
+    */
+  def pipeline_incremental(s: SparkSession, dir: String): DataFrame = {
+    val (okCount, okMean, okStops) = TextAnalysis.gopherCriteria()
+    val all = docs(s, dir).select(col("doc_id"), col("text"))
+    val isInc = pmod(col("doc_id"), lit(5)) === lit(4)
+    val inc = all.filter(isInc)
+    val base = all.filter(!isInc)
+    val quality = inc.filter(okCount && okMean && okStops)
+    val verdicts = Dedup.incrementalVerdicts(quality, base, 3, 0.4)
+    inc.agg(count(lit(1)).as("n")).select(lit("0_delta").as("stage"), col("n"))
+      .unionAll(quality.agg(count(lit(1)).as("n"))
+        .select(lit("1_quality").as("stage"), col("n")))
+      .unionAll(verdicts
+        .groupBy(concat(lit("2_"), col("verdict")).as("stage"))
+        .agg(count(lit(1)).as("n")))
+      .orderBy("stage")
+  }
+
   /** THE end-to-end training-data job, as one audit query: quality gate →
     * exact dedup → benchmark decontamination → temperature sampling →
     * sequence packing, emitting per-stage survivor counts (documents; the

@@ -843,6 +843,16 @@ object Dedup {
   def dd_incremental(s: SparkSession, dir: String, n: Int = 3,
       threshold: Double = 0.4, splitMod: Int = 5): DataFrame = {
     val (inc, base) = incrementalSplit(s, dir, splitMod)
+    incrementalVerdicts(inc, base, n, threshold)
+  }
+
+  /** The classification core of [[dd_incremental]] on caller-supplied
+    * frames (both need doc_id + text) — shared with
+    * [[Curation.pipeline_incremental]], which gates the delta on quality
+    * before classifying it.
+    */
+  private[operators] def incrementalVerdicts(inc: DataFrame, base: DataFrame,
+      n: Int, threshold: Double): DataFrame = {
     val (dig, sigs, df) = corpusSignatures(base, n)
     incrementalCore(inc, dig, sigs, df, n, threshold)
   }
