@@ -196,4 +196,27 @@ object DocsStream {
           .cast("double") / k).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }
+
+  /** Ingest-time EXACT screening against the PERSISTED corpus signature
+    * store ([[graft.operators.Dedup.writeCorpusSignatures]]) — the
+    * streaming face of [[graft.operators.Dedup.dd_incremental_stored]]'s
+    * exact half: a stream-static left join on content digest tags each
+    * arriving document `exact_dup` (with the smallest matching corpus doc
+    * as match_id) or `unseen`. Stateless — no state store, no watermark;
+    * the static side is re-resolved per micro-batch, so a store the
+    * nightly batch job rewrites is picked up without restarting the
+    * stream. Near-duplicate screening at ingest stays [[nearDupScreen]]'s
+    * job (banded sketches); WITHIN-stream duplicates are [[ingestDedup]]'s
+    * (the store only knows the corpus as of its last build). Callers gate
+    * by filtering `verdict = 'unseen'`.
+    */
+  def storeDedupGate(stream: DataFrame,
+      spark: org.apache.spark.sql.SparkSession, storePath: String): DataFrame =
+    stream
+      .withColumn("digest", md5(col("text")))
+      .join(spark.read.parquet(s"$storePath/digests"), Seq("digest"), "left")
+      .select(col("doc_id"), col("text"),
+        when(col("bmatch").isNotNull, lit("exact_dup"))
+          .otherwise(lit("unseen")).as("verdict"),
+        col("bmatch").as("match_id"))
 }

@@ -173,6 +173,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("storeDedupGate: stream-static digest join against the persisted signature store") {
+    // store built by the batch job over a base corpus (doc_id mod 5 != 4)
+    val dir = java.nio.file.Files.createTempDirectory("graftstoredocs").toString
+    Seq((1L, "alpha beta gamma delta", "en", "s", 1L),
+      (2L, "spark catalyst optimizer rewrites plans", "en", "s", 1L),
+      (6L, "alpha beta gamma delta", "en", "s", 1L)) // same digest as 1
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val store = java.nio.file.Files.createTempDirectory("graftstoresig").toString
+    graft.operators.Dedup.writeCorpusSignatures(spark, dir, store)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = DocsStream.storeDedupGate(input.toDS().toDF("doc_id", "text"), spark, store)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("store_gate_out").start()
+    try {
+      input.addData(
+        (10L, "alpha beta gamma delta"),                 // exact dup → match 1 (min of {1,6})
+        (11L, "spark catalyst optimizer rewrites plans"), // exact dup → match 2
+        (12L, "never seen content entirely new here"))    // unseen
+      q.processAllAvailable()
+      val out = spark.table("store_gate_out").collect()
+        .map(r => r.getLong(0) -> ((r.getString(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+      assert(out(10L) == (("exact_dup", 1L)))
+      assert(out(11L) == (("exact_dup", 2L)))
+      assert(out(12L) == (("unseen", -1L)))
+    } finally q.stop()
+  }
+
   test("streaming curation gate: quality filter + digest + split agree with the batch twin") {
     val pass = (Seq("the", "a", "of") ++ (1 to 20).map(i => s"word$i")).mkString(" ")
     val fail = "way too short"
