@@ -1303,5 +1303,31 @@ object OracleSql {
         |  SELECT o_orderkey, 'X', o_totalprice + 10.0, 1 FROM orders
         |  WHERE o_orderkey % 7 = 0)
         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+
+    // q49_scd2: SCD2 history via the lag-change-flag / running-sum islands
+    // pattern; state is constant within an island so min() is the value
+    "q49_scd2" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), islands AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM flagged
+        |), periods AS (
+        |  SELECT user_id, grp, min(event_type) AS state, min(ts) AS valid_from,
+        |    count(*) AS n_events
+        |  FROM islands GROUP BY user_id, grp
+        |)
+        |SELECT user_id, state, valid_from,
+        |  lead(valid_from) OVER v AS valid_to,
+        |  lead(valid_from) OVER v IS NULL AS is_current,
+        |  n_events
+        |FROM periods
+        |WINDOW v AS (PARTITION BY user_id ORDER BY grp)
+        |ORDER BY user_id, valid_from""".stripMargin,
   )
 }

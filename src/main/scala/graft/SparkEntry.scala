@@ -135,6 +135,7 @@ object SparkEntry {
     "q48_upsert" -> (Relational.q48_upsert _),
     "dd_spans_trim" -> ((s, d) => Dedup.dd_spans_trim(s, d)),
     "pipeline_incremental" -> (Curation.pipeline_incremental _),
+    "q49_scd2" -> (Relational.q49_scd2 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the

@@ -901,4 +901,41 @@ object Relational {
         max(col("version")).as("version"))
       .orderBy("o_orderkey")
   }
+
+  /** SCD type-2 history build — [[q48_upsert]]'s companion: instead of
+    * latest-wins, KEEP every state with its validity interval. The events
+    * table is read as a change feed (each event sets the user's
+    * `event_type` state); consecutive repeats of the same state collapse
+    * into one period (SCD2 only writes a row when the attribute CHANGES),
+    * `valid_from` = first change ts, `valid_to` = next period's start
+    * (NULL = current), via the lag-change-flag / running-sum islands
+    * pattern. Scale shape: every window and the aggregate cluster on
+    * `user_id` (the islands aggregate adds `grp`, and hash(user_id)
+    * already satisfies ClusteredDistribution(user_id, grp)), so the whole
+    * operator is ONE shuffle on user_id plus sorts — no per-period
+    * re-shuffle, no driver state; history length per key is bounded by
+    * that key's change count, never the table size.
+    */
+  def q49_scd2(s: SparkSession, dir: String): DataFrame = {
+    val seq = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val periods = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(seq).isNull ||
+          lag(col("event_type"), 1).over(seq) =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("grp",
+        sum(col("chg")).over(seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(min(col("event_type")).as("state"), min(col("ts")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    // order the period chain by the island index, not valid_from: two
+    // same-instant changes yield periods with EQUAL valid_from, and grp is
+    // the strict per-user time order the islands were built in
+    val byStart = Window.partitionBy(col("user_id")).orderBy(col("grp"))
+    periods
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byStart))
+      .select(col("user_id"), col("state"), col("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"), col("n_events"))
+      .orderBy("user_id", "valid_from")
+  }
 }

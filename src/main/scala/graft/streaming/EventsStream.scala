@@ -95,6 +95,50 @@ object EventsStream {
   case class Session(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long)
 
+  case class Scd2State(state: String, validFrom: Long, n: Long)
+  case class Scd2Period(user_id: Long, state: String,
+      valid_from: java.sql.Timestamp, valid_to: java.sql.Timestamp, n_events: Long)
+
+  /** Streaming SCD2 history — the streaming twin of
+    * [[graft.operators.Relational.q49_scd2]]: each user's event feed is a
+    * change feed over `event_type`; a period CLOSES (and is emitted, with
+    * `valid_to` = the superseding change's ts) the moment an event carries
+    * a different state, exactly as the batch islands build assigns
+    * `valid_to` = next period's `valid_from`. The open (is_current) period
+    * lives only in state — append mode cannot retract, so it is emitted by
+    * the batch twin, not the stream. State per user is one small struct
+    * (current state, start, count) regardless of history length; like
+    * [[sessionize]], per-user event-time order is assumed across batches
+    * (the file/ingest sources replay in order; out-of-order feeds need the
+    * watermark-sorted shape instead).
+    */
+  def scd2Stream(events: Dataset[Event]): Dataset[Scd2Period] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[Event], state: GroupState[Scd2State]) => {
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var cur = state.getOption
+          val closed = Seq.newBuilder[Scd2Period]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(c) if c.state == e.event_type =>
+                cur = Some(c.copy(n = c.n + 1))
+              case Some(c) =>
+                closed += Scd2Period(userId, c.state,
+                  new java.sql.Timestamp(c.validFrom), new java.sql.Timestamp(t), c.n)
+                cur = Some(Scd2State(e.event_type, t, 1))
+              case None =>
+                cur = Some(Scd2State(e.event_type, t, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+        })
+  }
+
   /** Stateful gap-based sessionization (30-min inactivity) via
     * flatMapGroupsWithState — the streaming twin of `q24_sessionize`.
     * State per user is one small struct; a processing-time timeout flushes

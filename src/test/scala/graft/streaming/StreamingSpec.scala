@@ -124,6 +124,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("scd2Stream: closed periods match the batch twin; open period stays in state") {
+    val input = MemoryStream[EventsStream.Event](spark)
+    def ev(id: Long, user: Long, sec: Long, st: String) =
+      EventsStream.Event(id, new java.sql.Timestamp(sec * 1000L), user, st, 1.0)
+    // user 7: A,A,B,A (A-period closes at B's ts, B-period at the return to
+    // A, final A stays open); user 9: C only (never closes)
+    val batch1 = Seq(ev(1, 7, 0, "A"), ev(2, 7, 60, "A"), ev(3, 7, 120, "B"))
+    val batch2 = Seq(ev(4, 7, 180, "A"), ev(5, 9, 0, "C"))
+    val q = EventsStream.scd2Stream(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("scd2_out").start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("scd2_out")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getTimestamp(2), r.getTimestamp(3), r.getLong(4))).toSeq.sorted
+      // batch twin on the identical rows: closed periods = NOT is_current
+      val dir = java.nio.file.Files.createTempDirectory("graftscd2").toString
+      import spark.implicits._
+      (batch1 ++ batch2).map(e => (e.event_id, e.ts, e.user_id, e.event_type, e.value, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$dir/events.parquet")
+      val batch = graft.operators.Relational.q49_scd2(spark, dir)
+        .filter(!org.apache.spark.sql.functions.col("is_current"))
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getTimestamp(2), r.getTimestamp(3), r.getLong(5))).toSeq.sorted
+      assert(streamed == batch)
+      assert(streamed.map(t => (t._1, t._2, t._5)) == Seq((7L, "A", 2L), (7L, "B", 1L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops redelivered events within the watermark") {
     val input = MemoryStream[EventsStream.Event](spark)
     def ev(id: Long, sec: Long) =
