@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Checkpoints.DatasetCheckpointOps
@@ -859,8 +859,11 @@ object Dedup {
 
   /** Build + persist the base-corpus signature store under `path`:
     * `digests` (digest → smallest doc), `shingles` (doc_id, sorted distinct
-    * 64-bit shingle hashes), `df` (shingle hash → document frequency).
-    * One scan of the base corpus; everything downstream reads only these.
+    * 64-bit shingle hashes), `df` (shingle hash → document frequency),
+    * plus a `digest.bloom` sidecar — a Bloom filter over the base digests
+    * (1 % target fpp) that [[dd_incremental_stored]] broadcasts to screen
+    * the delta's exact-dup probe MAP-SIDE. One scan of the base corpus;
+    * everything downstream reads only these.
     */
   def writeCorpusSignatures(s: SparkSession, dir: String, path: String,
       n: Int = 3, splitMod: Int = 5): Unit = {
@@ -869,22 +872,61 @@ object Dedup {
     dig.write.mode("overwrite").parquet(s"$path/digests")
     sigs.write.mode("overwrite").parquet(s"$path/shingles")
     df.write.mode("overwrite").parquet(s"$path/df")
+    // build the filter off the digest parquet just written (KB-scale reads)
+    // rather than recomputing `dig` from the corpus; floor keeps tiny test
+    // corpora from degenerate sizing
+    val written = s.read.parquet(s"$path/digests")
+    val bloom = written.stat.bloomFilter("digest", written.count().max(1024L), 0.01)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/digest.bloom"), true)
+    try bloom.writeTo(out) finally out.close()
   }
 
   /** [[dd_incremental]] off a persisted signature store — bit-identical to
     * the inline form (parity-spec'd); the base corpus is never read.
+    *
+    * With `useBloom` (the default, when the store carries the sidecar) the
+    * delta's digests are screened through a broadcast Bloom filter BEFORE
+    * the equi join against the digest store: a definite-negative digest
+    * (most of a fresh-content delta) never shuffles into the join at all,
+    * and at 100 TB the digest store side of that join is the big one — the
+    * screen turns "shuffle the whole delta against the store" into
+    * "shuffle only the ~dup fraction (+1 % false positives)". Exactness is
+    * unaffected either way: Bloom filters have no false negatives, and
+    * every positive is still CONFIRMED by the join, so the output is
+    * bit-identical with the screen on or off (parity-spec'd).
     */
   def dd_incremental_stored(s: SparkSession, dir: String, path: String,
-      n: Int = 3, threshold: Double = 0.4, splitMod: Int = 5): DataFrame = {
+      n: Int = 3, threshold: Double = 0.4, splitMod: Int = 5,
+      useBloom: Boolean = true): DataFrame = {
     val (inc, _) = incrementalSplit(s, dir, splitMod)
     // parquet reads widen array elements to containsNull=true; the store is
     // written from non-null frames, so array_compact is a data no-op that
     // restores the non-null element type SortedOverlapCount requires
     val sigs = s.read.parquet(s"$path/shingles")
       .select(col("doc_id"), array_compact(col("shs")).as("shs"))
+    val screen: Option[Column => Column] =
+      if (!useBloom) None
+      else {
+        val p = new org.apache.hadoop.fs.Path(s"$path/digest.bloom")
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          val bloom = try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+            finally in.close()
+          val bc = s.sparkContext.broadcast(bloom)
+          // a UDF, not an expression: the check is one broadcast-sketch probe
+          // per DELTA row (never per corpus row), so the codegen break is
+          // confined to the screen's filter — worth it for the shuffle it
+          // removes
+          Some(udf((d: String) => bc.value.mightContainString(d)).apply(_))
+        }
+      }
     incrementalCore(inc,
       s.read.parquet(s"$path/digests"), sigs,
-      s.read.parquet(s"$path/df"), n, threshold)
+      s.read.parquet(s"$path/df"), n, threshold, screen)
   }
 
   private def incrementalSplit(s: SparkSession, dir: String,
@@ -919,9 +961,15 @@ object Dedup {
   }
 
   private def incrementalCore(inc: DataFrame, baseDig: DataFrame,
-      baseSigs: DataFrame, df: DataFrame, n: Int, threshold: Double): DataFrame = {
+      baseSigs: DataFrame, df: DataFrame, n: Int, threshold: Double,
+      digestScreen: Option[Column => Column] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val exact = inc.select(col("doc_id"), md5(col("text")).as("digest"))
+    val probes = inc.select(col("doc_id"), md5(col("text")).as("digest"))
+    // optional broadcast-Bloom pre-screen (see dd_incremental_stored):
+    // definite-negative digests skip the store join; positives are still
+    // confirmed by it, so the screen cannot change the output
+    val screened = digestScreen.fold(probes)(f => probes.filter(f(col("digest"))))
+    val exact = screened
       .join(baseDig, "digest").select(col("doc_id"), col("bmatch"))
       .graftCheckpoint() // consumed by the near-path exclusion and the verdict join
     // exact-matched docs never enter near-dup candidate generation: their

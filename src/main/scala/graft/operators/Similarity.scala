@@ -659,7 +659,19 @@ object Similarity {
     * running.
     */
   def appendToIvfPqIndex(s: SparkSession, path: String, newVecs: DataFrame,
-      fullIdCheck: Boolean = false): Unit = {
+      fullIdCheck: Boolean = false): Unit =
+    withWriterLock(s, path, "appendToIvfPqIndex") {
+      appendToIvfPqIndexLocked(s, path, newVecs, fullIdCheck)
+    }
+
+  /** The single-writer marker lock shared by every index WRITE
+    * ([[appendToIvfPqIndex]], [[compactIvfPqIndex]]): atomic-create of
+    * `_append.lock` under the index path, released on success AND failure.
+    * See [[appendToIvfPqIndex]]'s scaladoc for the honest-scope caveats
+    * (atomic on HDFS-like filesystems; a guard-rail elsewhere).
+    */
+  private def withWriterLock[A](s: SparkSession, path: String, who: String)(
+      body: => A): A = {
     val lockPath = new org.apache.hadoop.fs.Path(s"$path/_append.lock")
     val fs = lockPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     val lock =
@@ -667,15 +679,48 @@ object Similarity {
       catch {
         case e: java.io.IOException =>
           throw new IllegalStateException(
-            s"appendToIvfPqIndex: could not acquire $lockPath — another " +
-              "append is in flight (indexes are single-writer), or a " +
-              "previous append's JVM was hard-killed. If no append is " +
-              "running, delete the lock file and retry.", e)
+            s"$who: could not acquire $lockPath — another index write is " +
+              "in flight (indexes are single-writer), or a previous " +
+              "write's JVM was hard-killed. If no write is running, " +
+              "delete the lock file and retry.", e)
       }
     lock.close()
-    try appendToIvfPqIndexLocked(s, path, newVecs, fullIdCheck)
-    finally fs.delete(lockPath, false)
+    try body finally fs.delete(lockPath, false)
   }
+
+  /** Compact a persisted index's `codes/` layout back to one file per list.
+    *
+    * Every [[appendToIvfPqIndex]] lands one MORE parquet file in each cid
+    * partition it touches; after months of daily deltas a hot list is
+    * hundreds of KB-sized files, and at 100 TB the scan's task-scheduling
+    * and footer-reading overhead starts to rival the read itself (the
+    * classic small-files problem). Compaction rewrites `codes/` with rows
+    * hash-clustered on `cid` so each list is again exactly one file —
+    * contents bit-identical (same rows, parity-spec'd; a row-count guard
+    * backs the swap), search plans unchanged. The rewrite lands in a temp
+    * dir first and swaps in via two renames, so a crash mid-compact leaves
+    * either the old layout or the new one, never a half-written mix; runs
+    * under the same single-writer lock as append.
+    */
+  def compactIvfPqIndex(s: SparkSession, path: String): Unit =
+    withWriterLock(s, path, "compactIvfPqIndex") {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val codes = new org.apache.hadoop.fs.Path(s"$path/codes")
+      require(fs.exists(codes), s"compactIvfPqIndex: no codes/ under $path")
+      val tmp = new org.apache.hadoop.fs.Path(s"$path/codes_compact_tmp")
+      s.read.parquet(codes.toString)
+        .repartition(col("cid"))
+        .write.mode("overwrite").partitionBy("cid").parquet(tmp.toString)
+      val before = s.read.parquet(codes.toString).count()
+      val after = s.read.parquet(tmp.toString).count()
+      require(before == after, s"compactIvfPqIndex: rewrite row count " +
+        s"$after != $before — leaving the original codes/ in place")
+      val bak = new org.apache.hadoop.fs.Path(s"$path/codes_pre_compact")
+      require(fs.rename(codes, bak) && fs.rename(tmp, codes),
+        s"compactIvfPqIndex: swap rename failed; original layout is at $bak")
+      fs.delete(bak, true)
+    }
 
   private def appendToIvfPqIndexLocked(s: SparkSession, path: String,
       newVecs: DataFrame, fullIdCheck: Boolean): Unit = {

@@ -162,12 +162,19 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
     assert(j(4L).contains(1.0) && j(19L).contains(1.0) && j(14L).isEmpty)
     assert(j(9L).exists(v => v > 0.4 && v < 1.0))
-    // the persisted-signature path is bit-identical to the inline path
+    // the persisted-signature path is bit-identical to the inline path,
+    // with the broadcast-Bloom digest screen on (default; sidecar written
+    // by writeCorpusSignatures) and off — no false negatives + join-confirm
+    // means the screen can never change the output
     val store = java.nio.file.Files.createTempDirectory("graftsig").toString
     Dedup.writeCorpusSignatures(spark, dir, store)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(store, "digest.bloom")))
     val inline = Dedup.dd_incremental(spark, dir).collect().toSeq
     val stored = Dedup.dd_incremental_stored(spark, dir, store).collect().toSeq
+    val noBloom =
+      Dedup.dd_incremental_stored(spark, dir, store, useBloom = false).collect().toSeq
     assert(inline == stored)
+    assert(inline == noBloom)
   }
 
   test("tx_fingerprint: identical docs collide; near-identical overlap heavily") {
@@ -649,6 +656,34 @@ class PipelineSpec extends AnyFunSuite {
     val internal = intercept[IllegalArgumentException](
       Similarity.appendToIvfPqIndex(spark, pathInc, fresh.unionByName(fresh)))
     assert(internal.getMessage.contains("repeats"))
+  }
+
+  test("compactIvfPqIndex: one file per list after appends; rows and search results identical") {
+    val dir = "/root/testdata/sf0.01"
+    val emb = graft.sources.Tables.loadParallel(spark, dir, "embeddings")
+    val split = emb.agg(max(col("vec_id"))).first().getLong(0) / 2
+    val path = java.nio.file.Files.createTempDirectory("graftivfcmp").toString
+    Similarity.writeIvfPqIndexFrom(spark, emb.filter(col("vec_id") < split), path)
+    Similarity.appendToIvfPqIndex(spark, path, emb.filter(col("vec_id") >= split))
+    def layout() = java.nio.file.Files.walk(java.nio.file.Paths.get(path, "codes"))
+      .filter(p => p.toString.endsWith(".parquet")).toArray.map(_.toString)
+      .groupBy(f => f.split("/").takeWhile(!_.endsWith(".parquet")).last)
+      .map { case (cid, fs) => cid -> fs.length }
+    def codes() = spark.read.parquet(s"$path/codes")
+      .collect().map(r => (r.getLong(0), r.getAs[Int]("cid"), r.getSeq[Int](1)))
+      .sortBy(_._1).toSeq
+    val queries = emb.filter(col("vec_id") < 8)
+    val preCodes = codes()
+    val preSearch = Similarity.searchIvfPqIndex(spark, path, queries)
+      .collect().map(_.toSeq).toSeq
+    assert(layout().exists(_._2 > 1), "append should have left multi-file lists")
+    Similarity.compactIvfPqIndex(spark, path)
+    assert(layout().forall(_._2 == 1), s"post-compact layout: ${layout()}")
+    assert(codes() == preCodes)
+    assert(Similarity.searchIvfPqIndex(spark, path, queries)
+      .collect().map(_.toSeq).toSeq == preSearch)
+    // the writer lock is gone — a follow-up append must succeed
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_append.lock")))
   }
 
   test("searchIvfPqIndexDistributed: bit-identical to the driver-side path; driver path guards its batch bound") {
@@ -1223,6 +1258,33 @@ class PipelineSpec extends AnyFunSuite {
       df.select(graft.functions.SortedOverlap.count(
         lit(null).cast("array<bigint>"), col("b"))).collect()
     }
+  }
+
+  test("q49_scd2: consecutive repeats collapse; intervals chain; last period is current") {
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val dir = tmpEvents(Seq(
+      (1L, ts(0), 10L, "A", 1.0, "{}"),
+      (2L, ts(1), 10L, "A", 1.0, "{}"), // repeat — same period as event 1
+      (3L, ts(2), 10L, "B", 1.0, "{}"),
+      (4L, ts(3), 10L, "A", 1.0, "{}"), // back to A — a NEW period, not merged
+      (5L, ts(0), 20L, "C", 1.0, "{}")))
+    val out = Relational.q49_scd2(spark, dir).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        Option(r.getTimestamp(3)), r.getBoolean(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (10L, "A", ts(0), Some(ts(2)), false, 2L),
+      (10L, "B", ts(2), Some(ts(3)), false, 1L),
+      (10L, "A", ts(3), None, true, 1L),
+      (20L, "C", ts(0), None, true, 1L)))
+  }
+
+  /** Write a tiny events table to a temp dir shaped like testdata. */
+  private def tmpEvents(
+      rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graftev").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
   }
 
   /** Write a tiny documents corpus to a temp dir shaped like testdata. */
