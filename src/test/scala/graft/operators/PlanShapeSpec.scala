@@ -42,6 +42,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("q49: SCD2 plans ONE data shuffle — both windows and the islands aggregate reuse hash(user_id)") {
+    // sparkPlan predates EnsureRequirements — count exchanges on the
+    // executed plan, where they are actually inserted
+    val p = Relational.q49_scd2(spark, dir).queryExecution.executedPlan.toString
+    // exactly 2 exchanges: the user_id hash partition + the final orderBy's
+    // range partition; a third would mean the (user_id, grp) aggregate or
+    // period-chain window stopped accepting the user_id clustering
+    assert("Exchange".r.findAllIn(p).size == 2, s"expected 2 exchanges:\n$p")
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
+  }
+
   test("q09/q10: EXISTS/NOT EXISTS plan as semi/anti joins") {
     assert(plan(Relational.q09_semi_join(spark, dir)).contains("LeftSemi"))
     assert(plan(Relational.q10_anti_join(spark, dir)).contains("LeftAnti"))
