@@ -136,6 +136,7 @@ object SparkEntry {
     "dd_spans_trim" -> ((s, d) => Dedup.dd_spans_trim(s, d)),
     "pipeline_incremental" -> (Curation.pipeline_incremental _),
     "q49_scd2" -> (Relational.q49_scd2 _),
+    "tx_compress" -> (TextAnalysis.tx_compress _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the

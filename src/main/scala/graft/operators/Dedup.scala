@@ -204,6 +204,24 @@ object Dedup {
     else Some(rows.foldLeft((0L, 0L))((acc, x) => (acc._1 + x._1, acc._2 + x._2)))
   }
 
+  private val lastBloomScreen =
+    new java.util.concurrent.atomic.AtomicReference[Option[(Long, Long)]](None)
+
+  /** The most recent Bloom screen's (probes_total, probes_passed) in this
+    * JVM — set by [[dd_incremental_stored]] the moment its eager exact-path
+    * barrier executes (also logged at INFO). A registry read rather than a
+    * [[capBucketsLoss]]-style plan walk because the screen sits above a
+    * lineage-cutting checkpoint: the caller's frame never carries the
+    * metric node. None until a screened run executes (no sidecar /
+    * useBloom=false leave it untouched). passed/total is the shuffle
+    * fraction the screen could NOT remove; when it creeps toward 1 on a
+    * fresh-content delta, the sidecar's fpp has decayed (the store grew
+    * past the expectedNumItems it was sized for) — rebuild it with the
+    * next [[writeCorpusSignatures]]. Last-write-wins across concurrent
+    * screened runs: an ops log signal, not an aggregation surface.
+    */
+  def lastBloomScreenStats: Option[(Long, Long)] = lastBloomScreen.get()
+
   /** MinHash signatures in aggregate form: shingle-hashes exploded to rows,
     * then k `min` aggregates — map-side partial aggregation, whole-stage
     * codegen, no per-family array allocation. (The pure-expression form in
@@ -967,11 +985,38 @@ object Dedup {
     val probes = inc.select(col("doc_id"), md5(col("text")).as("digest"))
     // optional broadcast-Bloom pre-screen (see dd_incremental_stored):
     // definite-negative digests skip the store join; positives are still
-    // confirmed by it, so the screen cannot change the output
-    val screened = digestScreen.fold(probes)(f => probes.filter(f(col("digest"))))
-    val exact = screened
+    // confirmed by it, so the screen cannot change the output. The screen's
+    // effectiveness rides the plan as an observe() metric (same device as
+    // capBuckets): any action reports how many probes the Bloom let
+    // through — at 100 TB that ratio is the number that says whether the
+    // sidecar is still sized right for the store it fronts.
+    val screened = digestScreen.fold(probes)(f =>
+      probes.withColumn("__bloom", f(col("digest")))
+        .observe(s"graft.dd_incremental.bloomScreen.${metricSeq.incrementAndGet()}",
+          count(lit(1)).as("probes_total"),
+          sum(when(col("__bloom"), lit(1L)).otherwise(lit(0L))).as("probes_passed"))
+        .filter(col("__bloom")).drop("__bloom"))
+    val preExact = screened
       .join(baseDig, "digest").select(col("doc_id"), col("bmatch"))
-      .graftCheckpoint() // consumed by the near-path exclusion and the verdict join
+    // consumed by the near-path exclusion and the verdict join; the EAGER
+    // barrier also fires the screen's observe() right here, so its metric
+    // is captured from preExact's just-executed plan (downstream consumers
+    // see only the truncated lineage — the metric node is gone from their
+    // plans, which is why [[lastBloomScreenStats]] is a registry read, not
+    // a capBucketsLoss-style plan walk)
+    val exact = preExact.graftCheckpoint()
+    digestScreen.foreach { _ =>
+      val stats = org.apache.spark.sql.GraftObservedMetrics.of(preExact.toDF)
+        .collectFirst {
+          case (name, r) if name.startsWith("graft.dd_incremental.bloomScreen") &&
+            !r.isNullAt(0) && !r.isNullAt(1) => (r.getLong(0), r.getLong(1))
+        }
+      lastBloomScreen.set(stats)
+      stats.foreach { case (t, p) =>
+        log.info(s"dd_incremental bloom screen: $p of $t delta probes passed " +
+          s"to the digest-store join (${t - p} definite negatives skipped)")
+      }
+    }
     // exact-matched docs never enter near-dup candidate generation: their
     // verdict is already decided (exact wins in the output CASE regardless
     // of any near partner), and in the dominant re-crawl workload MOST of

@@ -8,7 +8,9 @@ import graft.sources.Tables
 
 /** Text-analysis operators over the `documents` table: corpus statistics,
   * token counting, quality scoring, and a stopword-profile language-ID
-  * heuristic. All pure column expressions (codegen'd, no UDFs).
+  * heuristic. Pure column expressions (codegen'd, no UDFs) — except
+  * [[tx_compress]], whose per-row zlib pass is genuine library work and
+  * runs as mapPartitions with one reused Deflater.
   */
 object TextAnalysis {
 
@@ -497,6 +499,47 @@ object TextAnalysis {
           col("n_ssns") + col("n_ibans") > 0)
       .select("doc_id", "n_emails", "n_phones", "n_ips", "n_ssns", "n_ibans",
         "has_pii", "redact_digest")
+      .orderBy("doc_id")
+  }
+
+  case class CompressStats(doc_id: Long, n_bytes: Long, n_deflate: Long,
+      ratio: Double)
+
+  /** Compression-ratio quality signal: deflate(text) size over raw size —
+    * the classic one-number proxy for boilerplate and machine-generated
+    * repetition (highly repetitive pages compress far below prose; the
+    * signal family popularized by the Gopher/C4-era quality filters).
+    * Low ratio ⇒ repetitive/templated; near-1 ⇒ high-entropy (prose, or
+    * noise — pair with [[tx_quality]] to tell them apart).
+    *
+    * The one non-expression op in this module, deliberately: per-row zlib
+    * is library work no Catalyst expression expresses. mapPartitions (not
+    * a scalar UDF) so ONE Deflater is allocated per partition and reset
+    * per row — Deflater holds native memory, and a per-row allocation is
+    * exactly the kind of hot-loop garbage a 100 TB map stage cannot
+    * afford. Still map-only: no shuffle at any scale; level and strategy
+    * pinned so the ratio is deterministic for a given zlib.
+    */
+  def tx_compress(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+        val buf = new Array[Byte](64 * 1024)
+        val out = rows.map { case (id, text) =>
+          val in = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          d.reset(); d.setInput(in); d.finish()
+          var n = 0L
+          while (!d.finished()) n += d.deflate(buf)
+          CompressStats(id, in.length.toLong, n,
+            if (in.length == 0) 1.0 else n.toDouble / in.length)
+        }
+        // Deflater native memory is freed on `end`; an iterator cannot
+        // hook exhaustion, so lean on the JVM finalizer for the tail —
+        // one deflater per partition makes that cheap
+        out
+      }
+      .toDF()
       .orderBy("doc_id")
   }
 }

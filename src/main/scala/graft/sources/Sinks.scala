@@ -42,6 +42,47 @@ object Sinks {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** Per-shard release manifest for a [[writeShards]] layout: row count,
+    * text bytes, and an ORDER-INDEPENDENT content digest
+    * (`bit_xor(xxhash64(doc_id, text))` — partitioning, task order, and
+    * file layout can never change it; keying with doc_id keeps two docs
+    * with equal text from cancelling). Written to `_manifest` under the
+    * corpus path — the `_` prefix keeps every parquet read of the corpus
+    * itself from picking it up. Every real corpus release ships one: it is
+    * what lets a consumer (or [[verifyShards]]) prove bytes survived the
+    * copy without re-reading the producer's data.
+    */
+  def writeManifest(s: org.apache.spark.sql.SparkSession, path: String,
+      textCol: String = "text"): Unit =
+    shardManifest(s.read.parquet(path), textCol)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_manifest")
+
+  private def shardManifest(corpus: DataFrame, textCol: String): DataFrame =
+    corpus.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(octet_length(col(textCol))).as("n_text_bytes"),
+        bit_xor(xxhash64(col("doc_id"), col(textCol))).as("digest"))
+
+  /** Recompute the manifest from the data and diff it against the stored
+    * one — the receiving end of a corpus hand-off. Returns one row per
+    * disagreeing shard (empty = intact): a shard missing from either side,
+    * or present in both with any column off. One corpus scan, aggregated
+    * per shard; no row-level comparison needed to LOCATE damage — re-pull
+    * only the named shards.
+    */
+  def verifyShards(s: org.apache.spark.sql.SparkSession, path: String,
+      textCol: String = "text"): DataFrame = {
+    val stored = s.read.parquet(s"$path/_manifest")
+      .select(col("shard"), col("n_docs").as("m_docs"),
+        col("n_text_bytes").as("m_bytes"), col("digest").as("m_digest"))
+    shardManifest(s.read.parquet(path), textCol)
+      .join(stored, Seq("shard"), "full_outer")
+      .filter(!(col("n_docs") <=> col("m_docs")) ||
+        !(col("n_text_bytes") <=> col("m_bytes")) ||
+        !(col("digest") <=> col("m_digest")))
+      .orderBy("shard")
+  }
+
   /** Pruning-friendly curated layout: directory-partitioned by `partCol`
     * (planning-time pruning), rows inside each file ordered by `sortCol` so
     * parquet row-group min/max statistics make point/range filters on it

@@ -141,35 +141,62 @@ object EventsStream {
 
   /** Stateful gap-based sessionization (30-min inactivity) via
     * flatMapGroupsWithState — the streaming twin of `q24_sessionize`.
-    * State per user is one small struct; a processing-time timeout flushes
-    * idle users so state stays bounded.
+    * State per user is ONE small struct regardless of history (bounded by
+    * user cardinality, not event volume).
+    *
+    * By default a user's open session closes only when a LATER event of
+    * theirs arrives past the gap — a user who never returns parks their
+    * final session in state forever and it is never emitted (the batch
+    * twin emits every session). `closeIdle = true` fixes both: the input
+    * gets a 30-minute watermark and each user an event-time timeout at
+    * `lastSeen + gap` (clamped monotone past the current watermark — the
+    * same running-clock device as `EmbStream.semanticDedupGate`'s TTL);
+    * when the watermark passes it, the open session is emitted and the
+    * user's state evicted. Off by default only because a watermark
+    * changes what inputs are admissible (late events beyond 30 min drop).
     */
-  def sessionize(events: Dataset[Event]): Dataset[Session] = {
+  def sessionize(events: Dataset[Event], closeIdle: Boolean = false): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapMicros = 1800L * 1000000L
-    events
+    val src = if (closeIdle) events.withWatermark("ts", "30 minutes") else events
+    val timeoutConf =
+      if (closeIdle) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+    src
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) => {
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var cur = state.getOption
-          val closed = Seq.newBuilder[Session]
-          sorted.foreach { e =>
-            val t = e.ts.getTime * 1000L
-            cur match {
-              case Some(st) if t - st.lastSeen <= gapMicros =>
-                cur = Some(st.copy(lastSeen = t, n = st.n + 1))
-              case Some(st) =>
-                closed += Session(userId,
-                  new java.sql.Timestamp(st.sessionStart / 1000L),
-                  new java.sql.Timestamp(st.lastSeen / 1000L), st.n)
-                cur = Some(SessionState(t, t, 1))
-              case None =>
-                cur = Some(SessionState(t, t, 1))
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(Session(userId,
+              new java.sql.Timestamp(st.sessionStart / 1000L),
+              new java.sql.Timestamp(st.lastSeen / 1000L), st.n))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime * 1000L
+              cur match {
+                case Some(st) if t - st.lastSeen <= gapMicros =>
+                  cur = Some(st.copy(lastSeen = t, n = st.n + 1))
+                case Some(st) =>
+                  closed += Session(userId,
+                    new java.sql.Timestamp(st.sessionStart / 1000L),
+                    new java.sql.Timestamp(st.lastSeen / 1000L), st.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
             }
+            cur.foreach { st =>
+              state.update(st)
+              if (closeIdle) state.setTimeoutTimestamp(
+                math.max(st.lastSeen / 1000L + gapMicros / 1000L,
+                  state.getCurrentWatermarkMs() + 1))
+            }
+            closed.result().iterator
           }
-          cur.foreach(state.update)
-          closed.result().iterator
         })
   }
 }

@@ -171,6 +171,12 @@ class PipelineSpec extends AnyFunSuite {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(store, "digest.bloom")))
     val inline = Dedup.dd_incremental(spark, dir).collect().toSeq
     val stored = Dedup.dd_incremental_stored(spark, dir, store).collect().toSeq
+    // the screen's observe() fires on the eager exact-path barrier inside
+    // the call above: 4 delta probes; the 2 planted exact dups MUST pass
+    // (no false negatives); the near-dup and the unique are definite
+    // negatives barring a (1 %-fpp) false positive
+    val Some((total, passed)) = Dedup.lastBloomScreenStats
+    assert(total == 4L && passed >= 2L && passed <= 4L)
     val noBloom =
       Dedup.dd_incremental_stored(spark, dir, store, useBloom = false).collect().toSeq
     assert(inline == stored)
@@ -189,6 +195,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(fps(1L) == fps(2L))
     assert(fps(1L)._2 != fps(4L)._2)
     assert(fps(3L)._1 >= fps(1L)._1) // superset doc keeps at least as many fps
+  }
+
+  test("tx_compress: repetition compresses far below prose; sizes exact; empty doc is ratio 1") {
+    val rep = "spam ham " * 200                       // highly repetitive
+    val prose = (1 to 200).map(i => s"w${i * 2654435761L % 9973}").mkString(" ")
+    val dir = tmpDocs(Seq(
+      (1L, rep, "en", "s", rep.length.toLong),
+      (2L, prose, "en", "s", prose.length.toLong),
+      (3L, "", "en", "s", 0L)))
+    val out = TextAnalysis.tx_compress(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L)._1 == rep.getBytes("UTF-8").length.toLong)
+    assert(out(1L)._3 < 0.1, s"repetition should compress hard: ${out(1L)}")
+    assert(out(2L)._3 > out(1L)._3 * 3, s"prose must sit well above repetition: $out")
+    assert(out(3L) == ((0L, out(3L)._2, 1.0)))
+    // deterministic across runs (same zlib, same level)
+    val again = TextAnalysis.tx_compress(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out == again)
   }
 
   test("clusterPairs: connected components with canonical min label") {

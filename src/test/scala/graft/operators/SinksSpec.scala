@@ -34,6 +34,31 @@ class SinksSpec extends AnyFunSuite {
     assert(a.join(b, "doc_id").filter(col("shard") =!= col("shard2")).count() == 0)
   }
 
+  test("manifest: intact release verifies clean; tampered shard is located; digest is layout-independent") {
+    val out = java.nio.file.Files.createTempDirectory("graft-manifest").toString
+    val docs = Tables.loadParallel(spark, dir, "documents")
+    Sinks.writeShards(docs, out, shards = 4)
+    Sinks.writeManifest(spark, out)
+    assert(Sinks.verifyShards(spark, out).count() == 0)
+    // the corpus read must not pick the manifest up (the `_` convention)
+    assert(spark.read.parquet(out).count() == docs.count())
+    // digest is independent of file layout: rewrite a shard's files split
+    // differently — verify stays clean
+    val sh0 = spark.read.parquet(s"$out/shard=0").repartition(5)
+    sh0.write.mode("overwrite").parquet(s"$out/.tmp_sh0")
+    spark.read.parquet(s"$out/.tmp_sh0").coalesce(2)
+      .write.mode("overwrite").parquet(s"$out/shard=0")
+    assert(Sinks.verifyShards(spark, out).count() == 0)
+    // tamper: drop one row from shard 2 — exactly that shard is named
+    val sh2 = spark.read.parquet(s"$out/shard=2").filter(col("doc_id") =!=
+      spark.read.parquet(s"$out/shard=2").agg(min("doc_id")).first().getLong(0))
+    sh2.write.mode("overwrite").parquet(s"$out/.tmp_sh2")
+    spark.read.parquet(s"$out/.tmp_sh2")
+      .write.mode("overwrite").parquet(s"$out/shard=2")
+    val bad = Sinks.verifyShards(spark, out).select("shard").collect().map(_.getInt(0))
+    assert(bad.toSeq == Seq(2))
+  }
+
   test("JSONL round-trip: values and schema survive the interchange edge") {
     val out = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
     val docs = Tables.loadParallel(spark, dir, "documents")

@@ -124,6 +124,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionize closeIdle: watermark alone closes a quiet user's open session") {
+    val input = MemoryStream[EventsStream.Event](spark)
+    // base offset keeps ts clear of epoch 0 — a row AT the initial
+    // watermark (0) is culled by the event-time late filter
+    def ev(id: Long, user: Long, sec: Long) =
+      EventsStream.Event(id, new java.sql.Timestamp((86400 + sec) * 1000L), user, "view", 1.0)
+    val q = EventsStream.sessionize(input.toDS(), closeIdle = true)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_idle_out").start()
+    try {
+      // user 7 goes quiet after two events; only OTHER-user traffic follows
+      input.addData(ev(1, 7L, 0), ev(2, 7L, 600))
+      q.processAllAvailable()
+      // user 8 advances the watermark past 600 + gap(1800) + delay(1800)
+      input.addData(ev(3, 8L, 600 + 1800 + 1800 + 60))
+      q.processAllAvailable()
+      // timeouts fire on the batch AFTER the watermark update
+      input.addData(ev(4, 8L, 600 + 1800 + 1800 + 120))
+      q.processAllAvailable()
+      val out = spark.table("sess_idle_out")
+        .collect().map(r => (r.getLong(0), r.getLong(3)))
+      assert(out.toSeq.contains((7L, 2L)),
+        s"user 7's open session should close on watermark alone: ${out.toSeq}")
+    } finally q.stop()
+  }
+
   test("scd2Stream: closed periods match the batch twin; open period stays in state") {
     val input = MemoryStream[EventsStream.Event](spark)
     def ev(id: Long, user: Long, sec: Long, st: String) =
