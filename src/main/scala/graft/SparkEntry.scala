@@ -137,6 +137,7 @@ object SparkEntry {
     "pipeline_incremental" -> (Curation.pipeline_incremental _),
     "q49_scd2" -> (Relational.q49_scd2 _),
     "tx_compress" -> (TextAnalysis.tx_compress _),
+    "tx_bpe" -> ((s, d) => TextAnalysis.tx_bpe(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the

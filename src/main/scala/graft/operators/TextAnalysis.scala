@@ -502,6 +502,77 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** BPE merge-rule training (Sennrich et al. 2016), distributed the way
+    * the original trains: on the WORD HISTOGRAM, never the raw corpus.
+    * One corpus scan builds (word, count); every one of the `merges`
+    * rounds then runs on that histogram-sized frame — at 100 TB the
+    * corpus is petabytes but the distinct-word histogram is millions of
+    * rows, and `minCount` prunes the hapax tail that dominates type
+    * counts while contributing negligible pair mass. Each round:
+    * adjacent-pair counts via a slice-zip explode (one shuffle of the
+    * histogram), the argmax pair collected (ONE row — bounded by
+    * construction), and the merge applied to every word's symbol array
+    * with an aggregate() fold that is leftmost-greedy exactly like the
+    * reference implementation (a merged symbol never re-pairs with the
+    * row it just consumed, because the fold compares SYMBOLS, not
+    * characters). Deterministic end to end: ties break on (count desc,
+    * left asc, right asc); lineage is cut every round
+    * (graftCheckpoint) so 100 rounds don't stack 100 plans.
+    *
+    * Output: one row per learned rule — (rank, left, right, pair_count).
+    * No DuckDB oracle (an iterative argmax is not one SQL query); the
+    * spec pins the exact rule sequence on the classic low/lower/newest
+    * corpus and determinism across runs.
+    */
+  def tx_bpe(s: SparkSession, dir: String, merges: Int = 30,
+      minCount: Long = 1L): DataFrame = {
+    import graft.Checkpoints.DatasetCheckpointOps
+    val endMark = "</w>"
+    // word histogram → symbol arrays: chars + an explicit end-of-word mark
+    // (the device that lets a rule distinguish "er" mid-word from "er</w>")
+    var hist = docs(s, dir)
+      .select(explode(words(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .select(concat(split(col("w"), ""), array(lit(endMark))).as("syms"), col("cnt"))
+      .graftCheckpoint()
+    val rules = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 0
+    var done = false
+    while (r < merges && !done) {
+      val pairs = hist
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(arrays_zip(
+          slice(col("syms"), lit(1), size(col("syms")) - 1).as("l"),
+          slice(col("syms"), lit(2), size(col("syms")) - 1).as("r"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("n"))
+      val top = pairs.orderBy(col("n").desc, col("l"), col("r")).limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, rr, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        rules += ((r, l, rr, n))
+        val merged = l + rr
+        // leftmost-greedy merge fold: append, or fuse with the accumulator's
+        // last symbol when (last, current) is exactly the learned pair
+        hist = hist.select(
+          aggregate(col("syms"),
+            array().cast("array<string>"),
+            (acc, x) => when(
+              size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(rr),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+              .otherwise(concat(acc, array(x)))).as("syms"),
+          col("cnt"))
+        hist = hist.graftCheckpoint()
+        r += 1
+      }
+    }
+    import s.implicits._
+    rules.result().toDF("rank", "left", "right", "pair_count")
+      .select(col("rank").cast("long"), col("left"), col("right"), col("pair_count"))
+      .orderBy("rank")
+  }
+
   case class CompressStats(doc_id: Long, n_bytes: Long, n_deflate: Long,
       ratio: Double)
 

@@ -197,6 +197,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(fps(3L)._1 >= fps(1L)._1) // superset doc keeps at least as many fps
   }
 
+  test("tx_bpe: reproduces the classic merge sequence; deterministic; ties break lexicographically") {
+    // the Sennrich et al. example shape: low x5, lower x2, newest x6, widest x3
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val dir = tmpDocs(Seq((1L, text, "en", "s", text.length.toLong)))
+    val got = TextAnalysis.tx_bpe(spark, dir, merges = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // hand-derived: es(9) wins its 3-way tie on left asc; est+</w> follows;
+    // then the 7-count tie (l,o) vs (o,w) breaks to (l,o)
+    assert(got.toSeq == Seq(
+      (0L, "e", "s", 9L),
+      (1L, "es", "t", 9L),
+      (2L, "est", "</w>", 9L),
+      (3L, "l", "o", 7L),
+      (4L, "lo", "w", 7L)))
+    val again = TextAnalysis.tx_bpe(spark, dir, merges = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == again.toSeq)
+    // a corpus that runs dry stops early instead of looping
+    val tiny = tmpDocs(Seq((1L, "ab", "en", "s", 2L)))
+    assert(TextAnalysis.tx_bpe(spark, tiny, merges = 10).count() <= 3)
+  }
+
   test("tx_compress: repetition compresses far below prose; sizes exact; empty doc is ratio 1") {
     val rep = "spam ham " * 200                       // highly repetitive
     val prose = (1 to 200).map(i => s"w${i * 2654435761L % 9973}").mkString(" ")
