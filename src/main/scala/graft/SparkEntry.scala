@@ -138,6 +138,7 @@ object SparkEntry {
     "q49_scd2" -> (Relational.q49_scd2 _),
     "tx_compress" -> (TextAnalysis.tx_compress _),
     "tx_bpe" -> ((s, d) => TextAnalysis.tx_bpe(s, d)),
+    "tx_bpe_encode" -> ((s, d) => TextAnalysis.tx_bpe_encode(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the

@@ -526,6 +526,46 @@ object TextAnalysis {
     */
   def tx_bpe(s: SparkSession, dir: String, merges: Int = 30,
       minCount: Long = 1L): DataFrame = {
+    import s.implicits._
+    val (rules, _) = bpeTrain(s, dir, merges, minCount)
+    rules.toDF("rank", "left", "right", "pair_count")
+      .select(col("rank").cast("long"), col("left"), col("right"), col("pair_count"))
+      .orderBy("rank")
+  }
+
+  /** BPE tokenization with rules trained by [[tx_bpe]]'s loop on this same
+    * corpus: per-document whitespace word count and the REAL subword count
+    * under the learned vocabulary (vs [[tx_tokens]]' chars/4 heuristic).
+    * No second merge pass exists: the trainer's final histogram IS the
+    * encoded (word → symbols) vocabulary, so encoding is one broadcast
+    * join of the corpus's per-doc word counts against a vocabulary-sized
+    * build side — the corpus scans twice total (histogram + encode), never
+    * once per rule. Words pruned by `minCount` fall back to
+    * character-count+1 (their untrained symbol length), so the count is
+    * total, not partial.
+    */
+  def tx_bpe_encode(s: SparkSession, dir: String, merges: Int = 20,
+      minCount: Long = 1L): DataFrame = {
+    val (_, vocab) = bpeTrain(s, dir, merges, minCount)
+    val subs = vocab.select(col("w"), size(col("syms")).cast("long").as("n_sub"))
+    docs(s, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("k"))
+      .join(broadcast(subs), Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(sum(col("k")).as("n_words"),
+        sum(col("k") * coalesce(col("n_sub"), length(col("w")).cast("long") + 1L))
+          .as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** The shared BPE training loop: returns (rules, final histogram). The
+    * histogram keeps the raw word alongside its evolving symbol array, so
+    * after the last merge it doubles as the trained tokenizer's vocabulary
+    * ([[tx_bpe_encode]] joins against it directly).
+    */
+  private def bpeTrain(s: SparkSession, dir: String, merges: Int,
+      minCount: Long): (Seq[(Int, String, String, Long)], DataFrame) = {
     import graft.Checkpoints.DatasetCheckpointOps
     val endMark = "</w>"
     // word histogram → symbol arrays: chars + an explicit end-of-word mark
@@ -534,7 +574,8 @@ object TextAnalysis {
       .select(explode(words(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
-      .select(concat(split(col("w"), ""), array(lit(endMark))).as("syms"), col("cnt"))
+      .select(col("w"),
+        concat(split(col("w"), ""), array(lit(endMark))).as("syms"), col("cnt"))
       .graftCheckpoint()
     val rules = Seq.newBuilder[(Int, String, String, Long)]
     var r = 0
@@ -555,7 +596,7 @@ object TextAnalysis {
         val merged = l + rr
         // leftmost-greedy merge fold: append, or fuse with the accumulator's
         // last symbol when (last, current) is exactly the learned pair
-        hist = hist.select(
+        hist = hist.select(col("w"),
           aggregate(col("syms"),
             array().cast("array<string>"),
             (acc, x) => when(
@@ -567,10 +608,7 @@ object TextAnalysis {
         r += 1
       }
     }
-    import s.implicits._
-    rules.result().toDF("rank", "left", "right", "pair_count")
-      .select(col("rank").cast("long"), col("left"), col("right"), col("pair_count"))
-      .orderBy("rank")
+    (rules.result(), hist)
   }
 
   case class CompressStats(doc_id: Long, n_bytes: Long, n_deflate: Long,

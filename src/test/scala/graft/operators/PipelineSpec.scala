@@ -218,6 +218,11 @@ class PipelineSpec extends AnyFunSuite {
     // a corpus that runs dry stops early instead of looping
     val tiny = tmpDocs(Seq((1L, "ab", "en", "s", 2L)))
     assert(TextAnalysis.tx_bpe(spark, tiny, merges = 10).count() <= 3)
+    // encode under the same 5 rules: low→[low,</w>]=2, lower→4,
+    // newest→[n,e,w,est</w>]=4, widest→4 ⇒ 5·2+2·4+6·4+3·4 = 54
+    val enc = TextAnalysis.tx_bpe_encode(spark, dir, merges = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(enc.toSeq == Seq((1L, 16L, 54L)))
   }
 
   test("tx_compress: repetition compresses far below prose; sizes exact; empty doc is ratio 1") {
