@@ -924,27 +924,33 @@ object Dedup {
     // restores the non-null element type SortedOverlapCount requires
     val sigs = s.read.parquet(s"$path/shingles")
       .select(col("doc_id"), array_compact(col("shs")).as("shs"))
-    val screen: Option[Column => Column] =
-      if (!useBloom) None
-      else {
-        val p = new org.apache.hadoop.fs.Path(s"$path/digest.bloom")
-        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (!fs.exists(p)) None
-        else {
-          val in = fs.open(p)
-          val bloom = try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
-            finally in.close()
-          val bc = s.sparkContext.broadcast(bloom)
-          // a UDF, not an expression: the check is one broadcast-sketch probe
-          // per DELTA row (never per corpus row), so the codegen break is
-          // confined to the screen's filter — worth it for the shuffle it
-          // removes
-          Some(udf((d: String) => bc.value.mightContainString(d)).apply(_))
-        }
-      }
+    val screen = if (useBloom) loadDigestBloom(s, path) else None
     incrementalCore(inc,
       s.read.parquet(s"$path/digests"), sigs,
       s.read.parquet(s"$path/df"), n, threshold, screen)
+  }
+
+  /** Broadcast membership test off a signature store's `digest.bloom`
+    * sidecar (see [[writeCorpusSignatures]]) — None when the store
+    * predates the sidecar. A UDF, not an expression: the check is one
+    * broadcast-sketch probe per PROBE row (never per corpus row), so the
+    * codegen break is confined to the screening filter — worth it for the
+    * store-join shuffle it removes. Shared by the batch incremental path
+    * and the streaming ingest gate
+    * ([[graft.streaming.DocsStream.storeDedupGate]]).
+    */
+  private[graft] def loadDigestBloom(s: SparkSession,
+      path: String): Option[Column => Column] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/digest.bloom")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val bloom = try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+        finally in.close()
+      val bc = s.sparkContext.broadcast(bloom)
+      Some(udf((d: String) => bc.value.mightContainString(d)).apply(_))
+    }
   }
 
   private def incrementalSplit(s: SparkSession, dir: String,

@@ -211,12 +211,29 @@ object DocsStream {
     * by filtering `verdict = 'unseen'`.
     */
   def storeDedupGate(stream: DataFrame,
-      spark: org.apache.spark.sql.SparkSession, storePath: String): DataFrame =
-    stream
-      .withColumn("digest", md5(col("text")))
-      .join(spark.read.parquet(s"$storePath/digests"), Seq("digest"), "left")
+      spark: org.apache.spark.sql.SparkSession, storePath: String,
+      useBloom: Boolean = true): DataFrame = {
+    val probed = stream.withColumn("digest", md5(col("text")))
+    val store = spark.read.parquet(s"$storePath/digests")
+    def verdictOf(joined: DataFrame): DataFrame = joined
       .select(col("doc_id"), col("text"),
         when(col("bmatch").isNotNull, lit("exact_dup"))
           .otherwise(lit("unseen")).as("verdict"),
         col("bmatch").as("match_id"))
+    (if (useBloom) graft.operators.Dedup.loadDigestBloom(spark, storePath) else None) match {
+      case None => verdictOf(probed.join(store, Seq("digest"), "left"))
+      // the store side of this stream-static join is corpus-sized and
+      // re-joined EVERY microbatch; the broadcast-Bloom sidecar splits
+      // each batch map-side instead — definite negatives are 'unseen' by
+      // construction (no false negatives) and never touch the store,
+      // positives still confirm through the join (a ~1 % fp rate just
+      // joins-and-misses). Output identical either way (spec'd).
+      case Some(bloomHit) =>
+        verdictOf(probed.filter(bloomHit(col("digest")))
+            .join(store, Seq("digest"), "left"))
+          .unionByName(probed.filter(!bloomHit(col("digest")))
+            .select(col("doc_id"), col("text"), lit("unseen").as("verdict"),
+              lit(null).cast("long").as("match_id")))
+    }
+  }
 }

@@ -53,6 +53,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
   }
 
+  test("tx_compress: column pruning survives the typed mapPartitions boundary") {
+    val p = plan(TextAnalysis.tx_compress(spark, dir))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"the deflate scan must read 2 of 5 columns:\n$p")
+  }
+
+  test("tx_bpe_encode: vocabulary joins broadcast; scan prunes to (doc_id, text)") {
+    val p = plan(TextAnalysis.tx_bpe_encode(spark, dir, merges = 2))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the vocab build side must broadcast, not shuffle the corpus:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
   test("q09/q10: EXISTS/NOT EXISTS plan as semi/anti joins") {
     assert(plan(Relational.q09_semi_join(spark, dir)).contains("LeftSemi"))
     assert(plan(Relational.q10_anti_join(spark, dir)).contains("LeftAnti"))

@@ -259,6 +259,24 @@ class StreamingSpec extends AnyFunSuite {
       assert(out(10L) == (("exact_dup", 1L)))
       assert(out(11L) == (("exact_dup", 2L)))
       assert(out(12L) == (("unseen", -1L)))
+      // the default path above ran the broadcast-Bloom screen (the store
+      // carries the sidecar) — the unscreened join must agree exactly
+      val input2 = MemoryStream[(Long, String)](spark)
+      val q2 = DocsStream.storeDedupGate(input2.toDS().toDF("doc_id", "text"),
+          spark, store, useBloom = false)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("store_gate_nobloom").start()
+      try {
+        input2.addData(
+          (10L, "alpha beta gamma delta"),
+          (11L, "spark catalyst optimizer rewrites plans"),
+          (12L, "never seen content entirely new here"))
+        q2.processAllAvailable()
+        val out2 = spark.table("store_gate_nobloom").collect()
+          .map(r => r.getLong(0) -> ((r.getString(2),
+            if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+        assert(out2 == out)
+      } finally q2.stop()
     } finally q.stop()
   }
 
