@@ -1329,5 +1329,26 @@ object OracleSql {
         |FROM periods
         |WINDOW v AS (PARTITION BY user_id ORDER BY grp)
         |ORDER BY user_id, valid_from""".stripMargin,
+
+    // pipeline_card: the per-(lang, source) data card; every component
+    // reuses the shared SQL fragments so card and operators cannot drift
+    "pipeline_card" ->
+      s"""WITH d AS (
+         |  SELECT lang, source, length(text) AS len, len(w) AS nw,
+         |    md5(text) AS digest,
+         |    ($wordBandSql AND $meanBandSql AND $stopHitsSql) AS keep
+         |  FROM (SELECT lang, source, text, w,
+         |          CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w) AS ml
+         |        FROM (SELECT lang, source, text,
+         |                string_split(text, ' ') AS w FROM documents))
+         |)
+         |SELECT lang, source,
+         |  count(*) AS n_docs,
+         |  CAST(sum(len) AS BIGINT) AS n_chars,
+         |  CAST(sum(nw) AS BIGINT) AS n_words,
+         |  quantile_cont(nw, 0.5) AS p50_words,
+         |  count(*) - count(DISTINCT digest) AS n_dup_docs,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok
+         |FROM d GROUP BY lang, source ORDER BY lang, source""".stripMargin,
   )
 }

@@ -139,6 +139,7 @@ object SparkEntry {
     "tx_compress" -> (TextAnalysis.tx_compress _),
     "tx_bpe" -> ((s, d) => TextAnalysis.tx_bpe(s, d)),
     "tx_bpe_encode" -> ((s, d) => TextAnalysis.tx_bpe_encode(s, d)),
+    "pipeline_card" -> (Curation.pipeline_card _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the

@@ -449,4 +449,34 @@ object Curation {
       .agg(count(lit(1)).as("n_overlap"))
       .orderBy("doc_id")
   }
+
+  /** Data card: the per-(lang, source) release summary every corpus ships
+    * with — doc/char/word volumes, median document length, exact-duplicate
+    * count (docs minus distinct digests), and the Gopher-quality pass
+    * count, in ONE aggregate over one corpus scan. All components reuse
+    * the library's shared definitions ([[TextAnalysis.gopherCriteria]],
+    * the md5 digest [[Dedup.dd_exact]] groups on), so the card can never
+    * disagree with the operators it summarizes. Scale shape: a single
+    * shuffle on (lang, source); count_distinct expands to the standard
+    * two-phase aggregate; the percentile is per-group exact — at 100 TB
+    * each group's sorted buffer is its own doc-length list, the one
+    * component to swap for an approx sketch if groups reach billions.
+    */
+  def pipeline_card(s: SparkSession, dir: String): DataFrame = {
+    val (okCount, okMean, okStops) = TextAnalysis.gopherCriteria()
+    docs(s, dir)
+      .select(col("lang"), col("source"),
+        length(col("text")).cast("long").as("len"),
+        size(words(col("text"))).cast("long").as("nw"),
+        md5(col("text")).as("digest"),
+        (okCount && okMean && okStops).as("keep"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("len")).as("n_chars"),
+        sum(col("nw")).as("n_words"),
+        percentile(col("nw"), lit(0.5)).as("p50_words"),
+        (count(lit(1)) - count_distinct(col("digest"))).as("n_dup_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_quality_ok"))
+      .orderBy("lang", "source")
+  }
 }
