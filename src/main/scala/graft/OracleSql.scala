@@ -1350,5 +1350,43 @@ object OracleSql {
          |  count(*) - count(DISTINCT digest) AS n_dup_docs,
          |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok
          |FROM d GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    // q50_gapfill: dense hourly spine per type via generate_series; missing
+    // hours surface as n=0 / gap_filled=true
+    "q50_gapfill" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n_raw
+        |  FROM events GROUP BY 1, 2
+        |), spine AS (
+        |  SELECT event_type, unnest(generate_series(min(h), max(h),
+        |    INTERVAL 1 HOUR)) AS h
+        |  FROM hourly GROUP BY event_type
+        |)
+        |SELECT s.event_type, s.h,
+        |  CAST(coalesce(hh.n_raw, 0) AS BIGINT) AS n,
+        |  hh.n_raw IS NULL AS gap_filled
+        |FROM spine s LEFT JOIN hourly hh
+        |  ON hh.event_type = s.event_type AND hh.h = s.h
+        |ORDER BY s.event_type, s.h""".stripMargin,
+
+    // dd_exact_best: per-digest best copy by (quality, length, -doc_id);
+    // the row_number formulation is equivalent to Spark's max_by-over-struct
+    "dd_exact_best" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, md5(text) AS digest, length(text) AS len,
+         |    ($wordBandSql AND $meanBandSql AND $stopHitsSql) AS keep
+         |  FROM (SELECT doc_id, text, w,
+         |          CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w) AS ml
+         |        FROM (SELECT doc_id, text,
+         |                string_split(text, ' ') AS w FROM documents))
+         |), r AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY digest
+         |      ORDER BY keep DESC, len DESC, doc_id ASC) AS rn,
+         |    count(*) OVER (PARTITION BY digest) AS n_copies
+         |  FROM d)
+         |SELECT digest, doc_id AS keeper, keep AS keeper_ok,
+         |  len AS keeper_len, n_copies
+         |FROM r WHERE rn = 1 ORDER BY digest""".stripMargin,
   )
 }

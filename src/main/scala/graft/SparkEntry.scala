@@ -140,6 +140,8 @@ object SparkEntry {
     "tx_bpe" -> ((s, d) => TextAnalysis.tx_bpe(s, d)),
     "tx_bpe_encode" -> ((s, d) => TextAnalysis.tx_bpe_encode(s, d)),
     "pipeline_card" -> (Curation.pipeline_card _),
+    "q50_gapfill" -> (Relational.q50_gapfill _),
+    "dd_exact_best" -> ((s, d) => Dedup.dd_exact_best(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the

@@ -29,6 +29,34 @@ object Dedup {
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
       .orderBy("digest")
 
+  /** Exact dedup with a QUALITY-AWARE keeper: real pipelines don't keep
+    * the smallest doc_id of a duplicate group — they keep the best COPY
+    * (re-crawls truncate, strip markup, or append boilerplate, so copies
+    * differ in everything but digest-relevant text... and when digests are
+    * computed on normalized text, in the raw text too). Keeper = max by
+    * (gopher-pass, length, -doc_id) — the shared [[TextAnalysis.gopherCriteria]],
+    * so "best" here and in the curation gates is the same predicate.
+    * Spelled as `max_by` over an orderable struct, NOT row_number = 1:
+    * map-side partial aggregation sends one candidate per digest per
+    * partition across the one shuffle, where the window form shuffles
+    * every copy of every group (q48's argument, applied to dedup).
+    * doc_id in the ordering makes ties impossible ⇒ deterministic.
+    */
+  def dd_exact_best(s: SparkSession, dir: String): DataFrame = {
+    val (okCount, okMean, okStops) = TextAnalysis.gopherCriteria()
+    val d = docs(s, dir).select(col("doc_id"),
+      md5(col("text")).as("digest"),
+      length(col("text")).cast("long").as("len"),
+      (okCount && okMean && okStops).as("keep"))
+    val ord = struct(col("keep").cast("int"), col("len"), -col("doc_id"))
+    d.groupBy("digest")
+      .agg(max_by(col("doc_id"), ord).as("keeper"),
+        max_by(col("keep"), ord).as("keeper_ok"),
+        max_by(col("len"), ord).as("keeper_len"),
+        count(lit(1)).as("n_copies"))
+      .orderBy("digest")
+  }
+
   /** Bag-of-words fingerprint dedup: md5 of the sorted distinct word set.
     * Catches reorderings/duplicated-word variants that exact dedup misses.
     */

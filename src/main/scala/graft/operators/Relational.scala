@@ -938,4 +938,28 @@ object Relational {
         col("valid_to").isNull.as("is_current"), col("n_events"))
       .orderBy("user_id", "valid_from")
   }
+
+  /** Time-series gap filling: hourly event counts per type with the
+    * MISSING hours materialized at zero — the bucket-creation half that
+    * LOCF (q42) does not do. The dense hour spine is generated per type
+    * from its own [min, max] with `sequence` + explode — spine size is
+    * hours×types (tiny), so the left join back to the real counts
+    * broadcasts the aggregated side at any corpus scale; the raw events
+    * table is scanned once and reduced BEFORE any join. DuckDB twin uses
+    * generate_series.
+    */
+  def q50_gapfill(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n_raw"))
+    val spine = hourly.groupBy(col("event_type"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+    spine.join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        coalesce(col("n_raw"), lit(0L)).as("n"),
+        col("n_raw").isNull.as("gap_filled"))
+      .orderBy("event_type", "h")
+  }
 }
