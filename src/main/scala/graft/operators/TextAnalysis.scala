@@ -559,6 +559,22 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Leftmost-greedy application of one BPE merge rule (l, r) to a symbol
+    * array, as an aggregate() fold: append, or fuse with the accumulator's
+    * last symbol when (last, current) is exactly the pair. Greedy-correct
+    * by symbol identity: once fused, the merged symbol `l+r` no longer
+    * EQUALS `l` (even when their characters overlap), so it cannot consume
+    * the element it just absorbed — exhaustively spec'd against a
+    * reference Scala implementation over all short {a,b} words.
+    */
+  private[operators] def mergeFold(syms: Column, l: String, r: String): Column =
+    aggregate(syms,
+      array().cast("array<string>"),
+      (acc, x) => when(
+        size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
+
   /** The shared BPE training loop: returns (rules, final histogram). The
     * histogram keeps the raw word alongside its evolving symbol array, so
     * after the last merge it doubles as the trained tokenizer's vocabulary
@@ -593,16 +609,7 @@ object TextAnalysis {
       else {
         val (l, rr, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         rules += ((r, l, rr, n))
-        val merged = l + rr
-        // leftmost-greedy merge fold: append, or fuse with the accumulator's
-        // last symbol when (last, current) is exactly the learned pair
-        hist = hist.select(col("w"),
-          aggregate(col("syms"),
-            array().cast("array<string>"),
-            (acc, x) => when(
-              size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(rr),
-              concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
-              .otherwise(concat(acc, array(x)))).as("syms"),
+        hist = hist.select(col("w"), mergeFold(col("syms"), l, rr).as("syms"),
           col("cnt"))
         hist = hist.graftCheckpoint()
         r += 1

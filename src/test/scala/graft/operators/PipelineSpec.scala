@@ -225,6 +225,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(enc.toSeq == Seq((1L, 16L, 54L)))
   }
 
+  test("mergeFold: exhaustive agreement with the reference leftmost-greedy merge on short {a,b} words") {
+    def reference(syms: Seq[String], l: String, r: String): Seq[String] =
+      syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+        else acc :+ x
+      }
+    val words = for {
+      n <- 0 to 5
+      bits <- 0 until (1 << n)
+    } yield (0 until n).map(i => if ((bits >> i & 1) == 1) "b" else "a")
+    val rules = Seq(("a", "b"), ("b", "a"), ("a", "a"), ("b", "b"),
+      ("ab", "a"), ("a", "ab"), ("aa", "aa"))
+    for ((l, r) <- rules) {
+      val df = words.map(w => Tuple1(w)).toDF("syms")
+      val got = df.select(TextAnalysis.mergeFold(col("syms"), l, r)).collect()
+        .map(_.getSeq[String](0).toSeq)
+      val want = words.map(w => reference(w, l, r))
+      assert(got.toSeq == want.toSeq, s"rule ($l,$r)")
+    }
+    // chained rules manufacture multi-char symbols, hitting the fuse-vs-
+    // overlap cases single char-level rules can't reach (e.g. "aa"+"a"
+    // must not re-fuse with the "a" it just absorbed)
+    val chain = Seq(("a", "a"), ("aa", "a"), ("aa", "aa"), ("b", "aaa"))
+    val chained = chain.foldLeft(col("syms"))((c, lr) =>
+      TextAnalysis.mergeFold(c, lr._1, lr._2))
+    val gotC = words.map(w => Tuple1(w)).toDF("syms").select(chained).collect()
+      .map(_.getSeq[String](0).toSeq)
+    val wantC = words.map(w => chain.foldLeft(w: Seq[String])((s, lr) =>
+      reference(s, lr._1, lr._2)))
+    assert(gotC.toSeq == wantC.toSeq)
+  }
+
   test("tx_compress: repetition compresses far below prose; sizes exact; empty doc is ratio 1") {
     val rep = "spam ham " * 200                       // highly repetitive
     val prose = (1 to 200).map(i => s"w${i * 2654435761L % 9973}").mkString(" ")
