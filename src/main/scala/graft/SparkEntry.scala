@@ -142,6 +142,7 @@ object SparkEntry {
     "pipeline_card" -> (Curation.pipeline_card _),
     "q50_gapfill" -> (Relational.q50_gapfill _),
     "dd_exact_best" -> ((s, d) => Dedup.dd_exact_best(s, d)),
+    "ann_ivfpq_refined" -> ((s, d) => Similarity.ann_ivfpq_refined(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the

@@ -315,6 +315,43 @@ object Similarity {
     adcSearch(s, coded, cents, books, queries, nprobe, k, m, sub)
   }
 
+  /** Two-stage IVFPQ search — the standard production shape: ADC retrieves
+    * a `refine`-deep candidate set from codes alone (cheap, approximate),
+    * then the candidates' RAW vectors are fetched and exact cosine
+    * re-ranks them to top-k. Quantization error caps ADC's ranking
+    * fidelity; the refine stage removes it from the final order at the
+    * cost of reading `nQueries·refine` true vectors — which is why every
+    * serious IVFPQ deployment refines. Here the fetch is a broadcast
+    * semi-join of the candidate ids against one corpus scan; a production
+    * layout buckets raw vectors by vec_id so the same join prunes to the
+    * candidates' buckets instead of scanning. Output schema matches
+    * [[ann_bruteforce]], so recall is directly comparable — the spec
+    * asserts refined recall ≥ plain ADC recall against the brute-force
+    * truth.
+    */
+  def ann_ivfpq_refined(s: SparkSession, dir: String, nQueries: Int = 8,
+      k: Int = 10, refine: Int = 40, nlist: Int = 32, nprobe: Int = 3,
+      m: Int = 8, codes: Int = 16, iters: Int = 2): DataFrame = {
+    val approx = ann_ivfpq(s, dir, nQueries, refine, nlist, nprobe, m, codes, iters)
+      .select(col("q_id"), col("vec_id"))
+    val emb = Tables.loadParallel(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), VecDot.norm(col("embedding")).as("nrm"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val scored = emb
+      .join(broadcast(approx), Seq("vec_id")) // candidate fetch: nQueries·refine ids
+      .join(broadcast(queries), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        VecDot.cosineFast(VecDot.dot(col("q_emb"), col("embedding")),
+          col("q_nrm"), col("nrm")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "cos")
+      .orderBy("q_id", "rank")
+  }
+
   /** Residual-ADC search over a coded corpus frame (vec_id, cid, codes).
     * Per (query, probed list): the m×k subspace distance tables from the
     * query's residual to every codeword, shipped as DATA in a broadcast
@@ -519,7 +556,32 @@ object Similarity {
       .groupBy("cid").agg(count(lit(1)).as("n"))
     counts
       .withColumn("share", col("n") / sum(col("n")).over(Window.partitionBy()))
+      .join(listFileCounts(s, path), Seq("cid"), "left")
       .orderBy("cid")
+  }
+
+  /** Parquet files per list partition — the [[compactIvfPqIndex]] signal:
+    * every append adds one file to each touched list, and the README
+    * recipe says compact past a few dozen. A driver-side directory
+    * listing (nlist entries, bounded by the index's own list count — the
+    * same order as the centroid sidecar already held driver-side), joined
+    * into [[indexListStats]]/[[indexHealth]] so the rebuild AND compact
+    * decisions read off one report.
+    */
+  private def listFileCounts(s: SparkSession, path: String): DataFrame = {
+    import s.implicits._
+    val codes = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val fs = codes.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.listStatus(codes).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cid="))
+      .map { st =>
+        val cid = st.getPath.getName.stripPrefix("cid=").toInt
+        val files = fs.listStatus(st.getPath)
+          .count(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+        (cid, files.toLong)
+      }
+      .toDF("cid", "n_files")
   }
 
   /** Quantization-error drift of `vecs` (any (vec_id, embedding) frame —

@@ -515,6 +515,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("quadratic per cell"))
   }
 
+  test("ann_ivfpq_refined: exact re-rank never loses recall vs plain ADC; candidates respected") {
+    val dir = "/root/testdata/sf0.01"
+    def hits(df: org.apache.spark.sql.DataFrame) = df.select("q_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = hits(Similarity.ann_bruteforce(spark, dir))
+    val adc = hits(Similarity.ann_ivfpq(spark, dir))
+    val refinedDf = Similarity.ann_ivfpq_refined(spark, dir)
+    val refined = hits(refinedDf)
+    def recall(got: Set[(Long, Long)]) = (truth & got).size.toDouble / truth.size
+    assert(recall(refined) >= recall(adc),
+      s"refine must not lose recall: ${recall(refined)} < ${recall(adc)}")
+    // the refined top-k draws only from the refine-deep ADC candidate set
+    val cands = hits(Similarity.ann_ivfpq(spark, dir, k = 40))
+    assert(refined.subsetOf(cands))
+    // exact cosine order: non-increasing within each query, ranks dense
+    val rows = refinedDf.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    rows.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq)
+      assert(sorted.sliding(2).forall(p => p.length < 2 || p(0)._4 >= p(1)._4))
+    }
+  }
+
   test("ann_ivfpq: planted-neighbor recall >= 0.8 AND scan fraction < 15% of codes") {
     // the composed index must deliver BOTH halves at once: find the planted
     // twin (recall, like ann_pq's spec) while touching only the probed
@@ -762,8 +786,14 @@ class PipelineSpec extends AnyFunSuite {
     val preSearch = Similarity.searchIvfPqIndex(spark, path, queries)
       .collect().map(_.toSeq).toSeq
     assert(layout().exists(_._2 > 1), "append should have left multi-file lists")
+    // the compaction signal is readable from the health report itself
+    val preFiles = Similarity.indexListStats(spark, path)
+      .select("n_files").collect().map(_.getLong(0))
+    assert(preFiles.exists(_ > 1L))
     Similarity.compactIvfPqIndex(spark, path)
     assert(layout().forall(_._2 == 1), s"post-compact layout: ${layout()}")
+    assert(Similarity.indexListStats(spark, path)
+      .select("n_files").collect().map(_.getLong(0)).forall(_ == 1L))
     assert(codes() == preCodes)
     assert(Similarity.searchIvfPqIndex(spark, path, queries)
       .collect().map(_.toSeq).toSeq == preSearch)
