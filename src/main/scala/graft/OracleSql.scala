@@ -51,6 +51,12 @@ object OracleSql {
     */
   private val normSql: String =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+  /** Mixture-weight CASE generated from [[graft.operators.Curation.mixtureWeights]]. */
+  private val mixtureWSql: String =
+    graft.operators.Curation.mixtureWeights.toSeq.sortBy(_._1)
+      .map { case (s, w) => s"WHEN source = '$s' THEN $w" }
+      .mkString("CASE ", " ", s" ELSE ${graft.operators.Curation.mixtureDefaultWeight} END")
+
   private val wordBandSql = "len(w) >= 20 AND len(w) <= 100000"
   private val meanBandSql = "ml >= 3.0 AND ml <= 10.0"
   private val stopHitsSql = s"len(list_intersect(w, $gopherListSql)) >= 2"
@@ -338,6 +344,70 @@ object OracleSql {
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4
          |ORDER BY a, b""".stripMargin,
+
+    // dd_containment: same pair-intersection CTE as dd_ngram_jaccard,
+    // min-normalized (Broder's containment coefficient)
+    "dd_containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |         ELSE list_transform(generate_series(0, len(w) - 3),
+        |                             i -> array_to_string(w[i+1:i+3], ' ')) END)) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b, CAST(inter AS DOUBLE) / least(sa.n_sh, sb.n_sh) AS containment
+        |FROM pairs JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+        |WHERE CAST(inter AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= 0.8
+        |ORDER BY a, b""".stripMargin,
+
+    // decon_embed: broadcast-eval semantic decontamination; argmax via the
+    // sorted-struct device (field-order lexicographic on both engines)
+    "decon_embed" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |ev AS (SELECT vec_id AS e_id, embedding AS e_emb FROM e WHERE vec_id < 64),
+         |sc AS (
+         |  SELECT t.vec_id,
+         |    max({'cos': ${cosSql("t.embedding", "e_emb")}, 'ne': -e_id}) AS m
+         |  FROM e t, ev WHERE t.vec_id >= 64 GROUP BY t.vec_id)
+         |SELECT vec_id, CAST(-(m.ne) AS BIGINT) AS best_eval, m.cos AS max_cos,
+         |  m.cos >= 0.8 AS contaminated
+         |FROM sc ORDER BY vec_id""".stripMargin,
+
+    // ann_sq: int8 scalar-quantized search — embed_quantize's exact scheme;
+    // ranking by code cosine (integer dot and norms²; the per-vector scales
+    // cancel), so the whole ANN query is oracle-exact
+    "ann_sq" ->
+      """WITH q8 AS (
+        |  SELECT vec_id,
+        |    CASE WHEN maxabs = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(embedding,
+        |                x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / maxabs)) AS BIGINT)) END AS q
+        |  FROM (SELECT vec_id, embedding,
+        |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+        |        FROM embeddings)),
+        |n2 AS (
+        |  SELECT vec_id, q,
+        |    CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2
+        |  FROM q8),
+        |qq AS (SELECT vec_id AS q_id, q AS qv, n2 AS qn2 FROM n2 WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q_id, vec_id,
+        |    CAST(list_sum(list_transform(list_zip(q, qv),
+        |      p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT))) AS BIGINT) AS dot,
+        |    CAST(n2 AS DOUBLE) AS n2d, CAST(qn2 AS DOUBLE) AS qn2d
+        |  FROM n2, qq WHERE vec_id <> q_id),
+        |rk AS (
+        |  SELECT q_id, vec_id, dot,
+        |    CAST(dot AS DOUBLE) / (sqrt(n2d) * sqrt(qn2d)) AS cos_q8,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY CAST(dot AS DOUBLE) / (sqrt(n2d) * sqrt(qn2d)) DESC, vec_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT q_id, rank, vec_id, dot, cos_q8 FROM rk WHERE rank <= 10
+        |ORDER BY q_id, rank""".stripMargin,
 
     // SemDeDup: the one-step Lloyd assignment (same CTE shape as
     // embed_kmeans_assign's oracle) + within-cluster defined-order cosine —
@@ -1063,6 +1133,93 @@ object OracleSql {
 
     // one divide + one sqrt + one multiply + one floor, all IEEE
     // correctly-rounded with a fixed order — bit-identical thresholds
+    // samp_mixture: the weight CASE is generated from the SAME map the
+    // operator uses (Curation.mixtureWeights) — no drift possible
+    "samp_mixture" ->
+      s"""WITH c AS (
+         |  SELECT source, count(*) AS n FROM documents GROUP BY source),
+         |r AS (
+         |  SELECT source, n, ($mixtureWSql) / CAST(n AS DOUBLE) AS r FROM c),
+         |t AS (
+         |  SELECT source, n,
+         |    printf('%06x', CAST(least(
+         |      floor(r / (SELECT max(r) FROM r) * 16777216.0), 16777215.0) AS BIGINT)) AS thr
+         |  FROM r)
+         |SELECT d.source, count(*) AS n_total,
+         |  CAST(sum(CASE WHEN substr(md5(text), 1, 6) < thr THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  min(thr) AS thr
+         |FROM documents d JOIN t ON d.source = t.source
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    // src_jsonl: the oracle reads only the parquet ORIGINALS — a hash
+    // match certifies the Spark-side JSONL round trip bit-exactly
+    "src_jsonl" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  bit_xor(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)) AS content_digest
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q52_rank_stats" ->
+      """SELECT doc_id, lang, n_chars,
+        |  CAST(rank() OVER w AS BIGINT) AS rk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drk,
+        |  percent_rank() OVER w AS prk,
+        |  cume_dist() OVER w AS cd
+        |FROM documents
+        |WINDOW w AS (PARTITION BY lang ORDER BY n_chars)
+        |ORDER BY lang, n_chars, doc_id""".stripMargin,
+
+    // q51_histogram: DuckDB has no width_bucket — the twin spells the same
+    // exact floor arithmetic (bounds are powers of two, so no FP fuzz)
+    "q51_histogram" ->
+      """WITH b AS (
+        |  SELECT lang,
+        |    CAST(CASE WHEN n_chars < 0 THEN 0 WHEN n_chars >= 512 THEN 17
+        |         ELSE floor(CAST(n_chars AS DOUBLE) / 32.0) + 1 END AS BIGINT) AS bucket
+        |  FROM documents)
+        |SELECT lang, bucket,
+        |  CASE WHEN bucket = 0 THEN NULL ELSE (bucket - 1) * 32 END AS lo,
+        |  CASE WHEN bucket = 17 THEN NULL ELSE bucket * 32 END AS hi,
+        |  count(*) AS n_docs
+        |FROM b GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
+
+    // pipeline_release: per-source funnel — gopher gate, best-copy dedup
+    // (row_number twin of max_by), mixture thresholds on the deduped census
+    "pipeline_release" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source, text, CAST(length(text) AS BIGINT) AS len,
+         |    md5(text) AS digest,
+         |    ($wordBandSql AND $meanBandSql AND $stopHitsSql) AS keep
+         |  FROM (SELECT doc_id, source, text, string_split(text, ' ') AS w,
+         |          CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+         |            / len(string_split(text, ' ')) AS ml
+         |        FROM documents)),
+         |q AS (SELECT * FROM base WHERE keep),
+         |k AS (
+         |  SELECT *, row_number() OVER (PARTITION BY digest
+         |    ORDER BY len DESC, doc_id ASC) AS rn FROM q),
+         |keepers AS (SELECT doc_id, source, text FROM k WHERE rn = 1),
+         |c AS (SELECT source, count(*) AS n FROM keepers GROUP BY source),
+         |r AS (SELECT source, n, ($mixtureWSql) / CAST(n AS DOUBLE) AS r FROM c),
+         |t AS (
+         |  SELECT source, printf('%06x', CAST(least(
+         |    floor(r / (SELECT max(r) FROM r) * 16777216.0), 16777215.0) AS BIGINT)) AS thr
+         |  FROM r),
+         |sm AS (
+         |  SELECT keepers.source, count(*) AS n_release
+         |  FROM keepers JOIN t ON keepers.source = t.source
+         |  WHERE substr(md5(text), 1, 6) < thr GROUP BY 1)
+         |SELECT b.source, count(*) AS n_raw,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |  COALESCE(max(d.n_dedup), 0) AS n_dedup,
+         |  COALESCE(max(sm.n_release), 0) AS n_release
+         |FROM base b
+         |LEFT JOIN (SELECT source, count(*) AS n_dedup FROM keepers GROUP BY 1) d
+         |  ON b.source = d.source
+         |LEFT JOIN sm ON b.source = sm.source
+         |GROUP BY b.source ORDER BY b.source""".stripMargin,
+
     "samp_temperature" ->
       """WITH c AS (
         |  SELECT lang, count(*) AS n FROM documents GROUP BY lang),

@@ -143,6 +143,14 @@ object SparkEntry {
     "q50_gapfill" -> (Relational.q50_gapfill _),
     "dd_exact_best" -> ((s, d) => Dedup.dd_exact_best(s, d)),
     "ann_ivfpq_refined" -> ((s, d) => Similarity.ann_ivfpq_refined(s, d)),
+    "dd_containment" -> ((s, d) => Dedup.dd_containment(s, d)),
+    "decon_embed" -> ((s, d) => Curation.decon_embed(s, d)),
+    "ann_sq" -> ((s, d) => Similarity.ann_sq(s, d)),
+    "samp_mixture" -> (Curation.samp_mixture _),
+    "q51_histogram" -> (Relational.q51_histogram _),
+    "q52_rank_stats" -> (Relational.q52_rank_stats _),
+    "src_jsonl" -> (graft.sources.Jsonl.src_jsonl _),
+    "pipeline_release" -> (Curation.pipeline_release _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the

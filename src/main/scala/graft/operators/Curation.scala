@@ -317,6 +317,64 @@ object Curation {
         floor((col("cum") - col("toks")).cast("double") / budget).cast("long"))
   }
 
+  /** Target mixture weights for [[samp_mixture]] — a named-source map with
+    * a default, shared with the DuckDB oracle twin (OracleSql builds its
+    * CASE from this map) so operator and oracle can never drift.
+    */
+  private[graft] val mixtureWeights: Map[String, Double] =
+    Map("src0" -> 8.0, "src1" -> 4.0, "src2" -> 2.0)
+  private[graft] val mixtureDefaultWeight: Double = 1.0
+
+  private[graft] def mixtureWeightCol(src: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    mixtureWeights.foldLeft(lit(mixtureDefaultWeight)) { case (acc, (name, w)) =>
+      when(src === name, lit(w)).otherwise(acc)
+    }
+
+  /** Fixed-target DOMAIN MIXTURE sampling — the explicit-weights
+    * companion to [[samp_temperature]]'s α-flattening: a training run
+    * specifies the mixture it wants per source (web 8 : books 4 : code 2
+    * : everything-else 1, say), and the sampler computes per-source keep
+    * rates r_s ∝ w_s / n_s, scaled so the binding source (largest
+    * w_s/n_s) keeps 100 % — the best achievable approximation of the
+    * target mixture WITHOUT upsampling (the published LLM data recipes'
+    * standard move; repetition-based upsampling is an epoch-schedule
+    * concern, not a corpus transform). Keep decisions are the library's
+    * content-addressed device: md5-prefix < a hex threshold derived from
+    * r_s by only correctly-rounded IEEE ops (divide, divide, floor), so
+    * membership is reproducible under any partitioning, any engine, and
+    * re-ingest — and the DuckDB twin hash-matches bit-for-bit. Scale
+    * shape: one count aggregate (broadcast back), one map-only keep scan,
+    * one per-source audit aggregate — the corpus never shuffles its text.
+    */
+  /** The per-source hex keep thresholds behind [[samp_mixture]] — also the
+    * broadcast side of the streaming
+    * [[graft.streaming.DocsStream.mixtureGate]] (batch census sets the
+    * rates; the stream enforces them statelessly).
+    */
+  private[graft] def mixtureThresholds(d: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    d.groupBy("source").agg(count(lit(1)).as("n"))
+      .withColumn("w", mixtureWeightCol(col("source")))
+      .withColumn("r", col("w") / col("n").cast("double"))
+      .withColumn("rate", col("r") / max(col("r")).over(w))
+      .withColumn("thr", lower(lpad(hex(least(
+        floor(col("rate") * (1 << 24)).cast("long"), lit((1L << 24) - 1))), 6, "0")))
+      .select("source", "thr")
+  }
+
+  def samp_mixture(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val rates = mixtureThresholds(d)
+    d.select(col("source"), substring(md5(col("text")), 1, 6).as("p6"))
+      .join(broadcast(rates), Seq("source"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("p6") < col("thr"), 1L).otherwise(0L)).as("n_kept"),
+        first(col("thr")).as("thr"))
+      .orderBy("source")
+  }
+
   def samp_temperature(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val counts = tempThresholds(d)
@@ -478,5 +536,88 @@ object Curation {
         (count(lit(1)) - count_distinct(col("digest"))).as("n_dup_docs"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_quality_ok"))
       .orderBy("lang", "source")
+  }
+
+  /** Release audit — the per-SOURCE funnel composing this round's curation
+    * members through their SHARED definitions: Gopher quality gate
+    * ([[TextAnalysis.gopherCriteria]]) → best-COPY exact dedup
+    * ([[Dedup.dd_exact_best]]'s orderable-struct keeper: longest survivor,
+    * ties to the smallest doc_id — map-side partial `max_by`, one row per
+    * digest per partition over the one shuffle) → fixed-target mixture
+    * sampling ([[mixtureThresholds]], computed on the DEDUPED population —
+    * the production order: the cleaned census sets the rates). One row per
+    * source with the count at every stage; sources erased by a stage
+    * report 0, not null. Fully DuckDB-oracle-checked because every
+    * component already is. Scale shape: two corpus scans (the audit
+    * aggregate and the funnel), one digest shuffle, broadcast thresholds;
+    * text never shuffles except the one deduped keeper row per digest.
+    */
+  def pipeline_release(s: SparkSession, dir: String): DataFrame = {
+    val (okCount, okMean, okStops) = TextAnalysis.gopherCriteria()
+    val base = docs(s, dir)
+      .select(col("doc_id"), col("source"), col("text"),
+        length(col("text")).cast("long").as("len"),
+        md5(col("text")).as("digest"),
+        (okCount && okMean && okStops).as("keep"))
+    val q = base.filter(col("keep"))
+    val keepers = q.groupBy("digest")
+      .agg(max_by(struct(col("doc_id"), col("source"), col("text")),
+        struct(col("len"), -col("doc_id"))).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.source").as("source"),
+        col("r.text").as("text"))
+    val sampled = keepers
+      .withColumn("p6", substring(md5(col("text")), 1, 6))
+      .join(broadcast(mixtureThresholds(keepers)), Seq("source"))
+      .filter(col("p6") < col("thr"))
+    base.groupBy("source").agg(count(lit(1)).as("n_raw"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_quality"))
+      .join(keepers.groupBy("source").agg(count(lit(1)).as("n_dedup")),
+        Seq("source"), "left")
+      .join(sampled.groupBy("source").agg(count(lit(1)).as("n_release")),
+        Seq("source"), "left")
+      .select(col("source"), col("n_raw"), col("n_quality"),
+        coalesce(col("n_dedup"), lit(0L)).as("n_dedup"),
+        coalesce(col("n_release"), lit(0L)).as("n_release"))
+      .orderBy("source")
+  }
+
+  /** SEMANTIC benchmark decontamination — the embedding member of the
+    * decon family ([[decon_ngram]] exact 8-grams, [[decon_jaccard]] fuzzy
+    * n-gram sets, this one cosine): a paraphrased benchmark question
+    * shares no 8-gram with its source but sits at cosine ≈ 1 in embedding
+    * space, the contamination mode the lexical screens provably miss
+    * (the published large-model decon recipes run both).
+    *
+    * Scale shape: the eval/benchmark side is small by nature (thousands
+    * of rows) → broadcast; the training side is ONE map-only scan
+    * computing |eval| codegen'd dots per row, then the per-vector argmax
+    * partial-aggregates map-side, so the one shuffle carries at most one
+    * row per training vector per partition — the 100 TB side never
+    * shuffles its embeddings. Exact arithmetic end to end (the same
+    * defined-order cosine as [[Dedup.dd_embed_cosine]], argmax tie-broken
+    * to the smallest eval id via the sorted-struct device), hence fully
+    * DuckDB-oracle-checkable where the hash-family screens are not.
+    */
+  def decon_embed(s: SparkSession, dir: String, nEval: Int = 64,
+      threshold: Double = 0.8): DataFrame = {
+    import graft.functions.VecDot
+    val emb = Tables.loadParallel(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), VecDot.norm(col("embedding")).as("nrm"))
+    val eval = emb.filter(col("vec_id") < nEval)
+      .select(col("vec_id").as("e_id"), col("embedding").as("e_emb"), col("nrm").as("e_nrm"))
+    emb.filter(col("vec_id") >= nEval)
+      .crossJoin(broadcast(eval))
+      .select(col("vec_id"),
+        struct(
+          VecDot.cosineFast(VecDot.dot(col("embedding"), col("e_emb")),
+            col("nrm"), col("e_nrm")).as("cos"),
+          (-col("e_id")).as("ne")).as("sc"))
+      .groupBy("vec_id")
+      .agg(max(col("sc")).as("m"))
+      .select(col("vec_id"),
+        (-col("m.ne")).as("best_eval"),
+        col("m.cos").as("max_cos"),
+        (col("m.cos") >= threshold).as("contaminated"))
+      .orderBy("vec_id")
   }
 }

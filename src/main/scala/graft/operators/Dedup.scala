@@ -383,6 +383,19 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** Identical-shingle-SET groups: one representative (min doc_id) + the
+    * member list per distinct sorted shingle-hash array. The shared stage-0
+    * of the shingle dedup family ([[dd_ngram_jaccard]], [[dd_containment]],
+    * [[dd_cluster_jaccard]]) — exact-dup cliques collapse here so candidate
+    * generation and verification never pay clique².
+    */
+  private[operators] def shingleGroups(s: SparkSession, dir: String, n: Int): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), array_sort(hashedShingles(col("text"), n)).as("shs"))
+      .groupBy("shs")
+      .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
+      .graftCheckpoint() // multi-consumer; materialized once, auto-released
+
   /** The (grouped, repPairs) stage of [[dd_ngram_jaccard]] — shared with
     * [[dd_cluster_jaccard]], which clusters representatives directly
     * instead of paying the clique² member expansion only to collapse it.
@@ -394,11 +407,7 @@ object Dedup {
     //    candidate pair by clique² — measured 22× runtime at a 10×-replicated
     //    corpus. Collapsed, cliques cost OUTPUT rows only (expansion below),
     //    never verification work. The sorted hash array is the group key.
-    val grouped = docs(s, dir)
-      .select(col("doc_id"), array_sort(hashedShingles(col("text"), n)).as("shs"))
-      .groupBy("shs")
-      .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
-      .graftCheckpoint() // multi-consumer; materialized once, auto-released
+    val grouped = shingleGroups(s, dir, n)
     // 1. Posting list over REPRESENTATIVES, on 64-bit shingle hashes (same
     //    pair counts — collisions at 2^-64 are below any practical risk —
     //    far cheaper shuffle + compare than shingle strings). `sh` appears
@@ -1231,5 +1240,75 @@ object Dedup {
         coalesce(col("kept_words"), lit(0L)).as("kept_words"),
         md5(coalesce(col("trimmed"), lit(""))).as("trimmed_digest"))
       .orderBy("doc_id")
+  }
+
+  /** Containment near-dup detection — the QUOTE/SUBSET duplicate mode
+    * Jaccard provably misses: a short document wholly quoted inside a long
+    * one has Jaccard ≈ |short|/|long| (arbitrarily small) but containment
+    * |A∩B| / min(|A|,|B|) ≈ 1. The asymmetric member of the shingle dedup
+    * family (Broder's containment coefficient; the overlap similarity of
+    * the set-join literature).
+    *
+    * Scale shape: shares [[shingleGroups]]'s exact-dup clique collapse,
+    * then a ONE-SIDED prefix filter — a qualifying pair needs
+    * inter ≥ ⌈t·min(na,nb)⌉, so by pigeonhole the SMALLER side must match
+    * inside its first na − ⌈t·na⌉ + 1 rarest-first shingles (recall is
+    * exactly 1: at most na − ⌈t·na⌉ of A's shingles fall outside B, no
+    * ordering assumption needed). There is NO length filter by nature —
+    * any long document can contain a short one — so the index side posts
+    * ALL its shingles; candidate cost is Σ_sh prefixCount(sh)·df(sh),
+    * bounded because the df-rarest-first prefix keeps boilerplate
+    * (high-df) shingles out of the probe side. Verification is the
+    * codegen'd sorted-merge overlap on the already-materialized sorted
+    * hash arrays; intra-group (identical-set) pairs are containment
+    * exactly 1.0 via the expansion. Output pairs are id-ordered; the
+    * min-normalized score makes orientation irrelevant.
+    *
+    * Reference scope: dedup families are beyond-parity scope
+    * (/root/repo/SURVEY.md §7.7); containment per Broder 1997 "On the
+    * resemblance and containment of documents".
+    */
+  def dd_containment(s: SparkSession, dir: String, n: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val (grouped, repPairs) = containmentRepPairs(s, dir, n, threshold)
+    expandPairs(repPairs.select("a", "b", "containment"), "containment",
+      grouped, lit(1.0), lit(1.0) >= threshold)
+      .orderBy("a", "b")
+  }
+
+  private[operators] def containmentRepPairs(s: SparkSession, dir: String,
+      n: Int, threshold: Double): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val grouped = shingleGroups(s, dir, n)
+    val sh = grouped.select(col("rep").as("doc_id"),
+      size(col("shs")).as("n"), explode(col("shs")).as("sh"))
+    val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    // rarest-first rank; checkpointed because BOTH join sides read it
+    val ranked = sh.join(df, Seq("sh"))
+      .withColumn("p", row_number().over(
+        Window.partitionBy("doc_id").orderBy("df", "sh")) - lit(1))
+      .graftCheckpoint()
+    // probe = each doc in its role as the SMALLER side: first
+    // n − ⌈t·n⌉ + 1 rarest shingles (ε guards the double product from
+    // over-ceiling — conservative, only ever widens the prefix)
+    val probe = ranked.filter(col("p") <
+        col("n") - ceil(col("n").cast("double") * threshold - 1e-9).cast("int") + 1)
+      .select(col("sh"), col("doc_id").as("a"), col("n").as("na"))
+    val index = ranked.select(col("sh"), col("doc_id").as("b"), col("n").as("nb"))
+    val candidates = probe.join(index, Seq("sh"))
+      // orientation: a is the smaller set (ties by id) — each unordered
+      // pair joins in exactly one orientation, self-pairs drop out
+      .filter(col("na") < col("nb") || (col("na") === col("nb") && col("a") < col("b")))
+      .select("a", "b").distinct()
+    val repSets = grouped.select(col("rep").as("doc_id"), col("shs"))
+    val repPairs = candidates
+      .join(repSets.select(col("doc_id").as("a"), col("shs").as("sa")), Seq("a"))
+      .join(repSets.select(col("doc_id").as("b"), col("shs").as("sb")), Seq("b"))
+      .select(col("a"), col("b"),
+        graft.functions.SortedOverlap.count(col("sa"), col("sb")).as("inter"),
+        least(size(col("sa")), size(col("sb"))).as("nmin"))
+      .withColumn("containment", col("inter").cast("double") / col("nmin"))
+      .filter(col("containment") >= threshold)
+    (grouped, repPairs)
   }
 }

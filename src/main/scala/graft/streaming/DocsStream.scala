@@ -50,6 +50,25 @@ object DocsStream {
       .withColumn("split", graft.operators.Curation.splitOf(col("text")))
   }
 
+  /** Ingest-time MIXTURE gate: enforce a target domain mixture on a
+    * document stream with the batch sampler's exact keep decision
+    * ([[graft.operators.Curation.samp_mixture]]): per-source hex
+    * thresholds — precomputed from a batch census, the production shape
+    * (yesterday's counts set today's rates) — broadcast against the
+    * stream, admit iff md5-prefix < threshold. STATELESS and map-only
+    * (membership is a pure function of content + the threshold table),
+    * so replay, reordering, and repartitioning cannot change the admitted
+    * set, and the gate keeps up at any ingest rate. A doc from a source
+    * absent from `rates` is dropped (inner join) — the conservative
+    * default for an allow-listed mixture.
+    */
+  def mixtureGate(stream: DataFrame, rates: DataFrame): DataFrame =
+    stream
+      .withColumn("p6", substring(md5(col("text")), 1, 6))
+      .join(broadcast(rates), Seq("source"))
+      .filter(col("p6") < col("thr"))
+      .drop("p6", "thr")
+
   /** Ingest-time EXACT dedup with bounded state: admit a document only if
     * its normalized-content digest has not been seen within the watermark
     * horizon. `dropDuplicates` on an unbounded stream keeps every digest

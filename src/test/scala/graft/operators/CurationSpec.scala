@@ -271,4 +271,26 @@ class CurationSpec extends AnyFunSuite {
     assert(!got(2L).getAs[Boolean]("repetitive"))
     assert(got(2L).getAs[Double]("dup_word_frac") == 0.0)
   }
+
+  test("samp_mixture: thresholds are exactly the weight ratios; binding source keeps all") {
+    // the synthetic corpus has uniform per-source counts, so the keep rate
+    // of source s is w_s / max(w) exactly — thresholds are round hex
+    val r = Curation.samp_mixture(spark, "/root/testdata/sf0.01").collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    assert(r("src0")._3 == "ffffff", "binding source caps at the keep-all threshold")
+    assert(r("src1")._3 == "800000" && r("src2")._3 == "400000" && r("src3")._3 == "200000")
+    // heavier weight never keeps a smaller fraction (wide-margin pair only;
+    // per-source counts are 25 at this SF, so adjacent rates can tie by luck)
+    def frac(s: String) = r(s)._2.toDouble / r(s)._1
+    assert(frac("src0") > frac("src3"))
+    // deterministic: a second run returns the identical frame
+    val again = Curation.samp_mixture(spark, "/root/testdata/sf0.01").collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    assert(again == r)
+  }
+
+  test("samp_mixture returns empty on an empty corpus, no errors") {
+    val empty = docsDir(Seq.empty)
+    assert(Curation.samp_mixture(spark, empty).count() == 0)
+  }
 }

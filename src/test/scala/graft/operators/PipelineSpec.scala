@@ -857,7 +857,7 @@ class PipelineSpec extends AnyFunSuite {
     val shifted = emb.select(col("vec_id"),
       transform(col("embedding"), x => (x + lit(5.0f)).cast("float")).as("embedding"))
     val h = Similarity.indexHealth(spark, path, shifted)
-    assert(h.columns.toSeq == Seq("cid", "n", "share", "base_n", "base_mean_err",
+    assert(h.columns.toSeq == Seq("cid", "n", "share", "n_files", "base_n", "base_mean_err",
       "base_p95_err", "delta_n", "delta_mean_err", "delta_p95_err", "err_ratio"))
     val rows = h.collect()
     // one row per list; occupancy and delta both census the corpus
@@ -1268,6 +1268,91 @@ class PipelineSpec extends AnyFunSuite {
         if j >= 0.4
       } yield (a, b, j)).toSet
       assert(got == expected, s"trial $trial: prefix filter diverged from all-pairs")
+    }
+  }
+
+  test("dd_containment is exact vs all-pairs; catches the subset-quote mode jaccard misses") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta")
+    for (trial <- 1 to 3) {
+      val base = (1L to 20L).map { id =>
+        val n = 4 + rnd.nextInt(9)
+        (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "), "en", "s", 1L)
+      }
+      // plant: doc 100 wholly quotes doc 1 inside 40 words of padding —
+      // containment(1, 100) is exactly 1.0 while jaccard is tiny
+      val host = (100L, base.head._2 + " " +
+        Seq.fill(40)(vocab(rnd.nextInt(vocab.size))).mkString(" "), "en", "s", 1L)
+      val dir = tmpDocs(base :+ host)
+      val got = Dedup.dd_containment(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val naive = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), hashedShingles(col("text"), 3).as("shs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      val expected = (for {
+        a <- naive.keys; b <- naive.keys if a < b
+        inter = (naive(a) & naive(b)).size
+        c = inter.toDouble / math.min(naive(a).size, naive(b).size)
+        if c >= 0.8
+      } yield (a, b, c)).toSet
+      assert(got == expected, s"trial $trial: containment diverged from all-pairs")
+      assert(got.contains((1L, 100L, 1.0)), s"trial $trial: planted quote pair missing")
+      if (trial == 1) {
+        // the same planted pair is invisible to symmetric jaccard dedup
+        val jac = Dedup.dd_ngram_jaccard(spark, dir)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(!jac.contains((1L, 100L)), "quote pair should be below the jaccard threshold")
+      }
+    }
+  }
+
+  test("decon_embed: scala all-pairs argmax reproduced exactly; planted paraphrase flagged") {
+    val d = 16
+    def vec(seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(d)(r.nextFloat() - 0.5f)
+    }
+    val evals = (0L until 64L).map(i => (i, vec(i.toInt), "e"))
+    // train 200 = eval 3 rescaled (same direction — a "paraphrase");
+    // train 300 unrelated
+    val rows = evals ++ Seq(
+      (200L, vec(3).map(x => x * 1.01f), "t"),
+      (300L, vec(999), "t"))
+    val dir = tmpEmb(rows)
+    val got = Curation.decon_embed(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    // naive oracle in VecDot's exact arithmetic (index-order double sums)
+    def dot(a: Seq[Float], b: Seq[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.size) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def cos(a: Seq[Float], b: Seq[Float]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val trains = rows.filter(_._1 >= 64L)
+    assert(got.keySet == trains.map(_._1).toSet)
+    trains.foreach { case (vid, v, _) =>
+      val (bc, bne) = evals.map { case (e, ev, _) => (cos(v, ev), -e) }.max
+      val (gotEval, gotCos, gotFlag) = got(vid)
+      assert(gotEval == -bne && gotCos == bc && gotFlag == (bc >= 0.8),
+        s"vec $vid: got $gotEval/$gotCos/$gotFlag want ${-bne}/$bc")
+    }
+    assert(got(200L)._1 == 3L && got(200L)._3, "planted paraphrase must flag eval 3")
+    assert(got(200L)._2 > 0.999)
+  }
+
+  test("ann_sq: code-cosine recall >= 0.9 vs float bruteforce; ranks dense, self excluded") {
+    val dir = "/root/testdata/sf0.01"
+    val bf = Similarity.ann_bruteforce(spark, dir)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = Similarity.ann_sq(spark, dir).collect()
+    val sq = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (bf & sq).size.toDouble / bf.size
+    assert(recall >= 0.9, s"SQ8 code-cosine recall $recall < 0.9")
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_.getLong(1))
+      assert(byRank.map(_.getLong(1)).toSeq == (1L to byRank.length))
+      assert(byRank.forall(_.getLong(2) != q))
     }
   }
 

@@ -110,8 +110,12 @@ class PlanShapeSpec extends AnyFunSuite {
     val allowNL = Set("dd_embed_cosine", "ann_bruteforce", "q16_range_join",
       "q25_theta_join", "q26_asof_join",
       "ann_ivf", // corpus × broadcast codebook: the IVF assignment pass
-      "ann_pq") // coded corpus × 8 broadcast ADC probe rows (self-exclusion
+      "ann_pq", // coded corpus × 8 broadcast ADC probe rows (self-exclusion
                 // is the only predicate — the same shape as ann_bruteforce)
+      "decon_embed", // corpus × broadcast eval benchmark: every training
+                     // vector is scored against every eval vector by design
+      "ann_sq") // coded corpus × 8 broadcast query code rows — the
+                // ann_bruteforce shape on int8 codes
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, dir).queryExecution.sparkPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")

@@ -300,6 +300,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mixtureGate: stream admits exactly the batch sampler's keep set; unknown source dropped") {
+    // batch census over the real corpus sets the per-source thresholds
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.loadParallel(spark, dir, "documents")
+    val rates = graft.operators.Curation.mixtureThresholds(docs)
+    val input = MemoryStream[(String, Long, String)](spark)
+    val q = DocsStream.mixtureGate(
+        input.toDS().toDF("source", "doc_id", "text"), rates)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("mix_out").start()
+    try {
+      val rows = docs.select("source", "doc_id", "text").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      input.addData(rows.toSeq: _*)
+      input.addData(("srcUNKNOWN", 99999L, "no threshold for me"))
+      q.processAllAvailable()
+      val streamed = spark.table("mix_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      // the batch keep set, from the same thresholds
+      val batch = docs
+        .withColumn("p6", substring(md5(col("text")), 1, 6))
+        .join(rates, Seq("source"))
+        .filter(col("p6") < col("thr"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(streamed == batch)
+      assert(!streamed.contains(99999L), "allow-list: unknown source must drop")
+      // and the admitted counts agree with samp_mixture's per-source audit
+      val audit = graft.operators.Curation.samp_mixture(spark, dir)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      val bySource = spark.table("mix_out").groupBy("source").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      audit.foreach { case (src, kept) =>
+        assert(bySource.getOrElse(src, 0L) == kept, s"source $src")
+      }
+    } finally q.stop()
+  }
+
   test("vec_dot available from SQL via install and via extensions class") {
     graft.functions.GraftFunctions.install(spark)
     Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))).toDF("a", "b")
