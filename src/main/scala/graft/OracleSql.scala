@@ -1220,6 +1220,37 @@ object OracleSql {
          |LEFT JOIN sm ON b.source = sm.source
          |GROUP BY b.source ORDER BY b.source""".stripMargin,
 
+    // samp_upsample: per-source epoch schedule; fractional epochs realized
+    // by the md5-prefix device (same CASE-generated weights as samp_mixture)
+    "samp_upsample" ->
+      s"""WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+         |r AS (SELECT source, n_docs, ($mixtureWSql) / CAST(n_docs AS DOUBLE) AS r FROM c),
+         |e AS (SELECT source, n_docs, r / (SELECT min(r) FROM r) AS epochs FROM r),
+         |t AS (
+         |  SELECT source, n_docs, epochs,
+         |    CAST(floor(epochs) AS BIGINT) AS base,
+         |    printf('%06x', CAST(least(
+         |      floor((epochs - floor(epochs)) * 16777216.0), 16777215.0) AS BIGINT)) AS thr
+         |  FROM e)
+         |SELECT d.source, min(t.n_docs) AS n_docs, min(t.epochs) AS epochs,
+         |  min(t.base) AS base, min(t.thr) AS thr,
+         |  CAST(sum(CASE WHEN substr(md5(text), 1, 6) < thr THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_extra,
+         |  min(t.base) * min(t.n_docs)
+         |    + CAST(sum(CASE WHEN substr(md5(text), 1, 6) < thr THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_total
+         |FROM documents d JOIN t ON d.source = t.source
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    "q53_time_range_frame" ->
+      """SELECT event_id, user_id, ts,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT) AS cents_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+
     "samp_temperature" ->
       """WITH c AS (
         |  SELECT lang, count(*) AS n FROM documents GROUP BY lang),

@@ -151,6 +151,8 @@ object SparkEntry {
     "q52_rank_stats" -> (Relational.q52_rank_stats _),
     "src_jsonl" -> (graft.sources.Jsonl.src_jsonl _),
     "pipeline_release" -> (Curation.pipeline_release _),
+    "samp_upsample" -> (Curation.samp_upsample _),
+    "q53_time_range_frame" -> (Relational.q53_time_range_frame _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the

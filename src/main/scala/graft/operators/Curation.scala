@@ -538,6 +538,47 @@ object Curation {
       .orderBy("lang", "source")
   }
 
+  /** Epoch-schedule UPSAMPLING — the other half of [[samp_mixture]]: when a
+    * source needs MORE than it has (its target share exceeds its corpus
+    * share), downsampling alone cannot reach the mixture; the standard move
+    * is repetition — per-source epochs e_s = (w_s/n_s)/min_t(w_t/n_t), so
+    * the most over-represented source trains exactly once and everything
+    * else repeats. Realized deterministically at the DOCUMENT level:
+    * ⌊e_s⌋ copies for every doc plus one extra iff the doc's md5 prefix
+    * falls under the fractional-part threshold — the same content-addressed
+    * device as every sampler here, so the copy count of a given document
+    * is reproducible under any partitioning and re-ingest. Emits the
+    * per-source schedule audit (epochs, base copies, extra-copy count,
+    * total realized copies); all arithmetic is divisions/floor on exact
+    * IEEE doubles → full DuckDB oracle. Scale shape: one count aggregate,
+    * one map-only scan with a broadcast schedule — the corpus text never
+    * shuffles, and materializing the copies is a downstream `explode`
+    * over a literal range, not this audit's job.
+    */
+  def samp_upsample(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val sched = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", mixtureWeightCol(col("source")))
+      .withColumn("r", col("w") / col("n_docs").cast("double"))
+      .withColumn("epochs", col("r") / min(col("r")).over(w))
+      .withColumn("base", floor(col("epochs")).cast("long"))
+      .withColumn("thr", lower(lpad(hex(least(
+        floor((col("epochs") - col("base")) * (1 << 24)).cast("long"),
+        lit((1L << 24) - 1))), 6, "0")))
+      .select("source", "n_docs", "epochs", "base", "thr")
+    d.select(col("source"), substring(md5(col("text")), 1, 6).as("p6"))
+      .join(broadcast(sched), Seq("source"))
+      .groupBy("source")
+      .agg(first(col("n_docs")).as("n_docs"),
+        first(col("epochs")).as("epochs"),
+        first(col("base")).as("base"),
+        first(col("thr")).as("thr"),
+        sum(when(col("p6") < col("thr"), 1L).otherwise(0L)).as("n_extra"))
+      .withColumn("n_total", col("base") * col("n_docs") + col("n_extra"))
+      .orderBy("source")
+  }
+
   /** Release audit — the per-SOURCE funnel composing this round's curation
     * members through their SHARED definitions: Gopher quality gate
     * ([[TextAnalysis.gopherCriteria]]) → best-COPY exact dedup

@@ -963,6 +963,28 @@ object Relational {
       .orderBy("event_type", "h")
   }
 
+  /** EVENT-TIME RANGE window frame — the interval twin of [[q38_range_frame]]
+    * (which ranges over an integer column): per-user trailing-1-hour event
+    * count and value sum, `RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND
+    * CURRENT ROW` over the timestamp ordering. One shuffle on user_id; the
+    * frame is computed in one pass per partition with a sliding lower
+    * bound. Values aggregate as exact integer cents via floor(value·100)
+    * (floor and ×100 are correctly-rounded IEEE ops on both engines —
+    * `round` would NOT be, half-even vs half-away), so the oracle
+    * hash-matches.
+    */
+  def q53_time_range_frame(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events").createOrReplaceTempView("graft_q53_events")
+    s.sql(
+      """SELECT event_id, user_id, ts,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT) AS cents_1h
+        |FROM graft_q53_events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts, event_id""".stripMargin)
+  }
+
   /** Equal-width histogram via `width_bucket` — the SQL-surface profiling
     * construct behind every data-card length distribution: bucket 0 is
     * underflow, n+1 overflow, interior buckets [lo + (i−1)·w, lo + i·w).

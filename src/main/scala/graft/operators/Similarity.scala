@@ -561,6 +561,39 @@ object Similarity {
       k)
   }
 
+  /** Two-stage search over the PERSISTED index — [[ann_ivfpq_refined]]'s
+    * refine stage on [[searchIvfPqIndexDistributed]]'s candidates: ADC
+    * retrieves `refine` candidates per query from the codes (never
+    * touching a raw vector), then exact cosine over the candidates' true
+    * vectors re-ranks to top-k, removing quantization error from the
+    * final order. The index stores codes, not floats, so the raw vectors
+    * come from `trueVecs` — the corpus-of-record frame (the same one
+    * [[indexDriftStats]] prices); the fetch is an equi-join on vec_id
+    * that reads nQueries·refine rows of it, and AQE broadcasts the
+    * candidate side when the batch is small. Distributed end to end —
+    * safe at the 10⁶-query re-ranking batch size.
+    */
+  def searchIvfPqIndexRefined(s: SparkSession, path: String,
+      queries: DataFrame, trueVecs: DataFrame, k: Int = 10,
+      refine: Int = 40, nprobe: Int = 3): DataFrame = {
+    val approx = searchIvfPqIndexDistributed(s, path, queries, refine, nprobe)
+      .select(col("q_id"), col("vec_id"))
+    val emb = trueVecs.select(col("vec_id"), col("embedding"),
+      VecDot.norm(col("embedding")).as("nrm"))
+    val qs = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .withColumn("q_nrm", VecDot.norm(col("q_emb")))
+    val scored = emb.join(approx, Seq("vec_id"))
+      .join(qs, Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        VecDot.cosineFast(VecDot.dot(col("q_emb"), col("embedding")),
+          col("q_nrm"), col("nrm")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "cos")
+      .orderBy("q_id", "rank")
+  }
+
   /** The (q_id, cid, tabs) probe frame of [[searchIvfPqIndexDistributed]]:
     * per query, the `nprobe` nearest coarse lists (squared euclidean, ties
     * to the smallest cid) and the m×k table of subspace distances from the

@@ -293,4 +293,28 @@ class CurationSpec extends AnyFunSuite {
     val empty = docsDir(Seq.empty)
     assert(Curation.samp_mixture(spark, empty).count() == 0)
   }
+
+  test("samp_upsample: epochs match the exact IEEE ratio; copy counts are consistent") {
+    // src0 (weight 8) has 3 docs, src9 (default weight 1) has 13 —
+    // src9 is the min-rate source (trains exactly once), src0's epochs are
+    // fractional: (8/3)/(1/13), realized as base copies + md5-prefix extras
+    val rows = (1L to 3L).map(i => (i, s"zero doc $i words here", "en", "src0")) ++
+      (10L to 22L).map(i => (i, s"nine doc $i words here", "en", "src9"))
+    val dir = docsDir(rows)
+    val r = Curation.samp_upsample(spark, dir).collect()
+      .map(x => x.getString(0) -> x).toMap
+    // same op order as the operator: w/n, then ratio — exact equality holds
+    val e0 = (8.0 / 3.0) / (1.0 / 13.0)
+    assert(r("src9").getAs[Double]("epochs") == 1.0)
+    assert(r("src9").getAs[Long]("base") == 1L)
+    assert(r("src0").getAs[Double]("epochs") == e0)
+    assert(r("src0").getAs[Long]("base") == math.floor(e0).toLong)
+    r.values.foreach { row =>
+      val (n, base, extra, total) = (row.getAs[Long]("n_docs"), row.getAs[Long]("base"),
+        row.getAs[Long]("n_extra"), row.getAs[Long]("n_total"))
+      assert(total == base * n + extra)
+      assert(extra >= 0 && extra <= n)
+      assert(base >= 1L, "every source trains at least one full epoch")
+    }
+  }
 }

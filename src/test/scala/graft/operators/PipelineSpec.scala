@@ -539,6 +539,34 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("searchIvfPqIndexRefined: persisted two-stage search — candidates respected, no recall loss") {
+    val dir = "/root/testdata/sf0.01"
+    val path = java.nio.file.Files.createTempDirectory("graftivfrefine").toString
+    Similarity.writeIvfPqIndex(spark, dir, path)
+    val emb = graft.sources.Tables.loadParallel(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 8)
+    def hits(df: org.apache.spark.sql.DataFrame) = df.select("q_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = hits(Similarity.ann_bruteforce(spark, dir))
+    val adc = hits(Similarity.searchIvfPqIndex(spark, path, queries))
+    val refinedDf = Similarity.searchIvfPqIndexRefined(spark, path, queries, emb)
+    val refined = hits(refinedDf)
+    def recall(got: Set[(Long, Long)]) = (truth & got).size.toDouble / truth.size
+    assert(recall(refined) >= recall(adc),
+      s"persisted refine must not lose recall: ${recall(refined)} < ${recall(adc)}")
+    // top-k draws only from the refine-deep distributed ADC candidates
+    val cands = hits(Similarity.searchIvfPqIndexDistributed(spark, path, queries, k = 40))
+    assert(refined.subsetOf(cands))
+    // dense ranks, exact-cosine non-increasing order
+    val rows = refinedDf.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    rows.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq)
+      assert(sorted.sliding(2).forall(p => p.length < 2 || p(0)._4 >= p(1)._4))
+    }
+  }
+
   test("ann_ivfpq: planted-neighbor recall >= 0.8 AND scan fraction < 15% of codes") {
     // the composed index must deliver BOTH halves at once: find the planted
     // twin (recall, like ann_pq's spec) while touching only the probed
