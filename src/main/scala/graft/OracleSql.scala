@@ -51,6 +51,16 @@ object OracleSql {
     */
   private val normSql: String =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+  /** The format-round-trip certificate (src_jsonl / src_orc): per-lang
+    * counts + a 60-bit md5-prefix xor digest computed from the parquet
+    * ORIGINALS only — matching it proves the converted copy bit-exact.
+    */
+  private val srcRoundTripSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+      |  bit_xor(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)) AS content_digest
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Mixture-weight CASE generated from [[graft.operators.Curation.mixtureWeights]]. */
   private val mixtureWSql: String =
     graft.operators.Curation.mixtureWeights.toSeq.sortBy(_._1)
@@ -1152,13 +1162,20 @@ object OracleSql {
          |FROM documents d JOIN t ON d.source = t.source
          |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
-    // src_jsonl: the oracle reads only the parquet ORIGINALS — a hash
-    // match certifies the Spark-side JSONL round trip bit-exactly
-    "src_jsonl" ->
-      """SELECT lang, count(*) AS n_docs,
-        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
-        |  bit_xor(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)) AS content_digest
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // src_jsonl / src_orc: the oracle reads only the parquet ORIGINALS — a
+    // hash match certifies the Spark-side format round trip bit-exactly
+    "src_jsonl" -> srcRoundTripSql,
+    "src_orc" -> srcRoundTripSql,
+
+    "q54_filtered_agg" ->
+      """SELECT l_returnflag,
+        |  count(*) AS n_all,
+        |  count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) FILTER (WHERE l_discount > 0.05)
+        |       AS BIGINT) AS qty_discounted,
+        |  count(*) FILTER (WHERE l_returnflag = 'R' AND l_tax > 0.04) AS n_taxed_returns
+        |FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q52_rank_stats" ->
       """SELECT doc_id, lang, n_chars,

@@ -153,6 +153,8 @@ object SparkEntry {
     "pipeline_release" -> (Curation.pipeline_release _),
     "samp_upsample" -> (Curation.samp_upsample _),
     "q53_time_range_frame" -> (Relational.q53_time_range_frame _),
+    "q54_filtered_agg" -> (Relational.q54_filtered_agg _),
+    "src_orc" -> (graft.sources.Orc.src_orc _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the

@@ -963,6 +963,27 @@ object Relational {
       .orderBy("event_type", "h")
   }
 
+  /** Aggregate FILTER clause — per-aggregate predicates in ONE pass
+    * (`count(*) FILTER (WHERE …)`), the standard-SQL spelling of
+    * conditional aggregation (q29's pivot uses the CASE form; this is the
+    * construct form). One scan, one map-side-partial aggregate — N
+    * filtered aggregates never mean N scans. Quantities are integral
+    * doubles, cast to BIGINT before summing so the distributed sum order
+    * cannot change a value.
+    */
+  def q54_filtered_agg(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("graft_q54_lineitem")
+    s.sql(
+      """SELECT l_returnflag,
+        |  count(*) AS n_all,
+        |  count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) FILTER (WHERE l_discount > 0.05)
+        |       AS BIGINT) AS qty_discounted,
+        |  count(*) FILTER (WHERE l_returnflag = 'R' AND l_tax > 0.04) AS n_taxed_returns
+        |FROM graft_q54_lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
   /** EVENT-TIME RANGE window frame — the interval twin of [[q38_range_frame]]
     * (which ranges over an integer column): per-user trailing-1-hour event
     * count and value sum, `RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND

@@ -88,9 +88,17 @@ object Jsonl {
   def src_jsonl(spark: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graftjsonl").toString
     write(Tables.loadParallel(spark, dir, "documents"), tmp)
+    corpusSummary(readDocuments(spark, tmp))
+  }
+
+  /** Per-lang count/volume/content-digest summary — the round-trip
+    * certificate shared by [[src_jsonl]] and [[Orc.src_orc]] (one oracle,
+    * computed from the parquet originals, certifies any format's
+    * conversion).
+    */
+  private[sources] def corpusSummary(df: DataFrame): DataFrame = {
     val digest = bit_xor(conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long"))
-    readDocuments(spark, tmp)
-      .groupBy("lang")
+    df.groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("n_chars"),
         digest.as("content_digest"))

@@ -55,6 +55,29 @@ object EventsStream {
       .select(col("w.start").as("h"), col("event_type"), col("n"), col("v"))
   }
 
+  /** Windowed TRENDING types — the streaming face of the Misra–Gries
+    * sketch ([[graft.functions.HeavyHitters]]): per event-time hour, the
+    * top-k event types. The sketch is a TypedImperativeAggregate, so
+    * streaming state per open window is ONE O(capacity) summary buffer —
+    * at a real deployment's cardinality (URLs, search terms) that is the
+    * difference between bounded state and a per-key row explosion; the
+    * watermark closes and emits windows exactly as [[windowedAgg]]'s.
+    * With capacity ≥ distinct keys the summary is exact (the tx_heavy
+    * regime) — StreamingSpec's batch-twin comparison is equality, not
+    * tolerance; under capacity pressure the classic n/capacity undercount
+    * bound applies (HeavyHittersSpec). Top-k is a `slice` of the buffer's
+    * deterministic (count desc, key asc) eval order — no streaming sort
+    * needed, so the query stays append-compatible.
+    */
+  def trendingTypes(events: DataFrame, k: Int = 3, capacity: Int = 64,
+      watermark: Boolean = true): DataFrame = {
+    val in = if (watermark) events.withWatermark("ts", "2 hours") else events
+    in.groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(graft.functions.HeavyHitters.heavyHitters(col("event_type"), capacity).as("hh"))
+      .select(col("w.start").as("h"), explode(slice(col("hh"), 1, k)).as("e"))
+      .select(col("h"), col("e.token").as("event_type"), col("e.n").as("n"))
+  }
+
   /** Streaming exact dedup: at-least-once sources re-deliver events; drop
     * repeats by key with a watermark so the seen-keys state is bounded to
     * the watermark horizon (the streaming twin of `dd_exact`).

@@ -184,6 +184,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("trendingTypes: windowed Misra-Gries top-k on the stream equals the batch twin") {
+    val stream = EventsStream.readStream(spark, dir)
+    val q = EventsStream.trendingTypes(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("trend_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("trend_out")
+        .orderBy("h", "event_type").collect().toSeq
+      val batch = EventsStream.trendingTypes(
+        Tables.load(spark, dir, "events"), watermark = false)
+        .orderBy("h", "event_type").collect().toSeq
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+      // capacity >= distinct types: counts are exact — cross-check one
+      // window against a plain count
+      val h0 = streamed.head.getAs[java.sql.Timestamp]("h")
+      val et0 = streamed.head.getAs[String]("event_type")
+      val exact = Tables.load(spark, dir, "events")
+        .filter(date_trunc("hour", col("ts")) === h0 && col("event_type") === et0)
+        .count()
+      assert(streamed.head.getAs[Long]("n") == exact)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops redelivered events within the watermark") {
     val input = MemoryStream[EventsStream.Event](spark)
     def ev(id: Long, sec: Long) =
