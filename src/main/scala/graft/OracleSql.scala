@@ -1535,6 +1535,19 @@ object OracleSql {
         |WINDOW v AS (PARTITION BY user_id ORDER BY grp)
         |ORDER BY user_id, valid_from""".stripMargin,
 
+    "q55_sliding_window" ->
+      """SELECT time_bucket(INTERVAL '15 minutes', ts) - INTERVAL (k*15) MINUTE AS w_start,
+        |  event_type, count(*) AS n
+        |FROM events, range(4) t(k)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "profile_table" ->
+      Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct FROM documents""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+
     // pipeline_card: the per-(lang, source) data card; every component
     // reuses the shared SQL fragments so card and operators cannot drift
     "pipeline_card" ->

@@ -155,6 +155,8 @@ object SparkEntry {
     "q53_time_range_frame" -> (Relational.q53_time_range_frame _),
     "q54_filtered_agg" -> (Relational.q54_filtered_agg _),
     "src_orc" -> (graft.sources.Orc.src_orc _),
+    "q55_sliding_window" -> (Relational.q55_sliding_window _),
+    "profile_table" -> (Curation.profile_table _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the

@@ -538,6 +538,30 @@ object Curation {
       .orderBy("lang", "source")
   }
 
+  /** Column PROFILE — the generic data-quality census (row count, null
+    * count, exact distinct cardinality per column) every ingest audit
+    * starts with, in ONE scan + one aggregate: all per-column counters
+    * ride a single aggregate row that unpivots to the long
+    * (column, stats) layout via stack — N profiled columns never mean N
+    * scans. Each count_distinct expands to Spark's standard two-phase
+    * distinct aggregate; at billions of distincts per column swap in
+    * approx_count_distinct (the ev_hll argument). The DuckDB twin is the
+    * per-column UNION ALL spelling of the same counters.
+    */
+  def profile_table(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val agged = docs(s, dir).agg(
+      count(lit(1)).as("n_rows"),
+      cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        count_distinct(col(c)).as(s"nd_$c"))): _*)
+    val stackArgs = cols.map(c => s"'$c', nn_$c, nd_$c").mkString(", ")
+    agged.selectExpr("n_rows",
+        s"stack(${cols.size}, $stackArgs) AS (col_name, n_nulls, n_distinct)")
+      .select(col("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"))
+      .orderBy("col_name")
+  }
+
   /** Epoch-schedule UPSAMPLING — the other half of [[samp_mixture]]: when a
     * source needs MORE than it has (its target share exceeds its corpus
     * share), downsampling alone cannot reach the mixture; the standard move

@@ -963,6 +963,23 @@ object Relational {
       .orderBy("event_type", "h")
   }
 
+  /** SLIDING event-time windows — `window(ts, '1 hour', '15 minutes')`:
+    * each event lands in exactly 4 overlapping hourly windows (the
+    * trending-dashboard shape; [[q23_events_window]] is the tumbling
+    * special case). Spark expands the windows map-side with one Expand —
+    * 4 rows per event into ONE aggregate shuffle, not 4 passes; the same
+    * expression runs unchanged under Structured Streaming. The DuckDB
+    * twin spells the expansion as an explicit ×4 range join on
+    * epoch-aligned 15-minute buckets (every k∈0..3 window provably
+    * contains the event, so no residual filter is needed).
+    */
+  def q55_sliding_window(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+      .orderBy("w_start", "event_type")
+
   /** Aggregate FILTER clause — per-aggregate predicates in ONE pass
     * (`count(*) FILTER (WHERE …)`), the standard-SQL spelling of
     * conditional aggregation (q29's pivot uses the CASE form; this is the

@@ -42,6 +42,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("q55: sliding windows Expand map-side — one aggregate shuffle plus the output sort, never 4 passes") {
+    // sparkPlan predates EnsureRequirements — count exchanges on the
+    // executed plan, where they are actually inserted
+    val p = Relational.q55_sliding_window(spark, dir).queryExecution.executedPlan.toString
+    assert(p.contains("Expand"), "sliding windows must expand in-plan")
+    assert("Exchange".r.findAllIn(p).size == 2,
+      s"expected the aggregate exchange + the orderBy range exchange only:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "partial + final aggregate")
+  }
+
   test("q49: SCD2 plans ONE data shuffle — both windows and the islands aggregate reuse hash(user_id)") {
     // sparkPlan predates EnsureRequirements — count exchanges on the
     // executed plan, where they are actually inserted
