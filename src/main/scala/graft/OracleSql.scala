@@ -1548,6 +1548,32 @@ object OracleSql {
            |  count(DISTINCT $c) AS n_distinct FROM documents""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
 
+    "ev_transitions" ->
+      """WITH e AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events)
+        |SELECT from_type, to_type, count(*) AS n,
+        |  CAST(count(*) AS DOUBLE) /
+        |    CAST(sum(count(*)) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+        |FROM e WHERE to_type IS NOT NULL
+        |GROUP BY from_type, to_type
+        |ORDER BY from_type, to_type""".stripMargin,
+
+    "tx_entropy" ->
+      """WITH c AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+        |h AS (
+        |  SELECT doc_id, ch, count(*) AS n FROM c WHERE ch <> '' GROUP BY 1, 2)
+        |SELECT d.doc_id,
+        |  COALESCE(CAST(sum(h.n) AS BIGINT), 0) AS n_chars,
+        |  CAST(count(h.ch) AS BIGINT) AS n_distinct_chars,
+        |  COALESCE(CAST(max(h.n) AS BIGINT), 0) AS top_char_n,
+        |  COALESCE(CAST(sum(h.n * h.n) AS BIGINT), 0) AS coll_sum
+        |FROM documents d LEFT JOIN h USING (doc_id)
+        |GROUP BY d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
     // pipeline_card: the per-(lang, source) data card; every component
     // reuses the shared SQL fragments so card and operators cannot drift
     "pipeline_card" ->

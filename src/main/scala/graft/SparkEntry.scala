@@ -157,6 +157,8 @@ object SparkEntry {
     "src_orc" -> (graft.sources.Orc.src_orc _),
     "q55_sliding_window" -> (Relational.q55_sliding_window _),
     "profile_table" -> (Curation.profile_table _),
+    "ev_transitions" -> (Relational.ev_transitions _),
+    "tx_entropy" -> (TextAnalysis.tx_entropy _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the

@@ -844,6 +844,33 @@ object Relational {
       .orderBy("cohort", "offset")
   }
 
+  /** Event-sequence TRANSITION MATRIX — the first-order Markov view of user
+    * journeys: for every consecutive (event, next event) pair within a
+    * user's timeline, the count and the row-normalized transition
+    * probability. This is the "what do users do after X" primitive behind
+    * funnel discovery ([[ev_funnel]] fixes the stage order; this finds it)
+    * and session modeling.
+    *
+    * One corpus-sized shuffle only: the lead() window partitions by
+    * user_id (ties broken by event_id so the sequence is deterministic).
+    * Everything after the pair aggregate operates on ≤ |event_types|²
+    * rows — the per-from-type normalizing window and the output sort are
+    * tiny-data exchanges. The probability is a single IEEE division of two
+    * exact integer counts, so both engines produce the identical double.
+    */
+  def ev_transitions(s: SparkSession, dir: String): DataFrame = {
+    val seq = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(seq))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy("from_type")).cast("double"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** NULL semantics surface — the dialect corners that silently differ
     * between engines if untested: explicit NULLS FIRST/LAST ordering (Spark
     * defaults nulls-first on ASC, Postgres/DuckDB default nulls-LAST, so

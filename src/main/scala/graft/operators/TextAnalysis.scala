@@ -31,6 +31,59 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-document CHARACTER-ENTROPY sufficient statistics — the
+    * gibberish/degeneracy signal character-level filters key on (binary
+    * blobs, base64 runs, and `aaaa…` floods all show extreme character
+    * distributions that word-level stats miss). Emits the exact integer
+    * sufficient statistics of the per-doc character histogram — total
+    * chars, distinct chars, the top character's count, and the collision
+    * sum Σc² — so the oracle hash-matches bit-exactly (the
+    * [[tx_surprisal]] convention: keep the log out of the hashed columns).
+    * Shannon H = log2(n) − (1/n)·Σ c·log2 c and Rényi-2
+    * H₂ = −log2(Σc²/n²) both derive from these in one O(#distinct)
+    * driver-side or downstream step; H₂'s numerator is `coll_sum` as-is.
+    *
+    * Scale shape: the histogram is built MAP-SIDE per row — sort the char
+    * array, find run boundaries, fold run lengths — entirely in codegen'd
+    * higher-order functions, so the operator is one scan with NO
+    * corpus-sized shuffle (the naive explode → groupBy(doc, char) spelling
+    * shuffles every character of 100 TB; this shuffles nothing — the
+    * output sort is the only exchange, plan-spec'd). Cost is
+    * O(len·log len) per row in-place.
+    */
+  def tx_entropy(s: SparkSession, dir: String): DataFrame = {
+    // staged projections, not one nested expression: CollapseProject keeps
+    // each non-cheap intermediate (`cs`, `starts`, `runs`) as a single
+    // attribute instead of inlining the sort/filter subtree once per use —
+    // the collapsed spelling blows the plan up ~30x for the analyzer
+    val cs = col("cs"); val starts = col("starts")
+    docs(s, dir)
+      .select(col("doc_id"),
+        array_sort(filter(split(col("text"), ""), c => octet_length(c) > 0)).as("cs"))
+      // guarded: sequence(1, 0) would DESCEND, and element_at(_, 0) throws
+      // under ANSI — an empty doc must short out to an empty index array
+      .withColumn("starts", filter(
+        when(size(cs) > 0, sequence(lit(1), size(cs)))
+          .otherwise(array().cast("array<int>")),
+        i => (i === 1) || (element_at(cs, i) =!= element_at(cs, i - 1))))
+      // empty doc: starts=[] but ends=[1] — zip_with would null-pad and
+      // poison the fold, so the run array must short out to empty explicitly
+      .withColumn("runs", when(size(starts) > 0,
+        zip_with(
+          starts,
+          concat(slice(starts, lit(2), greatest(size(starts) - 1, lit(0))),
+            array(size(cs) + 1)),
+          (a, b) => (b - a).cast("long")))
+        .otherwise(array().cast("array<long>")))
+      .select(
+        col("doc_id"),
+        size(cs).cast("long").as("n_chars"),
+        size(starts).cast("long").as("n_distinct_chars"),
+        coalesce(array_max(col("runs")), lit(0L)).as("top_char_n"),
+        aggregate(col("runs"), lit(0L), (acc, x) => acc + x * x).as("coll_sum"))
+      .orderBy("doc_id")
+  }
+
   /** Token counting: whitespace tokens plus a BPE-ish estimate — runs of
     * letters/digits count ceil(len/4) subword units, punctuation counts one
     * each (the ~4-chars-per-token rule of thumb).

@@ -52,6 +52,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, "partial + final aggregate")
   }
 
+  test("tx_entropy: per-doc char histogram is MAP-SIDE — the output sort is the only exchange") {
+    // the naive spelling (explode chars -> groupBy(doc, char)) shuffles
+    // every character of the corpus; the HOF run-length fold shuffles nothing
+    // loadParallel's round-robin split of the single small test file is
+    // read-parallelism, not a data shuffle — exclude it; the histogram must
+    // add NO hashpartitioning exchange (the explode->groupBy spelling would)
+    val p = TextAnalysis.tx_entropy(spark, dir).queryExecution.executedPlan.toString
+    assert(!p.contains("hashpartitioning"),
+      s"per-doc histogram must not shuffle by any key:\n$p")
+    assert("rangepartitioning".r.findAllIn(p).size == 1,
+      s"expected only the orderBy range exchange:\n$p")
+    assert(!p.contains("Generate"), "no explode in the entropy path")
+  }
+
   test("q49: SCD2 plans ONE data shuffle — both windows and the islands aggregate reuse hash(user_id)") {
     // sparkPlan predates EnsureRequirements — count exchanges on the
     // executed plan, where they are actually inserted
