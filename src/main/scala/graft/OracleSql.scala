@@ -1574,6 +1574,17 @@ object OracleSql {
         |GROUP BY d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
+    "q56_mode" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id,
+        |  arg_max(event_type, lpad(CAST(n AS VARCHAR), 9, '0') || event_type) AS mode_type,
+        |  arg_max(n, lpad(CAST(n AS VARCHAR), 9, '0') || event_type) AS mode_n,
+        |  count(*) AS n_types
+        |FROM c GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
     // pipeline_card: the per-(lang, source) data card; every component
     // reuses the shared SQL fragments so card and operators cannot drift
     "pipeline_card" ->

@@ -159,6 +159,7 @@ object SparkEntry {
     "profile_table" -> (Curation.profile_table _),
     "ev_transitions" -> (Relational.ev_transitions _),
     "tx_entropy" -> (TextAnalysis.tx_entropy _),
+    "q56_mode" -> (Relational.q56_mode _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the

@@ -871,6 +871,27 @@ object Relational {
       .orderBy("from_type", "to_type")
   }
 
+  /** Per-group MODE — the most frequent value, as a real aggregate rather
+    * than a window-rank trick ([[q06_distinct_on]] is the row-selection
+    * cousin): `max_by` over a deterministic order key. Spark's built-in
+    * `mode()` is tie-nondeterministic, which an oracle-checked engine
+    * cannot ship; the order key here — zero-padded count ‖ value — makes
+    * ties break toward the lexicographically greatest value identically in
+    * any engine that compares ASCII strings (DuckDB's `arg_max` on the
+    * same key). Two aggregates, both with map-side partials: the bounded
+    * (user, type) count, then one `max_by` per user.
+    */
+  def q56_mode(s: SparkSession, dir: String): DataFrame = {
+    val ord = concat(lpad(col("n").cast("string"), 9, "0"), col("event_type"))
+    t(s, dir, "events")
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(max_by(col("event_type"), ord).as("mode_type"),
+        max_by(col("n"), ord).as("mode_n"),
+        count(lit(1)).as("n_types"))
+      .orderBy("user_id")
+  }
+
   /** NULL semantics surface — the dialect corners that silently differ
     * between engines if untested: explicit NULLS FIRST/LAST ordering (Spark
     * defaults nulls-first on ASC, Postgres/DuckDB default nulls-LAST, so

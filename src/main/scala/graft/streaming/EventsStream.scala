@@ -162,6 +162,43 @@ object EventsStream {
         })
   }
 
+  case class TransState(lastType: String, lastTs: Long)
+  case class Transition(user_id: Long, from_type: String, to_type: String,
+      from_ts: java.sql.Timestamp, to_ts: java.sql.Timestamp)
+
+  /** Streaming twin of [[graft.operators.Relational.ev_transitions]]'s pair
+    * layer: each user's consecutive (event, next event) pairs, emitted AS
+    * the next event arrives. Unlike [[scd2Stream]] (which emits only on
+    * state CHANGE), every event with a predecessor emits — the raw edge
+    * stream a live transition matrix aggregates over (`groupBy(from, to)`
+    * in update mode downstream, or foreachBatch into a running store).
+    * State per user is one (lastType, lastTs) struct — bounded by user
+    * cardinality, independent of event volume. Per-user event-time order
+    * across batches is assumed, as in [[sessionize]]/[[scd2Stream]];
+    * StreamingSpec pins batch parity: the emitted pairs aggregated by
+    * (from, to) equal the batch operator's matrix on identical input.
+    */
+  def transitionsStream(events: Dataset[Event]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[Event], state: GroupState[TransState]) => {
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var last = state.getOption
+          val out = Seq.newBuilder[Transition]
+          sorted.foreach { e =>
+            last.foreach { l =>
+              out += Transition(userId, l.lastType, e.event_type,
+                new java.sql.Timestamp(l.lastTs), e.ts)
+            }
+            last = Some(TransState(e.event_type, e.ts.getTime))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+        })
+  }
+
   /** Stateful gap-based sessionization (30-min inactivity) via
     * flatMapGroupsWithState — the streaming twin of `q24_sessionize`.
     * State per user is ONE small struct regardless of history (bounded by

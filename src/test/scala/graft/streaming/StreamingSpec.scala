@@ -184,6 +184,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transitionsStream: emitted pairs aggregate to the batch transition matrix") {
+    val input = MemoryStream[EventsStream.Event](spark)
+    def ev(id: Long, user: Long, sec: Long, st: String) =
+      EventsStream.Event(id, new java.sql.Timestamp(sec * 1000L), user, st, 1.0)
+    // user 7: A->A->B->A crosses the batch boundary (the A->B edge's A and
+    // the B->A edge's B live in different batches — state carries the
+    // predecessor); user 9 has a single event and must emit nothing
+    val batch1 = Seq(ev(1, 7, 0, "A"), ev(2, 7, 60, "A"))
+    val batch2 = Seq(ev(3, 7, 120, "B"), ev(4, 7, 180, "A"), ev(5, 9, 0, "C"))
+    val q = EventsStream.transitionsStream(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("trans_out").start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("trans_out")
+        .groupBy("from_type", "to_type")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSeq.sorted
+      // batch twin on the identical rows
+      val dir = java.nio.file.Files.createTempDirectory("grafttrans").toString
+      import spark.implicits._
+      (batch1 ++ batch2).map(e => (e.event_id, e.ts, e.user_id, e.event_type, e.value, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$dir/events.parquet")
+      val batch = graft.operators.Relational.ev_transitions(spark, dir)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSeq.sorted
+      assert(streamed == batch)
+      assert(streamed == Seq(("A", "A", 1L), ("A", "B", 1L), ("B", "A", 1L)))
+    } finally q.stop()
+  }
+
   test("trendingTypes: windowed Misra-Gries top-k on the stream equals the batch twin") {
     val stream = EventsStream.readStream(spark, dir)
     val q = EventsStream.trendingTypes(stream)
