@@ -39,6 +39,31 @@ class CurationSpec extends AnyFunSuite {
     assert(rows(0).getAs[Long]("keeper") == 1L)
   }
 
+  test("tx_entropy: run-length histogram matches hand counts; empty doc yields zeros") {
+    val dir = docsDir(Seq(
+      (1L, "aabbbb", "en", "s"), // a:2 b:4 -> n=6 distinct=2 top=4 coll=4+16
+      (2L, "", "en", "s"),
+      (3L, "z", "en", "s")))
+    val got = TextAnalysis.tx_entropy(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got(1L) == ((6L, 2L, 4L, 20L)))
+    assert(got(2L) == ((0L, 0L, 0L, 0L)))
+    assert(got(3L) == ((1L, 1L, 1L, 1L)))
+  }
+
+  test("tx_entropy: a char is a Unicode CODE POINT on both engines — a supplementary-plane char counts as 1") {
+    // Spark's split runs on UTF8String and an empty pattern yields code
+    // points (NOT Java String's UTF-16 code units), which is exactly
+    // DuckDB string_split's unit — so the oracle agreement extends beyond
+    // ASCII; this pins it so an engine change fails loudly here instead of
+    // silently hash-mismatching on a non-ASCII corpus
+    val dir = docsDir(Seq((1L, "a😀b", "en", "s"))) // a + emoji + b
+    val r = TextAnalysis.tx_entropy(spark, dir).collect().head
+    assert(r.getAs[Long]("n_chars") == 3L)
+    assert(r.getAs[Long]("n_distinct_chars") == 3L)
+  }
+
   test("dd_para: chunking is stride-aligned — the same words at a different offset do not collide") {
     val dir = docsDir(Seq(
       (1L, sixteen, "en", "s"),
