@@ -1585,6 +1585,34 @@ object OracleSql {
         |FROM c GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
 
+    "tx_readability" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sentences,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "samp_importance" ->
+      """WITH gr AS (
+        |  SELECT doc_id, lang, unnest(
+        |    CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+        |         ELSE list_transform(generate_series(0, len(w) - 2),
+        |                             i -> array_to_string(w[i+1:i+2], ' ')) END) AS gram
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)),
+        |g AS (SELECT doc_id, lang, substr(md5(gram), 1, 3) AS b FROM gr),
+        |stats AS (
+        |  SELECT b, count(*) AS n_raw,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_target
+        |  FROM g GROUP BY b),
+        |db AS (SELECT doc_id, b, count(*) AS c FROM g GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(sum(c * n_target) AS BIGINT) AS score_num,
+        |  CAST(sum(c * n_raw) AS BIGINT) AS score_den,
+        |  CAST(sum(c * n_target) AS DOUBLE) / CAST(sum(c * n_raw) AS DOUBLE) AS score
+        |FROM db JOIN stats USING (b)
+        |GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
+
     // pipeline_card: the per-(lang, source) data card; every component
     // reuses the shared SQL fragments so card and operators cannot drift
     "pipeline_card" ->

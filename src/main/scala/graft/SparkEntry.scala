@@ -160,6 +160,8 @@ object SparkEntry {
     "ev_transitions" -> (Relational.ev_transitions _),
     "tx_entropy" -> (TextAnalysis.tx_entropy _),
     "q56_mode" -> (Relational.q56_mode _),
+    "tx_readability" -> (TextAnalysis.tx_readability _),
+    "samp_importance" -> ((s, d) => Curation.samp_importance(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the

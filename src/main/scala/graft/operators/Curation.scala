@@ -562,6 +562,44 @@ object Curation {
       .orderBy("col_name")
   }
 
+  /** Hashed-bigram IMPORTANCE scoring in the DSIR spirit (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"): score
+    * each document by how much its own n-gram distribution resembles a
+    * TARGET slice of the corpus (here `lang = targetLang`) versus the raw
+    * corpus, over `16^hexChars` hashed buckets. DSIR proper scores with a
+    * log-likelihood ratio; summed floats hash-differently across engines,
+    * so this keeps the two sides of the ratio as EXACT INTEGER sums —
+    * `score_num` = Σ_b c_d(b)·n_target(b), `score_den` = Σ_b c_d(b)·n_raw(b)
+    * (the doc's own bucket mass weighted by target vs raw bucket
+    * frequency) — and the final `score` is their single IEEE division,
+    * bit-identical in any engine. Selection = top-`k` by (score, doc_id).
+    *
+    * Scale shape: two passes over the bigram stream (corpus bucket stats,
+    * then per-doc bucket counts — the DSIR estimate/score split), both
+    * map-side-combined group-bys; the stats table is `16^hexChars` rows and
+    * broadcast into the scoring join, so the corpus-sized side never
+    * reshuffles for it. Buckets are md5-prefix strings — no numeric
+    * conversion, so the DuckDB twin is the same three characters.
+    */
+  def samp_importance(s: SparkSession, dir: String, targetLang: String = "en",
+      hexChars: Int = 3, k: Int = 50): DataFrame = {
+    val grams = docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(shingles(col("text"), 2)).as("gram"))
+      .withColumn("b", substring(md5(col("gram")), 1, hexChars))
+    val stats = grams.groupBy("b").agg(
+      count(lit(1)).as("n_raw"),
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("n_target"))
+    grams.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .join(broadcast(stats), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum(col("c") * col("n_target")).as("score_num"),
+        sum(col("c") * col("n_raw")).as("score_den"))
+      .withColumn("score",
+        col("score_num").cast("double") / col("score_den").cast("double"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+
   /** Epoch-schedule UPSAMPLING — the other half of [[samp_mixture]]: when a
     * source needs MORE than it has (its target share exceeds its corpus
     * share), downsampling alone cannot reach the mixture; the standard move

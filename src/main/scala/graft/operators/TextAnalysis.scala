@@ -100,6 +100,25 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** READABILITY sufficient statistics — the Flesch–Kincaid family's three
+    * integer inputs per document: word count, sentence count (non-overlapping
+    * `[.!?]+` terminator runs), and the standard vowel-group syllable
+    * heuristic (`[aeiouy]+` runs — vowel runs never cross whitespace, so no
+    * per-word loop is needed). Educational-quality filters threshold on
+    * grade-level scores; keeping the three counts integer makes the oracle
+    * bit-exact ([[tx_surprisal]] convention) and leaves the float formula
+    * (FKGL = 0.39·w/s + 11.8·syll/w − 15.59, with s,w clamped ≥ 1) as one
+    * derived expression downstream. Map-only: three codegen'd regexp
+    * counters in the scan projection; the output sort is the only exchange.
+    */
+  def tx_readability(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      size(words(col("text"))).cast("long").as("n_words"),
+      regexp_count(col("text"), lit("[.!?]+")).cast("long").as("n_sentences"),
+      regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long").as("n_syllables"))
+      .orderBy("doc_id")
+
   /** Quality scoring: length band, repetition (distinct/total words),
     * mean word length — flags the degenerate docs a training pipeline drops.
     */

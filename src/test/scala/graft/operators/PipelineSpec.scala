@@ -1401,6 +1401,10 @@ class PipelineSpec extends AnyFunSuite {
     assert(TextAnalysis.tx_gopher(spark, dir).count() == 0)
     assert(TextAnalysis.tx_norm(spark, dir).count() == 0)
     assert(TextAnalysis.tx_repetition(spark, dir).count() == 0)
+    assert(TextAnalysis.tx_entropy(spark, dir).count() == 0)
+    assert(TextAnalysis.tx_readability(spark, dir).count() == 0)
+    assert(Curation.samp_importance(spark, dir).count() == 0)
+    assert(Curation.profile_table(spark, dir).count() == 5) // census: 5 cols of zeros
   }
 
   test("ev_hll: HLL estimates within 5% of exact count-distinct per group") {
