@@ -64,6 +64,31 @@ class CurationSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_distinct_chars") == 3L)
   }
 
+  test("samp_importance: target-distinctive bigrams outscore non-target; invariant under file layout") {
+    val enText = "alpha beta alpha beta alpha beta"  // en-only bigrams
+    val deText = "gamma delta gamma delta gamma delta" // de-only bigrams
+    val rows = Seq(
+      (1L, enText, "en", "s"), (2L, enText, "en", "s"),
+      (3L, deText, "de", "s"), (4L, enText, "de", "s")) // doc 4: de doc made of en-mass bigrams
+    val dir = docsDir(rows)
+    val got = Curation.samp_importance(spark, dir, k = 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // en-bigram docs (1, 2, 4) share identical bucket mass -> identical
+    // scores, strictly above the de-only doc 3 (its buckets have n_target=0)
+    assert(got(1L) == got(2L) && got(2L) == got(4L))
+    assert(got(3L) == 0.0 && got(1L) > 0.0)
+    // layout invariance: the same rows written as 3 files score identically
+    val dir2 = java.nio.file.Files.createTempDirectory("curation").toString
+    rows.map { case (id, text, lang, source) => (id, text, lang, source, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(3).write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val got2 = Curation.samp_importance(spark, dir2, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq.sorted
+    val got1 = Curation.samp_importance(spark, dir, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq.sorted
+    assert(got1 == got2)
+  }
+
   test("dd_para: chunking is stride-aligned — the same words at a different offset do not collide") {
     val dir = docsDir(Seq(
       (1L, sixteen, "en", "s"),

@@ -66,6 +66,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Generate"), "no explode in the entropy path")
   }
 
+  test("samp_importance: bucket stats broadcast into the scoring join — the doc side never reshuffles for it") {
+    val p = Curation.samp_importance(spark, dir).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"expected the 16^3-row stats side broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"stats join must not sort-merge:\n$p")
+  }
+
   test("q49: SCD2 plans ONE data shuffle — both windows and the islands aggregate reuse hash(user_id)") {
     // sparkPlan predates EnsureRequirements — count exchanges on the
     // executed plan, where they are actually inserted
