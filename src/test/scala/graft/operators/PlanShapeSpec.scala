@@ -66,6 +66,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Generate"), "no explode in the entropy path")
   }
 
+  test("samp_reservoir: rank limit pushes MAP-SIDE (WindowGroupLimit Partial) — each task ships at most k rows per stratum") {
+    // Catalyst's InferWindowGroupLimit only fires for a lone ranking
+    // function; adding a second window fn to the same spec would silently
+    // drop the pushdown and ship whole strata into the shuffle at 100 TB
+    val p = Curation.samp_reservoir(spark, dir).queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"expected the partial rank-limit before the stratum shuffle:\n$p")
+  }
+
   test("samp_importance: bucket stats broadcast into the scoring join — the doc side never reshuffles for it") {
     val p = Curation.samp_importance(spark, dir).queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
