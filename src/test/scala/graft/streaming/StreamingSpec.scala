@@ -31,6 +31,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sliding windows run unchanged on a stream: q55's expression equals the batch result") {
+    // q55_sliding_window's scaladoc claims the identical groupBy(window(ts,
+    // '1 hour', '15 minutes')) expression is stream-ready — pin it
+    def slide(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+    val q = slide(EventsStream.readStream(spark, dir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("slide_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("slide_out")
+        .orderBy("w_start", "event_type").collect().toSeq
+      val batch = graft.operators.Relational.q55_sliding_window(spark, dir)
+        .collect().toSeq
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("readStream dispatches on the file's ts unit: micros and nanos files yield identical events") {
     // the round-9 regression class: the stream reader hard-coded one parquet
     // timestamp encoding and a testdata regeneration to another shifted every
