@@ -1544,7 +1544,7 @@ object OracleSql {
     "profile_table" ->
       Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
         s"""SELECT '$c' AS col_name, count(*) AS n_rows,
-           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  CAST(COALESCE(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_nulls,
            |  count(DISTINCT $c) AS n_distinct FROM documents""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
 
@@ -1579,8 +1579,8 @@ object OracleSql {
         |  SELECT user_id, event_type, count(*) AS n
         |  FROM events GROUP BY 1, 2)
         |SELECT user_id,
-        |  arg_max(event_type, lpad(CAST(n AS VARCHAR), 9, '0') || event_type) AS mode_type,
-        |  arg_max(n, lpad(CAST(n AS VARCHAR), 9, '0') || event_type) AS mode_n,
+        |  arg_max(event_type, lpad(CAST(n AS VARCHAR), 19, '0') || event_type) AS mode_type,
+        |  arg_max(n, lpad(CAST(n AS VARCHAR), 19, '0') || event_type) AS mode_n,
         |  count(*) AS n_types
         |FROM c GROUP BY user_id
         |ORDER BY user_id""".stripMargin,

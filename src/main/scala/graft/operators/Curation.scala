@@ -553,7 +553,9 @@ object Curation {
     val agged = docs(s, dir).agg(
       count(lit(1)).as("n_rows"),
       cols.flatMap(c => Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        // coalesce: sum over zero rows is NULL — an empty table must
+        // census as integer zeros, not NULL-propagating counters
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"nn_$c"),
         count_distinct(col(c)).as(s"nd_$c"))): _*)
     val stackArgs = cols.map(c => s"'$c', nn_$c, nd_$c").mkString(", ")
     agged.selectExpr("n_rows",

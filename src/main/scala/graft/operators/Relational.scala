@@ -882,7 +882,10 @@ object Relational {
     * (user, type) count, then one `max_by` per user.
     */
   def q56_mode(s: SparkSession, dir: String): DataFrame = {
-    val ord = concat(lpad(col("n").cast("string"), 9, "0"), col("event_type"))
+    // 19 digits = max Long width: a shorter pad silently truncates counts
+    // past its ceiling and max_by picks the wrong mode — on BOTH engines,
+    // so the oracle could never catch it
+    val ord = concat(lpad(col("n").cast("string"), 19, "0"), col("event_type"))
     t(s, dir, "events")
       .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
       .groupBy("user_id")

@@ -141,17 +141,19 @@ object EventsStream {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (userId: Long, rows: Iterator[Event], state: GroupState[Scd2State]) => {
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          // micros, not getTime millis: same-millisecond changes must order
+          // and stamp exactly as the batch twin's full-ts sort does
+          val sorted = rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
           var cur = state.getOption
           val closed = Seq.newBuilder[Scd2Period]
           sorted.foreach { e =>
-            val t = e.ts.getTime
+            val t = tsMicros(e.ts)
             cur match {
               case Some(c) if c.state == e.event_type =>
                 cur = Some(c.copy(n = c.n + 1))
               case Some(c) =>
                 closed += Scd2Period(userId, c.state,
-                  new java.sql.Timestamp(c.validFrom), new java.sql.Timestamp(t), c.n)
+                  microsTs(c.validFrom), microsTs(t), c.n)
                 cur = Some(Scd2State(e.event_type, t, 1))
               case None =>
                 cur = Some(Scd2State(e.event_type, t, 1))
@@ -178,21 +180,36 @@ object EventsStream {
     * StreamingSpec pins batch parity: the emitted pairs aggregated by
     * (from, to) equal the batch operator's matrix on identical input.
     */
+  /** Timestamp ⇄ epoch-micros without millisecond truncation: `ts.getTime`
+    * is millis, and ordering or re-emitting through it silently diverges
+    * from the batch twins' full-`ts` sorts on micros corpora (exactly the
+    * precision the unit-sniffing [[readStream]] exists to preserve).
+    */
+  private def tsMicros(t: java.sql.Timestamp): Long = {
+    val i = t.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+  private def microsTs(us: Long): java.sql.Timestamp = java.sql.Timestamp.from(
+    java.time.Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+
   def transitionsStream(events: Dataset[Event]): Dataset[Transition] = {
     import events.sparkSession.implicits._
+    val micros = tsMicros _
+    val toTs = microsTs _
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (userId: Long, rows: Iterator[Event], state: GroupState[TransState]) => {
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
           var last = state.getOption
           val out = Seq.newBuilder[Transition]
           sorted.foreach { e =>
             last.foreach { l =>
               out += Transition(userId, l.lastType, e.event_type,
-                new java.sql.Timestamp(l.lastTs), e.ts)
+                toTs(l.lastTs), e.ts)
             }
-            last = Some(TransState(e.event_type, e.ts.getTime))
+            last = Some(TransState(e.event_type, micros(e.ts)))
           }
           last.foreach(state.update)
           out.result().iterator
@@ -229,21 +246,21 @@ object EventsStream {
             val st = state.get
             state.remove()
             Iterator.single(Session(userId,
-              new java.sql.Timestamp(st.sessionStart / 1000L),
-              new java.sql.Timestamp(st.lastSeen / 1000L), st.n))
+              microsTs(st.sessionStart), microsTs(st.lastSeen), st.n))
           } else {
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            // micros throughout (state was already micros; feeding it
+            // getTime*1000 truncated sub-millisecond digits on micros data)
+            val sorted = rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
             var cur = state.getOption
             val closed = Seq.newBuilder[Session]
             sorted.foreach { e =>
-              val t = e.ts.getTime * 1000L
+              val t = tsMicros(e.ts)
               cur match {
                 case Some(st) if t - st.lastSeen <= gapMicros =>
                   cur = Some(st.copy(lastSeen = t, n = st.n + 1))
                 case Some(st) =>
                   closed += Session(userId,
-                    new java.sql.Timestamp(st.sessionStart / 1000L),
-                    new java.sql.Timestamp(st.lastSeen / 1000L), st.n)
+                    microsTs(st.sessionStart), microsTs(st.lastSeen), st.n)
                   cur = Some(SessionState(t, t, 1))
                 case None =>
                   cur = Some(SessionState(t, t, 1))

@@ -19,7 +19,11 @@ class FacadeSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracles without a façade query: $missing")
   }
 
-  test("every façade query analyzes: resolvable plan, non-empty distinct column names") {
+  test("every façade query constructs: resolvable plan, non-empty distinct column names") {
+    // "constructs", not "statically analyzes": facades whose bodies do
+    // eager work (format round-trip writes, index builds, k-seed collects)
+    // run that work here at sf0.001 — subsecond each, and failures in those
+    // paths are exactly what this sweep should surface before the driver does
     val bad = SparkEntry.queries.flatMap { case (name, fn) =>
       try {
         val schema = fn(spark, dir).schema

@@ -1404,7 +1404,9 @@ class PipelineSpec extends AnyFunSuite {
     assert(TextAnalysis.tx_entropy(spark, dir).count() == 0)
     assert(TextAnalysis.tx_readability(spark, dir).count() == 0)
     assert(Curation.samp_importance(spark, dir).count() == 0)
-    assert(Curation.profile_table(spark, dir).count() == 5) // census: 5 cols of zeros
+    val census = Curation.profile_table(spark, dir).collect() // 5 cols of true zeros
+    assert(census.length == 5 &&
+      census.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L && r.getLong(3) == 0L))
   }
 
   test("ev_hll: HLL estimates within 5% of exact count-distinct per group") {
