@@ -242,6 +242,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transitionsStream orders same-millisecond events by their microseconds, like the batch twin") {
+    // regression pin for the getTime-millis truncation: e1 at 100us,
+    // e2 at 900us in the SAME millisecond, with event_ids that would sort
+    // them in the WRONG order under a millis-truncated key
+    def tUs(us: Long) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(0, us * 1000L))
+    val input = MemoryStream[EventsStream.Event](spark)
+    val q = EventsStream.transitionsStream(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("trans_us_out").start()
+    try {
+      input.addData(
+        EventsStream.Event(9, tUs(100), 7, "first", 1.0),
+        EventsStream.Event(1, tUs(900), 7, "second", 1.0))
+      q.processAllAvailable()
+      val edges = spark.table("trans_us_out")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      assert(edges == Seq(("first", "second")))
+      // and the emitted from_ts keeps its microseconds
+      val fromTs = spark.table("trans_us_out").collect().head.getTimestamp(3)
+      assert(fromTs == tUs(100))
+    } finally q.stop()
+  }
+
   test("trendingTypes: windowed Misra-Gries top-k on the stream equals the batch twin") {
     val stream = EventsStream.readStream(spark, dir)
     val q = EventsStream.trendingTypes(stream)
