@@ -67,6 +67,14 @@ object OracleSql {
       .map { case (s, w) => s"WHEN source = '$s' THEN $w" }
       .mkString("CASE ", " ", s" ELSE ${graft.operators.Curation.mixtureDefaultWeight} END")
 
+  /** 24-bit hex keep threshold from a raw floor(rate·2²⁴) expression — the
+    * SQL twin of `Curation.hexThr`: rate ≥ 1 yields the sentinel 'g', which
+    * every 6-hex-char md5 prefix compares below (the former 0xffffff clamp
+    * dropped prefix-ffffff docs from keep-100 % sources on both engines).
+    */
+  private def hexThrSql(raw: String): String =
+    s"CASE WHEN $raw >= 16777216 THEN 'g' ELSE printf('%06x', CAST($raw AS BIGINT)) END"
+
   private val wordBandSql = "len(w) >= 20 AND len(w) <= 100000"
   private val meanBandSql = "ml >= 3.0 AND ml <= 10.0"
   private val stopHitsSql = s"len(list_intersect(w, $gopherListSql)) >= 2"
@@ -1115,9 +1123,9 @@ object OracleSql {
          |  JOIN ev USING (gh)),
          |clean AS (SELECT * FROM dedup WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
          |caps AS (
-         |  SELECT lang, printf('%06x', CAST(least(
-         |    floor(sqrt(CAST((SELECT min(n) FROM (SELECT count(*) AS n FROM clean GROUP BY lang)) AS DOUBLE)
-         |          / CAST(count(*) AS DOUBLE)) * 16777216.0), 16777215.0) AS BIGINT)) AS thr
+         |  SELECT lang, ${hexThrSql(
+      "floor(sqrt(CAST((SELECT min(n) FROM (SELECT count(*) AS n FROM clean GROUP BY lang)) AS DOUBLE)" +
+        " / CAST(count(*) AS DOUBLE)) * 16777216.0)")} AS thr
          |  FROM clean GROUP BY lang),
          |sampled AS (
          |  SELECT c.* FROM clean c JOIN caps USING (lang)
@@ -1152,8 +1160,7 @@ object OracleSql {
          |  SELECT source, n, ($mixtureWSql) / CAST(n AS DOUBLE) AS r FROM c),
          |t AS (
          |  SELECT source, n,
-         |    printf('%06x', CAST(least(
-         |      floor(r / (SELECT max(r) FROM r) * 16777216.0), 16777215.0) AS BIGINT)) AS thr
+         |    ${hexThrSql("floor(r / (SELECT max(r) FROM r) * 16777216.0)")} AS thr
          |  FROM r)
          |SELECT d.source, count(*) AS n_total,
          |  CAST(sum(CASE WHEN substr(md5(text), 1, 6) < thr THEN 1 ELSE 0 END) AS BIGINT)
@@ -1220,8 +1227,8 @@ object OracleSql {
          |c AS (SELECT source, count(*) AS n FROM keepers GROUP BY source),
          |r AS (SELECT source, n, ($mixtureWSql) / CAST(n AS DOUBLE) AS r FROM c),
          |t AS (
-         |  SELECT source, printf('%06x', CAST(least(
-         |    floor(r / (SELECT max(r) FROM r) * 16777216.0), 16777215.0) AS BIGINT)) AS thr
+         |  SELECT source,
+         |    ${hexThrSql("floor(r / (SELECT max(r) FROM r) * 16777216.0)")} AS thr
          |  FROM r),
          |sm AS (
          |  SELECT keepers.source, count(*) AS n_release
@@ -1246,8 +1253,7 @@ object OracleSql {
          |t AS (
          |  SELECT source, n_docs, epochs,
          |    CAST(floor(epochs) AS BIGINT) AS base,
-         |    printf('%06x', CAST(least(
-         |      floor((epochs - floor(epochs)) * 16777216.0), 16777215.0) AS BIGINT)) AS thr
+         |    ${hexThrSql("floor((epochs - floor(epochs)) * 16777216.0)")} AS thr
          |  FROM e)
          |SELECT d.source, min(t.n_docs) AS n_docs, min(t.epochs) AS epochs,
          |  min(t.base) AS base, min(t.thr) AS thr,
@@ -1269,13 +1275,13 @@ object OracleSql {
         |ORDER BY user_id, ts, event_id""".stripMargin,
 
     "samp_temperature" ->
-      """WITH c AS (
+      s"""WITH c AS (
         |  SELECT lang, count(*) AS n FROM documents GROUP BY lang),
         |t AS (
         |  SELECT lang, n,
-        |    printf('%06x', CAST(least(
-        |      floor(sqrt(CAST((SELECT min(n) FROM c) AS DOUBLE) / CAST(n AS DOUBLE))
-        |            * 16777216.0), 16777215.0) AS BIGINT)) AS thr
+        |    ${hexThrSql(
+          "floor(sqrt(CAST((SELECT min(n) FROM c) AS DOUBLE) / CAST(n AS DOUBLE))" +
+            " * 16777216.0)")} AS thr
         |  FROM c)
         |SELECT d.lang, count(*) AS n_total,
         |  CAST(sum(CASE WHEN substr(md5(text), 1, 6) < thr THEN 1 ELSE 0 END) AS BIGINT)

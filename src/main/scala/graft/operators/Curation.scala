@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Checkpoints.DatasetCheckpointOps
@@ -281,13 +281,26 @@ object Curation {
     * never drift. Input: any frame with a `lang` column; output:
     * (lang, thr) where thr is the 6-hex-char keep threshold.
     */
+  /** 24-bit md5-prefix keep threshold from a raw floor(rate·2²⁴) column —
+    * the ONE spelling shared by every content-addressed sampler (mixture,
+    * temperature, epoch upsample) and mirrored by [[OracleSql.hexThrSql]].
+    * rate ≥ 1 maps to the sentinel `"g"`, which every 6-hex-char prefix
+    * compares below — the former clamp to 0xffffff silently dropped the
+    * 1-in-2²⁴ docs whose prefix is exactly `ffffff` from a source whose
+    * contract is "keeps 100 %" (hundreds of docs at corpus scale, and the
+    * oracle twin replicated the same clamp so the gate could never see it).
+    */
+  private[graft] def hexThr(rawFloor: Column): Column =
+    when(rawFloor >= (1L << 24), lit("g"))
+      .otherwise(lower(lpad(hex(rawFloor.cast("long")), 6, "0")))
+
   private[graft] def tempThresholds(d: DataFrame): DataFrame =
     d.groupBy("lang").agg(count(lit(1)).as("n"))
       .withColumn("minn",
         min(col("n")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
-      .withColumn("thr", lower(lpad(hex(least(
+      .withColumn("thr", hexThr(
         floor(sqrt(col("minn").cast("double") / col("n").cast("double"))
-          * (1 << 24)).cast("long"), lit((1L << 24) - 1))), 6, "0")))
+          * (1 << 24)).cast("long")))
       .select("lang", "thr")
 
   /** Per-document sequence-packing assignment — the ONE definition shared
@@ -330,6 +343,21 @@ object Curation {
       when(src === name, lit(w)).otherwise(acc)
     }
 
+  /** The per-source hex keep thresholds behind [[samp_mixture]] — also the
+    * broadcast side of the streaming
+    * [[graft.streaming.DocsStream.mixtureGate]] (batch census sets the
+    * rates; the stream enforces them statelessly).
+    */
+  private[graft] def mixtureThresholds(d: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    d.groupBy("source").agg(count(lit(1)).as("n"))
+      .withColumn("w", mixtureWeightCol(col("source")))
+      .withColumn("r", col("w") / col("n").cast("double"))
+      .withColumn("rate", col("r") / max(col("r")).over(w))
+      .withColumn("thr", hexThr(floor(col("rate") * (1 << 24)).cast("long")))
+      .select("source", "thr")
+  }
+
   /** Fixed-target DOMAIN MIXTURE sampling — the explicit-weights
     * companion to [[samp_temperature]]'s α-flattening: a training run
     * specifies the mixture it wants per source (web 8 : books 4 : code 2
@@ -346,22 +374,6 @@ object Curation {
     * shape: one count aggregate (broadcast back), one map-only keep scan,
     * one per-source audit aggregate — the corpus never shuffles its text.
     */
-  /** The per-source hex keep thresholds behind [[samp_mixture]] — also the
-    * broadcast side of the streaming
-    * [[graft.streaming.DocsStream.mixtureGate]] (batch census sets the
-    * rates; the stream enforces them statelessly).
-    */
-  private[graft] def mixtureThresholds(d: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy()
-    d.groupBy("source").agg(count(lit(1)).as("n"))
-      .withColumn("w", mixtureWeightCol(col("source")))
-      .withColumn("r", col("w") / col("n").cast("double"))
-      .withColumn("rate", col("r") / max(col("r")).over(w))
-      .withColumn("thr", lower(lpad(hex(least(
-        floor(col("rate") * (1 << 24)).cast("long"), lit((1L << 24) - 1))), 6, "0")))
-      .select("source", "thr")
-  }
-
   def samp_mixture(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val rates = mixtureThresholds(d)
@@ -460,8 +472,10 @@ object Curation {
     val eprefix = esh.join(edf, Seq("sh"))
       .withColumn("p", row_number().over(
         w.partitionBy("eval_doc").orderBy("df", "sh")) - lit(1))
+      // ε guards the double product from over-ceiling (widening the prefix
+      // is always safe; the Jaccard verify is exact) — see dd_ngram_jaccard
       .filter(col("p") <
-        col("ne") - ceil(col("ne").cast("double") * threshold).cast("int") + 1)
+        col("ne") - ceil(col("ne").cast("double") * threshold - 1e-9).cast("int") + 1)
       .select(col("sh"), col("eval_doc"), col("ne"))
     // candidates: training postings map-side-join the broadcast prefix,
     // with the Jaccard length filter (t·|y| ≤ |x| ≤ |y|/t) applied in-join
@@ -627,9 +641,8 @@ object Curation {
       .withColumn("r", col("w") / col("n_docs").cast("double"))
       .withColumn("epochs", col("r") / min(col("r")).over(w))
       .withColumn("base", floor(col("epochs")).cast("long"))
-      .withColumn("thr", lower(lpad(hex(least(
-        floor((col("epochs") - col("base")) * (1 << 24)).cast("long"),
-        lit((1L << 24) - 1))), 6, "0")))
+      .withColumn("thr", hexThr(
+        floor((col("epochs") - col("base")) * (1 << 24)).cast("long")))
       .select("source", "n_docs", "epochs", "base", "thr")
     d.select(col("source"), substring(md5(col("text")), 1, 6).as("p6"))
       .join(broadcast(sched), Seq("source"))

@@ -428,8 +428,11 @@ object Dedup {
       .withColumn("p", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy("df", "sh")) - lit(1))
+      // ε: the double product can over-ceil on exact-integer boundaries
+      // (55·0.4 = 22.000000000000004 → prefix one short → a true pair
+      // silently skipped); widening is always safe — verification is exact
       .filter(col("p") <
-        col("n") - ceil(col("n").cast("double") * threshold).cast("int") + 1)
+        col("n") - ceil(col("n").cast("double") * threshold - 1e-9).cast("int") + 1)
       .select(col("doc_id"), col("n"), col("p"), col("sh"))
       .graftCheckpoint()
     // Candidate generation is the ppjoin ASYMMETRIC join (Xiao et al.): a
@@ -442,7 +445,7 @@ object Dedup {
     // fewer join rows for identical output. The length filter
     // (J ≤ |y|/|x| < t prunes outright) runs before the pair aggregation.
     val idxPrefLen = col("n") -
-      ceil(col("n").cast("double") * (2 * threshold / (1 + threshold))).cast("int") + 1
+      ceil(col("n").cast("double") * (2 * threshold / (1 + threshold)) - 1e-9).cast("int") + 1
     val index = pref.filter(col("p") < idxPrefLen)
     // Positional filter (ppjoin): a token matched at ranked positions
     // (i, j) bounds the overlap — common elements before it number
@@ -1085,8 +1088,11 @@ object Dedup {
       .join(df, Seq("sh"), "left")
       .withColumn("p", row_number().over(
         Window.partitionBy("a").orderBy(coalesce(col("df"), lit(0L)), col("sh"))) - 1)
+      // ε guards the double product from over-ceiling (20·0.55 =
+      // 11.000000000000002 would shorten the prefix by one and silently
+      // drop a true near-dup) — same guard as containmentRepPairs' probe
       .filter(col("p") <
-        col("na") - ceil(col("na").cast("double") * threshold).cast("int") + 1)
+        col("na") - ceil(col("na").cast("double") * threshold - 1e-9).cast("int") + 1)
       .select(col("a"), col("na"), col("sh"))
     val posting = baseSigs.select(col("doc_id").as("b"),
       size(col("shs")).as("nb"), explode(col("shs")).as("sh"))

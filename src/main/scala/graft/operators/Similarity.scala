@@ -162,15 +162,25 @@ object Similarity {
     * [[graft.functions.VecDot]] pattern is the drop-in upgrade if an
     * int8 scan ever dominates a profile.
     */
+  /** Symmetric int8 quantization q = floor(x·127/max|x|), zero vector → all
+    * zeros — THE one definition behind both [[ann_sq]]'s scan codes and
+    * [[TextAnalysis.embed_quantize]]'s digest op (shared so the compression
+    * pass and the SQ ranking can never drift; the repo's mixtureWeights/
+    * gopherCriteria convention). Takes the staged `maxabs` column rather
+    * than recomputing it, so callers keep the array scan un-inlined.
+    */
+  private[operators] def maxAbs(emb: Column): Column =
+    array_max(transform(emb, x => abs(x.cast("double"))))
+  private[operators] def int8Codes(emb: Column, maxabs: Column): Column =
+    when(maxabs === 0.0, transform(emb, _ => lit(0L)))
+      .otherwise(transform(emb, x => floor(x.cast("double") * (lit(127.0) / maxabs))))
+
   def ann_sq(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 10): DataFrame = {
-    val maxabs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
     val sumSq = (c: Column) => aggregate(c, lit(0L), (a, x) => a + x * x)
     val coded = Tables.loadParallel(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"), maxabs.as("maxabs"))
+      .select(col("vec_id"), col("embedding"), maxAbs(col("embedding")).as("maxabs"))
       .select(col("vec_id"),
-        when(col("maxabs") === 0.0, transform(col("embedding"), _ => lit(0L)))
-          .otherwise(transform(col("embedding"),
-            x => floor(x.cast("double") * (lit(127.0) / col("maxabs"))))).as("q8"))
+        int8Codes(col("embedding"), col("maxabs")).as("q8"))
       .withColumn("n2", sumSq(col("q8")))
     val queries = coded.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("q8").as("qq8"), col("n2").as("qn2"))
@@ -387,9 +397,21 @@ object Similarity {
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
-    val scored = emb
-      .join(broadcast(approx), Seq("vec_id")) // candidate fetch: nQueries·refine ids
-      .join(broadcast(queries), Seq("q_id"))
+    // candidate fetch: nQueries·refine ids — both sides broadcast
+    exactCosineRefine(broadcast(approx), emb, broadcast(queries), k)
+  }
+
+  /** Exact-cosine re-rank of approximate candidates — the refine stage
+    * SHARED by [[ann_ivfpq_refined]] and [[searchIvfPqIndexRefined]] (one
+    * definition, so a tie-break or norm change cannot desynchronize the
+    * façade and persisted-index paths). `approx` = (q_id, vec_id)
+    * candidates (pre-wrap in `broadcast` for small batches); `emb` =
+    * (vec_id, embedding, nrm); `qs` = (q_id, q_emb, q_nrm).
+    */
+  private def exactCosineRefine(approx: DataFrame, emb: DataFrame,
+      qs: DataFrame, k: Int): DataFrame = {
+    val scored = emb.join(approx, Seq("vec_id"))
+      .join(qs, Seq("q_id"))
       .select(col("q_id"), col("vec_id"),
         VecDot.cosineFast(VecDot.dot(col("q_emb"), col("embedding")),
           col("q_nrm"), col("nrm")).as("cos"))
@@ -582,16 +604,10 @@ object Similarity {
       VecDot.norm(col("embedding")).as("nrm"))
     val qs = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       .withColumn("q_nrm", VecDot.norm(col("q_emb")))
-    val scored = emb.join(approx, Seq("vec_id"))
-      .join(qs, Seq("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        VecDot.cosineFast(VecDot.dot(col("q_emb"), col("embedding")),
-          col("q_nrm"), col("nrm")).as("cos"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("q_id", "rank", "vec_id", "cos")
-      .orderBy("q_id", "rank")
+    // shared refine stage; no broadcast hints here — AQE picks the join
+    // strategy from the actual batch size (10⁶-query re-ranks must not
+    // force a broadcast)
+    exactCosineRefine(approx, emb, qs, k)
   }
 
   /** The (q_id, cid, tabs) probe frame of [[searchIvfPqIndexDistributed]]:
@@ -759,7 +775,10 @@ object Similarity {
     * report is exercised (occupancy, base reference, delta error, ratio).
     */
   def idx_health(s: SparkSession, dir: String): DataFrame = {
-    val path = java.nio.file.Files.createTempDirectory("graft-idx-health").toString
+    // memoized scratch path: the build still reruns in full every call
+    // (mode-overwrite writers), but repeat invocations stop leaking a
+    // fresh index copy into /tmp each time
+    val path = Tables.scratchDir("graft-idx-health", dir)
     writeIvfPqIndex(s, dir, path)
     val delta = Tables.loadParallel(s, dir, "embeddings")
       .select(col("vec_id"),

@@ -275,13 +275,12 @@ object TextAnalysis {
     * feeding the IVF/LSH index writers.
     */
   def embed_quantize(s: SparkSession, dir: String): DataFrame = {
-    val maxabs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+    // the SHARED int8 scheme ([[Similarity.int8Codes]]) — ann_sq scans
+    // these exact codes, so the two cannot drift
     val staged = Tables.loadParallel(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"), maxabs.as("maxabs"))
-    val q = when(col("maxabs") === 0.0,
-        transform(col("embedding"), _ => lit(0L)))
-      .otherwise(transform(col("embedding"),
-        x => floor(x.cast("double") * (lit(127.0) / col("maxabs")))))
+      .select(col("vec_id"), col("embedding"),
+        Similarity.maxAbs(col("embedding")).as("maxabs"))
+    val q = Similarity.int8Codes(col("embedding"), col("maxabs"))
     staged
       .withColumn("q", q)
       .select(

@@ -86,7 +86,7 @@ object Jsonl {
     * conversion end to end.
     */
   def src_jsonl(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graftjsonl").toString
+    val tmp = Tables.scratchDir("graftjsonl", dir)
     write(Tables.loadParallel(spark, dir, "documents"), tmp)
     corpusSummary(readDocuments(spark, tmp))
   }

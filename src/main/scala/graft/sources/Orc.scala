@@ -22,7 +22,7 @@ object Orc {
     * [[Jsonl.src_jsonl]] — a hash match proves the ORC path bit-exact.
     */
   def src_orc(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graftorc").toString
+    val tmp = Tables.scratchDir("graftorc", dir)
     write(Tables.loadParallel(spark, dir, "documents"), tmp)
     Jsonl.corpusSummary(readDocuments(spark, tmp))
   }

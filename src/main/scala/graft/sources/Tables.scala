@@ -17,6 +17,28 @@ object Tables {
   val extra: Seq[String] = Seq("events", "documents", "embeddings")
   val all: Seq[String] = tpch ++ extra
 
+  /** Per-JVM scratch directory for (prefix, key) — for façade queries that
+    * round-trip the corpus through another format or build a throwaway
+    * index. One `Files.createTempDirectory` PER INVOCATION leaks a full
+    * corpus/index copy each call (a 3-pass bench over the façade writes
+    * each artifact dozens of times, growing /tmp without bound); one
+    * memoized dir per (artifact, corpus), overwritten in place by the
+    * mode("overwrite") writers, bounds /tmp at one copy per artifact per
+    * JVM — and a shutdown hook removes even that.
+    */
+  private val scratch = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def scratchDir(prefix: String, key: String): String =
+    scratch.computeIfAbsent(s"$prefix|$key", _ => {
+      val d = java.nio.file.Files.createTempDirectory(prefix)
+      sys.addShutdownHook {
+        import java.nio.file._
+        try Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+        catch { case _: Throwable => () } // best-effort; /tmp is disposable
+      }
+      d.toString
+    })
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // the generator has shipped events.ts as TIMESTAMP(NANOS), TIMESTAMP_NTZ

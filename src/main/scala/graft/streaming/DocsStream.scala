@@ -112,6 +112,14 @@ object DocsStream {
     *    arrival EVER seen — the running max keeps the timeout monotone,
     *    so an active source never resets mid-flow and a late-but-valid
     *    straggler batch never shortens a prior expiry.
+    *
+    * State-schema note: unifying the TTL variant widened the state type
+    * from `Long` to `(Long, Long)` — a checkpoint written by the old
+    * single-Long gate cannot restart under this one (Spark's state-store
+    * schema check fails). That is Structured Streaming's general contract
+    * for `flatMapGroupsWithState` state types: evolving one means draining
+    * the stream and starting a fresh checkpoint (or writing a one-off
+    * state migration with the State Data Source). Plan state types as API.
     */
   def quotaGate(
       docs: org.apache.spark.sql.Dataset[(String, Long, String, java.sql.Timestamp)],
@@ -234,11 +242,15 @@ object DocsStream {
       useBloom: Boolean = true): DataFrame = {
     val probed = stream.withColumn("digest", md5(col("text")))
     val store = spark.read.parquet(s"$storePath/digests")
+    // frame-PRESERVING like the sibling gates (mixtureGate, ingestDedup):
+    // a stream carrying source/lang/ts keeps them, so the documented
+    // composition storeDedupGate → filter(unseen) → mixtureGate works
+    // without a re-join on doc_id
     def verdictOf(joined: DataFrame): DataFrame = joined
-      .select(col("doc_id"), col("text"),
-        when(col("bmatch").isNotNull, lit("exact_dup"))
-          .otherwise(lit("unseen")).as("verdict"),
-        col("bmatch").as("match_id"))
+      .withColumn("verdict", when(col("bmatch").isNotNull, lit("exact_dup"))
+        .otherwise(lit("unseen")))
+      .withColumn("match_id", col("bmatch"))
+      .drop("digest", "bmatch")
     (if (useBloom) graft.operators.Dedup.loadDigestBloom(spark, storePath) else None) match {
       case None => verdictOf(probed.join(store, Seq("digest"), "left"))
       // the store side of this stream-static join is corpus-sized and
@@ -251,8 +263,9 @@ object DocsStream {
         verdictOf(probed.filter(bloomHit(col("digest")))
             .join(store, Seq("digest"), "left"))
           .unionByName(probed.filter(!bloomHit(col("digest")))
-            .select(col("doc_id"), col("text"), lit("unseen").as("verdict"),
-              lit(null).cast("long").as("match_id")))
+            .withColumn("verdict", lit("unseen"))
+            .withColumn("match_id", lit(null).cast("long"))
+            .drop("digest"))
     }
   }
 }

@@ -33,8 +33,13 @@ object EventsStream {
     val streamPath =
       if (java.nio.file.Files.isDirectory(src)) src.toString
       else {
-        val d = java.nio.file.Files.createTempDirectory("graft-events-stream")
-        java.nio.file.Files.createSymbolicLink(d.resolve("events.parquet"), src)
+        // memoized per source file — repeat readStream calls reuse one
+        // symlink dir instead of leaking a temp dir each (Tables.scratchDir)
+        val d = java.nio.file.Paths.get(
+          graft.sources.Tables.scratchDir("graft-events-stream", src.toString))
+        val link = d.resolve("events.parquet")
+        if (!java.nio.file.Files.exists(link))
+          java.nio.file.Files.createSymbolicLink(link, src)
         d.toString
       }
     normalizeTs(

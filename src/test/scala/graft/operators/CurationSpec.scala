@@ -327,7 +327,8 @@ class CurationSpec extends AnyFunSuite {
     // of source s is w_s / max(w) exactly — thresholds are round hex
     val r = Curation.samp_mixture(spark, "/root/testdata/sf0.01").collect()
       .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
-    assert(r("src0")._3 == "ffffff", "binding source caps at the keep-all threshold")
+    assert(r("src0")._3 == "g", "binding source gets the above-all-hex sentinel")
+    assert(r("src0")._2 == r("src0")._1, "keep-all means ALL — incl. prefix-ffffff docs")
     assert(r("src1")._3 == "800000" && r("src2")._3 == "400000" && r("src3")._3 == "200000")
     // heavier weight never keeps a smaller fraction (wide-margin pair only;
     // per-source counts are 25 at this SF, so adjacent rates can tie by luck)
