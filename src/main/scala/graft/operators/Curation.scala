@@ -181,10 +181,9 @@ object Curation {
     */
   def pipeline_incremental(s: SparkSession, dir: String): DataFrame = {
     val (okCount, okMean, okStops) = TextAnalysis.gopherCriteria()
-    val all = docs(s, dir).select(col("doc_id"), col("text"))
-    val isInc = pmod(col("doc_id"), lit(5)) === lit(4)
-    val inc = all.filter(isInc)
-    val base = all.filter(!isInc)
+    // the SHARED delta/base split ([[Dedup.incrementalSplit]]) — one rule,
+    // one place, mirrored by both operators' oracles
+    val (inc, base) = Dedup.incrementalSplit(s, dir, 5)
     val quality = inc.filter(okCount && okMean && okStops)
     val verdicts = Dedup.incrementalVerdicts(quality, base, 3, 0.4)
     inc.agg(count(lit(1)).as("n")).select(lit("0_delta").as("stage"), col("n"))

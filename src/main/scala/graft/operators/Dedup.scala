@@ -993,7 +993,11 @@ object Dedup {
     }
   }
 
-  private def incrementalSplit(s: SparkSession, dir: String,
+  /** The ONE deterministic delta/base split (residue `splitMod-1` of
+    * doc_id) — shared with [[Curation.pipeline_incremental]] and the
+    * DuckDB twins, so the façade's delta can never drift from
+    * [[dd_incremental]]'s. */
+  private[operators] def incrementalSplit(s: SparkSession, dir: String,
       splitMod: Int): (DataFrame, DataFrame) = {
     val all = docs(s, dir).select(col("doc_id"), col("text"))
     val isInc = pmod(col("doc_id"), lit(splitMod)) === lit(splitMod - 1)

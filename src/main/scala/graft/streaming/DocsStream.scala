@@ -229,10 +229,18 @@ object DocsStream {
     * streaming face of [[graft.operators.Dedup.dd_incremental_stored]]'s
     * exact half: a stream-static left join on content digest tags each
     * arriving document `exact_dup` (with the smallest matching corpus doc
-    * as match_id) or `unseen`. Stateless — no state store, no watermark;
-    * the static side is re-resolved per micro-batch, so a store the
+    * as match_id) or `unseen`. Stateless — no state store, no watermark.
+    *
+    * Store-refresh semantics depend on `useBloom`. With `useBloom = false`
+    * the static join side is re-resolved per micro-batch, so a store the
     * nightly batch job rewrites is picked up without restarting the
-    * stream. Near-duplicate screening at ingest stays [[nearDupScreen]]'s
+    * stream. With `useBloom = true` the Bloom sidecar is loaded ONCE at
+    * gate build and broadcast — digests ADDED to the store after that are
+    * definite-negatives in the stale sketch and route to `unseen` without
+    * ever probing the (fresh) join side, so a rebuilt store requires a
+    * stream restart to take effect. Pick per deployment: live-refresh
+    * correctness (no Bloom) vs per-batch store-scan savings (Bloom +
+    * restart-on-rebuild). Near-duplicate screening at ingest stays [[nearDupScreen]]'s
     * job (banded sketches); WITHIN-stream duplicates are [[ingestDedup]]'s
     * (the store only knows the corpus as of its last build). Callers gate
     * by filtering `verdict = 'unseen'`.
@@ -260,12 +268,17 @@ object DocsStream {
       // positives still confirm through the join (a ~1 % fp rate just
       // joins-and-misses). Output identical either way (spec'd).
       case Some(bloomHit) =>
-        verdictOf(probed.filter(bloomHit(col("digest")))
-            .join(store, Seq("digest"), "left"))
-          .unionByName(probed.filter(!bloomHit(col("digest")))
+        // one materialized probe bit, filtered twice: the union shape is
+        // deliberate — definite-negatives must stay OUT of the store
+        // exchange entirely (folding the bit into the join condition would
+        // shuffle every row); the price is the second batch-local scan
+        val tagged = probed.withColumn("bpass", bloomHit(col("digest")))
+        verdictOf(tagged.filter(col("bpass"))
+            .join(store, Seq("digest"), "left")).drop("bpass")
+          .unionByName(tagged.filter(!col("bpass"))
             .withColumn("verdict", lit("unseen"))
             .withColumn("match_id", lit(null).cast("long"))
-            .drop("digest"))
+            .drop("digest", "bpass"))
     }
   }
 }
