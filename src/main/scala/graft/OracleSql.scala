@@ -1591,6 +1591,21 @@ object OracleSql {
         |FROM c GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
 
+    "ev_dwell" ->
+      """WITH e AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER w AS to_type,
+        |    lead(epoch_us(ts)) OVER w - epoch_us(ts) AS gap_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT from_type, to_type, count(*) AS n,
+        |  CAST(sum(gap_us) AS BIGINT) AS gap_us_sum,
+        |  CAST(max(gap_us) AS BIGINT) AS gap_us_max,
+        |  CAST(sum(gap_us) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS gap_us_mean
+        |FROM e WHERE to_type IS NOT NULL
+        |GROUP BY from_type, to_type
+        |ORDER BY from_type, to_type""".stripMargin,
+
     "tx_readability" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,

@@ -162,6 +162,7 @@ object SparkEntry {
     "q56_mode" -> (Relational.q56_mode _),
     "tx_readability" -> (TextAnalysis.tx_readability _),
     "samp_importance" -> ((s, d) => Curation.samp_importance(s, d)),
+    "ev_dwell" -> (Relational.ev_dwell _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the

@@ -895,6 +895,32 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Transition DWELL times — [[ev_transitions]]'s timing half: for each
+    * (event, next event) edge, how long users sit on it (count, total and
+    * mean gap, and the max as the straggler signal). The edge-weighted
+    * journey graph behind time-to-convert and abandonment analyses. Same
+    * one-shuffle shape as ev_transitions (lead window on user_id); gaps
+    * are exact integer micros (`unix_micros` differences summed in 64-bit
+    * — no float accumulation), and the mean is the single IEEE division
+    * both engines compute identically.
+    */
+  def ev_dwell(s: SparkSession, dir: String): DataFrame = {
+    val seq = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(seq))
+      .withColumn("gap_us",
+        lead(unix_micros(col("ts")), 1).over(seq) - unix_micros(col("ts")))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("gap_us")).as("gap_us_sum"),
+        max(col("gap_us")).as("gap_us_max"))
+      .withColumn("gap_us_mean",
+        col("gap_us_sum").cast("double") / col("n").cast("double"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** NULL semantics surface — the dialect corners that silently differ
     * between engines if untested: explicit NULLS FIRST/LAST ordering (Spark
     * defaults nulls-first on ASC, Postgres/DuckDB default nulls-LAST, so
