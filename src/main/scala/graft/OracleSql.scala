@@ -385,11 +385,17 @@ object OracleSql {
     // decon_embed: broadcast-eval semantic decontamination; argmax via the
     // sorted-struct device (field-order lexicographic on both engines)
     "decon_embed" ->
-      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-         |ev AS (SELECT vec_id AS e_id, embedding AS e_emb FROM e WHERE vec_id < 64),
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         |  FROM embeddings),
+         |ev AS (SELECT vec_id AS e_id, embedding AS e_emb
+         |       FROM e WHERE vec_id < 64 AND nrm > 0),
          |sc AS (
          |  SELECT t.vec_id,
-         |    max({'cos': ${cosSql("t.embedding", "e_emb")}, 'ne': -e_id}) AS m
+         |    max({'cos': CASE WHEN t.nrm = 0 THEN -1.0
+         |                     ELSE ${cosSql("t.embedding", "e_emb")} END,
+         |         'ne': -e_id}) AS m
          |  FROM e t, ev WHERE t.vec_id >= 64 GROUP BY t.vec_id)
          |SELECT vec_id, CAST(-(m.ne) AS BIGINT) AS best_eval, m.cos AS max_cos,
          |  m.cos >= 0.8 AS contaminated

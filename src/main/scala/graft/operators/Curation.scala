@@ -720,14 +720,21 @@ object Curation {
     import graft.functions.VecDot
     val emb = Tables.loadParallel(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), VecDot.norm(col("embedding")).as("nrm"))
-    val eval = emb.filter(col("vec_id") < nEval)
+    // zero-norm guards: a degenerate (all-zero) EVAL vector would make
+    // cos NaN for EVERY training row, and NaN sorts greatest in both
+    // engines' struct max — one empty benchmark question would flag the
+    // whole corpus contaminated, hash-matched because the oracle sorts NaN
+    // the same way. Zero-norm evals are dropped (they cannot legitimately
+    // contaminate); a zero-norm training vector scores -1 instead of NaN.
+    val eval = emb.filter(col("vec_id") < nEval && col("nrm") > 0.0)
       .select(col("vec_id").as("e_id"), col("embedding").as("e_emb"), col("nrm").as("e_nrm"))
     emb.filter(col("vec_id") >= nEval)
       .crossJoin(broadcast(eval))
       .select(col("vec_id"),
         struct(
-          VecDot.cosineFast(VecDot.dot(col("embedding"), col("e_emb")),
-            col("nrm"), col("e_nrm")).as("cos"),
+          when(col("nrm") === 0.0, lit(-1.0))
+            .otherwise(VecDot.cosineFast(VecDot.dot(col("embedding"), col("e_emb")),
+              col("nrm"), col("e_nrm"))).as("cos"),
           (-col("e_id")).as("ne")).as("sc"))
       .groupBy("vec_id")
       .agg(max(col("sc")).as("m"))

@@ -1100,16 +1100,6 @@ object Relational {
         |ORDER BY user_id, ts, event_id""".stripMargin)
   }
 
-  /** Equal-width histogram via `width_bucket` — the SQL-surface profiling
-    * construct behind every data-card length distribution: bucket 0 is
-    * underflow, n+1 overflow, interior buckets [lo + (i−1)·w, lo + i·w).
-    * Bounds are powers of two (0..512 in 16 buckets of 32) so the bucket
-    * arithmetic is EXACT in doubles and the DuckDB twin (which lacks
-    * width_bucket and spells the same floor arithmetic) hash-matches.
-    * Scale shape: map-only bucketing + one tiny aggregate — the profile
-    * of a 100 TB corpus is one scan, and the bucket count (not the row
-    * count) bounds the result.
-    */
   /** Ranking-statistics window functions — rank / dense_rank /
     * percent_rank / cume_dist off ONE window spec (one shuffle on lang,
     * one per-partition sort; all four functions share the frame).
@@ -1129,6 +1119,16 @@ object Relational {
       .orderBy("lang", "n_chars", "doc_id")
   }
 
+  /** Equal-width histogram via `width_bucket` — the SQL-surface profiling
+    * construct behind every data-card length distribution: bucket 0 is
+    * underflow, n+1 overflow, interior buckets [lo + (i−1)·w, lo + i·w).
+    * Bounds are powers of two (0..512 in 16 buckets of 32) so the bucket
+    * arithmetic is EXACT in doubles and the DuckDB twin (which lacks
+    * width_bucket and spells the same floor arithmetic) hash-matches.
+    * Scale shape: map-only bucketing + one tiny aggregate — the profile
+    * of a 100 TB corpus is one scan, and the bucket count (not the row
+    * count) bounds the result.
+    */
   def q51_histogram(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("lang"), width_bucket(col("n_chars"), lit(0), lit(512), lit(16)).as("bucket"))

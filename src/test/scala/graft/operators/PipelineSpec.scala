@@ -1369,6 +1369,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(200L)._2 > 0.999)
   }
 
+  test("decon_embed: a zero-norm eval vector cannot poison the corpus; a zero-norm train vector scores -1") {
+    // cos against a zero vector is NaN, and NaN sorts greatest in struct
+    // max on BOTH engines — without the guards one empty benchmark
+    // question flags every training vector contaminated (hash-matched,
+    // because the oracle sorts NaN identically)
+    val d = 8
+    val unit: Seq[Float] = 1.0f +: Seq.fill(d - 1)(0.0f)
+    val zero: Seq[Float] = Seq.fill(d)(0.0f)
+    val rows = Seq(
+      (0L, zero, "e"),            // degenerate eval — must be dropped
+      (1L, unit, "e"),            // real eval
+      (100L, unit.map(_ * 2f), "t"),  // aligned with eval 1 -> cos 1.0
+      (200L, zero, "t"))          // degenerate train -> cos -1, not NaN
+    val dir = tmpEmb(rows)
+    val got = Curation.decon_embed(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(got(100L) == ((1L, 1.0, true)), "real pair unaffected by the zero eval")
+    assert(got(200L)._2 == -1.0 && !got(200L)._3, "zero-norm train scores -1, never NaN")
+    assert(!got.values.exists(v => v._2.isNaN), "no NaN escapes the operator")
+  }
+
   test("ann_sq: code-cosine recall >= 0.9 vs float bruteforce; ranks dense, self excluded") {
     val dir = "/root/testdata/sf0.01"
     val bf = Similarity.ann_bruteforce(spark, dir)
