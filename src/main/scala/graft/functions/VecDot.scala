@@ -67,6 +67,14 @@ object VecDot {
   /** Cosine via a precomputed-norm-friendly decomposition:
     * `dot(a,b) / (norm(a) * norm(b))` — bit-identical to
     * [[TextFunctions.cosine]] and to the DuckDB oracle formula.
+    *
+    * Zero-norm contract: a zero vector yields NaN (0/0), and NaN sorts
+    * GREATEST in both engines' orderings and struct max — in an argmax it
+    * wins every comparison. Callers whose input may contain zero vectors
+    * must guard at the call site ([[graft.operators.Curation.decon_embed]]
+    * is the pattern: drop degenerate broadcast-side vectors, score
+    * degenerate data-side rows −1); the raw form stays unguarded because
+    * ten DuckDB twins mirror this exact spelling.
     */
   def cosineFast(dotAb: Column, normA: Column, normB: Column): Column =
     dotAb / (normA * normB)
