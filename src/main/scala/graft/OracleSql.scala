@@ -1612,6 +1612,18 @@ object OracleSql {
         |GROUP BY from_type, to_type
         |ORDER BY from_type, to_type""".stripMargin,
 
+    "ev_reach" ->
+      """WITH f AS (
+        |  SELECT event_type, user_id,
+        |    CAST(min(date_trunc('day', ts)) AS DATE) AS day
+        |  FROM events GROUP BY event_type, user_id),
+        |d AS (
+        |  SELECT event_type, day, count(*) AS n_new
+        |  FROM f GROUP BY event_type, day)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n_new,
+        |  CAST(sum(n_new) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS reach
+        |FROM d ORDER BY event_type, day""".stripMargin,
+
     "tx_readability" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,

@@ -163,6 +163,7 @@ object SparkEntry {
     "tx_readability" -> (TextAnalysis.tx_readability _),
     "samp_importance" -> ((s, d) => Curation.samp_importance(s, d)),
     "ev_dwell" -> (Relational.ev_dwell _),
+    "ev_reach" -> (Relational.ev_reach _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the

@@ -921,6 +921,33 @@ object Relational {
       .orderBy("from_type", "to_type")
   }
 
+  /** Cumulative distinct-user REACH — the running `count(DISTINCT user)
+    * OVER (ORDER BY day)` no engine supports as a window aggregate,
+    * spelled the scalable way: a user contributes to reach exactly once,
+    * on their FIRST day per event type, so one (type, user) min-day
+    * aggregate + a per-day count + a running sum over days reproduces the
+    * windowed-distinct semantics with ONE corpus-sized shuffle (the
+    * min-day groupBy, map-side combined). The naive per-row windowed
+    * distinct materializes a user set per (type, day) pair; this never
+    * holds a set at all — the growth-dashboard primitive (DAU reach,
+    * feature adoption) at any scale. [[ev_retention]] is the cohort-matrix
+    * cousin; this is the single running curve.
+    */
+  def ev_reach(s: SparkSession, dir: String): DataFrame = {
+    val firstDay = t(s, dir, "events")
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(min(date_trunc("day", col("ts")).cast("date")).as("day"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    firstDay
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_new"))
+      .withColumn("reach", sum(col("n_new")).over(w))
+      // ISO string, not DATE (ev_retention's oracle-reader convention)
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_new"), col("reach"))
+      .orderBy("event_type", "day")
+  }
+
   /** NULL semantics surface — the dialect corners that silently differ
     * between engines if untested: explicit NULLS FIRST/LAST ordering (Spark
     * defaults nulls-first on ASC, Postgres/DuckDB default nulls-LAST, so
