@@ -142,7 +142,7 @@ object Dedup {
     * (the self-cosine of an embedding) — when `selfQualifies` (evaluated
     * after `scoreCol` exists). Output-only work — no verification re-runs.
     */
-  private[operators] def expandPairs(repPairs: DataFrame, scoreCol: String,
+  private def expandPairs(repPairs: DataFrame, scoreCol: String,
       grouped: DataFrame, selfScore: org.apache.spark.sql.Column,
       selfQualifies: org.apache.spark.sql.Column): DataFrame = {
     val inter = repPairs
@@ -290,6 +290,11 @@ object Dedup {
   private[operators] def bandedHamming64Pairs(withFp: DataFrame,
       maxHamming: Int, maxBucket: Int, op: String): DataFrame = {
     val grouped = withFp
+      // null fingerprints (null text/payload — the expressions are
+      // null-intolerant) must not band: groupBy would collect them into
+      // ONE clique and the intra path would fabricate hamming-0 "pairs"
+      // between unrelated empty docs
+      .filter(col("fp").isNotNull)
       .groupBy("fp")
       .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
       .graftCheckpoint()

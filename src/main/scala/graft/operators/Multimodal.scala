@@ -103,8 +103,13 @@ object Multimodal {
     * one representative per fingerprint BEFORE banding (an exact-dup
     * clique costs clique rows, never clique² pairs), candidates must share
     * one of four 16-bit bands (any pair within Hamming 3 provably agrees
-    * on ≥1 band; wider `maxHamming` trades recall like every banded
-    * scheme), hot bands are capped with in-plan-observable loss, and
+    * on ≥1 band — the pigeonhole bound of 4 bands; the default
+    * `maxHamming = 10` VERIFIES wider but candidates beyond 3 flips are
+    * found only when the flips happen to spare a band, the recall trade
+    * every banded scheme makes — a deployment needing a guarantee at
+    * h > 3 raises the band count, h+1 bands of 64/(h+1) bits, and pays
+    * the hotter buckets), hot bands are capped with in-plan-observable
+    * loss, and
     * verification is one codegen'd `bit_count(xor)` per candidate pair.
     * Pairs expand back through clique members, (a, b, hamming), a < b.
     */
@@ -122,7 +127,10 @@ object Multimodal {
     * That makes the no-oracle rows check SELF-VERIFYING on the shipped
     * testdata: exactly one (−(source+1), source) pair per plant,
     * spec-asserted at sf0.001 and checked as a row count at the driver's
-    * SFs. (On a corpus whose stride positions carry byte-identical
+    * SFs. (An empirical property of THIS corpus, not a theorem: a plant
+    * whose fingerprint flips touched all four bands would be missed —
+    * the banding guarantee is Hamming ≤ 3, see [[mm_phash]] — so the
+    * spec is what pins that the substitution's flips spare a band here.) (On a corpus whose stride positions carry byte-identical
     * payloads, those cliques add their member pairs too — rows are then
     * ≥ #plants, never fewer.) The raw corpus alone is the honest zero:
     * its organic near-dups differ by small INSERTIONS, and a 1-D
@@ -167,7 +175,16 @@ object Multimodal {
   private def mm_phashOn(media: DataFrame, maxHamming: Int,
       maxBucket: Int): DataFrame =
     Dedup.bandedHamming64Pairs(
-      media.select(col("doc_id"), graft.functions.DHash64.of(col("payload")).as("fp")),
+      media
+        // sub-span payloads (< 65 bytes) have mostly-EMPTY pooling spans:
+        // their gradient signs degenerate and unrelated short assets
+        // collapse onto near-identical fingerprints (every 1-byte payload
+        // hashes identically). Short assets are mm_dedup's job (exact
+        // digest); the perceptual path requires at least one byte per span
+        // — in production the decoder's fixed-grid resample guarantees
+        // this by construction.
+        .filter(octet_length(col("payload")) >= 65)
+        .select(col("doc_id"), graft.functions.DHash64.of(col("payload")).as("fp")),
       maxHamming, maxBucket, "mm_phash")
 
   /** The pipeline as a queries-façade entry: features joined back to frame

@@ -846,8 +846,10 @@ object Similarity {
               "write's JVM was hard-killed. If no write is running, " +
               "delete the lock file and retry.", e)
       }
-    lock.close()
-    try body finally fs.delete(lockPath, false)
+    // close() INSIDE the try: if the flush throws (disk full, object-store
+    // connector), the finally must still delete the lock — a leaked marker
+    // blocks every later append until someone hand-deletes it
+    try { lock.close(); body } finally fs.delete(lockPath, false)
   }
 
   /** Compact a persisted index's `codes/` layout back to one file per list.
