@@ -20,12 +20,34 @@ object Dialect {
     * scheme. `schemas` = the schema names in force (KnownSchemas plus any
     * custom default schema).
     */
+  private def isIdentChar(c: Char): Boolean =
+    Character.isLetterOrDigit(c) || c == '_'
+
+  /** Words that can follow a FROM-item without being its alias — if one of
+    * these is the next token after a qualified table, the table carried no
+    * alias of its own and [[qualify]] appends `AS <table>`. */
+  private val postTableKeywords = Set(
+    "where", "group", "order", "having", "limit", "offset", "union",
+    "intersect", "except", "left", "right", "inner", "outer", "full",
+    "cross", "join", "on", "using", "when", "then", "else", "end", "and",
+    "or", "set", "from", "window", "values", "natural", "returning",
+    "tablesample", "fetch", "for", "lateral", "pivot", "unpivot", "semi",
+    "anti", "qualify")
+
   def qualify(sql: String, schemas: Set[String]): String = {
     val qualified = ("(?i)\\b(" + schemas.mkString("|") + ")\\.(\\w+)(\\.\\w+)").r
     val bare = ("(?i)\\b(" + schemas.mkString("|") + ")\\.(\\w+)").r
+    val aliasAfter = "(?is)^\\s+(?:as\\s+)?([a-zA-Z_]\\w*)".r
     mapOutsideLiterals(sql) { seg =>
       val step1 = qualified.replaceAllIn(seg, m => s"${m.group(2)}${m.group(3)}")
-      bare.replaceAllIn(step1, m => s"${m.group(1)}_${m.group(2)} AS ${m.group(2)}")
+      bare.replaceAllIn(step1, m => {
+        // `cerner.foo f` / `cerner.foo AS f` already carry an alias —
+        // appending ours would emit the unparseable `cerner_foo AS foo f`
+        val hasOwnAlias = aliasAfter.findFirstMatchIn(m.after.toString)
+          .exists(x => !postTableKeywords.contains(x.group(1).toLowerCase))
+        if (hasOwnAlias) s"${m.group(1)}_${m.group(2)}"
+        else s"${m.group(1)}_${m.group(2)} AS ${m.group(2)}"
+      })
     }
   }
 
@@ -78,10 +100,29 @@ object Dialect {
         // Tie-breakers: simple column refs from the select list make the
         // arbitrary-survivor pick deterministic; computed entries are skipped
         // (they may not be ORDER-BY-stable expressions).
-        val tieBreak = splitTopLevel(selectList, ',').map(_.trim)
-          .filter(_.matches("[\\w.]+"))
+        val entries = splitTopLevel(selectList, ',').map(_.trim)
+        // `*` would expand the subquery's output INCLUDING __rn — the
+        // rewrite cannot name the base columns textually, so fail loud
+        // instead of silently emitting an extra column
+        if (entries.exists(e => e == "*" || e.endsWith(".*")))
+          throw new IllegalArgumentException(
+            "DISTINCT ON with a * select list is not translatable (the " +
+              "ranked-window rewrite would leak its __rn column) — list " +
+              "the columns explicitly")
+        val tieBreak = entries.filter(_.matches("[\\w.]+"))
         val orderBy = (explicit.getOrElse(keys) +: tieBreak).distinct.mkString(", ")
-        s"""SELECT $selectList FROM (
+        // outer list references the subquery's OUTPUT names: the alias if
+        // one is given, the unqualified column for `t.k`-style refs (the
+        // subquery flattens table qualifiers — repeating `t.k` outside
+        // would not resolve); an unaliased computed entry falls back to
+        // repeating the expression, which resolves only when its inputs
+        // are themselves selected — alias computed entries
+        val aliasRe = "(?is)\\s+as\\s+([a-zA-Z_]\\w*)\\s*$".r
+        val outerList = entries.map { e =>
+          aliasRe.findFirstMatchIn(e).map(_.group(1)).getOrElse(
+            if (e.matches("[\\w.]+")) e.split("\\.").last else e)
+        }.mkString(", ")
+        s"""SELECT $outerList FROM (
            |  SELECT $selectList, row_number() OVER (PARTITION BY $keys ORDER BY $orderBy) AS __rn
            |  $fromPart
            |) WHERE __rn = 1""".stripMargin
@@ -196,9 +237,11 @@ object Dialect {
       if (prev == 0 && lit == 0) c match {
         case '(' => depth += 1
         case ')' => depth -= 1
+        // boundary check must treat '_' as part of an identifier (same as
+        // findTopLevelKeyword) or `col_union`/`union_dt` splits mid-name
         case 'u' | 'U' if depth == 0 && upper.startsWith("UNION", i) &&
-            (i == 0 || !Character.isLetterOrDigit(sql.charAt(i - 1))) &&
-            (i + 5 >= sql.length || !Character.isLetterOrDigit(sql.charAt(i + 5))) =>
+            (i == 0 || !isIdentChar(sql.charAt(i - 1))) &&
+            (i + 5 >= sql.length || !isIdentChar(sql.charAt(i + 5))) =>
           parts += sql.substring(start, i)
           val rest = sql.substring(i + 5)
           "(?is)^\\s*ALL\\b".r.findFirstIn(rest) match {

@@ -78,9 +78,12 @@ object ApiServer {
         }
         else {
         val body = new String(raw, UTF_8)
+        // URL-decode like the FastAPI reference (name=my%20rule must not
+        // become a literal "my%20rule" in view names and script comments)
         val name = Option(ex.getRequestURI.getQuery)
           .flatMap(_.split("&").collectFirst {
-            case kv if kv.startsWith("name=") => kv.substring(5)
+            case kv if kv.startsWith("name=") =>
+              java.net.URLDecoder.decode(kv.substring(5), UTF_8)
           }).getOrElse("rule")
         try {
           val res = Api.translateTable(spark, body, name, udfs, configure)

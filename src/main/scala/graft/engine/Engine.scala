@@ -69,16 +69,37 @@ class Engine(
     */
   val statementLog: mutable.Buffer[Engine.Statement] = mutable.Buffer.empty
 
+  /** Every temp view THIS engine registered in the session — so a shared
+    * session can be restored to its prior state ([[cleanup]]): the API
+    * server translates many unrelated documents against one SparkSession,
+    * and a leaked `mapping_*`/pre-init view would let a later rule that
+    * references an undefined view silently resolve against another
+    * document's state instead of failing like the stateless reference API.
+    */
+  private val createdViews: mutable.Set[String] = mutable.Set.empty
+
+  private def registerView(name: String, df: DataFrame): Unit = {
+    df.createOrReplaceTempView(name)
+    createdViews += name
+  }
+
+  /** Drop every temp view this engine registered (request-scoped hosts call
+    * this in a finally; a CLI run that exits with the JVM can skip it). */
+  def cleanup(): Unit = {
+    createdViews.foreach(spark.catalog.dropTempView(_))
+    createdViews.clear()
+  }
+
   /** Register a source table under its schema-qualified view name. */
   def registerSource(schema: String, name: String, df: DataFrame): Unit =
-    df.createOrReplaceTempView(s"${schema}_$name")
+    registerView(s"${schema}_$name", df)
 
   /** Pre-seed a mapping spine (the event fixture does this:
     * `tests/test_integration.py:700-727` seeds mapping.person externally).
     */
   def seedMapping(table: String, df: DataFrame): Unit = {
     mappings(table) = df
-    df.createOrReplaceTempView(s"mapping_$table")
+    registerView(s"mapping_$table", df)
   }
 
   private def schemas(dep: DependencyParts): Set[String] =
@@ -116,7 +137,9 @@ class Engine(
     */
   private def runScripts(rule: Rule): Unit =
     rule.dep.scripts.foreach { script =>
-      val fn = "(?is)create\\s+(or\\s+replace\\s+)?function\\s+(\\w+)".r
+      // the optional schema qualifier must not win the capture:
+      // `CREATE FUNCTION public.fn_age` registers as 'fn_age', not 'public'
+      val fn = "(?is)create\\s+(or\\s+replace\\s+)?function\\s+(?:\\w+\\.)?(\\w+)".r
         .findFirstMatchIn(script).map(_.group(2))
       statementLog += Engine.Statement(rule.name, "script", script)
       fn match {
@@ -152,7 +175,7 @@ class Engine(
       // CacheManager entry
       statementLog += Engine.Statement(rule, "temp_table", translate(q.query, dep))
       val df = sql(translate(q.query, dep)).graftCheckpoint()
-      df.createOrReplaceTempView(q.alias)
+      registerView(q.alias, df)
       tempViews += q.alias
     }
 
@@ -194,7 +217,7 @@ class Engine(
       .select("id", keyCols: _*)
 
     mappings(rule.name) = spine
-    spine.createOrReplaceTempView(s"mapping_${rule.name}")
+    registerView(s"mapping_${rule.name}", spine)
 
     // `insert into omop.t (pk) select mapping.t.id from mapping.t`
     // (`schema.py:320-328`): the target starts as the bare key skeleton.

@@ -32,14 +32,21 @@ object Etl {
     * per-file outputs by stem (`__main__.py:17-31`), while a table rule's
     * NAME comes from its YAML `name:` field.
     */
-  private def loadRules(rulesDir: String): Seq[(String, graft.rules.Rule)] =
-    Files.list(Paths.get(rulesDir)).iterator().asScala
-      .filter(p => p.toString.endsWith(".yaml") || p.toString.endsWith(".yml"))
-      .toSeq.sortBy(_.getFileName.toString)
+  private[engine] def loadRules(rulesDir: String): Seq[(String, graft.rules.Rule)] = {
+    // Files.list holds an open DirectoryStream until closed — a long-lived
+    // host (the API server) calling this repeatedly would leak fds
+    val stream = Files.list(Paths.get(rulesDir))
+    val paths =
+      try stream.iterator().asScala
+        .filter(p => p.toString.endsWith(".yaml") || p.toString.endsWith(".yml"))
+        .toSeq
+      finally stream.close()
+    paths.sortBy(_.getFileName.toString)
       .map { p =>
         val stem = p.getFileName.toString.replaceAll("\\.(yaml|yml)$", "")
         stem -> RuleParser.parse(stem, Files.readString(p))
       }
+  }
 
   /** The reference's `compile` CLI surface (`__main__.py:33-96`): run the
     * rules and write the generated statements as script artifacts — one
@@ -175,10 +182,13 @@ object Etl {
     * reference's external-table path (`schema/external.sql`,
     * `tests/test_rules.py:123-126`).
     */
-  def registerExternalCsvDir(engine: Engine, spark: SparkSession, dir: String): Unit =
-    Files.list(Paths.get(dir)).iterator().asScala
-      .filter(_.toString.toLowerCase.endsWith(".csv"))
-      .foreach { p: Path =>
+  def registerExternalCsvDir(engine: Engine, spark: SparkSession, dir: String): Unit = {
+    val stream = Files.list(Paths.get(dir))
+    val csvs =
+      try stream.iterator().asScala
+        .filter(_.toString.toLowerCase.endsWith(".csv")).toSeq
+      finally stream.close()
+    csvs.foreach { p: Path =>
         val name = p.getFileName.toString.replaceAll("(?i)\\.csv$", "").toLowerCase
         val df = spark.read
           .option("header", "true")
@@ -189,6 +199,7 @@ object Etl {
           d.withColumnRenamed(c, c.split("\\.").last.toLowerCase))
         engine.registerSource("external", name, renamed)
       }
+  }
 }
 
 /** The reference's web-API surface minus the HTTP transport
@@ -216,14 +227,20 @@ object Api {
       configure: Engine => Unit = _ => ()): Result = {
     val rule = RuleParser.parseTable(name, ruleText)
     val engine = new Engine(spark, udfs)
-    configure(engine)
-    engine.run(Seq(rule))
-    val script = engine.statementLog
-      .map(s => s"-- ${s.rule}: ${s.kind}\n${s.sql.trim.stripSuffix(";")};\n")
-      .mkString("\n")
-    val warnings = RequiredColumns.warnings(rule)
-      .map(msg => Warning(Seq("body", "columns"), msg, "value_error"))
-    Result(script, warnings)
+    // cleanup in finally: the API host shares ONE SparkSession across
+    // requests, and a leaked mapping/pre-init view would let a later
+    // document's dangling reference silently resolve against this one's
+    // state instead of failing like the stateless reference API
+    try {
+      configure(engine)
+      engine.run(Seq(rule))
+      val script = engine.statementLog
+        .map(s => s"-- ${s.rule}: ${s.kind}\n${s.sql.trim.stripSuffix(";")};\n")
+        .mkString("\n")
+      val warnings = RequiredColumns.warnings(rule)
+        .map(msg => Warning(Seq("body", "columns"), msg, "value_error"))
+      Result(script, warnings)
+    } finally engine.cleanup()
   }
 }
 

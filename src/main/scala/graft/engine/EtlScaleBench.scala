@@ -108,14 +108,10 @@ object EtlScaleBench {
     // schedule (all spines, then all overlays), with materialization split out
     val e = new Engine(spark)
     registerAll(e, spark, corpus, factor)
-    val rules = java.nio.file.Files.list(java.nio.file.Paths.get(rulesDir)).iterator()
-    val parsed: Seq[(String, Rule)] = {
-      import scala.jdk.CollectionConverters._
-      rules.asScala.filter(_.toString.endsWith(".yaml")).toSeq.sortBy(_.getFileName.toString)
-        .map(p => p.getFileName.toString.stripSuffix(".yaml") ->
-          RuleParser.parse(p.getFileName.toString.stripSuffix(".yaml"),
-            java.nio.file.Files.readString(p)))
-    }
+    // the SHARED loader (Etl.loadRules): the inline copy filtered only
+    // `.yaml`, so a `.yml` rule made the phase breakdown time a smaller
+    // rule set than the headline end-to-end pass measured
+    val parsed: Seq[(String, Rule)] = Etl.loadRules(rulesDir)
     val tableRules = parsed.collect { case (_, t: graft.rules.TableRule) => t }
     val tSpine = System.nanoTime()
     tableRules.foreach(e.initialize)

@@ -63,6 +63,37 @@ class DialectSpec extends AnyFunSuite {
     assert(lit.contains("FROM (") && lit.contains("cerner.t"))
   }
 
+  test("qualify: a table carrying its own alias is not double-aliased") {
+    assert(Dialect.qualify("select e.id from cerner.encounter e where e.x = 1",
+        Dialect.KnownSchemas)
+      == "select e.id from cerner_encounter e where e.x = 1")
+    assert(Dialect.qualify("select f.id from cerner.foo AS f", Dialect.KnownSchemas)
+      == "select f.id from cerner_foo AS f")
+    // no alias -> ours is appended, exactly as before
+    assert(Dialect.qualify("select id from cerner.foo where id > 1", Dialect.KnownSchemas)
+      == "select id from cerner_foo AS foo where id > 1")
+  }
+
+  test("splitTopLevelUnion: underscore-delimited 'union' inside identifiers is not an operator") {
+    val sql = "select col_union, union_dt from cerner.t"
+    assert(Dialect.rewriteDistinctOn(sql) == sql)
+    val real = Dialect.rewriteDistinctOn(
+      "select distinct on (k) k, union_dt from cerner.a UNION select distinct on (k) k, union_dt from cerner.b")
+    assert("__rn = 1".r.findAllIn(real).length == 2)
+  }
+
+  test("rewriteDistinctOn: outer select uses output names (aliases, unqualified cols); * fails loud") {
+    val q = Dialect.rewriteDistinctOn(
+      "select distinct on (k) t.k, substring(t.zip, 1, 3) AS z from cerner.t t")
+    // outer list must be resolvable against the subquery: alias + bare col
+    assert(q.startsWith("SELECT k, z FROM ("), q)
+    assert(q.contains("SELECT t.k, substring(t.zip, 1, 3) AS z, row_number()"))
+    val e = intercept[IllegalArgumentException] {
+      Dialect.rewriteDistinctOn("select distinct on (k) * from cerner.t")
+    }
+    assert(e.getMessage.contains("__rn"))
+  }
+
   test("rewriteDistinctOn: quoted identifiers shield keywords, commas, parens") {
     // a column aliased "from" (double-quoted identifier) must not be taken
     // for the FROM clause

@@ -348,6 +348,11 @@ class EtlSpec extends AnyFunSuite {
     assert(w.exists(_.msg == "Column \"gender_concept_id\" is not defined"))
     assert(!w.exists(_.msg.contains("person_id"))) // pk exempt
     assert(!w.exists(_.msg.contains("year_of_birth"))) // defined
+    // request isolation: the shared session must carry NO state from this
+    // translation — a later document's dangling reference must fail, not
+    // silently resolve against this one's views
+    assert(!spark.catalog.tableExists("cerner_p"), "source view leaked")
+    assert(!spark.catalog.tableExists("mapping_person"), "mapping view leaked")
   }
 
   test("required-column warnings (A20, `api.py:19-40`)") {
