@@ -270,8 +270,24 @@ object Dialect {
   private val castRe =
     "(\\w+(?:\\.\\w+)*|\\))\\s*::\\s*(\\w+(?:\\s+precision)?)(\\s*\\(\\s*\\d+(?:\\s*,\\s*\\d+)?\\s*\\))?".r
 
-  def rewriteCasts(sql: String): String =
-    mapOutsideLiterals(sql) { seg =>
+  /** String-literal-operand casts (`''::text`, `'0.5'::double precision`):
+    * the operand regex consumes the whole quoted literal itself (doubled
+    * '' escapes included), which makes it safe to run over the RAW sql —
+    * and necessary: [[mapOutsideLiterals]] severs the literal from its
+    * segment, so [[castRe]] can never see these. A false match starting
+    * inside a balanced literal is impossible: the would-be closing quote
+    * is an escape half, so the next char is a quote, never `:`.
+    */
+  private val litCastRe =
+    "('(?:[^']|'')*')\\s*::\\s*(\\w+(?:\\s+precision)?)(\\s*\\(\\s*\\d+(?:\\s*,\\s*\\d+)?\\s*\\))?".r
+
+  def rewriteCasts(sql: String): String = {
+    val litDone = litCastRe.replaceAllIn(sql, m => {
+      val target = sparkType(m.group(2) + Option(m.group(3)).getOrElse(""))
+      scala.util.matching.Regex.quoteReplacement(
+        s"CAST(${m.group(1)} AS $target)")
+    })
+    mapOutsideLiterals(litDone) { seg =>
       castRe.replaceAllIn(seg, m => {
         val target = sparkType(m.group(2) + Option(m.group(3)).getOrElse(""))
         // `)` ending means the cast applies to a parenthesized expression —
@@ -280,6 +296,7 @@ object Dialect {
         else s"CAST(${m.group(1)} AS $target)"
       })
     }
+  }
 
   /** Postgres type name → Spark SQL type name (SURVEY.md §1.2 table). */
   def sparkType(pg: String): String = pg.trim.toLowerCase match {

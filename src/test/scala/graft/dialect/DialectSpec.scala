@@ -63,6 +63,18 @@ class DialectSpec extends AnyFunSuite {
     assert(lit.contains("FROM (") && lit.contains("cerner.t"))
   }
 
+  test("rewriteCasts: string-literal operands translate (''::text, '0.5'::double precision)") {
+    assert(Dialect.rewriteCasts("coalesce(note, ''::text)")
+      == "coalesce(note, CAST('' AS STRING))")
+    assert(Dialect.rewriteCasts("'0.5'::double precision")
+      == "CAST('0.5' AS DOUBLE)")
+    // doubled-quote escapes ride inside the operand
+    assert(Dialect.rewriteCasts("'it''s'::text") == "CAST('it''s' AS STRING)")
+    // a `::` INSIDE a literal is content, not a cast
+    assert(Dialect.rewriteCasts("x = 'a::b' and y::int = 1")
+      == "x = 'a::b' and CAST(y AS INT) = 1")
+  }
+
   test("qualify: a table carrying its own alias is not double-aliased") {
     assert(Dialect.qualify("select e.id from cerner.encounter e where e.x = 1",
         Dialect.KnownSchemas)
