@@ -83,6 +83,10 @@ object TextFunctions {
     * hashed — docs sharing any band key are near-dup candidates.
     */
   def minhashBands(sig: Column, k: Int, bands: Int): Column = {
+    require(k % bands == 0,
+      s"minhashBands: bands=$bands must divide k=$k — a remainder would " +
+        "silently drop the trailing signature entries from every band key " +
+        "(paid-for families with zero recall contribution)")
     val rows = k / bands
     transform(
       sequence(lit(0), lit(bands - 1)),

@@ -23,10 +23,32 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "vec_dot"
 
+  /** SQL-exposed (`vec_dot` via GraftFunctions/GraftExtensions), so the
+    * element type must be VALIDATED: `getFloat` over an array<double>
+    * would silently reinterpret 4-byte halves of each packed double as
+    * floats — garbage with no error. `containsNull` is accepted (parquet
+    * list elements are nullable by default even when no null ever occurs);
+    * an actually-null element reads as 0f, the zero-contribution
+    * convention.
+    */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float> on both sides, " +
+          s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) VecDot.raiseDimsJava(n, y.numElements())
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -41,8 +63,10 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val obj = "graft.functions.VecDot$.MODULE$" // Janino-resolvable object ref
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) $obj.raiseDimsJava($n, $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
@@ -56,6 +80,13 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
 }
 
 object VecDot {
+
+  /** Codegen's loud-fail hook (see the expression's dims check). */
+  def raiseDimsJava(nx: Int, ny: Int): Unit =
+    throw new IllegalArgumentException(
+      s"vec_dot: dims mismatch ($nx vs $ny) — mixed embedding spaces are a " +
+        "data bug; a silent prefix product would corrupt every downstream " +
+        "cosine (same loud-fail contract as VecNearest/EmbStream.cosine)")
 
   def dot(a: Column, b: Column): Column =
     GraftColumnBridge.column(

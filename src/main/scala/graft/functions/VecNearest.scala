@@ -33,6 +33,10 @@ import org.apache.spark.sql.types._
 case class VecNearest(child: Expression, book: Seq[Seq[Double]])
     extends UnaryExpression {
 
+  require(book.nonEmpty,
+    "VecNearest: empty codebook — the corpus the centroids were trained " +
+      "from has no rows (check the embeddings table before clustering)")
+
   private val k = book.size
   private val len = book.head.size
 

@@ -77,8 +77,10 @@ object Clustering {
     * over members — integer, so order-independent). Empty clusters keep
     * their previous centroid.
     */
-  def embed_kmeans(s: SparkSession, dir: String, k: Int = 10, iters: Int = 5): DataFrame =
+  def embed_kmeans(s: SparkSession, dir: String, k: Int = 10, iters: Int = 5): DataFrame = {
+    require(iters >= 1, s"embed_kmeans: iters=$iters — at least one Lloyd round")
     kmeansRounds(emb(s, dir), k, iters).last._2
+  }
 
   /** Product quantization (Jégou et al., TPAMI 2011): split the embedding
     * into `m` subspaces, k-means each (the same deterministic Lloyd as
@@ -115,10 +117,9 @@ object Clustering {
     */
   private[graft] def pqTrain(e: DataFrame, m: Int, k: Int, iters: Int,
       sub: Int): Seq[Seq[Seq[Double]]] = {
-    val seed = e.orderBy("vec_id").limit(k).select("embedding").collect()
-      .map(_.getSeq[Float](0).map(_.toDouble))
+    val seed = initCentroids(e, k) // the ONE deterministic-init definition
     var books: Seq[Seq[Seq[Double]]] =
-      (0 until m).map(s => seed.toSeq.map(v => v.slice(s * sub, (s + 1) * sub).toSeq))
+      (0 until m).map(s => seed.map(v => v.slice(s * sub, (s + 1) * sub).toSeq))
     for (_ <- 1 to iters) {
       // one pass assigns EVERY subspace: array of (s, code, subvec) structs
       val parts = (0 until m).map { s =>
@@ -175,6 +176,14 @@ object Clustering {
     * can assert Lloyd's monotone-inertia invariant without re-running. The
     * inertia scan is its own per-round job, so it only runs when traced
     * (`traceInertia`); the production path pays one aggregate per round.
+    */
+  /** Deliberately NO persist on `e`: each Lloyd round (and the final
+    * summary) re-scans the source — iters+1 columnar parquet scans. MLlib
+    * persists instead, but pinning the full corpus is exactly what a
+    * 100 TB run cannot afford (the repo's no-CacheManager stance); the
+    * per-round assignment recompute is inherent to Lloyd either way, and
+    * the scan is the cheap, spill-free part. A small-corpus caller that
+    * wants the MLlib shape can pass a pre-checkpointed frame.
     */
   private[operators] def kmeansRounds(
       e: DataFrame, k: Int, iters: Int,

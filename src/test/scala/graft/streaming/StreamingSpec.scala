@@ -450,6 +450,21 @@ class StreamingSpec extends AnyFunSuite {
       .createOrReplaceTempView("vecs")
     val d = spark.sql("SELECT vec_dot(a, b) AS d FROM vecs").collect().head.getDouble(0)
     assert(d == 32.0)
+    // SQL exposure demands type validation: getFloat over array<double>
+    // would silently reinterpret packed bytes — must fail analysis instead
+    val te = intercept[Exception] {
+      spark.sql("SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))").collect()
+    }
+    assert(te.getMessage.contains("array<float>"), te.getMessage)
+    // dims mismatch fails LOUD (the VecNearest/EmbStream.cosine contract),
+    // never a silent prefix product
+    Seq((Seq(1f, 2f, 3f), Seq(4f, 5f))).toDF("a", "b")
+      .createOrReplaceTempView("vecs_bad")
+    val de = intercept[Exception] {
+      spark.sql("SELECT vec_dot(a, b) FROM vecs_bad").collect()
+    }
+    assert(de.getMessage.contains("dims mismatch") ||
+      Option(de.getCause).exists(_.getMessage.contains("dims mismatch")), de.getMessage)
   }
 
   test("ingestDedup: same-content docs within the horizon collapse to the first") {
