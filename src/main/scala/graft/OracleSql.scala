@@ -1613,16 +1613,18 @@ object OracleSql {
         |ORDER BY from_type, to_type""".stripMargin,
 
     "ev_reach" ->
-      """WITH f AS (
-        |  SELECT event_type, user_id,
-        |    CAST(min(date_trunc('day', ts)) AS DATE) AS day
-        |  FROM events GROUP BY event_type, user_id),
-        |d AS (
-        |  SELECT event_type, day, count(*) AS n_new
-        |  FROM f GROUP BY event_type, day)
-        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n_new,
-        |  CAST(sum(n_new) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS reach
-        |FROM d ORDER BY event_type, day""".stripMargin,
+      """WITH e AS (
+        |  SELECT event_type, user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM events),
+        |f AS (SELECT event_type, user_id, min(day) AS day FROM e GROUP BY 1, 2),
+        |d AS (SELECT event_type, day, count(*) AS n_new FROM f GROUP BY 1, 2),
+        |a AS (SELECT DISTINCT event_type, day FROM e)
+        |SELECT a.event_type, strftime(a.day, '%Y-%m-%d') AS day,
+        |  CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+        |  CAST(sum(COALESCE(n_new, 0))
+        |    OVER (PARTITION BY a.event_type ORDER BY a.day) AS BIGINT) AS reach
+        |FROM a LEFT JOIN d USING (event_type, day)
+        |ORDER BY a.event_type, day""".stripMargin,
 
     "tx_readability" ->
       """SELECT doc_id,

@@ -858,18 +858,30 @@ object Relational {
     * tiny-data exchanges. The probability is a single IEEE division of two
     * exact integer counts, so both engines produce the identical double.
     */
-  def ev_transitions(s: SparkSession, dir: String): DataFrame = {
+  /** The consecutive-pair stream behind [[ev_transitions]] and
+    * [[ev_dwell]] — ONE derivation (lead window on user_id, ties by
+    * event_id; rows whose event has no successor drop), so the transition
+    * matrix and the dwell timings can never disagree about what counts as
+    * an edge. Columns: from_type, to_type, gap_us.
+    */
+  private def transitionPairs(s: SparkSession, dir: String): DataFrame = {
     val seq = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     t(s, dir, "events")
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("to_type", lead(col("event_type"), 1).over(seq))
+      .withColumn("gap_us",
+        lead(unix_micros(col("ts")), 1).over(seq) - unix_micros(col("ts")))
       .filter(col("to_type").isNotNull)
-      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .select(col("event_type").as("from_type"), col("to_type"), col("gap_us"))
+  }
+
+  def ev_transitions(s: SparkSession, dir: String): DataFrame =
+    transitionPairs(s, dir)
+      .groupBy("from_type", "to_type")
       .agg(count(lit(1)).as("n"))
       .withColumn("p", col("n").cast("double") /
         sum(col("n")).over(Window.partitionBy("from_type")).cast("double"))
       .orderBy("from_type", "to_type")
-  }
 
   /** Per-group MODE — the most frequent value, as a real aggregate rather
     * than a window-rank trick ([[q06_distinct_on]] is the row-selection
@@ -899,27 +911,23 @@ object Relational {
     * (event, next event) edge, how long users sit on it (count, total and
     * mean gap, and the max as the straggler signal). The edge-weighted
     * journey graph behind time-to-convert and abandonment analyses. Same
-    * one-shuffle shape as ev_transitions (lead window on user_id); gaps
-    * are exact integer micros (`unix_micros` differences summed in 64-bit
-    * — no float accumulation), and the mean is the single IEEE division
-    * both engines compute identically.
+    * one-shuffle shape as ev_transitions — the SAME [[transitionPairs]]
+    * derivation, so the two can never disagree about what counts as an
+    * edge; gaps are exact integer micros (`unix_micros` differences summed
+    * in 64-bit — exact up to 2⁶³ total micros per edge, ~292k
+    * device-years; past that Spark wraps where DuckDB's HUGEINT raises, so
+    * a corpus anywhere near the bound should sum in DECIMAL), and the mean
+    * is the single IEEE division both engines compute identically.
     */
-  def ev_dwell(s: SparkSession, dir: String): DataFrame = {
-    val seq = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    t(s, dir, "events")
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-      .withColumn("to_type", lead(col("event_type"), 1).over(seq))
-      .withColumn("gap_us",
-        lead(unix_micros(col("ts")), 1).over(seq) - unix_micros(col("ts")))
-      .filter(col("to_type").isNotNull)
-      .groupBy(col("event_type").as("from_type"), col("to_type"))
+  def ev_dwell(s: SparkSession, dir: String): DataFrame =
+    transitionPairs(s, dir)
+      .groupBy("from_type", "to_type")
       .agg(count(lit(1)).as("n"),
         sum(col("gap_us")).as("gap_us_sum"),
         max(col("gap_us")).as("gap_us_max"))
       .withColumn("gap_us_mean",
         col("gap_us_sum").cast("double") / col("n").cast("double"))
       .orderBy("from_type", "to_type")
-  }
 
   /** Cumulative distinct-user REACH — the running `count(DISTINCT user)
     * OVER (ORDER BY day)` no engine supports as a window aggregate,
@@ -934,13 +942,23 @@ object Relational {
     * cousin; this is the single running curve.
     */
   def ev_reach(s: SparkSession, dir: String): DataFrame = {
-    val firstDay = t(s, dir, "events")
+    val ev = t(s, dir, "events")
+      .select(col("event_type"), col("user_id"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+    val firstDay = ev
       .groupBy(col("event_type"), col("user_id"))
-      .agg(min(date_trunc("day", col("ts")).cast("date")).as("day"))
-    val w = Window.partitionBy("event_type").orderBy("day")
-    firstDay
+      .agg(min(col("day")).as("day"))
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("n_new"))
+    // densify over every ACTIVE (type, day): a day with events but zero
+    // first-time users must emit n_new = 0 and the flat reach value —
+    // dropping it would put gaps in the curve the windowed-distinct
+    // semantics this derives has rows for. The distinct frame is
+    // types × days rows (map-side combined), never user-sized.
+    val activeDays = ev.select("event_type", "day").distinct()
+    val w = Window.partitionBy("event_type").orderBy("day")
+    activeDays.join(firstDay, Seq("event_type", "day"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
       .withColumn("reach", sum(col("n_new")).over(w))
       // ISO string, not DATE (ev_retention's oracle-reader convention)
       .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),

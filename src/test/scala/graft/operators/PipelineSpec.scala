@@ -1390,6 +1390,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(!got.values.exists(v => v._2.isNaN), "no NaN escapes the operator")
   }
 
+  test("ev_reach/ev_dwell/q56_mode: hand-computed on a planted sequence") {
+    // the DuckDB twins MIRROR these rewrites, so a shared semantic error
+    // would pass the hash gate — these expectations are computed by hand
+    val dir = java.nio.file.Files.createTempDirectory("graftev").toString
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    // u1: day1 A->B->A, day2 one A (a day with events but ZERO first-time
+    // users — the reach curve must emit it flat, not skip it); u2: day3 A
+    Seq(
+      (1L, ts("2024-01-01T00:00:00Z"), 1L, "A", 1.0, "{}"),
+      (2L, ts("2024-01-01T00:00:10Z"), 1L, "B", 1.0, "{}"),
+      (3L, ts("2024-01-01T00:00:40Z"), 1L, "A", 1.0, "{}"),
+      (4L, ts("2024-01-02T00:00:00Z"), 1L, "A", 1.0, "{}"),
+      (5L, ts("2024-01-03T00:00:00Z"), 2L, "A", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val reach = graft.operators.Relational.ev_reach(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(reach == Seq(
+      ("A", "2024-01-01", 1L, 1L),
+      ("A", "2024-01-02", 0L, 1L), // the zero-new day rides the curve
+      ("A", "2024-01-03", 1L, 2L),
+      ("B", "2024-01-01", 1L, 1L)))
+    val dwell = graft.operators.Relational.ev_dwell(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(dwell == Seq(
+      ("A", "A", 1L, 86360000000L, 86360000000L), // day1 00:00:40 -> day2 00:00:00
+      ("A", "B", 1L, 10000000L, 10000000L),
+      ("B", "A", 1L, 30000000L, 30000000L)))
+    val mode = graft.operators.Relational.q56_mode(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(mode == Seq((1L, "A", 3L, 2L), (2L, "A", 1L, 1L)))
+  }
+
   test("ann_sq: code-cosine recall >= 0.9 vs float bruteforce; ranks dense, self excluded") {
     val dir = "/root/testdata/sf0.01"
     val bf = Similarity.ann_bruteforce(spark, dir)
