@@ -417,7 +417,8 @@ object OracleSql {
         |  SELECT vec_id, q,
         |    CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2
         |  FROM q8),
-        |qq AS (SELECT vec_id AS q_id, q AS qv, n2 AS qn2 FROM n2 WHERE vec_id < 8),
+        |qq AS (SELECT vec_id AS q_id, q AS qv, n2 AS qn2 FROM n2
+        |       WHERE vec_id < 8 AND n2 > 0),
         |scored AS (
         |  SELECT q_id, vec_id,
         |    CAST(list_sum(list_transform(list_zip(q, qv),
@@ -426,9 +427,12 @@ object OracleSql {
         |  FROM n2, qq WHERE vec_id <> q_id),
         |rk AS (
         |  SELECT q_id, vec_id, dot,
-        |    CAST(dot AS DOUBLE) / (sqrt(n2d) * sqrt(qn2d)) AS cos_q8,
+        |    CASE WHEN n2d = 0 THEN -1.0
+        |         ELSE CAST(dot AS DOUBLE) / (sqrt(n2d) * sqrt(qn2d)) END AS cos_q8,
         |    CAST(row_number() OVER (PARTITION BY q_id
-        |      ORDER BY CAST(dot AS DOUBLE) / (sqrt(n2d) * sqrt(qn2d)) DESC, vec_id) AS BIGINT) AS rank
+        |      ORDER BY CASE WHEN n2d = 0 THEN -1.0
+        |                    ELSE CAST(dot AS DOUBLE) / (sqrt(n2d) * sqrt(qn2d)) END DESC,
+        |        vec_id) AS BIGINT) AS rank
         |  FROM scored)
         |SELECT q_id, rank, vec_id, dot, cos_q8 FROM rk WHERE rank <= 10
         |ORDER BY q_id, rank""".stripMargin,
@@ -1545,7 +1549,7 @@ object OracleSql {
         |  n_events
         |FROM periods
         |WINDOW v AS (PARTITION BY user_id ORDER BY grp)
-        |ORDER BY user_id, valid_from""".stripMargin,
+        |ORDER BY user_id, grp""".stripMargin,
 
     "q55_sliding_window" ->
       """SELECT time_bucket(INTERVAL '15 minutes', ts) - INTERVAL (k*15) MINUTE AS w_start,

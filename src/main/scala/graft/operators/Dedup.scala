@@ -994,7 +994,11 @@ object Dedup {
       val bloom = try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
         finally in.close()
       val bc = s.sparkContext.broadcast(bloom)
-      Some(udf((d: String) => bc.value.mightContainString(d)).apply(_))
+      // Null digests (null text) must ride the definite-negative branch:
+      // Spark passes null String args straight into the UDF body, and
+      // `mightContainString(null)` NPEs — which would turn the "screen is
+      // output-invariant" contract into a job crash on null-text corpora.
+      Some(udf((d: String) => d != null && bc.value.mightContainString(d)).apply(_))
     }
   }
 

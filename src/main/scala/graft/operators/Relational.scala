@@ -1054,11 +1054,18 @@ object Relational {
     // same-instant changes yield periods with EQUAL valid_from, and grp is
     // the strict per-user time order the islands were built in
     val byStart = Window.partitionBy(col("user_id")).orderBy(col("grp"))
+    // final sort by (user_id, grp), not valid_from: same-instant changes
+    // make (user_id, valid_from) — even with state as tiebreaker (A,B,A at
+    // one instant) — a non-total order, so output row order could diverge
+    // nondeterministically between runs/engines. grp IS the total per-user
+    // period order; it is dropped after the sort (a narrow projection over
+    // Sort preserves row order).
     periods
       .withColumn("valid_to", lead(col("valid_from"), 1).over(byStart))
       .select(col("user_id"), col("state"), col("valid_from"), col("valid_to"),
-        col("valid_to").isNull.as("is_current"), col("n_events"))
-      .orderBy("user_id", "valid_from")
+        col("valid_to").isNull.as("is_current"), col("n_events"), col("grp"))
+      .orderBy("user_id", "grp")
+      .drop("grp")
   }
 
   /** Time-series gap filling: hourly event counts per type with the

@@ -182,7 +182,14 @@ object Similarity {
       .select(col("vec_id"),
         int8Codes(col("embedding"), col("maxabs")).as("q8"))
       .withColumn("n2", sumSq(col("q8")))
-    val queries = coded.filter(col("vec_id") < nQueries)
+    // Zero-norm guards (the [[Curation.decon_embed]] pattern): an all-zero
+    // embedding quantizes to all-zero codes with n2 = 0, and 0/0 = NaN
+    // sorts GREATEST under desc in both engines — one degenerate corpus
+    // vector would become the rank-1 hit for every query, hash-matched
+    // because the twin replicates the NaN ordering. Zero-norm queries are
+    // dropped (they have no meaningful neighbours); zero-norm corpus
+    // vectors score -1 instead of NaN.
+    val queries = coded.filter(col("vec_id") < nQueries && col("n2") > 0L)
       .select(col("vec_id").as("q_id"), col("q8").as("qq8"), col("n2").as("qn2"))
     val dot = aggregate(zip_with(col("q8"), col("qq8"), (x, y) => x * y),
       lit(0L), (a, x) => a + x)
@@ -190,7 +197,9 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), dot.as("dot"),
         (col("n2").cast("double")).as("n2d"), (col("qn2").cast("double")).as("qn2d"))
       .select(col("q_id"), col("vec_id"), col("dot"),
-        (col("dot").cast("double") / (sqrt(col("n2d")) * sqrt(col("qn2d")))).as("cos_q8"))
+        when(col("n2d") === 0.0, lit(-1.0))
+          .otherwise(col("dot").cast("double") / (sqrt(col("n2d")) * sqrt(col("qn2d"))))
+          .as("cos_q8"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_q8").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -862,9 +871,18 @@ object Similarity {
     * hash-clustered on `cid` so each list is again exactly one file —
     * contents bit-identical (same rows, parity-spec'd; a row-count guard
     * backs the swap), search plans unchanged. The rewrite lands in a temp
-    * dir first and swaps in via two renames, so a crash mid-compact leaves
-    * either the old layout or the new one, never a half-written mix; runs
-    * under the same single-writer lock as append.
+    * dir first and swaps in via two renames under the single-writer lock.
+    *
+    * Crash-recovery contract (plain renames, not an atomic pair): between
+    * rename(codes→codes_pre_compact) and rename(tmp→codes) there is a
+    * window where the index has NO `codes/` at all — a crash there leaves
+    * the full old layout at `codes_pre_compact/` and the full new one at
+    * `codes_compact_tmp/`; recovery is `rename codes_pre_compact codes`
+    * (then delete the tmp). Because a stale `codes_pre_compact/` also
+    * makes the NEXT compact's first rename filesystem-dependent (HDFS
+    * nests codes inside it and proceeds against a shadowed backup; local
+    * FS returns false with an unrelated-looking error), compaction FAILS
+    * FAST when one exists instead of guessing.
     */
   def compactIvfPqIndex(s: SparkSession, path: String): Unit =
     withWriterLock(s, path, "compactIvfPqIndex") {
@@ -872,6 +890,12 @@ object Similarity {
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       val codes = new org.apache.hadoop.fs.Path(s"$path/codes")
       require(fs.exists(codes), s"compactIvfPqIndex: no codes/ under $path")
+      val stale = new org.apache.hadoop.fs.Path(s"$path/codes_pre_compact")
+      require(!fs.exists(stale),
+        s"compactIvfPqIndex: $stale already exists — a prior compact " +
+          "crashed mid-swap. Recover first: if codes/ is missing, rename " +
+          "codes_pre_compact back to codes; if codes/ exists and is " +
+          "complete, delete codes_pre_compact. Then retry.")
       val tmp = new org.apache.hadoop.fs.Path(s"$path/codes_compact_tmp")
       s.read.parquet(codes.toString)
         .repartition(col("cid"))

@@ -58,6 +58,12 @@ object TextAnalysis {
     // the collapsed spelling blows the plan up ~30x for the analyzer
     val cs = col("cs"); val starts = col("starts")
     docs(s, dir)
+      // split(text, "") yields CODE POINTS, not UTF-16 code units: Java's
+      // regex engine never zero-width-matches inside a surrogate pair, so
+      // an emoji/supplementary-CJK char stays ONE element — exactly
+      // DuckDB string_split's unit. Pinned by the supplementary-plane
+      // spec in CurationSpec so an engine change fails loudly instead of
+      // silently hash-mismatching on a non-ASCII corpus.
       .select(col("doc_id"),
         array_sort(filter(split(col("text"), ""), c => octet_length(c) > 0)).as("cs"))
       // guarded: sequence(1, 0) would DESCEND, and element_at(_, 0) throws

@@ -1567,6 +1567,70 @@ class PipelineSpec extends AnyFunSuite {
       (20L, "C", ts(0), None, true, 1L)))
   }
 
+  test("q49_scd2: same-instant state flips order by island index — output order total and deterministic") {
+    // three events at ONE instant, states A,B,A: (user_id, valid_from) is
+    // not a total order here — even with state as tiebreaker the two A
+    // periods collide — so the final sort must ride the island index
+    val ts0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    val dir = tmpEvents(Seq(
+      (1L, ts0, 10L, "A", 1.0, "{}"),
+      (2L, ts0, 10L, "B", 1.0, "{}"),
+      (3L, ts0, 10L, "A", 1.0, "{}")))
+    val out = Relational.q49_scd2(spark, dir).collect().map(r =>
+      (r.getString(1), Option(r.getTimestamp(3)), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      ("A", Some(ts0), false), ("B", Some(ts0), false), ("A", None, true)))
+  }
+
+  test("dd_incremental_stored: null-text delta rows ride the Bloom screen's negative branch (no NPE; screen output-invariant)") {
+    val t2 = "spark catalyst optimizer rewrites logical plans into physical plans"
+    val dir = tmpDocs(Seq(
+      (1L, "alpha beta gamma delta epsilon", "en", "s", 1L),
+      (2L, t2, "en", "s", 1L),
+      (4L, null, "en", "s", 1L), // delta row (residue 4) with NULL text
+      (9L, t2, "en", "s", 1L))) // delta exact dup of base doc 2
+    val store = java.nio.file.Files.createTempDirectory("graftsignull").toString
+    Dedup.writeCorpusSignatures(spark, dir, store)
+    val on = Dedup.dd_incremental_stored(spark, dir, store).collect().toSeq
+    val off = Dedup.dd_incremental_stored(spark, dir, store, useBloom = false)
+      .collect().toSeq
+    assert(on == off) // the documented contract: screen on/off identical
+    assert(on.exists(r => r.getLong(0) == 9L && r.getString(1) == "exact_dup"))
+  }
+
+  test("ann_sq: zero-norm vectors score -1 (never NaN rank-1); zero-norm queries are dropped") {
+    val good = (seed: Long) =>
+      Seq.tabulate(8)(i => ((seed * 31 + i * 7) % 13 + 1).toFloat)
+    val dir = tmpEmb(Seq(
+      (0L, good(1), "a"),
+      (1L, Seq.fill(8)(0f), "zq"), // zero-norm QUERY — must be dropped
+      (2L, good(2), "a"), (3L, good(3), "a"), (4L, good(4), "a"),
+      (5L, good(5), "a"),
+      (6L, Seq.fill(8)(0f), "zc"))) // zero-norm CORPUS vector
+    val rows = Similarity.ann_sq(spark, dir, nQueries = 2, k = 10).collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(0L)) // query 1 dropped
+    assert(rows.forall(r => !r.getDouble(4).isNaN))
+    assert(rows.minBy(_.getLong(1)).getDouble(4) > -1.0) // rank-1 is real
+    val zeros = rows.filter(r => Set(1L, 6L)(r.getLong(2)))
+    assert(zeros.forall(_.getDouble(4) == -1.0))
+    assert(zeros.map(_.getLong(1)).toSet == Set(5L, 6L)) // zeros rank LAST
+  }
+
+  test("compactIvfPqIndex: fails fast on a stale codes_pre_compact from a crashed prior compact") {
+    val dir = "/root/testdata/sf0.001"
+    val path = java.nio.file.Files.createTempDirectory("graftivfstale").toString
+    Similarity.writeIvfPqIndex(spark, dir, path)
+    java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(path, "codes_pre_compact"))
+    val e = intercept[IllegalArgumentException](
+      Similarity.compactIvfPqIndex(spark, path))
+    assert(e.getMessage.contains("codes_pre_compact"))
+    // the guard must not leak the writer lock: after recovery (here, the
+    // stale dir is judged empty and removed) compaction runs clean
+    java.nio.file.Files.delete(java.nio.file.Paths.get(path, "codes_pre_compact"))
+    Similarity.compactIvfPqIndex(spark, path)
+  }
+
   /** Write a tiny events table to a temp dir shaped like testdata. */
   private def tmpEvents(
       rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]): String = {
