@@ -12,6 +12,19 @@ object OracleSql {
 
   private val rev = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))"
 
+  /** `floor(value·100)` as BIGINT — the ONE cents quantization of the
+    * events value column; the twin of `Relational.centsCol`, shared by
+    * every value-quantizing oracle so the definition cannot drift per
+    * query.
+    */
+  private val centsSql = "CAST(floor(value * 100) AS BIGINT)"
+
+  /** [[centsSql]] with multiples of `mod` blanked to NULL —
+    * `Relational.synthCents`' twin (LOCF / interpolation / null-ordering).
+    */
+  private def synthCentsSql(mod: Int): String =
+    s"CASE WHEN $centsSql % $mod = 0 THEN NULL ELSE $centsSql END"
+
   /** Cosine in explicit double arithmetic, matching the op order of
     * [[graft.functions.TextFunctions.cosine]] term-for-term so Spark and
     * DuckDB produce bit-identical doubles (DuckDB's builtin
@@ -537,10 +550,9 @@ object OracleSql {
         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
 
     "q42_locf" ->
-      """WITH ev AS (
+      s"""WITH ev AS (
         |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
-        |    CASE WHEN CAST(floor(value * 100) AS BIGINT) % 10 = 0 THEN NULL
-        |         ELSE CAST(floor(value * 100) AS BIGINT) END AS cents
+        |    ${synthCentsSql(10)} AS cents
         |  FROM events)
         |SELECT event_id, user_id, cents,
         |  last_value(cents IGNORE NULLS) OVER (
@@ -550,10 +562,9 @@ object OracleSql {
         |ORDER BY event_id""".stripMargin,
 
     "q43_interp" ->
-      """WITH ev AS (
+      s"""WITH ev AS (
         |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
-        |    CASE WHEN CAST(floor(value * 100) AS BIGINT) % 10 = 0 THEN NULL
-        |         ELSE CAST(floor(value * 100) AS BIGINT) END AS cents
+        |    ${synthCentsSql(10)} AS cents
         |  FROM events),
         |seq AS (
         |  SELECT event_id, user_id, ts, cents,
@@ -701,8 +712,8 @@ object OracleSql {
         |ORDER BY 1""".stripMargin,
 
     "ev_anomaly" ->
-      """WITH ev AS (
-        |  SELECT event_id, event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+      s"""WITH ev AS (
+        |  SELECT event_id, event_type, $centsSql AS cents
         |  FROM events),
         |st AS (
         |  SELECT event_type, count(*) AS n, sum(cents) AS s1, sum(cents * cents) AS s2
@@ -981,11 +992,11 @@ object OracleSql {
         |GROUP BY cluster ORDER BY cluster""".stripMargin,
 
     "q47_corr_subquery" ->
-      """SELECT user_id, count(*) AS n_above
+      s"""SELECT user_id, count(*) AS n_above
         |FROM events e
-        |WHERE CAST(floor(value * 100) AS BIGINT) *
+        |WHERE $centsSql *
         |      (SELECT count(*) FROM events e2 WHERE e2.user_id = e.user_id)
-        |    > (SELECT sum(CAST(floor(value * 100) AS BIGINT))
+        |    > (SELECT sum($centsSql)
         |       FROM events e3 WHERE e3.user_id = e.user_id)
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
@@ -1034,13 +1045,14 @@ object OracleSql {
 
     "q46_session_native" ->
       """WITH s1 AS (
-        |  SELECT user_id, ts,
+        |  SELECT user_id, ts, event_id,
         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
         |        (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
         |      THEN 1 ELSE 0 END AS brk
         |  FROM events),
         |s2 AS (
-        |  SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |  SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
         |  FROM s1)
         |SELECT user_id, min(ts) AS t0, max(ts) AS t1, count(*) AS n_events
@@ -1093,7 +1105,7 @@ object OracleSql {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q45_nulls" ->
-      """SELECT event_id, user_id, cents,
+      s"""SELECT event_id, user_id, cents,
         |  CAST(row_number() OVER (PARTITION BY user_id
         |    ORDER BY cents ASC NULLS LAST, event_id) AS BIGINT) AS rk_nulls_last,
         |  CAST(row_number() OVER (PARTITION BY user_id
@@ -1101,8 +1113,7 @@ object OracleSql {
         |  cents IS NOT DISTINCT FROM lag(cents) OVER (PARTITION BY user_id
         |    ORDER BY ts, event_id) AS same_as_prev
         |FROM (SELECT event_id, user_id, ts,
-        |        CASE WHEN CAST(floor(value * 100) AS BIGINT) % 7 = 0 THEN NULL
-        |             ELSE CAST(floor(value * 100) AS BIGINT) END AS cents
+        |        ${synthCentsSql(7)} AS cents
         |      FROM events)
         |ORDER BY event_id""".stripMargin,
 
@@ -1276,9 +1287,9 @@ object OracleSql {
          |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     "q53_time_range_frame" ->
-      """SELECT event_id, user_id, ts,
+      s"""SELECT event_id, user_id, ts,
         |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
-        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT) AS cents_1h
+        |  CAST(sum($centsSql) OVER w AS BIGINT) AS cents_1h
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts
         |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)

@@ -35,6 +35,23 @@ object Relational {
   private def revenue(price: Column, disc: Column): Column =
     dec2(price) * (lit(1) - dec2(disc))
 
+  /** Exact integer cents — `floor(value·100)`, ONE deterministic double op.
+    * The single quantization every events-value operator keys on
+    * ([[ev_anomaly]], [[q42_locf]], [[q43_interp]], [[q45_nulls]]); the
+    * DuckDB twins build the same expression from `OracleSql.centsSql`, so
+    * the two engines share one definition per side and the sides cannot
+    * drift independently per operator.
+    */
+  private def centsCol(v: Column): Column = floor(v * 100).cast("long")
+
+  /** [[centsCol]] with every multiple of `mod` blanked to NULL — the ONE
+    * synthetic-missing-value definition behind the LOCF / interpolation /
+    * null-ordering trio, so "missing" always means the same rows across
+    * the repair operators and their twins.
+    */
+  private def synthCents(v: Column, mod: Int): Column =
+    when(centsCol(v) % mod === 0, lit(null)).otherwise(centsCol(v))
+
   // --- scans + aggregation -------------------------------------------------
 
   /** Full-scan aggregate (TPC-H Q1 shape): group-by two low-cardinality keys,
@@ -355,13 +372,18 @@ object Relational {
     * strictly-prior view. Composed Spark-first from one per-user ordered
     * window (single shuffle on user_id) — no custom operator needed; the
     * DuckDB oracle uses its native ASOF JOIN, so two independent
-    * implementations must agree.
+    * implementations must agree. "Prior" is strictly-earlier-in-TIME
+    * (a RANGE frame ending 1 µs before the current row), matching ASOF's
+    * `view.ts < purchase.ts` — a ROW frame ordered by (ts, event_id)
+    * would include a same-instant view the oracle excludes. Determinism
+    * under ties: peers inside the frame share their ts, and ts is the
+    * value `last` picks, so peer order cannot change the answer.
     */
   def q26_asof_join(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
       .filter(col("event_type").isin("view", "purchase"))
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
+    val w = Window.partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+      .rangeBetween(Window.unboundedPreceding, -1)
     ev.withColumn("last_view_ts",
         last(when(col("event_type") === "view", col("ts")), ignoreNulls = true).over(w))
       .filter(col("event_type") === "purchase")
@@ -589,8 +611,7 @@ object Relational {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(s, dir, "events")
       .select(col("event_id"), col("user_id"), col("ts"),
-        when(floor(col("value") * 100).cast("long") % 10 === 0, lit(null))
-          .otherwise(floor(col("value") * 100).cast("long")).as("cents"))
+        synthCents(col("value"), 10).as("cents"))
       .withColumn("cents_filled", last(col("cents"), ignoreNulls = true).over(w))
       .select("event_id", "user_id", "cents", "cents_filled")
       .orderBy("event_id")
@@ -610,8 +631,7 @@ object Relational {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val cents = when(floor(col("value") * 100).cast("long") % 10 === 0, lit(null))
-      .otherwise(floor(col("value") * 100).cast("long"))
+    val cents = synthCents(col("value"), 10)
     val prevV = last(col("cents"), ignoreNulls = true).over(back)
     val nextV = first(col("cents"), ignoreNulls = true).over(fwd)
     val pos = row_number().over(w).cast("long")
@@ -713,15 +733,21 @@ object Relational {
     * overflow (the all-integer form exceeds int64 past ~10⁵ rows/type at
     * these value magnitudes — under Spark 4's default ANSI mode that is a
     * query-killing ArithmeticException, measured, not theoretical). The
-    * tiny per-type stats table broadcasts back onto the fact scan.
+    * moments themselves sum in DECIMAL(38,0): Σx² crosses int64 at ~3·10⁹
+    * rows/type (cents² ≈ 3·10⁹ each), i.e. well inside the 100 TB regime
+    * this operator claims — 38 digits carries ~10³⁸, beyond any corpus,
+    * exactly the mitigation [[ev_dwell]]'s bound note prescribes; DuckDB
+    * widens BIGINT sums to HUGEINT on its own, so the twins stay exact.
+    * The tiny per-type stats table broadcasts back onto the fact scan.
     */
   def ev_anomaly(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
       .select(col("event_id"), col("event_type"),
-        floor(col("value") * 100).cast("long").as("cents"))
+        centsCol(col("value")).as("cents"))
     val stats = ev.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s1"),
-        sum(col("cents") * col("cents")).as("s2"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents").cast("decimal(38,0)")).as("s1"),
+        sum((col("cents") * col("cents")).cast("decimal(38,0)")).as("s2"))
     val nD = col("n").cast("double")
     val s1D = col("s1").cast("double")
     val s2D = col("s2").cast("double")
@@ -780,16 +806,6 @@ object Relational {
       .orderBy("user_id", "event_id")
   }
 
-  /** Regex surface — match (`rlike`), group extraction (`regexp_extract`),
-    * and global substitution (`regexp_replace`) in one per-lang audit.
-    * Patterns stay in the RE2 ∩ java.util.regex common subset (character
-    * classes, `\b`, capture groups — no backreferences or lookaround) so the
-    * DuckDB twin evaluates them identically; Spark's regexp_replace is
-    * global by default where DuckDB needs the 'g' flag. All three run in the
-    * scan stage under whole-stage codegen with the compiled pattern cached
-    * per task — at scale this is a map-only pass, shuffling only the
-    * bounded (lang, partial) rows.
-    */
   /** Event funnel (view → click-after-view → purchase-after-click) in ONE
     * shuffle: each stage's per-user first-qualifying timestamp is a window
     * min over an expression referencing the previous stage's window result,
@@ -844,20 +860,6 @@ object Relational {
       .orderBy("cohort", "offset")
   }
 
-  /** Event-sequence TRANSITION MATRIX — the first-order Markov view of user
-    * journeys: for every consecutive (event, next event) pair within a
-    * user's timeline, the count and the row-normalized transition
-    * probability. This is the "what do users do after X" primitive behind
-    * funnel discovery ([[ev_funnel]] fixes the stage order; this finds it)
-    * and session modeling.
-    *
-    * One corpus-sized shuffle only: the lead() window partitions by
-    * user_id (ties broken by event_id so the sequence is deterministic).
-    * Everything after the pair aggregate operates on ≤ |event_types|²
-    * rows — the per-from-type normalizing window and the output sort are
-    * tiny-data exchanges. The probability is a single IEEE division of two
-    * exact integer counts, so both engines produce the identical double.
-    */
   /** The consecutive-pair stream behind [[ev_transitions]] and
     * [[ev_dwell]] — ONE derivation (lead window on user_id, ties by
     * event_id; rows whose event has no successor drop), so the transition
@@ -875,6 +877,20 @@ object Relational {
       .select(col("event_type").as("from_type"), col("to_type"), col("gap_us"))
   }
 
+  /** Event-sequence TRANSITION MATRIX — the first-order Markov view of user
+    * journeys: for every consecutive (event, next event) pair within a
+    * user's timeline, the count and the row-normalized transition
+    * probability. This is the "what do users do after X" primitive behind
+    * funnel discovery ([[ev_funnel]] fixes the stage order; this finds it)
+    * and session modeling.
+    *
+    * One corpus-sized shuffle only: the lead() window partitions by
+    * user_id (ties broken by event_id so the sequence is deterministic).
+    * Everything after the pair aggregate operates on ≤ |event_types|²
+    * rows — the per-from-type normalizing window and the output sort are
+    * tiny-data exchanges. The probability is a single IEEE division of two
+    * exact integer counts, so both engines produce the identical double.
+    */
   def ev_transitions(s: SparkSession, dir: String): DataFrame =
     transitionPairs(s, dir)
       .groupBy("from_type", "to_type")
@@ -915,8 +931,10 @@ object Relational {
     * derivation, so the two can never disagree about what counts as an
     * edge; gaps are exact integer micros (`unix_micros` differences summed
     * in 64-bit — exact up to 2⁶³ total micros per edge, ~292k
-    * device-years; past that Spark wraps where DuckDB's HUGEINT raises, so
-    * a corpus anywhere near the bound should sum in DECIMAL), and the mean
+    * device-years; past that Spark's default ANSI mode kills the query
+    * with an ArithmeticException — the measured behavior [[ev_anomaly]]
+    * cites, not a silent wrap — while DuckDB widens to HUGEINT, so a
+    * corpus anywhere near the bound should sum in DECIMAL), and the mean
     * is the single IEEE division both engines compute identically.
     */
   def ev_dwell(s: SparkSession, dir: String): DataFrame =
@@ -974,8 +992,7 @@ object Relational {
     * windows and the lag share one partition key — one shuffle, two sorts.
     */
   def q45_nulls(s: SparkSession, dir: String): DataFrame = {
-    val cents = when(floor(col("value") * 100).cast("long") % 7 === 0, lit(null))
-      .otherwise(floor(col("value") * 100).cast("long"))
+    val cents = synthCents(col("value"), 7)
     val byUser = Window.partitionBy("user_id")
     val wLast = byUser.orderBy(col("cents").asc_nulls_last, col("event_id"))
     val wFirst = byUser.orderBy(col("cents").asc_nulls_first, col("event_id"))
@@ -990,6 +1007,16 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Regex surface — match (`rlike`), group extraction (`regexp_extract`),
+    * and global substitution (`regexp_replace`) in one per-lang audit.
+    * Patterns stay in the RE2 ∩ java.util.regex common subset (character
+    * classes, `\b`, capture groups — no backreferences or lookaround) so the
+    * DuckDB twin evaluates them identically; Spark's regexp_replace is
+    * global by default where DuckDB needs the 'g' flag. All three run in the
+    * scan stage under whole-stage codegen with the compiled pattern cached
+    * per task — at scale this is a map-only pass, shuffling only the
+    * bounded (lang, partial) rows.
+    */
   def q44_regex(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .groupBy(col("lang"))
@@ -1160,8 +1187,7 @@ object Relational {
     * DuckDB twin hash-matches doubles included.
     */
   def q52_rank_stats(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang")).orderBy(col("n_chars"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
     t(s, dir, "documents")
       .select(col("doc_id"), col("lang"), col("n_chars"),
         rank().over(w).cast("long").as("rk"),

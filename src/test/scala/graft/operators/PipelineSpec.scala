@@ -1582,6 +1582,20 @@ class PipelineSpec extends AnyFunSuite {
       ("A", Some(ts0), false), ("B", Some(ts0), false), ("A", None, true)))
   }
 
+  test("q26_asof_join: a same-instant view is NOT prior — strictly earlier in TIME, matching the oracle's ASOF predicate") {
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val dir = tmpEvents(Seq(
+      (1L, ts(0), 10L, "view", 1.0, "{}"),
+      (2L, ts(0), 10L, "purchase", 1.0, "{}"), // same instant: NO prior view
+      (3L, ts(1), 10L, "purchase", 1.0, "{}"), // strictly later: view at ts0
+      (4L, ts(2), 20L, "purchase", 1.0, "{}"))) // user with no views
+    val out = Relational.q26_asof_join(spark, dir).collect()
+      .map(r => r.getLong(1) -> Option(r.getTimestamp(3))).toMap
+    assert(out(2L).isEmpty) // a ROW frame ordered by (ts,event_id) would leak ts0 here
+    assert(out(3L).contains(ts(0)))
+    assert(out(4L).isEmpty)
+  }
+
   test("dd_incremental_stored: null-text delta rows ride the Bloom screen's negative branch (no NPE; screen output-invariant)") {
     val t2 = "spark catalyst optimizer rewrites logical plans into physical plans"
     val dir = tmpDocs(Seq(
