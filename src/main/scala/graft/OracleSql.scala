@@ -35,6 +35,16 @@ object OracleSql {
        | / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
        |   * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))""".stripMargin.replace("\n", " ")
 
+  /** [[cosSql]] with the zero-norm guard — `Dedup.guardedCos`' twin: a
+    * degenerate all-zero vector scores -1 instead of 0/0 = NaN (which
+    * compares greater than any threshold on both engines and would pair
+    * the failed embedding with everything in reach).
+    */
+  private def cosGuardSql(a: String, b: String): String =
+    s"""(CASE WHEN list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
+       |   OR list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
+       | THEN -1.0 ELSE ${cosSql(a, b)} END)""".stripMargin.replace("\n", " ")
+
   /** `max(struct(hits, lang)).lang` in DuckDB terms: sort the per-language
     * score structs ascending and take the last (struct comparison is
     * field-order lexicographic on both engines). Built from the SAME profile
@@ -303,12 +313,13 @@ object OracleSql {
 
     "dd_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keeper, count(*) AS n_copies
-        |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin,
+        |FROM documents WHERE text IS NOT NULL GROUP BY 1 ORDER BY digest""".stripMargin,
 
     "dd_fingerprint" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
         |  min(doc_id) AS keeper, count(*) AS n_docs
-        |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY fp""".stripMargin,
+        |FROM documents WHERE text IS NOT NULL
+        |GROUP BY 1 HAVING count(*) > 1 ORDER BY fp""".stripMargin,
 
     "dd_ngram_jaccard" ->
       """WITH sh AS (
@@ -371,9 +382,9 @@ object OracleSql {
 
     "dd_embed_cosine" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings)
-         |SELECT a.vec_id AS a, b.vec_id AS b, ${cosSql("a.embedding", "b.embedding")} AS cos
+         |SELECT a.vec_id AS a, b.vec_id AS b, ${cosGuardSql("a.embedding", "b.embedding")} AS cos
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
-         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4
+         |WHERE ${cosGuardSql("a.embedding", "b.embedding")} >= 0.4
          |ORDER BY a, b""".stripMargin,
 
     // dd_containment: same pair-intersection CTE as dd_ngram_jaccard,
@@ -470,7 +481,7 @@ object OracleSql {
          |p AS (
          |  SELECT x.cluster AS cluster, y.vec_id AS b
          |  FROM e x JOIN e y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
-         |  WHERE ${cosSql("x.embedding", "y.embedding")} >= 0.4
+         |  WHERE ${cosGuardSql("x.embedding", "y.embedding")} >= 0.4
          |  GROUP BY 1, 2),
          |d AS (SELECT cluster, count(*) AS n_dups, min(b) AS first_dup
          |      FROM p GROUP BY cluster)
@@ -1716,8 +1727,8 @@ object OracleSql {
          |    ($wordBandSql AND $meanBandSql AND $stopHitsSql) AS keep
          |  FROM (SELECT doc_id, text, w,
          |          CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w) AS ml
-         |        FROM (SELECT doc_id, text,
-         |                string_split(text, ' ') AS w FROM documents))
+         |        FROM (SELECT doc_id, text, string_split(text, ' ') AS w
+         |              FROM documents WHERE text IS NOT NULL))
          |), r AS (
          |  SELECT *,
          |    row_number() OVER (PARTITION BY digest

@@ -25,6 +25,11 @@ object Dedup {
     */
   def dd_exact(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
+      // null text carries no content to be a copy OF: md5(null)=null and
+      // groupBy would collapse every null-text doc into one "duplicate"
+      // group whose keeper map then drops unrelated documents. Same
+      // exclusion in the DuckDB twin.
+      .filter(col("text").isNotNull)
       .groupBy(md5(col("text")).as("digest"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
       .orderBy("digest")
@@ -44,7 +49,8 @@ object Dedup {
     */
   def dd_exact_best(s: SparkSession, dir: String): DataFrame = {
     val (okCount, okMean, okStops) = TextAnalysis.gopherCriteria()
-    val d = docs(s, dir).select(col("doc_id"),
+    val d = docs(s, dir).filter(col("text").isNotNull) // see dd_exact
+      .select(col("doc_id"),
       md5(col("text")).as("digest"),
       length(col("text")).cast("long").as("len"),
       (okCount && okMean && okStops).as("keep"))
@@ -62,6 +68,11 @@ object Dedup {
     */
   def dd_fingerprint(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
+      // null text must not fingerprint: concat_ws maps a NULL word array
+      // to "" — the md5 of the EMPTY-text fingerprint — silently merging
+      // null-text docs with genuinely empty docs (and diverging from the
+      // twin, where array_to_string(NULL) stays NULL). See dd_exact.
+      .filter(col("text").isNotNull)
       .groupBy(md5(concat_ws(" ", array_sort(array_distinct(words(col("text")))))).as("fp"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > 1)
@@ -397,6 +408,13 @@ object Dedup {
   private[operators] def shingleGroups(s: SparkSession, dir: String, n: Int): DataFrame =
     docs(s, dir)
       .select(col("doc_id"), array_sort(hashedShingles(col("text"), n)).as("shs"))
+      // null text → null shs (Shingles is nullIntolerant): the groupBy
+      // below would collect every null-text doc into ONE group and the
+      // expandPairs intra path would fabricate jaccard-1.0 pairs between
+      // unrelated docs — the exact hazard [[bandedHamming64Pairs]] guards.
+      // The oracle twins agree for free: unnest(NULL) emits zero shingle
+      // rows, so null-text docs never pair there either.
+      .filter(col("shs").isNotNull)
       .groupBy("shs")
       .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
       .graftCheckpoint() // multi-consumer; materialized once, auto-released
@@ -489,6 +507,18 @@ object Dedup {
     (grouped, repPairs)
   }
 
+  /** [[graft.functions.VecDot.cosineFast]] with the zero-norm guard shared
+    * by the whole embed-dedup family (and [[Curation.decon_embed]] /
+    * [[Similarity.ann_sq]]): a degenerate all-zero embedding yields
+    * 0/0 = NaN, and NaN compares GREATER than any threshold on both
+    * engines — one failed embedding would pair with every vector in reach.
+    * Scored -1 instead, it can never qualify. The oracle twins mirror via
+    * `cosGuardSql`.
+    */
+  private def guardedCos(dot: Column, na: Column, nb: Column): Column =
+    when(na === 0.0 || nb === 0.0, lit(-1.0))
+      .otherwise(graft.functions.VecDot.cosineFast(dot, na, nb))
+
   /** Connected components over a near-dup pair graph → duplicate clusters
     * with a canonical (minimum) doc id. Iterative min-label propagation:
     * each round joins labels to edges and takes the per-node minimum —
@@ -532,6 +562,14 @@ object Dedup {
         converged = updated.filter(col("label") =!= col("__old")).isEmpty
       labels = updated.select("id", "label")
     }
+    // partially-propagated labels are WRONG output (one true component
+    // split into several clusters), not slightly-stale output — say so
+    // loudly instead of returning them as if converged
+    if (!converged)
+      log.warn(s"clusterPairs: min-label propagation did NOT converge in " +
+        s"$maxIter rounds — a component's diameter exceeds the round " +
+        "budget, and its members carry inconsistent cluster labels. " +
+        "Raise maxIter (rounds needed ~ graph diameter).")
     labels.withColumnRenamed("label", "cluster").orderBy("id")
   }
 
@@ -543,9 +581,10 @@ object Dedup {
     * at a 10×-replicated corpus this was 19 s → the rep graph is the 1×
     * graph.
     */
-  def dd_cluster(s: SparkSession, dir: String): DataFrame = {
-    val (grouped, repPairs) = minhashRepPairs(s, dir, k = 32, bands = 8,
-      threshold = 0.5, maxBucket = 10000)
+  def dd_cluster(s: SparkSession, dir: String, k: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5, maxBucket: Int = 10000): DataFrame = {
+    val (grouped, repPairs) = minhashRepPairs(s, dir, k = k, bands = bands,
+      threshold = threshold, maxBucket = maxBucket)
     // multi-member groups are cliques: their members are graph nodes even
     // when the rep has no inter-group edge (self-pair makes the rep a node)
     val selfNodes = grouped.filter(size(col("members")) > 1)
@@ -626,9 +665,9 @@ object Dedup {
     val b = emb.select(col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb"))
     val repPairs = a.join(b, col("a") < col("b"))
       .select(col("a"), col("b"),
-        VecDot.cosineFast(VecDot.dot(col("ea"), col("eb")), col("na"), col("nb")).as("cos"))
+        guardedCos(VecDot.dot(col("ea"), col("eb")), col("na"), col("nb")).as("cos"))
       .filter(col("cos") >= threshold)
-    val selfCos = VecDot.cosineFast(
+    val selfCos = guardedCos(
       VecDot.dot(col("embedding"), col("embedding")),
       VecDot.norm(col("embedding")), VecDot.norm(col("embedding")))
     expandPairs(repPairs, "cos", grouped, selfCos, col("cos") >= threshold)
@@ -645,7 +684,7 @@ object Dedup {
     * are rarely missed and identical vectors never are.
     */
   def dd_embed_lsh(s: SparkSession, dir: String, threshold: Double = 0.4,
-      planes: Int = 4): DataFrame = {
+      planes: Int = 4, maxBucketVectors: Long = 100000L): DataFrame = {
     import graft.functions.VecDot
     // bit-identical embeddings collapse before bucketing (identical vectors
     // always share a bucket, so a clique would pay clique² within-bucket
@@ -659,14 +698,27 @@ object Dedup {
       grouped.select(col("rep").as("vec_id"), col("embedding")), planes)
       .select(col("vec_id"), col("embedding"), col("bucket"),
         VecDot.norm(col("embedding")).as("nrm"))
+    // the within-bucket join is quadratic PER BUCKET — a hot bucket
+    // (correlated embeddings all on the same side of every hyperplane) is
+    // still N²: fail fast like dd_embed_cosine's maxVectors and
+    // semdedupAudit's maxCellVectors instead of silently launching it.
+    // One cheap aggregate over the checkpointed distinct-embedding frame.
+    val biggest = emb.groupBy("bucket").agg(count(lit(1)).as("__n"))
+      .agg(coalesce(max(col("__n")), lit(0L))).first().getLong(0)
+    require(biggest <= maxBucketVectors,
+      s"dd_embed_lsh pair work is quadratic per bucket: the hottest of the " +
+        s"2^$planes buckets holds $biggest distinct embeddings " +
+        s"(> maxBucketVectors=$maxBucketVectors, ~${biggest * biggest / 2} " +
+        "pairs). Raise `planes` so buckets shrink (recall falls as " +
+        "(1-θ/π)^planes), or raise maxBucketVectors explicitly.")
     val a = emb.select(col("bucket"), col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
     val b = emb.select(col("bucket"), col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb"))
     val repPairs = a.join(b, Seq("bucket"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"),
-        VecDot.cosineFast(VecDot.dot(col("ea"), col("eb")), col("na"), col("nb")).as("cos"))
+        guardedCos(VecDot.dot(col("ea"), col("eb")), col("na"), col("nb")).as("cos"))
       .filter(col("cos") >= threshold)
-    val selfCos = VecDot.cosineFast(
+    val selfCos = guardedCos(
       VecDot.dot(col("embedding"), col("embedding")),
       VecDot.norm(col("embedding")), VecDot.norm(col("embedding")))
     expandPairs(repPairs, "cos", grouped, selfCos, col("cos") >= threshold)
@@ -853,13 +905,14 @@ object Dedup {
     // group, the smallest representative of any OTHER qualifying group
     val minExt = a.join(b, Seq("cluster"))
       .filter(col("arep") =!= col("brep"))
-      .filter(VecDot.cosineFast(VecDot.dot(col("ea"), col("eb")), col("na"), col("nb")) >= threshold)
+      .filter(guardedCos(VecDot.dot(col("ea"), col("eb")), col("na"), col("nb")) >= threshold)
       .groupBy(col("cluster"), col("brep").as("rep"))
       .agg(min(col("arep")).as("min_ext"))
     val withExt = groups.join(minExt, Seq("cluster", "rep"), "left")
     // the identical-pair cosine, the exact expression the all-pairs form
-    // evaluates for two bit-identical arrays (see dd_embed_cosine)
-    val selfCos = VecDot.cosineFast(
+    // evaluates for two bit-identical arrays (see dd_embed_cosine);
+    // zero-norm guarded like every pair cosine
+    val selfCos = guardedCos(
       VecDot.dot(col("embedding"), col("embedding")), col("nrm"), col("nrm"))
     val intra = withExt.filter(selfCos >= threshold)
       .select(col("cluster"),
@@ -925,8 +978,10 @@ object Dedup {
     * 64-bit shingle hashes), `df` (shingle hash → document frequency),
     * plus a `digest.bloom` sidecar — a Bloom filter over the base digests
     * (1 % target fpp) that [[dd_incremental_stored]] broadcasts to screen
-    * the delta's exact-dup probe MAP-SIDE. One scan of the base corpus;
-    * everything downstream reads only these.
+    * the delta's exact-dup probe MAP-SIDE. Two passes over the base corpus
+    * (the digest pass and ONE shingle pass — the signature frame is
+    * checkpointed in [[corpusSignatures]], so the shingles and df outputs
+    * share it); everything downstream reads only the written store.
     */
   def writeCorpusSignatures(s: SparkSession, dir: String, path: String,
       n: Int = 3, splitMod: Int = 5): Unit = {
@@ -1028,10 +1083,17 @@ object Dedup {
       : (DataFrame, DataFrame, DataFrame) = {
     val dig = base.groupBy(md5(col("text")).as("digest"))
       .agg(min(col("doc_id")).as("bmatch"))
+    // checkpointed: sigs has THREE consumers (the df derivation below, the
+    // posting list, and the verify join in incrementalCore — or the two
+    // store writes in writeCorpusSignatures), and without a barrier each
+    // re-scans and RE-SHINGLES the whole base corpus; the shingle pass is
+    // the expensive one, so the multi-consumer-barrier policy (see
+    // minhashRepPairs) applies to exactly this frame.
     val sigs = base
       .select(col("doc_id"), array_sort(hashedShingles(col("text"), n)).as("shs"))
       .groupBy("shs").agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), col("shs"))
+      .graftCheckpoint()
     val df = sigs.select(explode(col("shs")).as("sh"))
       .groupBy("sh").agg(count(lit(1)).as("df"))
     (dig, sigs, df)

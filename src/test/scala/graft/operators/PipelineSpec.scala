@@ -1645,6 +1645,51 @@ class PipelineSpec extends AnyFunSuite {
     Similarity.compactIvfPqIndex(spark, path)
   }
 
+  test("null-text docs never dedup-pair: exact/fingerprint/shingle families exclude them") {
+    val dir = tmpDocs(Seq(
+      (1L, null, "en", "s", 1L),
+      (2L, null, "en", "s", 1L), // two unrelated null-text docs
+      (3L, "", "en", "s", 1L), // genuinely empty — distinct from null
+      (4L, "alpha beta gamma delta", "en", "s", 1L),
+      (5L, "alpha beta gamma delta", "en", "s", 1L))) // real exact dup of 4
+    val exact = Dedup.dd_exact(spark, dir).collect()
+    assert(exact.forall(_.getString(0) != null)) // no null-digest group
+    assert(exact.map(_.getLong(2)).sum == 3L) // docs 3,4,5 only
+    assert(Dedup.dd_exact_best(spark, dir).collect().forall(_.getString(0) != null))
+    // fingerprint: null docs must NOT merge with the empty doc via
+    // concat_ws(null array) = "" — the only surviving group is (4,5)
+    val fp = Dedup.dd_fingerprint(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(fp == Seq((4L, 2L)))
+    // shingle family: null-text docs form no clique (the null-shs group
+    // would otherwise fabricate jaccard-1.0 pairs between docs 1 and 2)
+    def ab(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ab(Dedup.dd_ngram_jaccard(spark, dir)) == Set((4L, 5L)))
+    assert(ab(Dedup.dd_containment(spark, dir)) == Set((4L, 5L)))
+    assert(Dedup.dd_cluster_jaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((4L, 4L), (5L, 4L)))
+  }
+
+  test("zero-norm embeddings never near-dup: embed cosine/lsh/semdedup score them -1, never NaN") {
+    val unit = (axis: Int) => Seq.tabulate(8)(i => if (i == axis) 1f else 0f)
+    val dir = tmpEmb(Seq(
+      (0L, Seq.fill(8)(0f), "z"),
+      (1L, Seq.fill(8)(0f), "z"), // identical zero vectors: still no signal
+      (2L, unit(0), "a"), (3L, unit(0), "a"), // true exact-dup pair
+      (4L, unit(1), "a"))) // orthogonal to 2/3
+    def ab(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ab(Dedup.dd_embed_cosine(spark, dir, threshold = 0.4)) == Set((2L, 3L)))
+    assert(ab(Dedup.dd_embed_lsh(spark, dir, threshold = 0.4)) == Set((2L, 3L)))
+    val sd = Dedup.dd_semdedup(spark, dir, k = 2, threshold = 0.4).collect()
+    assert(sd.map(_.getLong(2)).sum == 1L) // exactly vec 3 flagged
+    // the hot-bucket fail-fast (dd_embed_cosine's maxVectors convention)
+    val e = intercept[IllegalArgumentException](
+      Dedup.dd_embed_lsh(spark, dir, maxBucketVectors = 0L))
+    assert(e.getMessage.contains("quadratic per bucket"))
+  }
+
   /** Write a tiny events table to a temp dir shaped like testdata. */
   private def tmpEvents(
       rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]): String = {
