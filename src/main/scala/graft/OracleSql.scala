@@ -495,9 +495,12 @@ object OracleSql {
 
     "ann_bruteforce" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-         |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM e WHERE vec_id < 8),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM e
+         |      WHERE vec_id < 8
+         |        AND list_sum(list_transform(embedding,
+         |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
          |scored AS (
-         |  SELECT q_id, vec_id, ${cosSql("q_emb", "embedding")} AS cos
+         |  SELECT q_id, vec_id, ${cosGuardSql("q_emb", "embedding")} AS cos
          |  FROM e JOIN q ON vec_id <> q_id),
          |ranked AS (SELECT q_id, vec_id, cos,
          |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM scored)

@@ -79,6 +79,31 @@ object Similarity {
       s => home.bitwiseXOR(s("mask").cast("long")))
   }
 
+  /** Shared top-k tail of the cosine ANN family ([[ann_bruteforce]],
+    * [[ann_lsh]], [[ann_ivf]], [[exactCosineRefine]]) — ONE definition
+    * beside [[distTopK]]'s ADC analog, so a tie-break or schema change
+    * cannot desynchronize the operators whose outputs the recall specs
+    * compare. Input: (q_id, vec_id, cos).
+    */
+  private def cosTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "cos")
+      .orderBy("q_id", "rank")
+  }
+
+  /** Zero-norm-guarded cosine — the [[Curation.decon_embed]] / [[ann_sq]]
+    * convention applied to the whole cosine ANN family: a degenerate
+    * all-zero vector yields 0/0 = NaN, which sorts GREATEST under desc on
+    * both engines and would make one failed embedding the rank-1 hit for
+    * every query. Scored -1 instead; zero-norm QUERIES are dropped at each
+    * operator's query selection. The oracle twin mirrors via cosGuardSql.
+    */
+  private def cosGuarded(dot: Column, na: Column, nb: Column): Column =
+    when(na === 0.0 || nb === 0.0, lit(-1.0))
+      .otherwise(VecDot.cosineFast(dot, na, nb))
+
   /** Exact top-k cosine neighbors for the first `nQueries` vectors. Norms
     * are computed once per vector before the pair join; the pair loop is the
     * codegen'd [[VecDot]] dot product only.
@@ -86,16 +111,12 @@ object Similarity {
   def ann_bruteforce(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 10): DataFrame = {
     val emb = Tables.loadParallel(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), VecDot.norm(col("embedding")).as("nrm"))
-    val queries = emb.filter(col("vec_id") < nQueries)
+    val queries = emb.filter(col("vec_id") < nQueries && col("nrm") > 0.0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     val scored = emb.join(broadcast(queries), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        VecDot.cosineFast(VecDot.dot(col("q_emb"), col("embedding")), col("q_nrm"), col("nrm")).as("cos"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("q_id", "rank", "vec_id", "cos")
-      .orderBy("q_id", "rank")
+        cosGuarded(VecDot.dot(col("q_emb"), col("embedding")), col("q_nrm"), col("nrm")).as("cos"))
+    cosTopK(scored, k)
   }
 
   /** LSH-bucketed ANN, multi-probe: each query probes the `nProbes`
@@ -118,6 +139,13 @@ object Similarity {
     */
   def ann_lsh(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 10,
       planes: Int = 8, nProbes: Int = 16): DataFrame = {
+    // (1 << planes) in probeBuckets silently overflows Int past 31 —
+    // planes=32 would probe ONLY the home bucket (a silent recall
+    // collapse), 17..31 enumerate an OOM-sized mask table per query row.
+    // The scaladoc's "planes must stay small" is now enforced.
+    require(planes >= 1 && planes <= 12,
+      s"ann_lsh: planes=$planes out of range [1, 12] — the multi-probe " +
+        "mask table is 2^planes entries per query row")
     val raw = Tables.loadParallel(s, dir, "embeddings")
     val emb = withLshBucket(raw, planes)
       .select(col("vec_id"), col("embedding"), col("bucket"),
@@ -126,19 +154,29 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         VecDot.norm(col("embedding")).as("q_nrm"),
         explode(probeBuckets(planeDots(col("embedding"), planes), nProbes, planes)).as("bucket"))
+      .filter(col("q_nrm") > 0.0) // zero-norm queries dropped (cosGuarded)
+    // no dedup needed after the join: a corpus row lives in exactly one
+    // bucket and a query's probe buckets are pairwise distinct (home XOR
+    // distinct masks), so each (q_id, vec_id) pair arises at most once
     val scored = emb.join(broadcast(queries), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
-      // a candidate can collide with a query on several probes — identical
-      // rows after the bucket column drops, so dedupe before ranking
       .select(col("q_id"), col("vec_id"),
-        VecDot.cosineFast(VecDot.dot(col("q_emb"), col("embedding")), col("q_nrm"), col("nrm")).as("cos"))
-      .dropDuplicates("q_id", "vec_id")
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("q_id", "rank", "vec_id", "cos")
-      .orderBy("q_id", "rank")
+        cosGuarded(VecDot.dot(col("q_emb"), col("embedding")), col("q_nrm"), col("nrm")).as("cos"))
+    cosTopK(scored, k)
   }
+
+  /** Symmetric int8 quantization q = floor(x·127/max|x|), zero vector → all
+    * zeros — THE one definition behind both [[ann_sq]]'s scan codes and
+    * [[TextAnalysis.embed_quantize]]'s digest op (shared so the compression
+    * pass and the SQ ranking can never drift; the repo's mixtureWeights/
+    * gopherCriteria convention). Takes the staged `maxabs` column rather
+    * than recomputing it, so callers keep the array scan un-inlined.
+    */
+  private[operators] def maxAbs(emb: Column): Column =
+    array_max(transform(emb, x => abs(x.cast("double"))))
+  private[operators] def int8Codes(emb: Column, maxabs: Column): Column =
+    when(maxabs === 0.0, transform(emb, _ => lit(0L)))
+      .otherwise(transform(emb, x => floor(x.cast("double") * (lit(127.0) / maxabs))))
 
   /** Scalar-quantized (SQ8) ANN — the third compression point on the
     * memory/accuracy curve beside raw floats ([[ann_bruteforce]]) and PQ
@@ -162,19 +200,6 @@ object Similarity {
     * [[graft.functions.VecDot]] pattern is the drop-in upgrade if an
     * int8 scan ever dominates a profile.
     */
-  /** Symmetric int8 quantization q = floor(x·127/max|x|), zero vector → all
-    * zeros — THE one definition behind both [[ann_sq]]'s scan codes and
-    * [[TextAnalysis.embed_quantize]]'s digest op (shared so the compression
-    * pass and the SQ ranking can never drift; the repo's mixtureWeights/
-    * gopherCriteria convention). Takes the staged `maxabs` column rather
-    * than recomputing it, so callers keep the array scan un-inlined.
-    */
-  private[operators] def maxAbs(emb: Column): Column =
-    array_max(transform(emb, x => abs(x.cast("double"))))
-  private[operators] def int8Codes(emb: Column, maxabs: Column): Column =
-    when(maxabs === 0.0, transform(emb, _ => lit(0L)))
-      .otherwise(transform(emb, x => floor(x.cast("double") * (lit(127.0) / maxabs))))
-
   def ann_sq(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 10): DataFrame = {
     val sumSq = (c: Column) => aggregate(c, lit(0L), (a, x) => a + x * x)
     val coded = Tables.loadParallel(s, dir, "embeddings")
@@ -223,41 +248,42 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), VecDot.norm(col("embedding")).as("nrm"))
     val cents = emb.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
-    // argmax-cosine list assignment; ties break to the smallest centroid id
+    // argmax-cosine list assignment; ties break to the smallest centroid
+    // id (cosGuarded keeps a zero-norm vector or centroid from turning
+    // the whole struct-max NaN — a -1 score is a valid, deterministic
+    // worst-choice instead)
     val assigned = emb.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         struct(
-          VecDot.cosineFast(VecDot.dot(col("c_emb"), col("embedding")), col("c_nrm"), col("nrm")).as("ccos"),
+          cosGuarded(VecDot.dot(col("c_emb"), col("embedding")), col("c_nrm"), col("nrm")).as("ccos"),
           (-col("cid")).as("nc")).as("sc"))
       .groupBy("vec_id")
       .agg(max(col("sc")).getField("nc").as("nc"),
         first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
       .select(col("vec_id"), col("embedding"), col("nrm"), (-col("nc")).as("cid"))
     val wq = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cid"))
-    val queryLists = emb.filter(col("vec_id") < nQueries)
+    val queryLists = emb.filter(col("vec_id") < nQueries && col("nrm") > 0.0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
       .crossJoin(broadcast(cents))
       .select(col("q_id"), col("q_emb"), col("q_nrm"), col("cid"),
-        VecDot.cosineFast(VecDot.dot(col("c_emb"), col("q_emb")), col("c_nrm"), col("q_nrm")).as("ccos"))
+        cosGuarded(VecDot.dot(col("c_emb"), col("q_emb")), col("c_nrm"), col("q_nrm")).as("ccos"))
       .withColumn("__rn", row_number().over(wq))
       .filter(col("__rn") <= nprobe)
       .select("q_id", "q_emb", "q_nrm", "cid")
     val scored = assigned.join(broadcast(queryLists), Seq("cid"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        VecDot.cosineFast(VecDot.dot(col("q_emb"), col("embedding")), col("q_nrm"), col("nrm")).as("cos"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("q_id", "rank", "vec_id", "cos")
-      .orderBy("q_id", "rank")
+        cosGuarded(VecDot.dot(col("q_emb"), col("embedding")), col("q_nrm"), col("nrm")).as("cos"))
+    cosTopK(scored, k)
   }
 
   /** PQ asymmetric-distance (ADC) search: the corpus scan reads ONLY the
     * `m`-code words produced by [[Clustering.embed_pq]]'s encoder — never
     * the raw vectors. Each query precomputes its m×k subspace distance
     * table driver-side (queries × m × k × dims/m work — trivial) and ships
-    * it as plan literals; a corpus row's distance is then m table lookups.
+    * it as DATA in a broadcast frame (the plan-literal form was abandoned:
+    * it fell out of whole-stage codegen and ran 80× slower — see the
+    * inline note); a corpus row's distance is then m table lookups.
     * At 100 TB this is THE reason PQ exists: the scan touches 32× fewer
     * bytes, and the per-row cost is m array indexings instead of a dims-
     * long float loop. Euclidean ADC (the PQ-native metric), top-k per
@@ -420,15 +446,11 @@ object Similarity {
   private def exactCosineRefine(approx: DataFrame, emb: DataFrame,
       qs: DataFrame, k: Int): DataFrame = {
     val scored = emb.join(approx, Seq("vec_id"))
-      .join(qs, Seq("q_id"))
+      .join(qs.filter(col("q_nrm") > 0.0), Seq("q_id"))
       .select(col("q_id"), col("vec_id"),
-        VecDot.cosineFast(VecDot.dot(col("q_emb"), col("embedding")),
+        cosGuarded(VecDot.dot(col("q_emb"), col("embedding")),
           col("q_nrm"), col("nrm")).as("cos"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("q_id", "rank", "vec_id", "cos")
-      .orderBy("q_id", "rank")
+    cosTopK(scored, k)
   }
 
   /** Residual-ADC search over a coded corpus frame (vec_id, cid, codes).
@@ -488,7 +510,13 @@ object Similarity {
     * build from a base snapshot and [[appendToIvfPqIndex]] the rest).
     */
   def writeIvfPqIndexFrom(s: SparkSession, emb: DataFrame, path: String,
-      nlist: Int = 32, m: Int = 8, codes: Int = 16, iters: Int = 2): Unit = {
+      nlist: Int = 32, m: Int = 8, codes: Int = 16, iters: Int = 2): Unit =
+    // under the SAME single-writer lock as append/compact: a rebuild-in-
+    // place racing a scheduled append would otherwise interleave — the
+    // append (holding the lock, blind to the rebuild) loads the OLD
+    // sidecars and lands codes encoded against the old codebooks in the
+    // NEW layout, silently corrupting every ADC distance for those rows
+    withWriterLock(s, path, "writeIvfPqIndexFrom") {
     import s.implicits._
     val sub = subWidth(emb, m)
     val (cents, books, coded) = ivfpqIndex(emb, nlist, m, codes, iters, sub)
@@ -561,6 +589,13 @@ object Similarity {
         "built on the driver. Use searchIvfPqIndexDistributed for large " +
         "batches (it prices residuals executor-side and never collects).")
     val q = rows.map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
+    // duplicate q_ids fan the cid join out and occupy several ranks of one
+    // query's top-k with the SAME neighbor (the retried-batch case the
+    // append path already rejects loudly) — free to check on the collected
+    // batch, mirrored by the distributed path's aggregate guard
+    require(q.map(_._1).distinct.length == q.length,
+      "searchIvfPqIndex: the query batch repeats vec_ids — each duplicate " +
+        "would crowd a real neighbor out of top-k. Deduplicate the batch.")
     adcSearch(s, coded, cents, books, q, nprobe, k, m, sub)
   }
 
@@ -584,6 +619,13 @@ object Similarity {
       queries: DataFrame, k: Int = 10, nprobe: Int = 3): DataFrame = {
     val (cents, books, m, sub) = loadSidecars(s, path)
     val coded = s.read.parquet(s"$path/codes")
+    // same duplicate-q_id rejection as the driver path (one delta-sized
+    // aggregate), so the two paths stay behaviorally identical
+    val qStats = queries.agg(count(lit(1)), count_distinct(col("vec_id"))).first()
+    require(qStats.getLong(0) == qStats.getLong(1),
+      "searchIvfPqIndexDistributed: the query batch repeats vec_ids — " +
+        "each duplicate would crowd a real neighbor out of top-k. " +
+        "Deduplicate the batch.")
     val probes = distributedProbeTables(queries, cents, books, nprobe, m, sub)
     distTopK(
       coded.join(probes, Seq("cid"))
@@ -771,8 +813,13 @@ object Similarity {
           lit(null).cast("long").as("base_n"),
           lit(null).cast("double").as("base_mean_err"),
           lit(null).cast("double").as("base_p95_err"))
+    // FULL join with the drift side: a delta can land in a list that has
+    // no codes/ rows yet (sidecars-only or partially-populated index — a
+    // layout append explicitly supports), and a left join would silently
+    // drop exactly the new-vectors-landing-elsewhere rows this report
+    // exists to surface; occupancy columns are null for such lists.
     occ.join(base, Seq("cid"), "left")
-      .join(drift, Seq("cid"), "left")
+      .join(drift, Seq("cid"), "full")
       .withColumn("err_ratio", col("delta_mean_err") / col("base_mean_err"))
       .orderBy("cid")
   }
@@ -905,8 +952,18 @@ object Similarity {
       require(before == after, s"compactIvfPqIndex: rewrite row count " +
         s"$after != $before — leaving the original codes/ in place")
       val bak = new org.apache.hadoop.fs.Path(s"$path/codes_pre_compact")
-      require(fs.rename(codes, bak) && fs.rename(tmp, codes),
-        s"compactIvfPqIndex: swap rename failed; original layout is at $bak")
+      // two requires, not one &&-chain: each failure mode needs its own
+      // truthful recovery message — after a failed FIRST rename the intact
+      // original is still at codes/ and no backup exists; only after a
+      // failed SECOND rename is the original at codes_pre_compact
+      require(fs.rename(codes, bak),
+        s"compactIvfPqIndex: rename($codes -> $bak) failed; the original " +
+          s"layout is INTACT at $codes and the rewrite at $tmp — nothing " +
+          "was moved. Retry after clearing whatever blocked the rename.")
+      require(fs.rename(tmp, codes),
+        s"compactIvfPqIndex: rename($tmp -> $codes) failed mid-swap; the " +
+          s"original layout is at $bak — rename it back to $codes to " +
+          "recover, then delete the tmp dir.")
       fs.delete(bak, true)
     }
 
@@ -923,11 +980,20 @@ object Similarity {
     // rows. ONE delta-sized aggregate yields the repeat check and the
     // touched list ids together.
     val stats = withList.agg(count(lit(1)), count_distinct(col("vec_id")),
-      collect_set(col("cid"))).first()
+      collect_set(col("cid")), count(col("cid"))).first()
     require(stats.getLong(0) == stats.getLong(1),
       s"appendToIvfPqIndex: the delta repeats vec_ids internally " +
         s"(${stats.getLong(0)} rows, ${stats.getLong(1)} distinct) — " +
         "appending would duplicate index rows. Deduplicate the delta first.")
+    // null embeddings assign a null cid (VecNearest is nullIntolerant) and
+    // would land in codes/'s __HIVE_DEFAULT_PARTITION__ — unreachable by
+    // every cid equi-join, i.e. silently unsearchable forever. Fail loudly
+    // like the dup guard instead; count(cid) rides the same aggregate.
+    require(stats.getLong(3) == stats.getLong(0),
+      s"appendToIvfPqIndex: ${stats.getLong(0) - stats.getLong(3)} of " +
+        s"${stats.getLong(0)} delta rows carry a NULL embedding — they " +
+        "would be written to the null list partition and never match a " +
+        "search's list probe. Drop or repair them first.")
     // Overlap with the index: by default scan ONLY the cid= partitions the
     // delta lands in (partition-pruned — O(touched lists), keeping the
     // append independent of total index size) and only the vec_id column.

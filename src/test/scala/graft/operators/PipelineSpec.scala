@@ -1690,6 +1690,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("quadratic per bucket"))
   }
 
+  test("cosine ANN family: zero-norm corpus vectors score -1 (never NaN rank-1); zero-norm queries dropped; planes guarded") {
+    val unit = (axis: Int) => Seq.tabulate(8)(i => if (i == axis) 1f else 0f)
+    val dir = tmpEmb(Seq(
+      (0L, unit(0), "a"),
+      (1L, Seq.fill(8)(0f), "zq"), // zero-norm QUERY: must be dropped
+      (2L, unit(0), "a"), (3L, unit(1), "a"), (4L, unit(2), "a"),
+      (5L, Seq.fill(8)(0f), "zc"))) // zero-norm corpus vector
+    def check(df: org.apache.spark.sql.DataFrame): Unit = {
+      val rows = df.collect()
+      assert(rows.map(_.getLong(0)).toSet == Set(0L)) // query 1 dropped
+      assert(rows.forall(r => !r.getDouble(3).isNaN))
+      assert(rows.minBy(_.getLong(1)).getLong(2) == 2L) // true nearest wins
+    }
+    check(Similarity.ann_bruteforce(spark, dir, nQueries = 2, k = 10))
+    check(Similarity.ann_lsh(spark, dir, nQueries = 2, k = 10, planes = 4, nProbes = 16))
+    check(Similarity.ann_ivf(spark, dir, nQueries = 2, k = 10, nlist = 2, nprobe = 2))
+    // the 1<<planes overflow guard
+    val e = intercept[IllegalArgumentException](
+      Similarity.ann_lsh(spark, dir, planes = 32))
+    assert(e.getMessage.contains("out of range"))
+  }
+
+  test("index guards: null-embedding deltas and duplicate query batches are rejected loudly") {
+    val dir = "/root/testdata/sf0.001"
+    val path = java.nio.file.Files.createTempDirectory("graftivfguard").toString
+    Similarity.writeIvfPqIndex(spark, dir, path)
+    val emb = graft.sources.Tables.loadParallel(spark, dir, "embeddings")
+    val nullRow = emb.limit(1)
+      .select((col("vec_id") + 5000000L).as("vec_id"),
+        lit(null).cast(emb.schema("embedding").dataType).as("embedding"))
+    val e1 = intercept[IllegalArgumentException](
+      Similarity.appendToIvfPqIndex(spark, path, nullRow))
+    assert(e1.getMessage.contains("NULL embedding"))
+    val q = emb.filter(col("vec_id") < 4)
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.searchIvfPqIndex(spark, path, q.unionByName(q)))
+    assert(e2.getMessage.contains("repeats vec_ids"))
+    val e3 = intercept[IllegalArgumentException](
+      Similarity.searchIvfPqIndexDistributed(spark, path, q.unionByName(q)))
+    assert(e3.getMessage.contains("repeats vec_ids"))
+    // the failed guards must not leak the writer lock
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_append.lock")))
+  }
+
   /** Write a tiny events table to a temp dir shaped like testdata. */
   private def tmpEvents(
       rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]): String = {
