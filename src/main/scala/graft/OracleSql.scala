@@ -798,24 +798,25 @@ object OracleSql {
       """SELECT source, doc_id, rk FROM (
         |  SELECT source, doc_id,
         |    CAST(row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS BIGINT) AS rk
-        |  FROM documents)
+        |  FROM documents WHERE text IS NOT NULL)
         |WHERE rk <= 20 ORDER BY source, rk""".stripMargin,
 
     "samp_balanced" ->
       """WITH ranked AS (
         |  SELECT lang, md5(text) AS h,
         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS BIGINT) AS rk
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |cap AS (
         |  SELECT CAST(min(n) AS BIGINT) AS cap FROM (
-        |    SELECT count(*) AS n FROM documents GROUP BY lang))
+        |    SELECT count(*) AS n FROM documents WHERE text IS NOT NULL GROUP BY lang))
         |SELECT lang, count(*) AS n_kept, min(h) AS first_h
         |FROM ranked, cap WHERE rk <= cap
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "samp_split" ->
       s"""SELECT source, $splitCaseSql AS split, count(*) AS n
-         |FROM documents GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
+         |FROM documents WHERE text IS NOT NULL
+         |GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
 
     "tx_gopher" ->
       s"""SELECT doc_id,
@@ -1329,7 +1330,7 @@ object OracleSql {
       """WITH d AS (
         |  SELECT doc_id, substr(md5(text), 1, 2) AS shard, md5(text) AS h,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |c AS (
         |  SELECT *, sum(toks) OVER (PARTITION BY shard ORDER BY h, doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum

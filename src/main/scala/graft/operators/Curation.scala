@@ -31,6 +31,9 @@ object Curation {
     * state, no skew hotspot (digests are uniform).
     */
   def dd_para(s: SparkSession, dir: String, chunkWords: Int = 16): DataFrame = {
+    // fail loudly up front: chunkWords=0 would otherwise surface as a
+    // per-row ArithmeticException deep inside executor tasks
+    require(chunkWords > 0, s"dd_para: chunkWords=$chunkWords must be positive")
     // native chunker ([[graft.functions.WordChunks]]) — the composed
     // transform/slice form re-split the document once per chunk
     // (parity-spec'd byte-identical in PipelineSpec)
@@ -78,7 +81,11 @@ object Curation {
   def samp_reservoir(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
-    docs(s, dir)
+    // null text is excluded from every rank-by-hash sampler: md5(null) is
+    // NULL, which Spark's ascending window orders FIRST (DuckDB orders it
+    // LAST) — null-text docs would seize the quota slots on one engine and
+    // none on the other. The Dedup-family convention (see dd_exact).
+    docs(s, dir).filter(col("text").isNotNull)
       .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
@@ -96,7 +103,8 @@ object Curation {
     * back) and the ranking window.
     */
   def samp_balanced(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).select(col("doc_id"), col("lang"), md5(col("text")).as("h"))
+    val d = docs(s, dir).filter(col("text").isNotNull) // see samp_reservoir
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("h"))
     // per-lang counts are a bounded-domain frame (#languages rows), so the
     // global-min window over it is scale-safe, and carrying cap per lang
     // keeps the join back onto the corpus an EQUI join (broadcast hash),
@@ -114,12 +122,6 @@ object Curation {
       .orderBy("lang")
   }
 
-  /** Deterministic train/val/test split (≈ 0.90/0.05/0.05) from the first
-    * three hex chars of md5(text): content-addressed assignment, so the same
-    * document lands in the same split no matter when or where it is
-    * processed — the property that keeps eval sets stable as a 100 TB corpus
-    * is incrementally re-ingested. Emits per-(source, split) counts.
-    */
   /** Content-addressed split assignment — the ONE definition shared by
     * [[samp_split]], [[pipeline_curate]], and the streaming gate
     * ([[graft.streaming.DocsStream.curationGate]]).
@@ -129,8 +131,17 @@ object Curation {
     when(p3 < "e66", "train").when(p3 < "f33", "val").otherwise("test")
   }
 
+  /** Deterministic train/val/test split (≈ 0.90/0.05/0.05) from the first
+    * three hex chars of md5(text): content-addressed assignment, so the same
+    * document lands in the same split no matter when or where it is
+    * processed — the property that keeps eval sets stable as a 100 TB corpus
+    * is incrementally re-ingested. Emits per-(source, split) counts.
+    */
   def samp_split(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+    // null text would fall through splitOf's otherwise-branch into 'test'
+    // on both engines — mirrored, but it pollutes the eval split with
+    // contentless docs; excluded like every sampler (see samp_reservoir)
+    docs(s, dir).filter(col("text").isNotNull)
       .groupBy(col("source"), splitOf(col("text")).as("split"))
       .agg(count(lit(1)).as("n"))
       .orderBy("source", "split")
@@ -155,7 +166,10 @@ object Curation {
       .withColumn("digest", md5(graft.functions.TextFunctions.normalize(col("text"))))
       .withColumn("split", splitOf(col("text")))
     val head = base
-      .agg(count(lit(1)).as("raw"), sum(when(col("keep"), 1L).otherwise(0L)).as("q"))
+      .agg(count(lit(1)).as("raw"),
+        // empty input: sum over zero rows is NULL — the funnel must census
+        // integer zeros (profile_table's stated convention), not NULLs
+        coalesce(sum(when(col("keep"), 1L).otherwise(0L)), lit(0L)).as("q"))
       .select(expr("stack(2, '0_raw', raw, '1_quality', q) AS (stage, n)"))
     val keepers = base.filter(col("keep"))
       .groupBy(col("digest"))
@@ -221,14 +235,12 @@ object Curation {
       .groupBy(col("digest"))
       .agg(min_by(struct(col("doc_id"), col("lang"), col("text")), col("doc_id")).as("r"))
       .select(col("r.doc_id"), col("r.lang"), col("r.text"))
-    // 3: drop docs sharing an 8-gram with the eval slice (broadcast set)
-    val evalGrams = base.filter(col("source") === evalSource)
-      .select(explode(array_distinct(shingles(col("text"), 8))).as("sh"))
-      .select(md5(col("sh")).as("gh")).distinct()
-    val flagged = deduped
-      .select(col("doc_id"), explode(array_distinct(shingles(col("text"), 8))).as("sh"))
-      .select(col("doc_id"), md5(col("sh")).as("gh"))
-      .join(broadcast(evalGrams), Seq("gh"))
+    // 3: drop docs sharing an 8-gram with the eval slice — the SAME
+    // [[gramHashes]] stream as the standalone [[decon_ngram]] screen
+    val evalGrams = gramHashes(base.filter(col("source") === evalSource), 8)
+      .select(col("g")).distinct()
+    val flagged = gramHashes(deduped, 8)
+      .join(broadcast(evalGrams), Seq("g"))
       .select("doc_id").distinct()
     val clean = deduped.join(flagged, Seq("doc_id"), "left_anti")
     // 4: temperature sampling over the decontaminated population — the
@@ -240,7 +252,8 @@ object Curation {
     // the SHARED packing assignment ([[packAssign]])
     val seqs = packAssign(sampled, budget)
       .select("shard", "seq_id").distinct()
-    train.agg(count(lit(1)).as("raw"), sum(when(col("keep"), 1L).otherwise(0L)).as("q"))
+    train.agg(count(lit(1)).as("raw"),
+        coalesce(sum(when(col("keep"), 1L).otherwise(0L)), lit(0L)).as("q"))
       .select(expr("stack(2, '0_raw', raw, '1_quality', q) AS (stage, n)"))
       .unionAll(deduped.agg(count(lit(1)).as("n")).select(lit("2_dedup").as("stage"), col("n")))
       .unionAll(clean.agg(count(lit(1)).as("n")).select(lit("3_decon").as("stage"), col("n")))
@@ -249,31 +262,6 @@ object Curation {
       .orderBy("stage")
   }
 
-  /** Benchmark-contamination screen (the n-gram overlap check run before
-    * training): does a candidate training document share any `n`-word
-    * shingle with the held-out evaluation set? Here the `src0` slice of the
-    * corpus stands in for the benchmark. Emits contaminated training docs
-    * with overlap counts.
-    *
-    * Scale: real benchmark suites are a few MB of text, so the distinct
-    * eval-shingle set is broadcast — the 100 TB training side never
-    * shuffles; contamination is a map-side hash probe. Shingles travel as
-    * md5 digests, not raw strings, to keep the broadcast and probe rows
-    * narrow.
-    */
-  /** Temperature-flattened multilingual sampling (the mT5/XLM-R mixture
-    * step, α = 0.5): each language keeps a sqrt-flattened fraction of its
-    * documents relative to the SMALLEST language — rate_l = √(n_min/n_l),
-    * so the smallest language keeps ~everything and dominant languages are
-    * downsampled toward balance without the hard cap of [[samp_balanced]].
-    * Selection is content-addressed: keep iff the first 6 hex chars of
-    * md5(text) fall below the language's threshold. Bit-reproducible across
-    * engines because every float op in the threshold (one divide, one sqrt,
-    * one multiply, one floor) is IEEE correctly-rounded with a fixed order —
-    * no summations, no pow — and the comparison itself is hex-string vs
-    * hex-string. Thresholds derive from the bounded per-language count
-    * frame (broadcast); the corpus pass is map-only.
-    */
   /** Per-language α=0.5 temperature thresholds — the ONE definition shared
     * by [[samp_temperature]] and [[pipeline_train]] (stage 4), mirroring
     * the DuckDB fragment, so the standalone operator and the funnel can
@@ -317,11 +305,17 @@ object Curation {
     */
   private[graft] def packAssign(d: DataFrame, budget: Int,
       shardHexChars: Int = 2): DataFrame = {
+    // budget=0 would make seq_id NaN-cast-to-0 for a shard's first doc and
+    // +Infinity→Long.MaxValue for the rest — silent garbage, not an error
+    require(budget > 0, s"packAssign: budget=$budget must be positive")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy(col("h"), col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    d.select(col("doc_id"), substring(md5(col("text")), 1, shardHexChars).as("shard"),
+    // null text shards/ranks as NULL on diverging engine orders — excluded
+    // like every content-addressed sampler (see samp_reservoir)
+    d.filter(col("text").isNotNull)
+      .select(col("doc_id"), substring(md5(col("text")), 1, shardHexChars).as("shard"),
       md5(col("text")).as("h"),
       size(words(col("text"))).cast("long").as("toks"))
       .withColumn("cum", sum(col("toks")).over(w))
@@ -386,6 +380,19 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Temperature-flattened multilingual sampling (the mT5/XLM-R mixture
+    * step, α = 0.5): each language keeps a sqrt-flattened fraction of its
+    * documents relative to the SMALLEST language — rate_l = √(n_min/n_l),
+    * so the smallest language keeps ~everything and dominant languages are
+    * downsampled toward balance without the hard cap of [[samp_balanced]].
+    * Selection is content-addressed: keep iff the first 6 hex chars of
+    * md5(text) fall below the language's threshold. Bit-reproducible across
+    * engines because every float op in the threshold (one divide, one sqrt,
+    * one multiply, one floor) is IEEE correctly-rounded with a fixed order —
+    * no summations, no pow — and the comparison itself is hex-string vs
+    * hex-string. Thresholds derive from the bounded per-language count
+    * frame (broadcast); the corpus pass is map-only.
+    */
   def samp_temperature(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val counts = tempThresholds(d)
@@ -438,6 +445,11 @@ object Curation {
     */
   def decon_jaccard(s: SparkSession, dir: String, n: Int = 3,
       evalSource: String = "src0", threshold: Double = 0.5): DataFrame = {
+    // threshold=0 degenerates the prefix bound to ne+1 and the length cap
+    // to Infinity — every shingle-sharing pair enumerates (near-cartesian);
+    // >1 is unsatisfiable. Fail loudly, the Similarity guard convention.
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"decon_jaccard: threshold=$threshold must be in (0, 1]")
     import graft.functions.TextFunctions.hashedShingles
     val w = org.apache.spark.sql.expressions.Window
     val base = docs(s, dir).select(col("doc_id"), col("source"),
@@ -506,15 +518,35 @@ object Curation {
       .orderBy("doc_id", "eval_doc")
   }
 
+  /** Benchmark-contamination screen (the n-gram overlap check run before
+    * training): does a candidate training document share any `n`-word
+    * shingle with the held-out evaluation set? Here the `src0` slice of the
+    * corpus stands in for the benchmark. Emits contaminated training docs
+    * with overlap counts.
+    *
+    * Scale: real benchmark suites are a few MB of text, so the distinct
+    * eval-shingle set is broadcast — the 100 TB training side never
+    * shuffles; contamination is a map-side hash probe. Shingles travel as
+    * md5 digests, not raw strings, to keep the broadcast and probe rows
+    * narrow.
+    */
+  /** (doc_id, g) md5'd-distinct-n-gram stream — the ONE shingle→digest
+    * spelling behind the exact decontamination screen, shared by
+    * [[decon_ngram]] and [[pipeline_train]]'s stage 3 (the funnel's
+    * docstring claims it reuses the screen; this makes that true by
+    * construction — a change to the shingling cannot silently leave the
+    * funnel behind, the splitOf/hexThr/packAssign convention).
+    */
+  private def gramHashes(df: DataFrame, n: Int): DataFrame =
+    df.select(col("doc_id"),
+      explode(array_distinct(shingles(col("text"), n))).as("sh"))
+      .select(col("doc_id"), md5(col("sh")).as("g"))
+
   def decon_ngram(s: SparkSession, dir: String, n: Int = 8, evalSource: String = "src0"): DataFrame = {
     val d = docs(s, dir)
-    def grams(df: DataFrame): DataFrame =
-      df.select(col("doc_id"), col("source"),
-        explode(array_distinct(shingles(col("text"), n))).as("sh"))
-        .select(col("doc_id"), col("source"), md5(col("sh")).as("g"))
-    val evalGrams = grams(d.filter(col("source") === evalSource))
+    val evalGrams = gramHashes(d.filter(col("source") === evalSource), n)
       .select(col("g")).distinct()
-    grams(d.filter(col("source") =!= evalSource))
+    gramHashes(d.filter(col("source") =!= evalSource), n)
       .join(broadcast(evalGrams), "g")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_overlap"))
@@ -728,6 +760,19 @@ object Curation {
     // contaminate); a zero-norm training vector scores -1 instead of NaN.
     val eval = emb.filter(col("vec_id") < nEval && col("nrm") > 0.0)
       .select(col("vec_id").as("e_id"), col("embedding").as("e_emb"), col("nrm").as("e_nrm"))
+    // empty eval slice (nEval <= 0, or every eval vector zero-norm): the
+    // crossJoin below would silently erase the audit — zero rows reads as
+    // "nothing exists", not "nothing is contaminated". Emit the honest
+    // frame instead: every training vector, contaminated = false. The
+    // eval side is broadcast-tiny by contract, so the probe is one cheap
+    // count; the oracle twin covers the non-empty case the fixture pins.
+    if (eval.limit(1).count() == 0L)
+      return emb.filter(col("vec_id") >= nEval)
+        .select(col("vec_id"),
+          lit(null).cast("long").as("best_eval"),
+          lit(null).cast("double").as("max_cos"),
+          lit(false).as("contaminated"))
+        .orderBy("vec_id")
     emb.filter(col("vec_id") >= nEval)
       .crossJoin(broadcast(eval))
       .select(col("vec_id"),

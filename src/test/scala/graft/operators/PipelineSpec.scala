@@ -1734,6 +1734,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_append.lock")))
   }
 
+  test("curation guards: degenerate params fail loudly; null text excluded from samplers; empty input censuses zeros") {
+    val dir0 = tmpDocs(Seq((1L, "a b c", "en", "s", 1L)))
+    intercept[IllegalArgumentException](Curation.samp_pack(spark, dir0, budget = 0))
+    intercept[IllegalArgumentException](Curation.dd_para(spark, dir0, chunkWords = 0))
+    intercept[IllegalArgumentException](Curation.decon_jaccard(spark, dir0, threshold = 0.0))
+    // null text excluded from every rank-by-hash sampler (md5(null) sorts
+    // FIRST in Spark, LAST in DuckDB — it must never rank at all)
+    val dir = tmpDocs(Seq(
+      (1L, null, "en", "s", 1L), (2L, null, "de", "s", 1L),
+      (3L, "alpha beta", "en", "s", 1L), (4L, "gamma delta", "de", "s", 1L)))
+    assert(Curation.samp_reservoir(spark, dir).collect()
+      .map(_.getLong(1)).toSet == Set(3L, 4L))
+    assert(Curation.samp_split(spark, dir).collect().map(_.getLong(2)).sum == 2L)
+    assert(Curation.samp_balanced(spark, dir).collect().map(_.getLong(1)).sum == 2L)
+    assert(Curation.samp_pack(spark, dir).collect().map(_.getLong(2)).sum == 2L)
+    // empty corpus: the funnel censuses integer zeros, never NULL rows
+    val e = tmpDocs(Seq.empty)
+    val cur = Curation.pipeline_curate(spark, e).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cur == Map("0_raw" -> 0L, "1_quality" -> 0L, "2_dedup" -> 0L))
+    // empty eval slice: decon_embed reports uncontaminated, not zero rows
+    val embDir = tmpEmb(Seq(
+      (0L, Seq.fill(8)(0f), "z"), // the only eval vector, zero-norm: dropped
+      (70L, Seq.tabulate(8)(i => i.toFloat + 1f), "a")))
+    val de = Curation.decon_embed(spark, embDir, nEval = 64).collect()
+    assert(de.length == 1 && de.head.getLong(0) == 70L && !de.head.getBoolean(3))
+  }
+
   /** Write a tiny events table to a temp dir shaped like testdata. */
   private def tmpEvents(
       rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]): String = {
