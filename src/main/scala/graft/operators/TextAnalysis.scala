@@ -17,6 +17,16 @@ object TextAnalysis {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.loadParallel(s, dir, "documents")
 
+  /** Mean word length from total chars minus the n−1 separators, over word
+    * count — the ONE definition of this non-obvious derivation (valid under
+    * the corpus's single-space contract), shared by [[tx_stats]] and
+    * [[gopherCriteria]] so the stats column and the quality gate cannot
+    * silently diverge. `w` is the staged word array so callers keep their
+    * single split.
+    */
+  private def meanWordLen(text: Column, w: Column): Column =
+    (length(text) - (size(w) - 1)).cast("double") / size(w)
+
   /** Per-document surface statistics — the oracle-checkable core: counts and
     * one single-division ratio (exact-deterministic IEEE on both engines).
     */
@@ -27,7 +37,7 @@ object TextAnalysis {
       length(col("text")).cast("long").as("len"),
       size(w).cast("long").as("n_words"),
       size(array_distinct(w)).cast("long").as("n_distinct"),
-      ((length(col("text")) - (size(w) - 1)).cast("double") / size(w)).as("avg_word_len"))
+      meanWordLen(col("text"), w).as("avg_word_len"))
       .orderBy("doc_id")
   }
 
@@ -150,10 +160,15 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "de", "et", "les"),
     "zh" -> Seq("的", "是", "在", "了", "和"))
 
-  /** Stopword-profile language ID: score = count of profile-stopword tokens
-    * per language; argmax with deterministic tie-break on language code.
-    * A real system would use character n-gram models; the operator shape
-    * (score vector → argmax) is the same.
+  /** Stopword-profile language ID: score = number of DISTINCT profile
+    * stopword TYPES present (array_intersect semantics — repetitions of one
+    * stopword don't raise the score; ≤ 5 per language), argmax with the
+    * deterministic tie-break of the struct max (ties — e.g. a document with
+    * zero profile hits — resolve to the LARGEST language code, 'zh'; the
+    * DuckDB twin mirrors the same struct ordering). A real system would use
+    * character n-gram models; the operator shape (score vector → argmax) is
+    * the same, and occurrence-counting would be
+    * `size(filter(w, isInCollection))` — the [[tx_blocklist]] device.
     */
   def tx_langid(s: SparkSession, dir: String): DataFrame = {
     val w = words(col("text"))
@@ -176,6 +191,11 @@ object TextAnalysis {
     * order-insensitive digest of the selected set.
     */
   def tx_fingerprint(s: SparkSession, dir: String, n: Int = 3, w: Int = 4): DataFrame = {
+    // fail loud, not plausible-garbage: w<=0 would make WinnowSelect's
+    // window scan empty and every doc fingerprint to [Long.MaxValue];
+    // n<=0 would shingle into empty-string grams
+    require(n > 0, s"tx_fingerprint: n=$n must be positive")
+    require(w > 0, s"tx_fingerprint: w=$w must be positive")
     import graft.functions.TextFunctions.shingles
     val staged = docs(s, dir).select(col("doc_id"),
       transform(shingles(col("text"), n), x => xxhash64(x)).as("hs"))
@@ -240,7 +260,10 @@ object TextAnalysis {
     * on the synthetic corpus (~63 % keep) — a filter that rejects 100 % of
     * its input exercises nothing.
     */
-  val gopherStops: Seq[String] = Seq("the", "a", "of", "and", "to")
+  // BY REFERENCE to the en profile, not a re-declared literal: the doc
+  // contract is "the corpus's own en stopword profile", and two copies of
+  // the same 5-word list can drift with no compile or test signal
+  val gopherStops: Seq[String] = profiles("en")
 
   /** The three Gopher criteria as Columns over a `text` column — the ONE
     * definition shared by [[tx_gopher]] and [[Curation.pipeline_curate]] so
@@ -252,7 +275,7 @@ object TextAnalysis {
       stops: Seq[String] = gopherStops): (Column, Column, Column) = {
     val w = words(col("text"))
     val nWords = size(w)
-    val meanLen = (length(col("text")) - (nWords - 1)).cast("double") / nWords
+    val meanLen = meanWordLen(col("text"), w)
     val stopHits = size(array_intersect(w, array(stops.map(lit): _*)))
     (nWords >= minWords && nWords <= maxWords,
       meanLen >= minMeanLen && meanLen <= maxMeanLen,
@@ -314,7 +337,11 @@ object TextAnalysis {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
-    tf.join(df, Seq("term"))
+    // broadcast: df is vocabulary-sized, but as an aggregate output its
+    // planning-time stats are unknown — without the hint (and without AQE)
+    // the tf⋈df join sort-merges the corpus-sized tf frame, contradicting
+    // the documented shuffle shape (the tx_surprisal/tx_bpe_encode device)
+    tf.join(broadcast(df), Seq("term"))
       .withColumn("score", col("tf").cast("double") / col("df"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
@@ -611,7 +638,10 @@ object TextAnalysis {
   }
 
   /** BPE tokenization with rules trained by [[tx_bpe]]'s loop on this same
-    * corpus: per-document whitespace word count and the REAL subword count
+    * corpus — SAME default merges (30), so the façade's published rule
+    * table and these encode counts come from one vocabulary, not two
+    * silently different tokenizers: per-document whitespace word count
+    * and the REAL subword count
     * under the learned vocabulary (vs [[tx_tokens]]' chars/4 heuristic).
     * No second merge pass exists: the trainer's final histogram IS the
     * encoded (word → symbols) vocabulary, so encoding is one broadcast
@@ -621,7 +651,7 @@ object TextAnalysis {
     * character-count+1 (their untrained symbol length), so the count is
     * total, not partial.
     */
-  def tx_bpe_encode(s: SparkSession, dir: String, merges: Int = 20,
+  def tx_bpe_encode(s: SparkSession, dir: String, merges: Int = 30,
       minCount: Long = 1L): DataFrame = {
     val (_, vocab) = bpeTrain(s, dir, merges, minCount)
     val subs = vocab.select(col("w"), size(col("syms")).cast("long").as("n_sub"))
@@ -715,7 +745,11 @@ object TextAnalysis {
     */
   def tx_compress(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+    // null text would NPE at getBytes inside mapPartitions (4 task retries,
+    // job abort) where the column operators degrade gracefully — excluded
+    // like the dedup family (see Dedup.dd_exact)
+    docs(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { rows =>
         val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
         val buf = new Array[Byte](64 * 1024)

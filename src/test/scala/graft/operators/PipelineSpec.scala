@@ -1762,6 +1762,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(de.length == 1 && de.head.getLong(0) == 70L && !de.head.getBoolean(3))
   }
 
+  test("tx_readability: hand-computed sentence and syllable counts (the fixture corpus has no terminators)") {
+    // the synthetic corpus contains no [.!?], so without this planted doc
+    // the n_sentences regex is dead signal the oracle cannot exercise
+    val dir = tmpDocs(Seq(
+      (1L, "the cat sat. the dog ran! did it run? yes", "en", "s", 1L),
+      (2L, "no terminators here", "en", "s", 1L)))
+    val got = TextAnalysis.tx_readability(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc1: 10 ws-words; terminator runs . ! ? = 3; one vowel-group per
+    // word ("yes" → the single run "ye": y and e are both in the class)
+    assert(got(1L) == ((10L, 3L, 10L)))
+    // doc2: no(1) + terminators(e,i,a,o = 4) + here(e,e = 2) = 7 syllables
+    assert(got(2L) == ((3L, 0L, 7L)))
+  }
+
   /** Write a tiny events table to a temp dir shaped like testdata. */
   private def tmpEvents(
       rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]): String = {
