@@ -13,8 +13,9 @@ import graft.functions.TextFunctions._
   * ([[graft.functions.TextFunctions.minhash]]), NOT the aggregate form the
   * batch operators use: per-row expressions keep the stream STATELESS — no
   * groupBy state, no watermark needed — and the stream-static equi-join on
-  * (band, bkey) holds no streaming state either (the static side is
-  * re-resolved per micro-batch, so a growing corpus index is picked up).
+  * (band, bkey) holds no streaming state either (the static side's FILE
+  * LISTING is captured at build — restart the query to pick up a grown
+  * corpus index; see [[storeDedupGate]]'s refresh note).
   * A matched pair may emit once per shared band (a streaming
   * dropDuplicates would need unbounded state without an event-time
   * column); collapse per batch downstream via foreachBatch if exact
@@ -82,6 +83,14 @@ object DocsStream {
     */
   def ingestDedup(stream: DataFrame, horizon: String = "10 minutes"): DataFrame =
     stream
+      // null text carries no content to be a copy OF (the batch family's
+      // dd_exact guard): md5(normalize(null)) is null for EVERY such doc,
+      // and dropDuplicatesWithinWatermark treats null keys as equal — two
+      // distinct extraction failures in one horizon would silently drop
+      // all but the first. Pass them through un-deduped instead? No — the
+      // gate's contract is "admitted docs carry a digest"; exclude them
+      // exactly like the batch operator.
+      .filter(col("text").isNotNull)
       .withColumn("digest", md5(normalize(col("text"))))
       .withWatermark("ingest_ts", horizon)
       .dropDuplicatesWithinWatermark("digest")
@@ -156,8 +165,8 @@ object DocsStream {
             stateTtlMs.foreach { ttl =>
               // the timeout must sit past the current watermark or Spark
               // rejects it (a TTL shorter than the watermark delay)
-              state.setTimeoutTimestamp(
-                math.max(maxTs + ttl, state.getCurrentWatermarkMs() + 1))
+              state.setTimeoutTimestamp(StateClock.monotoneTimeoutMs(
+                maxTs, ttl, state.getCurrentWatermarkMs()))
             }
             take.iterator.map(id => (source, id))
           }
@@ -231,16 +240,17 @@ object DocsStream {
     * arriving document `exact_dup` (with the smallest matching corpus doc
     * as match_id) or `unseen`. Stateless — no state store, no watermark.
     *
-    * Store-refresh semantics depend on `useBloom`. With `useBloom = false`
-    * the static join side is re-resolved per micro-batch, so a store the
-    * nightly batch job rewrites is picked up without restarting the
-    * stream. With `useBloom = true` the Bloom sidecar is loaded ONCE at
-    * gate build and broadcast — digests ADDED to the store after that are
-    * definite-negatives in the stale sketch and route to `unseen` without
-    * ever probing the (fresh) join side, so a rebuilt store requires a
-    * stream restart to take effect. Pick per deployment: live-refresh
-    * correctness (no Bloom) vs per-batch store-scan savings (Bloom +
-    * restart-on-rebuild). Near-duplicate screening at ingest stays [[nearDupScreen]]'s
+    * Store-refresh semantics: the store is resolved ONCE, at gate build —
+    * `spark.read.parquet` captures the file listing in an
+    * InMemoryFileIndex, and stream-static joins re-EXECUTE the static
+    * plan per micro-batch but never re-LIST a path-based source; the
+    * Bloom sidecar is likewise loaded once and broadcast. A nightly
+    * `writeCorpusSignatures` rewrite therefore requires a STREAM RESTART
+    * to take effect with either `useBloom` setting (a mode("overwrite")
+    * rewrite under a running gate risks FileNotFoundException on the
+    * captured listing — schedule restarts with the rebuild). `useBloom`
+    * only trades the per-batch store-scan cost for the broadcast sketch;
+    * it does not change freshness. Near-duplicate screening at ingest stays [[nearDupScreen]]'s
     * job (banded sketches); WITHIN-stream duplicates are [[ingestDedup]]'s
     * (the store only knows the corpus as of its last build). Callers gate
     * by filtering `verdict = 'unseen'`.

@@ -83,6 +83,11 @@ object EmbStream {
       if (stateTtlMs.isDefined) GroupStateTimeout.EventTimeTimeout
       else GroupStateTimeout.NoTimeout
     val assigned = stream
+      // a null embedding cannot be assigned (VecNearest is nullIntolerant
+      // → null cluster → 'Null value appeared in non-nullable field' when
+      // deserializing the Int, and every restart replays the same poison
+      // batch) — drop at the edge, the same policy as null event times
+      .filter(col("embedding").isNotNull)
       .select(col("vec_id").cast("long"), col("embedding"),
         Clustering.assignTo(cents).getField("c").as("cluster"), ts)
     // a null event time cannot participate in an event-time lifecycle
@@ -130,8 +135,8 @@ object EmbStream {
               // expire relative to the cell's latest arrival EVER seen;
               // the timestamp must sit past the current watermark or
               // Spark rejects it (a TTL shorter than the watermark delay)
-              state.setTimeoutTimestamp(
-                math.max(maxTs + ttl, state.getCurrentWatermarkMs() + 1))
+              state.setTimeoutTimestamp(StateClock.monotoneTimeoutMs(
+                maxTs, ttl, state.getCurrentWatermarkMs()))
             }
             out.iterator
           }

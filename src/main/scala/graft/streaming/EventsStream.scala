@@ -38,8 +38,12 @@ object EventsStream {
         val d = java.nio.file.Paths.get(
           graft.sources.Tables.scratchDir("graft-events-stream", src.toString))
         val link = d.resolve("events.parquet")
-        if (!java.nio.file.Files.exists(link))
-          java.nio.file.Files.createSymbolicLink(link, src)
+        // link to the ABSOLUTE source: a relative `dir` stored verbatim
+        // would resolve against the scratch dir — a dangling link that
+        // reads zero rows, then FileAlreadyExistsException on the next
+        // call (exists() follows the broken link and reports false)
+        if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+          java.nio.file.Files.createSymbolicLink(link, src.toAbsolutePath)
         d.toString
       }
     normalizeTs(
@@ -56,7 +60,10 @@ object EventsStream {
     val in = if (watermark) events.withWatermark("ts", "2 hours") else events
     in.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(38, 2)).as("v"))
+        // final cast to DOUBLE, exactly Relational's sum2: the twin claim
+        // ("the streaming twin of q23_events_window") must include the
+        // output schema, and q23 emits v as double, not Decimal(38,2)
+        sum(col("value").cast(DecimalType(12, 2))).cast("double").as("v"))
       .select(col("w.start").as("h"), col("event_type"), col("n"), col("v"))
   }
 
@@ -173,18 +180,6 @@ object EventsStream {
   case class Transition(user_id: Long, from_type: String, to_type: String,
       from_ts: java.sql.Timestamp, to_ts: java.sql.Timestamp)
 
-  /** Streaming twin of [[graft.operators.Relational.ev_transitions]]'s pair
-    * layer: each user's consecutive (event, next event) pairs, emitted AS
-    * the next event arrives. Unlike [[scd2Stream]] (which emits only on
-    * state CHANGE), every event with a predecessor emits — the raw edge
-    * stream a live transition matrix aggregates over (`groupBy(from, to)`
-    * in update mode downstream, or foreachBatch into a running store).
-    * State per user is one (lastType, lastTs) struct — bounded by user
-    * cardinality, independent of event volume. Per-user event-time order
-    * across batches is assumed, as in [[sessionize]]/[[scd2Stream]];
-    * StreamingSpec pins batch parity: the emitted pairs aggregated by
-    * (from, to) equal the batch operator's matrix on identical input.
-    */
   /** Timestamp ⇄ epoch-micros without millisecond truncation: `ts.getTime`
     * is millis, and ordering or re-emitting through it silently diverges
     * from the batch twins' full-`ts` sorts on micros corpora (exactly the
@@ -198,23 +193,33 @@ object EventsStream {
     java.time.Instant.ofEpochSecond(
       Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
 
+  /** Streaming twin of [[graft.operators.Relational.ev_transitions]]'s pair
+    * layer: each user's consecutive (event, next event) pairs, emitted AS
+    * the next event arrives. Unlike [[scd2Stream]] (which emits only on
+    * state CHANGE), every event with a predecessor emits — the raw edge
+    * stream a live transition matrix aggregates over (`groupBy(from, to)`
+    * in update mode downstream, or foreachBatch into a running store).
+    * State per user is one (lastType, lastTs) struct — bounded by user
+    * cardinality, independent of event volume. Per-user event-time order
+    * across batches is assumed, as in [[sessionize]]/[[scd2Stream]];
+    * StreamingSpec pins batch parity: the emitted pairs aggregated by
+    * (from, to) equal the batch operator's matrix on identical input.
+    */
   def transitionsStream(events: Dataset[Event]): Dataset[Transition] = {
     import events.sparkSession.implicits._
-    val micros = tsMicros _
-    val toTs = microsTs _
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (userId: Long, rows: Iterator[Event], state: GroupState[TransState]) => {
-          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          val sorted = rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
           var last = state.getOption
           val out = Seq.newBuilder[Transition]
           sorted.foreach { e =>
             last.foreach { l =>
               out += Transition(userId, l.lastType, e.event_type,
-                toTs(l.lastTs), e.ts)
+                microsTs(l.lastTs), e.ts)
             }
-            last = Some(TransState(e.event_type, micros(e.ts)))
+            last = Some(TransState(e.event_type, tsMicros(e.ts)))
           }
           last.foreach(state.update)
           out.result().iterator
@@ -274,8 +279,8 @@ object EventsStream {
             cur.foreach { st =>
               state.update(st)
               if (closeIdle) state.setTimeoutTimestamp(
-                math.max(st.lastSeen / 1000L + gapMicros / 1000L,
-                  state.getCurrentWatermarkMs() + 1))
+                StateClock.monotoneTimeoutMs(st.lastSeen / 1000L,
+                  gapMicros / 1000L, state.getCurrentWatermarkMs()))
             }
             closed.result().iterator
           }

@@ -817,4 +817,49 @@ class StreamingSpec extends AnyFunSuite {
     val again = graft.operators.Multimodal.mm_pipeline(spark, dir).collect()
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("streaming gates drop poison rows at the edge: null text (ingestDedup), null embedding (semanticDedupGate)") {
+    // two DISTINCT null-text docs must not collapse onto the null digest
+    // (dropDuplicatesWithinWatermark treats null keys as equal — one would
+    // be silently discarded as a 'duplicate' of the other)
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val stream = input.toDF().toDF("doc_id", "ingest_ts", "text")
+    val q = DocsStream.ingestDedup(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_null").start()
+    try {
+      input.addData((1L, t(0), null), (2L, t(1), null), (3L, t(2), "real text"))
+      q.processAllAvailable()
+      assert(spark.table("dedup_null").select("doc_id")
+        .as[Long].collect().toSet == Set(3L))
+    } finally q.stop()
+    // one null embedding must not crash-loop the gate (VecNearest is
+    // nullIntolerant → non-nullable-Int deserialization failure replayed
+    // on every restart) — dropped at the edge like null event times
+    val cents = Seq(Seq(10.0, 0.0), Seq(-10.0, 0.0))
+    val in2 = MemoryStream[(Long, Seq[Float])](spark)
+    val s2 = in2.toDF().toDF("vec_id", "embedding")
+    val q2 = EmbStream.semanticDedupGate(s2, cents, threshold = 0.95, stateCap = 2)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("emb_null").start()
+    try {
+      in2.addData((1L, Seq(1f, 0f)), (2L, null), (3L, Seq(-1f, 0f)))
+      q2.processAllAvailable()
+      assert(spark.table("emb_null").select("vec_id")
+        .as[Long].collect().toSet == Set(1L, 3L))
+    } finally q2.stop()
+  }
+
+  test("StateClock.monotoneTimeoutMs: past-watermark clamp; saturates instead of wrapping near Long.MaxValue") {
+    assert(StateClock.monotoneTimeoutMs(100L, 50L, 10L) == 150L)
+    assert(StateClock.monotoneTimeoutMs(100L, 50L, 200L) == 201L) // clamp
+    assert(StateClock.monotoneTimeoutMs(Long.MaxValue - 10L, Long.MaxValue / 2, 0L)
+      == Long.MaxValue) // a wrapped sum would expire lifetime state instantly
+  }
+
+  test("windowedAgg emits v as DOUBLE — the q23_events_window twin's schema, not Decimal(38,2)") {
+    val batch = EventsStream.windowedAgg(Tables.load(spark, dir, "events"), watermark = false)
+    assert(batch.schema("v").dataType == org.apache.spark.sql.types.DoubleType)
+  }
 }
