@@ -1725,6 +1725,53 @@ object OracleSql {
 
     // dd_exact_best: per-digest best copy by (quality, length, -doc_id);
     // the row_number formulation is equivalent to Spark's max_by-over-struct
+    // tx_extract: the plant mirrors TextAnalysis.htmlPlant literal-for-
+    // literal (chr(10) = the Scala '\n'); patterns are the same RE2 ∩
+    // java.util.regex subset; the link-density test is the exact integer
+    // comparison links*2 <= words on both engines.
+    "tx_extract" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |      '<html><head><title>t' || CAST(doc_id AS VARCHAR) ||
+        |      '</title><style>p{margin:0}</style><script>var a=1;</script></head><body>' || chr(10) ||
+        |      '<div id="nav"><a href="/home">home</a> <a href="/about">about</a> <a href="/faq">faq</a></div>' || chr(10) ||
+        |      '<p>' || text || '</p>' || chr(10) ||
+        |      '<div id="foot"><a href="/c">contact</a> <a href="/p">privacy</a> <a href="/t">terms</a> copyright</div>' || chr(10) ||
+        |      '</body></html>'
+        |    ELSE text END AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (
+        |  SELECT doc_id, t,
+        |    regexp_replace(regexp_replace(t,
+        |      '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS clean
+        |  FROM p),
+        |st AS (
+        |  SELECT doc_id, t, lines,
+        |    list_transform(lines, x -> {
+        |      'links': len(string_split(x, '<a ')) - 1,
+        |      's': trim(regexp_replace(regexp_replace(x, '<[^>]*>', '', 'g'), ' +', ' ', 'g'))
+        |    }) AS stats
+        |  FROM (SELECT doc_id, t, string_split(clean, chr(10)) AS lines FROM c)),
+        |k AS (
+        |  SELECT doc_id, t, lines, stats,
+        |    list_filter(stats, z -> len(string_split(z.s, ' ')) >= 3
+        |                        AND z.links * 2 <= len(string_split(z.s, ' '))) AS kept
+        |  FROM st),
+        |f AS (
+        |  SELECT doc_id,
+        |    regexp_matches(t, '<[a-z]') AS had_html,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(kept) AS BIGINT) AS n_kept,
+        |    CAST(list_sum(list_transform(stats, z -> z.links)) AS BIGINT) AS n_links,
+        |    array_to_string(list_transform(kept, z -> z.s), ' ') AS cleaned
+        |  FROM k)
+        |SELECT doc_id, had_html, n_lines, n_kept, n_links,
+        |  CAST(length(cleaned) AS BIGINT) AS clean_len,
+        |  md5(cleaned) AS clean_digest
+        |FROM f ORDER BY doc_id""".stripMargin,
+
     "dd_exact_best" ->
       s"""WITH d AS (
          |  SELECT doc_id, md5(text) AS digest, length(text) AS len,

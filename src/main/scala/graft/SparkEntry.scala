@@ -130,6 +130,8 @@ object SparkEntry {
     "ev_retention" -> (Relational.ev_retention _),
     "tx_surprisal" -> (TextAnalysis.tx_surprisal _),
     "tx_pii" -> (TextAnalysis.tx_pii _),
+    // raw-web boilerplate extraction over planted HTML pages
+    "tx_extract" -> ((s, d) => TextAnalysis.tx_extract(s, d)),
     "dd_spans" -> ((s, d) => Dedup.dd_spans(s, d)),
     "dd_incremental" -> ((s, d) => Dedup.dd_incremental(s, d)),
     "q48_upsert" -> (Relational.q48_upsert _),

@@ -769,4 +769,70 @@ object TextAnalysis {
       .toDF()
       .orderBy("doc_id")
   }
+
+  /** Deterministic synthetic HTML page around a document's text — the
+    * [[piiPlant]] device for the raw-web front of the pipeline: the clean
+    * corpus carries no markup, so every third doc is wrapped in a page
+    * with the classic boilerplate anatomy (head with script/style, a
+    * link-dense nav, the content paragraph, a link-dense footer), each
+    * block on its own '\n'-separated line. Congruences and literals are
+    * mirrored CASE-for-CASE by the DuckDB twin.
+    */
+  def htmlPlant(docId: Column, text: Column): Column =
+    when(docId % 3 === 0, concat(
+      lit("<html><head><title>t"), docId.cast("string"),
+      lit("</title><style>p{margin:0}</style><script>var a=1;</script></head><body>\n"),
+      lit("<div id=\"nav\"><a href=\"/home\">home</a> <a href=\"/about\">about</a> <a href=\"/faq\">faq</a></div>\n"),
+      lit("<p>"), text, lit("</p>\n"),
+      lit("<div id=\"foot\"><a href=\"/c\">contact</a> <a href=\"/p\">privacy</a> <a href=\"/t\">terms</a> copyright</div>\n"),
+      lit("</body></html>")))
+      .otherwise(text)
+
+  /** Raw-web TEXT EXTRACTION — the boilerplate-removal pass every
+    * production corpus starts with (C4's line filters; RefinedWeb §3.2
+    * runs trafilatura here): strip script/style blocks, split the page
+    * into lines, strip tags per line, and keep only CONTENT lines — at
+    * least `minWords` words and link density ≤ 1/2 (boilerplate navs and
+    * footers are short and link-dense; the density test is the exact
+    * integer comparison links·2 ≤ words, so the oracle hash-matches).
+    * Emits per-doc extraction audit: had_html, line counts, link count,
+    * and the md5 + length of the extracted text. On the planted pages the
+    * extraction provably recovers the ORIGINAL text bit-for-bit (the
+    * content paragraph is the only line that survives the filters), so
+    * clean_digest == md5(text) for every doc — spec-pinned.
+    *
+    * Scale shape: map-only — regex/HOF column ops in the scan projection,
+    * the output sort is the only exchange (plan-spec'd). Patterns stay in
+    * the RE2 ∩ java.util.regex subset (character classes, lazy `.*?`,
+    * inline (?s) — no lookaround), so the DuckDB twin evaluates them
+    * identically.
+    */
+  def tx_extract(s: SparkSession, dir: String, minWords: Int = 3): DataFrame = {
+    val nWords = (c: Column) => size(split(c, " "))
+    docs(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), htmlPlant(col("doc_id"), col("text")).as("t"))
+      // staged projections (the tx_entropy convention): each non-cheap
+      // intermediate stays ONE attribute instead of inlining per use
+      .withColumn("clean",
+        regexp_replace(regexp_replace(col("t"),
+          "(?s)<script[^>]*>.*?</script>", " "),
+          "(?s)<style[^>]*>.*?</style>", " "))
+      .withColumn("lines", split(col("clean"), "\n"))
+      .withColumn("stats", transform(col("lines"), l => struct(
+        (size(split(l, "<a ")) - 1).as("links"),
+        trim(regexp_replace(regexp_replace(l, "<[^>]*>", ""), " +", " ")).as("s"))))
+      .withColumn("kept", filter(col("stats"), st =>
+        nWords(st("s")) >= minWords && st("links") * 2 <= nWords(st("s"))))
+      .withColumn("cleaned",
+        array_join(transform(col("kept"), st => st("s")), " "))
+      .select(
+        col("doc_id"),
+        col("t").rlike("<[a-z]").as("had_html"),
+        size(col("lines")).cast("long").as("n_lines"),
+        size(col("kept")).cast("long").as("n_kept"),
+        aggregate(col("stats"), lit(0L), (a, st) => a + st("links")).as("n_links"),
+        length(col("cleaned")).cast("long").as("clean_len"),
+        md5(col("cleaned")).as("clean_digest"))
+      .orderBy("doc_id")
+  }
 }

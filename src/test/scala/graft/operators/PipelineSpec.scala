@@ -1777,6 +1777,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(2L) == ((3L, 0L, 7L)))
   }
 
+  test("tx_extract: boilerplate lines drop, content recovered bit-for-bit; unplanted docs pass through") {
+    val dir = tmpDocs(Seq(
+      (3L, "alpha beta gamma delta content words here", "en", "s", 1L), // planted (3%3==0)
+      (4L, "plain document with no markup at all", "en", "s", 1L), // unplanted
+      (5L, "ab", "en", "s", 1L))) // below minWords: nothing extracted
+    val got = TextAnalysis.tx_extract(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(6)))).toMap
+    val md5Of = (t: String) => java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // doc 3: a 5-line page (head+script/style, nav, content, footer, tail);
+    // ONLY the content paragraph survives (head strips to 't3', nav/footer
+    // are link-dense), and extraction recovers the ORIGINAL text exactly
+    assert(got(3L)._1 && got(3L)._2 == 5L && got(3L)._3 == 1L && got(3L)._4 == 6L)
+    assert(got(3L)._5 == md5Of("alpha beta gamma delta content words here"))
+    // doc 4: no markup — one line, kept, digest = md5(text)
+    assert(!got(4L)._1 && got(4L)._2 == 1L && got(4L)._3 == 1L)
+    assert(got(4L)._5 == md5Of("plain document with no markup at all"))
+    // doc 5: real but too short — honestly reported as zero kept lines
+    assert(got(5L)._3 == 0L && got(5L)._5 == md5Of(""))
+  }
+
   /** Write a tiny events table to a temp dir shaped like testdata. */
   private def tmpEvents(
       rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]): String = {

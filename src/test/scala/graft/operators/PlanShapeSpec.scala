@@ -66,6 +66,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Generate"), "no explode in the entropy path")
   }
 
+  test("tx_extract: the whole extraction is MAP-SIDE — the output sort is the only exchange") {
+    val p = TextAnalysis.tx_extract(spark, dir).queryExecution.executedPlan.toString
+    assert(!p.contains("hashpartitioning"),
+      s"per-doc extraction must not shuffle by any key:\n$p")
+    assert("rangepartitioning".r.findAllIn(p).size == 1,
+      s"expected only the orderBy range exchange:\n$p")
+    assert(!p.contains("Generate"), "no explode in the extraction path")
+  }
+
   test("samp_reservoir: rank limit pushes MAP-SIDE (WindowGroupLimit Partial) — each task ships at most k rows per stratum") {
     // Catalyst's InferWindowGroupLimit only fires for a lone ranking
     // function; adding a second window fn to the same spec would silently
