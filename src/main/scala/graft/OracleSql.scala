@@ -25,6 +25,24 @@ object OracleSql {
   private def synthCentsSql(mod: Int): String =
     s"CASE WHEN $centsSql % $mod = 0 THEN NULL ELSE $centsSql END"
 
+  /** `TextAnalysis.urlPlant`'s twin, built congruence-for-congruence from
+    * the SAME host pool constant.
+    */
+  private val urlPlantSql: String = {
+    val hostCase = graft.operators.TextAnalysis.urlHosts.zipWithIndex
+      .map { case (h, i) => s"WHEN doc_id % 7 = $i THEN '$h'" }.mkString(" ")
+    s"""(CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END || '://' ||
+       | CASE $hostCase END ||
+       | CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END ||
+       | '/p/' || CAST(doc_id % 20 AS VARCHAR) ||
+       | CASE WHEN doc_id % 5 = 0 THEN '?q=' || CAST(doc_id % 3 AS VARCHAR)
+       |      ELSE '' END)""".stripMargin.replace("\n", " ")
+  }
+
+  /** The domain blocklist as a SQL IN-list — `TextAnalysis.urlBlocklist`. */
+  private val urlBlockSql: String =
+    graft.operators.TextAnalysis.urlBlocklist.map(d => s"'$d'").mkString(", ")
+
   /** Cosine in explicit double arithmetic, matching the op order of
     * [[graft.functions.TextFunctions.cosine]] term-for-term so Spark and
     * DuckDB produce bit-identical doubles (DuckDB's builtin
@@ -1725,6 +1743,51 @@ object OracleSql {
 
     // dd_exact_best: per-digest best copy by (quality, length, -doc_id);
     // the row_number formulation is equivalent to Spark's max_by-over-struct
+    // tx_url family: the plant CASEs and the blocklist IN-list are built
+    // from the SAME Scala constants the Spark operators compile
+    // (TextAnalysis.urlHosts/urlBlocklist — the mixtureWeights device)
+    "tx_url" ->
+      s"""WITH u AS (SELECT doc_id, $urlPlantSql AS url FROM documents),
+         |p AS (SELECT doc_id, url,
+         |        string_split(url, '://')[1] AS scheme,
+         |        string_split(url, '://')[2] AS rest FROM u),
+         |h AS (SELECT doc_id, url, scheme, rest,
+         |        string_split(rest, '/')[1] AS hostport FROM p),
+         |x AS (SELECT doc_id, url, scheme,
+         |        string_split(hostport, ':')[1] AS host,
+         |        CASE WHEN len(string_split(hostport, ':')) > 1
+         |             THEN CAST(string_split(hostport, ':')[2] AS BIGINT) END AS port,
+         |        string_split(substr(rest, length(hostport) + 1), '?')[1] AS path
+         |      FROM h),
+         |d AS (SELECT *, string_split(host, '.')[-2] || '.' ||
+         |        string_split(host, '.')[-1] AS domain FROM x)
+         |SELECT doc_id, url, scheme, host, port, path, domain,
+         |  domain IN ($urlBlockSql) AS blocked
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "tx_url_dedup" ->
+      s"""WITH u AS (SELECT doc_id, $urlPlantSql AS url FROM documents),
+         |r AS (SELECT doc_id, string_split(url, '://')[2] AS rest FROM u),
+         |hp AS (SELECT doc_id, rest, string_split(rest, '/')[1] AS hostport FROM r),
+         |n AS (SELECT doc_id,
+         |        regexp_replace(string_split(hostport, ':')[1], '^www\\.', '') ||
+         |        string_split(substr(rest, length(hostport) + 1), '?')[1] AS norm_url
+         |      FROM hp)
+         |SELECT norm_url, min(doc_id) AS keeper, count(*) AS n_copies
+         |FROM n GROUP BY 1 HAVING count(*) > 1 ORDER BY norm_url""".stripMargin,
+
+    "tx_url_hosts" ->
+      s"""WITH u AS (SELECT doc_id, $urlPlantSql AS url FROM documents),
+         |x AS (SELECT doc_id,
+         |        string_split(string_split(string_split(url, '://')[2], '/')[1], ':')[1] AS host
+         |      FROM u),
+         |d AS (SELECT doc_id, host, string_split(host, '.')[-2] || '.' ||
+         |        string_split(host, '.')[-1] AS domain FROM x)
+         |SELECT domain, count(*) AS n_docs,
+         |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+         |  domain IN ($urlBlockSql) AS blocked
+         |FROM d GROUP BY domain ORDER BY domain""".stripMargin,
+
     // tx_extract: the plant mirrors TextAnalysis.htmlPlant literal-for-
     // literal (chr(10) = the Scala '\n'); patterns are the same RE2 ∩
     // java.util.regex subset; the link-density test is the exact integer

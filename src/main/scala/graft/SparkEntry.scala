@@ -132,6 +132,10 @@ object SparkEntry {
     "tx_pii" -> (TextAnalysis.tx_pii _),
     // raw-web boilerplate extraction over planted HTML pages
     "tx_extract" -> ((s, d) => TextAnalysis.tx_extract(s, d)),
+    // URL family: parse+blocklist gate, URL-level dedup, host census
+    "tx_url" -> (TextAnalysis.tx_url _),
+    "tx_url_dedup" -> (TextAnalysis.tx_url_dedup _),
+    "tx_url_hosts" -> (TextAnalysis.tx_url_hosts _),
     "dd_spans" -> ((s, d) => Dedup.dd_spans(s, d)),
     "dd_incremental" -> ((s, d) => Dedup.dd_incremental(s, d)),
     "q48_upsert" -> (Relational.q48_upsert _),

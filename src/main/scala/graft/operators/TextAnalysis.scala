@@ -770,6 +770,107 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** The deterministic URL plant's host pool and domain blocklist — shared
+    * Scala constants the DuckDB twins build their CASE/IN fragments from
+    * (the [[profiles]]/mixtureWeights convention), so operator and oracle
+    * can never drift. Two of the seven hosts sit on blocklisted domains.
+    */
+  private[graft] val urlHosts: Seq[String] = Seq(
+    "www.example.com", "blog.example.com", "spam.casino-ads.net",
+    "en.wikipedia.org", "github.com", "ads.tracker.io", "news.site.org")
+  private[graft] val urlBlocklist: Seq[String] = Seq("casino-ads.net", "tracker.io")
+
+  /** Deterministic synthetic URL per document — the [[piiPlant]] device for
+    * the URL family: the corpus carries no URL column, so one is derived
+    * from doc_id alone (scheme by %2, host by %7, an occasional :8080 port
+    * by %11, path by %20, an occasional query by %5). The %20 path cycle
+    * makes distinct docs share a normalized URL (the re-crawl case URL
+    * dedup exists for) at every test scale.
+    */
+  def urlPlant(docId: Column): Column = concat(
+    when(docId % 2 === 0, lit("https")).otherwise(lit("http")), lit("://"),
+    urlHosts.zipWithIndex.foldLeft(lit(urlHosts.head)) { case (acc, (h, i)) =>
+      when(docId % 7 === i, lit(h)).otherwise(acc)
+    },
+    when(docId % 11 === 0, lit(":8080")).otherwise(lit("")),
+    lit("/p/"), (docId % 20).cast("string"),
+    when(docId % 5 === 0, concat(lit("?q="), (docId % 3).cast("string")))
+      .otherwise(lit("")))
+
+  /** URL PARSE + DOMAIN-BLOCKLIST gate — C4's first screen, before any
+    * content op: scheme/host/port/path split with engine-portable string
+    * ops (split on literal separators, negative list indexing for the
+    * registered domain = last two host labels), then the blocklist verdict
+    * per doc. Map-only: every column is a pure function of the planted
+    * URL; the output sort is the only exchange. Real pipelines read `url`
+    * from the crawl record — swap [[urlPlant]] for that column and nothing
+    * else changes.
+    */
+  def tx_url(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), urlPlant(col("doc_id")).as("url"))
+      .withColumn("rest", element_at(split(col("url"), "://"), 2))
+      .withColumn("scheme", element_at(split(col("url"), "://"), 1))
+      .withColumn("hostport", element_at(split(col("rest"), "/"), 1))
+      .withColumn("host", element_at(split(col("hostport"), ":"), 1))
+      .withColumn("port",
+        when(size(split(col("hostport"), ":")) > 1,
+          element_at(split(col("hostport"), ":"), 2).cast("long")))
+      .withColumn("path_q", substring(
+        col("rest"), length(col("hostport")) + 1, lit(1 << 24)))
+      .withColumn("path", element_at(split(col("path_q"), "\\?"), 1))
+      .withColumn("labels", split(col("host"), "\\."))
+      .withColumn("domain", concat(
+        element_at(col("labels"), -2), lit("."), element_at(col("labels"), -1)))
+    d.select(col("doc_id"), col("url"), col("scheme"), col("host"),
+      col("port"), col("path"), col("domain"),
+      col("domain").isInCollection(urlBlocklist).as("blocked"))
+      .orderBy("doc_id")
+  }
+
+  /** URL-level dedup — C4 deduplicates by URL before any content pass: a
+    * re-crawl of the same page (scheme flips, a www prefix, a port, a
+    * tracking query) must collapse to one keeper. Normalization = host
+    * without the leading www + path (scheme/port/query dropped); groups
+    * with >1 doc emit (normalized url, keeper = min doc_id, n_copies).
+    * One map-side-combined shuffle on the normalized key at any scale.
+    */
+  def tx_url_dedup(s: SparkSession, dir: String): DataFrame = {
+    val url = urlPlant(col("doc_id"))
+    val rest = element_at(split(url, "://"), 2)
+    val hostport = element_at(split(rest, "/"), 1)
+    val host = element_at(split(hostport, ":"), 1)
+    val path = element_at(
+      split(substring(rest, length(hostport) + 1, lit(1 << 24)), "\\?"), 1)
+    docs(s, dir)
+      .select(col("doc_id"),
+        concat(regexp_replace(host, "^www\\.", ""), path).as("norm_url"))
+      .groupBy("norm_url")
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .orderBy("norm_url")
+  }
+
+  /** Host-level census — the per-domain volume/blocklist audit a crawl
+    * curation run reports before admitting a domain: documents and
+    * distinct hosts per registered domain plus the blocklist verdict.
+    * One tiny aggregate (domains are bounded); count_distinct expands to
+    * the standard two-phase aggregate.
+    */
+  def tx_url_hosts(s: SparkSession, dir: String): DataFrame = {
+    val url = urlPlant(col("doc_id"))
+    val rest = element_at(split(url, "://"), 2)
+    val host = element_at(split(element_at(split(rest, "/"), 1), ":"), 1)
+    val labels = split(host, "\\.")
+    val domain = concat(element_at(labels, -2), lit("."), element_at(labels, -1))
+    docs(s, dir)
+      .select(col("doc_id"), host.as("host"), domain.as("domain"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("host")).as("n_hosts"))
+      .withColumn("blocked", col("domain").isInCollection(urlBlocklist))
+      .orderBy("domain")
+  }
+
   /** Deterministic synthetic HTML page around a document's text — the
     * [[piiPlant]] device for the raw-web front of the pipeline: the clean
     * corpus carries no markup, so every third doc is wrapped in a page

@@ -1799,6 +1799,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(5L)._3 == 0L && got(5L)._5 == md5Of(""))
   }
 
+  test("tx_url family: parse fields, blocklist verdicts, and normalization collapse hand-checked") {
+    val dir = tmpDocs(Seq(
+      (0L, "a", "en", "s", 1L), // https://www.example.com:8080/p/0?q=0
+      (2L, "b", "en", "s", 1L), // https://spam.casino-ads.net/p/2 → blocked
+      (5L, "c", "en", "s", 1L), // http://ads.tracker.io/p/5?q=2 → blocked
+      (7L, "d", "en", "s", 1L), // http://www.example.com/p/7
+      (20L, "e", "en", "s", 1L), // https://news.site.org/p/0?q=2
+      (140L, "f", "en", "s", 1L))) // www.example.com/p/0?q=2 — re-crawl of doc 0
+    val u = TextAnalysis.tx_url(spark, dir).collect().map(r => r.getLong(0) -> r).toMap
+    assert(u(0L).getString(1) == "https://www.example.com:8080/p/0?q=0")
+    assert(u(0L).getString(2) == "https" && u(0L).getString(3) == "www.example.com")
+    assert(u(0L).getLong(4) == 8080L && u(0L).getString(5) == "/p/0")
+    assert(u(0L).getString(6) == "example.com" && !u(0L).getBoolean(7))
+    assert(u(7L).isNullAt(4)) // no port
+    assert(u(2L).getBoolean(7) && u(2L).getString(6) == "casino-ads.net")
+    assert(u(5L).getBoolean(7) && u(5L).getString(6) == "tracker.io")
+    // URL dedup: docs 0 and 140 differ in scheme detail (port, query) but
+    // normalize to example.com/p/0 — one keeper, the re-crawl collapses
+    val dd = TextAnalysis.tx_url_dedup(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(dd.toSeq == Seq(("example.com/p/0", 0L, 2L)))
+    // host census per registered domain with the blocklist verdict
+    val hosts = TextAnalysis.tx_url_hosts(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(hosts("example.com") == ((3L, 1L, false)))
+    assert(hosts("casino-ads.net") == ((1L, 1L, true)))
+    assert(hosts("tracker.io") == ((1L, 1L, true)))
+    assert(hosts("site.org") == ((1L, 1L, false)))
+  }
+
   /** Write a tiny events table to a temp dir shaped like testdata. */
   private def tmpEvents(
       rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]): String = {
