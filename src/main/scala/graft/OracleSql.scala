@@ -43,6 +43,27 @@ object OracleSql {
   private val urlBlockSql: String =
     graft.operators.TextAnalysis.urlBlocklist.map(d => s"'$d'").mkString(", ")
 
+  /** Word bigrams as a list expression over a staged `w` word array — the
+    * shingle spelling of the samp_importance twin, shared by the scorer
+    * twins.
+    */
+  private val bigramListSql: String =
+    """CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+      |     ELSE list_transform(generate_series(0, len(w) - 2),
+      |                         i -> array_to_string(w[i+1:i+2], ' ')) END""".stripMargin.replace("\n", " ")
+
+  /** `TextAnalysis.scoreRawCol`'s twin: Σ w[first-hex-char bucket] over a
+    * bigram list, the CASE built from the SAME scoreWeights constant;
+    * COALESCE(…, 0) mirrors the Spark fold's 0 init on an empty list.
+    */
+  private def scoreRawSql(grams: String): String = {
+    val branches = "0123456789abcdef".zipWithIndex
+      .map { case (c, i) =>
+        s"WHEN '$c' THEN ${graft.operators.TextAnalysis.scoreWeights(i)}"
+      }.mkString(" ")
+    s"COALESCE(CAST(list_sum(list_transform($grams, x -> CASE substr(md5(x), 1, 1) $branches END)) AS BIGINT), 0)"
+  }
+
   /** Cosine in explicit double arithmetic, matching the op order of
     * [[graft.functions.TextFunctions.cosine]] term-for-term so Spark and
     * DuckDB produce bit-identical doubles (DuckDB's builtin
@@ -1268,12 +1289,13 @@ object OracleSql {
       s"""WITH base AS (
          |  SELECT doc_id, source, text, CAST(length(text) AS BIGINT) AS len,
          |    md5(text) AS digest,
-         |    ($wordBandSql AND $meanBandSql AND $stopHitsSql) AS keep
+         |    ($wordBandSql AND $meanBandSql AND $stopHitsSql) AS keep,
+         |    ${scoreRawSql(s"($bigramListSql)")} > 0 AS sc_ok
          |  FROM (SELECT doc_id, source, text, string_split(text, ' ') AS w,
          |          CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
          |            / len(string_split(text, ' ')) AS ml
          |        FROM documents)),
-         |q AS (SELECT * FROM base WHERE keep),
+         |q AS (SELECT * FROM base WHERE keep AND sc_ok),
          |k AS (
          |  SELECT *, row_number() OVER (PARTITION BY digest
          |    ORDER BY len DESC, doc_id ASC) AS rn FROM q),
@@ -1290,6 +1312,7 @@ object OracleSql {
          |  WHERE substr(md5(text), 1, 6) < thr GROUP BY 1)
          |SELECT b.source, count(*) AS n_raw,
          |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |  CAST(sum(CASE WHEN keep AND sc_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
          |  COALESCE(max(d.n_dedup), 0) AS n_dedup,
          |  COALESCE(max(sm.n_release), 0) AS n_release
          |FROM base b
@@ -1743,6 +1766,22 @@ object OracleSql {
 
     // dd_exact_best: per-digest best copy by (quality, length, -doc_id);
     // the row_number formulation is equivalent to Spark's max_by-over-struct
+    // tx_score: hashed-bigram linear scorer; the weight CASE is built from
+    // the SAME scoreWeights constant the Spark fold compiles
+    "tx_score" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, $bigramListSql AS gs
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+         |        FROM documents WHERE text IS NOT NULL))
+         |SELECT doc_id,
+         |  CAST(len(gs) AS BIGINT) AS n_grams,
+         |  ${scoreRawSql("gs")} AS score_raw,
+         |  CASE WHEN len(gs) > 0
+         |       THEN CAST(${scoreRawSql("gs")} AS DOUBLE) / CAST(len(gs) AS DOUBLE)
+         |  END AS score,
+         |  ${scoreRawSql("gs")} > 0 AS keep
+         |FROM g ORDER BY doc_id""".stripMargin,
+
     // tx_url family: the plant CASEs and the blocklist IN-list are built
     // from the SAME Scala constants the Spark operators compile
     // (TextAnalysis.urlHosts/urlBlocklist — the mixtureWeights device)

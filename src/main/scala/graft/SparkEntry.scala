@@ -136,6 +136,8 @@ object SparkEntry {
     "tx_url" -> (TextAnalysis.tx_url _),
     "tx_url_dedup" -> (TextAnalysis.tx_url_dedup _),
     "tx_url_hosts" -> (TextAnalysis.tx_url_hosts _),
+    // fasttext-style learned quality scorer over hashed bigram features
+    "tx_score" -> (TextAnalysis.tx_score _),
     "dd_spans" -> ((s, d) => Dedup.dd_spans(s, d)),
     "dd_incremental" -> ((s, d) => Dedup.dd_incremental(s, d)),
     "q48_upsert" -> (Relational.q48_upsert _),

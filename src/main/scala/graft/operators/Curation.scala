@@ -689,7 +689,10 @@ object Curation {
 
   /** Release audit — the per-SOURCE funnel composing this round's curation
     * members through their SHARED definitions: Gopher quality gate
-    * ([[TextAnalysis.gopherCriteria]]) → best-COPY exact dedup
+    * ([[TextAnalysis.gopherCriteria]]) → learned-scorer gate
+    * ([[TextAnalysis.scoreRawCol]], the tx_score margin — the CCNet/Llama
+    * ordering: heuristics first, then the model screen; both map-only
+    * columns on the same scan) → best-COPY exact dedup
     * ([[Dedup.dd_exact_best]]'s orderable-struct keeper: longest survivor,
     * ties to the smallest doc_id — map-side partial `max_by`, one row per
     * digest per partition over the one shuffle) → fixed-target mixture
@@ -705,10 +708,16 @@ object Curation {
     val (okCount, okMean, okStops) = TextAnalysis.gopherCriteria()
     val base = docs(s, dir)
       .select(col("doc_id"), col("source"), col("text"),
+        shingles(col("text"), 2).as("gs"),
         length(col("text")).cast("long").as("len"),
         md5(col("text")).as("digest"),
         (okCount && okMean && okStops).as("keep"))
-    val q = base.filter(col("keep"))
+      // the learned-scorer gate (the SAME margin as [[TextAnalysis.
+      // tx_score]]): heuristic gate first, then the model screen — the
+      // CCNet/Llama ordering; both are map-only columns on the one scan
+      .withColumn("sc_ok", TextAnalysis.scoreRawCol(col("gs")) > 0L)
+      .drop("gs")
+    val q = base.filter(col("keep") && col("sc_ok"))
     val keepers = q.groupBy("digest")
       .agg(max_by(struct(col("doc_id"), col("source"), col("text")),
         struct(col("len"), -col("doc_id"))).as("r"))
@@ -719,12 +728,13 @@ object Curation {
       .join(broadcast(mixtureThresholds(keepers)), Seq("source"))
       .filter(col("p6") < col("thr"))
     base.groupBy("source").agg(count(lit(1)).as("n_raw"),
-        sum(when(col("keep"), 1L).otherwise(0L)).as("n_quality"))
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("keep") && col("sc_ok"), 1L).otherwise(0L)).as("n_scored"))
       .join(keepers.groupBy("source").agg(count(lit(1)).as("n_dedup")),
         Seq("source"), "left")
       .join(sampled.groupBy("source").agg(count(lit(1)).as("n_release")),
         Seq("source"), "left")
-      .select(col("source"), col("n_raw"), col("n_quality"),
+      .select(col("source"), col("n_raw"), col("n_quality"), col("n_scored"),
         coalesce(col("n_dedup"), lit(0L)).as("n_dedup"),
         coalesce(col("n_release"), lit(0L)).as("n_release"))
       .orderBy("source")

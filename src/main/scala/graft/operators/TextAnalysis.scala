@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions.words
+import graft.functions.TextFunctions.{shingles, words}
 import graft.sources.Tables
 
 /** Text-analysis operators over the `documents` table: corpus statistics,
@@ -769,6 +769,55 @@ object TextAnalysis {
       .toDF()
       .orderBy("doc_id")
   }
+
+  /** The learned quality model's weight table: one SMALL-INTEGER weight per
+    * 4-bit hashed feature bucket (bucket = first hex char of the bigram's
+    * md5 — [[Curation.samp_importance]]'s hashed-bucket device at width 1).
+    * A fasttext-style linear scorer ships exactly this shape — hashed
+    * n-gram features × a dense weight vector — and publishing the weights
+    * as a fixed constant keeps every margin EXACT-INTEGER, so the DuckDB
+    * twin (whose CASE is built from this same Seq) hash-matches
+    * bit-for-bit. Swap in real trained weights without touching the
+    * operator.
+    */
+  private[graft] val scoreWeights: Seq[Int] =
+    Seq(-3, 5, -1, 2, 7, -4, 0, 1, -2, 6, -5, 3, -1, 4, 2, -6)
+
+  /** The raw linear margin Σ w[bucket(bigram)] over a STAGED bigram-array
+    * column (callers stage `shingles(text, 2)` once, the tx_entropy
+    * staging convention) — the ONE scoring definition shared by
+    * [[tx_score]] and [[Curation.pipeline_release]]'s score gate (the
+    * gopherCriteria convention). Entirely map-side: an aggregate() fold;
+    * exact 64-bit integer arithmetic.
+    */
+  private[graft] def scoreRawCol(grams: Column): Column =
+    aggregate(grams, lit(0L), (a, g) =>
+      a + "0123456789abcdef".zipWithIndex.foldLeft(lit(0)) {
+        case (acc, (c, i)) =>
+          when(substring(md5(g), 1, 1) === c.toString, lit(scoreWeights(i)))
+            .otherwise(acc)
+      }.cast("long"))
+
+  /** Learned QUALITY SCORER — the fasttext-style screen (CCNet / Llama
+    * recipes) that follows the heuristic gates ([[tx_gopher]]): a
+    * broadcast linear model over hashed bigram features, score =
+    * margin / n_grams, gate = margin > 0 (an INTEGER comparison — no
+    * float threshold to diverge on). The weight table is the fixed public
+    * constant [[scoreWeights]]; at 100 TB the whole scorer is one
+    * map-only scan (the fold runs in the scan projection, weights are
+    * plan literals — not even a broadcast join), and the output sort is
+    * the only exchange.
+    */
+  def tx_score(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), shingles(col("text"), 2).as("gs"))
+      .select(col("doc_id"),
+        size(col("gs")).cast("long").as("n_grams"),
+        scoreRawCol(col("gs")).as("score_raw"))
+      .withColumn("score", when(col("n_grams") > 0,
+        col("score_raw").cast("double") / col("n_grams").cast("double")))
+      .withColumn("keep", col("score_raw") > 0)
+      .orderBy("doc_id")
 
   /** The deterministic URL plant's host pool and domain blocklist — shared
     * Scala constants the DuckDB twins build their CASE/IN fragments from

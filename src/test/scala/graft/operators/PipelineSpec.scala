@@ -1829,6 +1829,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(hosts("site.org") == ((1L, 1L, false)))
   }
 
+  test("tx_score: margin equals an independent hashed-bigram reference; gate is the exact integer margin > 0") {
+    val dir = tmpDocs(Seq(
+      (1L, "alpha beta gamma", "en", "s", 1L),
+      (2L, "zz", "en", "s", 1L))) // single word → whole-doc shingle
+    def ref(text: String): Long = {
+      val ws = text.split(" ")
+      val grams = if (ws.length < 2) Seq(text)
+        else ws.sliding(2).map(_.mkString(" ")).toSeq
+      grams.map { g =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        TextAnalysis.scoreWeights("0123456789abcdef".indexOf(h.head)).toLong
+      }.sum
+    }
+    val got = TextAnalysis.tx_score(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    assert(got(1L)._1 == 2L && got(1L)._2 == ref("alpha beta gamma"))
+    assert(got(2L)._1 == 1L && got(2L)._2 == ref("zz"))
+    assert(got(1L)._3 == (got(1L)._2 > 0) && got(2L)._3 == (got(2L)._2 > 0))
+  }
+
   /** Write a tiny events table to a temp dir shaped like testdata. */
   private def tmpEvents(
       rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]): String = {
