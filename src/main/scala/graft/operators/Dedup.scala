@@ -89,6 +89,15 @@ object Dedup {
     * k-element arrays cross the wire once per DISTINCT candidate pair
     * instead of twice per banded row (at 8 bands that is ~16× less
     * signature traffic through the widest shuffle).
+    *
+    * MEASURED RECALL vs exact n-gram Jaccard ground truth
+    * ([[dd_ngram_jaccard]]), spec-pinned in PipelineSpec at sf0.01: the
+    * trustworthy regime is NEAR-IDENTICAL pairs — J ≥ 0.8 recall 1.000;
+    * the borderline band J ∈ [0.45, 0.6) measured 0.339 (banding theory:
+    * collision probability 1−(1−J⁴)⁸ ≈ 0.42 at J=0.5, minus the
+    * estimated-Jaccard filter). Use the default threshold for re-crawl
+    * dedup; for borderline similarity, [[dd_ngram_jaccard]] is the
+    * verification-grade member.
     */
   def dd_minhash(s: SparkSession, dir: String, k: Int = 32, bands: Int = 8,
       threshold: Double = 0.5, maxBucket: Int = 10000): DataFrame = {
@@ -280,6 +289,17 @@ object Dedup {
   /** SimHash near-dup: 64-bit fingerprints, candidates share one of four
     * 16-bit bands (any pair within Hamming distance 3 must agree on ≥1 band),
     * verified by exact Hamming distance.
+    */
+  /** SimHash near-dup pairs (Charikar's fingerprint; banded-Hamming
+    * candidates, exact bit_count verify, hamming ≤ `maxHamming`).
+    *
+    * MEASURED RECALL vs exact n-gram Jaccard ground truth, spec-pinned in
+    * PipelineSpec at sf0.01: at the default 3/64 bits the trustworthy
+    * regime is only the MOST-identical tail — J ≥ 0.95 recall 0.625, and
+    * exactly 0 below J 0.8 (a 64-bit fingerprint within 3 bits implies
+    * far higher similarity than J=0.5). SimHash is the cheap screen for
+    * re-crawl/boilerplate duplicates; [[dd_minhash]] reaches lower
+    * similarity, [[dd_ngram_jaccard]] is exact.
     */
   def dd_simhash(s: SparkSession, dir: String, maxHamming: Int = 3,
       maxBucket: Int = 10000): DataFrame =

@@ -1850,6 +1850,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(1L)._3 == (got(1L)._2 > 0) && got(2L)._3 == (got(2L)._2 > 0))
   }
 
+  test("lexical sketch recall vs exact n-gram Jaccard ground truth: regimes measured and pinned") {
+    // the SemDeDup-recall precedent applied to the lexical sketches:
+    // ground truth = dd_ngram_jaccard (exact, recall 1 by construction);
+    // recall = |sketch ∩ truth| / |truth| per exact-J band. Deterministic
+    // end to end (xxhash sketches, fixed corpus + plant), so the measured
+    // numbers are stable, not flaky floors.
+    val dir = "/root/testdata/sf0.01"
+    val raw = graft.sources.Tables.loadParallel(spark, dir, "documents")
+    val maxId = raw.agg(max(col("doc_id"))).first().getLong(0)
+    // borderline plant: every 5th doc re-emitted with a mutated copy of
+    // its own words appended — roughly doubles the shingle set → J ≈ 0.5
+    val planted = raw.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + maxId + 1).as("doc_id"),
+        concat(col("text"), lit(" "),
+          regexp_replace(col("text"), "([a-z0-9]+)", "q$1x")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val tmp = java.nio.file.Files.createTempDirectory("graftrecall").toString
+    raw.unionByName(planted).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val truth = Dedup.dd_ngram_jaccard(spark, tmp, threshold = 0.3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val mh = Dedup.dd_minhash(spark, tmp, threshold = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = Dedup.dd_simhash(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(s: Set[(Long, Long)], lo: Double, hi: Double): (Double, Int) = {
+      val t = truth.filter { case (_, j) => j >= lo && j < hi }.keySet
+      (if (t.isEmpty) -1.0 else (t & s).size.toDouble / t.size, t.size)
+    }
+    // minhash: trustworthy in the near-identical regime, honest loss below
+    val (mHigh, nHigh) = recall(mh, 0.8, 1.01)
+    val (mBorder, nBorder) = recall(mh, 0.45, 0.6)
+    info(f"minhash recall: J>=0.8 $mHigh%.3f (n=$nHigh); J in [0.45,0.6) $mBorder%.3f (n=$nBorder)")
+    assert(nHigh >= 20 && mHigh >= 0.95, f"near-identical regime: $mHigh%.3f")
+    assert(nBorder >= 50 && mBorder > 0.2 && mBorder < 0.5,
+      f"borderline loss should match banding theory (~0.42 at J=0.5): $mBorder%.3f")
+    // simhash at 3/64 bits: only the most-identical tail, zero below 0.8
+    val (sTail, nTail) = recall(sh, 0.95, 1.01)
+    val (sLow, _) = recall(sh, 0.3, 0.8)
+    info(f"simhash recall: J>=0.95 $sTail%.3f (n=$nTail); J in [0.3,0.8) $sLow%.3f")
+    assert(nTail >= 20 && sTail >= 0.5, f"most-identical tail: $sTail%.3f")
+    assert(sLow <= 0.05, f"simhash must NOT pretend to reach J<0.8: $sLow%.3f")
+  }
+
   /** Write a tiny events table to a temp dir shaped like testdata. */
   private def tmpEvents(
       rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]): String = {
