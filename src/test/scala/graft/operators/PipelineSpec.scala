@@ -1893,6 +1893,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(sLow <= 0.05, f"simhash must NOT pretend to reach J<0.8: $sLow%.3f")
   }
 
+  test("idx_health: repeat invocations reuse the per-JVM scratch index and report identically") {
+    val dir = "/root/testdata/sf0.001"
+    val first = Similarity.idx_health(spark, dir).collect().map(_.toSeq).toSeq
+    val t0 = System.nanoTime()
+    val second = Similarity.idx_health(spark, dir).collect().map(_.toSeq).toSeq
+    info(s"warm idx_health: ${(System.nanoTime() - t0) / 1000000} ms (no rebuild)")
+    assert(first == second && first.nonEmpty)
+  }
+
   /** Write a tiny events table to a temp dir shaped like testdata. */
   private def tmpEvents(
       rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]): String = {
