@@ -846,6 +846,17 @@ object TextAnalysis {
     when(docId % 5 === 0, concat(lit("?q="), (docId % 3).cast("string")))
       .otherwise(lit("")))
 
+  /** Registered domain (last two host labels) of a URL column — the ONE
+    * parse shared by the [[tx_url]] family and the streaming ingest gate
+    * ([[graft.streaming.DocsStream.urlGate]]).
+    */
+  private[graft] def urlDomain(url: Column): Column = {
+    val host = element_at(
+      split(element_at(split(element_at(split(url, "://"), 2), "/"), 1), ":"), 1)
+    val labels = split(host, "\\.")
+    concat(element_at(labels, -2), lit("."), element_at(labels, -1))
+  }
+
   /** URL PARSE + DOMAIN-BLOCKLIST gate — C4's first screen, before any
     * content op: scheme/host/port/path split with engine-portable string
     * ops (split on literal separators, negative list indexing for the
@@ -957,13 +968,18 @@ object TextAnalysis {
     * inline (?s) — no lookaround), so the DuckDB twin evaluates them
     * identically.
     */
-  def tx_extract(s: SparkSession, dir: String, minWords: Int = 3): DataFrame = {
+  /** The extraction pipeline over a raw-page DataFrame carrying a `t`
+    * column — the ONE definition shared by the batch [[tx_extract]] and
+    * the streaming ingest gate ([[graft.streaming.DocsStream.extractGate]]
+    * — stateless column ops, so the stream applies the batch semantics
+    * verbatim and the two cannot drift). Adds had_html / n_lines /
+    * n_kept / n_links / cleaned; staged projections (the tx_entropy
+    * convention): each non-cheap intermediate stays ONE attribute instead
+    * of inlining per use.
+    */
+  private[graft] def extractCols(d: DataFrame, minWords: Int): DataFrame = {
     val nWords = (c: Column) => size(split(c, " "))
-    docs(s, dir).filter(col("text").isNotNull)
-      .select(col("doc_id"), htmlPlant(col("doc_id"), col("text")).as("t"))
-      // staged projections (the tx_entropy convention): each non-cheap
-      // intermediate stays ONE attribute instead of inlining per use
-      .withColumn("clean",
+    d.withColumn("clean",
         regexp_replace(regexp_replace(col("t"),
           "(?s)<script[^>]*>.*?</script>", " "),
           "(?s)<style[^>]*>.*?</style>", " "))
@@ -973,16 +989,25 @@ object TextAnalysis {
         trim(regexp_replace(regexp_replace(l, "<[^>]*>", ""), " +", " ")).as("s"))))
       .withColumn("kept", filter(col("stats"), st =>
         nWords(st("s")) >= minWords && st("links") * 2 <= nWords(st("s"))))
+      .withColumn("had_html", col("t").rlike("<[a-z]"))
+      .withColumn("n_lines", size(col("lines")).cast("long"))
+      .withColumn("n_kept", size(col("kept")).cast("long"))
+      .withColumn("n_links",
+        aggregate(col("stats"), lit(0L), (a, st) => a + st("links")))
       .withColumn("cleaned",
         array_join(transform(col("kept"), st => st("s")), " "))
+      .drop("clean", "lines", "stats", "kept")
+  }
+
+  def tx_extract(s: SparkSession, dir: String, minWords: Int = 3): DataFrame =
+    extractCols(
+      docs(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), htmlPlant(col("doc_id"), col("text")).as("t")),
+      minWords)
       .select(
-        col("doc_id"),
-        col("t").rlike("<[a-z]").as("had_html"),
-        size(col("lines")).cast("long").as("n_lines"),
-        size(col("kept")).cast("long").as("n_kept"),
-        aggregate(col("stats"), lit(0L), (a, st) => a + st("links")).as("n_links"),
+        col("doc_id"), col("had_html"), col("n_lines"), col("n_kept"),
+        col("n_links"),
         length(col("cleaned")).cast("long").as("clean_len"),
         md5(col("cleaned")).as("clean_digest"))
       .orderBy("doc_id")
-  }
 }

@@ -291,4 +291,37 @@ object DocsStream {
             .drop("digest", "bpass"))
     }
   }
+
+  /** Ingest-time RAW-WEB EXTRACTION gate — the streaming face of
+    * [[graft.operators.TextAnalysis.tx_extract]]: the SAME
+    * [[graft.operators.TextAnalysis.extractCols]] pipeline (strip
+    * script/style, per-line tag strip, word-count + link-density line
+    * filters) applied to a document stream whose `text` column carries
+    * raw page markup. Stateless, map-only (regex/HOF column ops), so the
+    * gate keeps up at any ingest rate and cannot drift from the batch
+    * operator. Emits the stream with the extraction audit columns and
+    * `text` REPLACED by the cleaned content; pages that extract to
+    * nothing (pure boilerplate) are dropped — they carry no trainable
+    * content.
+    */
+  def extractGate(stream: DataFrame, minWords: Int = 3): DataFrame =
+    graft.operators.TextAnalysis.extractCols(
+        stream.filter(col("text").isNotNull).withColumn("t", col("text")),
+        minWords)
+      .withColumn("text", col("cleaned"))
+      .drop("t", "cleaned")
+      .filter(col("n_kept") > 0L)
+
+  /** Ingest-time URL gate — C4's first screen at the stream edge: drop
+    * documents whose registered domain (parsed by the SAME
+    * [[graft.operators.TextAnalysis.urlDomain]] as the batch tx_url
+    * family) sits on the blocklist. Stateless and map-only; a null or
+    * unparseable `url` yields a null domain, which is dropped — the
+    * conservative default for an ingest allow gate.
+    */
+  def urlGate(stream: DataFrame,
+      blocklist: Seq[String] = graft.operators.TextAnalysis.urlBlocklist): DataFrame =
+    stream
+      .withColumn("domain", graft.operators.TextAnalysis.urlDomain(col("url")))
+      .filter(!col("domain").isInCollection(blocklist))
 }

@@ -851,6 +851,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("extractGate: boilerplate stripped on the stream with the batch operator's exact semantics; empty extractions dropped") {
+    val input = MemoryStream[(Long, String)](spark)
+    val stream = input.toDF().toDF("doc_id", "text")
+    val q = DocsStream.extractGate(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("extract_gate").start()
+    try {
+      input.addData(
+        (1L, "<html><head><script>var a=1;</script></head><body>\n" +
+          "<div><a href=\"/h\">home</a> <a href=\"/a\">about</a> <a href=\"/f\">faq</a></div>\n" +
+          "<p>real content words live here</p>\n</body></html>"),
+        (2L, "plain text with no markup at all"),
+        (3L, "<div><a href=\"/x\">only</a> <a href=\"/y\">links</a></div>")) // pure boilerplate
+      q.processAllAvailable()
+      val got = spark.table("extract_gate")
+        .select("doc_id", "text", "had_html", "n_kept").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2), r.getLong(3)))).toMap
+      assert(got.keySet == Set(1L, 2L)) // doc 3 extracts to nothing → dropped
+      assert(got(1L) == (("real content words live here", true, 1L)))
+      assert(got(2L) == (("plain text with no markup at all", false, 1L)))
+    } finally q.stop()
+  }
+
+  test("urlGate: blocklisted domains dropped at the stream edge with the batch parse") {
+    val input = MemoryStream[(Long, String)](spark)
+    val stream = input.toDF().toDF("doc_id", "url")
+    val q = DocsStream.urlGate(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("url_gate").start()
+    try {
+      input.addData(
+        (1L, "https://www.example.com/p/1"),
+        (2L, "http://spam.casino-ads.net/p/2"), // blocked domain
+        (3L, "https://ads.tracker.io:8080/p/3?q=1"), // blocked, port+query
+        (4L, "http://en.wikipedia.org/p/4"))
+      q.processAllAvailable()
+      assert(spark.table("url_gate").select("doc_id")
+        .as[Long].collect().toSet == Set(1L, 4L))
+    } finally q.stop()
+  }
+
   test("StateClock.monotoneTimeoutMs: past-watermark clamp; saturates instead of wrapping near Long.MaxValue") {
     assert(StateClock.monotoneTimeoutMs(100L, 50L, 10L) == 150L)
     assert(StateClock.monotoneTimeoutMs(100L, 50L, 200L) == 201L) // clamp
