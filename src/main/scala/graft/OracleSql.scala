@@ -117,10 +117,13 @@ object OracleSql {
     * counts + a 60-bit md5-prefix xor digest computed from the parquet
     * ORIGINALS only — matching it proves the converted copy bit-exact.
     */
+  // digest keyed by doc_id so duplicate-text pairs cannot xor-cancel —
+  // mirrors Jsonl.corpusSummary
   private val srcRoundTripSql: String =
     """SELECT lang, count(*) AS n_docs,
       |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
-      |  bit_xor(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)) AS content_digest
+      |  bit_xor(CAST(concat('0x',
+      |    substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15)) AS BIGINT)) AS content_digest
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Mixture-weight CASE generated from [[graft.operators.Curation.mixtureWeights]]. */

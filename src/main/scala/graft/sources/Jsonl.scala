@@ -29,13 +29,11 @@ object Jsonl {
 
   val CorruptCol = "_corrupt"
 
-  /** The documents-table schema in JSONL form. */
-  val documentsSchema: StructType = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("text", StringType),
-    StructField("lang", StringType),
-    StructField("source", StringType),
-    StructField("n_chars", LongType)))
+  /** The documents-table schema — the canonical copy lives with the source
+    * registry ([[Tables.documentsSchema]]); this alias keeps the format
+    * module's API.
+    */
+  val documentsSchema: StructType = Tables.documentsSchema
 
   /** Read JSONL with an explicit schema; malformed lines become rows with
     * only [[CorruptCol]] set (PERMISSIVE mode, no inference pass).
@@ -94,10 +92,15 @@ object Jsonl {
   /** Per-lang count/volume/content-digest summary — the round-trip
     * certificate shared by [[src_jsonl]] and [[Orc.src_orc]] (one oracle,
     * computed from the parquet originals, certifies any format's
-    * conversion).
+    * conversion). The digest hashes doc_id WITH the text
+    * ([[Sinks.writeManifest]]'s documented pitfall): a text-only xor lets
+    * duplicate-text pairs cancel to zero — the corpus carries real
+    * duplicates, and an identical writer mangle of both copies would have
+    * passed the certificate undetected.
     */
   private[sources] def corpusSummary(df: DataFrame): DataFrame = {
-    val digest = bit_xor(conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long"))
+    val digest = bit_xor(conv(substring(
+      md5(concat_ws("|", col("doc_id"), col("text"))), 1, 15), 16, 10).cast("long"))
     df.groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("n_chars"),

@@ -20,27 +20,35 @@ object Sinks {
     * deviation O(sqrt(rows/shards)), verified in SinksSpec.
     */
   def writeShards(docs: DataFrame, path: String, shards: Int,
-      textCol: String = "text"): Unit =
+      textCol: String = "text"): Unit = {
+    // pmod(x, 0) is null under non-ANSI defaults: shards=0 would land every
+    // row in __HIVE_DEFAULT_PARTITION__ — silently garbage layout, not an
+    // error; negative counts write negative shard dirs
+    require(shards > 0, s"writeShards: shards=$shards must be positive")
     docs
       .withColumn("shard", pmod(xxhash64(col(textCol)), lit(shards)).cast("int"))
       .repartition(shards, col("shard"))
       .write.mode("overwrite")
       .partitionBy("shard")
       .parquet(path)
+  }
 
-  /** JSONL (newline-delimited JSON) interchange — the lingua franca of
-    * text-corpus releases. Write: one JSON object per line, gzip-splittable
-    * only at file granularity, so shard count = task parallelism downstream;
-    * read: schema given explicitly (inference would scan twice and type
-    * drift across shards). Parquet remains the internal format — JSONL is
-    * the import/export edge.
+  /** JSONL interchange, delegating to the [[Jsonl]] module — ONE JSONL
+    * implementation (corrupt-record contract included), not a second one
+    * that drifts. `writeJsonl` adds only the shard-count repartition (the
+    * task-parallelism knob for file-granular formats); `readJsonl` returns
+    * [[Jsonl.read]]'s frame, whose `_corrupt` column makes malformed lines
+    * VISIBLE — the bare schema-only read surfaced them as silent all-null
+    * rows.
     */
-  def writeJsonl(df: DataFrame, path: String, shards: Int = 8): Unit =
-    df.repartition(shards).write.mode("overwrite").json(path)
+  def writeJsonl(df: DataFrame, path: String, shards: Int = 8): Unit = {
+    require(shards > 0, s"writeJsonl: shards=$shards must be positive")
+    Jsonl.write(df.repartition(shards), path)
+  }
 
   def readJsonl(spark: org.apache.spark.sql.SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
-    spark.read.schema(schema).json(path)
+    Jsonl.read(spark, path, schema)
 
   /** Per-shard release manifest for a [[writeShards]] layout: row count,
     * text bytes, and an ORDER-INDEPENDENT content digest

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr}
-import org.apache.spark.sql.types.{DataType, LongType, StructType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType, TimestampNTZType, TimestampType}
 
 /** Source registry for the driver-provided synthetic tables (TESTDATA.md).
   *
@@ -16,6 +16,17 @@ object Tables {
     Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
   val extra: Seq[String] = Seq("events", "documents", "embeddings")
   val all: Seq[String] = tpch ++ extra
+
+  /** The canonical documents-table schema — owned by the source registry,
+    * referenced by every interchange-format module ([[Jsonl]], [[Orc]])
+    * rather than parked inside one format.
+    */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
 
   /** Per-JVM scratch directory for (prefix, key) — for façade queries that
     * round-trip the corpus through another format or build a throwaway
@@ -39,14 +50,73 @@ object Tables {
       d.toString
     })
 
+  /** Run `body` with `spark.sql.legacy.parquet.nanosAsLong` set, restoring
+    * the prior value after — the flag changes how EVERY parquet read in
+    * the session surfaces TIMESTAMP(NANOS) (raw long instead of a loud
+    * failure), so leaking it session-wide would inflict the
+    * silently-guessed-unit failure on readers that have no normalizer.
+    * When the events file really IS nanos, [[load]] deliberately re-sets
+    * it un-scoped: the executing scan consults the conf again at task
+    * planning, and only that corpus needs it.
+    */
+  private def withNanosAsLong[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** Does the parquet footer annotate `ts` as TIMESTAMP(NANOS)? Under
+    * nanosAsLong BOTH a nanos timestamp and a genuine raw BIGINT column
+    * surface as LongType in the Spark schema, so the Spark-observed type
+    * under-determines the unit — a regeneration shipping raw epoch-micros
+    * int64 would silently be divided by 1000 (the exact 1000× class this
+    * dispatch exists to stop). The footer's logical-type annotation is the
+    * ground truth; one footer read, no data pass.
+    */
+  private def tsNanosAnnotated(spark: SparkSession, path: String): Boolean = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val file =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).minBy(_.getName.toString)
+      else p
+    val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    val schema = try in.getFooter.getFileMetaData.getSchema finally in.close()
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    schema.getType(schema.getFieldIndex("ts")).asPrimitiveType()
+      .getLogicalTypeAnnotation match {
+      case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+        t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+      case _ => false
+    }
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // the generator has shipped events.ts as TIMESTAMP(NANOS), TIMESTAMP_NTZ
       // and TIMESTAMP(MICROS) across regenerations — dispatch on what the
       // reader OBSERVES, never assume a unit
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(s"$dir/$name.parquet")
-      eventsTsNormalizer(raw.schema("ts").dataType)(raw)
+      val path = s"$dir/$name.parquet"
+      val raw = withNanosAsLong(spark)(spark.read.parquet(path))
+      val tsType = raw.schema("ts").dataType
+      if (tsType == LongType) {
+        require(tsNanosAnnotated(spark, path),
+          s"events.ts in $path surfaced as BIGINT but the parquet footer " +
+            "does not annotate TIMESTAMP(NANOS) — a raw integer epoch " +
+            "column of unknown unit; refusing to guess (see eventsTsNormalizer)")
+        // the executing scan needs the legacy flag too — only a genuinely
+        // nanos corpus leaves it set
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      }
+      eventsTsNormalizer(tsType)(raw)
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** The `ts`-normalizing transform keyed on the type the parquet reader
@@ -81,8 +151,13 @@ object Tables {
     * and applies the same normalizer the batch path uses.
     */
   def eventsStreamSchema(spark: SparkSession, path: String): (StructType, DataFrame => DataFrame) = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val observed = spark.read.parquet(path).schema
+    val observed = withNanosAsLong(spark)(spark.read.parquet(path)).schema
+    if (observed("ts").dataType == LongType) {
+      require(tsNanosAnnotated(spark, path),
+        s"events.ts in $path surfaced as BIGINT but the parquet footer " +
+          "does not annotate TIMESTAMP(NANOS) — refusing to guess the unit")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true") // see load
+    }
     (observed, eventsTsNormalizer(observed("ts").dataType))
   }
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
-import graft.sources.{Sinks, Tables}
+import graft.sources.{Jsonl, Sinks, Tables}
 
 class SinksSpec extends AnyFunSuite {
 
@@ -63,10 +63,17 @@ class SinksSpec extends AnyFunSuite {
     val out = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
     val docs = Tables.loadParallel(spark, dir, "documents")
     Sinks.writeJsonl(docs, out, shards = 4)
+    // readJsonl delegates to Jsonl.read: malformed lines are VISIBLE in
+    // the _corrupt column instead of becoming silent all-null rows
     val back = Sinks.readJsonl(spark, out, docs.schema)
-    assert(back.schema == docs.schema)
+    assert(back.schema.fieldNames.toSeq ==
+      docs.schema.fieldNames.toSeq :+ Jsonl.CorruptCol)
+    // a clean release round-trips clean (collect keeps doc_id referenced —
+    // count() would prune to a corrupt-only scan, which Spark rejects;
+    // see the Jsonl.corruptRecords docs)
+    assert(Jsonl.corruptRecords(back).select("doc_id").collect().isEmpty)
     val a = docs.orderBy("doc_id").collect().map(_.toSeq).toSeq
-    val b = back.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = back.drop(Jsonl.CorruptCol).orderBy("doc_id").collect().map(_.toSeq).toSeq
     assert(a == b)
   }
 

@@ -66,11 +66,40 @@ class StreamingSpec extends AnyFunSuite {
     // micros: a native timestamp column, written as parquet TIMESTAMP
     logical.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.parquet(s"$root/micros/events.parquet")
-    // nanos: the legacy shape — a raw nanos long in the ts slot (exactly how
-    // a TIMESTAMP(NANOS) file surfaces under legacy.parquet.nanosAsLong)
-    logical.map { case (id, ts, u, e, v, p) => (id, ts.getTime * 1000000L, u, e, v, p) }
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .coalesce(1).write.parquet(s"$root/nanos/events.parquet")
+    // nanos: a REAL TIMESTAMP(NANOS) file written via parquet-mr (Spark
+    // cannot write the unit) — the footer ANNOTATION matters now: the
+    // reader refuses a raw BIGINT ts that merely looks like nanos
+    // (TablesSpec pins the rejection), so the simulation must carry the
+    // genuine logical type
+    locally {
+      import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+      val schema = Types.buildMessage()
+        .addField(Types.required(INT64).named("event_id"))
+        .addField(Types.required(INT64)
+          .as(LogicalTypeAnnotation.timestampType(true,
+            LogicalTypeAnnotation.TimeUnit.NANOS)).named("ts"))
+        .addField(Types.required(INT64).named("user_id"))
+        .addField(Types.required(BINARY)
+          .as(LogicalTypeAnnotation.stringType()).named("event_type"))
+        .addField(Types.required(DOUBLE).named("value"))
+        .addField(Types.required(BINARY)
+          .as(LogicalTypeAnnotation.stringType()).named("props"))
+        .named("events")
+      val conf = new org.apache.hadoop.conf.Configuration()
+      org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(schema, conf)
+      val factory = new org.apache.parquet.example.data.simple.SimpleGroupFactory(schema)
+      val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+        .builder(new org.apache.hadoop.fs.Path(s"$root/nanos/events.parquet/part-0.parquet"))
+        .withConf(conf).build()
+      try logical.foreach { case (id, ts, u, e, v, p) =>
+        val g = factory.newGroup()
+        g.add("event_id", id); g.add("ts", ts.getTime * 1000000L)
+        g.add("user_id", u); g.add("event_type", e)
+        g.add("value", v); g.add("props", p)
+        w.write(g)
+      } finally w.close()
+    }
     val outputs = Seq("micros", "nanos").map { unit =>
       val q = EventsStream.readStream(spark, s"$root/$unit")
         .writeStream.outputMode("append")
