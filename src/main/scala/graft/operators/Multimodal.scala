@@ -25,9 +25,21 @@ object Multimodal {
   /** Stand-in media corpus: documents' text bytes as the opaque payload with
     * deterministic pseudo metadata. At 100 TB this column would be parquet
     * binary written by an ingest job; the operators below don't care.
+    * Null text is excluded HERE — the one place all four consumers
+    * inherit from — because a null payload has no bytes to fingerprint,
+    * digest, frame, or decode: md5(null) would collapse unrelated docs
+    * into one fake mm_dedup group (the dd_exact rationale) and
+    * extractFeatures' typed row would NPE on the executor.
     */
   def mediaTable(s: SparkSession, dir: String): DataFrame =
-    Tables.loadParallel(s, dir, "documents").select(
+    mediaTableOn(Tables.loadParallel(s, dir, "documents"))
+
+  /** [[mediaTable]] over an already-loaded documents frame — lets façade
+    * queries that add planted rows ([[mm_phash_reenc]]) project base and
+    * plants from ONE scan instead of loading the table twice.
+    */
+  private def mediaTableOn(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull).select(
       col("doc_id"),
       col("text").cast("binary").as("payload"),
       element_at(array(lit("png"), lit("jpeg"), lit("wav")),
@@ -41,6 +53,9 @@ object Multimodal {
     * deterministic byte-histogram → 16-dim feature vector.
     */
   def extractFeatures(media: DataFrame, batchSize: Int = 64): Dataset[MediaFeatures] = {
+    // Iterator.grouped(0) would die deep in an executor task — fail loud
+    // at the driver (the repo's param-guard convention)
+    require(batchSize > 0, s"extractFeatures: batchSize=$batchSize must be positive")
     import media.sparkSession.implicits._
     media.select("doc_id", "payload", "format", "width", "height").as[MediaRow]
       .mapPartitions { rows =>
@@ -62,18 +77,26 @@ object Multimodal {
     * becomes a frame row — pure column algebra (explode over a computed
     * offset sequence + binary substring), no per-row JVM closures.
     */
-  def sampleFrames(media: DataFrame, frameBytes: Int = 32, stride: Int = 4): DataFrame =
+  def sampleFrames(media: DataFrame, frameBytes: Int = 32, stride: Int = 4): DataFrame = {
+    require(frameBytes > 0, s"sampleFrames: frameBytes=$frameBytes must be positive")
+    require(stride > 0, s"sampleFrames: stride=$stride must be positive")
     media
       .withColumn("n_frames", (length(col("payload")) / frameBytes).cast("int"))
+      // a payload with zero COMPLETE frames emits zero rows — the old
+      // greatest(..., 0) clamp forced a phantom frame 0 with truncated
+      // bytes (and a (doc_id, 0, NULL) row for a null payload), violating
+      // the fixed-size-chunk contract
+      .filter(col("n_frames") >= 1)
       .withColumn("frame_idx",
         // Column `/` is double division — keep the sequence bound integral
         explode(sequence(lit(0),
-          greatest(floor((col("n_frames") - 1) / stride).cast("int"), lit(0)))))
+          floor((col("n_frames") - 1) / stride).cast("int"))))
       .select(
         col("doc_id"),
         (col("frame_idx") * stride).as("frame_no"),
         expr(s"substring(payload, frame_idx * $stride * $frameBytes + 1, $frameBytes)")
           .as("frame_bytes"))
+  }
 
   /** Exact media dedup: group by payload digest — the binary-column twin of
     * [[Dedup.dd_exact]] (re-encoded/re-crawled byte-identical assets are the
@@ -141,12 +164,16 @@ object Multimodal {
     */
   def mm_phash_reenc(s: SparkSession, dir: String, stride: Int = 25,
       maxHamming: Int = 10, maxBucket: Int = 10000): DataFrame = {
-    val plants = Tables.loadParallel(s, dir, "documents")
-      .filter(pmod(col("doc_id"), lit(stride)) === 0)
+    // base and plants project from ONE loaded frame — two loadParallel
+    // calls would put two independent scans of the payload-bearing
+    // column into the union plan
+    val docs = Tables.loadParallel(s, dir, "documents")
+    val plants = docs
+      .filter(pmod(col("doc_id"), lit(stride)) === 0 && col("text").isNotNull)
       .select((-(col("doc_id") + 1)).cast("long").as("doc_id"),
         translate(col("text"), "eo", "dn").cast("binary").as("payload"),
         lit("png").as("format"), lit(64).as("width"), lit(64).as("height"))
-    mm_phashOn(mediaTable(s, dir).unionByName(plants), maxHamming, maxBucket)
+    mm_phashOn(mediaTableOn(docs).unionByName(plants), maxHamming, maxBucket)
   }
 
   /** The EXACT half of [[mm_phash]] under full oracle check: per-payload

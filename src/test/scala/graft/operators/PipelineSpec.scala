@@ -1902,6 +1902,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(first == second && first.nonEmpty)
   }
 
+  test("multimodal guards: null text excluded at mediaTable; no phantom frames; params fail loud") {
+    val dir = tmpDocs(Seq(
+      (1L, null, "en", "s", 1L),
+      (2L, null, "en", "s", 1L), // two null docs: mm_dedup must not fake a group
+      (3L, "short", "en", "s", 1L), // 5 bytes < frameBytes → ZERO complete frames
+      (4L, "x" * 80, "en", "s", 1L))) // 2 complete 32-byte frames
+    val media = Multimodal.mediaTable(spark, dir)
+    assert(media.count() == 2) // nulls excluded once, all consumers inherit
+    assert(Multimodal.mm_dedup(spark, dir).collect().forall(_.getString(0) != null))
+    assert(Multimodal.extractFeatures(media).count() == 2) // no NPE row
+    val frames = Multimodal.sampleFrames(media)
+    val byDoc = frames.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!byDoc.contains(3L)) // the old clamp emitted a truncated frame 0
+    assert(byDoc(4L) == 1L)
+    assert(frames.collect().forall(_.getAs[Array[Byte]]("frame_bytes").length == 32))
+    intercept[IllegalArgumentException](Multimodal.extractFeatures(media, batchSize = 0))
+    intercept[IllegalArgumentException](Multimodal.sampleFrames(media, frameBytes = 0))
+    intercept[IllegalArgumentException](Multimodal.sampleFrames(media, stride = 0))
+  }
+
   /** Write a tiny events table to a temp dir shaped like testdata. */
   private def tmpEvents(
       rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]): String = {
