@@ -8,20 +8,12 @@ object Bench {
     // (round 7 measured a uniform +15 % drift on identical code), and
     // min-of-3 tightens the artifact enough to compare rounds meaningfully.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // Full materialization: a noop-sink write evaluates every output column
-    // of every row. (`count()` is wrong here — Catalyst prunes unreferenced
-    // select expressions under it, so pure-projection queries would time at
-    // near-zero instead of their real expression-evaluation cost.)
+    // passes=0 would pay the full warmup sweep then die on an empty `best`
+    // map with no artifact at all — fail before any work
+    require(passes >= 1, s"SPARK_GRAFT_BENCH_PASSES=$passes must be >= 1")
+    val spark = DriverSession.build(defaultCpus = cpus)
     def run(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
+      DriverSession.runToNoop(df)
     // Steady-state warmup: run every query SHAPE once at sf0.001 so the
     // timed sf0.1 pass measures engine throughput, not first-plan driver
     // costs (lambda-site class spinning + uncompiled Catalyst tree-walk
@@ -74,7 +66,7 @@ object Bench {
     // total) from a real regression (canary steady, specific queries move)
     // without re-deriving per-query ratios every time.
     val canary = best.getOrElse("q05_topk", -1.0)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","valid":$valid,"canary_q05_topk":$canary,"queries":$qs,"errors":$errs,"passes":$passes,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","valid":$valid,"canary_q05_topk":$canary,"queries":$qs,"errors":$errs,"passes":$passes,"sf":${DriverSession.jsonQuote(sfDir)}}"""
     println(json)
     // The driver captures only the TAIL of stdout — with ~100 queries the
     // headline line gets truncated out of the artifact. Persist the full

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The ONE session/config/materialization/JSON layer shared by the four
+  * driver-contract mains ([[Verify]], [[Bench]], [[Time]], [[Explain]]) —
+  * the config block was copy-pasted per main with drifting variations, so
+  * a future required conf applied to one could silently diverge bench
+  * from correctness runs.
+  */
+private[graft] object DriverSession {
+
+  /** local[cpus] session with the repo's standard conf. AQE stays at
+    * Spark's default (on) unless SPARK_GRAFT_AQE explicitly overrides it
+    * for a plan experiment; log level defaults WARN, SPARK_GRAFT_LOG
+    * overrides.
+    */
+  def build(defaultCpus: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus)
+    val b = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    sys.env.get("SPARK_GRAFT_AQE")
+      .foreach(v => b.config("spark.sql.adaptive.enabled", v))
+    val s = b.getOrCreate()
+    s.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOG", "WARN"))
+    s
+  }
+
+  /** Full materialization to the noop sink — evaluates every output column
+    * of every row. (`count()` is wrong here: Catalyst prunes unreferenced
+    * select expressions under it, so pure-projection queries would time at
+    * near-zero instead of their real expression-evaluation cost.)
+    */
+  def runToNoop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  /** JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    * — a tab/CR in builder-authored SQL, or a quote in a caller-supplied
+    * path, would otherwise make the driver's json.load fail and silently
+    * zero the round's artifact.
+    */
+  def jsonQuote(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+}

@@ -12,18 +12,10 @@ object Time {
     val names = args(0).split(",").toSeq // comma-separated: earlier ones warm the JVM
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 1
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOG", "WARN"))
+    val spark = DriverSession.build(defaultCpus = "32")
     for (name <- names; r <- 1 to reps) {
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      DriverSession.runToNoop(SparkEntry.queries(name)(spark, sfDir))
       println(f"$name rep$r%d: ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
     spark.stop()
