@@ -25,6 +25,33 @@ object OracleSql {
   private def synthCentsSql(mod: Int): String =
     s"CASE WHEN $centsSql % $mod = 0 THEN NULL ELSE $centsSql END"
 
+  /** `Clustering.embed_rp`'s twin: the int8 quantize fragment is
+    * embed_quantize's exact scheme, and each projection inlines the SAME
+    * [[graft.operators.Clustering.rpSigns]] row as a list literal — the
+    * mixtureWeights shared-constant device, so operator and oracle derive
+    * one sign matrix. Dims are pinned to the testdata's 64 (the Spark side
+    * probes dims at runtime; a generator change would surface as a schema
+    * mismatch here, not a silent pass). All arithmetic is 64-bit integer.
+    */
+  private val embedRpSql: String = {
+    val projCols = graft.operators.Clustering.rpSigns(8, 64).zipWithIndex
+      .map { case (row, i) =>
+        s"CAST(list_sum(list_transform(generate_series(1, 64), " +
+          s"j -> q[j] * ([${row.mkString(",")}])[j])) AS BIGINT) AS p$i"
+      }.mkString(",\n  ")
+    s"""SELECT vec_id,
+       |  $projCols
+       |FROM (
+       |  SELECT vec_id,
+       |    CASE WHEN maxabs = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+       |         ELSE list_transform(embedding,
+       |                x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / maxabs)) AS BIGINT)) END AS q
+       |  FROM (SELECT vec_id, embedding,
+       |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+       |        FROM embeddings))
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** `TextAnalysis.urlPlant`'s twin, built congruence-for-congruence from
     * the SAME host pool constant.
     */
@@ -1876,6 +1903,76 @@ object OracleSql {
         |  CAST(length(cleaned) AS BIGINT) AS clean_len,
         |  md5(cleaned) AS clean_digest
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // dd_lines: dd_para's chunk device + ordinality (struct list), the
+    // same first-occurrence total order (doc_id, pos), and an ordered
+    // string_agg reassembly — the digest certifies the rewrite itself
+    "dd_lines" ->
+      """WITH ch AS (
+        |  SELECT doc_id, pc.pos AS pos, pc.chunk AS chunk, md5(pc.chunk) AS digest
+        |  FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      generate_series(0, (len(w) - 1) // 16),
+        |      i -> {'pos': i, 'chunk': array_to_string(w[i*16+1:i*16+16], ' ')})) AS pc
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |          FROM documents WHERE text IS NOT NULL))),
+        |rk AS (
+        |  SELECT doc_id, pos, chunk,
+        |    row_number() OVER (PARTITION BY digest ORDER BY doc_id, pos) AS rn
+        |  FROM ch),
+        |reb AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(chunk, ' ' ORDER BY pos) AS t
+        |  FROM rk WHERE rn = 1 GROUP BY doc_id),
+        |base AS (
+        |  SELECT doc_id,
+        |    CAST((len(string_split(text, ' ')) - 1) // 16 + 1 AS BIGINT) AS n_chunks
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT base.doc_id, n_chunks,
+        |  CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+        |  md5(COALESCE(t, '')) AS text_digest
+        |FROM base LEFT JOIN reb ON base.doc_id = reb.doc_id
+        |ORDER BY base.doc_id""".stripMargin,
+
+    "ev_paths" ->
+      """WITH rk AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, string_agg(event_type, ' > ' ORDER BY rn) AS path
+        |  FROM rk WHERE rn <= 3 GROUP BY user_id)
+        |SELECT path, count(*) AS n_users FROM p GROUP BY path
+        |ORDER BY n_users DESC, path""".stripMargin,
+
+    // rel_diff: presence via explicit flags (not digest nullness — a
+    // null-text doc must not read as absent); both-present digests compare
+    // null-safely, mirroring the Spark <=> exactly
+    "rel_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS d1, true AS in1 FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 10 = 1 THEN text || ' [v2]' ELSE text END) AS d2,
+        |    true AS in2
+        |  FROM documents WHERE doc_id % 10 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, md5(text), true
+        |  FROM documents WHERE doc_id % 10 = 2),
+        |j AS (
+        |  SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+        |    CASE WHEN in1 IS NULL THEN 'added'
+        |         WHEN in2 IS NULL THEN 'removed'
+        |         WHEN d1 IS NOT DISTINCT FROM d2 THEN 'unchanged'
+        |         ELSE 'changed' END AS status
+        |  FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT status, count(*) AS n,
+        |  CAST(min(doc_id) AS BIGINT) AS min_id,
+        |  CAST(max(doc_id) AS BIGINT) AS max_id
+        |FROM j GROUP BY status ORDER BY status""".stripMargin,
+
+    "embed_rp" -> embedRpSql,
+
+    "src_csv" -> srcRoundTripSql,
 
     "dd_exact_best" ->
       s"""WITH d AS (

@@ -172,6 +172,16 @@ object SparkEntry {
     "samp_importance" -> ((s, d) => Curation.samp_importance(s, d)),
     "ev_dwell" -> (Relational.ev_dwell _),
     "ev_reach" -> (Relational.ev_reach _),
+    // corpus-level line dedup with rewrite (C4's repeated-line pass)
+    "dd_lines" -> ((s, d) => Curation.dd_lines(s, d)),
+    // top first-k journey-path census
+    "ev_paths" -> ((s, d) => Relational.ev_paths(s, d)),
+    // release-to-release snapshot diff census
+    "rel_diff" -> (Curation.rel_diff _),
+    // signed random projection over the shared int8 codes
+    "embed_rp" -> ((s, d) => Clustering.embed_rp(s, d)),
+    // CSV round trip certified against the parquet originals
+    "src_csv" -> (graft.sources.Csv.src_csv _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the

@@ -172,6 +172,56 @@ object Clustering {
       floor(err * (1L << 20)).cast("long").as("err_q"))
   }
 
+  /** The shared ±1 sign matrix behind [[embed_rp]] — deterministic from
+    * md5("graft-rp|i|j") (first digest byte's parity), so the operator, the
+    * DuckDB twin (which inlines these as list literals), and any re-run
+    * derive the IDENTICAL matrix with no RNG seed to coordinate. Row i is
+    * output dimension i's signs over the input dimensions.
+    */
+  private[graft] def rpSigns(k: Int, dims: Int): Seq[Seq[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until k).map { i =>
+      (0 until dims).map { j =>
+        val h = md.digest(s"graft-rp|$i|$j".getBytes("UTF-8"))
+        if ((h(0) & 1) == 0) 1L else -1L
+      }
+    }
+  }
+
+  /** Signed RANDOM PROJECTION (Achlioptas 2003: ±1 entries are a valid
+    * JL-style projection) — the cheap dimensionality reducer a pipeline
+    * runs before sketch-family similarity work when even int8 vectors are
+    * too wide to shuffle: dims→k integer coordinates per vector. Projects
+    * the [[TextAnalysis.embed_quantize]] int8 codes (the SAME
+    * [[Similarity.int8Codes]] scheme — one quantization definition in the
+    * repo), so every output coordinate is an exact 64-bit integer sum
+    * (|code| ≤ 127, so k·dims·127 ≪ 2⁶³): no float accumulation order,
+    * bit-identical on any engine and any partitioning — the property that
+    * makes the twin a full hash oracle where float RP could never be.
+    * The sign matrix is the plan-literal [[rpSigns]]; cosine structure
+    * survives (spec-measured top-k recall vs exact float cosine).
+    *
+    * Scale shape: map-only — one scan, zero shuffles (the output sort is
+    * the façade's presentation order); the k·dims sign matrix is a plan
+    * literal, never a join side.
+    */
+  def embed_rp(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    require(k >= 1, s"embed_rp: k=$k must be positive")
+    val e = emb(s, dir)
+    // bounded driver probe (one row) — the embed_pq dims device
+    val dims = e.select(size(col("embedding"))).first().getInt(0)
+    val signs = rpSigns(k, dims)
+    val staged = e.select(col("vec_id"),
+      Similarity.int8Codes(col("embedding"),
+        Similarity.maxAbs(col("embedding"))).as("q"))
+    val projs = signs.zipWithIndex.map { case (row, i) =>
+      aggregate(
+        zip_with(col("q"), typedLit(row), (c, sg) => c * sg),
+        lit(0L), (a, x) => a + x).as(s"p$i")
+    }
+    staged.select((col("vec_id") +: projs): _*).orderBy("vec_id")
+  }
+
   /** The per-iteration trace (inertia, summary frame) — exposed so the spec
     * can assert Lloyd's monotone-inertia invariant without re-running. The
     * inertia scan is its own per-round job, so it only runs when traced

@@ -50,6 +50,59 @@ object Curation {
       .orderBy("digest")
   }
 
+  /** Corpus-level LINE dedup with REWRITE — the C4 pass that dd_para only
+    * reports: every repeated line (here, [[dd_para]]'s fixed `chunkWords`
+    * word stride — the corpus has no newlines) is kept at its FIRST
+    * occurrence in (doc_id, position) order and dropped everywhere else,
+    * and each document is reassembled from its surviving lines in original
+    * order. Emits per-document before/after line counts and the digest of
+    * the rewritten text — the digest pins the TRANSFORM itself (the
+    * [[TextAnalysis.tx_pii]] device), so the oracle certifies the rewrite,
+    * not just the bookkeeping. An exact duplicate of an earlier document
+    * rewrites to the empty string (n_kept = 0).
+    *
+    * Scale shape: explode (rows ~ corpus/chunkWords, each a digest + the
+    * chunk text), ONE digest-keyed window for first-occurrence selection
+    * (the shuffle volume is the corpus — the floor for any rewrite pass,
+    * since surviving text must reach its document), one per-doc
+    * reassembly aggregate, and a join back to the doc spine. Digest keys
+    * are uniform, so the window partition has no skew hotspot; nothing is
+    * collected driver-side.
+    */
+  def dd_lines(s: SparkSession, dir: String, chunkWords: Int = 16): DataFrame = {
+    require(chunkWords > 0, s"dd_lines: chunkWords=$chunkWords must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val chunks = graft.functions.WordChunks.of(col("text"), chunkWords)
+    // null text has no lines to dedup or rewrite — excluded at the source
+    // (the family invariant; a null md5 would also collapse all null docs
+    // into one phantom "line")
+    val d = docs(s, dir).filter(col("text").isNotNull)
+    val exploded = d
+      .select(col("doc_id"), posexplode(chunks).as(Seq("pos", "chunk")))
+      .withColumn("digest", md5(col("chunk")))
+    // (doc_id, pos) is unique, so the first-occurrence rank is a total
+    // order — deterministic on both engines
+    val firstOcc = exploded
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("digest").orderBy("doc_id", "pos")))
+      .filter(col("rn") === 1)
+    val rebuilt = firstOcc
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
+            p => p.getField("chunk")), " ").as("t"))
+    d.select(col("doc_id"), size(chunks).cast("long").as("n_chunks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        md5(coalesce(col("t"), lit(""))).as("text_digest"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic hash-stratified sampling: a row is kept iff the first two
     * hex chars of md5(text) fall below a threshold — here "40" = 64/256 =
     * exactly 25 %. Every row decides membership locally from its own bytes:
@@ -607,6 +660,47 @@ object Curation {
         s"stack(${cols.size}, $stackArgs) AS (col_name, n_nulls, n_distinct)")
       .select(col("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"))
       .orderBy("col_name")
+  }
+
+  /** Corpus snapshot DIFF — the release-to-release changelog a versioned
+    * dataset publishes (docs added / removed / changed / unchanged), the
+    * audit that catches silent regeneration drift between releases. The
+    * façade derives the "v2" snapshot deterministically from the corpus
+    * (the [[graft.operators.Dedup.dd_incremental]] residue device, so the
+    * DuckDB twin reproduces it exactly): doc_id % 10 == 0 is dropped,
+    * % 10 == 1 is edited (a suffix append), % 10 == 2 additionally ships a
+    * fresh copy under a new id. Presence is tracked with explicit flags —
+    * NOT digest nullness, which would misclassify a null-text doc as
+    * absent — and both-present docs compare digests null-safely.
+    *
+    * Scale shape: one full-outer shuffle join on doc_id carrying a 32-char
+    * digest per row (text never crosses the shuffle), then a census
+    * aggregate whose output is ≤ 4 rows. At 100 TB this is the cheapest
+    * possible diff: both sides scan once, project (id, digest), join.
+    */
+  def rel_diff(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), col("text"))
+    val res = pmod(col("doc_id"), lit(10))
+    val v1 = base.select(col("doc_id"), md5(col("text")).as("d1"),
+      lit(true).as("in1"))
+    val v2 = base.filter(res =!= 0)
+      .select(col("doc_id"),
+        when(res === 1, concat(col("text"), lit(" [v2]")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(base.filter(res === 2)
+        .select((col("doc_id") + lit(1000000000L)).as("doc_id"), col("text")))
+      .select(col("doc_id"), md5(col("text")).as("d2"), lit(true).as("in2"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("in1").isNull, "added")
+          .when(col("in2").isNull, "removed")
+          .when(col("d1") <=> col("d2"), "unchanged")
+          .otherwise("changed").as("status"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy("status")
   }
 
   /** Hashed-bigram IMPORTANCE scoring in the DSIR spirit (Xie et al. 2023,

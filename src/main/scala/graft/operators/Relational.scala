@@ -984,6 +984,37 @@ object Relational {
       .orderBy("event_type", "day")
   }
 
+  /** Top user JOURNEY PATHS — the onboarding-funnel census: each user's
+    * first `k` event types in timeline order, joined " > ", counted across
+    * users. [[ev_transitions]] is the memoryless edge view; this is the
+    * order-`k` prefix view that finds the actual entry sequences
+    * (discovery input to [[ev_funnel]]'s fixed stage order). Sequence
+    * order is (ts, event_id) — the [[transitionPairs]] tie rule — so the
+    * path strings are deterministic on both engines.
+    *
+    * Scale shape: one corpus-sized shuffle (the per-user window), then a
+    * per-user k-element reassembly aggregate on k·|users| rows, then a
+    * census whose domain is ≤ |event_types|^k rows — tiny-data exchanges
+    * after the first. The per-user array never exceeds k elements, so no
+    * collect_list can balloon on a hot user.
+    */
+  def ev_paths(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    require(k > 0, s"ev_paths: k=$k must be positive")
+    val seq = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val firstK = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(seq))
+      .filter(col("rn") <= k)
+    firstK
+      .groupBy("user_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          p => p.getField("event_type")), " > ").as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+  }
+
   /** NULL semantics surface — the dialect corners that silently differ
     * between engines if untested: explicit NULLS FIRST/LAST ordering (Spark
     * defaults nulls-first on ASC, Postgres/DuckDB default nulls-LAST, so

@@ -39,6 +39,38 @@ class CurationSpec extends AnyFunSuite {
     assert(rows(0).getAs[Long]("keeper") == 1L)
   }
 
+  test("dd_lines: first occurrence wins in (doc_id, pos) order; duplicate doc rewrites to empty; within-doc repeats drop") {
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(x.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val dir = docsDir(Seq(
+      (1L, sixteen + " unique one two three", "en", "s"), // chunks: [sixteen, "unique one two three"]
+      (2L, sixteen, "en", "s"),                           // exact repeat of doc1's chunk 0
+      (3L, sixteen + " " + sixteen + " fresh tail words", "en", "s"), // within-doc repeat + seen chunk
+      (4L, "entirely different words here", "en", "s")))
+    val got = Curation.dd_lines(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1 owns every first occurrence: rewrite reproduces the original bit-for-bit
+    assert(got(1L) == ((2L, 2L, md5hex(sixteen + " unique one two three"))))
+    // doc 2 is entirely previously-seen lines -> empty rewrite
+    assert(got(2L) == ((1L, 0L, md5hex(""))))
+    // doc 3: chunk 0 (sixteen) seen at doc 1; chunk 1 (sixteen again) is a
+    // WITHIN-corpus repeat too; only the fresh tail survives
+    assert(got(3L) == ((3L, 1L, md5hex("fresh tail words"))))
+    assert(got(4L) == ((1L, 1L, md5hex("entirely different words here"))))
+  }
+
+  test("rel_diff: residue-derived snapshot classifies added/removed/changed/unchanged exactly") {
+    val dir = docsDir((0L to 9L).map(i => (i, s"document number $i body", "en", "s")))
+    val got = Curation.rel_diff(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("removed") == ((1L, 0L, 0L)))
+    assert(got("changed") == ((1L, 1L, 1L)))
+    assert(got("added") == ((1L, 1000000002L, 1000000002L)))
+    assert(got("unchanged") == ((8L, 2L, 9L)))
+    assert(got.size == 4)
+  }
+
   test("tx_entropy: run-length histogram matches hand counts; empty doc yields zeros") {
     val dir = docsDir(Seq(
       (1L, "aabbbb", "en", "s"), // a:2 b:4 -> n=6 distinct=2 top=4 coll=4+16

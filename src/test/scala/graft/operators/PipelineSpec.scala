@@ -1424,6 +1424,77 @@ class PipelineSpec extends AnyFunSuite {
     assert(mode == Seq((1L, "A", 3L, 2L), (2L, "A", 1L, 1L)))
   }
 
+  test("ev_paths: first-k prefix paths hand-computed; k bounds the per-user sequence") {
+    val dir = java.nio.file.Files.createTempDirectory("graftpaths").toString
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    // u1: A,B,A; u2: A alone; u3: A,B,A,C (4th event must NOT extend the path)
+    Seq(
+      (1L, ts("2024-01-01T00:00:00Z"), 1L, "A", 1.0, "{}"),
+      (2L, ts("2024-01-01T00:00:10Z"), 1L, "B", 1.0, "{}"),
+      (3L, ts("2024-01-01T00:00:20Z"), 1L, "A", 1.0, "{}"),
+      (4L, ts("2024-01-01T00:00:00Z"), 2L, "A", 1.0, "{}"),
+      (5L, ts("2024-01-02T00:00:00Z"), 3L, "A", 1.0, "{}"),
+      (6L, ts("2024-01-02T00:00:10Z"), 3L, "B", 1.0, "{}"),
+      (7L, ts("2024-01-02T00:00:20Z"), 3L, "A", 1.0, "{}"),
+      (8L, ts("2024-01-02T00:00:30Z"), 3L, "C", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = graft.operators.Relational.ev_paths(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("A > B > A", 2L), ("A", 1L)))
+  }
+
+  test("embed_rp: integer projections deterministic, bounded, and distance-structure-preserving") {
+    val dir = "/root/testdata/sf0.001"
+    val a = Clustering.embed_rp(spark, dir).collect()
+    val b = Clustering.embed_rp(spark, dir).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq, "bit-identical across runs")
+    // every coordinate is an exact bounded integer: |code| <= 127 over 64 dims
+    val bound = 127L * 64L
+    assert(a.forall(r => (1 to 8).forall(i => math.abs(r.getLong(i)) <= bound)))
+    // the sign matrix is deterministic and rows are distinct (no collapsed
+    // output dimension)
+    val signs = Clustering.rpSigns(8, 64)
+    assert(signs == Clustering.rpSigns(8, 64))
+    assert(signs.distinct.size == 8)
+    // structure preservation, two regimes (the sketch-recall device):
+    def cos(x: Array[Double], y: Array[Double]): Double = {
+      val d = x.zip(y).map(p => p._1 * p._2).sum
+      val nx = math.sqrt(x.map(v => v * v).sum); val ny = math.sqrt(y.map(v => v * v).sum)
+      if (nx == 0 || ny == 0) -1.0 else d / (nx * ny)
+    }
+    def topK(q: Long, space: Map[Long, Array[Double]], k: Int): Seq[Long] =
+      space.toSeq.filter(_._1 != q)
+        .sortBy { case (id, v) => (-cos(space(q), v), id) }.take(k).map(_._1)
+    // (1) STRONG similarity survives: planted near-copies are RP-space
+    // top-1 — the regime the operator is for (near-dup candidates).
+    val rnd = new scala.util.Random(11)
+    val base = (0L until 60L).map(i =>
+      (i, Seq.fill(64)(rnd.nextFloat() * 2f - 1f), "b"))
+    val copies = base.take(10).map { case (i, v, _) =>
+      (i + 1000L, v.updated(0, v.head + 0.01f), "c") }
+    val planted = Clustering.embed_rp(spark, tmpEmb(base ++ copies)).collect()
+      .map(r => (r.getLong(0), (1 to 8).map(r.getLong).map(_.toDouble).toArray)).toMap
+    copies.foreach { case (cid, _, _) =>
+      assert(topK(cid, planted, 1) == Seq(cid - 1000L),
+        s"planted near-copy $cid must rank its base top-1 in RP space")
+    }
+    // (2) NOISE-regime candidate generation, measured and pinned: on the
+    // synthetic corpus (near-uniform vectors — the hardest case, neighbors
+    // barely separated from bulk) the exact top-10 lands in the RP top-100
+    // at a measured 0.489 mean; the floor documents that 64->8 signed dims
+    // is a coarse candidate generator there, NOT a final ranking.
+    val exact = spark.read.parquet(s"$dir/embeddings.parquet")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toMap
+    val rp = a.map(r => (r.getLong(0), (1 to 8).map(r.getLong).map(_.toDouble).toArray)).toMap
+    val recalls = exact.keys.toSeq.sorted.take(50).map { q =>
+      val e = topK(q, exact, 10).toSet
+      (e & topK(q, rp, 100).toSet).size.toDouble / e.size
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.4, s"mean RP top-10-in-top-100 recall $mean below the pinned floor 0.4")
+  }
+
   test("ann_sq: code-cosine recall >= 0.9 vs float bruteforce; ranks dense, self excluded") {
     val dir = "/root/testdata/sf0.01"
     val bf = Similarity.ann_bruteforce(spark, dir)

@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class CsvSpec extends AnyFunSuite {
+  lazy val spark: org.apache.spark.sql.SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  test("csv round trip is lossless vs the parquet original") {
+    val dir = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files.createTempDirectory("graftcsvrt").toString
+    val orig = Tables.loadParallel(spark, dir, "documents")
+    Csv.write(orig, tmp)
+    val back = Csv.readDocuments(spark, tmp)
+    assert(back.count() == orig.count())
+    def digest(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(bit_xor(xxhash64(col("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars")))).first().getLong(0)
+    assert(digest(back) == digest(orig))
+  }
+
+  test("csv null protocol: null vs empty text and quoting-sensitive chars survive the round trip") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftcsvnull").toString
+    val rows = Seq(
+      (1L, null.asInstanceOf[String], "en", "s", 0L),
+      (2L, "", "en", "s", 0L),
+      (3L, "a,b \"quoted\" and\nline two", "en", "s", 25L),
+      (4L, "plain words", "en", "s", 11L))
+    Csv.write(rows.toDF("doc_id", "text", "lang", "source", "n_chars"), tmp)
+    val back = Csv.readDocuments(spark, tmp).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toMap
+    assert(back(1L) == None, "null text must come back null, not empty")
+    assert(back(2L) == Some(""), "empty text must come back empty, not null")
+    assert(back(3L) == Some("a,b \"quoted\" and\nline two"),
+      "delimiter, quote, and newline chars must survive quoting")
+    assert(back(4L) == Some("plain words"))
+  }
+}
