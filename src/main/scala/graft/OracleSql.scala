@@ -25,13 +25,31 @@ object OracleSql {
   private def synthCentsSql(mod: Int): String =
     s"CASE WHEN $centsSql % $mod = 0 THEN NULL ELSE $centsSql END"
 
-  /** `Clustering.embed_rp`'s twin: the int8 quantize fragment is
-    * embed_quantize's exact scheme, and each projection inlines the SAME
+  /** The int8 quantize subquery — `Similarity.int8Codes`' twin, the ONE
+    * SQL spelling of the scheme (per-vector max-abs scale, floor, zero
+    * vector → all-zero codes). Yields (vec_id, q); shared by ann_sq,
+    * embed_quantize (which also needs maxabs and so keeps its own
+    * maxabs-projecting copy of the inner scan), and embed_rp, so the
+    * quantization definition cannot drift per query.
+    */
+  private val int8CodesSql: String =
+    """SELECT vec_id,
+      |    CASE WHEN maxabs = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+      |         ELSE list_transform(embedding,
+      |                x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / maxabs)) AS BIGINT)) END AS q
+      |  FROM (SELECT vec_id, embedding,
+      |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+      |        FROM embeddings)""".stripMargin
+
+  /** `Clustering.embed_rp`'s twin: the int8 codes are [[int8CodesSql]]
+    * (embed_quantize's exact scheme), and each projection inlines the SAME
     * [[graft.operators.Clustering.rpSigns]] row as a list literal — the
     * mixtureWeights shared-constant device, so operator and oracle derive
-    * one sign matrix. Dims are pinned to the testdata's 64 (the Spark side
-    * probes dims at runtime; a generator change would surface as a schema
-    * mismatch here, not a silent pass). All arithmetic is 64-bit integer.
+    * one sign matrix. Dims are pinned to the testdata's 64: a generator
+    * change to MORE dims surfaces here (the Spark side probes dims and
+    * would emit wider sums); a shrink below 64 passes benignly — q[j]
+    * beyond the list is NULL and list_sum skips NULLs, so both engines
+    * compute the same shorter sums. All arithmetic is 64-bit integer.
     */
   private val embedRpSql: String = {
     val projCols = graft.operators.Clustering.rpSigns(8, 64).zipWithIndex
@@ -41,14 +59,7 @@ object OracleSql {
       }.mkString(",\n  ")
     s"""SELECT vec_id,
        |  $projCols
-       |FROM (
-       |  SELECT vec_id,
-       |    CASE WHEN maxabs = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
-       |         ELSE list_transform(embedding,
-       |                x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / maxabs)) AS BIGINT)) END AS q
-       |  FROM (SELECT vec_id, embedding,
-       |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
-       |        FROM embeddings))
+       |FROM ($int8CodesSql)
        |ORDER BY vec_id""".stripMargin
   }
 
@@ -498,14 +509,8 @@ object OracleSql {
     // ranking by code cosine (integer dot and norms²; the per-vector scales
     // cancel), so the whole ANN query is oracle-exact
     "ann_sq" ->
-      """WITH q8 AS (
-        |  SELECT vec_id,
-        |    CASE WHEN maxabs = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
-        |         ELSE list_transform(embedding,
-        |                x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / maxabs)) AS BIGINT)) END AS q
-        |  FROM (SELECT vec_id, embedding,
-        |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
-        |        FROM embeddings)),
+      s"""WITH q8 AS (
+        |  $int8CodesSql),
         |n2 AS (
         |  SELECT vec_id, q,
         |    CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2
