@@ -63,6 +63,50 @@ object OracleSql {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** `Graph.plantedEdges`' twin: the deterministic citation edges, the
+    * same three congruences, self-loops dropped, duplicates collapsed.
+    * Spelled with the dd_lines struct-unnest device — a bare
+    * `unnest(...) AS dst` under DISTINCT/GROUP BY trips a DuckDB internal
+    * binder error ("Failed to bind column reference"), while unnesting a
+    * struct list and projecting its fields binds fine.
+    */
+  private val graphEdgesSql: String =
+    """SELECT DISTINCT p.src AS src, p.dst AS dst FROM (
+      |    SELECT unnest([
+      |      {'src': doc_id, 'dst': doc_id % 10},
+      |      {'src': doc_id, 'dst': doc_id // 2},
+      |      {'src': doc_id, 'dst': (doc_id*31+7) % n}]) AS p
+      |    FROM documents, (SELECT count(*) AS n FROM documents)) raw
+      |  WHERE p.src <> p.dst""".stripMargin
+
+  /** `Graph.graph_pagerank`'s twin — the 3 fixed-point iterations unrolled
+    * programmatically (one template, so the rounds cannot drift from each
+    * other); both integer-division sites (`// outdeg`, damping `// 1000`)
+    * mirror the Spark `div` exactly.
+    */
+  private val graphPagerankSql: String = {
+    val iters = 3
+    def round(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT d.doc_id AS v,
+         |    CAST(150000 + (850 * COALESCE(sc, 0)) // 1000 AS BIGINT) AS pr
+         |  FROM documents d LEFT JOIN (
+         |    SELECT dst AS v, sum(pr // outdeg) AS sc
+         |    FROM edges JOIN od USING (src) JOIN $prev p ON p.v = edges.src
+         |    GROUP BY dst) c ON c.v = d.doc_id)""".stripMargin
+    val rounds = (1 to iters)
+      .map(i => round(if (i == 1) "pr0" else s"it${i - 1}", s"it$i"))
+      .mkString(",\n")
+    s"""WITH edges AS (
+       |  $graphEdgesSql),
+       |od AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+       |pr0 AS (SELECT doc_id AS v, CAST(1000000 AS BIGINT) AS pr FROM documents),
+       |$rounds
+       |SELECT v AS doc_id, pr, CAST(COALESCE(outdeg, 0) AS BIGINT) AS outdeg
+       |FROM it$iters LEFT JOIN od ON od.src = it$iters.v
+       |ORDER BY pr DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   /** `TextAnalysis.urlPlant`'s twin, built congruence-for-congruence from
     * the SAME host pool constant.
     */
@@ -1978,6 +2022,24 @@ object OracleSql {
     "embed_rp" -> embedRpSql,
 
     "src_csv" -> srcRoundTripSql,
+
+    "graph_pagerank" -> graphPagerankSql,
+
+    "graph_degrees" ->
+      s"""WITH e AS (
+         |  $graphEdgesSql),
+         |od AS (SELECT src AS v, count(*) AS outdeg FROM e GROUP BY 1),
+         |idg AS (SELECT dst AS v, count(*) AS indeg FROM e GROUP BY 1),
+         |nd AS (
+         |  SELECT d.doc_id AS v,
+         |    CAST(COALESCE(outdeg, 0) AS BIGINT) AS outdeg,
+         |    CAST(COALESCE(indeg, 0) AS BIGINT) AS indeg
+         |  FROM documents d
+         |  LEFT JOIN od ON od.v = d.doc_id
+         |  LEFT JOIN idg ON idg.v = d.doc_id)
+         |SELECT outdeg, indeg, count(*) AS n_nodes,
+         |  CAST(min(v) AS BIGINT) AS first_node
+         |FROM nd GROUP BY 1, 2 ORDER BY outdeg, indeg""".stripMargin,
 
     "dd_exact_best" ->
       s"""WITH d AS (

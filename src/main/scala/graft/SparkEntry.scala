@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Clustering, Curation, Dedup, EtlQueries, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Clustering, Curation, Dedup, EtlQueries, Graph, Multimodal, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -182,6 +182,9 @@ object SparkEntry {
     "embed_rp" -> ((s, d) => Clustering.embed_rp(s, d)),
     // CSV round trip certified against the parquet originals
     "src_csv" -> (graft.sources.Csv.src_csv _),
+    // link-graph centrality over the planted citation graph
+    "graph_pagerank" -> ((s, d) => Graph.graph_pagerank(s, d)),
+    "graph_degrees" -> (Graph.graph_degrees _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Link-graph operators — the domain-authority side of corpus curation:
+  * production web corpora rank hosts/pages by link centrality before
+  * content filters ever run (Common Crawl publishes harmonic/PageRank
+  * centrality per domain; curation pipelines use it as a quality prior).
+  *
+  * The synthetic corpus has no link column, so the façade derives a
+  * deterministic citation graph from doc_id arithmetic (the urlPlant /
+  * rel_diff residue device — the DuckDB twin reproduces the exact edges):
+  * doc i cites hub (i mod 10), parent (i div 2), and (i·31+7) mod n
+  * (self-loops dropped, duplicate targets collapsed; doc_ids are
+  * contiguous 0..n−1 in the testdata, so every target exists). The three
+  * families give the plant the shape real link graphs have: ten Zipfian
+  * hubs (in-degree ~n/10), a binary-tree backbone (depth-graded
+  * in-degree), and one permutation keeping everything reachable — so the
+  * rank output is a real skewed ordering, not a regular graph's uniform
+  * fixed point.
+  *
+  * All ranking arithmetic is FIXED-POINT INTEGER (scores in millionths,
+  * damping 0.85 applied as ·850 then integer-div 1000; per-edge
+  * contribution is integer-div by out-degree), so every iteration is
+  * bit-deterministic under any partitioning and any engine — a full hash
+  * oracle over an iterative graph algorithm. Mass lost to integer floors
+  * (and to dangling nodes, which this simplified PageRank does not
+  * redistribute) is part of the pinned definition, exactly like the
+  * fixed-point centroid updates in [[Clustering]].
+  */
+object Graph {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.loadParallel(s, dir, "documents")
+
+  /** The deterministic citation edges (src, dst) + the node spine. */
+  private[operators] def plantedEdges(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val d = docs(s, dir).select(col("doc_id"))
+    // n via an aggregate broadcast-joined onto the spine: one tiny frame,
+    // no collect — the same in-plan-count shape as samp_balanced's cap
+    val n = d.agg(count(lit(1)).as("n"))
+    val edges = d.crossJoin(broadcast(n))
+      .select(col("doc_id").as("src"), explode(array(
+        pmod(col("doc_id"), lit(10L)),
+        expr("doc_id div 2"),
+        pmod(col("doc_id") * 31 + 7, col("n")))).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    (d, edges)
+  }
+
+  /** PageRank over the planted citation graph, `iters` rounds of the
+    * classic update pr'(v) = 0.15 + 0.85·Σ_{u→v} pr(u)/outdeg(u), spelled
+    * in millionths with integer division at both divide sites. Emits the
+    * top-`k` docs by final rank (ties to the smaller doc_id) with their
+    * out-degrees.
+    *
+    * Scale shape: per iteration, ONE corpus-sized shuffle pair — the
+    * edges⋈rank equi join on src, then the map-side-combined contribution
+    * sum on dst; the plan is `iters` such rounds, never a driver loop over
+    * rows (ranks stay distributed; nothing is collected). At 100 TB,
+    * hash-partition edges by src once and every iteration's join reuses
+    * that partitioning; the rank frame is |V| rows — small relative to
+    * |E| — and rides the same exchange. Out-degree is computed once.
+    * Lineage is cut per round ([[graft.Checkpoints]]) so iters plans don't
+    * stack.
+    */
+  def graph_pagerank(s: SparkSession, dir: String, iters: Int = 3,
+      k: Int = 20): DataFrame = {
+    require(iters >= 1, s"graph_pagerank: iters=$iters must be >= 1")
+    require(k >= 1, s"graph_pagerank: k=$k must be >= 1")
+    import graft.Checkpoints.DatasetCheckpointOps
+    val (d, edges) = plantedEdges(s, dir)
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val withDeg = edges.join(outdeg, Seq("src"))
+    var pr = d.select(col("doc_id").as("v"), lit(1000000L).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = withDeg
+        .join(pr.withColumnRenamed("v", "src"), Seq("src"))
+        .select(col("dst").as("v"), expr("pr div outdeg").as("c"))
+        .groupBy("v").agg(sum(col("c")).as("sc"))
+      pr = d.select(col("doc_id").as("v"))
+        .join(contrib, Seq("v"), "left")
+        .select(col("v"),
+          (lit(150000L) + expr("(850 * coalesce(sc, 0L)) div 1000")).as("pr"))
+        .graftCheckpoint()
+    }
+    pr.join(outdeg.withColumnRenamed("src", "v"), Seq("v"), "left")
+      .select(col("v").as("doc_id"), col("pr"),
+        coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+      .orderBy(col("pr").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Degree census of the planted graph — the sanity sheet published next
+    * to any centrality ranking (and the oracle anchor for the edge plant
+    * itself): per (out-degree, in-degree) class, how many nodes. Both
+    * degrees come from the ONE distinct edge set; nodes missing from a
+    * side count 0 there.
+    */
+  def graph_degrees(s: SparkSession, dir: String): DataFrame = {
+    val (d, edges) = plantedEdges(s, dir)
+    val outdeg = edges.groupBy(col("src").as("v")).agg(count(lit(1)).as("outdeg"))
+    val indeg = edges.groupBy(col("dst").as("v")).agg(count(lit(1)).as("indeg"))
+    d.select(col("doc_id").as("v"))
+      .join(outdeg, Seq("v"), "left")
+      .join(indeg, Seq("v"), "left")
+      .select(col("v"),
+        coalesce(col("outdeg"), lit(0L)).as("outdeg"),
+        coalesce(col("indeg"), lit(0L)).as("indeg"))
+      .groupBy("outdeg", "indeg")
+      .agg(count(lit(1)).as("n_nodes"), min(col("v")).as("first_node"))
+      .orderBy("outdeg", "indeg")
+  }
+}

@@ -163,8 +163,10 @@ class PlanShapeSpec extends AnyFunSuite {
                 // is the only predicate — the same shape as ann_bruteforce)
       "decon_embed", // corpus × broadcast eval benchmark: every training
                      // vector is scored against every eval vector by design
-      "ann_sq") // coded corpus × 8 broadcast query code rows — the
+      "ann_sq", // coded corpus × 8 broadcast query code rows — the
                 // ann_bruteforce shape on int8 codes
+      "graph_pagerank", "graph_degrees") // node spine × the broadcast
+                // 1-row corpus count that parameterizes the edge plant
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, dir).queryExecution.sparkPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
