@@ -2023,6 +2023,19 @@ object OracleSql {
 
     "src_csv" -> srcRoundTripSql,
 
+    "ev_attribution" ->
+      s"""WITH e AS (
+         |  SELECT event_type, $centsSql AS cents,
+         |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+         |  FROM events)
+         |SELECT COALESCE(channel, '(none)') AS channel,
+         |  count(*) AS n_purchases,
+         |  CAST(sum(cents) AS BIGINT) AS cents_sum
+         |FROM e WHERE event_type = 'purchase'
+         |GROUP BY 1 ORDER BY channel""".stripMargin,
+
     "graph_pagerank" -> graphPagerankSql,
 
     "graph_degrees" ->

@@ -185,6 +185,8 @@ object SparkEntry {
     // link-graph centrality over the planted citation graph
     "graph_pagerank" -> ((s, d) => Graph.graph_pagerank(s, d)),
     "graph_degrees" -> (Graph.graph_degrees _),
+    // last-touch revenue attribution per channel
+    "ev_attribution" -> (Relational.ev_attribution _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the

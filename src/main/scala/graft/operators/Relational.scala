@@ -984,6 +984,32 @@ object Relational {
       .orderBy("event_type", "day")
   }
 
+  /** LAST-TOUCH REVENUE ATTRIBUTION — the marketing-analytics close of the
+    * event family: each purchase's value is credited to the nearest
+    * PRECEDING non-purchase event in the user's timeline (the "channel");
+    * purchases with no prior touch credit "(none)". [[ev_funnel]] counts
+    * stage conversion; this allocates the money. Revenue is summed in the
+    * ONE cents quantization ([[centsCol]] — exact 64-bit integers), and
+    * the channel lookup is `last(..., ignoreNulls) OVER (user timeline,
+    * UNBOUNDED PRECEDING .. 1 PRECEDING)` with the (ts, event_id) tie
+    * rule — a running LOCF, not a self-join: ONE corpus-sized shuffle
+    * (the user window), then a census over ≤ |event_types|+1 rows.
+    */
+  def ev_attribution(s: SparkSession, dir: String): DataFrame = {
+    val seq = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(s, dir, "events")
+      .withColumn("channel",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(seq))
+      .filter(col("event_type") === "purchase")
+      .select(coalesce(col("channel"), lit("(none)")).as("channel"),
+        centsCol(col("value")).as("cents"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("cents_sum"))
+      .orderBy("channel")
+  }
+
   /** Top user JOURNEY PATHS — the onboarding-funnel census: each user's
     * first `k` event types in timeline order, joined " > ", counted across
     * users. [[ev_transitions]] is the memoryless edge view; this is the

@@ -1444,6 +1444,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Seq(("A > B > A", 2L), ("A", 1L)))
   }
 
+  test("ev_attribution: last preceding non-purchase touch gets the cents; untouched purchases credit (none)") {
+    val dir = java.nio.file.Files.createTempDirectory("graftattr").toString
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    Seq(
+      // u1: view, click, purchase 3.50, purchase 1.25 — BOTH purchases
+      // credit the click (a purchase is never a channel)
+      (1L, ts("2024-01-01T00:00:00Z"), 1L, "view", 1.00, "{}"),
+      (2L, ts("2024-01-01T00:00:10Z"), 1L, "click", 2.00, "{}"),
+      (3L, ts("2024-01-01T00:00:20Z"), 1L, "purchase", 3.50, "{}"),
+      (4L, ts("2024-01-01T00:00:30Z"), 1L, "purchase", 1.25, "{}"),
+      // u2: cold purchase — no prior touch
+      (5L, ts("2024-01-01T00:00:00Z"), 2L, "purchase", 9.99, "{}"),
+      // u3: signup then a one-cent purchase
+      (6L, ts("2024-01-01T00:00:00Z"), 3L, "signup", 1.0, "{}"),
+      (7L, ts("2024-01-01T00:00:10Z"), 3L, "purchase", 0.01, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = graft.operators.Relational.ev_attribution(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("(none)", 1L, 999L), ("click", 2L, 475L), ("signup", 1L, 1L)))
+  }
+
   test("embed_rp: integer projections deterministic, bounded, and distance-structure-preserving") {
     val dir = "/root/testdata/sf0.001"
     val a = Clustering.embed_rp(spark, dir).collect()
