@@ -226,6 +226,44 @@ object EventsStream {
         })
   }
 
+  case class TouchState(lastTouch: String)
+  case class Credit(user_id: Long, channel: String, cents: Long,
+      ts: java.sql.Timestamp)
+
+  /** Streaming twin of [[graft.operators.Relational.ev_attribution]]'s
+    * credit layer: each purchase emits one credit against the user's most
+    * recent PRECEDING non-purchase event (or "(none)" for a cold
+    * purchase), as the purchase arrives — the live feed a revenue
+    * dashboard aggregates by channel (update-mode groupBy or foreachBatch
+    * downstream). State per user is ONE last-touch string — bounded by
+    * user cardinality, independent of event volume; the batch twin's LOCF
+    * window collapses to exactly this state machine because only the
+    * latest touch ever matters. Cents are the batch operator's exact
+    * quantization (floor(value·100) — same IEEE double op). Per-user
+    * event-time order across batches is assumed, as in
+    * [[transitionsStream]]; StreamingSpec pins batch parity: credits
+    * aggregated by channel equal the batch census on identical input.
+    */
+  def attributionStream(events: Dataset[Event]): Dataset[Credit] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[Event], state: GroupState[TouchState]) => {
+          val sorted = rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
+          var touch = state.getOption
+          val out = Seq.newBuilder[Credit]
+          sorted.foreach { e =>
+            if (e.event_type == "purchase")
+              out += Credit(userId, touch.map(_.lastTouch).getOrElse("(none)"),
+                math.floor(e.value * 100).toLong, e.ts)
+            else touch = Some(TouchState(e.event_type))
+          }
+          touch.foreach(state.update)
+          out.result().iterator
+        })
+  }
+
   /** Stateful gap-based sessionization (30-min inactivity) via
     * flatMapGroupsWithState — the streaming twin of `q24_sessionize`.
     * State per user is ONE small struct regardless of history (bounded by

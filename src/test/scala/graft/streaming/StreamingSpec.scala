@@ -271,6 +271,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("attributionStream: credits aggregate to the batch ev_attribution census; touch state crosses batches") {
+    val input = MemoryStream[EventsStream.Event](spark)
+    def ev(id: Long, user: Long, sec: Long, st: String, v: Double) =
+      EventsStream.Event(id, new java.sql.Timestamp(sec * 1000L), user, st, v)
+    // user 7's click lands in batch 1, BOTH purchases in batch 2 — the
+    // last-touch state must carry across the batch boundary; user 9's cold
+    // purchase credits "(none)"
+    val batch1 = Seq(ev(1, 7, 0, "view", 1.0), ev(2, 7, 60, "click", 2.0))
+    val batch2 = Seq(ev(3, 7, 120, "purchase", 3.50), ev(4, 7, 180, "purchase", 1.25),
+      ev(5, 9, 0, "purchase", 9.99))
+    val q = EventsStream.attributionStream(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_out").start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("attr_out")
+        .groupBy("channel")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_purchases"),
+          org.apache.spark.sql.functions.sum("cents").as("cents_sum"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sorted
+      val dir = java.nio.file.Files.createTempDirectory("graftattr").toString
+      import spark.implicits._
+      (batch1 ++ batch2).map(e => (e.event_id, e.ts, e.user_id, e.event_type, e.value, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$dir/events.parquet")
+      val batch = graft.operators.Relational.ev_attribution(spark, dir)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sorted
+      assert(streamed == batch)
+      assert(streamed == Seq(("(none)", 1L, 999L), ("click", 2L, 475L)))
+    } finally q.stop()
+  }
+
   test("transitionsStream orders same-millisecond events by their microseconds, like the batch twin") {
     // regression pin for the getTime-millis truncation: e1 at 100us,
     // e2 at 900us in the SAME millisecond, with event_ids that would sort
