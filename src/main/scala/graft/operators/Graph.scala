@@ -75,9 +75,12 @@ object Graph {
     import graft.Checkpoints.DatasetCheckpointOps
     val (d, edges) = plantedEdges(s, dir)
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val withDeg = edges.join(outdeg, Seq("src"))
+    // materialize the degree-annotated edge list ONCE: every iteration
+    // joins against it, and without the cut each round would re-run the
+    // corpus scan + distinct shuffle that builds the plant
+    val withDeg = edges.join(outdeg, Seq("src")).graftCheckpoint()
     var pr = d.select(col("doc_id").as("v"), lit(1000000L).as("pr"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = withDeg
         .join(pr.withColumnRenamed("v", "src"), Seq("src"))
         .select(col("dst").as("v"), expr("pr div outdeg").as("c"))
@@ -86,7 +89,12 @@ object Graph {
         .join(contrib, Seq("v"), "left")
         .select(col("v"),
           (lit(150000L) + expr("(850 * coalesce(sc, 0L)) div 1000")).as("pr"))
-        .graftCheckpoint()
+      // cut lineage every few rounds, not every round: the plan grows one
+      // join+aggregate per round (linear, not nested), so a handful of
+      // rounds plan fine as one query — while an eager checkpoint per
+      // round costs a materialization job each. Every 4th round bounds
+      // plan depth for large iters at a quarter of the jobs.
+      if (i % 4 == 0 || i == iters) pr = pr.graftCheckpoint()
     }
     pr.join(outdeg.withColumnRenamed("src", "v"), Seq("v"), "left")
       .select(col("v").as("doc_id"), col("pr"),
