@@ -2023,6 +2023,24 @@ object OracleSql {
 
     "src_csv" -> srcRoundTripSql,
 
+    // decon_url: the tx_url_dedup normalization (one shared definition on
+    // the Spark side; this twin spells the identical split chain)
+    "decon_url" ->
+      s"""WITH u AS (SELECT doc_id, $urlPlantSql AS url FROM documents),
+         |r AS (SELECT doc_id, string_split(url, '://')[2] AS rest FROM u),
+         |hp AS (SELECT doc_id, rest,
+         |         string_split(rest, '/')[1] AS hostport FROM r),
+         |n AS (SELECT doc_id,
+         |        regexp_replace(string_split(hostport, ':')[1], '^www\\.', '') ||
+         |        string_split(substr(rest, length(hostport) + 1), '?')[1] AS norm_url
+         |      FROM hp),
+         |e AS (SELECT norm_url, CAST(min(doc_id) AS BIGINT) AS eval_min,
+         |        count(*) AS n_eval
+         |      FROM n WHERE doc_id % 3 = 0 GROUP BY 1)
+         |SELECT doc_id, norm_url, eval_min, n_eval
+         |FROM n JOIN e USING (norm_url)
+         |WHERE doc_id % 3 <> 0 ORDER BY doc_id""".stripMargin,
+
     "ev_attribution" ->
       s"""WITH e AS (
          |  SELECT event_type, $centsSql AS cents,

@@ -187,6 +187,8 @@ object SparkEntry {
     "graph_degrees" -> (Graph.graph_degrees _),
     // last-touch revenue attribution per channel
     "ev_attribution" -> (Relational.ev_attribution _),
+    // URL-provenance decontamination (the decon family's third screen)
+    "decon_url" -> ((s, d) => Curation.decon_url(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the

@@ -606,6 +606,40 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** URL-level DECONTAMINATION — the third screen of the decon family
+    * (exact n-grams, fuzzy Jaccard, embeddings — and now provenance):
+    * benchmark datasets publish their source URLs, and a training doc
+    * crawled from the SAME page as an eval doc is contaminated regardless
+    * of how the text was re-rendered (The Pile / C4 both screen by URL).
+    * A training doc is flagged when its NORMALIZED url
+    * ([[TextAnalysis.normUrl]] — the tx_url_dedup key, one shared
+    * definition) matches any eval-slice doc's; emits the matched training
+    * docs with the smallest matching eval doc and the match count.
+    *
+    * Scale shape: the eval side aggregates to one row per distinct eval
+    * URL and BROADCASTS (benchmarks are KB-to-MB scale); the corpus side
+    * is map-only against it — the decon_ngram shape on a provenance key.
+    *
+    * The eval slice is a doc_id residue (the rel_diff device), NOT
+    * decon_ngram's source slice: the generator assigns source = src(id
+    * mod 20) and the planted URL path is also id mod 20, so a
+    * source-sliced eval set could never share a URL with training docs —
+    * the screen would be structurally vacuous.
+    */
+  def decon_url(s: SparkSession, dir: String, evalMod: Int = 3): DataFrame = {
+    require(evalMod >= 2, s"decon_url: evalMod=$evalMod needs both slices nonempty")
+    val isEval = pmod(col("doc_id"), lit(evalMod)) === 0
+    val withUrl = docs(s, dir).select(col("doc_id"),
+      TextAnalysis.normUrl(col("doc_id")).as("norm_url"), isEval.as("is_eval"))
+    val evalUrls = withUrl.filter(col("is_eval"))
+      .groupBy("norm_url")
+      .agg(min(col("doc_id")).as("eval_min"), count(lit(1)).as("n_eval"))
+    withUrl.filter(!col("is_eval"))
+      .join(broadcast(evalUrls), Seq("norm_url"))
+      .select(col("doc_id"), col("norm_url"), col("eval_min"), col("n_eval"))
+      .orderBy("doc_id")
+  }
+
   /** Data card: the per-(lang, source) release summary every corpus ships
     * with — doc/char/word volumes, median document length, exact-duplicate
     * count (docs minus distinct digests), and the Gopher-quality pass

@@ -924,23 +924,31 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** URL-level dedup — C4 deduplicates by URL before any content pass: a
-    * re-crawl of the same page (scheme flips, a www prefix, a port, a
-    * tracking query) must collapse to one keeper. Normalization = host
-    * without the leading www + path (scheme/port/query dropped); groups
-    * with >1 doc emit (normalized url, keeper = min doc_id, n_copies).
-    * One map-side-combined shuffle on the normalized key at any scale.
+  /** Normalized URL of the planted URL for `docId` — host without the
+    * leading www + path (scheme/port/query dropped): the ONE normalization
+    * shared by [[tx_url_dedup]] and [[Curation.decon_url]], so the dedup
+    * key and the decontamination key cannot drift.
     */
-  def tx_url_dedup(s: SparkSession, dir: String): DataFrame = {
-    val url = urlPlant(col("doc_id"))
+  private[graft] def normUrl(docId: Column): Column = {
+    val url = urlPlant(docId)
     val rest = element_at(split(url, "://"), 2)
     val hostport = element_at(split(rest, "/"), 1)
     val host = element_at(split(hostport, ":"), 1)
     val path = element_at(
       split(substring(rest, length(hostport) + 1, lit(1 << 24)), "\\?"), 1)
+    concat(regexp_replace(host, "^www\\.", ""), path)
+  }
+
+  /** URL-level dedup — C4 deduplicates by URL before any content pass: a
+    * re-crawl of the same page (scheme flips, a www prefix, a port, a
+    * tracking query) must collapse to one keeper. Normalization =
+    * [[normUrl]]; groups
+    * with >1 doc emit (normalized url, keeper = min doc_id, n_copies).
+    * One map-side-combined shuffle on the normalized key at any scale.
+    */
+  def tx_url_dedup(s: SparkSession, dir: String): DataFrame = {
     docs(s, dir)
-      .select(col("doc_id"),
-        concat(regexp_replace(host, "^www\\.", ""), path).as("norm_url"))
+      .select(col("doc_id"), normUrl(col("doc_id")).as("norm_url"))
       .groupBy("norm_url")
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)

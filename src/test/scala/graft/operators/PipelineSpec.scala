@@ -1444,6 +1444,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Seq(("A > B > A", 2L), ("A", 1L)))
   }
 
+  test("decon_url: flags exactly the training docs whose URL class collides with the eval slice") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Curation.decon_url(spark, dir).collect()
+    assert(rows.nonEmpty, "the screen must not be structurally vacuous")
+    rows.foreach { r =>
+      assert(r.getLong(0) % 3 != 0, "flagged docs are training-side")
+      assert(r.getLong(2) % 3 == 0, "the reported match is an eval doc")
+    }
+    // independent recomputation: after the www-strip the seven hosts stay
+    // distinct, so a normalized URL class is (id%7, id%20) = id mod 140
+    val n = 500
+    val evalClasses = (0 until n).filter(_ % 3 == 0).map(_ % 140).toSet
+    val expected = (0 until n)
+      .filter(i => i % 3 != 0 && evalClasses(i % 140)).map(_.toLong).toSet
+    assert(rows.map(_.getLong(0)).toSet == expected)
+  }
+
   test("ev_attribution: last preceding non-purchase touch gets the cents; untouched purchases credit (none)") {
     val dir = java.nio.file.Files.createTempDirectory("graftattr").toString
     def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
