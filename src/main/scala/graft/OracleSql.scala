@@ -2023,6 +2023,33 @@ object OracleSql {
 
     "src_csv" -> srcRoundTripSql,
 
+    "samp_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    md5(CAST(doc_id AS VARCHAR) || '|shuffle42') AS h
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, h,
+        |    CAST(concat('0x', substr(h, 1, 6)) AS BIGINT) % 8 AS shard
+        |  FROM h)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) - 1
+        |    AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
+
+    "profile_embeddings" ->
+      """SELECT label,
+        |  count(*) AS n_vecs,
+        |  CAST(min(len(embedding)) AS BIGINT) AS dims_min,
+        |  CAST(max(len(embedding)) AS BIGINT) AS dims_max,
+        |  CAST(sum(CASE WHEN list_max(list_transform(embedding,
+        |         x -> abs(CAST(x AS DOUBLE)))) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_zero_norm,
+        |  CAST(sum(list_sum(list_transform(embedding,
+        |         x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)))) AS BIGINT)
+        |    AS qsum
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+
     // decon_url: the tx_url_dedup normalization (one shared definition on
     // the Spark side; this twin spells the identical split chain)
     "decon_url" ->

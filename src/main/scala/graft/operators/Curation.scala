@@ -775,6 +775,58 @@ object Curation {
       .orderBy(col("score").desc, col("doc_id")).limit(k)
   }
 
+  /** Reproducible GLOBAL SHUFFLE for training order — every run must feed
+    * the trainer the identical document order (loss curves are compared
+    * across runs), yet a true global sort by random key is the classic
+    * scale trap (one total order = one massive range exchange, and a
+    * global row_number is a single-partition window). The scalable
+    * spelling: shard by a hash prefix (content-free — doc_id + a fixed
+    * tag, so re-crawled text does not move a doc), position WITHIN the
+    * shard by hash order — the per-shard windows run in parallel, and
+    * consuming shards round-robin reproduces one global pseudo-random
+    * order. Deterministic across engines, runs, and partitionings (the
+    * hexThr/md5 family's argument). Emits (doc_id, shard, pos).
+    */
+  def samp_shuffle(s: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    require(nShards >= 1, s"samp_shuffle: nShards=$nShards must be positive")
+    val h = md5(concat(col("doc_id").cast("string"), lit("|shuffle42")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("h"), col("doc_id"))
+    docs(s, dir)
+      .select(col("doc_id"), h.as("h"))
+      .withColumn("shard", pmod(conv(substring(col("h"), 1, 6), 16, 10)
+        .cast("long"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+      .select("doc_id", "shard", "pos")
+      .orderBy("shard", "pos")
+  }
+
+  /** Embeddings-table AUDIT — [[profile_table]]'s vector-side sibling, the
+    * census an ingest runs before any ANN/cluster work: per label, vector
+    * count, the dimension range (a ragged corpus breaks every fixed-width
+    * operator downstream — min ≠ max is the alarm), degenerate zero-norm
+    * count ([[Similarity]] guards them; this measures them), and an exact
+    * fixed-point content sum (the [[Clustering]] qrow device — Σ
+    * floor(x·2²⁰), order-independent integers, so the audit is a full
+    * hash oracle). ONE scan, one bounded aggregate.
+    */
+  def profile_embeddings(s: SparkSession, dir: String): DataFrame = {
+    val qrow = aggregate(col("embedding"), lit(0L),
+      (acc, x) => acc + floor(x.cast("double") * (1L << 20)).cast("long"))
+    val zero = array_max(transform(col("embedding"),
+      x => abs(x.cast("double")))) === 0.0
+    Tables.loadParallel(s, dir, "embeddings")
+      .select(col("label"), size(col("embedding")).cast("long").as("dims"),
+        qrow.as("q"), when(zero, 1L).otherwise(0L).as("z"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("dims")).as("dims_min"),
+        max(col("dims")).as("dims_max"),
+        sum(col("z")).as("n_zero_norm"),
+        sum(col("q")).as("qsum"))
+      .orderBy("label")
+  }
+
   /** Epoch-schedule UPSAMPLING — the other half of [[samp_mixture]]: when a
     * source needs MORE than it has (its target share exceeds its corpus
     * share), downsampling alone cannot reach the mixture; the standard move

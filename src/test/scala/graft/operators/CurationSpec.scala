@@ -277,6 +277,7 @@ class CurationSpec extends AnyFunSuite {
     def snap(): Seq[Seq[String]] = Seq(
       Curation.pipeline_curate(spark, dir),
       Curation.samp_reservoir(spark, dir, k = 7),
+      Curation.samp_shuffle(spark, dir),
       TextAnalysis.embed_quantize(spark, dir))
       .map(_.collect().map(_.toString).toSeq)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -284,6 +285,22 @@ class CurationSpec extends AnyFunSuite {
       try { spark.conf.set("spark.sql.shuffle.partitions", "3"); snap() }
       finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert(snap() == at3)
+  }
+
+  test("samp_shuffle: a permutation — every doc once, positions dense per shard") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Curation.samp_shuffle(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).distinct.length == 500, "every doc exactly once")
+    rows.groupBy(_._2).foreach { case (shard, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (0L until rs.length.toLong),
+        s"shard $shard positions must be dense 0..n-1")
+    }
+    // content-free key: the assignment depends on doc_id only, so a
+    // re-crawl (changed text) cannot move a document in training order
+    assert(rows.map(r => (r._1, r._2, r._3)).toSet ==
+      Curation.samp_shuffle(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
   }
 
   test("ev_anomaly flags exactly the >2-sigma events (independent Scala recomputation)") {
