@@ -21,16 +21,22 @@ object Verify {
     // fresh — a broken query would silently report PASS. Delete each
     // target before running it, and (on a full dump) sweep dirs that no
     // longer correspond to any registered query.
+    // Files.walk/Files.list return open directory streams — close them
+    // (Using) or the verify JVM leaks a handle per sweep.
     def rmTree(p: java.nio.file.Path): Unit =
       if (Files.exists(p))
-        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .forEach(x => Files.deleteIfExists(x))
+        scala.util.Using.resource(Files.walk(p)) {
+          _.sorted(java.util.Comparator.reverseOrder())
+            .forEach(x => Files.deleteIfExists(x))
+        }
     if (only.isEmpty) {
       val known = SparkEntry.queries.keySet
       val root = Paths.get(outDir)
-      Files.list(root).filter(Files.isDirectory(_))
-        .filter(d => !known.contains(d.getFileName.toString))
-        .forEach(rmTree)
+      scala.util.Using.resource(Files.list(root)) {
+        _.filter(Files.isDirectory(_))
+          .filter(d => !known.contains(d.getFileName.toString))
+          .forEach(rmTree)
+      }
     }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -208,12 +208,23 @@ object Clustering {
   def embed_rp(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
     require(k >= 1, s"embed_rp: k=$k must be positive")
     val e = emb(s, dir)
-    // bounded driver probe (one row) — the embed_pq dims device
-    val dims = e.select(size(col("embedding"))).first().getInt(0)
+    // bounded driver probe (one row) — the embed_pq dims device. Guarded:
+    // an empty table must fail loudly, not as a bare NoSuchElementException.
+    // Ragged dims are NOT asserted per row here (that is
+    // [[Curation.profile_embeddings]]'s alarm); a shorter row zip_with
+    // null-pads and the projection goes NULL — visibly wrong, not silent.
+    val dimRows = e.select(size(col("embedding"))).head(1)
+    require(dimRows.nonEmpty, "embed_rp: embeddings table is empty")
+    val dims = dimRows.head.getInt(0)
     val signs = rpSigns(k, dims)
-    val staged = e.select(col("vec_id"),
-      Similarity.int8Codes(col("embedding"),
-        Similarity.maxAbs(col("embedding"))).as("q"))
+    // maxabs staged as its own projected column first (int8Codes' documented
+    // contract, as ann_sq does) — inlining it re-runs the array_max scan per
+    // element inside the transform lambda.
+    val staged = e
+      .select(col("vec_id"), col("embedding"),
+        Similarity.maxAbs(col("embedding")).as("maxabs"))
+      .select(col("vec_id"),
+        Similarity.int8Codes(col("embedding"), col("maxabs")).as("q"))
     val projs = signs.zipWithIndex.map { case (row, i) =>
       aggregate(
         zip_with(col("q"), typedLit(row), (c, sg) => c * sg),

@@ -830,6 +830,8 @@ object Similarity {
     * incoming delta — a mid-strength planted drift, so every column of the
     * report is exercised (occupancy, base reference, delta error, ratio).
     */
+  private val idxHealthBuildLock = new Object
+
   def idx_health(s: SparkSession, dir: String): DataFrame = {
     // memoized scratch path + BUILD-ONCE marker: scratchDir is a fresh
     // per-JVM temp dir keyed by the corpus dir, so within one process a
@@ -841,9 +843,14 @@ object Similarity {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val done = new org.apache.hadoop.fs.Path(s"$path/_built")
-    if (!fs.exists(done)) {
-      writeIvfPqIndex(s, dir, path)
-      fs.create(done, true).close()
+    // JVM lock (the bpeTrainCached pattern): without it two concurrent
+    // callers can both enter the build, one reading codes/ while the
+    // other's mode-overwrite rebuild is mid-flight.
+    idxHealthBuildLock.synchronized {
+      if (!fs.exists(done)) {
+        writeIvfPqIndex(s, dir, path)
+        fs.create(done, true).close()
+      }
     }
     val delta = Tables.loadParallel(s, dir, "embeddings")
       .select(col("vec_id"),

@@ -99,8 +99,14 @@ object Jsonl {
     * passed the certificate undetected.
     */
   private[sources] def corpusSummary(df: DataFrame): DataFrame = {
+    // null-PROPAGATING concat (not concat_ws): a null-text row must hash to
+    // NULL so bit_xor skips it — exactly what the DuckDB twin's
+    // `doc_id || '|' || text` does. concat_ws would skip only the NULL arg
+    // and contribute md5(doc_id), silently failing certification on any
+    // corpus with null-text docs.
     val digest = bit_xor(conv(substring(
-      md5(concat_ws("|", col("doc_id"), col("text"))), 1, 15), 16, 10).cast("long"))
+      md5(concat(col("doc_id").cast("string"), lit("|"), col("text"))),
+      1, 15), 16, 10).cast("long"))
     df.groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("n_chars"),
