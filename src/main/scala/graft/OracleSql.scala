@@ -2068,6 +2068,44 @@ object OracleSql {
          |FROM n JOIN e USING (norm_url)
          |WHERE doc_id % 3 <> 0 ORDER BY doc_id""".stripMargin,
 
+    // decon_spans: dd_spans' k-gram + islands SQL with the duplicated-gram
+    // set replaced by the eval slice's distinct grams (joined as strings —
+    // the Spark side joins 64-bit hashes of the same grams)
+    "decon_spans" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |             doc_id % 3 = 0 AS is_eval FROM documents),
+        |el AS (SELECT * FROM w WHERE len(w) >= 8),
+        |ev AS (SELECT DISTINCT
+        |         unnest(list_transform(generate_series(0, len(w) - 8),
+        |                               i -> array_to_string(w[i+1:i+8], ' '))) AS sh
+        |       FROM el WHERE is_eval),
+        |occ AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0, len(w) - 8)) AS pos,
+        |    unnest(list_transform(generate_series(0, len(w) - 8),
+        |                          i -> array_to_string(w[i+1:i+8], ' '))) AS sh
+        |  FROM el WHERE NOT is_eval),
+        |iv AS (SELECT o.doc_id, o.pos AS st, o.pos + 7 AS e
+        |       FROM occ o JOIN ev USING (sh)),
+        |x AS (SELECT doc_id, st, e,
+        |        max(e) OVER (PARTITION BY doc_id ORDER BY st
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |      FROM iv),
+        |y AS (SELECT doc_id, st, e,
+        |        CASE WHEN pme IS NULL OR st > pme + 1 THEN 1 ELSE 0 END AS ni FROM x),
+        |z AS (SELECT doc_id, st, e,
+        |        sum(ni) OVER (PARTITION BY doc_id ORDER BY st
+        |                      ROWS UNBOUNDED PRECEDING) AS isl FROM y),
+        |sp AS (SELECT doc_id, isl, min(st) AS ss, max(e) AS se FROM z GROUP BY 1, 2)
+        |SELECT sp.doc_id, CAST(len(w.w) AS BIGINT) AS n_words,
+        |  count(*) AS n_spans,
+        |  CAST(sum(se - ss + 1) AS BIGINT) AS overlap_words,
+        |  CAST(max(se - ss + 1) AS BIGINT) AS max_span,
+        |  CAST(sum(se - ss + 1) AS DOUBLE) / CAST(len(w.w) AS BIGINT) AS overlap_frac
+        |FROM sp JOIN w ON sp.doc_id = w.doc_id
+        |GROUP BY sp.doc_id, len(w.w)
+        |ORDER BY sp.doc_id""".stripMargin,
+
     "ev_attribution" ->
       s"""WITH e AS (
          |  SELECT event_type, $centsSql AS cents,

@@ -189,6 +189,7 @@ object SparkEntry {
     "ev_attribution" -> (Relational.ev_attribution _),
     // URL-provenance decontamination (the decon family's third screen)
     "decon_url" -> ((s, d) => Curation.decon_url(s, d)),
+    "decon_spans" -> ((s, d) => Curation.decon_spans(s, d)),
     // reproducible sharded training-order shuffle
     "samp_shuffle" -> ((s, d) => Curation.samp_shuffle(s, d)),
     // embeddings-table audit (profile_table's vector-side sibling)

@@ -640,6 +640,73 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** SUBSTRING-level decontamination — the GPT-3/PaLM appendix-C standard
+    * the n-gram screen under-catches: a training doc is contaminated when
+    * it shares an exact span of ≥ k consecutive words with ANY eval doc,
+    * and the audit reports HOW MUCH (span count, covered words, longest
+    * span, covered fraction), because the removal decision differs by
+    * overlap size (drop the doc vs trim the span — Brown et al. 2020 §C
+    * mask; Chowdhery et al. 2022 drop at ≥70 % 8-gram overlap).
+    * [[decon_ngram]] counts matching FIXED grams; this merges them into
+    * maximal contaminated intervals — [[graft.operators.Dedup.dd_spans]]'
+    * k-gram + gaps-and-islands device pointed at an eval slice instead of
+    * at the corpus itself.
+    *
+    * Eval slice = doc_id residue (the [[decon_url]] rationale: the
+    * generator's source column is id-mod-correlated with content, so a
+    * source-sliced eval set would make the screen structurally vacuous).
+    *
+    * Scale shape: the eval side reduces to a DISTINCT k-gram hash set and
+    * BROADCASTS (benchmarks are KB-to-MB; a 1M-gram eval suite is an 8 MB
+    * long-array — trivially broadcastable at any corpus size); the corpus
+    * side is one map-side explode + broadcast-hash probe (no shuffle to
+    * find matches), then ONE doc_id shuffle for the island merge + final
+    * aggregate. Cost is O(corpus tokens) + O(matched grams log) —
+    * independent of eval-set pairing, no quadratic anywhere. Docs shorter
+    * than k words carry no k-gram and cannot be flagged (the ExactSubstr
+    * length floor).
+    */
+  def decon_spans(s: SparkSession, dir: String, k: Int = 8,
+      evalMod: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"decon_spans: k=$k must be >= 2")
+    require(evalMod >= 2, s"decon_spans: evalMod=$evalMod needs both slices nonempty")
+    val isEval = pmod(col("doc_id"), lit(evalMod)) === 0
+    val d = docs(s, dir).select(col("doc_id"), col("text"),
+      words(col("text")).as("w"), isEval.as("is_eval"))
+    val eligible = d.filter(size(col("w")) >= k)
+    // hash before any join — the probe carries longs, never gram strings
+    // (dd_spans' collision stance: 2^-64, and the DuckDB twin joins the
+    // strings themselves, so a collision surfaces as a gate mismatch)
+    val evalGrams = eligible.filter(col("is_eval"))
+      .select(explode(shingles(col("text"), k)).as("sh"))
+      .select(xxhash64(col("sh")).as("h")).distinct()
+    val iv = eligible.filter(!col("is_eval"))
+      .select(col("doc_id"), posexplode(shingles(col("text"), k)).as(Seq("pos", "sh")))
+      .select(col("doc_id"), col("pos"), xxhash64(col("sh")).as("h"))
+      .join(broadcast(evalGrams), "h")
+      .select(col("doc_id"), col("pos").as("s"), (col("pos") + lit(k - 1)).as("e"))
+    // gaps-and-islands merge of overlapping/adjacent covered intervals —
+    // the dd_spans device verbatim
+    val byDoc = Window.partitionBy("doc_id").orderBy("s")
+    val pme = max(col("e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = iv
+      .withColumn("ni", when(pme.isNull || col("s") > pme + 1, 1).otherwise(0))
+      .withColumn("isl", sum(col("ni")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "isl")
+      .agg(min(col("s")).as("ss"), max(col("e")).as("se"))
+    spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("se") - col("ss") + 1).as("overlap_words"),
+        max(col("se") - col("ss") + 1).cast("long").as("max_span"))
+      .join(d.select(col("doc_id"), size(col("w")).cast("long").as("n_words")), "doc_id")
+      .select(col("doc_id"), col("n_words"), col("n_spans"),
+        col("overlap_words"), col("max_span"),
+        (col("overlap_words").cast("double") / col("n_words")).as("overlap_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Data card: the per-(lang, source) release summary every corpus ships
     * with — doc/char/word volumes, median document length, exact-duplicate
     * count (docs minus distinct digests), and the Gopher-quality pass

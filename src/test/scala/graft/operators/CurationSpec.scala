@@ -417,4 +417,37 @@ class CurationSpec extends AnyFunSuite {
       assert(base >= 1L, "every source trains at least one full epoch")
     }
   }
+
+  test("decon_spans: adjacent eval-matched grams merge, separated ones split, short docs escape") {
+    def ws(p: String, a: Int, b: Int) = (a to b).map(i => s"$p$i").mkString(" ")
+    val E = ws("e", 1, 8); val F = ws("f", 1, 8)
+    val dir = docsDir(Seq(
+      // eval slice (id % 3 == 0): E and F blocks separated by two words,
+      // plus a second unrelated eval doc
+      (0L, s"$E mid1 mid2 $F", "en", "s"),
+      (3L, ws("u", 1, 9), "en", "s"),
+      // train: E embedded mid-doc → one span [2,9] of 12 words
+      (1L, s"x1 x2 $E y1 y2", "en", "s"),
+      // train: E then F back-to-back — doc grams at pos 0 and 8 match,
+      // intervals [0,7] and [8,15] are ADJACENT → one merged island
+      (2L, s"$E $F", "en", "s"),
+      // train: no overlap at all → absent from the audit
+      (4L, ws("v", 1, 10), "en", "s"),
+      // train: shares words but is under k=8 words → the length floor
+      (5L, "e1 e2 e3", "en", "s"),
+      // train: E, a 2-word gap, F — gap breaks the island → two spans
+      (7L, s"$E z1 z2 $F", "en", "s")))
+    val rows = Curation.decon_spans(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet == Set(1L, 2L, 7L))
+    def tup(id: Long) = {
+      val r = rows(id)
+      (r.getAs[Long]("n_words"), r.getAs[Long]("n_spans"),
+        r.getAs[Long]("overlap_words"), r.getAs[Long]("max_span"),
+        r.getAs[Double]("overlap_frac"))
+    }
+    assert(tup(1L) == ((12L, 1L, 8L, 8L, 8.0 / 12)))
+    assert(tup(2L) == ((16L, 1L, 16L, 16L, 1.0)))
+    assert(tup(7L) == ((18L, 2L, 16L, 8L, 16.0 / 18)))
+  }
 }
