@@ -84,7 +84,12 @@ object OracleSql {
     * other); both integer-division sites (`// outdeg`, damping `// 1000`)
     * mirror the Spark `div` exactly.
     */
-  private val graphPagerankSql: String = {
+  /** The shared PageRank CTE chain (edges / od / pr0 / it1..it3) — the
+    * WITH body the rank twin, the domain twin, and the release funnel all
+    * prepend, so the iteration algebra lives exactly once in SQL as it
+    * does in Scala ([[graft.operators.Graph.pagerankRanks]]).
+    */
+  private val pagerankCoreCtes: String = {
     val iters = 3
     def round(prev: String, cur: String): String =
       s"""$cur AS (
@@ -97,15 +102,19 @@ object OracleSql {
     val rounds = (1 to iters)
       .map(i => round(if (i == 1) "pr0" else s"it${i - 1}", s"it$i"))
       .mkString(",\n")
-    s"""WITH edges AS (
+    s"""edges AS (
        |  $graphEdgesSql),
        |od AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
        |pr0 AS (SELECT doc_id AS v, CAST(1000000 AS BIGINT) AS pr FROM documents),
-       |$rounds
-       |SELECT v AS doc_id, pr, CAST(COALESCE(outdeg, 0) AS BIGINT) AS outdeg
-       |FROM it$iters LEFT JOIN od ON od.src = it$iters.v
-       |ORDER BY pr DESC, doc_id LIMIT 20""".stripMargin
+       |$rounds""".stripMargin
   }
+
+  private val graphPagerankSql: String =
+    s"""WITH $pagerankCoreCtes
+       |SELECT v AS doc_id, pr, CAST(COALESCE(outdeg, 0) AS BIGINT) AS outdeg
+       |FROM it3 LEFT JOIN od ON od.src = it3.v
+       |ORDER BY pr DESC, doc_id LIMIT 20""".stripMargin
+
 
   /** `TextAnalysis.urlPlant`'s twin, built congruence-for-congruence from
     * the SAME host pool constant.
@@ -124,6 +133,36 @@ object OracleSql {
   /** The domain blocklist as a SQL IN-list — `TextAnalysis.urlBlocklist`. */
   private val urlBlockSql: String =
     graft.operators.TextAnalysis.urlBlocklist.map(d => s"'$d'").mkString(", ")
+
+  /** Domain census over the final ranks (requires [[pagerankCoreCtes]]
+    * earlier in the WITH chain): the tx_url host/domain split chain on the
+    * planted URL, then the per-domain aggregate — `pr_mean` is the same
+    * integer division as the Spark `div`.
+    */
+  private val domainCensusCtes: String =
+    s"""dom AS (
+       |  SELECT doc_id, string_split(host, '.')[-2] || '.' ||
+       |    string_split(host, '.')[-1] AS domain
+       |  FROM (SELECT doc_id,
+       |      string_split(string_split(string_split($urlPlantSql,
+       |        '://')[2], '/')[1], ':')[1] AS host
+       |    FROM documents)),
+       |da AS (
+       |  SELECT domain, count(*) AS n_docs,
+       |    CAST(sum(pr) AS BIGINT) AS pr_sum,
+       |    CAST(sum(pr) // count(*) AS BIGINT) AS pr_mean,
+       |    domain IN ($urlBlockSql) AS blocked
+       |  FROM it3 JOIN dom ON dom.doc_id = it3.v GROUP BY domain)""".stripMargin
+
+  /** The authorized-domain set (`Graph.domainAuthority`): unblocked
+    * domains, top ⌈n/2⌉ by mean rank, ties to the smaller domain.
+    */
+  private val domainAuthCtes: String =
+    s"""ar AS (
+       |  SELECT domain, row_number() OVER (ORDER BY pr_mean DESC, domain) AS rk,
+       |    count(*) OVER () AS nd
+       |  FROM da WHERE NOT blocked),
+       |auth AS (SELECT domain FROM ar WHERE rk <= (nd + 1) // 2)""".stripMargin
 
   /** Word bigrams as a list expression over a staged `w` word array — the
     * shingle spelling of the samp_importance twin, shared by the scorer
@@ -1365,7 +1404,10 @@ object OracleSql {
     // pipeline_release: per-source funnel — gopher gate, best-copy dedup
     // (row_number twin of max_by), mixture thresholds on the deduped census
     "pipeline_release" ->
-      s"""WITH base AS (
+      s"""WITH $pagerankCoreCtes,
+         |$domainCensusCtes,
+         |$domainAuthCtes,
+         |base0 AS (
          |  SELECT doc_id, source, text, CAST(length(text) AS BIGINT) AS len,
          |    md5(text) AS digest,
          |    ($wordBandSql AND $meanBandSql AND $stopHitsSql) AS keep,
@@ -1374,7 +1416,11 @@ object OracleSql {
          |          CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
          |            / len(string_split(text, ' ')) AS ml
          |        FROM documents)),
-         |q AS (SELECT * FROM base WHERE keep AND sc_ok),
+         |base AS (
+         |  SELECT base0.*,
+         |    dom.domain IN (SELECT domain FROM auth) AS auth_ok
+         |  FROM base0 JOIN dom ON dom.doc_id = base0.doc_id),
+         |q AS (SELECT * FROM base WHERE auth_ok AND keep AND sc_ok),
          |k AS (
          |  SELECT *, row_number() OVER (PARTITION BY digest
          |    ORDER BY len DESC, doc_id ASC) AS rn FROM q),
@@ -1390,8 +1436,9 @@ object OracleSql {
          |  FROM keepers JOIN t ON keepers.source = t.source
          |  WHERE substr(md5(text), 1, 6) < thr GROUP BY 1)
          |SELECT b.source, count(*) AS n_raw,
-         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
-         |  CAST(sum(CASE WHEN keep AND sc_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
+         |  CAST(sum(CASE WHEN auth_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_auth,
+         |  CAST(sum(CASE WHEN auth_ok AND keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |  CAST(sum(CASE WHEN auth_ok AND keep AND sc_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
          |  COALESCE(max(d.n_dedup), 0) AS n_dedup,
          |  COALESCE(max(sm.n_release), 0) AS n_release
          |FROM base b
@@ -2120,6 +2167,12 @@ object OracleSql {
          |GROUP BY 1 ORDER BY channel""".stripMargin,
 
     "graph_pagerank" -> graphPagerankSql,
+
+    "graph_domains" ->
+      s"""WITH $pagerankCoreCtes,
+         |$domainCensusCtes
+         |SELECT domain, n_docs, pr_sum, pr_mean, blocked
+         |FROM da ORDER BY domain""".stripMargin,
 
     "graph_degrees" ->
       s"""WITH e AS (

@@ -190,6 +190,7 @@ object SparkEntry {
     // URL-provenance decontamination (the decon family's third screen)
     "decon_url" -> ((s, d) => Curation.decon_url(s, d)),
     "decon_spans" -> ((s, d) => Curation.decon_spans(s, d)),
+    "graph_domains" -> ((s, d) => Graph.graph_domains(s, d)),
     // reproducible sharded training-order shuffle
     "samp_shuffle" -> ((s, d) => Curation.samp_shuffle(s, d)),
     // embeddings-table audit (profile_table's vector-side sibling)

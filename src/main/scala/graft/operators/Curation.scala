@@ -935,7 +935,10 @@ object Curation {
   }
 
   /** Release audit — the per-SOURCE funnel composing this round's curation
-    * members through their SHARED definitions: Gopher quality gate
+    * members through their SHARED definitions: domain-AUTHORITY gate
+    * ([[Graph.domainAuthority]] — the link-graph prior aggregated to the
+    * registered domain; provenance screens run FIRST, before any content
+    * op, the C4 order) → Gopher quality gate
     * ([[TextAnalysis.gopherCriteria]]) → learned-scorer gate
     * ([[TextAnalysis.scoreRawCol]], the tx_score margin — the CCNet/Llama
     * ordering: heuristics first, then the model screen; both map-only
@@ -947,12 +950,16 @@ object Curation {
     * the production order: the cleaned census sets the rates). One row per
     * source with the count at every stage; sources erased by a stage
     * report 0, not null. Fully DuckDB-oracle-checked because every
-    * component already is. Scale shape: two corpus scans (the audit
-    * aggregate and the funnel), one digest shuffle, broadcast thresholds;
-    * text never shuffles except the one deduped keeper row per digest.
+    * component already is. Scale shape: the authority table is
+    * domain-cardinality (broadcast — a left join flags rather than drops,
+    * so the census can still count the gated-out raw rows), then two
+    * corpus scans (the audit aggregate and the funnel), one digest
+    * shuffle, broadcast thresholds; text never shuffles except the one
+    * deduped keeper row per digest.
     */
   def pipeline_release(s: SparkSession, dir: String): DataFrame = {
     val (okCount, okMean, okStops) = TextAnalysis.gopherCriteria()
+    val auth = Graph.domainAuthorityCached(s, dir).withColumn("auth", lit(true))
     val base = docs(s, dir)
       .select(col("doc_id"), col("source"), col("text"),
         shingles(col("text"), 2).as("gs"),
@@ -964,7 +971,15 @@ object Curation {
       // CCNet/Llama ordering; both are map-only columns on the one scan
       .withColumn("sc_ok", TextAnalysis.scoreRawCol(col("gs")) > 0L)
       .drop("gs")
-    val q = base.filter(col("keep") && col("sc_ok"))
+      // provenance first: the domain-authority verdict as a flag (left
+      // join), so every later census column can condition on it while
+      // n_raw still counts the whole corpus
+      .withColumn("domain",
+        TextAnalysis.urlDomain(TextAnalysis.urlPlant(col("doc_id"))))
+      .join(broadcast(auth), Seq("domain"), "left")
+      .withColumn("auth_ok", coalesce(col("auth"), lit(false)))
+      .drop("auth", "domain")
+    val q = base.filter(col("auth_ok") && col("keep") && col("sc_ok"))
     val keepers = q.groupBy("digest")
       .agg(max_by(struct(col("doc_id"), col("source"), col("text")),
         struct(col("len"), -col("doc_id"))).as("r"))
@@ -975,13 +990,16 @@ object Curation {
       .join(broadcast(mixtureThresholds(keepers)), Seq("source"))
       .filter(col("p6") < col("thr"))
     base.groupBy("source").agg(count(lit(1)).as("n_raw"),
-        sum(when(col("keep"), 1L).otherwise(0L)).as("n_quality"),
-        sum(when(col("keep") && col("sc_ok"), 1L).otherwise(0L)).as("n_scored"))
+        sum(when(col("auth_ok"), 1L).otherwise(0L)).as("n_auth"),
+        sum(when(col("auth_ok") && col("keep"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("auth_ok") && col("keep") && col("sc_ok"), 1L)
+          .otherwise(0L)).as("n_scored"))
       .join(keepers.groupBy("source").agg(count(lit(1)).as("n_dedup")),
         Seq("source"), "left")
       .join(sampled.groupBy("source").agg(count(lit(1)).as("n_release")),
         Seq("source"), "left")
-      .select(col("source"), col("n_raw"), col("n_quality"), col("n_scored"),
+      .select(col("source"), col("n_raw"), col("n_auth"), col("n_quality"),
+        col("n_scored"),
         coalesce(col("n_dedup"), lit(0L)).as("n_dedup"),
         coalesce(col("n_release"), lit(0L)).as("n_release"))
       .orderBy("source")

@@ -70,8 +70,22 @@ object Graph {
     */
   def graph_pagerank(s: SparkSession, dir: String, iters: Int = 3,
       k: Int = 20): DataFrame = {
-    require(iters >= 1, s"graph_pagerank: iters=$iters must be >= 1")
     require(k >= 1, s"graph_pagerank: k=$k must be >= 1")
+    val (pr, outdeg) = pagerankRanks(s, dir, iters)
+    pr.join(outdeg.withColumnRenamed("src", "v"), Seq("v"), "left")
+      .select(col("v").as("doc_id"), col("pr"),
+        coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+      .orderBy(col("pr").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** The full converged rank frame (v, pr) + the out-degree table behind
+    * [[graph_pagerank]] (its top-k) and [[graph_domains]] (its domain
+    * aggregate) — the iteration loop lives exactly once.
+    */
+  private[operators] def pagerankRanks(s: SparkSession, dir: String,
+      iters: Int): (DataFrame, DataFrame) = {
+    require(iters >= 1, s"pagerank: iters=$iters must be >= 1")
     import graft.Checkpoints.DatasetCheckpointOps
     val (d, edges) = plantedEdges(s, dir)
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
@@ -96,11 +110,79 @@ object Graph {
       // plan depth for large iters at a quarter of the jobs.
       if (i % 4 == 0 || i == iters) pr = pr.graftCheckpoint()
     }
-    pr.join(outdeg.withColumnRenamed("src", "v"), Seq("v"), "left")
-      .select(col("v").as("doc_id"), col("pr"),
-        coalesce(col("outdeg"), lit(0L)).as("outdeg"))
-      .orderBy(col("pr").desc, col("doc_id"))
-      .limit(k)
+    (pr, outdeg)
+  }
+
+  /** DOMAIN-level centrality census — the table Common Crawl actually
+    * publishes (per-domain harmonic/PageRank centrality) and the form a
+    * curation pipeline consumes: page ranks aggregated to the registered
+    * domain through the ONE shared URL parse
+    * ([[TextAnalysis.urlPlant]] → [[TextAnalysis.urlDomain]] — the tx_url
+    * family's definitions, so the authority key and the blocklist key
+    * cannot drift). Emits per domain: doc count, total and mean rank
+    * (mean = integer millionths, `pr_sum div n_docs` — the fixed-point
+    * convention of the rank itself), and the blocklist verdict.
+    *
+    * Scale shape: [[pagerankRanks]]' per-iteration shuffles, then ONE
+    * map-side-combined aggregate keyed by domain (the domain column is a
+    * pure function of the node id — no join to reach it); output
+    * cardinality is registered-domain count (~10⁶-10⁷ on the real web),
+    * never corpus-sized.
+    */
+  def graph_domains(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val (pr, _) = pagerankRanks(s, dir, iters)
+    pr.withColumn("domain",
+        TextAnalysis.urlDomain(TextAnalysis.urlPlant(col("v"))))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"), sum(col("pr")).as("pr_sum"))
+      .withColumn("pr_mean", expr("pr_sum div n_docs"))
+      .withColumn("blocked",
+        col("domain").isInCollection(TextAnalysis.urlBlocklist))
+      .select("domain", "n_docs", "pr_sum", "pr_mean", "blocked")
+      .orderBy("domain")
+  }
+
+  /** The AUTHORIZED-domain set the release funnel gates on: blocklisted
+    * domains are out (the C4 provenance screen), and of the rest only the
+    * top half by mean rank pass (rank-percentile gating — the relative
+    * rule survives any corpus: an absolute rank threshold would drift with
+    * graph size). Ties break to the lexicographically smaller domain; the
+    * cut is ⌈n/2⌉ so a lone unblocked domain still passes.
+    *
+    * The ranking window is global but runs over the DOMAIN census —
+    * bounded by registered-domain cardinality, never corpus-sized (the
+    * one frame in this family where a single-partition window is the
+    * right call).
+    */
+  /** [[domainAuthority]] memoized per (corpus, iters) for the life of the
+    * JVM (the idx_health build-once device, behind the same lock
+    * discipline): in production the domain-centrality table is a
+    * per-crawl-SNAPSHOT artifact — computed once, consumed by every
+    * downstream run — so a funnel that re-ran the rank iterations on every
+    * invocation would be the wrong shape, not just slow. The cached frame
+    * is checkpointed (executor blocks, never a driver collect — the census
+    * is domain-cardinality, bounded but not literal-sized at web scale).
+    */
+  private val authCache =
+    scala.collection.mutable.Map.empty[(String, Int), DataFrame]
+  private[operators] def domainAuthorityCached(s: SparkSession, dir: String,
+      iters: Int = 3): DataFrame = authCache.synchronized {
+    import graft.Checkpoints.DatasetCheckpointOps
+    authCache.getOrElseUpdate((dir, iters),
+      domainAuthority(s, dir, iters).graftCheckpoint())
+  }
+
+  private[operators] def domainAuthority(s: SparkSession, dir: String,
+      iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val da = graph_domains(s, dir, iters).filter(!col("blocked"))
+    da.withColumn("rk", row_number().over(
+        Window.orderBy(col("pr_mean").desc, col("domain"))))
+      .withColumn("nd", count(lit(1)).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .filter(col("rk") <= expr("(nd + 1) div 2"))
+      .select("domain")
   }
 
   /** Degree census of the planted graph — the sanity sheet published next

@@ -71,4 +71,45 @@ class GraphSpec extends AnyFunSuite {
     // a real spread, not a regular graph's uniform fixed point
     assert(a.map(_.getLong(1)).distinct.length > 10)
   }
+
+  test("graph_domains: census is complete, integer-exact, and blocklist-true") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Graph.graph_domains(spark, dir).collect()
+    // every registered domain of the 7-host pool, exactly once
+    val expectedDomains = TextAnalysis.urlHosts
+      .map(_.split('.').takeRight(2).mkString(".")).distinct.sorted
+    assert(rows.map(_.getString(0)).toSeq == expectedDomains)
+    // doc partition: the corpus has 500 docs, every doc in exactly one domain
+    assert(rows.map(_.getLong(1)).sum == 500L)
+    rows.foreach { r =>
+      assert(r.getLong(3) == r.getLong(2) / r.getLong(1), "pr_mean = pr_sum div n_docs")
+      assert(r.getBoolean(4) ==
+        TextAnalysis.urlBlocklist.contains(r.getString(0)))
+    }
+  }
+
+  test("domainAuthority: top half of unblocked domains by mean rank, recomputed independently") {
+    val dir = "/root/testdata/sf0.001"
+    val census = Graph.graph_domains(spark, dir).collect()
+      .filter(!_.getBoolean(4))
+      .map(r => (r.getString(0), r.getLong(3)))
+    val expect = census.sortBy { case (d, m) => (-m, d) }
+      .take((census.length + 1) / 2).map(_._1).toSet
+    val got = Graph.domainAuthority(spark, dir).collect().map(_.getString(0)).toSet
+    assert(got == expect)
+    assert(got.nonEmpty && got.size < census.length,
+      "the gate must discriminate, not pass or fail everything")
+  }
+
+  test("pipeline_release: funnel counts are monotone per source and the authority stage bites") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Curation.pipeline_release(spark, dir).collect()
+    rows.foreach { r =>
+      val Seq(raw, auth, q, sc, dd, rel) = (1 to 6).map(r.getLong)
+      assert(raw >= auth && auth >= q && q >= sc && sc >= dd && dd >= rel,
+        s"funnel must be monotone: $r")
+    }
+    val (raw, auth) = (rows.map(_.getLong(1)).sum, rows.map(_.getLong(2)).sum)
+    assert(auth > 0 && auth < raw, "authority gate neither vacuous nor total")
+  }
 }

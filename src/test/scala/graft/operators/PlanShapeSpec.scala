@@ -165,8 +165,10 @@ class PlanShapeSpec extends AnyFunSuite {
                      // vector is scored against every eval vector by design
       "ann_sq", // coded corpus × 8 broadcast query code rows — the
                 // ann_bruteforce shape on int8 codes
-      "graph_pagerank", "graph_degrees") // node spine × the broadcast
-                // 1-row corpus count that parameterizes the edge plant
+      "graph_pagerank", "graph_degrees", "graph_domains",
+      "pipeline_release") // node spine × the broadcast 1-row corpus count
+                // that parameterizes the edge plant (pipeline_release
+                // inherits it through its domainAuthority stage)
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, dir).queryExecution.sparkPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
