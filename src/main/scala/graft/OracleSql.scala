@@ -269,6 +269,60 @@ object OracleSql {
       |     WHEN substr(md5(text), 1, 3) < 'f33' THEN 'val'
       |     ELSE 'test' END""".stripMargin.replace("\n", " ").replaceAll(" +", " ")
 
+  /** `TextAnalysis.trainScoreWeights`' twin: the 8 batch-perceptron rounds
+    * unrolled programmatically (one template — the pagerank device), every
+    * quantity 64-bit integer so the whole training trajectory
+    * hash-matches. Labels come from the shared teacherWeights constant;
+    * training runs on the centered features zᵢ = 16·xᵢ − n plus n (the
+    * conditioning reparameterization documented on the Scala side), and
+    * the `weff` CTE folds the 17 learned weights back to the 16 effective
+    * per-bucket weights Wᵢ = 16·cᵢ + (c₁₆ − Σⱼcⱼ).
+    */
+  private val scoreTrainIters = 8
+  private val scoreTrainCtes: String = {
+    val hex = "0123456789abcdef"
+    val xs = 0 until 16
+    val teacher = graft.operators.TextAnalysis.teacherWeights
+    val xCols = xs.map(i =>
+      s"CAST(len(list_filter(bs, b -> b = '${hex(i)}')) AS BIGINT) AS x$i")
+      .mkString(", ")
+    def z(i: Int) = if (i < 16) s"(16 * x$i - n)" else "n"
+    def marginOf(w: String) =
+      (0 until 17).map(i => s"$w.c$i * ${z(i)}").mkString(" + ")
+    val teacherMargin = xs.map(i => s"${teacher(i)} * x$i").mkString(" + ")
+    val rounds = (1 to scoreTrainIters).map { r =>
+      val prev = if (r == 1) "w0" else s"it${r - 1}"
+      // CAST back to BIGINT: DuckDB's sum(BIGINT) widens to HUGEINT, and
+      // the widening would otherwise ride the weight columns forever
+      val gsum = (0 until 17).map(i =>
+        s"COALESCE(CAST(sum(CASE WHEN y * (${marginOf(prev)}) <= 0 THEN y * ${z(i)} ELSE 0 END) AS BIGINT), 0) AS g$i")
+        .mkString(", ")
+      val upd = (0 until 17)
+        .map(i => s"CAST($prev.c$i + g$i AS BIGINT) AS c$i").mkString(", ")
+      s"""gr$r AS (SELECT $gsum FROM feat, $prev),
+         |it$r AS (SELECT $upd FROM $prev, gr$r)""".stripMargin
+    }.mkString(",\n")
+    val fin = s"it$scoreTrainIters"
+    val sumW = xs.map(i => s"$fin.c$i").mkString(" + ")
+    val weff = xs
+      .map(i => s"CAST(16 * $fin.c$i + ($fin.c16 - ($sumW)) AS BIGINT) AS e$i")
+      .mkString(", ")
+    s"""fb AS (
+       |  SELECT doc_id,
+       |    list_transform(($bigramListSql), g -> substr(md5(g), 1, 1)) AS bs
+       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w
+       |        FROM documents WHERE text IS NOT NULL)),
+       |fx AS (SELECT doc_id, CAST(len(bs) AS BIGINT) AS n, $xCols FROM fb),
+       |feat AS (
+       |  SELECT *, CAST(CASE WHEN ($teacherMargin) > 0 THEN 1 ELSE -1 END AS BIGINT) AS y
+       |  FROM fx),
+       |w0 AS (SELECT ${(0 until 17).map(i => s"CAST(0 AS BIGINT) AS c$i").mkString(", ")}),
+       |$rounds,
+       |weff AS (SELECT $weff FROM $fin)""".stripMargin
+  }
+  private def trainedMarginSql: String =
+    (0 until 16).map(i => s"weff.e$i * x$i").mkString(" + ")
+
   val sql: Map[String, String] = Map(
     "q01_scan_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -1907,6 +1961,22 @@ object OracleSql {
          |  END AS score,
          |  ${scoreRawSql("gs")} > 0 AS keep
          |FROM g ORDER BY doc_id""".stripMargin,
+
+    "tx_score_train" ->
+      s"""WITH $scoreTrainCtes
+         |SELECT unnest(generate_series(0, 15)) AS bucket,
+         |  unnest([${(0 until 16).map(i => s"e$i").mkString(", ")}]) AS weight
+         |FROM weff ORDER BY bucket""".stripMargin,
+
+    "tx_score_trained" ->
+      s"""WITH $scoreTrainCtes
+         |SELECT doc_id, n AS n_grams,
+         |  CAST($trainedMarginSql AS BIGINT) AS score_raw,
+         |  CASE WHEN n > 0
+         |       THEN CAST(($trainedMarginSql) AS DOUBLE) / CAST(n AS DOUBLE)
+         |  END AS score,
+         |  ($trainedMarginSql) > 0 AS keep
+         |FROM feat, weff ORDER BY doc_id""".stripMargin,
 
     // tx_url family: the plant CASEs and the blocklist IN-list are built
     // from the SAME Scala constants the Spark operators compile

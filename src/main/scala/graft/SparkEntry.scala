@@ -191,6 +191,8 @@ object SparkEntry {
     "decon_url" -> ((s, d) => Curation.decon_url(s, d)),
     "decon_spans" -> ((s, d) => Curation.decon_spans(s, d)),
     "graph_domains" -> ((s, d) => Graph.graph_domains(s, d)),
+    "tx_score_train" -> ((s, d) => TextAnalysis.tx_score_train(s, d)),
+    "tx_score_trained" -> ((s, d) => TextAnalysis.tx_score_trained(s, d)),
     // reproducible sharded training-order shuffle
     "samp_shuffle" -> ((s, d) => Curation.samp_shuffle(s, d)),
     // embeddings-table audit (profile_table's vector-side sibling)

@@ -1960,6 +1960,56 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(1L)._3 == (got(1L)._2 > 0) && got(2L)._3 == (got(2L)._2 > 0))
   }
 
+  test("tx_score_train: weights match an independent driver-side perceptron; trained gate beats the fixed weights") {
+    val dir = "/root/testdata/sf0.001"
+    // independent reference: features, teacher labels, all 8 perceptron
+    // rounds over the centered (z, n) parameterization, and the fold back
+    // to effective bucket weights — recomputed in plain JVM arithmetic
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val teacher = TextAnalysis.teacherWeights.map(_.toLong)
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .filter(!_.isNullAt(1)).map(r => r.getString(1))
+    val fx = rows.map { text =>
+      val ws = text.split(" ", -1)
+      val grams =
+        if (ws.length < 2) Seq(text) else ws.sliding(2).map(_.mkString(" ")).toSeq
+      val x = Array.fill(16)(0L)
+      grams.foreach(g => x("0123456789abcdef".indexOf(md5hex(g).head)) += 1L)
+      val n = grams.length.toLong
+      val y: Long = if ((0 until 16).map(i => teacher(i) * x(i)).sum > 0) 1L else -1L
+      val z = (0 until 16).map(i => 16L * x(i) - n).toArray :+ n
+      (y, x, z)
+    }
+    val w = Array.fill(17)(0L)
+    for (_ <- 1 to 8) {
+      val g = Array.fill(17)(0L)
+      fx.foreach { case (y, _, z) =>
+        val m = (0 until 17).map(i => w(i) * z(i)).sum
+        if (y * m <= 0) (0 until 17).foreach(i => g(i) += y * z(i))
+      }
+      (0 until 17).foreach(i => w(i) += g(i))
+    }
+    val shift = w(16) - w.take(16).sum
+    val eff = (0 until 16).map(i => 16L * w(i) + shift)
+    val got = TextAnalysis.tx_score_train(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.map(_._1).toSeq == (0L until 16L))
+    assert(got.map(_._2).toSeq == eff,
+      "distributed training must equal the sequential reference exactly")
+    // the whole point: the trained gate recovers the teacher's decision
+    // boundary far better than the fixed public weights track it
+    def acc(weights: Seq[Long]): Double = fx.count { case (y, x, _) =>
+      ((0 until 16).map(i => weights(i) * x(i)).sum > 0) == (y == 1L)
+    }.toDouble / fx.length
+    val trained = acc(eff)
+    val fixed = acc(TextAnalysis.scoreWeights.map(_.toLong))
+    assert(trained > fixed,
+      s"trained accuracy $trained must beat fixed-weight accuracy $fixed")
+    assert(trained >= 0.95, s"the plant is linearly learnable; got $trained")
+  }
+
   test("lexical sketch recall vs exact n-gram Jaccard ground truth: regimes measured and pinned") {
     // the SemDeDup-recall precedent applied to the lexical sketches:
     // ground truth = dd_ngram_jaccard (exact, recall 1 by construction);
