@@ -918,6 +918,62 @@ class PipelineSpec extends AnyFunSuite {
       r.isNullAt(r.fieldIndex("delta_n")) == r.isNullAt(r.fieldIndex("delta_mean_err"))))
   }
 
+  test("index aging: planted-neighbor recall across drifted append+compact cycles, pinned; drift stats flag retrain") {
+    // The centroid-drift regime: the index keeps ingesting appends whose
+    // distribution has moved away from the training corpus, with NO
+    // retrain. Each cycle appends pairs (a, b = a + 0.05·1⃗) shifted by
+    // +2.0·cycle (idx_health's mid-strength drift unit); recall = fraction
+    // of `a` queries whose top-10 contains the planted partner `b`.
+    // Deterministic end to end (deterministic build, deterministic
+    // shifts), so the measured numbers are pinned, not flaky floors.
+    val dir = "/root/testdata/sf0.01"
+    val path = java.nio.file.Files.createTempDirectory("graftaging").toString
+    Similarity.writeIvfPqIndex(spark, dir, path)
+    val emb = graft.sources.Tables.loadParallel(spark, dir, "embeddings")
+    val maxId = emb.agg(max(col("vec_id"))).first().getLong(0)
+    def wMeanErr(df: org.apache.spark.sql.DataFrame): Double = df
+      .agg((sum(col("mean_err") * col("n")) / sum(col("n"))).as("e"))
+      .first().getDouble(0)
+    val baseErr = wMeanErr(Similarity.indexDriftStats(spark, path, emb))
+    val pairs = emb.filter(col("vec_id") % 10 === 0)
+    val nq = pairs.count()
+    val measured = Seq(0.0f, 0.25f, 0.5f, 1.0f, 2.0f).zipWithIndex.map { case (shift, c) =>
+      val off = maxId + 1 + 20000L * (c + 1)
+      def shifted(idOff: Long, eps: Float) = pairs.select(
+        (col("vec_id") + idOff).as("vec_id"),
+        transform(col("embedding"),
+          x => (x + lit(shift) + lit(eps)).cast("float")).as("embedding"))
+      val a = shifted(off, 0.0f)
+      val b = shifted(off + 10000L, 0.05f)
+      val delta = a.unionByName(b)
+      // price the delta against the frozen sidecars BEFORE appending —
+      // the number the rebuild decision would have seen at ingest time
+      val errRatio = wMeanErr(Similarity.indexDriftStats(spark, path, delta)) / baseErr
+      Similarity.appendToIvfPqIndex(spark, path, delta)
+      Similarity.compactIvfPqIndex(spark, path)
+      val hits = Similarity.searchIvfPqIndex(spark, path, a, k = 10)
+        .filter(col("vec_id") === col("q_id") + 10000L).count()
+      (hits.toDouble / nq, errRatio)
+    }
+    info(s"aging (recall, errRatio) per cycle: $measured")
+    val (recalls, ratios) = (measured.map(_._1), measured.map(_._2))
+    // pinned measurements (the sketch-recall convention — deterministic
+    // numbers, not flaky floors): recall holds ≥0.9 through mild drift,
+    // then collapses 0.92 → 0.24 → 0.00 as the shift grows
+    assert(recalls == Seq(0.86, 0.94, 0.92, 0.24, 0.0), s"recalls: $recalls")
+    // the tie to the rebuild rule: err_ratio is monotone in the drift and
+    // crosses indexHealth's documented ~2× retrain threshold at cycle 1,
+    // while recall is still ≥ 0.9 — the monitor fires BEFORE the damage;
+    // an operator who ignores it through 50× has silently lost 3/4 of
+    // planted-neighbor recall
+    assert(ratios.sliding(2).forall(p => p(0) < p(1)), s"ratios: $ratios")
+    assert(ratios(0) < 1.1, "undrifted appends price like the base corpus")
+    assert(ratios(1) > 2.0 && recalls(1) >= 0.9,
+      "the retrain threshold fires while the index is still healthy")
+    assert(ratios(3) > 50 && recalls(3) <= 0.25,
+      "ignoring the threshold through 50x costs most of the recall")
+  }
+
   test("appendToIvfPqIndex: marker-file lock makes concurrent appends fail fast; lock released after use") {
     val dir = "/root/testdata/sf0.01"
     val emb = graft.sources.Tables.loadParallel(spark, dir, "embeddings")
