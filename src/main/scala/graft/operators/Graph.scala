@@ -172,7 +172,7 @@ object Graph {
       domainAuthority(s, dir, iters).graftCheckpoint())
   }
 
-  private[operators] def domainAuthority(s: SparkSession, dir: String,
+  private[graft] def domainAuthority(s: SparkSession, dir: String,
       iters: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val da = graph_domains(s, dir, iters).filter(!col("blocked"))

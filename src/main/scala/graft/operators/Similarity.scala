@@ -989,6 +989,52 @@ object Similarity {
       fs.delete(bak, true)
     }
 
+  /** The drift-gated INGEST decision the aging spec measured, as one
+    * operator: price `delta` against the live sidecars
+    * ([[indexDriftStats]], corpus-weighted mean error vs the `health`
+    * sidecar's base reference), APPEND when the ratio is under
+    * `maxErrRatio` (default 2.0 — [[indexHealth]]'s documented rule,
+    * which the aging spec shows fires while planted-neighbor recall is
+    * still ≥ 0.9), otherwise RETRAIN in place from `allVecs` (the caller
+    * owns the raw vectors — an index holds only codes; incremental
+    * deployments keep the vector corpus next to the index anyway).
+    * Returns (retrained, errRatio) so an ingest pipeline can log the
+    * decision it took.
+    *
+    * Scale shape: the pricing pass is map-only over the delta plus one
+    * tiny aggregate; the append path is O(|delta|); the retrain is the
+    * full build — by construction it runs only when the monitor says the
+    * codebooks have aged out, which is exactly when an unconditional
+    * append would silently lose recall (measured: 0.24 at ~52×).
+    *
+    * An index without a `health` sidecar cannot be priced — fail fast
+    * rather than guess (the indexHealth report degrades to nulls because
+    * it only REPORTS; this operator acts).
+    */
+  def appendOrRetrain(s: SparkSession, path: String, delta: DataFrame,
+      allVecs: DataFrame, maxErrRatio: Double = 2.0): (Boolean, Double) = {
+    require(maxErrRatio > 0, s"appendOrRetrain: maxErrRatio=$maxErrRatio")
+    val healthPath = new org.apache.hadoop.fs.Path(s"$path/health")
+    val fs = healthPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(fs.exists(healthPath),
+      s"appendOrRetrain: no health sidecar under $path — the index " +
+        "predates the base-error reference, so drift cannot be priced. " +
+        "Rebuild once with writeIvfPqIndexFrom to mint it.")
+    def wMean(df: DataFrame): Double = df
+      .agg((sum(col("mean_err") * col("n")) / sum(col("n"))).as("e"))
+      .first().getDouble(0)
+    val baseErr = wMean(s.read.parquet(healthPath.toString))
+    val deltaErr = wMean(indexDriftStats(s, path, delta))
+    val ratio = deltaErr / baseErr
+    if (ratio <= maxErrRatio) {
+      appendToIvfPqIndex(s, path, delta)
+      (false, ratio)
+    } else {
+      writeIvfPqIndexFrom(s, allVecs, path)
+      (true, ratio)
+    }
+  }
+
   private def appendToIvfPqIndexLocked(s: SparkSession, path: String,
       newVecs: DataFrame, fullIdCheck: Boolean): Unit = {
     val (cents, books, m, sub) = loadSidecars(s, path)

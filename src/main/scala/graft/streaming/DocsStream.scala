@@ -324,4 +324,25 @@ object DocsStream {
     stream
       .withColumn("domain", graft.operators.TextAnalysis.urlDomain(col("url")))
       .filter(!col("domain").isInCollection(blocklist))
+
+  /** Ingest-time domain-AUTHORITY gate — the streaming face of the release
+    * funnel's provenance stage ([[graft.operators.Graph.domainAuthority]]):
+    * keep only documents whose registered domain sits in the authorized
+    * set. The set is a per-crawl-SNAPSHOT batch artifact (link-graph
+    * centrality is not computable at the stream edge — the graph IS the
+    * batch corpus), so the gate takes it as a value, exactly like a real
+    * deployment ships the Common Crawl domain-rank table to its ingest
+    * tier; restart the query to pick up a new snapshot (the
+    * storeDedupGate contract). Stateless, map-only; parses the domain with
+    * the SAME [[graft.operators.TextAnalysis.urlDomain]] as every other
+    * URL consumer, and a null/unparseable url drops (the urlGate default).
+    */
+  def authorityGate(stream: DataFrame, authorized: Seq[String]): DataFrame = {
+    require(authorized.nonEmpty,
+      "authorityGate: empty authorized set would drop the whole stream — " +
+        "pass the batch domainAuthority output for the current snapshot")
+    stream
+      .withColumn("domain", graft.operators.TextAnalysis.urlDomain(col("url")))
+      .filter(col("domain").isInCollection(authorized))
+  }
 }

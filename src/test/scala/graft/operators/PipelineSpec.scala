@@ -974,6 +974,36 @@ class PipelineSpec extends AnyFunSuite {
       "ignoring the threshold through 50x costs most of the recall")
   }
 
+  test("appendOrRetrain: in-distribution delta appends; drifted delta retrains; post-retrain pricing is healthy again") {
+    val dir = "/root/testdata/sf0.01"
+    val path = java.nio.file.Files.createTempDirectory("graftgate").toString
+    val emb = graft.sources.Tables.loadParallel(spark, dir, "embeddings")
+      .select("vec_id", "embedding")
+    val maxId = emb.agg(max(col("vec_id"))).first().getLong(0)
+    val split = maxId / 2
+    Similarity.writeIvfPqIndexFrom(spark, emb.filter(col("vec_id") < split), path)
+    // same-distribution delta: prices ~1x -> appended, no rebuild
+    val rest = emb.filter(col("vec_id") >= split)
+    val (retrained1, r1) = Similarity.appendOrRetrain(spark, path, rest, emb)
+    assert(!retrained1 && r1 < 2.0, s"in-distribution delta must append (ratio $r1)")
+    assert(spark.read.parquet(s"$path/codes").count() == emb.count())
+    // drifted delta: prices past the threshold -> full retrain in place
+    def drift(idOff: Long) = emb.select((col("vec_id") + idOff).as("vec_id"),
+      transform(col("embedding"), x => (x + lit(2.0f)).cast("float")).as("embedding"))
+    val d1 = drift(maxId + 1)
+    val all1 = emb.unionByName(d1)
+    val (retrained2, r2) = Similarity.appendOrRetrain(spark, path, d1, all1)
+    assert(retrained2 && r2 > 2.0, s"drifted delta must retrain (ratio $r2)")
+    assert(spark.read.parquet(s"$path/codes").count() == all1.count(),
+      "the retrain must cover base + delta")
+    // the loop closes: a SECOND batch from the drifted mode now prices
+    // against retrained codebooks that cover it -> appended, not retrained
+    val d2 = drift(2 * (maxId + 1) + 1)
+    val (retrained3, r3) = Similarity.appendOrRetrain(spark, path, d2, all1.unionByName(d2))
+    assert(!retrained3 && r3 < 2.0,
+      s"post-retrain, the drifted mode is in-distribution (ratio $r3)")
+  }
+
   test("appendToIvfPqIndex: marker-file lock makes concurrent appends fail fast; lock released after use") {
     val dir = "/root/testdata/sf0.01"
     val emb = graft.sources.Tables.loadParallel(spark, dir, "embeddings")

@@ -959,6 +959,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("authorityGate: only authorized domains pass; parity with the funnel's batch authority set") {
+    // the batch artifact: the same authority set pipeline_release gates on
+    val authorized = graft.operators.Graph
+      .domainAuthority(spark, dir).collect().map(_.getString(0)).toSeq
+    val input = MemoryStream[(Long, String)](spark)
+    val stream = input.toDF().toDF("doc_id", "url")
+    val q = DocsStream.authorityGate(stream, authorized)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("auth_gate").start()
+    try {
+      // one url per host in the pool + an unparseable null-domain row
+      val urls = graft.operators.TextAnalysis.urlHosts.zipWithIndex
+        .map { case (h, i) => (i.toLong, s"https://$h/p/$i") }
+      input.addData(urls: _*)
+      q.processAllAvailable()
+      val passed = spark.table("auth_gate").select("domain")
+        .as[String].collect().toSet
+      assert(passed == authorized.toSet,
+        "the stream edge must admit exactly the batch-authorized domains")
+      assert(passed.nonEmpty &&
+        passed.size < graft.operators.TextAnalysis.urlHosts.size)
+    } finally q.stop()
+    intercept[IllegalArgumentException] {
+      DocsStream.authorityGate(stream, Seq.empty)
+    }
+  }
+
   test("StateClock.monotoneTimeoutMs: past-watermark clamp; saturates instead of wrapping near Long.MaxValue") {
     assert(StateClock.monotoneTimeoutMs(100L, 50L, 10L) == 150L)
     assert(StateClock.monotoneTimeoutMs(100L, 50L, 200L) == 201L) // clamp
