@@ -2190,7 +2190,8 @@ object OracleSql {
     // the Spark side joins 64-bit hashes of the same grams)
     "decon_spans" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w,
-        |             doc_id % 3 = 0 AS is_eval FROM documents),
+        |             doc_id % 3 = 0 AS is_eval
+        |           FROM documents WHERE text IS NOT NULL),
         |el AS (SELECT * FROM w WHERE len(w) >= 8),
         |ev AS (SELECT DISTINCT
         |         unnest(list_transform(generate_series(0, len(w) - 8),
@@ -2222,6 +2223,53 @@ object OracleSql {
         |FROM sp JOIN w ON sp.doc_id = w.doc_id
         |GROUP BY sp.doc_id, len(w.w)
         |ORDER BY sp.doc_id""".stripMargin,
+
+    // decon_spans_trim: the dd_spans_trim reassembly over the eval-overlap
+    // intervals, training slice only
+    "decon_spans_trim" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |             doc_id % 3 = 0 AS is_eval
+        |           FROM documents WHERE text IS NOT NULL),
+        |el AS (SELECT * FROM w WHERE len(w) >= 8),
+        |ev AS (SELECT DISTINCT
+        |         unnest(list_transform(generate_series(0, len(w) - 8),
+        |                               i -> array_to_string(w[i+1:i+8], ' '))) AS sh
+        |       FROM el WHERE is_eval),
+        |occ AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0, len(w) - 8)) AS pos,
+        |    unnest(list_transform(generate_series(0, len(w) - 8),
+        |                          i -> array_to_string(w[i+1:i+8], ' '))) AS sh
+        |  FROM el WHERE NOT is_eval),
+        |iv AS (SELECT o.doc_id, o.pos AS st, o.pos + 7 AS e
+        |       FROM occ o JOIN ev USING (sh)),
+        |x AS (SELECT doc_id, st, e,
+        |        max(e) OVER (PARTITION BY doc_id ORDER BY st
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |      FROM iv),
+        |y AS (SELECT doc_id, st, e,
+        |        CASE WHEN pme IS NULL OR st > pme + 1 THEN 1 ELSE 0 END AS ni FROM x),
+        |z AS (SELECT doc_id, st, e,
+        |        sum(ni) OVER (PARTITION BY doc_id ORDER BY st
+        |                      ROWS UNBOUNDED PRECEDING) AS isl FROM y),
+        |sp AS (SELECT doc_id, isl, min(st) AS ss, max(e) AS se FROM z GROUP BY 1, 2),
+        |tr AS (SELECT doc_id, w FROM w WHERE NOT is_eval),
+        |w2 AS (SELECT doc_id,
+        |         unnest(w) AS word,
+        |         unnest(generate_series(0, len(w) - 1)) AS pos
+        |       FROM tr),
+        |kept AS (SELECT w2.doc_id, w2.word, w2.pos
+        |         FROM w2 LEFT JOIN sp ON sp.doc_id = w2.doc_id
+        |                             AND w2.pos BETWEEN sp.ss AND sp.se
+        |         WHERE sp.doc_id IS NULL),
+        |agg AS (SELECT doc_id, count(*) AS kept_words,
+        |          coalesce(string_agg(word, ' ' ORDER BY pos), '') AS trimmed
+        |        FROM kept GROUP BY 1)
+        |SELECT tr.doc_id, CAST(len(tr.w) AS BIGINT) AS n_words,
+        |  CAST(coalesce(agg.kept_words, 0) AS BIGINT) AS kept_words,
+        |  md5(coalesce(agg.trimmed, '')) AS trimmed_digest
+        |FROM tr LEFT JOIN agg ON agg.doc_id = tr.doc_id
+        |ORDER BY tr.doc_id""".stripMargin,
 
     "ev_attribution" ->
       s"""WITH e AS (

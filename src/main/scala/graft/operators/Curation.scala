@@ -668,12 +668,35 @@ object Curation {
     */
   def decon_spans(s: SparkSession, dir: String, k: Int = 8,
       evalMod: Int = 3): DataFrame = {
+    val (d, spans) = deconSpanFrames(s, dir, k, evalMod)
+    spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("se") - col("ss") + 1).as("overlap_words"),
+        max(col("se") - col("ss") + 1).cast("long").as("max_span"))
+      .join(d.select(col("doc_id"), size(col("w")).cast("long").as("n_words")), "doc_id")
+      .select(col("doc_id"), col("n_words"), col("n_spans"),
+        col("overlap_words"), col("max_span"),
+        (col("overlap_words").cast("double") / col("n_words")).as("overlap_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** The (training docs, merged eval-overlap intervals) frames behind
+    * [[decon_spans]] (the audit) and [[decon_spans_trim]] (the removal) —
+    * [[Dedup.dd_spans]]' spanFrames shape pointed at the eval slice; the
+    * machinery lives exactly once. `d` carries every non-null-text
+    * TRAINING doc; `spans` the maximal contaminated word intervals.
+    */
+  private def deconSpanFrames(s: SparkSession, dir: String, k: Int,
+      evalMod: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 2, s"decon_spans: k=$k must be >= 2")
     require(evalMod >= 2, s"decon_spans: evalMod=$evalMod needs both slices nonempty")
     val isEval = pmod(col("doc_id"), lit(evalMod)) === 0
-    val d = docs(s, dir).select(col("doc_id"), col("text"),
-      words(col("text")).as("w"), isEval.as("is_eval"))
+    // null text carries no grams and cannot be trimmed — exclude up front
+    // so the trim's left join never fabricates a "fully trimmed" null doc
+    val d = docs(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"),
+        words(col("text")).as("w"), isEval.as("is_eval"))
     val eligible = d.filter(size(col("w")) >= k)
     // hash before any join — the probe carries longs, never gram strings
     // (dd_spans' collision stance: 2^-64, and the DuckDB twin joins the
@@ -696,14 +719,42 @@ object Curation {
         byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("doc_id", "isl")
       .agg(min(col("s")).as("ss"), max(col("e")).as("se"))
-    spans.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_spans"),
-        sum(col("se") - col("ss") + 1).as("overlap_words"),
-        max(col("se") - col("ss") + 1).cast("long").as("max_span"))
-      .join(d.select(col("doc_id"), size(col("w")).cast("long").as("n_words")), "doc_id")
-      .select(col("doc_id"), col("n_words"), col("n_spans"),
-        col("overlap_words"), col("max_span"),
-        (col("overlap_words").cast("double") / col("n_words")).as("overlap_frac"))
+    (d.filter(!col("is_eval")), spans)
+  }
+
+  /** The REMOVAL half of substring decontamination ([[decon_spans]] is the
+    * audit): rebuild every TRAINING document with its eval-overlapping
+    * spans cut out — the GPT-3 appendix-C treatment (they mask the
+    * contaminated window; PaLM drops the doc — both start from exactly
+    * these intervals). Same reassembly algebra as
+    * [[Dedup.dd_spans_trim]]: positions inside any merged span drop via a
+    * left-anti interval join (spans are disjoint by construction),
+    * survivors rejoin in position order, and the oracle pins the md5 of
+    * the actual reconstruction. Untouched training docs pass through
+    * byte-exact; a fully-contaminated doc trims to the empty string; eval
+    * docs are NOT emitted (they are not trainable content — the release
+    * corpus is the training slice).
+    *
+    * Scale shape: [[decon_spans]]' broadcast probe + one doc_id shuffle,
+    * then the word-level explode/anti-join/reassembly — linear in corpus
+    * tokens with per-doc bounded groups, the dd_spans_trim bound.
+    */
+  def decon_spans_trim(s: SparkSession, dir: String, k: Int = 8,
+      evalMod: Int = 3): DataFrame = {
+    val (d, spans) = deconSpanFrames(s, dir, k, evalMod)
+    val wp = d.select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "word")))
+    val kept = wp.join(spans,
+      wp("doc_id") === spans("doc_id") &&
+        col("pos") >= col("ss") && col("pos") <= col("se"), "left_anti")
+    val re = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("kept_words"),
+      array_join(transform(array_sort(collect_list(struct(col("pos"), col("word")))),
+        x => x.getField("word")), " ").as("trimmed"))
+    d.select(col("doc_id"), size(col("w")).cast("long").as("n_words"))
+      .join(re, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("kept_words"), lit(0L)).as("kept_words"),
+        md5(coalesce(col("trimmed"), lit(""))).as("trimmed_digest"))
       .orderBy("doc_id")
   }
 

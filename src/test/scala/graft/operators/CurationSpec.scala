@@ -450,4 +450,28 @@ class CurationSpec extends AnyFunSuite {
     assert(tup(2L) == ((16L, 1L, 16L, 16L, 1.0)))
     assert(tup(7L) == ((18L, 2L, 16L, 8L, 16.0 / 18)))
   }
+
+  test("decon_spans_trim: contaminated spans cut, clean docs byte-exact, fully-contaminated doc trims to empty") {
+    def ws(p: String, a: Int, b: Int) = (a to b).map(i => s"$p$i").mkString(" ")
+    val E = ws("e", 1, 8); val F = ws("f", 1, 8)
+    val dir = docsDir(Seq(
+      (0L, s"$E mid1 mid2 $F", "en", "s"), // eval
+      (1L, s"x1 x2 $E y1 y2", "en", "s"), // span [2,9] cut
+      (2L, s"$E $F", "en", "s"), // fully contaminated
+      (4L, ws("v", 1, 10), "en", "s"), // untouched, >= k words
+      (5L, "e1 e2 e3", "en", "s"), // under k words — untouched
+      (7L, s"$E z1 z2 $F", "en", "s"))) // two spans cut, gap survives
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = Curation.decon_spans_trim(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // training slice only — the eval doc is not emitted
+    assert(rows.keySet == Set(1L, 2L, 4L, 5L, 7L))
+    assert(rows(1L) == ((12L, 4L, md5hex("x1 x2 y1 y2"))))
+    assert(rows(2L) == ((16L, 0L, md5hex(""))))
+    assert(rows(4L) == ((10L, 10L, md5hex(ws("v", 1, 10)))))
+    assert(rows(5L) == ((3L, 3L, md5hex("e1 e2 e3"))))
+    assert(rows(7L) == ((18L, 2L, md5hex("z1 z2"))))
+  }
 }
