@@ -269,6 +269,40 @@ object OracleSql {
       |     WHEN substr(md5(text), 1, 3) < 'f33' THEN 'val'
       |     ELSE 'test' END""".stripMargin.replace("\n", " ").replaceAll(" +", " ")
 
+  /** [[splitCaseSql]] over an arbitrary text expression — `Curation
+    * .splitOf`'s twin parameterized for the leak-free split's anchor text.
+    */
+  private def splitCaseOn(e: String): String =
+    s"CASE WHEN substr(md5($e), 1, 3) < 'e66' THEN 'train' " +
+      s"WHEN substr(md5($e), 1, 3) < 'f33' THEN 'val' ELSE 'test' END"
+
+  /** The n-gram Jaccard connected-components CTE chain shared by
+    * `dd_cluster_jaccard` and `samp_split_leakfree` (needs WITH RECURSIVE;
+    * ends at `walk(id, label)`).
+    */
+  private val ngramClusterCtes: String =
+    """sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+      |         ELSE list_transform(generate_series(0, len(w) - 3),
+      |                             i -> array_to_string(w[i+1:i+3], ' ')) END)) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+      |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2),
+      |good AS (
+      |  SELECT a, b
+      |  FROM pairs JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+      |  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.4),
+      |edges AS (SELECT a AS src, b AS dst FROM good
+      |          UNION SELECT b, a FROM good),
+      |walk(id, label) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, w.label FROM edges e JOIN walk w ON w.id = e.dst)""".stripMargin
+
   /** `TextAnalysis.trainScoreWeights`' twin: the 8 batch-perceptron rounds
     * unrolled programmatically (one template — the pagerank device), every
     * quantity 64-bit integer so the whole training trajectory
@@ -559,28 +593,26 @@ object OracleSql {
     // min-label connected components as a recursive transitive-closure walk
     // (edges both directions; min reachable id per node = component minimum)
     "dd_cluster_jaccard" ->
-      """WITH RECURSIVE sh AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-        |         ELSE list_transform(generate_series(0, len(w) - 3),
-        |                             i -> array_to_string(w[i+1:i+3], ' ')) END)) AS sh
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
-        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
-        |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
-        |  GROUP BY 1, 2),
-        |good AS (
-        |  SELECT a, b
-        |  FROM pairs JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
-        |  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.4),
-        |edges AS (SELECT a AS src, b AS dst FROM good
-        |          UNION SELECT b, a FROM good),
-        |walk(id, label) AS (
-        |  SELECT src, src FROM edges
-        |  UNION
-        |  SELECT e.src, w.label FROM edges e JOIN walk w ON w.id = e.dst)
-        |SELECT id, min(label) AS cluster FROM walk GROUP BY id ORDER BY id""".stripMargin,
+      s"""WITH RECURSIVE $ngramClusterCtes
+         |SELECT id, min(label) AS cluster FROM walk GROUP BY id ORDER BY id""".stripMargin,
+
+    // samp_split_leakfree: the dd_cluster_jaccard component chain, then
+    // every clustered doc splits by its anchor (min-label member)'s text
+    "samp_split_leakfree" ->
+      s"""WITH RECURSIVE $ngramClusterCtes,
+         |comp AS (SELECT id, min(label) AS cluster FROM walk GROUP BY id),
+         |anch AS (SELECT c.id AS doc_id, d.text AS atext
+         |         FROM comp c JOIN documents d ON d.doc_id = c.cluster),
+         |eff AS (
+         |  SELECT d.source,
+         |    ${splitCaseOn("coalesce(a.atext, d.text)")} AS split,
+         |    ${splitCaseOn("coalesce(a.atext, d.text)")} <>
+         |      ${splitCaseOn("d.text")} AS moved
+         |  FROM documents d LEFT JOIN anch a ON a.doc_id = d.doc_id
+         |  WHERE d.text IS NOT NULL)
+         |SELECT source, split, count(*) AS n,
+         |  CAST(sum(CASE WHEN moved THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+         |FROM eff GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "tx_stats" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS len,

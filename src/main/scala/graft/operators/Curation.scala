@@ -199,6 +199,42 @@ object Curation {
       .agg(count(lit(1)).as("n"))
       .orderBy("source", "split")
 
+  /** LEAKAGE-FREE split — the failure [[samp_split]] alone cannot prevent:
+    * content addressing puts byte-identical copies in the same split, but
+    * NEAR-duplicates hash apart, so a paraphrased copy of a training doc
+    * lands in test and the eval is contaminated (the measured effect of
+    * Lee et al. ACL'22 — models memorize the train twin and ace the test
+    * copy). Fix: every member of a near-dup cluster
+    * ([[Dedup.dd_cluster_jaccard]] — the exact, oracle-checkable member of
+    * the cluster family) inherits the split of its cluster ANCHOR (min
+    * doc_id)'s text; unclustered docs keep their own content address.
+    * Emits the per-(source, split) census plus `n_moved` — how many docs
+    * the leak rule re-assigned, the number an ablation report quotes.
+    *
+    * Scale shape: the cluster pass is dd_cluster_jaccard's (ppjoin prefix
+    * + CC over representatives); everything after is one |clustered|-sized
+    * join to fetch anchor texts (near-dup clusters are a small fraction of
+    * any deduped corpus) and one map-side-combined census aggregate.
+    */
+  def samp_split_leakfree(s: SparkSession, dir: String, n: Int = 3,
+      threshold: Double = 0.4): DataFrame = {
+    val clusters = Dedup.dd_cluster_jaccard(s, dir, n, threshold)
+    val d = docs(s, dir).filter(col("text").isNotNull)
+    val anchors = clusters
+      .join(d.select(col("doc_id").as("cluster"), col("text").as("atext")),
+        Seq("cluster"))
+      .select(col("id").as("doc_id"), col("atext"))
+    val eff = d.join(anchors, Seq("doc_id"), "left")
+      .select(col("source"),
+        splitOf(coalesce(col("atext"), col("text"))).as("split"),
+        (splitOf(coalesce(col("atext"), col("text"))) =!=
+          splitOf(col("text"))).as("moved"))
+    eff.groupBy("source", "split")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("moved"), 1L).otherwise(0L)).as("n_moved"))
+      .orderBy("source", "split")
+  }
+
   /** The full curation funnel as ONE audit query — the composition these
     * operators exist for: normalize → Gopher quality gate (the SAME criteria
     * columns as [[TextAnalysis.tx_gopher]]) → exact dedup on the normalized

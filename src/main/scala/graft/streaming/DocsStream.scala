@@ -345,4 +345,24 @@ object DocsStream {
       .withColumn("domain", graft.operators.TextAnalysis.urlDomain(col("url")))
       .filter(col("domain").isInCollection(authorized))
   }
+
+  /** Ingest-time learned-scorer gate — the streaming face of
+    * [[graft.operators.TextAnalysis.tx_score]]'s margin gate (and of
+    * [[graft.operators.TextAnalysis.tx_score_trained]]'s when the caller
+    * passes trained weights — like the authority set, trained weights are
+    * a per-snapshot batch artifact shipped to the ingest tier as a value).
+    * Same integer margin through the SAME [[graft.operators.TextAnalysis
+    * .scoreRawWith]] fold, gate = margin > 0, so the stream edge and the
+    * batch funnel cannot disagree on a document. Stateless, map-only;
+    * null text drops (no trainable content). With extractGate → urlGate →
+    * authorityGate → scoreGate the full C4-order provenance-then-content
+    * ingest chain now exists at the stream edge.
+    */
+  def scoreGate(stream: DataFrame,
+      weights: Seq[Long] =
+        graft.operators.TextAnalysis.scoreWeights.map(_.toLong)): DataFrame =
+    stream.filter(col("text").isNotNull)
+      .withColumn("score_raw", graft.operators.TextAnalysis.scoreRawWith(
+        graft.functions.TextFunctions.shingles(col("text"), 2), weights))
+      .filter(col("score_raw") > 0L)
 }

@@ -451,6 +451,35 @@ class CurationSpec extends AnyFunSuite {
     assert(tup(7L) == ((18L, 2L, 16L, 8L, 16.0 / 18)))
   }
 
+  test("samp_split_leakfree: a near-dup pair that hashes across splits is reunited in the anchor's split") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def splitOfRef(t: String): String = {
+      val p3 = md5hex(t).take(3)
+      if (p3 < "e66") "train" else if (p3 < "f33") "val" else "test"
+    }
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    // deterministic search for a near-dup suffix whose content address
+    // lands in a DIFFERENT split than the base — the leak case
+    val leaky = (1 to 200).map(i => s"$base extra$i")
+      .find(v => splitOfRef(v) != splitOfRef(base))
+    assert(leaky.nonEmpty, "no split-crossing variant in 200 candidates")
+    val other = (1 to 20).map(i => s"q$i").mkString(" ") // unclustered
+    val dir = docsDir(Seq(
+      (10L, base, "en", "s"),
+      (11L, leaky.get, "en", "s"),
+      (12L, other, "en", "s")))
+    val rows = Curation.samp_split_leakfree(spark, dir).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    val anchorSplit = splitOfRef(base)
+    // both cluster members in the anchor's split; exactly one was moved
+    assert(rows.collect { case (s, n, _) if s == anchorSplit => n }.sum >= 2)
+    assert(rows.map(_._3).sum == 1L, s"exactly one doc re-assigned: $rows")
+    // the unclustered doc keeps its own content address
+    val otherSplit = splitOfRef(other)
+    assert(rows.exists { case (s, n, _) => s == otherSplit && n >= 1 })
+  }
+
   test("decon_spans_trim: contaminated spans cut, clean docs byte-exact, fully-contaminated doc trims to empty") {
     def ws(p: String, a: Int, b: Int) = (a to b).map(i => s"$p$i").mkString(" ")
     val E = ws("e", 1, 8); val F = ws("f", 1, 8)

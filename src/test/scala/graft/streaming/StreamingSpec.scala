@@ -986,6 +986,35 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("scoreGate: stream-edge keep set equals the batch scorer's, for fixed AND trained weights") {
+    val docs = graft.sources.Tables.loadParallel(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .filter(!_.isNullAt(1)).map(r => (r.getLong(0), r.getString(1)))
+    def run(name: String, weights: Option[Seq[Long]]): Set[Long] = {
+      val input = MemoryStream[(Long, String)](spark)
+      val stream = input.toDF().toDF("doc_id", "text")
+      val gated = weights.fold(DocsStream.scoreGate(stream))(
+        w => DocsStream.scoreGate(stream, w))
+      val q = gated.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        input.addData(docs: _*)
+        q.processAllAvailable()
+        spark.table(name).select("doc_id").as[Long].collect().toSet
+      } finally q.stop()
+    }
+    val batchFixed = graft.operators.TextAnalysis.tx_score(spark, dir)
+      .filter(col("keep")).select("doc_id").as[Long].collect().toSet
+    assert(run("score_gate_fixed", None) == batchFixed)
+    val trained = graft.operators.TextAnalysis.trainScoreWeights(spark, dir, 8)
+    val batchTrained = graft.operators.TextAnalysis.tx_score_trained(spark, dir)
+      .filter(col("keep")).select("doc_id").as[Long].collect().toSet
+    assert(run("score_gate_trained", Some(trained)) == batchTrained)
+    assert(batchTrained != batchFixed,
+      "the two weight sets must gate differently on this corpus, " +
+        "or the trained-weights leg of this test is vacuous")
+  }
+
   test("StateClock.monotoneTimeoutMs: past-watermark clamp; saturates instead of wrapping near Long.MaxValue") {
     assert(StateClock.monotoneTimeoutMs(100L, 50L, 10L) == 150L)
     assert(StateClock.monotoneTimeoutMs(100L, 50L, 200L) == 201L) // clamp
