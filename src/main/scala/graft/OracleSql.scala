@@ -134,19 +134,25 @@ object OracleSql {
   private val urlBlockSql: String =
     graft.operators.TextAnalysis.urlBlocklist.map(d => s"'$d'").mkString(", ")
 
+  /** Host-of-planted-URL expression and registered-domain-of-`host`
+    * expression — the ONE SQL spelling of the `urlDomain(urlPlant(...))`
+    * parse, shared by the tx_url_hosts and graph_domains twins (the
+    * authority key and the host-census key cannot drift).
+    */
+  private val hostFromUrlSql: String =
+    s"string_split(string_split(string_split($urlPlantSql, '://')[2], '/')[1], ':')[1]"
+  private val domainOfHostSql: String =
+    "string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]"
+
   /** Domain census over the final ranks (requires [[pagerankCoreCtes]]
-    * earlier in the WITH chain): the tx_url host/domain split chain on the
+    * earlier in the WITH chain): the shared host/domain parse on the
     * planted URL, then the per-domain aggregate — `pr_mean` is the same
     * integer division as the Spark `div`.
     */
   private val domainCensusCtes: String =
     s"""dom AS (
-       |  SELECT doc_id, string_split(host, '.')[-2] || '.' ||
-       |    string_split(host, '.')[-1] AS domain
-       |  FROM (SELECT doc_id,
-       |      string_split(string_split(string_split($urlPlantSql,
-       |        '://')[2], '/')[1], ':')[1] AS host
-       |    FROM documents)),
+       |  SELECT doc_id, $domainOfHostSql AS domain
+       |  FROM (SELECT doc_id, $hostFromUrlSql AS host FROM documents)),
        |da AS (
        |  SELECT domain, count(*) AS n_docs,
        |    CAST(sum(pr) AS BIGINT) AS pr_sum,
@@ -264,17 +270,90 @@ object OracleSql {
   private val wordBandSql = "len(w) >= 20 AND len(w) <= 100000"
   private val meanBandSql = "ml >= 3.0 AND ml <= 10.0"
   private val stopHitsSql = s"len(list_intersect(w, $gopherListSql)) >= 2"
-  private val splitCaseSql =
-    """CASE WHEN substr(md5(text), 1, 3) < 'e66' THEN 'train'
-      |     WHEN substr(md5(text), 1, 3) < 'f33' THEN 'val'
-      |     ELSE 'test' END""".stripMargin.replace("\n", " ").replaceAll(" +", " ")
-
-  /** [[splitCaseSql]] over an arbitrary text expression — `Curation
-    * .splitOf`'s twin parameterized for the leak-free split's anchor text.
+  /** `Curation.splitOf`'s twin over an arbitrary text expression; the
+    * split thresholds live HERE and nowhere else ([[splitCaseSql]] is the
+    * plain-`text` instantiation).
     */
   private def splitCaseOn(e: String): String =
     s"CASE WHEN substr(md5($e), 1, 3) < 'e66' THEN 'train' " +
       s"WHEN substr(md5($e), 1, 3) < 'f33' THEN 'val' ELSE 'test' END"
+
+  private val splitCaseSql = splitCaseOn("text")
+
+  /** Gaps-and-islands CTE chain over `iv(doc_id, st, e)` ending at
+    * `sp(doc_id, isl, ss, se)` — the SQL twin of `Dedup.mergeIslands`; the
+    * islands algebra lives exactly once across the dd_spans and
+    * decon_spans families (both sides of the drift guarantee).
+    */
+  private val islandMergeCtes: String =
+    """x AS (SELECT doc_id, st, e,
+      |        max(e) OVER (PARTITION BY doc_id ORDER BY st
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+      |      FROM iv),
+      |y AS (SELECT doc_id, st, e,
+      |        CASE WHEN pme IS NULL OR st > pme + 1 THEN 1 ELSE 0 END AS ni FROM x),
+      |z AS (SELECT doc_id, st, e,
+      |        sum(ni) OVER (PARTITION BY doc_id ORDER BY st
+      |                      ROWS UNBOUNDED PRECEDING) AS isl FROM y),
+      |sp AS (SELECT doc_id, isl, min(st) AS ss, max(e) AS se FROM z GROUP BY 1, 2)""".stripMargin
+
+  /** The span-removal reassembly (`Dedup.trimBySpans`' twin) over a docs
+    * CTE `src(doc_id, w)` and the merged `sp` intervals — shared by
+    * dd_spans_trim and decon_spans_trim.
+    */
+  private def trimReassemblySql(src: String): String =
+    s"""w2 AS (SELECT doc_id,
+       |         unnest(w) AS word,
+       |         unnest(generate_series(0, len(w) - 1)) AS pos
+       |       FROM $src),
+       |kept AS (SELECT w2.doc_id, w2.word, w2.pos
+       |         FROM w2 LEFT JOIN sp ON sp.doc_id = w2.doc_id
+       |                             AND w2.pos BETWEEN sp.ss AND sp.se
+       |         WHERE sp.doc_id IS NULL),
+       |agg AS (SELECT doc_id, count(*) AS kept_words,
+       |          coalesce(string_agg(word, ' ' ORDER BY pos), '') AS trimmed
+       |        FROM kept GROUP BY 1)
+       |SELECT $src.doc_id, CAST(len($src.w) AS BIGINT) AS n_words,
+       |  CAST(coalesce(agg.kept_words, 0) AS BIGINT) AS kept_words,
+       |  md5(coalesce(agg.trimmed, '')) AS trimmed_digest
+       |FROM $src LEFT JOIN agg ON agg.doc_id = $src.doc_id
+       |ORDER BY $src.doc_id""".stripMargin
+
+  /** Corpus-vs-corpus duplicated-k-gram intervals (dd_spans family):
+    * w/sh/dup → `iv(doc_id, st, e)`.
+    */
+  private val ddSpanIvCtes: String =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    unnest(generate_series(0, len(w) - 8)) AS pos,
+      |    unnest(list_transform(generate_series(0, len(w) - 8),
+      |                          i -> array_to_string(w[i+1:i+8], ' '))) AS sh
+      |  FROM w WHERE len(w) >= 8),
+      |dup AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 1),
+      |iv AS (SELECT s.doc_id, s.pos AS st, s.pos + 7 AS e
+      |       FROM sh s JOIN dup USING (sh))""".stripMargin
+
+  /** Training-vs-eval shared-k-gram intervals (decon_spans family):
+    * w/el/ev/occ → `iv(doc_id, st, e)`; training docs only.
+    */
+  private val deconSpanIvCtes: String =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS w,
+      |             doc_id % 3 = 0 AS is_eval
+      |           FROM documents WHERE text IS NOT NULL),
+      |el AS (SELECT * FROM w WHERE len(w) >= 8),
+      |ev AS (SELECT DISTINCT
+      |         unnest(list_transform(generate_series(0, len(w) - 8),
+      |                               i -> array_to_string(w[i+1:i+8], ' '))) AS sh
+      |       FROM el WHERE is_eval),
+      |occ AS (
+      |  SELECT doc_id,
+      |    unnest(generate_series(0, len(w) - 8)) AS pos,
+      |    unnest(list_transform(generate_series(0, len(w) - 8),
+      |                          i -> array_to_string(w[i+1:i+8], ' '))) AS sh
+      |  FROM el WHERE NOT is_eval),
+      |iv AS (SELECT o.doc_id, o.pos AS st, o.pos + 7 AS e
+      |       FROM occ o JOIN ev USING (sh))""".stripMargin
 
   /** The n-gram Jaccard connected-components CTE chain shared by
     * `dd_cluster_jaccard` and `samp_split_leakfree` (needs WITH RECURSIVE;
@@ -1629,34 +1708,16 @@ object OracleSql {
     // positions/counts throughout; the one division is the same
     // double-by-bigint IEEE op on both sides.
     "dd_spans" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    unnest(generate_series(0, len(w) - 8)) AS pos,
-        |    unnest(list_transform(generate_series(0, len(w) - 8),
-        |                          i -> array_to_string(w[i+1:i+8], ' '))) AS sh
-        |  FROM w WHERE len(w) >= 8),
-        |dup AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 1),
-        |iv AS (SELECT s.doc_id, s.pos AS st, s.pos + 7 AS e
-        |       FROM sh s JOIN dup USING (sh)),
-        |x AS (SELECT doc_id, st, e,
-        |        max(e) OVER (PARTITION BY doc_id ORDER BY st
-        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
-        |      FROM iv),
-        |y AS (SELECT doc_id, st, e,
-        |        CASE WHEN pme IS NULL OR st > pme + 1 THEN 1 ELSE 0 END AS ni FROM x),
-        |z AS (SELECT doc_id, st, e,
-        |        sum(ni) OVER (PARTITION BY doc_id ORDER BY st
-        |                      ROWS UNBOUNDED PRECEDING) AS isl FROM y),
-        |sp AS (SELECT doc_id, isl, min(st) AS ss, max(e) AS se FROM z GROUP BY 1, 2)
-        |SELECT sp.doc_id, CAST(len(w.w) AS BIGINT) AS n_words,
-        |  count(*) AS n_spans,
-        |  CAST(sum(se - ss + 1) AS BIGINT) AS dup_words,
-        |  CAST(max(se - ss + 1) AS BIGINT) AS max_span,
-        |  CAST(sum(se - ss + 1) AS DOUBLE) / CAST(len(w.w) AS BIGINT) AS dup_frac
-        |FROM sp JOIN w ON sp.doc_id = w.doc_id
-        |GROUP BY sp.doc_id, len(w.w)
-        |ORDER BY sp.doc_id""".stripMargin,
+      s"""WITH $ddSpanIvCtes,
+         |$islandMergeCtes
+         |SELECT sp.doc_id, CAST(len(w.w) AS BIGINT) AS n_words,
+         |  count(*) AS n_spans,
+         |  CAST(sum(se - ss + 1) AS BIGINT) AS dup_words,
+         |  CAST(max(se - ss + 1) AS BIGINT) AS max_span,
+         |  CAST(sum(se - ss + 1) AS DOUBLE) / CAST(len(w.w) AS BIGINT) AS dup_frac
+         |FROM sp JOIN w ON sp.doc_id = w.doc_id
+         |GROUP BY sp.doc_id, len(w.w)
+         |ORDER BY sp.doc_id""".stripMargin,
 
     // dd_incremental: incoming 20 % (doc_id mod 5 = 4) classified against
     // the base 80 % — exact digest match wins, else best n-gram Jaccard
@@ -1706,42 +1767,9 @@ object OracleSql {
     // words outside every span reassemble in position order; the md5 pins
     // the exact reconstructed text (split-then-join is byte-exact).
     "dd_spans_trim" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    unnest(generate_series(0, len(w) - 8)) AS pos,
-        |    unnest(list_transform(generate_series(0, len(w) - 8),
-        |                          i -> array_to_string(w[i+1:i+8], ' '))) AS sh
-        |  FROM w WHERE len(w) >= 8),
-        |dup AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 1),
-        |iv AS (SELECT s.doc_id, s.pos AS st, s.pos + 7 AS e
-        |       FROM sh s JOIN dup USING (sh)),
-        |x AS (SELECT doc_id, st, e,
-        |        max(e) OVER (PARTITION BY doc_id ORDER BY st
-        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
-        |      FROM iv),
-        |y AS (SELECT doc_id, st, e,
-        |        CASE WHEN pme IS NULL OR st > pme + 1 THEN 1 ELSE 0 END AS ni FROM x),
-        |z AS (SELECT doc_id, st, e,
-        |        sum(ni) OVER (PARTITION BY doc_id ORDER BY st
-        |                      ROWS UNBOUNDED PRECEDING) AS isl FROM y),
-        |sp AS (SELECT doc_id, isl, min(st) AS ss, max(e) AS se FROM z GROUP BY 1, 2),
-        |w2 AS (SELECT doc_id,
-        |         unnest(w) AS word,
-        |         unnest(generate_series(0, len(w) - 1)) AS pos
-        |       FROM w),
-        |kept AS (SELECT w2.doc_id, w2.word, w2.pos
-        |         FROM w2 LEFT JOIN sp ON sp.doc_id = w2.doc_id
-        |                             AND w2.pos BETWEEN sp.ss AND sp.se
-        |         WHERE sp.doc_id IS NULL),
-        |agg AS (SELECT doc_id, count(*) AS kept_words,
-        |          coalesce(string_agg(word, ' ' ORDER BY pos), '') AS trimmed
-        |        FROM kept GROUP BY 1)
-        |SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_words,
-        |  CAST(coalesce(agg.kept_words, 0) AS BIGINT) AS kept_words,
-        |  md5(coalesce(agg.trimmed, '')) AS trimmed_digest
-        |FROM w LEFT JOIN agg ON agg.doc_id = w.doc_id
-        |ORDER BY w.doc_id""".stripMargin,
+      s"""WITH $ddSpanIvCtes,
+         |$islandMergeCtes,
+         |${trimReassemblySql("w")}""".stripMargin,
 
     // pipeline_incremental: the daily-delta audit — Gopher-gate the
     // incoming split, classify survivors against the base (existence of a
@@ -2044,12 +2072,8 @@ object OracleSql {
          |FROM n GROUP BY 1 HAVING count(*) > 1 ORDER BY norm_url""".stripMargin,
 
     "tx_url_hosts" ->
-      s"""WITH u AS (SELECT doc_id, $urlPlantSql AS url FROM documents),
-         |x AS (SELECT doc_id,
-         |        string_split(string_split(string_split(url, '://')[2], '/')[1], ':')[1] AS host
-         |      FROM u),
-         |d AS (SELECT doc_id, host, string_split(host, '.')[-2] || '.' ||
-         |        string_split(host, '.')[-1] AS domain FROM x)
+      s"""WITH x AS (SELECT doc_id, $hostFromUrlSql AS host FROM documents),
+         |d AS (SELECT doc_id, host, $domainOfHostSql AS domain FROM x)
          |SELECT domain, count(*) AS n_docs,
          |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
          |  domain IN ($urlBlockSql) AS blocked
@@ -2221,87 +2245,24 @@ object OracleSql {
     // set replaced by the eval slice's distinct grams (joined as strings —
     // the Spark side joins 64-bit hashes of the same grams)
     "decon_spans" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w,
-        |             doc_id % 3 = 0 AS is_eval
-        |           FROM documents WHERE text IS NOT NULL),
-        |el AS (SELECT * FROM w WHERE len(w) >= 8),
-        |ev AS (SELECT DISTINCT
-        |         unnest(list_transform(generate_series(0, len(w) - 8),
-        |                               i -> array_to_string(w[i+1:i+8], ' '))) AS sh
-        |       FROM el WHERE is_eval),
-        |occ AS (
-        |  SELECT doc_id,
-        |    unnest(generate_series(0, len(w) - 8)) AS pos,
-        |    unnest(list_transform(generate_series(0, len(w) - 8),
-        |                          i -> array_to_string(w[i+1:i+8], ' '))) AS sh
-        |  FROM el WHERE NOT is_eval),
-        |iv AS (SELECT o.doc_id, o.pos AS st, o.pos + 7 AS e
-        |       FROM occ o JOIN ev USING (sh)),
-        |x AS (SELECT doc_id, st, e,
-        |        max(e) OVER (PARTITION BY doc_id ORDER BY st
-        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
-        |      FROM iv),
-        |y AS (SELECT doc_id, st, e,
-        |        CASE WHEN pme IS NULL OR st > pme + 1 THEN 1 ELSE 0 END AS ni FROM x),
-        |z AS (SELECT doc_id, st, e,
-        |        sum(ni) OVER (PARTITION BY doc_id ORDER BY st
-        |                      ROWS UNBOUNDED PRECEDING) AS isl FROM y),
-        |sp AS (SELECT doc_id, isl, min(st) AS ss, max(e) AS se FROM z GROUP BY 1, 2)
-        |SELECT sp.doc_id, CAST(len(w.w) AS BIGINT) AS n_words,
-        |  count(*) AS n_spans,
-        |  CAST(sum(se - ss + 1) AS BIGINT) AS overlap_words,
-        |  CAST(max(se - ss + 1) AS BIGINT) AS max_span,
-        |  CAST(sum(se - ss + 1) AS DOUBLE) / CAST(len(w.w) AS BIGINT) AS overlap_frac
-        |FROM sp JOIN w ON sp.doc_id = w.doc_id
-        |GROUP BY sp.doc_id, len(w.w)
-        |ORDER BY sp.doc_id""".stripMargin,
+      s"""WITH $deconSpanIvCtes,
+         |$islandMergeCtes
+         |SELECT sp.doc_id, CAST(len(w.w) AS BIGINT) AS n_words,
+         |  count(*) AS n_spans,
+         |  CAST(sum(se - ss + 1) AS BIGINT) AS overlap_words,
+         |  CAST(max(se - ss + 1) AS BIGINT) AS max_span,
+         |  CAST(sum(se - ss + 1) AS DOUBLE) / CAST(len(w.w) AS BIGINT) AS overlap_frac
+         |FROM sp JOIN w ON sp.doc_id = w.doc_id
+         |GROUP BY sp.doc_id, len(w.w)
+         |ORDER BY sp.doc_id""".stripMargin,
 
-    // decon_spans_trim: the dd_spans_trim reassembly over the eval-overlap
+    // decon_spans_trim: the shared reassembly over the eval-overlap
     // intervals, training slice only
     "decon_spans_trim" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w,
-        |             doc_id % 3 = 0 AS is_eval
-        |           FROM documents WHERE text IS NOT NULL),
-        |el AS (SELECT * FROM w WHERE len(w) >= 8),
-        |ev AS (SELECT DISTINCT
-        |         unnest(list_transform(generate_series(0, len(w) - 8),
-        |                               i -> array_to_string(w[i+1:i+8], ' '))) AS sh
-        |       FROM el WHERE is_eval),
-        |occ AS (
-        |  SELECT doc_id,
-        |    unnest(generate_series(0, len(w) - 8)) AS pos,
-        |    unnest(list_transform(generate_series(0, len(w) - 8),
-        |                          i -> array_to_string(w[i+1:i+8], ' '))) AS sh
-        |  FROM el WHERE NOT is_eval),
-        |iv AS (SELECT o.doc_id, o.pos AS st, o.pos + 7 AS e
-        |       FROM occ o JOIN ev USING (sh)),
-        |x AS (SELECT doc_id, st, e,
-        |        max(e) OVER (PARTITION BY doc_id ORDER BY st
-        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
-        |      FROM iv),
-        |y AS (SELECT doc_id, st, e,
-        |        CASE WHEN pme IS NULL OR st > pme + 1 THEN 1 ELSE 0 END AS ni FROM x),
-        |z AS (SELECT doc_id, st, e,
-        |        sum(ni) OVER (PARTITION BY doc_id ORDER BY st
-        |                      ROWS UNBOUNDED PRECEDING) AS isl FROM y),
-        |sp AS (SELECT doc_id, isl, min(st) AS ss, max(e) AS se FROM z GROUP BY 1, 2),
-        |tr AS (SELECT doc_id, w FROM w WHERE NOT is_eval),
-        |w2 AS (SELECT doc_id,
-        |         unnest(w) AS word,
-        |         unnest(generate_series(0, len(w) - 1)) AS pos
-        |       FROM tr),
-        |kept AS (SELECT w2.doc_id, w2.word, w2.pos
-        |         FROM w2 LEFT JOIN sp ON sp.doc_id = w2.doc_id
-        |                             AND w2.pos BETWEEN sp.ss AND sp.se
-        |         WHERE sp.doc_id IS NULL),
-        |agg AS (SELECT doc_id, count(*) AS kept_words,
-        |          coalesce(string_agg(word, ' ' ORDER BY pos), '') AS trimmed
-        |        FROM kept GROUP BY 1)
-        |SELECT tr.doc_id, CAST(len(tr.w) AS BIGINT) AS n_words,
-        |  CAST(coalesce(agg.kept_words, 0) AS BIGINT) AS kept_words,
-        |  md5(coalesce(agg.trimmed, '')) AS trimmed_digest
-        |FROM tr LEFT JOIN agg ON agg.doc_id = tr.doc_id
-        |ORDER BY tr.doc_id""".stripMargin,
+      s"""WITH $deconSpanIvCtes,
+         |$islandMergeCtes,
+         |tr AS (SELECT doc_id, w FROM w WHERE NOT is_eval),
+         |${trimReassemblySql("tr")}""".stripMargin,
 
     "ev_attribution" ->
       s"""WITH e AS (

@@ -724,7 +724,6 @@ object Curation {
     */
   private def deconSpanFrames(s: SparkSession, dir: String, k: Int,
       evalMod: Int): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
     require(k >= 2, s"decon_spans: k=$k must be >= 2")
     require(evalMod >= 2, s"decon_spans: evalMod=$evalMod needs both slices nonempty")
     val isEval = pmod(col("doc_id"), lit(evalMod)) === 0
@@ -745,17 +744,9 @@ object Curation {
       .select(col("doc_id"), col("pos"), xxhash64(col("sh")).as("h"))
       .join(broadcast(evalGrams), "h")
       .select(col("doc_id"), col("pos").as("s"), (col("pos") + lit(k - 1)).as("e"))
-    // gaps-and-islands merge of overlapping/adjacent covered intervals —
-    // the dd_spans device verbatim
-    val byDoc = Window.partitionBy("doc_id").orderBy("s")
-    val pme = max(col("e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
-    val spans = iv
-      .withColumn("ni", when(pme.isNull || col("s") > pme + 1, 1).otherwise(0))
-      .withColumn("isl", sum(col("ni")).over(
-        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy("doc_id", "isl")
-      .agg(min(col("s")).as("ss"), max(col("e")).as("se"))
-    (d.filter(!col("is_eval")), spans)
+    // overlapping/adjacent covered intervals merge via the ONE shared
+    // gaps-and-islands definition
+    (d.filter(!col("is_eval")), Dedup.mergeIslands(iv))
   }
 
   /** The REMOVAL half of substring decontamination ([[decon_spans]] is the
@@ -778,20 +769,7 @@ object Curation {
   def decon_spans_trim(s: SparkSession, dir: String, k: Int = 8,
       evalMod: Int = 3): DataFrame = {
     val (d, spans) = deconSpanFrames(s, dir, k, evalMod)
-    val wp = d.select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "word")))
-    val kept = wp.join(spans,
-      wp("doc_id") === spans("doc_id") &&
-        col("pos") >= col("ss") && col("pos") <= col("se"), "left_anti")
-    val re = kept.groupBy("doc_id").agg(
-      count(lit(1)).as("kept_words"),
-      array_join(transform(array_sort(collect_list(struct(col("pos"), col("word")))),
-        x => x.getField("word")), " ").as("trimmed"))
-    d.select(col("doc_id"), size(col("w")).cast("long").as("n_words"))
-      .join(re, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_words"),
-        coalesce(col("kept_words"), lit(0L)).as("kept_words"),
-        md5(coalesce(col("trimmed"), lit(""))).as("trimmed_digest"))
-      .orderBy("doc_id")
+    Dedup.trimBySpans(d, spans)
   }
 
   /** Data card: the per-(lang, source) release summary every corpus ships

@@ -1293,18 +1293,51 @@ object Dedup {
       .filter(col("occs") > 1).select("h")
     val iv = occ.join(dup, "h")
       .select(col("doc_id"), col("pos").as("s"), (col("pos") + lit(k - 1)).as("e"))
-    // gaps-and-islands: a window starts a new island when it begins past
-    // the running max end + 1 (adjacent windows chain — they describe one
-    // contiguous duplicated region)
+    (d, mergeIslands(iv))
+  }
+
+  /** Gaps-and-islands interval merge over (doc_id, s, e) rows: a window
+    * starts a new island when it begins past the running max end + 1
+    * (adjacent windows chain — they describe one contiguous region).
+    * Returns merged (doc_id, ss, se). ONE definition for both the
+    * dedup-side spans ([[spanFrames]]) and the decontamination-side spans
+    * ([[Curation.decon_spans]]) — the two screens share the algebra by
+    * construction, not by parallel editing.
+    */
+  private[operators] def mergeIslands(iv: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy("doc_id").orderBy("s")
     val pme = max(col("e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
-    val spans = iv
-      .withColumn("ni", when(pme.isNull || col("s") > pme + 1, 1).otherwise(0))
+    iv.withColumn("ni", when(pme.isNull || col("s") > pme + 1, 1).otherwise(0))
       .withColumn("isl", sum(col("ni")).over(
         byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("doc_id", "isl")
       .agg(min(col("s")).as("ss"), max(col("e")).as("se"))
-    (d, spans)
+  }
+
+  /** The span-removal reassembly shared by [[dd_spans_trim]] and
+    * [[Curation.decon_spans_trim]]: drop the words of `d` whose position
+    * falls inside any merged span (left-anti interval join — spans are
+    * disjoint by construction, so no word matches twice), reassemble
+    * survivors in position order, and emit the per-doc trim audit with an
+    * md5 of the rebuilt text. Docs of `d` untouched by `spans` pass
+    * through byte-exact; a fully-covered doc trims to the empty string.
+    */
+  private[operators] def trimBySpans(d: DataFrame, spans: DataFrame): DataFrame = {
+    val wp = d.select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "word")))
+    val kept = wp.join(spans,
+      wp("doc_id") === spans("doc_id") &&
+        col("pos") >= col("ss") && col("pos") <= col("se"), "left_anti")
+    val re = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("kept_words"),
+      array_join(transform(array_sort(collect_list(struct(col("pos"), col("word")))),
+        x => x.getField("word")), " ").as("trimmed"))
+    d.select(col("doc_id"), size(col("w")).cast("long").as("n_words"))
+      .join(re, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("kept_words"), lit(0L)).as("kept_words"),
+        md5(coalesce(col("trimmed"), lit(""))).as("trimmed_digest"))
+      .orderBy("doc_id")
   }
 
   /** The REMOVAL half of ExactSubstr dedup ([[dd_spans]] is the audit):
@@ -1327,20 +1360,7 @@ object Dedup {
     */
   def dd_spans_trim(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
     val (d, spans) = spanFrames(s, dir, k)
-    val wp = d.select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "word")))
-    val kept = wp.join(spans,
-      wp("doc_id") === spans("doc_id") &&
-        col("pos") >= col("ss") && col("pos") <= col("se"), "left_anti")
-    val re = kept.groupBy("doc_id").agg(
-      count(lit(1)).as("kept_words"),
-      array_join(transform(array_sort(collect_list(struct(col("pos"), col("word")))),
-        x => x.getField("word")), " ").as("trimmed"))
-    d.select(col("doc_id"), size(col("w")).cast("long").as("n_words"))
-      .join(re, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_words"),
-        coalesce(col("kept_words"), lit(0L)).as("kept_words"),
-        md5(coalesce(col("trimmed"), lit(""))).as("trimmed_digest"))
-      .orderBy("doc_id")
+    trimBySpans(d, spans)
   }
 
   /** Containment near-dup detection — the QUOTE/SUBSET duplicate mode

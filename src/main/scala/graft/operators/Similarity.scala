@@ -1020,11 +1020,22 @@ object Similarity {
       s"appendOrRetrain: no health sidecar under $path — the index " +
         "predates the base-error reference, so drift cannot be priced. " +
         "Rebuild once with writeIvfPqIndexFrom to mint it.")
-    def wMean(df: DataFrame): Double = df
-      .agg((sum(col("mean_err") * col("n")) / sum(col("n"))).as("e"))
-      .first().getDouble(0)
-    val baseErr = wMean(s.read.parquet(healthPath.toString))
-    val deltaErr = wMean(indexDriftStats(s, path, delta))
+    // null-guarded weighted mean: a zero-row frame (empty delta tick, or a
+    // degenerate health sidecar) must fail with a message, not an NPE out
+    // of Row.getDouble — the same fail-fast standard as the sidecar check
+    def wMean(df: DataFrame, what: String): Double = {
+      val row = df
+        .agg((sum(col("mean_err") * col("n")) / sum(col("n"))).as("e")).first()
+      require(!row.isNullAt(0),
+        s"appendOrRetrain: $what priced no vectors — an empty delta has " +
+          "no drift to decide on; skip the tick instead of calling this")
+      row.getDouble(0)
+    }
+    val baseErr = wMean(s.read.parquet(healthPath.toString), "the health sidecar")
+    require(baseErr > 0,
+      s"appendOrRetrain: base reference error is $baseErr — a zero base " +
+        "cannot price a ratio; rebuild the index to mint a fresh sidecar")
+    val deltaErr = wMean(indexDriftStats(s, path, delta), "the delta")
     val ratio = deltaErr / baseErr
     if (ratio <= maxErrRatio) {
       appendToIvfPqIndex(s, path, delta)

@@ -1012,10 +1012,18 @@ object TextAnalysis {
     * ([[graft.streaming.DocsStream.urlGate]]).
     */
   private[graft] def urlDomain(url: Column): Column = {
-    val host = element_at(
-      split(element_at(split(element_at(split(url, "://"), 2), "/"), 1), ":"), 1)
+    // try_element_at, not element_at: the streaming gates feed this
+    // ARBITRARY input, and under ANSI mode (Spark 4's default) element_at
+    // THROWS on an out-of-bounds index — an unparseable url ("not-a-url",
+    // a single-label host) must yield a null domain that the gate drops,
+    // not kill the streaming query. On well-formed URLs (every batch
+    // caller — the plant) the two functions are identical.
+    val host = try_element_at(
+      split(try_element_at(split(try_element_at(split(url, "://"), lit(2)),
+        "/"), lit(1)), ":"), lit(1))
     val labels = split(host, "\\.")
-    concat(element_at(labels, -2), lit("."), element_at(labels, -1))
+    concat(try_element_at(labels, lit(-2)), lit("."),
+      try_element_at(labels, lit(-1)))
   }
 
   /** URL PARSE + DOMAIN-BLOCKLIST gate — C4's first screen, before any

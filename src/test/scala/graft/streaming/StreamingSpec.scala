@@ -969,9 +969,13 @@ class StreamingSpec extends AnyFunSuite {
       .writeStream.outputMode("append")
       .format("memory").queryName("auth_gate").start()
     try {
-      // one url per host in the pool + an unparseable null-domain row
+      // one url per host in the pool, plus the null-domain drop paths the
+      // scaladoc promises: an unparseable url, a single-label host (whose
+      // registered-domain parse has no [-2] element), and a null url
       val urls = graft.operators.TextAnalysis.urlHosts.zipWithIndex
-        .map { case (h, i) => (i.toLong, s"https://$h/p/$i") }
+        .map { case (h, i) => (i.toLong, s"https://$h/p/$i") } ++
+        Seq((100L, "not-a-url"), (101L, "https://localhost/p/1"),
+          (102L, null.asInstanceOf[String]))
       input.addData(urls: _*)
       q.processAllAvailable()
       val passed = spark.table("auth_gate").select("domain")
