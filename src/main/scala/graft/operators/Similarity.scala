@@ -618,14 +618,46 @@ object Similarity {
   def searchIvfPqIndexDistributed(s: SparkSession, path: String,
       queries: DataFrame, k: Int = 10, nprobe: Int = 3): DataFrame = {
     val (cents, books, m, sub) = loadSidecars(s, path)
-    val coded = s.read.parquet(s"$path/codes")
+    distributedAdcOver(s.read.parquet(s"$path/codes"), queries,
+      cents, books, m, sub, k, nprobe, "searchIvfPqIndexDistributed")
+  }
+
+  /** FILTERED index search — the vector-database "filtered ANN" shape: the
+    * caller restricts candidates with a predicate over the coded rows
+    * (vec_id ranges, appended metadata columns), and the restriction is
+    * applied BEFORE ranking, so the top-k is the true top-k of the
+    * filtered set (post-filtering a plain search loses exactly the
+    * neighbors the predicate displaced — the documented failure mode of
+    * naive filtered search). Because the filter lands on the codes scan
+    * itself, Catalyst pushes supported predicates into parquet
+    * (`PushedFilters` — plan-spec'd): at 100 TB a selective vec_id range
+    * reads row groups, not the index.
+    *
+    * Semantics note: nprobe still limits the scanned lists, so a filter
+    * that strips the probed lists empty returns fewer than k rows — the
+    * standard IVF filtered-search contract (raise nprobe for very
+    * selective filters).
+    */
+  def searchIvfPqIndexFiltered(s: SparkSession, path: String,
+      queries: DataFrame, predicate: Column, k: Int = 10,
+      nprobe: Int = 3): DataFrame = {
+    val (cents, books, m, sub) = loadSidecars(s, path)
+    distributedAdcOver(s.read.parquet(s"$path/codes").filter(predicate),
+      queries, cents, books, m, sub, k, nprobe, "searchIvfPqIndexFiltered")
+  }
+
+  /** The shared distributed-ADC core behind the plain and filtered
+    * searches — probe tables executor-side, equi join on list id, exact
+    * tail. */
+  private def distributedAdcOver(coded: DataFrame, queries: DataFrame,
+      cents: Seq[Seq[Double]], books: Seq[Seq[Seq[Double]]], m: Int,
+      sub: Int, k: Int, nprobe: Int, caller: String): DataFrame = {
     // same duplicate-q_id rejection as the driver path (one delta-sized
-    // aggregate), so the two paths stay behaviorally identical
+    // aggregate), so the paths stay behaviorally identical
     val qStats = queries.agg(count(lit(1)), count_distinct(col("vec_id"))).first()
     require(qStats.getLong(0) == qStats.getLong(1),
-      "searchIvfPqIndexDistributed: the query batch repeats vec_ids — " +
-        "each duplicate would crowd a real neighbor out of top-k. " +
-        "Deduplicate the batch.")
+      s"$caller: the query batch repeats vec_ids — each duplicate would " +
+        "crowd a real neighbor out of top-k. Deduplicate the batch.")
     val probes = distributedProbeTables(queries, cents, books, nprobe, m, sub)
     distTopK(
       coded.join(probes, Seq("cid"))

@@ -918,6 +918,38 @@ class PipelineSpec extends AnyFunSuite {
       r.isNullAt(r.fieldIndex("delta_n")) == r.isNullAt(r.fieldIndex("delta_mean_err"))))
   }
 
+  test("searchIvfPqIndexFiltered: true top-k of the filtered set; range predicate pushed to the codes scan") {
+    val dir = "/root/testdata/sf0.01"
+    val path = java.nio.file.Files.createTempDirectory("graftivffilt").toString
+    Similarity.writeIvfPqIndex(spark, dir, path)
+    val emb = graft.sources.Tables.loadParallel(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 8)
+    val pred = col("vec_id") % 2 === 0
+    val got = Similarity.searchIvfPqIndexFiltered(spark, path, queries, pred)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty && got.forall(_._3 % 2 == 0),
+      "every hit must satisfy the predicate")
+    // independent semantics oracle: an exhaustive plain search (k = all),
+    // post-filtered and re-ranked per query, must reproduce the filtered
+    // top-k exactly — pre-filter vs post-filter can only differ when k
+    // truncates, and the exhaustive run removes the truncation
+    val deep = Similarity.searchIvfPqIndexDistributed(spark, path, queries,
+        k = 1000000).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val expect = deep.filter(_._2 % 2 == 0).groupBy(_._1).toSeq.flatMap {
+      case (q, hits) =>
+        hits.sortBy(h => (h._3, h._2)).take(10).zipWithIndex
+          .map { case ((_, v, d), i) => (q, i + 1L, v, d) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == expect,
+      "filtered search must equal exhaustive-search-then-filter")
+    // pushdown: a range predicate must reach the parquet scan
+    val p = Similarity.searchIvfPqIndexFiltered(spark, path, queries,
+      col("vec_id") < 100).queryExecution.sparkPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("LessThan(vec_id,100)"),
+      s"vec_id range must push into the codes scan:\n${p.take(2000)}")
+  }
+
   test("index aging: planted-neighbor recall across drifted append+compact cycles, pinned; drift stats flag retrain") {
     // The centroid-drift regime: the index keeps ingesting appends whose
     // distribution has moved away from the training corpus, with NO

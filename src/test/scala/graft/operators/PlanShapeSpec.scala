@@ -153,6 +153,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("NestedLoop"))
   }
 
+  test("decon_spans: eval-gram probe is a broadcast hash join — the corpus side never shuffles to find matches") {
+    val p = plan(Curation.decon_spans(spark, dir))
+    assert(p.contains("BroadcastHashJoin"))
+    // the only sort-merge-worthy exchange is the island window's doc_id
+    // shuffle; the gram match itself must not plan one
+    assert(!p.contains("SortMergeJoin [h"), "gram probe must not shuffle on h")
+  }
+
+  test("pipeline_release: the domain-authority gate joins broadcast, left (a flag, not a filter)") {
+    val p = plan(Curation.pipeline_release(spark, dir))
+    assert(p.contains("BroadcastHashJoin [domain"),
+      "authority stage must broadcast the domain-cardinality side")
+  }
+
   test("sweep: no façade query plans CartesianProduct; NL joins only where intended") {
     // intended nested-loop shapes: the explicit all-pairs baselines and the
     // non-equi joins whose predicates Spark cannot hash on
