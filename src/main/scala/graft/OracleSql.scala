@@ -355,6 +355,24 @@ object OracleSql {
       |iv AS (SELECT o.doc_id, o.pos AS st, o.pos + 7 AS e
       |       FROM occ o JOIN ev USING (sh))""".stripMargin
 
+  /** The normalized-URL + eval-URL-set CTE chain (`TextAnalysis.normUrl`'s
+    * split chain + the residue eval slice) shared by the decon_url twin
+    * and the pipeline_decon funnel — ends at `n(doc_id, norm_url)` and
+    * `e(norm_url, eval_min, n_eval)`.
+    */
+  private val deconUrlCtes: String =
+    s"""u AS (SELECT doc_id, $urlPlantSql AS url FROM documents),
+       |r AS (SELECT doc_id, string_split(url, '://')[2] AS rest FROM u),
+       |hp AS (SELECT doc_id, rest,
+       |         string_split(rest, '/')[1] AS hostport FROM r),
+       |n AS (SELECT doc_id,
+       |        regexp_replace(string_split(hostport, ':')[1], '^www\\.', '') ||
+       |        string_split(substr(rest, length(hostport) + 1), '?')[1] AS norm_url
+       |      FROM hp),
+       |e AS (SELECT norm_url, CAST(min(doc_id) AS BIGINT) AS eval_min,
+       |        count(*) AS n_eval
+       |      FROM n WHERE doc_id % 3 = 0 GROUP BY 1)""".stripMargin
+
   /** The n-gram Jaccard connected-components CTE chain shared by
     * `dd_cluster_jaccard` and `samp_split_leakfree` (needs WITH RECURSIVE;
     * ends at `walk(id, label)`).
@@ -2226,20 +2244,33 @@ object OracleSql {
     // decon_url: the tx_url_dedup normalization (one shared definition on
     // the Spark side; this twin spells the identical split chain)
     "decon_url" ->
-      s"""WITH u AS (SELECT doc_id, $urlPlantSql AS url FROM documents),
-         |r AS (SELECT doc_id, string_split(url, '://')[2] AS rest FROM u),
-         |hp AS (SELECT doc_id, rest,
-         |         string_split(rest, '/')[1] AS hostport FROM r),
-         |n AS (SELECT doc_id,
-         |        regexp_replace(string_split(hostport, ':')[1], '^www\\.', '') ||
-         |        string_split(substr(rest, length(hostport) + 1), '?')[1] AS norm_url
-         |      FROM hp),
-         |e AS (SELECT norm_url, CAST(min(doc_id) AS BIGINT) AS eval_min,
-         |        count(*) AS n_eval
-         |      FROM n WHERE doc_id % 3 = 0 GROUP BY 1)
+      s"""WITH $deconUrlCtes
          |SELECT doc_id, norm_url, eval_min, n_eval
          |FROM n JOIN e USING (norm_url)
          |WHERE doc_id % 3 <> 0 ORDER BY doc_id""".stripMargin,
+
+    // pipeline_decon: the residue-slice decon screens composed into one
+    // per-source funnel census — flags from the SAME url/span CTE chains
+    // as the standalone screens
+    "pipeline_decon" ->
+      s"""WITH $deconUrlCtes,
+         |uflag AS (SELECT DISTINCT n.doc_id FROM n JOIN e USING (norm_url)
+         |          WHERE doc_id % 3 <> 0),
+         |$deconSpanIvCtes,
+         |sflag AS (SELECT DISTINCT doc_id FROM iv),
+         |train AS (SELECT doc_id, source FROM documents
+         |          WHERE text IS NOT NULL AND doc_id % 3 <> 0)
+         |SELECT source, count(*) AS n_train,
+         |  CAST(sum(CASE WHEN u.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_url,
+         |  CAST(sum(CASE WHEN sf.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+         |  CAST(sum(CASE WHEN u.doc_id IS NOT NULL OR sf.doc_id IS NOT NULL
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+         |  CAST(count(*) - sum(CASE WHEN u.doc_id IS NOT NULL OR sf.doc_id IS NOT NULL
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+         |FROM train t
+         |LEFT JOIN uflag u ON u.doc_id = t.doc_id
+         |LEFT JOIN sflag sf ON sf.doc_id = t.doc_id
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     // decon_spans: dd_spans' k-gram + islands SQL with the duplicated-gram
     // set replaced by the eval slice's distinct grams (joined as strings —

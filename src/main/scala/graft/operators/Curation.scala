@@ -1070,6 +1070,39 @@ object Curation {
       .orderBy("source")
   }
 
+  /** The DECONTAMINATION funnel — the residue-slice screens composed into
+    * one per-source census, the report a release ships next to its eval
+    * results: how many training docs each screen flags ([[decon_url]]
+    * provenance, [[decon_spans]] content), their union, and the clean
+    * remainder. Built FROM the member operators themselves (the
+    * pipeline_release convention), so the funnel and the standalone
+    * screens cannot disagree on a document. The source-sliced members
+    * (decon_ngram/decon_jaccard) stay out: their eval set is a different
+    * universe, and a census mixing eval definitions would be incoherent.
+    *
+    * Scale shape: the members' own shapes (broadcast eval sides), then
+    * two |flagged|-sized left joins onto the doc spine and one
+    * map-side-combined census aggregate.
+    */
+  def pipeline_decon(s: SparkSession, dir: String, k: Int = 8,
+      evalMod: Int = 3): DataFrame = {
+    val urlF = decon_url(s, dir, evalMod)
+      .select(col("doc_id")).distinct().withColumn("u", lit(true))
+    val spanF = decon_spans(s, dir, k, evalMod)
+      .select(col("doc_id")).distinct().withColumn("sp", lit(true))
+    val train = docs(s, dir).filter(col("text").isNotNull)
+      .filter(pmod(col("doc_id"), lit(evalMod)) =!= 0)
+      .select(col("doc_id"), col("source"))
+    train.join(urlF, Seq("doc_id"), "left").join(spanF, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_train"),
+        sum(when(col("u"), 1L).otherwise(0L)).as("n_url"),
+        sum(when(col("sp"), 1L).otherwise(0L)).as("n_spans"),
+        sum(when(col("u") || col("sp"), 1L).otherwise(0L)).as("n_flagged"))
+      .withColumn("n_clean", col("n_train") - col("n_flagged"))
+      .orderBy("source")
+  }
+
   /** SEMANTIC benchmark decontamination — the embedding member of the
     * decon family ([[decon_ngram]] exact 8-grams, [[decon_jaccard]] fuzzy
     * n-gram sets, this one cosine): a paraphrased benchmark question
