@@ -17,9 +17,15 @@ private[graft] object DriverSession {
     */
   def build(defaultCpus: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus)
+    // '*' is valid for local[...] but not for shuffle.partitions (an int
+    // conf) — resolve it to the actual core count instead of poisoning
+    // the session
+    val parts =
+      if (cpus.forall(_.isDigit)) cpus
+      else Runtime.getRuntime.availableProcessors().toString
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     sys.env.get("SPARK_GRAFT_AQE")

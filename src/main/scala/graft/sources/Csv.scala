@@ -29,13 +29,34 @@ object Csv {
 
   private val NullSentinel = "\\N"
 
-  def write(df: DataFrame, path: String): Unit =
+  def write(df: DataFrame, path: String): Unit = {
+    // Spark's CSV reader compares the UNQUOTED datum against nullValue, so
+    // a string field whose content is literally the sentinel would read
+    // back as NULL even though the writer quoted it — silent data loss the
+    // certification digest downstream might never see (the doc would have
+    // to exist in the certified corpus). No writer option closes this
+    // reader-side hole, so the writer REFUSES the corpus instead: loud >
+    // lossy. One column-pruned scan; string columns only.
+    val strCols = df.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.StringType).map(_.name)
+    if (strCols.nonEmpty) {
+      import org.apache.spark.sql.functions.col
+      val clash = df.filter(strCols.map(c => col(c) === NullSentinel)
+        .reduce(_ || _)).limit(1).count()
+      require(clash == 0L,
+        s"Csv.write: a row's string field is literally the null sentinel " +
+          s"'$NullSentinel' — Spark's CSV reader cannot distinguish it " +
+          "from a real null (it compares the unquoted datum), so the " +
+          "round trip would silently null that field. Ship this corpus " +
+          "as JSONL/parquet, or rewrite the offending text.")
+    }
     df.write.mode("overwrite")
       .option("header", "true")
       .option("quoteAll", "true")
       .option("nullValue", NullSentinel)
       .option("emptyValue", "\"\"")
       .csv(path)
+  }
 
   def readDocuments(spark: SparkSession, path: String): DataFrame =
     spark.read

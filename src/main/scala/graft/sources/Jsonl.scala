@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{StringType, StructType}
 
 /** JSON-Lines corpus source/sink — the interchange format LLM corpora
   * actually ship in (one JSON object per line; Common Crawl derivatives,
@@ -38,12 +38,19 @@ object Jsonl {
   /** Read JSONL with an explicit schema; malformed lines become rows with
     * only [[CorruptCol]] set (PERMISSIVE mode, no inference pass).
     */
-  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    // idempotent on the corrupt column: a caller passing the .schema of a
+    // frame THIS function returned would otherwise hit Spark's
+    // duplicate-column rejection
+    val withCorrupt =
+      if (schema.fieldNames.contains(CorruptCol)) schema
+      else schema.add(CorruptCol, StringType)
     spark.read
-      .schema(schema.add(CorruptCol, StringType))
+      .schema(withCorrupt)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", CorruptCol)
       .json(path)
+  }
 
   /** [[read]] for the documents corpus, malformed lines dropped
     * (DROPMALFORMED — a filter on the corrupt column would make every

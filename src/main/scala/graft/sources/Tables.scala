@@ -83,10 +83,19 @@ object Tables {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
     val file =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).map(_.getPath)
-          .filter(_.getName.endsWith(".parquet")).minBy(_.getName.toString)
-      else p
+      if (fs.getFileStatus(p).isDirectory) {
+        val parts = fs.listStatus(p).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+        // fail with the designed refusal, not empty.minBy: Spark happily
+        // reads part files without a .parquet suffix (and Hive-partitioned
+        // layouts put them a level down), but the unit sniff needs a
+        // footer to inspect
+        require(parts.nonEmpty,
+          s"events timestamp-unit sniff: no *.parquet files directly " +
+            s"under $path — cannot inspect a footer to determine the ts " +
+            "unit. Point at the directory holding the part files.")
+        parts.minBy(_.getName.toString)
+      } else p
     val in = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
     val schema = try in.getFooter.getFileMetaData.getSchema finally in.close()

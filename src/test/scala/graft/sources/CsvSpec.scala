@@ -38,4 +38,19 @@ class CsvSpec extends AnyFunSuite {
       "delimiter, quote, and newline chars must survive quoting")
     assert(back(4L) == Some("plain words"))
   }
+
+  test("csv write refuses a corpus whose text is literally the null sentinel (the reader would null it)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftcsvsent").toString
+    val rows = Seq((1L, "\\N", "en", "s", 2L))
+    val e = intercept[IllegalArgumentException] {
+      Csv.write(rows.toDF("doc_id", "text", "lang", "source", "n_chars"), tmp)
+    }
+    assert(e.getMessage.contains("null sentinel"))
+    // a doc merely CONTAINING the sentinel is fine — only full equality
+    // collides with the protocol
+    Csv.write(Seq((2L, "uses \\N inside", "en", "s", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"), tmp)
+    val back = Csv.readDocuments(spark, tmp).collect()
+    assert(back.length == 1 && back(0).getString(1) == "uses \\N inside")
+  }
 }
