@@ -1393,10 +1393,13 @@ object OracleSql {
 
     // the payload column is the text bytes (stand-in corpus), so the digest
     // twin is md5(text); format derives from doc_id exactly as mediaTable's
+    // null filter mirrors mediaTable's: without it DuckDB would emit one
+    // digest-NULL group for null-text docs that Spark never produces
     "mm_dedup" ->
       """SELECT md5(text) AS digest, count(*) AS n_copies, min(doc_id) AS keeper,
         |  count(DISTINCT ['png','jpeg','wav'][CAST(doc_id % 3 AS INTEGER) + 1]) AS n_formats
-        |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin,
+        |FROM documents WHERE text IS NOT NULL
+        |GROUP BY 1 ORDER BY digest""".stripMargin,
 
     "q46_session_native" ->
       """WITH s1 AS (

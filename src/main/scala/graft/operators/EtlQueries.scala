@@ -14,10 +14,19 @@ import graft.sources.Tables
   */
 object EtlQueries {
 
-  private def engineOn(s: SparkSession, dir: String, names: String*): Engine = {
+  /** Run `f` against a scoped engine and CLEAN UP its temp views: leaking
+    * the cerner/mapping views into the shared driver session is exactly
+    * the hazard Engine documents (a later rule typo-referencing a leaked
+    * mapping view silently resolves against stale state). The DataFrame
+    * `f` returns is fully ANALYZED before cleanup — Spark resolves temp
+    * views at analysis, so dropping them afterwards cannot invalidate the
+    * returned plan.
+    */
+  private def withEngine(s: SparkSession, dir: String, names: String*)(
+      f: Engine => DataFrame): DataFrame = {
     val e = new Engine(s)
     names.foreach(n => e.registerSource("cerner", n, Tables.load(s, dir, n)))
-    e
+    try f(e) finally e.cleanup()
   }
 
   /** A14 — multi-source merge with dense, source-ordered surrogate ids: the
@@ -35,13 +44,14 @@ object EtlQueries {
       |columns:
       |  - {name: is_cust, constant: 1}
       |""".stripMargin)
-    engineOn(s, dir, "customer", "supplier").run(Seq(rule))("party")
-    val spine = s.table("mapping_party")
-    spine.select(
-      col("id"),
-      col("customer_c_custkey").as("customer_key"),
-      col("supplier_s_suppkey").as("supplier_key"))
-      .orderBy("id")
+    withEngine(s, dir, "customer", "supplier") { e =>
+      e.run(Seq(rule))
+      s.table("mapping_party").select(
+        col("id"),
+        col("customer_c_custkey").as("customer_key"),
+        col("supplier_s_suppkey").as("supplier_key"))
+        .orderBy("id")
+    }
   }
 
   /** A16 — FK remapping: orders' customer FK rewritten to the customer
@@ -70,9 +80,9 @@ object EtlQueries {
       |    references: {table: cust, column: customer_c_custkey}
       |    expression: orders.o_custkey
       |""".stripMargin)
-    engineOn(s, dir, "customer", "orders")
-      .run(Seq(custRule, ordRule))("ord")
-      .orderBy("id")
+    withEngine(s, dir, "customer", "orders") { e =>
+      e.run(Seq(custRule, ordRule))("ord").orderBy("id")
+    }
   }
 
   /** A15/A11 — UPDATE…FROM as left-join overlay: finalized-order totals

@@ -88,7 +88,11 @@ object Graph {
     require(iters >= 1, s"pagerank: iters=$iters must be >= 1")
     import graft.Checkpoints.DatasetCheckpointOps
     val (d, edges) = plantedEdges(s, dir)
+    // outdeg is checkpointed in its own right: callers join it AFTER the
+    // loop, and an un-cut lineage would re-run the whole edge plant
+    // (corpus scan + distinct shuffle) for that final join
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .graftCheckpoint()
     // materialize the degree-annotated edge list ONCE: every iteration
     // joins against it, and without the cut each round would re-run the
     // corpus scan + distinct shuffle that builds the plant
@@ -163,12 +167,16 @@ object Graph {
     * is checkpointed (executor blocks, never a driver collect — the census
     * is domain-cardinality, bounded but not literal-sized at web scale).
     */
+  // keyed by the OWNING SESSION too: a checkpointed frame's blocks die
+  // with its session, so a cache hit across a session restart would hand
+  // out a dead frame (the sibling caches store session-free values or
+  // on-disk artifacts; this one must scope instead)
   private val authCache =
-    scala.collection.mutable.Map.empty[(String, Int), DataFrame]
+    scala.collection.mutable.Map.empty[(SparkSession, String, Int), DataFrame]
   private[operators] def domainAuthorityCached(s: SparkSession, dir: String,
       iters: Int = 3): DataFrame = authCache.synchronized {
     import graft.Checkpoints.DatasetCheckpointOps
-    authCache.getOrElseUpdate((dir, iters),
+    authCache.getOrElseUpdate((s, dir, iters),
       domainAuthority(s, dir, iters).graftCheckpoint())
   }
 

@@ -164,6 +164,9 @@ object Multimodal {
     */
   def mm_phash_reenc(s: SparkSession, dir: String, stride: Int = 25,
       maxHamming: Int = 10, maxBucket: Int = 10000): DataFrame = {
+    // driver-side param guard (the extractFeatures convention): stride=0
+    // would otherwise surface as an ANSI DIVIDE_BY_ZERO deep in a task
+    require(stride > 0, s"mm_phash_reenc: stride=$stride must be positive")
     // base and plants project from ONE loaded frame — two loadParallel
     // calls would put two independent scans of the payload-bearing
     // column into the union plan
@@ -223,6 +226,9 @@ object Multimodal {
     val feats = extractFeatures(media).toDF()
     val frames = sampleFrames(media).groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
     feats.join(frames, Seq("doc_id"), "left")
+      // a payload too short for one complete frame counts 0 frames, not
+      // NULL — the family's census convention (cf. graph outdeg)
+      .withColumn("n_frames", coalesce(col("n_frames"), lit(0L)))
       .select(col("doc_id"), col("format"), col("n_bytes"),
         round(element_at(col("features"), 1).cast("double"), 6).as("f0"),
         col("thumb_w"), col("thumb_h"), col("n_frames"))

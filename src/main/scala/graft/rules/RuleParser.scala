@@ -79,7 +79,14 @@ object RuleParser {
 
   private def queryList(v: Option[Any]): Seq[QueryRef] = v match {
     case Some(l: List[_]) =>
-      l.flatMap(optMap).map(q => QueryRef(str(q("alias")), str(q("query"))))
+      l.flatMap(optMap).map { q =>
+        // contextful error, not a bare key-not-found out of q("alias")
+        if (!q.contains("alias") || !q.contains("query"))
+          throw new IllegalArgumentException(
+            s"pre/post_init item needs both 'alias' and 'query'; got keys " +
+              s"[${q.keys.mkString(", ")}]")
+        QueryRef(str(q("alias")), str(q("query")))
+      }
     case _ => Nil
   }
 
@@ -162,7 +169,13 @@ object RuleParser {
           c.get("constraints").map(strList).getOrElse(Nil),
           str(c("expression")),
           pkAlias.get,
-          c.get("references").flatMap(parseFkRef)))
+          // a PRESENT-but-malformed references block must fail the rule
+          // (the reference's pydantic ValidationError → file demoted to a
+          // dependency, loudly), never silently skip the FK remap — a
+          // skipped remap emits raw natural keys into a surrogate column
+          c.get("references").map(v => parseFkRef(v).getOrElse(
+            throw RuleParseException(rule,
+              s"column '$name' has a malformed references block: $v")))))
       } else if (c.contains("constant") && name.nonEmpty)
         Some(ConstantColumn(name, c("constant")))
       else None
@@ -175,8 +188,11 @@ object RuleParser {
       // simple form: column name used as-is (`schema.py:228-230`)
       Some(FkRef(str(m("table")), str(m("column"))))
     else m.headOption.flatMap { case (key, inner) =>
-      // dict form: column composed as <table>_<column> (`schema.py:231-233`)
-      optMap(inner).map(r => FkRef(key, s"${str(r("table"))}_${str(r("column"))}"))
+      // dict form: column composed as <table>_<column> (`schema.py:231-233`);
+      // missing inner keys → None, so the call site raises its contextful
+      // rule error instead of a bare key-not-found
+      optMap(inner).filter(r => r.contains("table") && r.contains("column"))
+        .map(r => FkRef(key, s"${str(r("table"))}_${str(r("column"))}"))
     }
   }
 }
