@@ -2298,6 +2298,18 @@ object OracleSql {
          |tr AS (SELECT doc_id, w FROM w WHERE NOT is_eval),
          |${trimReassemblySql("tr")}""".stripMargin,
 
+    // ev_coverage: the shared islands chain on the time axis
+    "ev_coverage" ->
+      s"""WITH iv AS (
+         |  SELECT user_id AS doc_id, epoch_us(ts) AS st,
+         |    epoch_us(ts) + CAST(floor(value * 60000000) AS BIGINT) AS e
+         |  FROM events),
+         |$islandMergeCtes
+         |SELECT doc_id AS user_id, count(*) AS n_sessions,
+         |  CAST(sum(se - ss) AS BIGINT) AS covered_us,
+         |  CAST(max(se - ss) AS BIGINT) AS longest_us
+         |FROM sp GROUP BY doc_id ORDER BY user_id""".stripMargin,
+
     "ev_attribution" ->
       s"""WITH e AS (
          |  SELECT event_type, $centsSql AS cents,

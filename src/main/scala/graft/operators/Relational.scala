@@ -984,6 +984,41 @@ object Relational {
       .orderBy("event_type", "day")
   }
 
+  /** Per-user ENGAGED-TIME coverage — the interval-union metric every
+    * engagement dashboard needs and naive sums get wrong: each event opens
+    * an interval [ts, ts + value minutes], and overlapping sessions must
+    * count once, not twice (sum-of-durations inflates engaged time by the
+    * overlap; DISTINCT minutes quantizes it). The union is
+    * [[Dedup.mergeIslands]] — the ONE gaps-and-islands definition in the
+    * repo — run on the time axis (micros instead of word positions; the
+    * ≤1 µs merge tolerance inherited from the inclusive-position
+    * convention is noise at engagement scale). Emits per user: merged
+    * session-island count, covered micros, and the longest island.
+    *
+    * floor() before the long cast on BOTH engines — Spark's double→long
+    * cast truncates while DuckDB's rounds, so the shared floor is what
+    * keeps the twin bit-exact.
+    *
+    * Scale shape: one map-only projection, then mergeIslands' single
+    * user-keyed window + the final per-user aggregate on the SAME
+    * partitioning — one shuffle total, islands never corpus-wide.
+    */
+  def ev_coverage(s: SparkSession, dir: String): DataFrame = {
+    val iv = t(s, dir, "events")
+      .select(col("user_id").as("doc_id"),
+        unix_micros(col("ts")).as("s"),
+        (unix_micros(col("ts")) +
+          floor(col("value") * 60000000d).cast("long")).as("e"))
+    Dedup.mergeIslands(iv)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("se") - col("ss")).as("covered_us"),
+        max(col("se") - col("ss")).as("longest_us"))
+      .select(col("doc_id").as("user_id"), col("n_sessions"),
+        col("covered_us"), col("longest_us"))
+      .orderBy("user_id")
+  }
+
   /** LAST-TOUCH REVENUE ATTRIBUTION — the marketing-analytics close of the
     * event family: each purchase's value is credited to the nearest
     * PRECEDING non-purchase event in the user's timeline (the "channel");

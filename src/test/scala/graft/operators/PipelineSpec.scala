@@ -1562,6 +1562,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Seq(("A > B > A", 2L), ("A", 1L)))
   }
 
+  test("ev_coverage: overlapping intervals union, disjoint ones split, hand-computed micros") {
+    val dir = java.nio.file.Files.createTempDirectory("graftcov").toString
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    // u1: [00:00, 00:02) and [00:01, 00:03) overlap -> one 3-min island;
+    //     [00:10, 00:11) is its own island
+    // u2: one interval -> one island of exactly value minutes
+    Seq(
+      (1L, ts("2024-01-01T00:00:00Z"), 1L, "view", 2.0, "{}"),
+      (2L, ts("2024-01-01T00:01:00Z"), 1L, "view", 2.0, "{}"),
+      (3L, ts("2024-01-01T00:10:00Z"), 1L, "view", 1.0, "{}"),
+      (4L, ts("2024-01-01T00:00:00Z"), 2L, "view", 5.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = graft.operators.Relational.ev_coverage(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val min = 60000000L
+    assert(got(1L) == ((2L, 4L * min, 3L * min)))
+    assert(got(2L) == ((1L, (5.5 * min).toLong, (5.5 * min).toLong)))
+  }
+
   test("decon_url: flags exactly the training docs whose URL class collides with the eval slice") {
     val dir = "/root/testdata/sf0.001"
     val rows = Curation.decon_url(spark, dir).collect()
