@@ -2217,6 +2217,32 @@ object OracleSql {
 
     "src_csv" -> srcRoundTripSql,
 
+    // samp_curriculum: score → exact quartile phases → the samp_shuffle
+    // shard/pos device per (phase, shard)
+    "samp_curriculum" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, ($bigramListSql) AS gs
+         |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w
+         |        FROM documents WHERE text IS NOT NULL)),
+         |sc AS (SELECT doc_id,
+         |         CAST(${scoreRawSql("gs")} AS DOUBLE) / len(gs) AS score
+         |       FROM g),
+         |c AS (SELECT quantile_cont(score, 0.25) AS p25,
+         |        quantile_cont(score, 0.5) AS p50,
+         |        quantile_cont(score, 0.75) AS p75 FROM sc),
+         |ph AS (SELECT doc_id,
+         |         CAST(CASE WHEN score >= p75 THEN 0 WHEN score >= p50 THEN 1
+         |              WHEN score >= p25 THEN 2 ELSE 3 END AS BIGINT) AS phase,
+         |         md5(CAST(doc_id AS VARCHAR) || '|shuffle42') AS h
+         |       FROM sc, c),
+         |sh AS (SELECT doc_id, phase, h,
+         |         CAST(concat('0x', substr(h, 1, 6)) AS BIGINT) % 8 AS shard
+         |       FROM ph)
+         |SELECT doc_id, phase, shard,
+         |  CAST(row_number() OVER (PARTITION BY phase, shard ORDER BY h, doc_id)
+         |       AS BIGINT) - 1 AS pos
+         |FROM sh ORDER BY phase, shard, pos""".stripMargin,
+
     "samp_shuffle" ->
       """WITH h AS (
         |  SELECT doc_id,

@@ -933,6 +933,42 @@ object Curation {
       .orderBy("shard", "pos")
   }
 
+  /** QUALITY-CURRICULUM training order (Bengio et al. 2009 applied the
+    * way LLM data schedules actually use it — phase the corpus by a
+    * quality score and feed phases in order, annealing toward the best
+    * slice): phase = quartile of the length-normalized scorer margin (the
+    * SAME [[TextAnalysis.scoreRawCol]] the screens use — phase 0 is the
+    * top quartile), and WITHIN a phase the reproducible content-addressed
+    * shard/position order of [[samp_shuffle]] (per-(phase, shard) windows —
+    * never a global sort). The quartile cut points are exact percentiles,
+    * bit-matched by DuckDB's quantile_cont (the q30 precedent), collected
+    * as THREE doubles (the bounded-driver rule). Consumers read phases in
+    * either direction; the frame just pins the deterministic order.
+    */
+  def samp_curriculum(s: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    require(nShards >= 1, s"samp_curriculum: nShards=$nShards must be positive")
+    val scored = docs(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), shingles(col("text"), 2).as("gs"))
+      .select(col("doc_id"),
+        (TextAnalysis.scoreRawCol(col("gs")).cast("double") /
+          size(col("gs")).cast("double")).as("score"))
+    val cuts = scored
+      .agg(percentile(col("score"), typedLit(Seq(0.25, 0.5, 0.75))).as("c"))
+      .first().getSeq[Double](0)
+    val phase = when(col("score") >= cuts(2), 0L)
+      .when(col("score") >= cuts(1), 1L)
+      .when(col("score") >= cuts(0), 2L).otherwise(3L)
+    val h = md5(concat(col("doc_id").cast("string"), lit("|shuffle42")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("phase", "shard").orderBy(col("h"), col("doc_id"))
+    scored.select(col("doc_id"), phase.as("phase"), h.as("h"))
+      .withColumn("shard", pmod(conv(substring(col("h"), 1, 6), 16, 10)
+        .cast("long"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+      .select("doc_id", "phase", "shard", "pos")
+      .orderBy("phase", "shard", "pos")
+  }
+
   /** Embeddings-table AUDIT — [[profile_table]]'s vector-side sibling, the
     * census an ingest runs before any ANN/cluster work: per label, vector
     * count, the dimension range (a ragged corpus breaks every fixed-width

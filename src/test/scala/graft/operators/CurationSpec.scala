@@ -480,6 +480,25 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.exists { case (s, n, _) => s == otherSplit && n >= 1 })
   }
 
+  test("samp_curriculum: quartile phases roughly balanced, positions dense per (phase, shard), deterministic") {
+    val dir = "/root/testdata/sf0.001"
+    val a = Curation.samp_curriculum(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val b = Curation.samp_curriculum(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(a.toSeq == b.toSeq, "the order is the reproducibility contract")
+    assert(a.length == 500 && a.map(_._1).distinct.length == 500)
+    // exact quartile cuts → each phase within ±10% of n/4 (ties at the
+    // cut points move a handful of docs between adjacent phases)
+    val byPhase = a.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byPhase.keySet == Set(0L, 1L, 2L, 3L))
+    byPhase.values.foreach(n => assert(math.abs(n - 125) <= 13, byPhase))
+    // positions dense and zero-based within every (phase, shard)
+    a.groupBy(t => (t._2, t._3)).values.foreach { g =>
+      assert(g.map(_._4).sorted.toSeq == (0L until g.length))
+    }
+  }
+
   test("decon_spans_trim: contaminated spans cut, clean docs byte-exact, fully-contaminated doc trims to empty") {
     def ws(p: String, a: Int, b: Int) = (a to b).map(i => s"$p$i").mkString(" ")
     val E = ws("e", 1, 8); val F = ws("f", 1, 8)
