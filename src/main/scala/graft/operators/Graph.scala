@@ -174,10 +174,22 @@ object Graph {
   private val authCache =
     scala.collection.mutable.Map.empty[(SparkSession, String, Int), DataFrame]
   private[operators] def domainAuthorityCached(s: SparkSession, dir: String,
-      iters: Int = 3): DataFrame = authCache.synchronized {
+      iters: Int = 3): DataFrame = {
     import graft.Checkpoints.DatasetCheckpointOps
-    authCache.getOrElseUpdate((s, dir, iters),
-      domainAuthority(s, dir, iters).graftCheckpoint())
+    // dead-session entries evicted on access; compute outside the lock
+    // (the dd_cluster_jaccard cache discipline — a racing duplicate
+    // compute is benign, deterministic result)
+    val key = (s, dir, iters)
+    val hit = authCache.synchronized {
+      authCache.filterInPlace { case ((sess, _, _), _) =>
+        !sess.sparkContext.isStopped
+      }
+      authCache.get(key)
+    }
+    hit.getOrElse {
+      val built = domainAuthority(s, dir, iters).graftCheckpoint()
+      authCache.synchronized(authCache.getOrElseUpdate(key, built))
+    }
   }
 
   private[graft] def domainAuthority(s: SparkSession, dir: String,

@@ -30,13 +30,15 @@ object Csv {
   private val NullSentinel = "\\N"
 
   def write(df: DataFrame, path: String): Unit = {
-    // Spark's CSV reader compares the UNQUOTED datum against nullValue, so
-    // a string field whose content is literally the sentinel would read
-    // back as NULL even though the writer quoted it — silent data loss the
-    // certification digest downstream might never see (the doc would have
-    // to exist in the certified corpus). No writer option closes this
-    // reader-side hole, so the writer REFUSES the corpus instead: loud >
-    // lossy. One column-pruned scan; string columns only.
+    // Spark's CSV writer emits a NULL and a field whose text is literally
+    // the sentinel as IDENTICAL bytes ("\\N" both — the backslash escape
+    // applies to the text and the sentinel is written through the same
+    // quoting path; verified empirically), so no post-write byte scan can
+    // tell them apart and the reader nulls both. The only sound guard is
+    // PRE-write: refuse the corpus when any string field equals the
+    // sentinel. Cost: one extra column-pruned scan of the string columns
+    // before the export — the price of a lossless certificate on a
+    // format with no native null. Loud > lossy.
     val strCols = df.schema.fields
       .filter(_.dataType == org.apache.spark.sql.types.StringType).map(_.name)
     if (strCols.nonEmpty) {
@@ -45,10 +47,10 @@ object Csv {
         .reduce(_ || _)).limit(1).count()
       require(clash == 0L,
         s"Csv.write: a row's string field is literally the null sentinel " +
-          s"'$NullSentinel' — Spark's CSV reader cannot distinguish it " +
-          "from a real null (it compares the unquoted datum), so the " +
-          "round trip would silently null that field. Ship this corpus " +
-          "as JSONL/parquet, or rewrite the offending text.")
+          s"'$NullSentinel' — the CSV writer would emit it byte-identical " +
+          "to a real null and the reader would null it on read-back. " +
+          "Ship this corpus as JSONL/parquet, or rewrite the offending " +
+          "text.")
     }
     df.write.mode("overwrite")
       .option("header", "true")
