@@ -33,6 +33,13 @@ object Bench {
     // never reads a previous pass's materialization.
     val names = SparkEntry.queries.keys.toSeq.sorted
     val best = scala.collection.mutable.Map[String, Double]()
+    // Per-query LAST-pass timing, reported beside the min: min-of-N absorbs
+    // box noise, but min alone cannot distinguish "query got slower in code"
+    // from "one pass hit external load" when a round-over-round comparison
+    // moves. last - min is the per-query noise bound for THIS run (the
+    // passes share a JVM and cache state), so a verdict can adjudicate each
+    // mover individually instead of leaning on the single canary query.
+    val last = scala.collection.mutable.Map[String, Double]()
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     for (p <- 1 to passes) {
       spark.catalog.clearCache()
@@ -46,7 +53,10 @@ object Bench {
             false
           }
         val dt = (System.nanoTime() - t0) / 1e9
-        if (ok && best.get(name).forall(dt < _)) best(name) = dt
+        if (ok) {
+          if (best.get(name).forall(dt < _)) best(name) = dt
+          last(name) = dt
+        }
       }
     }
     // A crashed query must be VISIBLE in the artifact, not a near-zero
@@ -57,6 +67,9 @@ object Bench {
     val results = names.map(n => n -> (if (failed(n)) -1.0 else best(n)))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val qsLast = names
+      .map(n => s"\"" + n + "\":" + (if (failed(n)) -1.0 else last(n)))
+      .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val valid = failed.isEmpty
     val total = if (valid) results.map(_._2).sum else -1.0
@@ -66,7 +79,7 @@ object Bench {
     // total) from a real regression (canary steady, specific queries move)
     // without re-deriving per-query ratios every time.
     val canary = best.getOrElse("q05_topk", -1.0)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","valid":$valid,"canary_q05_topk":$canary,"queries":$qs,"errors":$errs,"passes":$passes,"sf":${DriverSession.jsonQuote(sfDir)}}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","valid":$valid,"canary_q05_topk":$canary,"queries":$qs,"queries_last":$qsLast,"errors":$errs,"passes":$passes,"sf":${DriverSession.jsonQuote(sfDir)}}"""
     println(json)
     // The driver captures only the TAIL of stdout — with ~100 queries the
     // headline line gets truncated out of the artifact. Persist the full

@@ -1061,13 +1061,22 @@ object TextAnalysis {
     * shared by [[tx_url_dedup]] and [[Curation.decon_url]], so the dedup
     * key and the decontamination key cannot drift.
     */
-  private[graft] def normUrl(docId: Column): Column = {
-    val url = urlPlant(docId)
-    val rest = element_at(split(url, "://"), 2)
-    val hostport = element_at(split(rest, "/"), 1)
-    val host = element_at(split(hostport, ":"), 1)
-    val path = element_at(
-      split(substring(rest, length(hostport) + 1, lit(1 << 24)), "\\?"), 1)
+  private[graft] def normUrl(docId: Column): Column = normUrlStr(urlPlant(docId))
+
+  /** The string form of [[normUrl]], for callers whose input is a real
+    * `url` COLUMN rather than the plant — the streaming
+    * [[graft.streaming.DocsStream.deconUrlGate]]. try_element_at, not
+    * element_at (the [[urlDomain]] rationale): stream input is arbitrary,
+    * and under ANSI mode element_at throws on out-of-bounds — an
+    * unparseable url must yield a null key, not kill the query. On
+    * well-formed URLs (every batch caller — the plant) identical.
+    */
+  private[graft] def normUrlStr(url: Column): Column = {
+    val rest = try_element_at(split(url, "://"), lit(2))
+    val hostport = try_element_at(split(rest, "/"), lit(1))
+    val host = try_element_at(split(hostport, ":"), lit(1))
+    val path = try_element_at(
+      split(substring(rest, length(hostport) + 1, lit(1 << 24)), "\\?"), lit(1))
     concat(regexp_replace(host, "^www\\.", ""), path)
   }
 

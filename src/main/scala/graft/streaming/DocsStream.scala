@@ -365,4 +365,29 @@ object DocsStream {
       .withColumn("score_raw", graft.operators.TextAnalysis.scoreRawWith(
         graft.functions.TextFunctions.shingles(col("text"), 2), weights))
       .filter(col("score_raw") > 0L)
+
+  /** Ingest-time URL DECONTAMINATION gate — the streaming face of
+    * [[graft.operators.Curation.decon_url]]: drop documents whose
+    * NORMALIZED url (the SAME [[graft.operators.TextAnalysis.normUrlStr]]
+    * key as tx_url_dedup and the batch screen, so the stream edge and the
+    * batch screen cannot disagree on a page) matches any benchmark
+    * source URL. The eval-URL set is a per-benchmark-RELEASE batch
+    * artifact (benchmarks publish their source URLs at KB-to-MB scale —
+    * it ships to the ingest tier as a value, the authorityGate contract;
+    * restart the query to pick up a new benchmark release). Stateless,
+    * map-only — a broadcast-set membership probe per document.
+    *
+    * Unlike [[urlGate]]/[[authorityGate]] (ALLOW gates, where unknown
+    * provenance must not pass), this is a REMOVE screen: a null or
+    * unparseable url cannot match an eval URL, so it PASSES — dropping it
+    * here would silently re-implement the allow gates' policy inside the
+    * decon screen.
+    */
+  def deconUrlGate(stream: DataFrame, evalUrls: Seq[String]): DataFrame = {
+    require(evalUrls.nonEmpty,
+      "deconUrlGate: empty eval-URL set gates nothing — pass the " +
+        "normalized source URLs of the benchmark release being screened")
+    val norm = graft.operators.TextAnalysis.normUrlStr(col("url"))
+    stream.filter(norm.isNull || !norm.isInCollection(evalUrls))
+  }
 }

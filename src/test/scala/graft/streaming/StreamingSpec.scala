@@ -1019,6 +1019,43 @@ class StreamingSpec extends AnyFunSuite {
         "or the trained-weights leg of this test is vacuous")
   }
 
+  test("deconUrlGate: stream-edge drop set equals batch decon_url's flags; unparseable urls pass a REMOVE screen") {
+    import graft.operators.TextAnalysis
+    // the batch artifact: normalized source URLs of the eval slice, the
+    // same slice decon_url screens against (doc_id residue mod 3)
+    val evalMod = 3
+    val docsDf = graft.sources.Tables.loadParallel(spark, dir, "documents")
+    val evalUrls = docsDf.filter(pmod(col("doc_id"), lit(evalMod)) === 0)
+      .select(TextAnalysis.normUrl(col("doc_id")).as("u"))
+      .distinct().as[String].collect().toSeq
+    val training = docsDf.filter(pmod(col("doc_id"), lit(evalMod)) =!= 0)
+      .select(col("doc_id"), TextAnalysis.urlPlant(col("doc_id")).as("url"))
+      .as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)](spark)
+    val stream = input.toDF().toDF("doc_id", "url")
+    val q = DocsStream.deconUrlGate(stream, evalUrls)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("decon_url_gate").start()
+    try {
+      input.addData(training.toSeq: _*)
+      input.addData((9001L, "not-a-url"), (9002L, null.asInstanceOf[String]))
+      q.processAllAvailable()
+      val passed = spark.table("decon_url_gate").select("doc_id")
+        .as[Long].collect().toSet
+      val batchFlagged = graft.operators.Curation.decon_url(spark, dir, evalMod)
+        .select("doc_id").as[Long].collect().toSet
+      assert(batchFlagged.nonEmpty, "vacuous parity: batch screen flags nothing")
+      val dropped = training.map(_._1).toSet -- passed
+      assert(dropped == batchFlagged,
+        "the stream edge must drop exactly the batch-flagged documents")
+      // REMOVE-screen semantics: unknown provenance passes
+      assert(passed.contains(9001L) && passed.contains(9002L))
+    } finally q.stop()
+    intercept[IllegalArgumentException] {
+      DocsStream.deconUrlGate(stream, Seq.empty)
+    }
+  }
+
   test("StateClock.monotoneTimeoutMs: past-watermark clamp; saturates instead of wrapping near Long.MaxValue") {
     assert(StateClock.monotoneTimeoutMs(100L, 50L, 10L) == 150L)
     assert(StateClock.monotoneTimeoutMs(100L, 50L, 200L) == 201L) // clamp
