@@ -1462,6 +1462,47 @@ object OracleSql {
         |FROM tok JOIN v USING (token)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // tx_perplexity: bigram stupid-backoff LM counted on the doc_id-residue
+    // reference slice, fixed-point millionths (integer // both engines —
+    // operands non-negative, so floor == Spark's truncating div), quartile
+    // head/middle/tail buckets. Shares bigramListSql and the
+    // TextAnalysis.perplexityRefMod / perplexityBackoffMu constants.
+    "tx_perplexity" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2),
+         |ev AS (SELECT doc_id, unnest($bigramListSql) AS g FROM d),
+         |c1 AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest(w) AS tok FROM d
+         |        WHERE doc_id % ${graft.operators.TextAnalysis.perplexityRefMod} = 0)
+         |  GROUP BY tok),
+         |t AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM c1),
+         |c2 AS (
+         |  SELECT g, CAST(count(*) AS BIGINT) AS c2 FROM ev
+         |  WHERE doc_id % ${graft.operators.TextAnalysis.perplexityRefMod} = 0 GROUP BY g),
+         |seen AS (
+         |  SELECT c2.g, CAST((1000000 * c2.c2) // c1.c AS BIGINT) AS sc_seen
+         |  FROM c2 JOIN c1 ON string_split(c2.g, ' ')[1] = c1.tok),
+         |j AS (
+         |  SELECT ev.doc_id,
+         |    COALESCE(seen.sc_seen,
+         |      CAST((${graft.operators.TextAnalysis.perplexityBackoffMu} * COALESCE(cb.c, 0))
+         |           // t.t AS BIGINT)) AS sc
+         |  FROM ev LEFT JOIN seen ON ev.g = seen.g
+         |          LEFT JOIN c1 cb ON string_split(ev.g, ' ')[2] = cb.tok, t),
+         |pd AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(sc) AS BIGINT) AS sb_sum,
+         |    CAST(CAST(sum(sc) AS BIGINT) // count(*) AS BIGINT) AS sb_mean
+         |  FROM j GROUP BY doc_id),
+         |cuts AS (SELECT quantile_cont(sb_mean, 0.25) AS p25,
+         |                quantile_cont(sb_mean, 0.75) AS p75 FROM pd)
+         |SELECT doc_id, n_bigrams, sb_sum, sb_mean,
+         |  CASE WHEN sb_mean >= p75 THEN 'head'
+         |       WHEN sb_mean >= p25 THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM pd, cuts ORDER BY doc_id""".stripMargin,
+
     "q45_nulls" ->
       s"""SELECT event_id, user_id, cents,
         |  CAST(row_number() OVER (PARTITION BY user_id

@@ -473,6 +473,83 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Reference-LM slice for [[tx_perplexity]] (doc_id residue — the
+    * decon_url eval-slice device, a different modulus so the two slices
+    * never alias): the stand-in for the curated reference corpus a CCNet
+    * deployment trains its LM on. Shared with the oracle twin. */
+  val perplexityRefMod: Int = 5
+
+  /** Stupid-backoff α in millionths (0.4 — Brants et al. 2007, "Large
+    * Language Models in Machine Translation"). Shared with the twin. */
+  val perplexityBackoffMu: Long = 400000L
+
+  /** Bigram-LM fluency scoring with stupid backoff — the two-gram upgrade
+    * of [[tx_surprisal]] and the integer-exact form of the CCNet
+    * perplexity filter (Wenzek et al. 2020): count a bigram LM on a
+    * curated REFERENCE slice, score every document by its mean bigram
+    * probability under it, bucket the corpus head/middle/tail on the
+    * score quartiles (CCNet's split, with exact-binary 0.25/0.75 cuts —
+    * the samp_curriculum device). All arithmetic is fixed-point integer
+    * so the twin is a FULL hash oracle: a seen bigram scores
+    * ⌊10⁶·c₂(w₁w₂)/c₁(w₁)⌋ (integer div; ≤10⁶ since c₂ ≤ c₁), an unseen
+    * one backs off to ⌊μ·c₁(w₂)/T⌋ with μ = [[perplexityBackoffMu]]
+    * (0 for OOV w₂ — the floor of a tiny probability); log-space
+    * perplexity would put engine-specific `ln` in the oracle's way
+    * ([[tx_surprisal]]'s rationale). Only documents with ≥2 tokens are
+    * scored ([[graft.functions.Shingles]] degenerates below n), and
+    * 1-token reference docs contribute nothing to the LM — the standard
+    * min-length cut, mirrored in the twin.
+    *
+    * Scale shape (the distributed-LM shape of Brants et al.): the corpus
+    * scans once into bigram events; the count tables are VOCABULARY-sized
+    * (≪ corpus) and the scoring joins hash-partition on the bigram/token
+    * key — no broadcast assumed, since a 100 TB corpus's bigram vocabulary
+    * is itself GBs; T and the two quartile cuts are the only driver
+    * traffic (three bounded scalars).
+    */
+  def tx_perplexity(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .filter(col("text").isNotNull && size(words(col("text"))) >= 2)
+    val ref = d.filter(pmod(col("doc_id"), lit(perplexityRefMod.toLong)) === 0)
+    val c1 = ref.select(explode(words(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val tRow = c1.agg(coalesce(sum(col("c")), lit(0L))).first()
+    val t = tRow.getLong(0)
+    require(t > 0L,
+      s"tx_perplexity: reference slice (doc_id % $perplexityRefMod = 0) " +
+        "is empty — no LM to score against")
+    // per-distinct-bigram score table: join the bigram counts to their
+    // history counts ONCE (vocab-sized ⋈ vocab-sized), so the event
+    // stream below joins a single pre-scored table
+    val c2 = ref.select(explode(shingles(col("text"), 2)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c2"))
+    val seen = c2
+      .withColumn("tok", element_at(split(col("g"), " "), 1))
+      .join(c1, Seq("tok"))
+      .select(col("g"), expr("(1000000 * c2) div c").as("sc_seen"))
+    val ev = d.select(col("doc_id"), explode(shingles(col("text"), 2)).as("g"))
+    val perDoc = ev
+      .join(seen, Seq("g"), "left")
+      .withColumn("tok", element_at(split(col("g"), " "), 2))
+      .join(c1.withColumnRenamed("c", "c_w2"), Seq("tok"), "left")
+      .select(col("doc_id"),
+        coalesce(col("sc_seen"),
+          expr(s"($perplexityBackoffMu * coalesce(c_w2, 0L)) div ${t}L"))
+          .as("sc"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("sc")).as("sb_sum"))
+      .withColumn("sb_mean", expr("sb_sum div n_bigrams"))
+    val cuts = perDoc
+      .agg(percentile(col("sb_mean"), typedLit(Seq(0.25, 0.75))).as("c"))
+      .first().getSeq[Double](0)
+    perDoc
+      .withColumn("bucket",
+        when(col("sb_mean") >= cuts(1), "head")
+          .when(col("sb_mean") >= cuts(0), "middle")
+          .otherwise("tail"))
+      .orderBy("doc_id")
+  }
+
   def tx_blocklist(s: SparkSession, dir: String,
       terms: Seq[String] = blockTerms): DataFrame = {
     val w = words(col("text"))

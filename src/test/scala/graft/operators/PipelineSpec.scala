@@ -2098,6 +2098,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(1L)._3 == (got(1L)._2 > 0) && got(2L)._3 == (got(2L)._2 > 0))
   }
 
+  test("tx_perplexity: hand-computed stupid-backoff scores on a planted corpus; min-length and null docs excluded") {
+    // ref slice = doc_id % 5 == 0 → doc 0 only. Its LM: tokens a:2 b:1 c:1
+    // (T=4), bigrams "a b":1 "b a":1 "a c":1. Seen scores: "a b" = 10⁶·1/2
+    // = 500000, "b a" = 10⁶·1/1 = 1000000, "a c" = 500000. Backoff:
+    // ⌊400000·c1(w2)/4⌋ → "c a" = 200000 (via c1(a)=2), OOV w2 = 0.
+    val dir = tmpDocs(Seq(
+      (0L, "a b a c", "en", "web", 7L),   // ref doc; self-scored mean 666666
+      (1L, "a b x", "en", "web", 5L),     // 500000 + 0 → mean 250000
+      (2L, "b a b a", "en", "web", 7L),   // 10⁶+5·10⁵+10⁶ → mean 833333
+      (3L, "c a", "en", "web", 3L),       // pure backoff → mean 200000
+      (4L, "x y", "en", "web", 3L),       // OOV everywhere → mean 0
+      (6L, "z", "en", "web", 1L),         // 1 token → not scored
+      (7L, null, "en", "web", 0L)))       // null text → not scored
+    val got = TextAnalysis.tx_perplexity(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    assert(got(0L) == ((3L, 2000000L, 666666L, "head")))
+    assert(got(1L) == ((2L, 500000L, 250000L, "middle")))
+    assert(got(2L) == ((3L, 2500000L, 833333L, "head")))
+    assert(got(3L) == ((1L, 200000L, 200000L, "middle")))
+    assert(got(4L) == ((1L, 0L, 0L, "tail")))
+    // an empty reference slice must fail loudly, not divide by zero
+    val noRef = tmpDocs(Seq((1L, "a b", "en", "web", 3L)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.tx_perplexity(spark, noRef)
+    }
+  }
+
   test("tx_score_train: weights match an independent driver-side perceptron; trained gate beats the fixed weights") {
     val dir = "/root/testdata/sf0.001"
     // independent reference: features, teacher labels, all 8 perceptron
