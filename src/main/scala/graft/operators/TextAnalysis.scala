@@ -508,37 +508,7 @@ object TextAnalysis {
     * traffic (three bounded scalars).
     */
   def tx_perplexity(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-      .filter(col("text").isNotNull && size(words(col("text"))) >= 2)
-    val ref = d.filter(pmod(col("doc_id"), lit(perplexityRefMod.toLong)) === 0)
-    val c1 = ref.select(explode(words(col("text"))).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("c"))
-    val tRow = c1.agg(coalesce(sum(col("c")), lit(0L))).first()
-    val t = tRow.getLong(0)
-    require(t > 0L,
-      s"tx_perplexity: reference slice (doc_id % $perplexityRefMod = 0) " +
-        "is empty — no LM to score against")
-    // per-distinct-bigram score table: join the bigram counts to their
-    // history counts ONCE (vocab-sized ⋈ vocab-sized), so the event
-    // stream below joins a single pre-scored table
-    val c2 = ref.select(explode(shingles(col("text"), 2)).as("g"))
-      .groupBy("g").agg(count(lit(1)).as("c2"))
-    val seen = c2
-      .withColumn("tok", element_at(split(col("g"), " "), 1))
-      .join(c1, Seq("tok"))
-      .select(col("g"), expr("(1000000 * c2) div c").as("sc_seen"))
-    val ev = d.select(col("doc_id"), explode(shingles(col("text"), 2)).as("g"))
-    val perDoc = ev
-      .join(seen, Seq("g"), "left")
-      .withColumn("tok", element_at(split(col("g"), " "), 2))
-      .join(c1.withColumnRenamed("c", "c_w2"), Seq("tok"), "left")
-      .select(col("doc_id"),
-        coalesce(col("sc_seen"),
-          expr(s"($perplexityBackoffMu * coalesce(c_w2, 0L)) div ${t}L"))
-          .as("sc"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("sc")).as("sb_sum"))
-      .withColumn("sb_mean", expr("sb_sum div n_bigrams"))
+    val perDoc = perplexityScored(s, dir)
     val cuts = perDoc
       .agg(percentile(col("sb_mean"), typedLit(Seq(0.25, 0.75))).as("c"))
       .first().getSeq[Double](0)
@@ -548,6 +518,93 @@ object TextAnalysis {
           .when(col("sb_mean") >= cuts(0), "middle")
           .otherwise("tail"))
       .orderBy("doc_id")
+  }
+
+  /** The LM count frames behind [[tx_perplexity]] — `(c1, seen, t)` where
+    * `c1` = (tok, c) unigram counts on the reference slice, `seen` =
+    * (g, c2, sc_seen) pre-scored distinct bigrams, `t` = total reference
+    * token count — so the batch scorer and the ingest-artifact builder
+    * ([[perplexityLmArtifact]]) count the LM exactly once each from ONE
+    * definition.
+    */
+  private[graft] def perplexityLmFrames(
+      s: SparkSession, dir: String): (DataFrame, DataFrame, Long) = {
+    val d = perplexityDocs(s, dir)
+    val ref = d.filter(pmod(col("doc_id"), lit(perplexityRefMod.toLong)) === 0)
+    val c1 = ref.select(explode(words(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val t = c1.agg(coalesce(sum(col("c")), lit(0L))).first().getLong(0)
+    require(t > 0L,
+      s"tx_perplexity: reference slice (doc_id % $perplexityRefMod = 0) " +
+        "is empty — no LM to score against")
+    // per-distinct-bigram score table: join the bigram counts to their
+    // history counts ONCE (vocab-sized ⋈ vocab-sized), so the event
+    // stream joins a single pre-scored table
+    val seen = ref.select(explode(shingles(col("text"), 2)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c2"))
+      .withColumn("tok", element_at(split(col("g"), " "), 1))
+      .join(c1, Seq("tok"))
+      .select(col("g"), col("c2"), expr("(1000000 * c2) div c").as("sc_seen"))
+    (c1, seen, t)
+  }
+
+  /** The scoreable corpus (non-null text, ≥2 tokens) — shared by the
+    * scorer, the LM builder, and the gate's batch-parity contract. */
+  private def perplexityDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .filter(col("text").isNotNull && size(words(col("text"))) >= 2)
+
+  /** Per-document fluency scores (doc_id, n_bigrams, sb_sum, sb_mean)
+    * behind [[tx_perplexity]] — the frame its quartile cuts and the gate
+    * artifact's tail cut are both measured on.
+    */
+  private[graft] def perplexityScored(s: SparkSession, dir: String): DataFrame = {
+    val (c1, seen, t) = perplexityLmFrames(s, dir)
+    perplexityDocs(s, dir)
+      .select(col("doc_id"), explode(shingles(col("text"), 2)).as("g"))
+      .join(seen.select("g", "sc_seen"), Seq("g"), "left")
+      .withColumn("tok", element_at(split(col("g"), " "), 2))
+      .join(c1.withColumnRenamed("c", "c_w2"), Seq("tok"), "left")
+      .select(col("doc_id"),
+        coalesce(col("sc_seen"),
+          expr(s"($perplexityBackoffMu * coalesce(c_w2, 0L)) div ${t}L"))
+          .as("sc"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("sc")).as("sb_sum"))
+      .withColumn("sb_mean", expr("sb_sum div n_bigrams"))
+  }
+
+  /** The pruned bigram-LM artifact an ingest tier ships to its stream
+    * edge (see [[graft.streaming.DocsStream.perplexityGate]]): the top
+    * `maxEntries` bigrams by reference count (ties to the
+    * lexicographically smaller gram — deterministic prune, the standard
+    * count-cutoff LM pruning) with their fixed-point scores, the top
+    * `maxEntries` unigrams likewise (backoff evidence; a pruned-out w₂
+    * backs off to 0, the OOV floor), the reference token total, and the
+    * batch quartile tail cut ([[tx_perplexity]]'s p25 — documents below
+    * it are the CCNet "tail"). Collects are bounded by `maxEntries` BY
+    * CONSTRUCTION — this is the one place the LM may cross the driver,
+    * because the artifact's whole job is to be a shippable value (the
+    * authorityGate / scoreGate snapshot-artifact contract).
+    */
+  final case class PerplexityLm(seen: Map[String, Long],
+      c1: Map[String, Long], t: Long, tailCut: Double)
+
+  def perplexityLmArtifact(s: SparkSession, dir: String,
+      maxEntries: Int = 1 << 16): PerplexityLm = {
+    require(maxEntries >= 1,
+      s"perplexityLmArtifact: maxEntries=$maxEntries must be >= 1")
+    val (c1, seen, t) = perplexityLmFrames(s, dir)
+    val seenTop = seen
+      .orderBy(col("c2").desc, col("g")).limit(maxEntries)
+      .select("g", "sc_seen").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val c1Top = c1
+      .orderBy(col("c").desc, col("tok")).limit(maxEntries)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cut = perplexityScored(s, dir)
+      .agg(percentile(col("sb_mean"), lit(0.25))).first().getDouble(0)
+    PerplexityLm(seenTop, c1Top, t, cut)
   }
 
   def tx_blocklist(s: SparkSession, dir: String,

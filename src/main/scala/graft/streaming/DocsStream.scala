@@ -390,4 +390,48 @@ object DocsStream {
     val norm = graft.operators.TextAnalysis.normUrlStr(col("url"))
     stream.filter(norm.isNull || !norm.isInCollection(evalUrls))
   }
+
+  /** Ingest-time FLUENCY gate — the streaming face of
+    * [[graft.operators.TextAnalysis.tx_perplexity]]'s tail cut, i.e. the
+    * CCNet deployment shape (Wenzek et al. 2020): the LM is a
+    * per-snapshot batch artifact ([[graft.operators.TextAnalysis
+    * .perplexityLmArtifact]] — pruned bigram/unigram score maps + token
+    * total + the batch quartile tail cut) shipped to the stream edge as a
+    * VALUE; restart the query to pick up a re-counted LM (the
+    * authorityGate contract). Per document the gate replays the EXACT
+    * batch score algebra — seen bigrams look up their pre-divided
+    * fixed-point score, unseen ones back off to
+    * ⌊μ·c₁(w₂)/T⌋ with the SAME [[graft.operators.TextAnalysis
+    * .perplexityBackoffMu]] — entirely in array HOFs over two plan-literal
+    * maps: stateless, map-only, no state store, no stream-static join
+    * (`try_element_at`, not `element_at`: ANSI mode throws on a missing
+    * map key, and a pruned LM misses by design). Emits the stream with
+    * the `sb_mean` audit column; documents scoring below the tail cut
+    * drop, and docs with <2 tokens (unscoreable — the batch scorer's
+    * min-length rule) drop too, the scoreGate "no trainable content"
+    * default. With the FULL (unpruned) LM the keep set equals the batch
+    * scorer's `bucket != 'tail'` exactly — the StreamingSpec parity pin;
+    * pruning only perturbs scores of pruned-out grams (the standard
+    * shipped-LM approximation, by construction ≤ maxEntries entries).
+    */
+  def perplexityGate(stream: DataFrame,
+      lm: graft.operators.TextAnalysis.PerplexityLm): DataFrame = {
+    require(lm.t > 0L,
+      s"perplexityGate: reference token total t=${lm.t} must be positive " +
+        "— pass perplexityLmArtifact's output for the current snapshot")
+    val mu = graft.operators.TextAnalysis.perplexityBackoffMu
+    stream
+      .filter(col("text").isNotNull && size(words(col("text"))) >= 2)
+      .withColumn("lm_seen", typedLit(lm.seen))
+      .withColumn("lm_c1", typedLit(lm.c1))
+      .withColumn("gs", shingles(col("text"), 2))
+      .withColumn("sb_sum", expr(
+        s"""aggregate(gs, 0L, (a, g) -> a + coalesce(
+           |  try_element_at(lm_seen, g),
+           |  ($mu * coalesce(try_element_at(lm_c1,
+           |     element_at(split(g, ' '), 2)), 0L)) div ${lm.t}L))""".stripMargin))
+      .withColumn("sb_mean", expr("sb_sum div size(gs)"))
+      .filter(col("sb_mean") >= lit(lm.tailCut))
+      .drop("lm_seen", "lm_c1", "gs", "sb_sum")
+  }
 }

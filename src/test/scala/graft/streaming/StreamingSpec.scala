@@ -1056,6 +1056,53 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("perplexityGate: full-LM keep set equals batch tx_perplexity's non-tail buckets; short/null docs drop; prune cap holds") {
+    import graft.operators.TextAnalysis
+    // the batch artifact: the default maxEntries (64k) exceeds the
+    // sf0.001 bigram vocabulary, so this is the FULL LM — parity is exact
+    val lm = TextAnalysis.perplexityLmArtifact(spark, dir)
+    val docs = Tables.loadParallel(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+    val input = MemoryStream[(Long, String)](spark)
+    val stream = input.toDF().toDF("doc_id", "text")
+    val q = DocsStream.perplexityGate(stream, lm)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("pplx_gate").start()
+    try {
+      input.addData(docs.toSeq: _*)
+      // the scaladoc'd drop paths: a 1-token doc and a null text
+      input.addData((90001L, "solo"), (90002L, null.asInstanceOf[String]))
+      q.processAllAvailable()
+      val out = spark.table("pplx_gate")
+      val passed = out.select("doc_id").as[Long].collect().toSet
+      val batch = TextAnalysis.tx_perplexity(spark, dir)
+        .select("doc_id", "sb_mean", "bucket")
+        .as[(Long, Long, String)].collect()
+      val batchKeep = batch.filter(_._3 != "tail").map(_._1).toSet
+      assert(batch.exists(_._3 == "tail"),
+        "vacuous parity: the batch tail bucket is empty on this corpus")
+      assert(passed == batchKeep,
+        "the stream edge must keep exactly the batch non-tail documents")
+      assert(!passed.contains(90001L) && !passed.contains(90002L))
+      // the audit column replays the batch algebra bit-for-bit
+      val gateMeans = out.select("doc_id", "sb_mean")
+        .as[(Long, Long)].collect().toMap
+      assert(gateMeans == batch.filter(_._3 != "tail")
+        .map(t => t._1 -> t._2).toMap)
+    } finally q.stop()
+    // prune determinism + cap: same t and cut, maps bounded by maxEntries
+    val pruned = TextAnalysis.perplexityLmArtifact(spark, dir, maxEntries = 3)
+    assert(pruned.seen.size == 3 && pruned.c1.size == 3 &&
+      pruned.t == lm.t && pruned.tailCut == lm.tailCut)
+    assert(pruned.seen.keySet.subsetOf(lm.seen.keySet) &&
+      pruned.c1.keySet.subsetOf(lm.c1.keySet))
+    intercept[IllegalArgumentException] {
+      DocsStream.perplexityGate(stream,
+        TextAnalysis.PerplexityLm(Map.empty, Map.empty, 0L, 0.0))
+    }
+  }
+
   test("StateClock.monotoneTimeoutMs: past-watermark clamp; saturates instead of wrapping near Long.MaxValue") {
     assert(StateClock.monotoneTimeoutMs(100L, 50L, 10L) == 150L)
     assert(StateClock.monotoneTimeoutMs(100L, 50L, 200L) == 201L) // clamp
