@@ -1503,6 +1503,29 @@ object OracleSql {
          |       WHEN sb_mean >= p25 THEN 'middle' ELSE 'tail' END AS bucket
          |FROM pd, cuts ORDER BY doc_id""".stripMargin,
 
+    // tx_colloc: integer-exact PMI lift over the same >=2-token corpus
+    // rule as tx_perplexity; the two floors (conditional, then prior)
+    // mirror the Spark div pair; ties to the smaller gram.
+    "tx_colloc" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2),
+         |c1 AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest(w) AS tok FROM d) GROUP BY tok),
+         |t AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM c1),
+         |c2 AS (
+         |  SELECT g, CAST(count(*) AS BIGINT) AS c2
+         |  FROM (SELECT unnest($bigramListSql) AS g FROM d) GROUP BY g
+         |  HAVING count(*) >= ${graft.operators.TextAnalysis.collocMinCount})
+         |SELECT c2.g, c2.c2, a.c AS c_w1, b.c AS c_w2,
+         |  CAST((CAST((1000000 * c2.c2) // a.c AS BIGINT) * t.t) // b.c
+         |       AS BIGINT) AS lift
+         |FROM c2 JOIN c1 a ON string_split(c2.g, ' ')[1] = a.tok
+         |        JOIN c1 b ON string_split(c2.g, ' ')[2] = b.tok, t
+         |ORDER BY lift DESC, g
+         |LIMIT ${graft.operators.TextAnalysis.collocTopK}""".stripMargin,
+
     "q45_nulls" ->
       s"""SELECT event_id, user_id, cents,
         |  CAST(row_number() OVER (PARTITION BY user_id

@@ -130,6 +130,7 @@ object SparkEntry {
     "ev_retention" -> (Relational.ev_retention _),
     "tx_surprisal" -> (TextAnalysis.tx_surprisal _),
     "tx_perplexity" -> (TextAnalysis.tx_perplexity _),
+    "tx_colloc" -> ((s, d) => TextAnalysis.tx_colloc(s, d)),
     "tx_pii" -> (TextAnalysis.tx_pii _),
     // raw-web boilerplate extraction over planted HTML pages
     "tx_extract" -> ((s, d) => TextAnalysis.tx_extract(s, d)),

@@ -607,6 +607,59 @@ object TextAnalysis {
     PerplexityLm(seenTop, c1Top, t, cut)
   }
 
+  /** Minimum bigram count for [[tx_colloc]] (the standard count cutoff —
+    * PMI on hapax pairs is pure noise) and its top-k size; shared with
+    * the oracle twin. */
+  val collocMinCount: Long = 3L
+  val collocTopK: Int = 50
+
+  /** Collocation mining — the association-ranking half of corpus
+    * analysis (Church & Hanks 1990's PMI, in the integer-exact form this
+    * repo's oracles demand): rank bigrams by lift
+    * ⌊⌊10⁶·c₂(w₁w₂)/c₁(w₁)⌋·T/c₁(w₂)⌋ — 10⁶·P(w₂|w₁)/P(w₂), i.e.
+    * exp(PMI) in millionths, monotone to PMI at fixed counts, with the
+    * two integer floors (conditional first, then the unigram prior) as
+    * the pinned definition; `log` would put engine-specific rounding in
+    * the oracle's way ([[tx_surprisal]]'s rationale). Bigrams below
+    * [[collocMinCount]] are cut, ties break to the lexicographically
+    * smaller gram, top [[collocTopK]] emitted. Counts come from the same
+    * ≥2-token corpus rule as [[tx_perplexity]] (1-token docs have no
+    * bigrams, so they contribute no unigram evidence either — mirrored
+    * in the twin).
+    *
+    * Scale shape: one corpus scan into each count table; both tables are
+    * VOCABULARY-sized and the scoring joins hash-partition on the token
+    * key (no broadcast assumed — a web corpus's bigram table is GBs); T
+    * is the one driver scalar, and the final ordering is a top-k over
+    * the minCount-screened bigram table (TakeOrdered, never a global
+    * sort). Lift arithmetic stays in BIGINT for T < 9.2·10¹² tokens
+    * (~40 TB of English); past that, widen the lift expression to
+    * DECIMAL(38,0) — the moment-sum device.
+    */
+  def tx_colloc(s: SparkSession, dir: String,
+      minCount: Long = collocMinCount, k: Int = collocTopK): DataFrame = {
+    require(minCount >= 1L, s"tx_colloc: minCount=$minCount must be >= 1")
+    require(k >= 1, s"tx_colloc: k=$k must be >= 1")
+    val d = docs(s, dir)
+      .filter(col("text").isNotNull && size(words(col("text"))) >= 2)
+    val c1 = d.select(explode(words(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val t = c1.agg(coalesce(sum(col("c")), lit(0L))).first().getLong(0)
+    require(t > 0L, "tx_colloc: no scoreable documents — nothing to rank")
+    d.select(explode(shingles(col("text"), 2)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= minCount)
+      .withColumn("w1", element_at(split(col("g"), " "), 1))
+      .withColumn("w2", element_at(split(col("g"), " "), 2))
+      .join(c1.select(col("tok").as("w1"), col("c").as("c_w1")), Seq("w1"))
+      .join(c1.select(col("tok").as("w2"), col("c").as("c_w2")), Seq("w2"))
+      .withColumn("lift",
+        expr(s"(((1000000 * c2) div c_w1) * ${t}L) div c_w2"))
+      .select("g", "c2", "c_w1", "c_w2", "lift")
+      .orderBy(col("lift").desc, col("g"))
+      .limit(k)
+  }
+
   def tx_blocklist(s: SparkSession, dir: String,
       terms: Seq[String] = blockTerms): DataFrame = {
     val w = words(col("text"))

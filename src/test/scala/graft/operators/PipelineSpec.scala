@@ -2127,6 +2127,30 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("tx_colloc: hand-computed integer PMI lifts; minCount cut, short/null docs excluded, ordered ties") {
+    // c1: strong:3 tea:4 hot:2 coffee:1, T=10 (doc 2 has 1 token and doc 3
+    // is null — both contribute nothing). c2 at minCount=2: "strong tea":3,
+    // "tea strong":2 (the hot/coffee bigrams are hapax — cut).
+    // lift("strong tea") = ⌊10⁶·3/3⌋·10 // 4 = 2_500_000
+    // lift("tea strong") = ⌊10⁶·2/4⌋·10 // 3 = 1_666_666
+    val dir = tmpDocs(Seq(
+      (0L, "strong tea strong tea strong tea", "en", "web", 31L),
+      (1L, "hot tea hot coffee", "en", "web", 17L),
+      (2L, "z", "en", "web", 1L),
+      (3L, null, "en", "web", 0L)))
+    val got = TextAnalysis.tx_colloc(spark, dir, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("strong tea", 3L, 3L, 4L, 2500000L),
+      ("tea strong", 2L, 4L, 3L, 1666666L)))
+    // an unscoreable corpus must fail loudly, not rank nothing silently
+    val empty = tmpDocs(Seq((1L, "solo", "en", "web", 4L)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.tx_colloc(spark, empty)
+    }
+  }
+
   test("tx_score_train: weights match an independent driver-side perceptron; trained gate beats the fixed weights") {
     val dir = "/root/testdata/sf0.001"
     // independent reference: features, teacher labels, all 8 perceptron
