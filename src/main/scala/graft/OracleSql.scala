@@ -115,6 +115,45 @@ object OracleSql {
        |FROM it3 LEFT JOIN od ON od.src = it3.v
        |ORDER BY pr DESC, doc_id LIMIT 20""".stripMargin
 
+  /** `Graph.graph_hits`' twin — the HITS rounds unrolled from one
+    * template (the [[pagerankCoreCtes]] device); both max-normalization
+    * floors mirror the Spark `div`, and every sum/max is cast back to
+    * BIGINT (DuckDB widens BIGINT aggregates to HUGEINT — dtype drift in
+    * the compare otherwise).
+    */
+  private val hitsCoreCtes: String = {
+    val iters = 3
+    def round(prev: String, i: Int): String =
+      s"""hraw$i AS (
+         |  SELECT src AS v, CAST(sum(a) AS BIGINT) AS hr
+         |  FROM edges JOIN $prev p ON p.v = edges.dst GROUP BY src),
+         |hmax$i AS (SELECT CAST(max(hr) AS BIGINT) AS hm FROM hraw$i),
+         |h$i AS (
+         |  SELECT d.doc_id AS v,
+         |    CAST((1000000 * COALESCE(hr, 0)) // hm AS BIGINT) AS h
+         |  FROM documents d LEFT JOIN hraw$i ON hraw$i.v = d.doc_id, hmax$i),
+         |araw$i AS (
+         |  SELECT dst AS v, CAST(sum(h) AS BIGINT) AS ar
+         |  FROM edges JOIN h$i p ON p.v = edges.src GROUP BY dst),
+         |amax$i AS (SELECT CAST(max(ar) AS BIGINT) AS am FROM araw$i),
+         |a$i AS (
+         |  SELECT d.doc_id AS v,
+         |    CAST((1000000 * COALESCE(ar, 0)) // am AS BIGINT) AS a
+         |  FROM documents d LEFT JOIN araw$i ON araw$i.v = d.doc_id, amax$i)""".stripMargin
+    val rounds = (1 to iters)
+      .map(i => round(if (i == 1) "a0" else s"a${i - 1}", i)).mkString(",\n")
+    s"""edges AS (
+       |  $graphEdgesSql),
+       |a0 AS (SELECT doc_id AS v, CAST(1000000 AS BIGINT) AS a FROM documents),
+       |$rounds""".stripMargin
+  }
+
+  private val graphHitsSql: String =
+    s"""WITH $hitsCoreCtes
+       |SELECT a3.v AS doc_id, a3.a AS auth, h3.h AS hub
+       |FROM a3 JOIN h3 ON h3.v = a3.v
+       |ORDER BY auth DESC, doc_id LIMIT 20""".stripMargin
+
 
   /** `TextAnalysis.urlPlant`'s twin, built congruence-for-congruence from
     * the SAME host pool constant.
@@ -2414,6 +2453,7 @@ object OracleSql {
          |GROUP BY 1 ORDER BY channel""".stripMargin,
 
     "graph_pagerank" -> graphPagerankSql,
+    "graph_hits" -> graphHitsSql,
 
     "graph_domains" ->
       s"""WITH $pagerankCoreCtes,

@@ -186,6 +186,7 @@ object SparkEntry {
     "src_csv" -> (graft.sources.Csv.src_csv _),
     // link-graph centrality over the planted citation graph
     "graph_pagerank" -> ((s, d) => Graph.graph_pagerank(s, d)),
+    "graph_hits" -> ((s, d) => Graph.graph_hits(s, d)),
     "graph_degrees" -> (Graph.graph_degrees _),
     // last-touch revenue attribution per channel
     "ev_attribution" -> (Relational.ev_attribution _),

@@ -205,6 +205,63 @@ object Graph {
       .select("domain")
   }
 
+  /** HITS hubs & authorities over the planted citation graph (Kleinberg
+    * 1999, "Authoritative sources in a hyperlinked environment") — the
+    * centrality pair PageRank doesn't give: an AUTHORITY is a page good
+    * pages point AT, a HUB is a page that points at good authorities; a
+    * curation pipeline uses the authority side as a quality prior for
+    * content and the hub side to find link-farm directories. `iters`
+    * rounds of h(v) = Σ_{v→u} a(u), a(u) = Σ_{v→u} h(v), each half
+    * MAX-normalized to millionths — ⌊10⁶·x/max(x)⌋, the common HITS
+    * normalization spelled in integers. Max-norm (not sum-norm) is the
+    * division-safety proof: the argmax lands exactly on 10⁶, so neither
+    * score vector can floor to all-zeros and the next round's
+    * denominator is always positive (sum-norm CAN floor a >10⁶-node
+    * near-uniform vector to zeros). Emits the top-`k` docs by authority
+    * (ties to the smaller doc_id) with both scores. BIGINT bound: the
+    * normalization product is 10⁶·Σ_{deg} 10⁶ ≤ 10¹²·max-degree — safe
+    * to ~9·10⁶ max degree, far past any web host graph's.
+    *
+    * Scale shape: per round, TWO corpus-sized shuffle pairs (edges⋈a by
+    * dst, edges⋈h by src — HITS's extra cost over PageRank's one) plus
+    * two 1-row max aggregates that re-enter the plan as broadcast joins
+    * (the plantedEdges count device, never a driver collect); the edge
+    * list is materialized once and both joins of every round reuse it.
+    * Score frames are |V|-sized and never leave the cluster.
+    */
+  def graph_hits(s: SparkSession, dir: String, iters: Int = 3,
+      k: Int = 20): DataFrame = {
+    require(iters >= 1, s"graph_hits: iters=$iters must be >= 1")
+    require(k >= 1, s"graph_hits: k=$k must be >= 1")
+    import graft.Checkpoints.DatasetCheckpointOps
+    val (d, edges0) = plantedEdges(s, dir)
+    // 2·iters joins hit the edge list — cut its corpus-scan + distinct
+    // lineage once (the pagerankRanks discipline)
+    val edges = edges0.graftCheckpoint()
+    val spine = d.select(col("doc_id").as("v"))
+    var a = spine.select(col("v"), lit(1000000L).as("a"))
+    var h = spine.select(col("v"), lit(0L).as("h"))
+    for (i <- 1 to iters) {
+      val hraw = edges.join(a.withColumnRenamed("v", "dst"), Seq("dst"))
+        .groupBy(col("src").as("v")).agg(sum(col("a")).as("hr"))
+      val hmax = hraw.agg(max(col("hr")).as("hm"))
+      h = spine.join(hraw, Seq("v"), "left").crossJoin(broadcast(hmax))
+        .select(col("v"), expr("(1000000 * coalesce(hr, 0L)) div hm").as("h"))
+      val araw = edges.join(h.withColumnRenamed("v", "src"), Seq("src"))
+        .groupBy(col("dst").as("v")).agg(sum(col("h")).as("ar"))
+      val amax = araw.agg(max(col("ar")).as("am"))
+      a = spine.join(araw, Seq("v"), "left").crossJoin(broadcast(amax))
+        .select(col("v"), expr("(1000000 * coalesce(ar, 0L)) div am").as("a"))
+      // the plan grows two join+agg pairs per round — cut on the
+      // pagerankRanks cadence (every 4th round and at the end)
+      if (i % 4 == 0 || i == iters) { h = h.graftCheckpoint(); a = a.graftCheckpoint() }
+    }
+    a.join(h, Seq("v"))
+      .select(col("v").as("doc_id"), col("a").as("auth"), col("h").as("hub"))
+      .orderBy(col("auth").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Degree census of the planted graph — the sanity sheet published next
     * to any centrality ranking (and the oracle anchor for the edge plant
     * itself): per (out-degree, in-degree) class, how many nodes. Both

@@ -58,6 +58,36 @@ class GraphSpec extends AnyFunSuite {
       (2L, 2L, 1L, 1L)))
   }
 
+  test("graph_hits: one max-normalized round matches hand arithmetic; argmax pins at 10^6") {
+    val dir = docsDir(4)
+    // a0 = 10⁶ each. hraw: h(0)=10⁶, h(1)=2·10⁶, h(2)=10⁶, h(3)=2·10⁶;
+    // hm=2·10⁶ → h = 500000, 10⁶, 500000, 10⁶.
+    // araw: a(0) = h1+h3 = 2·10⁶, a(1) = h2+h3 = 1.5·10⁶, a(2) = h1 = 10⁶,
+    // a(3) = h0 = 500000; am=2·10⁶ → a = 10⁶, 750000, 500000, 250000.
+    val got = Graph.graph_hits(spark, dir, iters = 1, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      (0L, 1000000L, 500000L),
+      (1L, 750000L, 1000000L),
+      (2L, 500000L, 500000L),
+      (3L, 250000L, 1000000L)))
+  }
+
+  test("graph_hits on the corpus: deterministic, discriminating, hubs lead the authority ranking") {
+    val dir = "/root/testdata/sf0.001"
+    val a = Graph.graph_hits(spark, dir).collect()
+    val b = Graph.graph_hits(spark, dir).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    // the Zipfian hub family (ids 0..9, in-degree ~n/10) must own the
+    // head of the AUTHORITY ranking — that asymmetry (vs hub scores) is
+    // what HITS adds over a single centrality
+    assert(a.take(5).forall(_.getLong(0) < 10L),
+      "hub-family nodes must lead the authority ranking")
+    // max-norm invariant: the top authority is exactly 10⁶
+    assert(a.head.getLong(1) == 1000000L)
+    assert(a.map(_.getLong(1)).distinct.length > 5, "a real spread")
+  }
+
   test("graph_pagerank on the corpus: hubs dominate, ranking is skewed and deterministic") {
     val dir = "/root/testdata/sf0.001"
     val a = Graph.graph_pagerank(spark, dir).collect()

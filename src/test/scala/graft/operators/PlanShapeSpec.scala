@@ -179,7 +179,7 @@ class PlanShapeSpec extends AnyFunSuite {
                      // vector is scored against every eval vector by design
       "ann_sq", // coded corpus × 8 broadcast query code rows — the
                 // ann_bruteforce shape on int8 codes
-      "graph_pagerank", "graph_degrees", "graph_domains",
+      "graph_pagerank", "graph_hits", "graph_degrees", "graph_domains",
       "pipeline_release") // node spine × the broadcast 1-row corpus count
                 // that parameterizes the edge plant (pipeline_release
                 // inherits it through its domainAuthority stage)
