@@ -218,6 +218,43 @@ object OracleSql {
       |     ELSE list_transform(generate_series(0, len(w) - 2),
       |                         i -> array_to_string(w[i+1:i+2], ' ')) END""".stripMargin.replace("\n", " ")
 
+  /** `TextAnalysis.perplexityScored`'s twin — the CTE chain ending at
+    * `pd` (doc_id, n_bigrams, sb_sum, sb_mean) — shared by the
+    * tx_perplexity twin (quartile buckets) and the pipeline_curate twin
+    * (the fluency stage's tail cut), so the LM algebra lives exactly
+    * once in SQL as it does in Scala. Integer `//` == Spark's truncating
+    * `div` here because every operand is non-negative.
+    */
+  private val perplexityPdCtes: String =
+    s"""pplxd AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2),
+       |pplxev AS (SELECT doc_id, unnest($bigramListSql) AS g FROM pplxd),
+       |pplxc1 AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(w) AS tok FROM pplxd
+       |        WHERE doc_id % ${graft.operators.TextAnalysis.perplexityRefMod} = 0)
+       |  GROUP BY tok),
+       |pplxt AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM pplxc1),
+       |pplxc2 AS (
+       |  SELECT g, CAST(count(*) AS BIGINT) AS c2 FROM pplxev
+       |  WHERE doc_id % ${graft.operators.TextAnalysis.perplexityRefMod} = 0 GROUP BY g),
+       |pplxseen AS (
+       |  SELECT pplxc2.g, CAST((1000000 * pplxc2.c2) // pplxc1.c AS BIGINT) AS sc_seen
+       |  FROM pplxc2 JOIN pplxc1 ON string_split(pplxc2.g, ' ')[1] = pplxc1.tok),
+       |pplxj AS (
+       |  SELECT pplxev.doc_id,
+       |    COALESCE(pplxseen.sc_seen,
+       |      CAST((${graft.operators.TextAnalysis.perplexityBackoffMu} * COALESCE(cb.c, 0))
+       |           // pplxt.t AS BIGINT)) AS sc
+       |  FROM pplxev LEFT JOIN pplxseen ON pplxev.g = pplxseen.g
+       |          LEFT JOIN pplxc1 cb ON string_split(pplxev.g, ' ')[2] = cb.tok, pplxt),
+       |pd AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(sc) AS BIGINT) AS sb_sum,
+       |    CAST(CAST(sum(sc) AS BIGINT) // count(*) AS BIGINT) AS sb_mean
+       |  FROM pplxj GROUP BY doc_id)""".stripMargin
+
   /** `TextAnalysis.scoreRawCol`'s twin: Σ w[first-hex-char bucket] over a
     * bigram list, the CASE built from the SAME scoreWeights constant;
     * COALESCE(…, 0) mirrors the Spark fold's 0 init on an empty list.
@@ -1225,7 +1262,9 @@ object OracleSql {
         |ORDER BY vec_id""".stripMargin,
 
     "pipeline_curate" ->
-      s"""WITH base AS (
+      s"""WITH $perplexityPdCtes,
+         |cut AS (SELECT quantile_cont(sb_mean, 0.25) AS p25 FROM pd),
+         |base AS (
          |  SELECT doc_id, text, $normSql AS norm, string_split(text, ' ') AS w,
          |    CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
          |      / len(string_split(text, ' ')) AS ml
@@ -1233,14 +1272,18 @@ object OracleSql {
          |q AS (
          |  SELECT * FROM base
          |  WHERE $wordBandSql AND $meanBandSql AND $stopHitsSql),
+         |fl AS (
+         |  SELECT q.* FROM q JOIN pd USING (doc_id), cut
+         |  WHERE pd.sb_mean >= cut.p25),
          |k AS (
-         |  SELECT *, row_number() OVER (PARTITION BY md5(norm) ORDER BY doc_id) AS rn FROM q),
+         |  SELECT *, row_number() OVER (PARTITION BY md5(norm) ORDER BY doc_id) AS rn FROM fl),
          |keep AS (SELECT * FROM k WHERE rn = 1)
          |SELECT '0_raw' AS stage, count(*) AS n FROM base
          |UNION ALL SELECT '1_quality', count(*) FROM q
-         |UNION ALL SELECT '2_dedup', count(*) FROM keep
+         |UNION ALL SELECT '2_fluency', count(*) FROM fl
+         |UNION ALL SELECT '3_dedup', count(*) FROM keep
          |UNION ALL
-         |SELECT '3_split_' || $splitCaseSql AS stage, count(*) AS n
+         |SELECT '4_split_' || $splitCaseSql AS stage, count(*) AS n
          |FROM keep GROUP BY 1
          |ORDER BY stage""".stripMargin,
 
@@ -1502,39 +1545,10 @@ object OracleSql {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // tx_perplexity: bigram stupid-backoff LM counted on the doc_id-residue
-    // reference slice, fixed-point millionths (integer // both engines —
-    // operands non-negative, so floor == Spark's truncating div), quartile
-    // head/middle/tail buckets. Shares bigramListSql and the
-    // TextAnalysis.perplexityRefMod / perplexityBackoffMu constants.
+    // reference slice (the shared perplexityPdCtes chain), quartile
+    // head/middle/tail buckets.
     "tx_perplexity" ->
-      s"""WITH d AS (
-         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-         |  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2),
-         |ev AS (SELECT doc_id, unnest($bigramListSql) AS g FROM d),
-         |c1 AS (
-         |  SELECT tok, CAST(count(*) AS BIGINT) AS c
-         |  FROM (SELECT unnest(w) AS tok FROM d
-         |        WHERE doc_id % ${graft.operators.TextAnalysis.perplexityRefMod} = 0)
-         |  GROUP BY tok),
-         |t AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM c1),
-         |c2 AS (
-         |  SELECT g, CAST(count(*) AS BIGINT) AS c2 FROM ev
-         |  WHERE doc_id % ${graft.operators.TextAnalysis.perplexityRefMod} = 0 GROUP BY g),
-         |seen AS (
-         |  SELECT c2.g, CAST((1000000 * c2.c2) // c1.c AS BIGINT) AS sc_seen
-         |  FROM c2 JOIN c1 ON string_split(c2.g, ' ')[1] = c1.tok),
-         |j AS (
-         |  SELECT ev.doc_id,
-         |    COALESCE(seen.sc_seen,
-         |      CAST((${graft.operators.TextAnalysis.perplexityBackoffMu} * COALESCE(cb.c, 0))
-         |           // t.t AS BIGINT)) AS sc
-         |  FROM ev LEFT JOIN seen ON ev.g = seen.g
-         |          LEFT JOIN c1 cb ON string_split(ev.g, ' ')[2] = cb.tok, t),
-         |pd AS (
-         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-         |    CAST(sum(sc) AS BIGINT) AS sb_sum,
-         |    CAST(CAST(sum(sc) AS BIGINT) // count(*) AS BIGINT) AS sb_mean
-         |  FROM j GROUP BY doc_id),
+      s"""WITH $perplexityPdCtes,
          |cuts AS (SELECT quantile_cont(sb_mean, 0.25) AS p25,
          |                quantile_cont(sb_mean, 0.75) AS p75 FROM pd)
          |SELECT doc_id, n_bigrams, sb_sum, sb_mean,

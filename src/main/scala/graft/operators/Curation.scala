@@ -237,15 +237,23 @@ object Curation {
 
   /** The full curation funnel as ONE audit query — the composition these
     * operators exist for: normalize → Gopher quality gate (the SAME criteria
-    * columns as [[TextAnalysis.tx_gopher]]) → exact dedup on the normalized
-    * digest (min doc_id kept, via `min_by`) → content-addressed split (the
-    * SAME rule as [[samp_split]]). Emits a (stage, n) funnel: raw count,
-    * quality survivors, dedup keepers, per-split keeper counts.
+    * columns as [[TextAnalysis.tx_gopher]]) → LM fluency gate (CCNet's
+    * perplexity screen — drop documents in [[TextAnalysis.tx_perplexity]]'s
+    * tail bucket, i.e. `sb_mean` below the corpus p25 cut; Wenzek et al.
+    * 2020 runs exactly this between quality heuristics and dedup) → exact
+    * dedup on the normalized digest (min doc_id kept, via `min_by`) →
+    * content-addressed split (the SAME rule as [[samp_split]]). Emits a
+    * (stage, n) funnel: raw count, quality survivors, fluency survivors,
+    * dedup keepers, per-split keeper counts.
     *
-    * Two scans total: one for the raw/quality counts (stack'd from a single
-    * aggregate row) and one shared subtree for the keeper stages — the
-    * 2_dedup and 3_split branches contain the identical groupBy(digest)
-    * exchange, which ReuseExchange materializes once.
+    * The fluency stage reuses [[TextAnalysis.perplexityScored]] (the LM
+    * algebra lives once) and its cut is tx_perplexity's p25 over the WHOLE
+    * scoreable corpus — the standalone scorer and the funnel stage cannot
+    * disagree on a document. Quality survivors are always scoreable (the
+    * Gopher band requires ≥20 words), so the inner join to the scored
+    * frame drops nothing but tail documents. Beyond the LM-count passes,
+    * the keeper stages share one groupBy(digest) exchange, which
+    * ReuseExchange materializes once; the cut is one driver scalar.
     */
   def pipeline_curate(s: SparkSession, dir: String): DataFrame = {
     val (okCount, okMean, okStops) = TextAnalysis.gopherCriteria()
@@ -260,12 +268,25 @@ object Curation {
         // integer zeros (profile_table's stated convention), not NULLs
         coalesce(sum(when(col("keep"), 1L).otherwise(0L)), lit(0L)).as("q"))
       .select(expr("stack(2, '0_raw', raw, '1_quality', q) AS (stage, n)"))
-    val keepers = base.filter(col("keep"))
+    // no reference LM (empty scoreable ref slice — e.g. an empty corpus):
+    // the screen passes nothing, the twin's empty-pd join semantics
+    val fluent = TextAnalysis.perplexityScoredOpt(s, dir) match {
+      case None => base.filter(col("keep") && lit(false))
+      case Some(scored) =>
+        val cut = scored.agg(percentile(col("sb_mean"), lit(0.25)))
+          .first().getDouble(0)
+        base.filter(col("keep"))
+          .join(scored.select("doc_id", "sb_mean"), Seq("doc_id"))
+          .filter(col("sb_mean") >= cut)
+    }
+    val keepers = fluent
       .groupBy(col("digest"))
       .agg(min_by(col("split"), col("doc_id")).as("split"))
     head
-      .unionAll(keepers.agg(count(lit(1)).as("n")).select(lit("2_dedup").as("stage"), col("n")))
-      .unionAll(keepers.groupBy(concat(lit("3_split_"), col("split")).as("stage"))
+      .unionAll(fluent.agg(count(lit(1)).as("n"))
+        .select(lit("2_fluency").as("stage"), col("n")))
+      .unionAll(keepers.agg(count(lit(1)).as("n")).select(lit("3_dedup").as("stage"), col("n")))
+      .unionAll(keepers.groupBy(concat(lit("4_split_"), col("split")).as("stage"))
         .agg(count(lit(1)).as("n")))
       .orderBy("stage")
   }

@@ -528,24 +528,35 @@ object TextAnalysis {
     * definition.
     */
   private[graft] def perplexityLmFrames(
-      s: SparkSession, dir: String): (DataFrame, DataFrame, Long) = {
+      s: SparkSession, dir: String): (DataFrame, DataFrame, Long) =
+    perplexityLmFramesOpt(s, dir).getOrElse(throw new IllegalArgumentException(
+      s"tx_perplexity: reference slice (doc_id % $perplexityRefMod = 0) " +
+        "is empty — no LM to score against"))
+
+  /** [[perplexityLmFrames]] that reports an empty reference slice as
+    * `None` instead of throwing — for compositions like the curation
+    * funnel, where "no LM" must mean "the fluency screen passes nothing"
+    * (the twin's empty-`pd` join semantics), not a failed audit query.
+    */
+  private[graft] def perplexityLmFramesOpt(
+      s: SparkSession, dir: String): Option[(DataFrame, DataFrame, Long)] = {
     val d = perplexityDocs(s, dir)
     val ref = d.filter(pmod(col("doc_id"), lit(perplexityRefMod.toLong)) === 0)
     val c1 = ref.select(explode(words(col("text"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
     val t = c1.agg(coalesce(sum(col("c")), lit(0L))).first().getLong(0)
-    require(t > 0L,
-      s"tx_perplexity: reference slice (doc_id % $perplexityRefMod = 0) " +
-        "is empty — no LM to score against")
-    // per-distinct-bigram score table: join the bigram counts to their
-    // history counts ONCE (vocab-sized ⋈ vocab-sized), so the event
-    // stream joins a single pre-scored table
-    val seen = ref.select(explode(shingles(col("text"), 2)).as("g"))
-      .groupBy("g").agg(count(lit(1)).as("c2"))
-      .withColumn("tok", element_at(split(col("g"), " "), 1))
-      .join(c1, Seq("tok"))
-      .select(col("g"), col("c2"), expr("(1000000 * c2) div c").as("sc_seen"))
-    (c1, seen, t)
+    if (t <= 0L) None
+    else {
+      // per-distinct-bigram score table: join the bigram counts to their
+      // history counts ONCE (vocab-sized ⋈ vocab-sized), so the event
+      // stream joins a single pre-scored table
+      val seen = ref.select(explode(shingles(col("text"), 2)).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("c2"))
+        .withColumn("tok", element_at(split(col("g"), " "), 1))
+        .join(c1, Seq("tok"))
+        .select(col("g"), col("c2"), expr("(1000000 * c2) div c").as("sc_seen"))
+      Some((c1, seen, t))
+    }
   }
 
   /** The scoreable corpus (non-null text, ≥2 tokens) — shared by the
@@ -556,23 +567,53 @@ object TextAnalysis {
 
   /** Per-document fluency scores (doc_id, n_bigrams, sb_sum, sb_mean)
     * behind [[tx_perplexity]] — the frame its quartile cuts and the gate
-    * artifact's tail cut are both measured on.
+    * artifact's tail cut are both measured on. MEMOIZED per
+    * (session, corpus) as a checkpointed frame (the domainAuthority
+    * discipline, same dead-session eviction): the scored corpus is a
+    * per-snapshot artifact consumed by the standalone scorer, the gate
+    * artifact AND the curation funnel's fluency stage — and without the
+    * checkpoint each funnel census branch would re-plan the whole
+    * LM-count subtree (16 file scans where 2 suffice). `None` = empty
+    * reference slice (no LM); [[perplexityScored]] converts that to the
+    * loud failure standalone callers need.
     */
-  private[graft] def perplexityScored(s: SparkSession, dir: String): DataFrame = {
-    val (c1, seen, t) = perplexityLmFrames(s, dir)
-    perplexityDocs(s, dir)
-      .select(col("doc_id"), explode(shingles(col("text"), 2)).as("g"))
-      .join(seen.select("g", "sc_seen"), Seq("g"), "left")
-      .withColumn("tok", element_at(split(col("g"), " "), 2))
-      .join(c1.withColumnRenamed("c", "c_w2"), Seq("tok"), "left")
-      .select(col("doc_id"),
-        coalesce(col("sc_seen"),
-          expr(s"($perplexityBackoffMu * coalesce(c_w2, 0L)) div ${t}L"))
-          .as("sc"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("sc")).as("sb_sum"))
-      .withColumn("sb_mean", expr("sb_sum div n_bigrams"))
+  private val pplxCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), Option[DataFrame]]
+  private[graft] def perplexityScoredOpt(
+      s: SparkSession, dir: String): Option[DataFrame] = {
+    import graft.Checkpoints.DatasetCheckpointOps
+    val key = (s, dir)
+    val hit = pplxCache.synchronized {
+      pplxCache.filterInPlace { case ((sess, _), _) =>
+        !sess.sparkContext.isStopped
+      }
+      pplxCache.get(key)
+    }
+    hit.getOrElse {
+      // compute outside the lock (racing duplicate = benign, deterministic)
+      val built = perplexityLmFramesOpt(s, dir).map { case (c1, seen, t) =>
+        perplexityDocs(s, dir)
+          .select(col("doc_id"), explode(shingles(col("text"), 2)).as("g"))
+          .join(seen.select("g", "sc_seen"), Seq("g"), "left")
+          .withColumn("tok", element_at(split(col("g"), " "), 2))
+          .join(c1.withColumnRenamed("c", "c_w2"), Seq("tok"), "left")
+          .select(col("doc_id"),
+            coalesce(col("sc_seen"),
+              expr(s"($perplexityBackoffMu * coalesce(c_w2, 0L)) div ${t}L"))
+              .as("sc"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("sc")).as("sb_sum"))
+          .withColumn("sb_mean", expr("sb_sum div n_bigrams"))
+          .graftCheckpoint()
+      }
+      pplxCache.synchronized(pplxCache.getOrElseUpdate(key, built))
+    }
   }
+
+  private[graft] def perplexityScored(s: SparkSession, dir: String): DataFrame =
+    perplexityScoredOpt(s, dir).getOrElse(throw new IllegalArgumentException(
+      s"tx_perplexity: reference slice (doc_id % $perplexityRefMod = 0) " +
+        "is empty — no LM to score against"))
 
   /** The pruned bigram-LM artifact an ingest tier ships to its stream
     * edge (see [[graft.streaming.DocsStream.perplexityGate]]): the top

@@ -216,18 +216,32 @@ class CurationSpec extends AnyFunSuite {
     assert(got(1L).getAs[Long]("q_sum") == (63L - 127L + 31L))
   }
 
-  test("pipeline_curate: quality gate drops, normalized dedup merges, splits partition the keepers") {
+  test("pipeline_curate: quality gate drops, fluency keeps LM-covered survivors, normalized dedup merges, splits partition the keepers") {
     val base = (Seq("the", "of") ++ (1 to 22).map(i => s"word$i")).mkString(" ")
+    // ids 0/5/10 put all three docs in the reference slice (doc_id % 5 = 0)
+    // so the fluency LM covers them: the two near-identical quality
+    // survivors share 22 double-counted bigrams (score 10⁶ each) plus one
+    // hapax last bigram (500000) → sb_mean = 22500000 div 23 = 978260; the
+    // short doc scores 10⁶. p25 of [978260, 978260, 10⁶] interpolates to
+    // 978260, so both survivors pass the tail cut.
     val dir = docsDir(Seq(
-      (1L, base, "en", "s"),
-      (2L, base + ".", "en", "s"), // punctuation variant -> same normalized digest
-      (3L, "way too short", "en", "s"))) // fails the word-count gate
+      (0L, base, "en", "s"),
+      (5L, base + ".", "en", "s"), // punctuation variant -> same normalized digest
+      (10L, "way too short", "en", "s"))) // fails the word-count gate
     val got = Curation.pipeline_curate(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got("0_raw") == 3L)
     assert(got("1_quality") == 2L)
-    assert(got("2_dedup") == 1L)
-    assert(got.filter(_._1.startsWith("3_split_")).values.sum == 1L)
+    assert(got("2_fluency") == 2L)
+    assert(got("3_dedup") == 1L)
+    assert(got.filter(_._1.startsWith("4_split_")).values.sum == 1L)
+    // an empty reference slice must pass NOTHING through the fluency
+    // screen (the twin's empty-pd join), not fail the audit query
+    val noRef = docsDir(Seq((1L, base, "en", "s")))
+    val g2 = Curation.pipeline_curate(spark, noRef).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(g2 == Map("0_raw" -> 1L, "1_quality" -> 1L, "2_fluency" -> 0L,
+      "3_dedup" -> 0L))
   }
 
   test("normalize is idempotent on 300 seeded-random strings (unicode, punctuation, space runs)") {

@@ -2001,7 +2001,8 @@ class PipelineSpec extends AnyFunSuite {
     val e = tmpDocs(Seq.empty)
     val cur = Curation.pipeline_curate(spark, e).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(cur == Map("0_raw" -> 0L, "1_quality" -> 0L, "2_dedup" -> 0L))
+    assert(cur == Map("0_raw" -> 0L, "1_quality" -> 0L, "2_fluency" -> 0L,
+      "3_dedup" -> 0L))
     // empty eval slice: decon_embed reports uncontaminated, not zero rows
     val embDir = tmpEmb(Seq(
       (0L, Seq.fill(8)(0f), "z"), // the only eval vector, zero-norm: dropped
