@@ -923,6 +923,20 @@ object OracleSql {
          |SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= 10
          |ORDER BY q_id, rank""".stripMargin,
 
+    // ann_radius: the threshold twin of ann_bruteforce — same query
+    // selection and cosGuardSql, filter instead of rank
+    "ann_radius" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM e
+         |      WHERE vec_id < 8
+         |        AND list_sum(list_transform(embedding,
+         |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0)
+         |SELECT q_id, vec_id, cos FROM (
+         |  SELECT q_id, vec_id, ${cosGuardSql("q_emb", "embedding")} AS cos
+         |  FROM e JOIN q ON vec_id <> q_id)
+         |WHERE cos >= ${graft.operators.Similarity.annRadiusThreshold}
+         |ORDER BY q_id, cos DESC, vec_id""".stripMargin,
+
     "tx_ngrams" ->
       """WITH g AS (
         |  SELECT unnest(CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]

@@ -76,6 +76,7 @@ object SparkEntry {
     "dd_embed_lsh" -> ((s, d) => Dedup.dd_embed_lsh(s, d)),
     "dd_semdedup" -> ((s, d) => Dedup.dd_semdedup(s, d)),
     "ann_bruteforce" -> ((s, d) => Similarity.ann_bruteforce(s, d)),
+    "ann_radius" -> ((s, d) => Similarity.ann_radius(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.ann_lsh(s, d)),
     "ann_ivf" -> ((s, d) => Similarity.ann_ivf(s, d)),
     "ann_pq" -> ((s, d) => Similarity.ann_pq(s, d)),

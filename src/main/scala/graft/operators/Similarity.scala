@@ -119,6 +119,46 @@ object Similarity {
     cosTopK(scored, k)
   }
 
+  /** Cosine RADIUS threshold for [[ann_radius]]; shared with the twin.
+    * Sits in the synthetic corpus's top-tail (the first 8 query vectors
+    * are unclustered — max pair cosine ≈ 0.39 — so 0.25 yields ~9-14
+    * hits per query, past the default top-k). */
+  val annRadiusThreshold: Double = 0.25
+
+  /** Exact RANGE search — every corpus vector within a cosine radius of
+    * each query, the retrieval mode near-dup auditing actually wants
+    * ("ALL vectors this similar", not "the k most similar"): top-k hides
+    * dense neighborhoods past rank k and pads sparse ones with junk
+    * below any useful similarity. Same query selection, guard and score
+    * expressions as [[ann_bruteforce]] (zero-norm corpus rows score −1
+    * and can never clear a positive radius), rows ordered
+    * (q_id, cos desc, vec_id).
+    *
+    * Scale shape: STRICTLY better than the top-k twin — corpus ×
+    * broadcast-query scoring is the same one pass, but the threshold is
+    * a map-side filter, so there is NO q_id window and NO shuffle at
+    * all: the operator is embarrassingly parallel over corpus splits
+    * (the final orderBy is presentation, dropped in pipelines). Radius
+    * over the IVF index = [[searchIvfPqIndexFiltered]]'s probe set with
+    * this filter instead of distTopK.
+    */
+  def ann_radius(s: SparkSession, dir: String, nQueries: Int = 8,
+      threshold: Double = annRadiusThreshold): DataFrame = {
+    require(threshold > 0.0,
+      s"ann_radius: threshold=$threshold must be positive — the zero-norm " +
+        "guard scores degenerate vectors -1, a non-positive radius would " +
+        "admit them")
+    val emb = Tables.loadParallel(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), VecDot.norm(col("embedding")).as("nrm"))
+    val queries = emb.filter(col("vec_id") < nQueries && col("nrm") > 0.0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    emb.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosGuarded(VecDot.dot(col("q_emb"), col("embedding")), col("q_nrm"), col("nrm")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .orderBy(col("q_id"), col("cos").desc, col("vec_id"))
+  }
+
   /** LSH-bucketed ANN, multi-probe: each query probes the `nProbes`
     * cheapest buckets of its [[probeBuckets]] sequence; exact cosine +
     * top-k within candidates. Candidate sets are ~nProbes·|corpus| /

@@ -296,6 +296,36 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("ann_radius: equals the top-k twin filtered at the radius; map-only plan (no hash exchange, no window)") {
+    val dir = "/root/testdata/sf0.001"
+    val thr = Similarity.annRadiusThreshold
+    val radius = Similarity.ann_radius(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the twin at exhaustive k, filtered at the radius — same expressions,
+    // so equality is exact
+    val viaTopK = Similarity.ann_bruteforce(spark, dir, k = 1000000).collect()
+      .filter(_.getDouble(3) >= thr)
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(radius.toSet == viaTopK.toSet)
+    assert(radius.nonEmpty, "vacuous: nothing clears the radius on this corpus")
+    // dense neighborhoods are the point: some query must have MORE radius
+    // hits than the default top-k would have returned
+    assert(radius.groupBy(_._1).values.map(_.size).max > 10)
+    // presentation order within each query: cos desc
+    radius.groupBy(_._1).values.foreach { rs =>
+      val cs = rs.map(_._3).toSeq
+      assert(cs == cs.sorted.reverse)
+    }
+    // scale pin: scoring is map-side — the only exchange is the final
+    // presentation sort's range partitioning
+    val p = Similarity.ann_radius(spark, dir).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"), s"radius scan must not shuffle:\n$p")
+    assert(!p.contains("Window"), "radius must not rank")
+    intercept[IllegalArgumentException] {
+      Similarity.ann_radius(spark, dir, threshold = 0.0)
+    }
+  }
+
   test("ann_lsh candidates are a subset of bruteforce ordering within bucket") {
     val rows = Similarity.ann_lsh(spark, "/root/testdata/sf0.001", nQueries = 3, k = 5, planes = 2)
       .collect()

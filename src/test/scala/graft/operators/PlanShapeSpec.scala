@@ -170,7 +170,8 @@ class PlanShapeSpec extends AnyFunSuite {
   test("sweep: no façade query plans CartesianProduct; NL joins only where intended") {
     // intended nested-loop shapes: the explicit all-pairs baselines and the
     // non-equi joins whose predicates Spark cannot hash on
-    val allowNL = Set("dd_embed_cosine", "ann_bruteforce", "q16_range_join",
+    val allowNL = Set("dd_embed_cosine", "ann_bruteforce", "ann_radius",
+      "q16_range_join",
       "q25_theta_join", "q26_asof_join",
       "ann_ivf", // corpus × broadcast codebook: the IVF assignment pass
       "ann_pq", // coded corpus × 8 broadcast ADC probe rows (self-exclusion
