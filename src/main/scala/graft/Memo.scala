@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-scoped memo for per-snapshot batch artifacts (domain-authority
+  * censuses, cluster assignments, perplexity score frames, converged rank
+  * stacks): frames that production computes ONCE per corpus snapshot and
+  * every downstream consumer reads, so a façade that recomputed them per
+  * invocation would be the wrong shape, not just slow.
+  *
+  * The discipline, implemented once for every cache in the library:
+  *
+  *  - '''Keyed by the owning session.''' The cached values hold
+  *    checkpointed frames whose blocks die with their session
+  *    ([[Checkpoints]]); a cross-session hit would hand out a dead frame.
+  *    Dead-session entries are evicted on every access, so a
+  *    session-per-request deployment cannot grow the map forever.
+  *  - '''In-flight builds are deduplicated per key.''' A lazy holder is
+  *    inserted under the map lock and FORCED outside it: exactly one
+  *    thread computes a given key (racers block on that key's holder
+  *    monitor, not on the global lock), threads building different keys
+  *    never serialize, and no losing thread ever materializes a duplicate
+  *    checkpoint that would orphan its blocks (or, in reliable mode, its
+  *    on-disk checkpoint directory) until session shutdown. A build that
+  *    throws leaves the lazy uninitialized — Scala re-runs the
+  *    initializer on the next access, so a transient failure is not
+  *    cached — but the map entry is removed eagerly so an unrelated later
+  *    caller starts a fresh build instead of re-entering a holder whose
+  *    closure may have captured the failure's cause.
+  *  - '''LRU-bounded per session.''' Live-session entries are capped at
+  *    `maxPerSession` distinct keys (re-access refreshes recency); the
+  *    evicted frame's blocks are released by the ContextCleaner when the
+  *    frame is collected, same as any dropped checkpoint.
+  */
+final class SessionMemo[K, V](maxPerSession: Int = 32) {
+  require(maxPerSession >= 1, s"SessionMemo: maxPerSession=$maxPerSession must be >= 1")
+
+  private final class Holder(build: () => V) {
+    lazy val value: V = build()
+  }
+
+  // LinkedHashMap iteration order = insertion order; re-inserting on every
+  // hit makes the head the least-recently-used entry for eviction
+  private val m =
+    scala.collection.mutable.LinkedHashMap.empty[(SparkSession, K), Holder]
+
+  def getOrBuild(s: SparkSession, key: K)(build: => V): V = {
+    val fullKey = (s, key)
+    val holder = m.synchronized {
+      m.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+      m.get(fullKey) match {
+        case Some(h) =>
+          m.remove(fullKey); m.update(fullKey, h); h
+        case None =>
+          val mine = m.keysIterator.filter(_._1 eq s).toList
+          if (mine.size >= maxPerSession) m.remove(mine.head)
+          val h = new Holder(() => build)
+          m.update(fullKey, h); h
+      }
+    }
+    try holder.value
+    catch {
+      case t: Throwable =>
+        m.synchronized {
+          // drop only OUR holder — a concurrent failure+rebuild may
+          // already have replaced it with a healthy one
+          m.get(fullKey).filter(_ eq holder).foreach(_ => m.remove(fullKey))
+        }
+        throw t
+    }
+  }
+
+  /** Test hook: live entry count (dead sessions evicted first). */
+  private[graft] def size: Int = m.synchronized {
+    m.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    m.size
+  }
+}

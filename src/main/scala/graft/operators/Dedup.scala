@@ -639,39 +639,27 @@ object Dedup {
     // memoized per (session, corpus, params): cluster assignments are a
     // per-snapshot corpus artifact (the domainAuthority argument), and
     // samp_split_leakfree consumes this same frame — without the cache the
-    // CC iteration re-runs for every consumer in every bench rep. Session
-    // in the key for the same reason as Graph.authCache: checkpoint
-    // blocks die with their session — and dead-session entries are
-    // EVICTED on access so a session-per-request deployment cannot grow
-    // the map forever. The compute runs OUTSIDE the lock (the CC
-    // iteration is a multi-job action; holding a global lock across it
-    // would serialize unrelated corpora) — a racing duplicate compute is
-    // benign because the result is deterministic.
-    val key = (s, dir, n, threshold)
-    val hit = clusterJaccardCache.synchronized {
-      clusterJaccardCache.filterInPlace { case ((sess, _, _, _), _) =>
-        !sess.sparkContext.isStopped
-      }
-      clusterJaccardCache.get(key)
-    }
-    hit.getOrElse {
+    // CC iteration re-runs for every consumer in every bench rep.
+    // [[graft.SessionMemo]] supplies the discipline: dead-session
+    // eviction, per-key in-flight dedup (the CC iteration is a multi-job
+    // action; a global lock across it would serialize unrelated corpora,
+    // so racers on OTHER keys proceed while same-key racers block on the
+    // holder), LRU bound.
+    clusterJaccardCache.getOrBuild(s, (dir, n, threshold)) {
       val (grouped, repPairs) = ngramRepPairs(s, dir, n, threshold)
       val selfNodes = grouped.filter(size(col("members")) > 1)
         .select(col("rep").as("a"), col("rep").as("b"))
       val repClusters = clusterPairs(repPairs.select("a", "b").union(selfNodes))
         .withColumnRenamed("id", "rep").withColumnRenamed("cluster", "__c")
-      val built = grouped.select(col("rep"), explode(col("members")).as("id"))
+      grouped.select(col("rep"), explode(col("members")).as("id"))
         .join(repClusters, Seq("rep"))
         .select(col("id"), col("__c").as("cluster"))
         .orderBy("id")
         .graftCheckpoint()
-      clusterJaccardCache.synchronized {
-        clusterJaccardCache.getOrElseUpdate(key, built)
-      }
     }
   }
-  private val clusterJaccardCache = scala.collection.mutable.Map
-    .empty[(SparkSession, String, Int, Double), DataFrame]
+  private val clusterJaccardCache =
+    new graft.SessionMemo[(String, Int, Double), DataFrame]
 
   /** Embedding-cosine near-dup over the embeddings table: the exact all-pairs
     * baseline (a < b halves the space; cosine is the bit-deterministic double

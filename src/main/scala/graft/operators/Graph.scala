@@ -82,10 +82,25 @@ object Graph {
   /** The full converged rank frame (v, pr) + the out-degree table behind
     * [[graph_pagerank]] (its top-k) and [[graph_domains]] (its domain
     * aggregate) — the iteration loop lives exactly once.
+    *
+    * MEMOIZED per (session, corpus, iters) as checkpointed frames (the
+    * [[graft.SessionMemo]] discipline): the converged rank stack is a
+    * per-crawl-SNAPSHOT artifact in production — computed once, consumed
+    * by the page-level top-k, the domain census AND the release funnel's
+    * authority gate — so before this cache the same 3-iteration stack ran
+    * three times per bench pass. Both returned frames are lineage-cut
+    * before caching (the loop checkpoints `pr` at `i == iters`, `outdeg`
+    * at build), so a hit re-reads blocks instead of re-planting.
     */
+  private val rankCache = new graft.SessionMemo[(String, Int), (DataFrame, DataFrame)]
   private[operators] def pagerankRanks(s: SparkSession, dir: String,
       iters: Int): (DataFrame, DataFrame) = {
     require(iters >= 1, s"pagerank: iters=$iters must be >= 1")
+    rankCache.getOrBuild(s, (dir, iters))(pagerankRanksBuild(s, dir, iters))
+  }
+
+  private def pagerankRanksBuild(s: SparkSession, dir: String,
+      iters: Int): (DataFrame, DataFrame) = {
     import graft.Checkpoints.DatasetCheckpointOps
     val (d, edges) = plantedEdges(s, dir)
     // outdeg is checkpointed in its own right: callers join it AFTER the
@@ -167,29 +182,14 @@ object Graph {
     * is checkpointed (executor blocks, never a driver collect — the census
     * is domain-cardinality, bounded but not literal-sized at web scale).
     */
-  // keyed by the OWNING SESSION too: a checkpointed frame's blocks die
-  // with its session, so a cache hit across a session restart would hand
-  // out a dead frame (the sibling caches store session-free values or
-  // on-disk artifacts; this one must scope instead)
-  private val authCache =
-    scala.collection.mutable.Map.empty[(SparkSession, String, Int), DataFrame]
+  // session-scoped memo ([[graft.SessionMemo]]): in-flight builds dedup
+  // per key, dead-session entries evicted on access, LRU-bounded
+  private val authCache = new graft.SessionMemo[(String, Int), DataFrame]
   private[operators] def domainAuthorityCached(s: SparkSession, dir: String,
       iters: Int = 3): DataFrame = {
     import graft.Checkpoints.DatasetCheckpointOps
-    // dead-session entries evicted on access; compute outside the lock
-    // (the dd_cluster_jaccard cache discipline — a racing duplicate
-    // compute is benign, deterministic result)
-    val key = (s, dir, iters)
-    val hit = authCache.synchronized {
-      authCache.filterInPlace { case ((sess, _, _), _) =>
-        !sess.sparkContext.isStopped
-      }
-      authCache.get(key)
-    }
-    hit.getOrElse {
-      val built = domainAuthority(s, dir, iters).graftCheckpoint()
-      authCache.synchronized(authCache.getOrElseUpdate(key, built))
-    }
+    authCache.getOrBuild(s, (dir, iters))(
+      domainAuthority(s, dir, iters).graftCheckpoint())
   }
 
   private[graft] def domainAuthority(s: SparkSession, dir: String,
@@ -238,6 +238,16 @@ object Graph {
     // 2·iters joins hit the edge list — cut its corpus-scan + distinct
     // lineage once (the pagerankRanks discipline)
     val edges = edges0.graftCheckpoint()
+    // loud refusal on a degenerate graph (the tx_colloc/tx_perplexity
+    // convention): with zero edges every hmax/amax is NULL and the
+    // normalization would silently emit all-NULL scores — and the SQL
+    // twin mirrors the NULLs, so the oracle could never catch it. The
+    // probe is a limit-1 scan of the just-materialized checkpoint blocks,
+    // not a recompute. Contract mirrored in the twin's docs
+    // ([[graft.OracleSql]] graph_hits entry).
+    require(!edges.isEmpty, "graph_hits: planted edge set is empty " +
+      "(degenerate corpus — a 0/1-document corpus has no citation edges); " +
+      "hub/authority scores are undefined, refusing to emit all-NULLs")
     val spine = d.select(col("doc_id").as("v"))
     var a = spine.select(col("v"), lit(1000000L).as("a"))
     var h = spine.select(col("v"), lit(0L).as("h"))

@@ -577,21 +577,12 @@ object TextAnalysis {
     * reference slice (no LM); [[perplexityScored]] converts that to the
     * loud failure standalone callers need.
     */
-  private val pplxCache =
-    scala.collection.mutable.Map.empty[(SparkSession, String), Option[DataFrame]]
+  private val pplxCache = new graft.SessionMemo[String, Option[DataFrame]]
   private[graft] def perplexityScoredOpt(
       s: SparkSession, dir: String): Option[DataFrame] = {
     import graft.Checkpoints.DatasetCheckpointOps
-    val key = (s, dir)
-    val hit = pplxCache.synchronized {
-      pplxCache.filterInPlace { case ((sess, _), _) =>
-        !sess.sparkContext.isStopped
-      }
-      pplxCache.get(key)
-    }
-    hit.getOrElse {
-      // compute outside the lock (racing duplicate = benign, deterministic)
-      val built = perplexityLmFramesOpt(s, dir).map { case (c1, seen, t) =>
+    pplxCache.getOrBuild(s, dir) {
+      perplexityLmFramesOpt(s, dir).map { case (c1, seen, t) =>
         perplexityDocs(s, dir)
           .select(col("doc_id"), explode(shingles(col("text"), 2)).as("g"))
           .join(seen.select("g", "sc_seen"), Seq("g"), "left")
@@ -606,7 +597,6 @@ object TextAnalysis {
           .withColumn("sb_mean", expr("sb_sum div n_bigrams"))
           .graftCheckpoint()
       }
-      pplxCache.synchronized(pplxCache.getOrElseUpdate(key, built))
     }
   }
 

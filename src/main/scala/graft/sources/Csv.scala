@@ -34,25 +34,31 @@ object Csv {
     // the sentinel as IDENTICAL bytes ("\\N" both — the backslash escape
     // applies to the text and the sentinel is written through the same
     // quoting path; verified empirically), so no post-write byte scan can
-    // tell them apart and the reader nulls both. The only sound guard is
-    // PRE-write: refuse the corpus when any string field equals the
-    // sentinel. Cost: one extra column-pruned scan of the string columns
-    // before the export — the price of a lossless certificate on a
-    // format with no native null. Loud > lossy.
+    // tell them apart and the reader nulls both. The guard is enforced
+    // IN-TASK, inside the single write pass — a projection wrapping each
+    // string column in a CASE that raise_error()s on the sentinel — not
+    // as a separate pre-scan action: a pre-scan computes the frame twice,
+    // and for a non-deterministic input (a sample/limit after a shuffle,
+    // a source mutated between the two jobs) it can PASS while the write
+    // still emits a sentinel-identical field that the reader silently
+    // nulls, defeating the lossless certificate. In-task, the row that
+    // would corrupt is the row that aborts the export. Loud > lossy.
+    import org.apache.spark.sql.functions.{col, lit, when, raise_error}
     val strCols = df.schema.fields
-      .filter(_.dataType == org.apache.spark.sql.types.StringType).map(_.name)
-    if (strCols.nonEmpty) {
-      import org.apache.spark.sql.functions.col
-      val clash = df.filter(strCols.map(c => col(c) === NullSentinel)
-        .reduce(_ || _)).limit(1).count()
-      require(clash == 0L,
-        s"Csv.write: a row's string field is literally the null sentinel " +
-          s"'$NullSentinel' — the CSV writer would emit it byte-identical " +
-          "to a real null and the reader would null it on read-back. " +
-          "Ship this corpus as JSONL/parquet, or rewrite the offending " +
-          "text.")
-    }
-    df.write.mode("overwrite")
+      .filter(_.dataType == org.apache.spark.sql.types.StringType)
+      .map(_.name).toSet
+    val guarded = df.select(df.columns.map { c =>
+      if (strCols.contains(c))
+        when(col(c) === NullSentinel, raise_error(lit(
+          s"Csv.write: column '$c' has a field literally the null " +
+            s"sentinel '$NullSentinel' — the CSV writer would emit it " +
+            "byte-identical to a real null and the reader would null it " +
+            "on read-back. Ship this corpus as JSONL/parquet, or rewrite " +
+            "the offending text.")).cast("string"))
+          .otherwise(col(c)).as(c)
+      else col(c)
+    }.toSeq: _*)
+    guarded.write.mode("overwrite")
       .option("header", "true")
       .option("quoteAll", "true")
       .option("nullValue", NullSentinel)

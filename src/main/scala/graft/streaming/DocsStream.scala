@@ -402,10 +402,17 @@ object DocsStream {
     * batch score algebra — seen bigrams look up their pre-divided
     * fixed-point score, unseen ones back off to
     * ⌊μ·c₁(w₂)/T⌋ with the SAME [[graft.operators.TextAnalysis
-    * .perplexityBackoffMu]] — entirely in array HOFs over two plan-literal
-    * maps: stateless, map-only, no state store, no stream-static join
-    * (`try_element_at`, not `element_at`: ANSI mode throws on a missing
-    * map key, and a pruned LM misses by design). Emits the stream with
+    * .perplexityBackoffMu]] — via ONE justified Scala UDF over two
+    * BROADCAST maps: stateless, map-only, no state store, no stream-static
+    * join. Broadcast, not `typedLit` plan literals, because the literal
+    * form serializes up to 2×65536 map entries into the plan of EVERY
+    * micro-batch task — a per-batch overhead and plan-size risk at the
+    * production artifact size; a broadcast ships each executor the maps
+    * ONCE for the life of the query. (A stream-static join would need
+    * explode + re-aggregate — a stateful stream agg — so the UDF is the
+    * stateless shape; its integer algebra is bit-identical to the batch
+    * HOF: missing keys read 0 like `try_element_at`, and `Long./` equals
+    * `div` on these non-negative operands.) Emits the stream with
     * the `sb_mean` audit column; documents scoring below the tail cut
     * drop, and docs with <2 tokens (unscoreable — the batch scorer's
     * min-length rule) drop too, the scoreGate "no trainable content"
@@ -420,18 +427,34 @@ object DocsStream {
       s"perplexityGate: reference token total t=${lm.t} must be positive " +
         "— pass perplexityLmArtifact's output for the current snapshot")
     val mu = graft.operators.TextAnalysis.perplexityBackoffMu
+    val sc = stream.sparkSession.sparkContext
+    val bSeen = sc.broadcast(lm.seen)
+    val bC1 = sc.broadcast(lm.c1)
+    val t = lm.t
+    // the batch algebra per bigram g = "w1 w2":
+    //   coalesce(seen(g), (mu * coalesce(c1(w2), 0)) div t)
+    // w2 = the suffix after the first space — identical to the batch
+    // side's element_at(split(g,' '),2) because shingle words are
+    // whitespace-free by construction
+    val sbSum = udf { (gs: Seq[String]) =>
+      val seen = bSeen.value; val c1 = bC1.value
+      var a = 0L
+      gs.foreach { g =>
+        a += (seen.get(g) match {
+          case Some(sc1) => sc1
+          case None =>
+            val w2 = g.substring(g.indexOf(' ') + 1)
+            (mu * c1.getOrElse(w2, 0L)) / t
+        })
+      }
+      a
+    }
     stream
       .filter(col("text").isNotNull && size(words(col("text"))) >= 2)
-      .withColumn("lm_seen", typedLit(lm.seen))
-      .withColumn("lm_c1", typedLit(lm.c1))
       .withColumn("gs", shingles(col("text"), 2))
-      .withColumn("sb_sum", expr(
-        s"""aggregate(gs, 0L, (a, g) -> a + coalesce(
-           |  try_element_at(lm_seen, g),
-           |  ($mu * coalesce(try_element_at(lm_c1,
-           |     element_at(split(g, ' '), 2)), 0L)) div ${lm.t}L))""".stripMargin))
+      .withColumn("sb_sum", sbSum(col("gs")))
       .withColumn("sb_mean", expr("sb_sum div size(gs)"))
       .filter(col("sb_mean") >= lit(lm.tailCut))
-      .drop("lm_seen", "lm_c1", "gs", "sb_sum")
+      .drop("gs", "sb_sum")
   }
 }

@@ -42,10 +42,15 @@ class CsvSpec extends AnyFunSuite {
   test("csv write refuses a corpus whose text is literally the null sentinel (the reader would null it)") {
     val tmp = java.nio.file.Files.createTempDirectory("graftcsvsent").toString
     val rows = Seq((1L, "\\N", "en", "s", 2L))
-    val e = intercept[IllegalArgumentException] {
+    // the guard is in-task (raise_error inside the write projection), so
+    // the failure surfaces as a SparkException wrapping the message —
+    // walk the cause chain for it
+    val e = intercept[Exception] {
       Csv.write(rows.toDF("doc_id", "text", "lang", "source", "n_chars"), tmp)
     }
-    assert(e.getMessage.contains("null sentinel"))
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("null sentinel"))
     // a doc merely CONTAINING the sentinel is fine — only full equality
     // collides with the protocol
     Csv.write(Seq((2L, "uses \\N inside", "en", "s", 14L))
