@@ -154,6 +154,96 @@ object OracleSql {
        |FROM a3 JOIN h3 ON h3.v = a3.v
        |ORDER BY auth DESC, doc_id LIMIT 20""".stripMargin
 
+  /** `Clustering.kmeansRounds` unrolled: c0 = the k lowest-vec_id vectors
+    * (RNG-free init, floats cast exactly to DOUBLE); round i assigns
+    * against c(i-1) (struct-min = min distance, ties to the lowest cluster
+    * — the VecNearest contract) and, for i < iters, rebuilds c(i) from the
+    * fixed-point integer component sums. `eu` is the per-(vec, pos)
+    * quantized component table every update round joins.
+    */
+  private def kmeansCoreCtes(k: Int, iters: Int): String = {
+    val head =
+      s"""c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k)),
+         |eu AS (
+         |  SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos,
+         |         CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT) AS qx
+         |  FROM (SELECT vec_id, unnest(embedding) AS x,
+         |               generate_subscripts(embedding, 1) AS i FROM embeddings))""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      val asg =
+        s"""asg$i AS (
+           |  SELECT e.vec_id,
+           |    (min({'d': list_sum(list_transform(list_zip(e.embedding, t.ce),
+           |            z -> (CAST(z[1] AS DOUBLE) - z[2]) * (CAST(z[1] AS DOUBLE) - z[2]))),
+           |          'c': t.c})).c AS cluster
+           |  FROM embeddings e, c${i - 1} t GROUP BY e.vec_id)""".stripMargin
+      if (i == iters) asg else asg + ",\n" +
+        s"""sums$i AS (
+           |  SELECT a.cluster, eu.pos, CAST(sum(eu.qx) AS BIGINT) AS qs, count(*) AS n
+           |  FROM asg$i a JOIN eu USING (vec_id) GROUP BY a.cluster, eu.pos),
+           |cv$i AS (
+           |  SELECT pc.c, pc.pos,
+           |    CASE WHEN s.qs IS NULL THEN pc.val
+           |         ELSE CAST(s.qs AS DOUBLE) / CAST(s.n * 1048576 AS DOUBLE) END AS val
+           |  FROM (SELECT c, unnest(ce) AS val,
+           |               CAST(generate_subscripts(ce, 1) - 1 AS INTEGER) AS pos
+           |        FROM c${i - 1}) pc
+           |  LEFT JOIN sums$i s ON s.cluster = pc.c AND s.pos = pc.pos),
+           |c$i AS (SELECT c, list(val ORDER BY pos) AS ce FROM cv$i GROUP BY c)""".stripMargin
+    }.mkString(",\n")
+    head + ",\n" + rounds
+  }
+
+  /** `Clustering.pqTrain`'s rounds with the subspace as a plain dimension:
+    * `sv` = per-(vector, subspace) DOUBLE subvector, `b0` = the k
+    * lowest-vec_id seeds' subvectors, then per round one assignment and
+    * one per-(subspace, code, pos) fixed-point update — empty cells keep
+    * their previous centroid exactly as the Scala `else prev`.
+    */
+  private def pqCoreCtes(m: Int, k: Int, iters: Int, sub: Int): String = {
+    val head =
+      s"""sd AS (SELECT CAST(range AS INTEGER) AS sp FROM range(0, $m)),
+         |sv AS (
+         |  SELECT e.vec_id, sd.sp,
+         |    list_transform(generate_series(1, $sub),
+         |      j -> CAST(e.embedding[sd.sp * $sub + j] AS DOUBLE)) AS sv
+         |  FROM embeddings e, sd),
+         |b0 AS (
+         |  SELECT sd.sp, seed.c,
+         |    list_transform(generate_series(1, $sub),
+         |      j -> CAST(seed.embedding[sd.sp * $sub + j] AS DOUBLE)) AS ce
+         |  FROM (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c,
+         |               embedding
+         |        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k)) seed, sd),
+         |svu AS (
+         |  SELECT vec_id, sp, CAST(i - 1 AS INTEGER) AS pos,
+         |         CAST(floor(x * 1048576.0) AS BIGINT) AS qx
+         |  FROM (SELECT vec_id, sp, unnest(sv) AS x, generate_subscripts(sv, 1) AS i FROM sv))""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""pasg$i AS (
+         |  SELECT v.vec_id, v.sp,
+         |    (min({'d': list_sum(list_transform(list_zip(v.sv, b.ce),
+         |            z -> (z[1] - z[2]) * (z[1] - z[2]))), 'c': b.c})).c AS code
+         |  FROM sv v JOIN b${i - 1} b ON b.sp = v.sp GROUP BY v.vec_id, v.sp),
+         |psum$i AS (
+         |  SELECT a.sp, a.code, u.pos, CAST(sum(u.qx) AS BIGINT) AS qs, count(*) AS n
+         |  FROM pasg$i a JOIN svu u ON u.vec_id = a.vec_id AND u.sp = a.sp
+         |  GROUP BY a.sp, a.code, u.pos),
+         |pcv$i AS (
+         |  SELECT pb.sp, pb.c, pb.pos,
+         |    CASE WHEN s2.qs IS NULL THEN pb.val
+         |         ELSE CAST(s2.qs AS DOUBLE) / CAST(s2.n * 1048576 AS DOUBLE) END AS val
+         |  FROM (SELECT sp, c, unnest(ce) AS val,
+         |               CAST(generate_subscripts(ce, 1) - 1 AS INTEGER) AS pos FROM b${i - 1}) pb
+         |  LEFT JOIN psum$i s2 ON s2.sp = pb.sp AND s2.code = pb.c AND s2.pos = pb.pos),
+         |b$i AS (SELECT sp, c, list(val ORDER BY pos) AS ce FROM pcv$i GROUP BY sp, c)""".stripMargin
+    }.mkString(",\n")
+    head + ",\n" + rounds
+  }
+
 
   /** `TextAnalysis.urlPlant`'s twin, built congruence-for-congruence from
     * the SAME host pool constant.
@@ -1418,9 +1508,8 @@ object OracleSql {
     // One Lloyd assignment step from the deterministic init (k lowest
     // vec_ids): exact double distances with the same fold order as the Spark
     // side, ties to the lowest cluster, fixed-point content sums — the
-    // oracle anchor for the iterative embed_kmeans twin (which carries
-    // determinism/monotonicity tests instead; iteration is not reasonably
-    // expressible in one DuckDB query).
+    // oracle anchor the full iterative twins below ([[kmeansCoreCtes]])
+    // build on.
     "embed_kmeans_assign" ->
       """WITH c AS (
         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c,
@@ -1441,6 +1530,50 @@ object OracleSql {
         |  CAST(sum(q) AS BIGINT) AS qsum
         |FROM a JOIN q USING (vec_id)
         |GROUP BY cluster ORDER BY cluster""".stripMargin,
+
+    // `Clustering.embed_kmeans`'s twin — the 5 deterministic Lloyd rounds
+    // unrolled programmatically from one template (the pagerankCoreCtes
+    // device, so rounds cannot drift from each other). The driver-side
+    // centroid update collect is replayed in SQL: per-(cluster, pos)
+    // fixed-point integer sums (order-independent BIGINTs), divided in
+    // DOUBLE exactly as the Scala `qs.toDouble / (n·2²⁰).toDouble`; empty
+    // clusters keep their previous centroid through the per-(cluster, pos)
+    // LEFT JOIN, mirroring the `case None => prev` carry. list_sum over a
+    // positional list mirrors the left-to-right double distance fold (the
+    // embed_kmeans_assign anchor's device).
+    "embed_kmeans" ->
+      s"""WITH ${kmeansCoreCtes(10, 5)},
+         |q AS (SELECT vec_id, CAST(list_sum(list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))) AS BIGINT) AS q
+         |    FROM embeddings)
+         |SELECT cluster, count(*) AS n, min(a.vec_id) AS first_vec,
+         |  CAST(sum(q) AS BIGINT) AS qsum
+         |FROM asg5 a JOIN q USING (vec_id)
+         |GROUP BY cluster ORDER BY cluster""".stripMargin,
+
+    // `Clustering.embed_pq`'s twin — per-subspace Lloyd with the SAME
+    // round template, the subspace as a plain dimension (one assignment /
+    // update CTE trio per ROUND, not per subspace — mirroring the Spark
+    // side's one-aggregate-per-round shape). Final codes digest through
+    // the same stringified-int join as Spark's concat_ws; the encode
+    // error sums the m per-subspace doubles in subspace order via a
+    // positional list (list_sum = the reduce(_ + _) fold order).
+    "embed_pq" ->
+      s"""WITH ${pqCoreCtes(8, 16, 2, 8)},
+         |enc AS (
+         |  SELECT v.vec_id, v.sp,
+         |    min({'d': list_sum(list_transform(list_zip(v.sv, b.ce),
+         |          z -> (z[1] - z[2]) * (z[1] - z[2]))), 'c': b.c}) AS best
+         |  FROM sv v JOIN b2 b ON b.sp = v.sp GROUP BY v.vec_id, v.sp),
+         |pe AS (
+         |  SELECT vec_id,
+         |    list((best).c ORDER BY sp) AS codes,
+         |    list_sum(list((best).d ORDER BY sp)) AS err
+         |  FROM enc GROUP BY vec_id)
+         |SELECT vec_id,
+         |  md5(array_to_string(list_transform(codes, c -> CAST(c AS VARCHAR)), ',')) AS code_digest,
+         |  CAST(floor(err * 1048576.0) AS BIGINT) AS err_q
+         |FROM pe ORDER BY vec_id""".stripMargin,
 
     "q47_corr_subquery" ->
       s"""SELECT user_id, count(*) AS n_above

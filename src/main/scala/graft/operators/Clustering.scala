@@ -95,8 +95,9 @@ object Clustering {
     * Output per vector: the code word, a digest of it, and the fixed-point
     * quantization error — deterministic under any partitioning, so the
     * whole frame is bit-reproducible (PipelineSpec pins determinism,
-    * self-match, and error-vs-codebook-size invariants; no DuckDB oracle —
-    * iterative training isn't reasonably expressible there).
+    * self-match, and error-vs-codebook-size invariants; the DuckDB twin
+    * unrolls the training rounds and hash-matches the full frame —
+    * [[graft.OracleSql]]'s pqCoreCtes).
     */
   def embed_pq(s: SparkSession, dir: String, m: Int = 8, k: Int = 16,
       iters: Int = 2): DataFrame = {
