@@ -1812,6 +1812,51 @@ object OracleSql {
          |FROM documents d JOIN t ON d.source = t.source
          |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
+    // samp_mixture_train: the DoReMi trajectory unrolled round-from-round
+    // (the tx_score_train / pagerankCoreCtes device); eta and the smoothing
+    // constant interpolate from the SAME Curation constants the operator
+    // uses. greatest() mirrors both Scala max clamps, which also keep every
+    // division operand non-negative so `//` == the driver loop's truncating
+    // `/` throughout.
+    "samp_mixture_train" -> {
+      val eta = graft.operators.Curation.mixtureTrainEta
+      val c = graft.operators.Curation.mixtureTrainSmooth
+      val iters = graft.operators.Curation.mixtureTrainIters
+      // every round CTE is MATERIALIZED: each references its predecessor
+      // more than once, and DuckDB's default CTE inlining would otherwise
+      // expand the chain exponentially in `iters` (observed as a hung
+      // oracle run); the frames are domain-cardinality, so forcing them
+      // is free
+      val rounds = (1 to iters).map { r =>
+        s"""avg$r AS MATERIALIZED (
+           |  SELECT CAST(sum(flu * w) // sum(w) AS BIGINT) AS wavg FROM w${r - 1}),
+           |raw$r AS MATERIALIZED (
+           |  SELECT source, flu, CAST(wavg - flu AS BIGINT) AS excess,
+           |    greatest(1, (w * greatest(1, 1000000 + (wavg - flu) * $eta)) // 1000000) AS rw
+           |  FROM w${r - 1}, avg$r),
+           |w$r AS MATERIALIZED (
+           |  SELECT source, flu, excess,
+           |    CAST(greatest(1, ((1000000 - $c) * ((rw * 1000000) // (SELECT sum(rw) FROM raw$r))
+           |          + $c * (1000000 // nd.nd)) // 1000000) AS BIGINT) AS w
+           |  FROM raw$r, nd)""".stripMargin
+      }.mkString(",\n")
+      val emit = (1 to iters).map { r =>
+        s"UNION ALL SELECT CAST($r AS BIGINT), source, flu, excess, w FROM w$r"
+      }.mkString("\n")
+      s"""WITH $perplexityPdCtes,
+         |dl AS MATERIALIZED (
+         |  SELECT d.source, CAST(sum(pd.sb_sum) // sum(pd.n_bigrams) AS BIGINT) AS flu
+         |  FROM pd JOIN documents d USING (doc_id) GROUP BY d.source),
+         |nd AS MATERIALIZED (SELECT count(*) AS nd FROM dl),
+         |w0 AS MATERIALIZED (
+         |  SELECT source, flu, CAST(1000000 // nd AS BIGINT) AS w FROM dl, nd),
+         |$rounds
+         |SELECT CAST(0 AS BIGINT) AS round, source, flu, CAST(0 AS BIGINT) AS excess,
+         |  w AS weight FROM w0
+         |$emit
+         |ORDER BY round, source""".stripMargin
+    },
+
     // src_jsonl / src_orc: the oracle reads only the parquet ORIGINALS — a
     // hash match certifies the Spark-side format round trip bit-exactly
     "src_jsonl" -> srcRoundTripSql,

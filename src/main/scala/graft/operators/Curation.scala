@@ -441,20 +441,26 @@ object Curation {
     Map("src0" -> 8.0, "src1" -> 4.0, "src2" -> 2.0)
   private[graft] val mixtureDefaultWeight: Double = 1.0
 
-  private[graft] def mixtureWeightCol(src: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    mixtureWeights.foldLeft(lit(mixtureDefaultWeight)) { case (acc, (name, w)) =>
+  private[graft] def mixtureWeightCol(src: org.apache.spark.sql.Column,
+      weights: Map[String, Double] = mixtureWeights,
+      default: Double = mixtureDefaultWeight): org.apache.spark.sql.Column =
+    weights.foldLeft(lit(default)) { case (acc, (name, w)) =>
       when(src === name, lit(w)).otherwise(acc)
     }
 
   /** The per-source hex keep thresholds behind [[samp_mixture]] — also the
     * broadcast side of the streaming
     * [[graft.streaming.DocsStream.mixtureGate]] (batch census sets the
-    * rates; the stream enforces them statelessly).
+    * rates; the stream enforces them statelessly). `weights` defaults to
+    * the fixed [[mixtureWeights]]; pass [[trainedMixtureWeights]]' output
+    * to run the SAME sampler on fitted weights — the plug-compatibility
+    * contract of [[samp_mixture_train]].
     */
-  private[graft] def mixtureThresholds(d: DataFrame): DataFrame = {
+  private[graft] def mixtureThresholds(d: DataFrame,
+      weights: Map[String, Double] = mixtureWeights): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy()
     d.groupBy("source").agg(count(lit(1)).as("n"))
-      .withColumn("w", mixtureWeightCol(col("source")))
+      .withColumn("w", mixtureWeightCol(col("source"), weights))
       .withColumn("r", col("w") / col("n").cast("double"))
       .withColumn("rate", col("r") / max(col("r")).over(w))
       .withColumn("thr", hexThr(floor(col("rate") * (1 << 24)).cast("long")))
@@ -488,6 +494,110 @@ object Curation {
         sum(when(col("p6") < col("thr"), 1L).otherwise(0L)).as("n_kept"),
         first(col("thr")).as("thr"))
       .orderBy("source")
+  }
+
+  /** [[samp_mixture_train]]'s update constants — shared with the DuckDB
+    * twin (OracleSql builds its round CTEs from these), so operator and
+    * oracle cannot drift. Eta is the millionths-of-weight gained per unit
+    * of fixed-point excess loss per round; smooth is DoReMi's uniform
+    * re-mix c in millionths.
+    */
+  private[graft] val mixtureTrainEta: Long = 50L
+  private[graft] val mixtureTrainSmooth: Long = 10000L
+  private[graft] val mixtureTrainIters: Int = 5
+
+  /** TRAINABLE domain-mixture weights — the DoReMi recipe (Xie et al.
+    * 2023, "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    * Pretraining") spelled in the library's fixed-point integer algebra:
+    * domains whose loss exceeds the current mixture's weighted average
+    * gain weight multiplicatively each round, then weights renormalize
+    * and re-mix a sliver of uniform (DoReMi's smoothing, here
+    * [[mixtureTrainSmooth]] millionths). The per-domain loss signal is
+    * the REAL per-snapshot fluency artifact, not a plant: the
+    * token-weighted mean of [[TextAnalysis.perplexityScored]]'s
+    * stupid-backoff score per source (LOW fluency = hard domain = more
+    * weight — the group-DRO direction). The exponentiated-gradient step
+    * is linearized to the multiplicative-weights update
+    * `w·(10⁶ + η·excess) div 10⁶` (Arora–Hazan–Kale's MW ≈ Hedge to
+    * first order) so every round is pure 64-bit integer algebra —
+    * bit-deterministic on any engine, and the WHOLE training trajectory
+    * unrolls into a DuckDB hash oracle (the tx_score_train device). Both
+    * clamps (`max(1, factor)`, `max(1, weight)`) keep every division
+    * operand non-negative, so Scala's truncating `/` equals the twin's
+    * floor `//` everywhere.
+    *
+    * Emits the full trajectory: (round, source, flu, excess, weight) for
+    * rounds 0 (uniform init, excess 0) through `iters`; `weight` is in
+    * millionths of the mixture. [[trainedMixtureWeights]] folds the last
+    * round into a [[mixtureWeights]]-shaped map consumed UNCHANGED by
+    * [[mixtureThresholds]] / [[samp_mixture]] / the streaming
+    * mixtureGate — the plug-compatibility contract, spec-pinned.
+    *
+    * Scale shape: ONE distributed join+aggregate produces the per-domain
+    * loss table (the memoized scored frame × a doc_id-keyed source
+    * lookup — output is domain-cardinality, ~10–10³ rows in any real
+    * mixture; DoReMi itself fits 22 domains), which is collected like a
+    * centroid table; the rounds are O(iters·domains) driver arithmetic —
+    * the corpus is scanned exactly as often as tx_perplexity scans it
+    * (zero extra times when the memo is warm).
+    */
+  def samp_mixture_train(s: SparkSession, dir: String,
+      iters: Int = mixtureTrainIters): DataFrame = {
+    require(iters >= 1, s"samp_mixture_train: iters=$iters must be >= 1")
+    import s.implicits._
+    val domains = mixtureDomainLoss(s, dir)
+    val nd = domains.size
+    require(nd >= 2, s"samp_mixture_train: $nd domain(s) — fitting a " +
+      "mixture needs at least two sources to trade off")
+    val u = 1000000L / nd
+    var w: Seq[Long] = Seq.fill(nd)(u)
+    val traj = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long, Long)]
+    domains.foreach { case (src, flu) => traj += ((0L, src, flu, 0L, u)) }
+    for (r <- 1 to iters) {
+      val wsum = w.sum
+      val wavg = domains.zip(w).map { case ((_, f), wi) => f * wi }.sum / wsum
+      val excess = domains.map { case (_, f) => wavg - f }
+      val raw = w.zip(excess).map { case (wi, e) =>
+        math.max(1L, wi * math.max(1L, 1000000L + e * mixtureTrainEta) / 1000000L)
+      }
+      val rsum = raw.sum
+      w = raw.map(x => math.max(1L,
+        ((1000000L - mixtureTrainSmooth) * (x * 1000000L / rsum) +
+          mixtureTrainSmooth * u) / 1000000L))
+      domains.indices.foreach { i =>
+        traj += ((r.toLong, domains(i)._1, domains(i)._2, excess(i), w(i)))
+      }
+    }
+    traj.toSeq.toDF("round", "source", "flu", "excess", "weight")
+      .orderBy("round", "source")
+  }
+
+  /** The per-domain loss table behind [[samp_mixture_train]]: source →
+    * token-weighted mean fluency (`Σ sb_sum div Σ n_bigrams`, integer),
+    * sorted by source for a deterministic round order. Bounded collect:
+    * one row per domain.
+    */
+  private def mixtureDomainLoss(s: SparkSession, dir: String): Seq[(String, Long)] =
+    docs(s, dir).select(col("doc_id"), col("source"))
+      .join(TextAnalysis.perplexityScored(s, dir), Seq("doc_id"))
+      .groupBy("source")
+      .agg(sum(col("sb_sum")).as("ss"), sum(col("n_bigrams")).as("nb"))
+      .select(col("source"), expr("ss div nb").as("flu"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1).toSeq
+
+  /** [[samp_mixture_train]]'s last round as a [[mixtureWeights]]-shaped
+    * map (source → positive weight; scale is irrelevant — the sampler
+    * normalizes by the binding source). Unknown sources fall to the
+    * caller's default exactly as with the fixed map.
+    */
+  private[graft] def trainedMixtureWeights(s: SparkSession, dir: String,
+      iters: Int = mixtureTrainIters): Map[String, Double] = {
+    val t = samp_mixture_train(s, dir, iters)
+      .filter(col("round") === iters.toLong)
+      .select("source", "weight").collect()
+    t.map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
   }
 
   /** Temperature-flattened multilingual sampling (the mT5/XLM-R mixture

@@ -536,4 +536,65 @@ class CurationSpec extends AnyFunSuite {
     assert(rows(5L) == ((3L, 3L, md5hex("e1 e2 e3"))))
     assert(rows(7L) == ((18L, 2L, md5hex("z1 z2"))))
   }
+
+  test("samp_mixture_train: fitted weights beat uniform AND the fixed map on the DRO objective; trajectory invariants hold") {
+    val dir = "/root/testdata/sf0.001"
+    val t = Curation.samp_mixture_train(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(4)))
+    val iters = t.map(_._1).max
+    val flu = t.filter(_._1 == 0L).map(r => r._2 -> r._3).toMap
+    def wAt(round: Long) = t.filter(_._1 == round).map(r => r._2 -> r._4).toMap
+    val w0 = wAt(0L); val wT = wAt(iters)
+    // weights are a distribution in millionths every round: positive, and
+    // summing to ~10^6 (integer flooring loses < nd per normalize)
+    (0L to iters).foreach { r =>
+      val w = wAt(r)
+      assert(w.values.forall(_ >= 1L), s"round $r: non-positive weight")
+      val s = w.values.sum
+      assert(s > 990000L && s <= 1001000L, s"round $r: weight sum $s")
+    }
+    // DRO objective: the mixture-weighted mean fluency. Lower = the mix
+    // shifted toward hard (low-fluency) domains = higher worst-case
+    // coverage — the DoReMi direction.
+    def j(w: Map[String, Double]): Double =
+      w.map { case (s, wv) => wv * flu(s).toDouble }.sum / w.values.sum
+    val jFitted = j(wT.view.mapValues(_.toDouble).toMap)
+    val jUniform = j(w0.view.mapValues(_.toDouble).toMap)
+    assert(jFitted < jUniform,
+      s"fitted mixture ($jFitted) must target harder data than uniform ($jUniform)")
+    // the fixed hand-set map, normalized over the same domains (unknown
+    // sources get the default weight, as the sampler applies it)
+    val fixed = flu.keys.map(s => s ->
+      Curation.mixtureWeights.getOrElse(s, Curation.mixtureDefaultWeight)).toMap
+    val jFixed = j(fixed)
+    assert(jFitted < jFixed,
+      s"fitted mixture ($jFitted) must beat the fixed map ($jFixed) on the DRO objective")
+    // the hardest domain gains weight; the easiest loses it
+    val hardest = flu.minBy(_._2)._1
+    val easiest = flu.maxBy(_._2)._1
+    assert(wT(hardest) > w0(hardest), "hardest domain must gain weight")
+    assert(wT(easiest) < w0(easiest), "easiest domain must lose weight")
+  }
+
+  test("samp_mixture_train: trained weights are plug-compatible with the fixed-weight sampler path") {
+    val dir = "/root/testdata/sf0.001"
+    val trained = Curation.trainedMixtureWeights(spark, dir)
+    val d = graft.sources.Tables.loadParallel(spark, dir, "documents")
+    // the SAME mixtureThresholds device consumes the fitted map unchanged
+    val thr = Curation.mixtureThresholds(d, trained).collect()
+    assert(thr.nonEmpty && thr.forall(_.getString(1) != null))
+    assert(thr.map(_.getString(0)).toSet == trained.keySet)
+    // the binding source (thr = all-16s sentinel-free full keep, i.e. the
+    // max rate 1.0 -> 'ffffff'-class threshold) is the one maximizing
+    // weight/n — with equal domain sizes, the max-weight = hardest domain
+    val counts = d.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val binding = trained.maxBy { case (s, w) => w / counts(s).toDouble }._1
+    val bindingThr = thr.find(_.getString(0) == binding).get.getString(1)
+    assert(thr.forall(_.getString(1) <= bindingThr),
+      "binding source must carry the max keep threshold")
+    // determinism: a second fit returns the identical map (memoized loss
+    // frame or not)
+    assert(Curation.trainedMixtureWeights(spark, dir) == trained)
+  }
 }
