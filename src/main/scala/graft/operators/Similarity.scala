@@ -733,6 +733,113 @@ object Similarity {
     exactCosineRefine(approx, emb, qs, k)
   }
 
+  /** The shard of a vec_id in an N-shard index deployment — one routing
+    * definition shared by the shard writer, the health roll-up, and any
+    * delta router, so a row can never be priced against one shard and
+    * stored in another. Plain modulus: content-addressed, SQL-mirrorable,
+    * and balanced for the dense vec_id spines the corpus uses.
+    */
+  private[graft] def shardOf(vecId: Column, shards: Int): Column =
+    pmod(vecId, lit(shards.toLong))
+
+  /** HORIZONTAL index sharding — the scale dimension [[appendOrRetrain]]
+    * (aging) doesn't cover: at 100 TB the codes themselves outgrow one
+    * filesystem/namespace and the index splits into N self-contained
+    * shard directories, searched in parallel and merged. The build follows
+    * the FAISS `IndexShards` shape: ONE shared quantizer — coarse
+    * centroids and PQ codebooks trained ONCE on the full frame — with the
+    * coded rows routed to shards by [[shardOf]]. Sharing the sidecars is
+    * what makes [[searchIvfPqIndexSharded]] EXACTLY equal to a single
+    * index over the same vectors (parity-spec'd): ADC distances depend
+    * only on (codes, sidecars), both identical; per-shard training would
+    * make every distance incomparable across shards.
+    *
+    * Each shard directory is a full [[writeIvfPqIndex]] artifact (codes
+    * partitioned by cid + centroid/codebook sidecars + its slice's health
+    * reference), so every single-index tool — search, append, health,
+    * compact — works on a shard unchanged. Returns the shard paths.
+    *
+    * Scale shape: train once, encode once (the coded frame is
+    * checkpointed before the N slice-writes, so the VecNearest encode
+    * does not re-run per shard); each slice-write scans the bounded coded
+    * frame, never the raw corpus.
+    */
+  def writeIvfPqIndexShards(s: SparkSession, emb: DataFrame, basePath: String,
+      shards: Int, nlist: Int = 32, m: Int = 8, codes: Int = 16,
+      iters: Int = 2): Seq[String] = {
+    require(shards >= 1, s"writeIvfPqIndexShards: shards=$shards must be >= 1")
+    import s.implicits._
+    import graft.Checkpoints.DatasetCheckpointOps
+    val sub = subWidth(emb, m)
+    val (cents, books, coded0) = ivfpqIndex(emb, nlist, m, codes, iters, sub)
+    val coded = coded0.graftCheckpoint()
+    val centsDf = cents.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cid", "centroid")
+    val booksDf = books.zipWithIndex.flatMap { case (book, sx) =>
+      book.zipWithIndex.map { case (cw, j) => (sx, j, cw) }
+    }.toDF("s", "j", "codeword")
+    (0 until shards).map { i =>
+      val path = s"$basePath/shard=$i"
+      withWriterLock(s, path, "writeIvfPqIndexShards") {
+        coded.filter(shardOf(col("vec_id"), shards) === i.toLong)
+          .repartition(col("cid"))
+          .write.mode("overwrite").partitionBy("cid").parquet(s"$path/codes")
+        centsDf.write.mode("overwrite").parquet(s"$path/centroids")
+        booksDf.write.mode("overwrite").parquet(s"$path/codebooks")
+        // per-shard health reference: the shard's OWN slice priced against
+        // the shared sidecars — each shard's later drift probes compare
+        // against what that shard actually holds
+        residualErrStats(
+          emb.filter(shardOf(col("vec_id"), shards) === i.toLong),
+          cents, books, m, sub)
+          .write.mode("overwrite").parquet(s"$path/health")
+      }
+      path
+    }
+  }
+
+  /** Search N index shards and merge: per-shard distributed ADC top-k,
+    * union, global exact re-rank. Exactness argument: a vector with
+    * global rank ≤ k lives in exactly one shard and ranks ≤ k there too
+    * (its shard's candidate set is a subset of the global one), so the
+    * per-shard top-k union contains every global top-k member and the
+    * final [[distTopK]] — the same (dist, vec_id) comparator as the
+    * single-index path — reproduces the unsharded result bit-for-bit when
+    * the shards share sidecars (the [[writeIvfPqIndexShards]] layout;
+    * parity-spec'd). Shards search independently — N parallel pruned
+    * scans, no cross-shard shuffle until the k·N-row merge.
+    */
+  def searchIvfPqIndexSharded(s: SparkSession, paths: Seq[String],
+      queries: DataFrame, k: Int = 10, nprobe: Int = 3): DataFrame = {
+    require(paths.nonEmpty, "searchIvfPqIndexSharded: no shard paths")
+    val perShard = paths.map { p =>
+      searchIvfPqIndexDistributed(s, p, queries, k, nprobe)
+        .select("q_id", "vec_id", "dist")
+    }
+    distTopK(perShard.reduce(_ unionAll _), k)
+  }
+
+  /** [[indexHealth]] across shards on one screen: the delta routes to its
+    * shard by [[shardOf]] (the rows shard i would actually ingest) and
+    * each shard's report carries its shard id — per-(shard, list)
+    * occupancy, base reference, delta error, err_ratio. The
+    * rebuild/compact recipe reads per shard exactly as for a single
+    * index; a shard whose err_ratio climbs retrains alone
+    * ([[appendOrRetrain]] on its path) without touching its siblings.
+    */
+  def indexHealthSharded(s: SparkSession, paths: Seq[String],
+      delta: DataFrame): DataFrame = {
+    require(paths.nonEmpty, "indexHealthSharded: no shard paths")
+    val n = paths.size
+    val reports = paths.zipWithIndex.map { case (p, i) =>
+      indexHealth(s, p, delta.filter(shardOf(col("vec_id"), n) === i.toLong))
+        .withColumn("shard", lit(i.toLong))
+    }
+    val cols = col("shard") +:
+      reports.head.columns.filter(_ != "shard").map(col).toSeq
+    reports.reduce(_ unionAll _).select(cols: _*).orderBy("shard", "cid")
+  }
+
   /** The (q_id, cid, tabs) probe frame of [[searchIvfPqIndexDistributed]]:
     * per query, the `nprobe` nearest coarse lists (squared euclidean, ties
     * to the smallest cid) and the m×k table of subspace distances from the

@@ -775,6 +775,50 @@ class PipelineSpec extends AnyFunSuite {
       s"probed lists must prune the partitioned index scan:\n$p")
   }
 
+  test("sharded index: shared-quantizer shards search bit-identical to the single index; health rolls up per shard") {
+    val dir = "/root/testdata/sf0.01"
+    val emb = graft.sources.Tables.loadParallel(spark, dir, "embeddings")
+    val single = java.nio.file.Files.createTempDirectory("graftivfsingle").toString
+    val base = java.nio.file.Files.createTempDirectory("graftivfshards").toString
+    Similarity.writeIvfPqIndexFrom(spark, emb, single)
+    val shards = Similarity.writeIvfPqIndexShards(spark, emb, base, 3)
+    assert(shards.size == 3)
+    // every shard is a full index artifact: codes + both sidecars + health
+    shards.foreach { p =>
+      Seq("codes", "centroids", "codebooks", "health").foreach { part =>
+        assert(java.nio.file.Files.exists(java.nio.file.Paths.get(p, part)),
+          s"$p missing $part")
+      }
+    }
+    // shards partition the corpus: no row lost, none duplicated
+    val total = shards.map(p =>
+      spark.read.parquet(s"$p/codes").count()).sum
+    assert(total == emb.count())
+    // PARITY: union-of-shards top-k == single-index top-k, bit for bit
+    // (shared sidecars => identical codes => identical ADC distances)
+    val queries = emb.filter(col("vec_id") < 8)
+    val sharded = Similarity.searchIvfPqIndexSharded(spark, shards, queries)
+      .collect().map(_.toSeq).toSeq
+    val whole = Similarity.searchIvfPqIndexDistributed(spark, single, queries)
+      .collect().map(_.toSeq).toSeq
+    assert(sharded == whole, "sharded search must equal the single index")
+    // health roll-up: one report, one block per shard; the routed delta
+    // counts sum to the delta size; shard column leads
+    val delta = emb.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val health = Similarity.indexHealthSharded(spark, shards, delta)
+    assert(health.columns.head == "shard")
+    val perShard = health.groupBy("shard")
+      .agg(sum(coalesce(col("delta_n"), lit(0L))).as("dn"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perShard.keySet == Set(0L, 1L, 2L))
+    assert(perShard.values.sum == delta.count())
+    // the delta routed per shard matches the shared routing definition
+    val want = delta.groupBy(pmod(col("vec_id"), lit(3L)).as("shard"))
+      .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perShard == want)
+  }
+
   test("appendToIvfPqIndex: append(delta) equals a fixed-codebook rebuild; pruning survives appended files") {
     def copyDir(from: String, to: String): Unit = {
       val src = java.nio.file.Paths.get(from)
