@@ -999,6 +999,51 @@ object OracleSql {
          |GROUP BY e.cluster
          |ORDER BY cluster""".stripMargin,
 
+    // mm_semdedup: dd_semdedup's twin over the media-asset frame — the
+    // base embeddings plus the planted re-encodes (mirrored ids, the
+    // float-exact 2^-10 shift; constants interpolate from Multimodal so
+    // plant and twin cannot drift). Same one-step assignment and
+    // defined-order cosine as the dd_semdedup twin, threshold 0.9.
+    "mm_semdedup" -> {
+      val shift = graft.operators.Multimodal.mmReencShift
+      val stride = graft.operators.Multimodal.mmReencStride
+      val thr = graft.operators.Multimodal.mmSemThreshold
+      s"""WITH masset AS MATERIALIZED (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT -(vec_id + 1) AS vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(CAST(x AS DOUBLE) + $shift AS FLOAT)) AS embedding
+         |  FROM embeddings WHERE vec_id % $stride = 0),
+         |c AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c,
+         |         embedding AS ce
+         |  FROM (SELECT vec_id, embedding FROM masset ORDER BY vec_id LIMIT 10)),
+         |asg AS (
+         |  SELECT e.vec_id,
+         |    (min({'d': list_sum(list_transform(list_zip(e.embedding, c.ce),
+         |            p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+         |               * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+         |          'c': c.c})).c AS cluster
+         |  FROM masset e, c GROUP BY e.vec_id),
+         |e AS (SELECT em.vec_id, em.embedding, asg.cluster
+         |      FROM masset em JOIN asg USING (vec_id)),
+         |p AS (
+         |  SELECT x.cluster AS cluster, y.vec_id AS b
+         |  FROM e x JOIN e y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+         |  WHERE ${cosGuardSql("x.embedding", "y.embedding")} >= $thr
+         |  GROUP BY 1, 2),
+         |d AS (SELECT cluster, count(*) AS n_dups, min(b) AS first_dup
+         |      FROM p GROUP BY cluster)
+         |SELECT e.cluster, count(*) AS n_members,
+         |  COALESCE(max(d.n_dups), 0) AS n_dups,
+         |  count(*) - COALESCE(max(d.n_dups), 0) AS n_keep,
+         |  max(d.first_dup) AS first_dup
+         |FROM e LEFT JOIN d USING (cluster)
+         |GROUP BY e.cluster
+         |ORDER BY cluster""".stripMargin
+    },
+
     "ann_bruteforce" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
          |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM e

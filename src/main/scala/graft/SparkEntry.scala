@@ -95,6 +95,7 @@ object SparkEntry {
     "mm_phash" -> ((s, d) => Multimodal.mm_phash_reenc(s, d)),
     // the exact fingerprint half, under full DuckDB oracle
     "mm_phash_fp" -> (Multimodal.mm_phash_fp _),
+    "mm_semdedup" -> ((s, d) => Multimodal.mm_semdedup(s, d)),
     "dd_cluster" -> ((s, d) => Dedup.dd_cluster(s, d)),
     "dd_cluster_jaccard" -> ((s, d) => Dedup.dd_cluster_jaccard(s, d)),
     "tx_ngrams" -> ((s, d) => TextAnalysis.tx_ngrams(s, d)),

@@ -857,7 +857,7 @@ object Dedup {
     * nrm, cluster) — how the cluster column was assigned (literal
     * centroids vs persisted index) is the variants' only difference.
     */
-  private def semdedupAudit(e: DataFrame, threshold: Double,
+  private[operators] def semdedupAudit(e: DataFrame, threshold: Double,
       maxCellVectors: Long, expectedMembers: Option[Long] = None): DataFrame = {
     // ONE corpus-wide aggregate serves everything downstream: the guard,
     // the rep-level pair join, and the member counts all read the collapsed

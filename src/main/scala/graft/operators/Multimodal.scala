@@ -217,6 +217,67 @@ object Multimodal {
         .select(col("doc_id"), graft.functions.DHash64.of(col("payload")).as("fp")),
       maxHamming, maxBucket, "mm_phash")
 
+  /** The deterministic re-encode model in EMBEDDING space, shared with the
+    * DuckDB twin: 2⁻¹⁰ added per component. Exactly representable in
+    * float AND double, and each component's perturbed value is the
+    * once-rounded float of an exact double sum — so Spark's
+    * `(x.cast(double) + shift).cast(float)` and the twin's
+    * `CAST(CAST(x AS DOUBLE) + shift AS FLOAT)` agree bit for bit.
+    */
+  private[graft] val mmReencShift: Double = 0.0009765625
+  private[graft] val mmSemThreshold: Double = 0.9
+  private[graft] val mmReencStride: Int = 25
+
+  /** CROSS-MODAL semantic media dedup — the near-dup mode the byte-level
+    * paths cannot reach: a re-encoded image at a different quality shares
+    * almost no BYTES with its original (mm_dedup's digest never collides)
+    * and its dHash survives only while the bit flips spare a band
+    * ([[mm_phash]]'s documented recall trade) — but its CLIP-style
+    * EMBEDDING barely moves, because the embedding is a function of the
+    * depicted content, not the byte stream (the SemDeDup observation,
+    * Abbas et al. 2023, applied to images). So the sweep runs
+    * [[Dedup.semdedupAudit]]'s cell device over the media assets' joined
+    * embedding frame: one deterministic coarse assignment bounds the
+    * quadratic to cells, within-cell cosine ≥ `threshold` flags, per-cell
+    * audit out.
+    *
+    * The container has no codecs, so the re-encoded assets are PLANTED in
+    * embedding space (this operator's analog of [[mm_phash_reenc]]'s byte
+    * plant): every `stride`-th asset re-enters under the mirrored id
+    * −(vec_id+1) with its embedding shifted by [[mmReencShift]] — cosine
+    * to the original ≥ 0.9999 on the shipped corpus while the max ORGANIC
+    * pair sits near 0.51, so `threshold` = 0.9 separates cleanly
+    * (spec-pinned: plant recall 1.0, zero organic flags — the recall
+    * [[mm_phash_reenc]]'s banding cannot promise). Fully hash-oracled:
+    * plant, assignment, and defined-order cosine are exact algebra the
+    * twin reproduces.
+    *
+    * Scale shape = dd_semdedup's: embeddings never join payloads (the
+    * digest↔embedding bridge is the shared doc_id/vec_id key); cells
+    * bound the pair join; exact-dup cliques collapse to representatives
+    * before pairing. At 100 TB, assign cells with the persisted IVF
+    * quantizer instead ([[Dedup.dd_semdedup_indexed]]'s device) — the
+    * audit core is the same function.
+    */
+  def mm_semdedup(s: SparkSession, dir: String, k: Int = 10,
+      threshold: Double = mmSemThreshold, stride: Int = mmReencStride,
+      maxCellVectors: Long = 100000L): DataFrame = {
+    require(stride > 0, s"mm_semdedup: stride=$stride must be positive")
+    import graft.functions.VecDot
+    val emb = Tables.loadParallel(s, dir, "embeddings")
+    val plants = emb.filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .select((-(col("vec_id") + 1)).cast("long").as("vec_id"),
+        transform(col("embedding"),
+          x => (x.cast("double") + lit(mmReencShift)).cast("float"))
+          .as("embedding"))
+    val assets = emb.select("vec_id", "embedding").unionByName(plants)
+    val cents = Clustering.initCentroids(assets, k)
+    val e = assets.select(col("vec_id"), col("embedding"),
+      VecDot.norm(col("embedding")).as("nrm"),
+      Clustering.assignTo(cents).getField("c").as("cluster"))
+    Dedup.semdedupAudit(e, threshold, maxCellVectors)
+  }
+
   /** The pipeline as a queries-façade entry: features joined back to frame
     * counts — exercises binary plumbing end to end and returns a stable,
     * comparable projection.

@@ -1166,6 +1166,33 @@ class PipelineSpec extends AnyFunSuite {
       s"assignment read must prune the PQ codes column:\n$p")
   }
 
+  test("mm_semdedup: every planted embedding-space re-encode is caught (recall 1.0); zero organic flags; deterministic") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.loadParallel(spark, dir, "embeddings")
+    val nEmb = emb.count()
+    val nPlants = emb.filter(col("vec_id") % 25 === 0).count()
+    val audit = Multimodal.mm_semdedup(spark, dir).collect()
+    val members = audit.map(_.getAs[Long]("n_members")).sum
+    val dups = audit.map(_.getAs[Long]("n_dups")).sum
+    // the asset frame = corpus + plants, none lost to the cell assignment
+    assert(members == nEmb + nPlants)
+    // recall 1.0 over the plants — the number mm_phash_reenc's dHash
+    // banding can only promise at Hamming <= 3 (its spec pins the
+    // empirical catch on THIS corpus; the embedding path catches a
+    // re-encode by construction, cos >= 0.9999 vs a 0.51 organic max)...
+    assert(dups >= nPlants, s"missed re-encodes: $dups < $nPlants")
+    // ...and zero organic flags at the 0.9 threshold (empirical pin on the
+    // shipped corpus: max organic cosine ~0.51)
+    assert(dups == nPlants, s"organic pairs flagged: $dups > $nPlants")
+    // the flagged member of each pair is the ORIGINAL (the plant's
+    // mirrored id is lower, so it becomes the keeper) — every first_dup
+    // is a non-negative corpus id
+    assert(audit.filter(_.getAs[Long]("n_dups") > 0)
+      .forall(r => r.getAs[Long]("first_dup") >= 0L))
+    val again = Multimodal.mm_semdedup(spark, dir).collect()
+    assert(audit.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("mm_phash: a re-encoded payload escapes the exact digest but is caught perceptually") {
     // the planted re-encode: same content, a handful of byte substitutions
     // (codec/metadata drift stand-in) — md5 changes completely, the
