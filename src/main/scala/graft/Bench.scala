@@ -79,7 +79,17 @@ object Bench {
     // total) from a real regression (canary steady, specific queries move)
     // without re-deriving per-query ratios every time.
     val canary = best.getOrElse("q05_topk", -1.0)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","valid":$valid,"canary_q05_topk":$canary,"queries":$qs,"queries_last":$qsLast,"errors":$errs,"passes":$passes,"sf":${DriverSession.jsonQuote(sfDir)}}"""
+    // Canary-NORMALIZED total: rounds 11→12 needed manual canary math
+    // twice to separate box drift from code movement, so the artifact now
+    // carries total · (canaryRef / canary) directly — the total re-based
+    // to the round-11 box speed (canaryRef = that round's recorded
+    // canary_q05_topk, the earliest per-query-history round). Compare
+    // THIS field across rounds for code movement; the raw total still
+    // measures the box as found. -1 when the canary itself failed.
+    val canaryRef = 0.143
+    val totalNorm =
+      if (valid && canary > 0) total * (canaryRef / canary) else -1.0
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","valid":$valid,"canary_q05_topk":$canary,"canary_ref":$canaryRef,"total_canary_normalized":$totalNorm,"queries":$qs,"queries_last":$qsLast,"errors":$errs,"passes":$passes,"sf":${DriverSession.jsonQuote(sfDir)}}"""
     println(json)
     // The driver captures only the TAIL of stdout — with ~100 queries the
     // headline line gets truncated out of the artifact. Persist the full
