@@ -154,6 +154,44 @@ object OracleSql {
        |FROM a3 JOIN h3 ON h3.v = a3.v
        |ORDER BY auth DESC, doc_id LIMIT 20""".stripMargin
 
+  /** The DoReMi training chain (requires [[perplexityPdCtes]] earlier in
+    * the WITH body): per-domain loss table `dl`, domain count `nd`,
+    * uniform `w0`, then one (avg, raw, w) CTE trio per round ending at
+    * `w<iters>`. Eta and the smoothing constant interpolate from the SAME
+    * Curation constants the operator uses; greatest() mirrors both Scala
+    * max clamps, which also keep every division operand non-negative so
+    * `//` == the driver loop's truncating `/` throughout. Every round CTE
+    * is MATERIALIZED: each references its predecessor more than once, and
+    * DuckDB's default CTE inlining would otherwise expand the chain
+    * exponentially in iters (observed as a hung oracle run); the frames
+    * are domain-cardinality, so forcing them is free.
+    */
+  private def mixtureTrainCtes: String = {
+    val eta = graft.operators.Curation.mixtureTrainEta
+    val c = graft.operators.Curation.mixtureTrainSmooth
+    val iters = graft.operators.Curation.mixtureTrainIters
+    val rounds = (1 to iters).map { r =>
+      s"""avg$r AS MATERIALIZED (
+         |  SELECT CAST(sum(flu * w) // sum(w) AS BIGINT) AS wavg FROM w${r - 1}),
+         |raw$r AS MATERIALIZED (
+         |  SELECT source, flu, CAST(wavg - flu AS BIGINT) AS excess,
+         |    greatest(1, (w * greatest(1, 1000000 + (wavg - flu) * $eta)) // 1000000) AS rw
+         |  FROM w${r - 1}, avg$r),
+         |w$r AS MATERIALIZED (
+         |  SELECT source, flu, excess,
+         |    CAST(greatest(1, ((1000000 - $c) * ((rw * 1000000) // (SELECT sum(rw) FROM raw$r))
+         |          + $c * (1000000 // nd.nd)) // 1000000) AS BIGINT) AS w
+         |  FROM raw$r, nd)""".stripMargin
+    }.mkString(",\n")
+    s"""dl AS MATERIALIZED (
+       |  SELECT d.source, CAST(sum(pd.sb_sum) // sum(pd.n_bigrams) AS BIGINT) AS flu
+       |  FROM pd JOIN documents d USING (doc_id) GROUP BY d.source),
+       |nd AS MATERIALIZED (SELECT count(*) AS nd FROM dl),
+       |w0 AS MATERIALIZED (
+       |  SELECT source, flu, CAST(1000000 // nd AS BIGINT) AS w FROM dl, nd),
+       |$rounds""".stripMargin
+  }
+
   /** `Clustering.kmeansRounds` unrolled: c0 = the k lowest-vec_id vectors
     * (RNG-free init, floats cast exactly to DOUBLE); round i assigns
     * against c(i-1) (struct-min = min distance, ties to the lowest cluster
@@ -1858,48 +1896,47 @@ object OracleSql {
          |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     // samp_mixture_train: the DoReMi trajectory unrolled round-from-round
-    // (the tx_score_train / pagerankCoreCtes device); eta and the smoothing
-    // constant interpolate from the SAME Curation constants the operator
-    // uses. greatest() mirrors both Scala max clamps, which also keep every
-    // division operand non-negative so `//` == the driver loop's truncating
-    // `/` throughout.
+    // (the tx_score_train / pagerankCoreCtes device) over the shared
+    // mixtureTrainCtes chain (also consumed by the samp_mixture_trained
+    // twin, so trainer and consumer cannot drift).
     "samp_mixture_train" -> {
-      val eta = graft.operators.Curation.mixtureTrainEta
-      val c = graft.operators.Curation.mixtureTrainSmooth
       val iters = graft.operators.Curation.mixtureTrainIters
-      // every round CTE is MATERIALIZED: each references its predecessor
-      // more than once, and DuckDB's default CTE inlining would otherwise
-      // expand the chain exponentially in `iters` (observed as a hung
-      // oracle run); the frames are domain-cardinality, so forcing them
-      // is free
-      val rounds = (1 to iters).map { r =>
-        s"""avg$r AS MATERIALIZED (
-           |  SELECT CAST(sum(flu * w) // sum(w) AS BIGINT) AS wavg FROM w${r - 1}),
-           |raw$r AS MATERIALIZED (
-           |  SELECT source, flu, CAST(wavg - flu AS BIGINT) AS excess,
-           |    greatest(1, (w * greatest(1, 1000000 + (wavg - flu) * $eta)) // 1000000) AS rw
-           |  FROM w${r - 1}, avg$r),
-           |w$r AS MATERIALIZED (
-           |  SELECT source, flu, excess,
-           |    CAST(greatest(1, ((1000000 - $c) * ((rw * 1000000) // (SELECT sum(rw) FROM raw$r))
-           |          + $c * (1000000 // nd.nd)) // 1000000) AS BIGINT) AS w
-           |  FROM raw$r, nd)""".stripMargin
-      }.mkString(",\n")
       val emit = (1 to iters).map { r =>
         s"UNION ALL SELECT CAST($r AS BIGINT), source, flu, excess, w FROM w$r"
       }.mkString("\n")
       s"""WITH $perplexityPdCtes,
-         |dl AS MATERIALIZED (
-         |  SELECT d.source, CAST(sum(pd.sb_sum) // sum(pd.n_bigrams) AS BIGINT) AS flu
-         |  FROM pd JOIN documents d USING (doc_id) GROUP BY d.source),
-         |nd AS MATERIALIZED (SELECT count(*) AS nd FROM dl),
-         |w0 AS MATERIALIZED (
-         |  SELECT source, flu, CAST(1000000 // nd AS BIGINT) AS w FROM dl, nd),
-         |$rounds
+         |$mixtureTrainCtes
          |SELECT CAST(0 AS BIGINT) AS round, source, flu, CAST(0 AS BIGINT) AS excess,
          |  w AS weight FROM w0
          |$emit
          |ORDER BY round, source""".stripMargin
+    },
+
+    // samp_mixture_trained: the full DoReMi loop as one query -- the
+    // shared training chain's LAST round joined into samp_mixture's
+    // threshold/census algebra (the same hexThrSql and IEEE op order as
+    // the fixed-weight twin); unfitted sources fall to the uniform share
+    // 10^6 // nd, mirroring the Spark default.
+    "samp_mixture_trained" -> {
+      val iters = graft.operators.Curation.mixtureTrainIters
+      s"""WITH $perplexityPdCtes,
+         |$mixtureTrainCtes,
+         |cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+         |rr AS MATERIALIZED (
+         |  SELECT cnt.source, cnt.n,
+         |    CAST(COALESCE(w$iters.w, 1000000 // nd.nd) AS DOUBLE)
+         |      / CAST(cnt.n AS DOUBLE) AS r
+         |  FROM cnt LEFT JOIN w$iters USING (source), nd),
+         |t AS (
+         |  SELECT source, n,
+         |    ${hexThrSql("floor(r / (SELECT max(r) FROM rr) * 16777216.0)")} AS thr
+         |  FROM rr)
+         |SELECT d.source, count(*) AS n_total,
+         |  CAST(sum(CASE WHEN substr(md5(text), 1, 6) < thr THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  min(thr) AS thr
+         |FROM documents d JOIN t ON d.source = t.source
+         |GROUP BY d.source ORDER BY d.source""".stripMargin
     },
 
     // src_jsonl / src_orc: the oracle reads only the parquet ORIGINALS — a

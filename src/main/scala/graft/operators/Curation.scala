@@ -457,10 +457,11 @@ object Curation {
     * contract of [[samp_mixture_train]].
     */
   private[graft] def mixtureThresholds(d: DataFrame,
-      weights: Map[String, Double] = mixtureWeights): DataFrame = {
+      weights: Map[String, Double] = mixtureWeights,
+      default: Double = mixtureDefaultWeight): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy()
     d.groupBy("source").agg(count(lit(1)).as("n"))
-      .withColumn("w", mixtureWeightCol(col("source"), weights))
+      .withColumn("w", mixtureWeightCol(col("source"), weights, default))
       .withColumn("r", col("w") / col("n").cast("double"))
       .withColumn("rate", col("r") / max(col("r")).over(w))
       .withColumn("thr", hexThr(floor(col("rate") * (1 << 24)).cast("long")))
@@ -485,7 +486,14 @@ object Curation {
     */
   def samp_mixture(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val rates = mixtureThresholds(d)
+    mixtureCensus(d, mixtureThresholds(d))
+  }
+
+  /** The shared keep-census tail of [[samp_mixture]] /
+    * [[samp_mixture_trained]]: content-addressed keep decisions against a
+    * broadcast per-source threshold frame, per-source audit out.
+    */
+  private def mixtureCensus(d: DataFrame, rates: DataFrame): DataFrame =
     d.select(col("source"), substring(md5(col("text")), 1, 6).as("p6"))
       .join(broadcast(rates), Seq("source"))
       .groupBy("source")
@@ -494,6 +502,24 @@ object Curation {
         sum(when(col("p6") < col("thr"), 1L).otherwise(0L)).as("n_kept"),
         first(col("thr")).as("thr"))
       .orderBy("source")
+
+  /** [[samp_mixture]] under the FITTED weights — the full DoReMi loop as
+    * one query: train ([[samp_mixture_train]]'s trajectory, memoized via
+    * the scored-frame cache), fold the last round into the weight map,
+    * and run the UNCHANGED content-addressed sampler against it. A source
+    * absent from training (no scoreable docs) falls to the uniform share
+    * 10⁶ div n_domains — the weight an unfitted domain deserves, NOT the
+    * fixed map's 1.0 (which on the millionths scale would effectively
+    * drop it). Same scale shape as samp_mixture: one count aggregate, one
+    * map-only keep scan, one audit aggregate; the training adds one
+    * domain-cardinality aggregate over the memoized scored frame.
+    */
+  def samp_mixture_trained(s: SparkSession, dir: String,
+      iters: Int = mixtureTrainIters): DataFrame = {
+    val d = docs(s, dir)
+    val trained = trainedMixtureWeights(s, dir, iters)
+    val uniform = (1000000L / trained.size).toDouble
+    mixtureCensus(d, mixtureThresholds(d, trained, default = uniform))
   }
 
   /** [[samp_mixture_train]]'s update constants — shared with the DuckDB

@@ -819,6 +819,27 @@ object Similarity {
     distTopK(perShard.reduce(_ unionAll _), k)
   }
 
+  /** APPEND to a sharded deployment — the ingest half the shard trio
+    * needs: the delta routes by [[shardOf]] (the same definition the
+    * writer and the health roll-up use — a row can never be priced
+    * against one shard and stored in another) and each shard's slice
+    * appends under that shard's own writer lock with the single-index
+    * machinery unchanged (encode against the shared sidecars, duplicate /
+    * stale / null fail-fasts included). Empty slices skip — an append
+    * must not touch shards the delta never reaches. After this, sharded
+    * search over the union equals a single index that appended the whole
+    * delta (spec-pinned — shared sidecars keep every code comparable).
+    */
+  def appendToIvfPqIndexSharded(s: SparkSession, paths: Seq[String],
+      newVecs: DataFrame, fullIdCheck: Boolean = false): Unit = {
+    require(paths.nonEmpty, "appendToIvfPqIndexSharded: no shard paths")
+    val n = paths.size
+    paths.zipWithIndex.foreach { case (p, i) =>
+      val slice = newVecs.filter(shardOf(col("vec_id"), n) === i.toLong)
+      if (!slice.isEmpty) appendToIvfPqIndex(s, p, slice, fullIdCheck)
+    }
+  }
+
   /** [[indexHealth]] across shards on one screen: the delta routes to its
     * shard by [[shardOf]] (the rows shard i would actually ingest) and
     * each shard's report carries its shard id — per-(shard, list)

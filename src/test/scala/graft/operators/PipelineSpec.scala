@@ -817,6 +817,20 @@ class PipelineSpec extends AnyFunSuite {
     val want = delta.groupBy(pmod(col("vec_id"), lit(3L)).as("shard"))
       .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(perShard == want)
+    // APPEND parity: the delta appended shard-routed vs whole into the
+    // single index — post-append sharded search still equals the single
+    // index (shared sidecars keep every appended code comparable)
+    Similarity.appendToIvfPqIndexSharded(spark, shards, delta)
+    Similarity.appendToIvfPqIndex(spark, single, delta)
+    val totalAfter = shards.map(p =>
+      spark.read.parquet(s"$p/codes").count()).sum
+    assert(totalAfter == emb.count() + delta.count())
+    val shardedAfter = Similarity.searchIvfPqIndexSharded(spark, shards, queries)
+      .collect().map(_.toSeq).toSeq
+    val wholeAfter = Similarity.searchIvfPqIndexDistributed(spark, single, queries)
+      .collect().map(_.toSeq).toSeq
+    assert(shardedAfter == wholeAfter,
+      "post-append sharded search must equal the single index")
   }
 
   test("appendToIvfPqIndex: append(delta) equals a fixed-codebook rebuild; pruning survives appended files") {
