@@ -2716,6 +2716,25 @@ object OracleSql {
          |${trimReassemblySql("tr")}""".stripMargin,
 
     // ev_coverage: the shared islands chain on the time axis
+    // ev_ewma: the sequential recurrence replayed with list_reduce —
+    // acc-first left fold, first element init, matching Spark's
+    // aggregate(slice(xs, 2, ...), xs[0], ...) exactly; `//` == `div`
+    // because cents are non-negative on this domain
+    "ev_ewma" -> {
+      val a = graft.operators.Relational.ewmaAlphaMillionths
+      s"""WITH ev AS (
+         |  SELECT user_id, $centsSql AS cents,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         |  FROM events),
+         |xs AS (SELECT user_id, list(cents ORDER BY rn) AS xs FROM ev GROUP BY user_id)
+         |SELECT user_id, CAST(len(xs) AS BIGINT) AS n_events,
+         |  xs[1] AS first_cents, xs[-1] AS last_cents,
+         |  CAST(CASE WHEN len(xs) = 1 THEN xs[1]
+         |       ELSE list_reduce(xs, (s, x) -> ($a * x + ${1000000L - a} * s) // 1000000)
+         |       END AS BIGINT) AS ewma_cents
+         |FROM xs ORDER BY user_id""".stripMargin
+    },
+
     "ev_coverage" ->
       s"""WITH iv AS (
          |  SELECT user_id AS doc_id, epoch_us(ts) AS st,

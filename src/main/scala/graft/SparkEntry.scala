@@ -201,6 +201,7 @@ object SparkEntry {
     "samp_split_leakfree" -> ((s, d) => Curation.samp_split_leakfree(s, d)),
     "pipeline_decon" -> ((s, d) => Curation.pipeline_decon(s, d)),
     "ev_coverage" -> (Relational.ev_coverage _),
+    "ev_ewma" -> ((s, d) => Relational.ev_ewma(s, d)),
     "samp_curriculum" -> ((s, d) => Curation.samp_curriculum(s, d)),
     "graph_domains" -> ((s, d) => Graph.graph_domains(s, d)),
     "tx_score_train" -> ((s, d) => TextAnalysis.tx_score_train(s, d)),

@@ -758,6 +758,53 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Per-user EXPONENTIAL SMOOTHING (EWMA — the classic streaming
+    * baseline every metrics pipeline runs beside [[ev_anomaly]]'s global
+    * z-test: Brown/Holt simple exponential smoothing, Hunter's EWMA
+    * control chart): s₁ = x₁, sₜ = (α·xₜ + (1−α)·sₜ₋₁) in fixed-point
+    * millionths — `(A·x + (10⁶−A)·s) div 10⁶`, pure BIGINT on the
+    * non-negative cents domain, so the SEQUENTIAL recurrence (the thing
+    * window sums cannot express) still gets a full DuckDB hash oracle:
+    * Spark folds the user's time-ordered value list left-to-right with
+    * `aggregate`, the twin with `list_reduce` — same init (first
+    * element), same order, same integer floor.
+    *
+    * Scale shape: ONE user-keyed shuffle (the row_number window), then a
+    * map-side-combined ordered collect per user; the fold is per-row
+    * arithmetic over each user's own list (user series are bounded — the
+    * events-per-user kind of bounded, not corpus-sized; a series too long
+    * to collect per user belongs in a stateful stream, which is
+    * [[graft.streaming]]'s `sessionize`/`windowedAgg` territory). Emits
+    * per user: event count, first/last raw cents, and the smoothed value.
+    */
+  /** [[ev_ewma]]'s default smoothing constant in millionths — shared with
+    * the DuckDB twin (the mixtureWeights convention). */
+  private[graft] val ewmaAlphaMillionths: Long = 300000L
+
+  def ev_ewma(s: SparkSession, dir: String,
+      alphaMillionths: Long = ewmaAlphaMillionths): DataFrame = {
+    require(alphaMillionths >= 1L && alphaMillionths <= 1000000L,
+      s"ev_ewma: alphaMillionths=$alphaMillionths must be in [1, 1000000]")
+    val a = alphaMillionths
+    val seq = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        centsCol(col("value")).as("cents"))
+      .withColumn("rn", row_number().over(seq))
+      .groupBy("user_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("rn"), col("cents")))),
+        p => p.getField("cents")).as("xs"))
+      .select(col("user_id"),
+        size(col("xs")).cast("long").as("n_events"),
+        element_at(col("xs"), 1).as("first_cents"),
+        element_at(col("xs"), -1).as("last_cents"),
+        expr(s"""aggregate(slice(xs, 2, size(xs) - 1), xs[0],
+                 |  (s, x) -> ($a * x + ${1000000L - a} * s) div 1000000)"""
+          .stripMargin).as("ewma_cents"))
+      .orderBy("user_id")
+  }
+
   /** Semi-structured JSON column access: `events.props` is a JSON string;
     * extract a typed field with a JSON path and aggregate it. Spark's
     * `get_json_object` is codegen'd — the extraction runs inside the scan
