@@ -2715,7 +2715,6 @@ object OracleSql {
          |tr AS (SELECT doc_id, w FROM w WHERE NOT is_eval),
          |${trimReassemblySql("tr")}""".stripMargin,
 
-    // ev_coverage: the shared islands chain on the time axis
     // ev_ewma: the sequential recurrence replayed with list_reduce —
     // acc-first left fold, first element init, matching Spark's
     // aggregate(slice(xs, 2, ...), xs[0], ...) exactly; `//` == `div`
@@ -2735,6 +2734,7 @@ object OracleSql {
          |FROM xs ORDER BY user_id""".stripMargin
     },
 
+    // ev_coverage: the shared islands chain on the time axis
     "ev_coverage" ->
       s"""WITH iv AS (
          |  SELECT user_id AS doc_id, epoch_us(ts) AS st,

@@ -758,6 +758,10 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** [[ev_ewma]]'s default smoothing constant in millionths — shared with
+    * the DuckDB twin (the mixtureWeights convention). */
+  private[graft] val ewmaAlphaMillionths: Long = 300000L
+
   /** Per-user EXPONENTIAL SMOOTHING (EWMA — the classic streaming
     * baseline every metrics pipeline runs beside [[ev_anomaly]]'s global
     * z-test: Brown/Holt simple exponential smoothing, Hunter's EWMA
@@ -777,10 +781,6 @@ object Relational {
     * [[graft.streaming]]'s `sessionize`/`windowedAgg` territory). Emits
     * per user: event count, first/last raw cents, and the smoothed value.
     */
-  /** [[ev_ewma]]'s default smoothing constant in millionths — shared with
-    * the DuckDB twin (the mixtureWeights convention). */
-  private[graft] val ewmaAlphaMillionths: Long = 300000L
-
   def ev_ewma(s: SparkSession, dir: String,
       alphaMillionths: Long = ewmaAlphaMillionths): DataFrame = {
     require(alphaMillionths >= 1L && alphaMillionths <= 1000000L,

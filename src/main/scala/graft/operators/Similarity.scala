@@ -742,6 +742,32 @@ object Similarity {
   private[graft] def shardOf(vecId: Column, shards: Int): Column =
     pmod(vecId, lit(shards.toLong))
 
+  /** The shard ids of a sharded deployment, parsed from the `shard=<i>`
+    * path components [[writeIvfPqIndexShards]] mints — NEVER from list
+    * position: a reordered `paths` Seq would silently price one shard's
+    * delta against another's codes, and a partial list would route with
+    * the wrong modulus (the modulus is the TOTAL shard count). Requires a
+    * complete deployment: ids exactly 0..n−1.
+    */
+  private def shardIds(paths: Seq[String], who: String): Seq[Int] = {
+    val idRe = ".*shard=(\\d+)/?$".r
+    val ids = paths.map { p =>
+      p match {
+        case idRe(i) => i.toInt
+        case _ => throw new IllegalArgumentException(
+          s"$who: path '$p' does not end in a shard=<i> component — " +
+            "shard identity is read from the path, not from list " +
+            "position, so an unlabeled path cannot be routed safely")
+      }
+    }
+    require(ids.sorted == (0 until paths.size),
+      s"$who: shard ids ${ids.sorted.mkString(",")} must be exactly " +
+        s"0..${paths.size - 1} — the routing modulus is the TOTAL shard " +
+        "count, so a partial or duplicated shard list would misroute " +
+        "every delta row")
+    ids
+  }
+
   /** HORIZONTAL index sharding — the scale dimension [[appendOrRetrain]]
     * (aging) doesn't cover: at 100 TB the codes themselves outgrow one
     * filesystem/namespace and the index splits into N self-contained
@@ -778,6 +804,13 @@ object Similarity {
     val booksDf = books.zipWithIndex.flatMap { case (book, sx) =>
       book.zipWithIndex.map { case (cw, j) => (sx, j, cw) }
     }.toDF("s", "j", "codeword")
+    // per-shard health references: each shard's OWN slice priced against
+    // the shared sidecars — computed for ALL shards in ONE
+    // assignment+encode pass (keyed residualErrStats) and checkpointed;
+    // the per-shard writes below filter this shards×nlist-sized frame,
+    // never re-scanning the corpus
+    val health = residualErrStatsBy(emb, cents, books, m, sub,
+      shardOf(col("vec_id"), shards)).graftCheckpoint()
     (0 until shards).map { i =>
       val path = s"$basePath/shard=$i"
       withWriterLock(s, path, "writeIvfPqIndexShards") {
@@ -786,12 +819,7 @@ object Similarity {
           .write.mode("overwrite").partitionBy("cid").parquet(s"$path/codes")
         centsDf.write.mode("overwrite").parquet(s"$path/centroids")
         booksDf.write.mode("overwrite").parquet(s"$path/codebooks")
-        // per-shard health reference: the shard's OWN slice priced against
-        // the shared sidecars — each shard's later drift probes compare
-        // against what that shard actually holds
-        residualErrStats(
-          emb.filter(shardOf(col("vec_id"), shards) === i.toLong),
-          cents, books, m, sub)
+        health.filter(col("__k") === i.toLong).drop("__k")
           .write.mode("overwrite").parquet(s"$path/health")
       }
       path
@@ -834,9 +862,16 @@ object Similarity {
       newVecs: DataFrame, fullIdCheck: Boolean = false): Unit = {
     require(paths.nonEmpty, "appendToIvfPqIndexSharded: no shard paths")
     val n = paths.size
-    paths.zipWithIndex.foreach { case (p, i) =>
-      val slice = newVecs.filter(shardOf(col("vec_id"), n) === i.toLong)
-      if (!slice.isEmpty) appendToIvfPqIndex(s, p, slice, fullIdCheck)
+    val ids = shardIds(paths, "appendToIvfPqIndexSharded")
+    // ONE aggregate routes the whole delta (n rows back) — a per-shard
+    // isEmpty probe would scan the delta up to 2n times, fully whenever a
+    // shard's slice is empty (exactly the case the skip exists for)
+    val counts = newVecs.groupBy(shardOf(col("vec_id"), n).as("shard"))
+      .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    paths.zip(ids).foreach { case (p, i) =>
+      if (counts.getOrElse(i.toLong, 0L) > 0L)
+        appendToIvfPqIndex(s, p,
+          newVecs.filter(shardOf(col("vec_id"), n) === i.toLong), fullIdCheck)
     }
   }
 
@@ -852,7 +887,8 @@ object Similarity {
       delta: DataFrame): DataFrame = {
     require(paths.nonEmpty, "indexHealthSharded: no shard paths")
     val n = paths.size
-    val reports = paths.zipWithIndex.map { case (p, i) =>
+    val ids = shardIds(paths, "indexHealthSharded")
+    val reports = paths.zip(ids).map { case (p, i) =>
       indexHealth(s, p, delta.filter(shardOf(col("vec_id"), n) === i.toLong))
         .withColumn("shard", lit(i.toLong))
     }
@@ -959,24 +995,33 @@ object Similarity {
     * computed identically — comparable by construction.
     */
   private def residualErrStats(vecs: DataFrame, cents: Seq[Seq[Double]],
-      books: Seq[Seq[Seq[Double]]], m: Int, sub: Int): DataFrame = {
-    val withList = vecs.select(col("vec_id"), col("embedding"),
+      books: Seq[Seq[Seq[Double]]], m: Int, sub: Int): DataFrame =
+    residualErrStatsBy(vecs, cents, books, m, sub, lit(0L)).drop("__k")
+
+  /** [[residualErrStats]] keyed by an extra grouping column — the device
+    * that lets [[writeIvfPqIndexShards]] price ALL shards' health
+    * references in ONE pass over the corpus instead of one
+    * assignment+encode scan per shard.
+    */
+  private def residualErrStatsBy(vecs: DataFrame, cents: Seq[Seq[Double]],
+      books: Seq[Seq[Seq[Double]]], m: Int, sub: Int, key: Column): DataFrame = {
+    val withList = vecs.select(key.as("__k"), col("embedding"),
       Clustering.assignTo(cents).getField("c").as("cid"))
     // residual re-cast to float exactly like build/append encode paths —
     // drift numbers must price the SAME residuals the codes hold
-    val resid = withList.select(col("cid"),
+    val resid = withList.select(col("__k"), col("cid"),
       zip_with(col("embedding"), element_at(typedLit(cents), col("cid") + 1),
         (x, c) => (x.cast("double") - c).cast("float")).as("embedding"))
     val err = (0 until m).map { sx =>
       Clustering.assignSub(slice(col("embedding"), sx * sub + 1, sub), books(sx))
         .getField("d")
     }.reduce(_ + _)
-    resid.select(col("cid"), err.as("err"))
-      .groupBy("cid")
+    resid.select(col("__k"), col("cid"), err.as("err"))
+      .groupBy("__k", "cid")
       .agg(count(lit(1)).as("n"),
         avg(col("err")).as("mean_err"),
         percentile_approx(col("err"), lit(0.95), lit(10000)).as("p95_err"))
-      .orderBy("cid")
+      .orderBy("__k", "cid")
   }
 
   /** One-call lifecycle report for a persisted index: per-list occupancy

@@ -58,12 +58,31 @@ object Csv {
           .otherwise(col(c)).as(c)
       else col(c)
     }.toSeq: _*)
-    guarded.write.mode("overwrite")
-      .option("header", "true")
-      .option("quoteAll", "true")
-      .option("nullValue", NullSentinel)
-      .option("emptyValue", "\"\"")
-      .csv(path)
+    // Write-then-swap: an in-task guard aborts MID-write, and
+    // mode("overwrite") straight at `path` would have cleared a
+    // pre-existing good export before the abort (the old pre-scan failed
+    // with the destination untouched — keep that property). The staging
+    // dir absorbs the abort; only a fully-written export replaces the
+    // destination (the compactIvfPqIndex swap discipline).
+    val dest = new org.apache.hadoop.fs.Path(path)
+    val fs = dest.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(path + "._staging")
+    try {
+      guarded.write.mode("overwrite")
+        .option("header", "true")
+        .option("quoteAll", "true")
+        .option("nullValue", NullSentinel)
+        .option("emptyValue", "\"\"")
+        .csv(staging.toString)
+      if (fs.exists(dest)) fs.delete(dest, true)
+      require(fs.rename(staging, dest),
+        s"Csv.write: rename $staging -> $dest failed; the export is " +
+          "intact in the staging directory")
+    } finally {
+      // a guard abort leaves a partial staging dir — remove it; after a
+      // successful rename this path no longer exists and delete is a no-op
+      if (fs.exists(staging)) fs.delete(staging, true)
+    }
   }
 
   def readDocuments(spark: SparkSession, path: String): DataFrame =

@@ -41,6 +41,10 @@ class CsvSpec extends AnyFunSuite {
 
   test("csv write refuses a corpus whose text is literally the null sentinel (the reader would null it)") {
     val tmp = java.nio.file.Files.createTempDirectory("graftcsvsent").toString
+    // a pre-existing good export must SURVIVE a refused write (the
+    // write-then-swap contract: the abort lands in the staging dir)
+    Csv.write(Seq((9L, "prior good export", "en", "s", 17L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"), tmp)
     val rows = Seq((1L, "\\N", "en", "s", 2L))
     // the guard is in-task (raise_error inside the write projection), so
     // the failure surfaces as a SparkException wrapping the message —
@@ -51,6 +55,9 @@ class CsvSpec extends AnyFunSuite {
     val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
     assert(msgs.contains("null sentinel"))
+    val survived = Csv.readDocuments(spark, tmp).collect()
+    assert(survived.length == 1 && survived(0).getString(1) == "prior good export",
+      "refused write must leave the previous export intact")
     // a doc merely CONTAINING the sentinel is fine — only full equality
     // collides with the protocol
     Csv.write(Seq((2L, "uses \\N inside", "en", "s", 14L))
