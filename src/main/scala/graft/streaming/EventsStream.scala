@@ -264,6 +264,49 @@ object EventsStream {
         })
   }
 
+  case class EwmaState(n: Long, first: Long, last: Long, ewma: Long)
+  case class EwmaRow(user_id: Long, n_events: Long, first_cents: Long,
+      last_cents: Long, ewma_cents: Long)
+
+  /** Streaming twin of [[graft.operators.Relational.ev_ewma]]: the
+    * per-user exponentially-smoothed value as a LIVE running metric —
+    * each batch emits every touched user's updated row (update-mode
+    * sink), the shape a monitoring dashboard reads. The recurrence is
+    * the batch operator's exact fixed-point algebra
+    * (`(α·x + (10⁶−α)·s) div 10⁶` on floor(value·100) cents, first
+    * event seeds the state), so after any batch partitioning of an
+    * in-order feed the final row per user is BIT-IDENTICAL to the batch
+    * operator on the same events — the spec pins it across a batch
+    * boundary. State per user is ONE 4-long struct, bounded by user
+    * cardinality; per-user event-time order across batches is assumed,
+    * as in [[attributionStream]]/[[transitionsStream]] (within a batch
+    * the group sorts by (ts, event_id)).
+    */
+  def ewmaStream(events: Dataset[Event],
+      alphaMillionths: Long = graft.operators.Relational.ewmaAlphaMillionths):
+      Dataset[EwmaRow] = {
+    require(alphaMillionths >= 1L && alphaMillionths <= 1000000L,
+      s"ewmaStream: alphaMillionths=$alphaMillionths must be in [1, 1000000]")
+    import events.sparkSession.implicits._
+    val a = alphaMillionths
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[Event], state: GroupState[EwmaState]) => {
+          val sorted = rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(EwmaState(0L, 0L, 0L, 0L))
+          sorted.foreach { e =>
+            val x = math.floor(e.value * 100).toLong
+            st =
+              if (st.n == 0L) EwmaState(1L, x, x, x)
+              else EwmaState(st.n + 1L, st.first, x,
+                (a * x + (1000000L - a) * st.ewma) / 1000000L)
+          }
+          state.update(st)
+          EwmaRow(userId, st.n, st.first, st.last, st.ewma)
+        })
+  }
+
   /** Stateful gap-based sessionization (30-min inactivity) via
     * flatMapGroupsWithState — the streaming twin of `q24_sessionize`.
     * State per user is ONE small struct regardless of history (bounded by

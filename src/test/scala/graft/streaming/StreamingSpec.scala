@@ -333,6 +333,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ewmaStream: running per-user EWMA crosses batches; final rows bit-equal the batch ev_ewma") {
+    val input = MemoryStream[EventsStream.Event](spark)
+    def ev(id: Long, user: Long, sec: Long, v: Double) =
+      EventsStream.Event(id, new java.sql.Timestamp(sec * 1000L), user, "view", v)
+    // user 7's series splits across the batch boundary — the smoothed
+    // state must carry; user 9 is single-event (ewma == first == last)
+    val batch1 = Seq(ev(1, 7, 0, 1.00), ev(2, 7, 60, 2.00))
+    val batch2 = Seq(ev(3, 7, 120, 10.00), ev(4, 9, 0, 9.99))
+    val q = EventsStream.ewmaStream(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("ewma_out").start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      // update mode appends each batch's refreshed rows — the live row
+      // per user is the one with the highest event count
+      val streamed = spark.table("ewma_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .groupBy(_._1).map { case (_, rows) => rows.maxBy(_._2) }.toSet
+      val dir = java.nio.file.Files.createTempDirectory("graftewma").toString
+      import spark.implicits._
+      (batch1 ++ batch2).map(e => (e.event_id, e.ts, e.user_id, e.event_type, e.value, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$dir/events.parquet")
+      val batch = graft.operators.Relational.ev_ewma(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(streamed == batch,
+        s"stream final rows $streamed must equal batch $batch")
+      // hand check: user 7 = fold(100, 200, 1000) at alpha 0.3:
+      // s1=100, s2=(0.3*200+0.7*100)=130, s3=(0.3*1000+0.7*130)=391
+      assert(batch.contains((7L, 3L, 100L, 1000L, 391L)))
+      assert(batch.contains((9L, 1L, 999L, 999L, 999L)))
+    } finally q.stop()
+  }
+
   test("trendingTypes: windowed Misra-Gries top-k on the stream equals the batch twin") {
     val stream = EventsStream.readStream(spark, dir)
     val q = EventsStream.trendingTypes(stream)
