@@ -337,6 +337,18 @@ object OracleSql {
        |  FROM da WHERE NOT blocked),
        |auth AS (SELECT domain FROM ar WHERE rk <= (nd + 1) // 2)""".stripMargin
 
+  /** The deterministic second-snapshot plant shared by the rel_diff and
+    * profile_drift twins — one SQL spelling of `Curation.driftV2`, so the
+    * two diff angles can never disagree about what "v2" is.
+    */
+  private val driftV2Sql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 10 = 1 THEN text || ' [v2]' ELSE text END AS text,
+      |  lang
+      |FROM documents WHERE doc_id % 10 <> 0
+      |UNION ALL
+      |SELECT doc_id + 1000000000, text, lang FROM documents WHERE doc_id % 10 = 2""".stripMargin
+
   /** Word bigrams as a list expression over a staged `w` word array — the
     * shingle spelling of the samp_importance twin, shared by the scorer
     * twins.
@@ -2583,15 +2595,9 @@ object OracleSql {
     // null-text doc must not read as absent); both-present digests compare
     // null-safely, mirroring the Spark <=> exactly
     "rel_diff" ->
-      """WITH v1 AS (SELECT doc_id, md5(text) AS d1, true AS in1 FROM documents),
+      s"""WITH v1 AS (SELECT doc_id, md5(text) AS d1, true AS in1 FROM documents),
         |v2 AS (
-        |  SELECT doc_id,
-        |    md5(CASE WHEN doc_id % 10 = 1 THEN text || ' [v2]' ELSE text END) AS d2,
-        |    true AS in2
-        |  FROM documents WHERE doc_id % 10 <> 0
-        |  UNION ALL
-        |  SELECT doc_id + 1000000000, md5(text), true
-        |  FROM documents WHERE doc_id % 10 = 2),
+        |  SELECT doc_id, md5(text) AS d2, true AS in2 FROM ($driftV2Sql)),
         |j AS (
         |  SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
         |    CASE WHEN in1 IS NULL THEN 'added'
@@ -2603,6 +2609,36 @@ object OracleSql {
         |  CAST(min(doc_id) AS BIGINT) AS min_id,
         |  CAST(max(doc_id) AS BIGINT) AS max_id
         |FROM j GROUP BY status ORDER BY status""".stripMargin,
+
+    // profile_drift: the UNION-of-two-censuses spelling (one scan per
+    // feature is fine for the oracle; the Spark side rides one explode);
+    // same driftV2Sql plant as rel_diff, shares in exact integer ppm
+    "profile_drift" -> {
+      def census(src: String, n: String): String =
+        s"""SELECT 'lang' AS feature, COALESCE(lang, '(null)') AS bucket,
+           |  CAST(count(*) AS BIGINT) AS $n FROM $src GROUP BY 2
+           |UNION ALL
+           |SELECT 'len_c', CAST(COALESCE(length(text) // 100, -1) AS VARCHAR),
+           |  CAST(count(*) AS BIGINT) FROM $src GROUP BY 2""".stripMargin
+      s"""WITH v2 AS ($driftV2Sql),
+         |f1 AS (${census("documents", "n1")}),
+         |f2 AS (${census("v2", "n2")}),
+         |j AS (
+         |  SELECT COALESCE(f1.feature, f2.feature) AS feature,
+         |    COALESCE(f1.bucket, f2.bucket) AS bucket,
+         |    COALESCE(n1, 0) AS n1, COALESCE(n2, 0) AS n2
+         |  FROM f1 FULL JOIN f2
+         |    ON f1.feature = f2.feature AND f1.bucket = f2.bucket)
+         |SELECT feature, bucket, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+         |  CAST((n1 * 1000000) // sum(n1) OVER (PARTITION BY feature) AS BIGINT)
+         |    AS share1_ppm,
+         |  CAST((n2 * 1000000) // sum(n2) OVER (PARTITION BY feature) AS BIGINT)
+         |    AS share2_ppm,
+         |  CAST((n1 * 1000000) // sum(n1) OVER (PARTITION BY feature)
+         |     - (n2 * 1000000) // sum(n2) OVER (PARTITION BY feature) AS BIGINT)
+         |    AS delta_ppm
+         |FROM j ORDER BY feature, bucket""".stripMargin
+    },
 
     "embed_rp" -> embedRpSql,
 

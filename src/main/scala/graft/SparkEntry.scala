@@ -184,6 +184,7 @@ object SparkEntry {
     "ev_paths" -> ((s, d) => Relational.ev_paths(s, d)),
     // release-to-release snapshot diff census
     "rel_diff" -> (Curation.rel_diff _),
+    "profile_drift" -> (Curation.profile_drift _),
     // signed random projection over the shared int8 codes
     "embed_rp" -> ((s, d) => Clustering.embed_rp(s, d)),
     // CSV round trip certified against the parquet originals

@@ -1008,17 +1008,29 @@ object Curation {
     * aggregate whose output is ≤ 4 rows. At 100 TB this is the cheapest
     * possible diff: both sides scan once, project (id, digest), join.
     */
-  def rel_diff(s: SparkSession, dir: String): DataFrame = {
-    val base = docs(s, dir).select(col("doc_id"), col("text"))
+  /** The deterministic "second snapshot" plant shared by [[rel_diff]] and
+    * [[profile_drift]] (and their DuckDB twins, via one SQL fragment):
+    * residue 0 dropped (removals), residue 1 edited (append " [v2]"),
+    * residue 2 duplicated under +10⁹ ids (additions) — every diff class
+    * exercised from one deterministic derivation.
+    */
+  private def driftV2(base: DataFrame): DataFrame = {
     val res = pmod(col("doc_id"), lit(10))
-    val v1 = base.select(col("doc_id"), md5(col("text")).as("d1"),
-      lit(true).as("in1"))
-    val v2 = base.filter(res =!= 0)
+    base.filter(res =!= 0)
       .select(col("doc_id"),
         when(res === 1, concat(col("text"), lit(" [v2]")))
-          .otherwise(col("text")).as("text"))
+          .otherwise(col("text")).as("text"),
+        col("lang"))
       .unionByName(base.filter(res === 2)
-        .select((col("doc_id") + lit(1000000000L)).as("doc_id"), col("text")))
+        .select((col("doc_id") + lit(1000000000L)).as("doc_id"), col("text"),
+          col("lang")))
+  }
+
+  def rel_diff(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), col("text"), col("lang"))
+    val v1 = base.select(col("doc_id"), md5(col("text")).as("d1"),
+      lit(true).as("in1"))
+    val v2 = driftV2(base)
       .select(col("doc_id"), md5(col("text")).as("d2"), lit(true).as("in2"))
     v1.join(v2, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
@@ -1031,6 +1043,55 @@ object Curation {
         min(col("doc_id")).as("min_id"),
         max(col("doc_id")).as("max_id"))
       .orderBy("status")
+  }
+
+  /** DISTRIBUTION-SHIFT census between two corpus snapshots — the
+    * rel_diff companion every crawl-over-crawl pipeline runs before
+    * retraining on a new snapshot: per feature (language; text-length
+    * century), the bucket's document count and corpus SHARE in each
+    * snapshot plus the signed share delta, all in integer
+    * parts-per-million (`(n·10⁶) div N` — exact, so the census is a full
+    * hash oracle; Σ|delta_ppm|/2 over a feature is the total-variation
+    * distance in ppm, the standard shift statistic, derivable from the
+    * emitted rows without a float log anywhere — the same
+    * no-float-summation stance as samp_importance's integer DSIR). The
+    * second snapshot is the [[driftV2]] plant rel_diff diffs, so both
+    * operators describe the SAME pair of corpora from two angles:
+    * row-identity churn there, distribution movement here.
+    *
+    * Scale shape: one scan per snapshot (the two feature censuses ride
+    * one explode), map-side-combined group-bys whose output is
+    * bucket-cardinality; the share window partitions by feature over
+    * that census frame, never the corpus. Buckets are null-guarded into
+    * sentinel strings because a full-outer equi join drops null keys
+    * silently.
+    */
+  def profile_drift(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), col("text"), col("lang"))
+    def census(v: DataFrame): DataFrame =
+      v.select(explode(array(
+          struct(lit("lang").as("feature"),
+            coalesce(col("lang"), lit("(null)")).as("bucket")),
+          struct(lit("len_c").as("feature"),
+            coalesce(expr("length(text) div 100"), lit(-1))
+              .cast("string").as("bucket")))).as("fb"))
+        .select(col("fb.feature").as("feature"), col("fb.bucket").as("bucket"))
+        .groupBy("feature", "bucket").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("feature")
+    census(base).withColumnRenamed("n", "n1")
+      .join(census(driftV2(base)).withColumnRenamed("n", "n2"),
+        Seq("feature", "bucket"), "full_outer")
+      .select(col("feature"), col("bucket"),
+        coalesce(col("n1"), lit(0L)).as("n1"),
+        coalesce(col("n2"), lit(0L)).as("n2"))
+      .withColumn("s1", sum(col("n1")).over(w))
+      .withColumn("s2", sum(col("n2")).over(w))
+      .withColumn("share1_ppm", expr("(n1 * 1000000) div s1"))
+      .withColumn("share2_ppm", expr("(n2 * 1000000) div s2"))
+      .withColumn("delta_ppm", col("share1_ppm") - col("share2_ppm"))
+      .select("feature", "bucket", "n1", "n2",
+        "share1_ppm", "share2_ppm", "delta_ppm")
+      .orderBy("feature", "bucket")
   }
 
   /** Hashed-bigram IMPORTANCE scoring in the DSIR spirit (Xie et al. 2023,
