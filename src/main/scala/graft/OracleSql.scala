@@ -942,6 +942,55 @@ object OracleSql {
         |       x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // dd_embed_lsh: a FULL oracle despite the xxhash64-derived hyperplanes
+    // — the plane matrix is a pure function of (plane, dim) CONSTANTS, so
+    // the twin inlines VecMatDots.planeMatrix's resolved doubles as list
+    // literals (the embed_rp rpSigns device; shortest-decimal repr
+    // round-trips exactly) instead of computing the hash. Margins fold
+    // left-to-right like the expression; sign-bit bucket, within-bucket
+    // rep pairs, exact-dup clique expansion (inter via the two member
+    // lists, intra via the self-cosine rule) mirror Dedup.expandPairs.
+    "dd_embed_lsh" -> {
+      val planes = 4
+      val mat = graft.functions.VecMatDots.planeMatrix(planes, 64)
+      val dotDefs = (0 until planes).map { p =>
+        val lits = mat(p).mkString("[", ", ", "]")
+        s"""list_sum(list_transform(list_zip(embedding, $lits),
+           |      z -> CAST(z[1] AS DOUBLE) * z[2])) AS d$p""".stripMargin
+      }.mkString(",\n    ")
+      val bucketExpr = (0 until planes)
+        .map(p => s"(CASE WHEN d$p >= 0 THEN ${1L << p} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH grp AS MATERIALIZED (
+         |  SELECT embedding, min(vec_id) AS rep, list(vec_id) AS members
+         |  FROM embeddings GROUP BY embedding),
+         |dts AS (
+         |  SELECT rep, embedding,
+         |    $dotDefs
+         |  FROM grp),
+         |bk AS MATERIALIZED (
+         |  SELECT rep, embedding, CAST($bucketExpr AS BIGINT) AS bucket FROM dts),
+         |rp AS (
+         |  SELECT x.rep AS ra, y.rep AS rb,
+         |    ${cosGuardSql("x.embedding", "y.embedding")} AS cos
+         |  FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.rep < y.rep
+         |  WHERE ${cosGuardSql("x.embedding", "y.embedding")} >= 0.4),
+         |inter AS (
+         |  SELECT least(tx.xx, ty.yy) AS a, greatest(tx.xx, ty.yy) AS b, cos
+         |  FROM rp
+         |  JOIN grp ga ON ga.rep = rp.ra
+         |  JOIN grp gb ON gb.rep = rp.rb,
+         |  UNNEST(ga.members) AS tx(xx), UNNEST(gb.members) AS ty(yy)),
+         |intra AS (
+         |  SELECT t1.xx AS a, t2.yy AS b, sc AS cos
+         |  FROM (SELECT ${cosGuardSql("embedding", "embedding")} AS sc, members
+         |        FROM grp WHERE len(members) > 1) g,
+         |  UNNEST(g.members) AS t1(xx), UNNEST(g.members) AS t2(yy)
+         |  WHERE t1.xx < t2.yy AND sc >= 0.4)
+         |SELECT a, b, cos FROM (SELECT * FROM inter UNION ALL SELECT * FROM intra)
+         |ORDER BY a, b""".stripMargin
+    },
+
     "dd_embed_cosine" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings)
          |SELECT a.vec_id AS a, b.vec_id AS b, ${cosGuardSql("a.embedding", "b.embedding")} AS cos

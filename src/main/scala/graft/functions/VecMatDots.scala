@@ -33,11 +33,8 @@ case class VecMatDots(child: Expression, planes: Int) extends UnaryExpression {
   /** `xxhash64(p, i)` as the SQL function computes it: each child hashed in
     * order, the running hash seeding the next, initial seed 42.
     */
-  private def planeEntry(p: Int, i: Int): Double = {
-    val h = XXH64.hashInt(i, XXH64.hashInt(p, 42L))
-    val m = ((h % 1000L) + 1000L) % 1000L // pmod
-    m.toDouble / 1000.0 - 0.5
-  }
+  private def planeEntry(p: Int, i: Int): Double =
+    VecMatDots.planeEntry(p, i) // the ONE formula, shared with planeMatrix
 
   /** Plane matrix for row width `dims`, row-major: m(p·dims + i). Cached
     * per expression instance as an immutable (dims, matrix) pair behind a
@@ -127,4 +124,24 @@ object VecMatDots {
   def dots(vec: Column, planes: Int): Column =
     GraftColumnBridge.column(
       VecMatDots(GraftColumnBridge.expression(vec), planes))
+
+  /** The deterministic plane matrix itself, row-major by plane — the
+    * SAME `(pmod(xxhash64(p, i), 1000))/1000.0 − 0.5` entries the
+    * expression derives lazily. Exposed so the DuckDB twins can inline
+    * the matrix as literals (the embed_rp rpSigns device): the hash is
+    * a pure function of (plane, dim) constants, so the oracle need not
+    * compute xxhash64 — it ships the resolved doubles, which round-trip
+    * exactly through their shortest decimal representation.
+    */
+  private[graft] def planeMatrix(planes: Int, dims: Int): Seq[Seq[Double]] =
+    (0 until planes).map(p => (0 until dims).map(i => planeEntry(p, i)))
+
+  /** `xxhash64(p, i)` as the SQL function computes it (children hashed in
+    * order, running hash seeding the next, seed 42), mapped to
+    * `pmod(h, 1000)/1000 − 0.5`.
+    */
+  private def planeEntry(p: Int, i: Int): Double = {
+    val h = XXH64.hashInt(i, XXH64.hashInt(p, 42L))
+    (((h % 1000L) + 1000L) % 1000L).toDouble / 1000.0 - 0.5
+  }
 }
