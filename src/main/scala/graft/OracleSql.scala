@@ -942,6 +942,60 @@ object OracleSql {
         |       x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // ann_lsh: a FULL oracle for the multi-probe LSH search — the
+    // hyperplanes inline as literals like dd_embed_lsh's, and the Lv et
+    // al. probe sequence is pure arithmetic over them: per query, all
+    // 2^planes flip masks costed by the summed |margin| of their set bits
+    // (list_sum positional = the Spark aggregate's left-to-right double
+    // fold, 0.0 terms in the same positions), struct-sorted on
+    // (cost, mask) — lexicographic on both engines — sliced to nProbes,
+    // XORed onto the home bucket. Validated bit-exact (cos included)
+    // against the operator before wiring.
+    "ann_lsh" -> {
+      val planes = 8; val nProbes = 16; val nQueries = 8; val k = 10
+      val mat = graft.functions.VecMatDots.planeMatrix(planes, 64)
+      val dotDefs = (0 until planes).map { p =>
+        s"""list_sum(list_transform(list_zip(embedding, ${mat(p).mkString("[", ", ", "]")}),
+           |      z -> CAST(z[1] AS DOUBLE) * z[2])) AS d$p""".stripMargin
+      }.mkString(",\n    ")
+      val bucketExpr = (0 until planes)
+        .map(p => s"(CASE WHEN d$p >= 0 THEN ${1L << p} ELSE 0 END)")
+        .mkString(" + ")
+      val dList = (0 until planes).map(p => s"d$p").mkString("[", ", ", "]")
+      s"""WITH dts AS (
+         |  SELECT vec_id, embedding,
+         |    $dotDefs
+         |  FROM embeddings),
+         |bk AS MATERIALIZED (
+         |  SELECT vec_id, embedding, $dList AS dl,
+         |    CAST($bucketExpr AS BIGINT) AS bucket
+         |  FROM dts),
+         |qs AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb, dl, bucket AS home
+         |  FROM bk
+         |  WHERE vec_id < $nQueries
+         |    AND sqrt(list_sum(list_transform(embedding,
+         |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0),
+         |qp AS (
+         |  SELECT q_id, q_emb, UNNEST(list_transform(
+         |    (list_sort(list_transform(generate_series(0, ${(1 << planes) - 1}),
+         |       m -> {'cost': list_sum(list_transform(generate_series(0, ${planes - 1}),
+         |                p -> CASE WHEN (m >> p) & 1 = 1 THEN abs(dl[p + 1]) ELSE 0.0 END)),
+         |             'mask': m})))[1:$nProbes],
+         |    s2 -> xor(home, CAST(s2.mask AS BIGINT)))) AS bucket
+         |  FROM qs),
+         |sc AS (
+         |  SELECT q_id, e.vec_id AS vec_id,
+         |    ${cosGuardSql("q_emb", "e.embedding")} AS cos
+         |  FROM bk e JOIN qp USING (bucket)
+         |  WHERE e.vec_id <> q_id),
+         |rk AS (SELECT q_id, vec_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT)
+         |    AS rank FROM sc)
+         |SELECT q_id, rank, vec_id, cos FROM rk WHERE rank <= $k
+         |ORDER BY q_id, rank""".stripMargin
+    },
+
     // dd_embed_lsh: a FULL oracle despite the xxhash64-derived hyperplanes
     // — the plane matrix is a pure function of (plane, dim) CONSTANTS, so
     // the twin inlines VecMatDots.planeMatrix's resolved doubles as list
