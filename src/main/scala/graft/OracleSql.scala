@@ -201,11 +201,11 @@ object OracleSql {
     */
   private def kmeansCoreCtes(k: Int, iters: Int): String = {
     val head =
-      s"""c0 AS (
+      s"""c0 AS MATERIALIZED (
          |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c,
          |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
          |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k)),
-         |eu AS (
+         |eu AS MATERIALIZED (
          |  SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos,
          |         CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT) AS qx
          |  FROM (SELECT vec_id, unnest(embedding) AS x,
@@ -230,7 +230,8 @@ object OracleSql {
            |               CAST(generate_subscripts(ce, 1) - 1 AS INTEGER) AS pos
            |        FROM c${i - 1}) pc
            |  LEFT JOIN sums$i s ON s.cluster = pc.c AND s.pos = pc.pos),
-           |c$i AS (SELECT c, list(val ORDER BY pos) AS ce FROM cv$i GROUP BY c)""".stripMargin
+           |c$i AS MATERIALIZED (
+           |  SELECT c, list(val ORDER BY pos) AS ce FROM cv$i GROUP BY c)""".stripMargin
     }.mkString(",\n")
     head + ",\n" + rounds
   }
@@ -244,19 +245,19 @@ object OracleSql {
   private def pqCoreCtes(m: Int, k: Int, iters: Int, sub: Int): String = {
     val head =
       s"""sd AS (SELECT CAST(range AS INTEGER) AS sp FROM range(0, $m)),
-         |sv AS (
+         |sv AS MATERIALIZED (
          |  SELECT e.vec_id, sd.sp,
          |    list_transform(generate_series(1, $sub),
          |      j -> CAST(e.embedding[sd.sp * $sub + j] AS DOUBLE)) AS sv
          |  FROM embeddings e, sd),
-         |b0 AS (
+         |b0 AS MATERIALIZED (
          |  SELECT sd.sp, seed.c,
          |    list_transform(generate_series(1, $sub),
          |      j -> CAST(seed.embedding[sd.sp * $sub + j] AS DOUBLE)) AS ce
          |  FROM (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c,
          |               embedding
          |        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k)) seed, sd),
-         |svu AS (
+         |svu AS MATERIALIZED (
          |  SELECT vec_id, sp, CAST(i - 1 AS INTEGER) AS pos,
          |         CAST(floor(x * 1048576.0) AS BIGINT) AS qx
          |  FROM (SELECT vec_id, sp, unnest(sv) AS x, generate_subscripts(sv, 1) AS i FROM sv))""".stripMargin
@@ -277,7 +278,8 @@ object OracleSql {
          |  FROM (SELECT sp, c, unnest(ce) AS val,
          |               CAST(generate_subscripts(ce, 1) - 1 AS INTEGER) AS pos FROM b${i - 1}) pb
          |  LEFT JOIN psum$i s2 ON s2.sp = pb.sp AND s2.code = pb.c AND s2.pos = pb.pos),
-         |b$i AS (SELECT sp, c, list(val ORDER BY pos) AS ce FROM pcv$i GROUP BY sp, c)""".stripMargin
+         |b$i AS MATERIALIZED (
+         |  SELECT sp, c, list(val ORDER BY pos) AS ce FROM pcv$i GROUP BY sp, c)""".stripMargin
     }.mkString(",\n")
     head + ",\n" + rounds
   }
@@ -941,6 +943,76 @@ object OracleSql {
         |  CAST(list_sum(list_transform(string_split(text, ' '),
         |       x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // ann_pq: a FULL oracle — training is the shared pqCoreCtes chain
+    // (deterministic Lloyd on raw subvectors), encode is the min-struct
+    // assignment against b2, and the per-query ADC tables are exact
+    // double folds against the SAME codewords, listed in codeword order;
+    // the ADC distance is the left-assoc m-term sum the Spark reduce
+    // spells. Validated bit-exact (dist included) before wiring.
+    "ann_pq" -> {
+      val m = 8; val iters = 2; val nQueries = 8; val k = 10
+      val adc = (0 until m)
+        .map(sx => s"tabs[${sx + 1}][codes[${sx + 1}] + 1]").mkString(" + ")
+      s"""WITH ${pqCoreCtes(m, 16, iters, 8)},
+         |enc AS (
+         |  SELECT v.vec_id, v.sp,
+         |    (min({'d': list_sum(list_transform(list_zip(v.sv, b.ce),
+         |          z -> (z[1] - z[2]) * (z[1] - z[2]))), 'c': b.c})).c AS code
+         |  FROM sv v JOIN b$iters b ON b.sp = v.sp GROUP BY v.vec_id, v.sp),
+         |cds AS MATERIALIZED (
+         |  SELECT vec_id, list(code ORDER BY sp) AS codes FROM enc GROUP BY vec_id),
+         |qt AS (
+         |  SELECT v.vec_id AS q_id, v.sp,
+         |    list(list_sum(list_transform(list_zip(v.sv, b.ce),
+         |         z -> (z[1] - z[2]) * (z[1] - z[2]))) ORDER BY b.c) AS tab
+         |  FROM sv v JOIN b$iters b ON b.sp = v.sp
+         |  WHERE v.vec_id < $nQueries GROUP BY v.vec_id, v.sp),
+         |qtabs AS MATERIALIZED (
+         |  SELECT q_id, list(tab ORDER BY sp) AS tabs FROM qt GROUP BY q_id),
+         |sc AS (
+         |  SELECT q_id, c.vec_id AS vec_id, $adc AS dist
+         |  FROM cds c, qtabs WHERE c.vec_id <> q_id),
+         |rk AS (SELECT q_id, vec_id, dist,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS BIGINT)
+         |    AS rank FROM sc)
+         |SELECT q_id, rank, vec_id, dist FROM rk WHERE rank <= $k
+         |ORDER BY q_id, rank""".stripMargin
+    },
+
+    // ann_ivf: a FULL oracle — the coarse quantizer is the k-lowest-vec_id
+    // init (no RNG), list assignment is the struct-max argmax-cosine
+    // (lexicographic on both engines, ties to the smallest cid via -cid),
+    // probe lists rank by (ccos DESC, cid), and the within-list scan is
+    // the exact guarded cosine. Validated bit-exact before wiring.
+    "ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |c AS MATERIALIZED (SELECT vec_id AS cid, embedding AS c_emb FROM e WHERE vec_id < 16),
+         |asg AS MATERIALIZED (
+         |  SELECT e.vec_id, e.embedding,
+         |    CAST(-((max({'ccos': ${cosGuardSql("c_emb", "e.embedding")},
+         |                 'nc': -cid})).nc) AS BIGINT) AS cid
+         |  FROM e, c GROUP BY e.vec_id, e.embedding),
+         |qs AS (SELECT vec_id AS q_id, embedding AS q_emb FROM e
+         |       WHERE vec_id < 8
+         |         AND sqrt(list_sum(list_transform(embedding,
+         |               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0),
+         |ql AS (
+         |  SELECT q_id, q_emb, cid FROM (
+         |    SELECT q_id, q_emb, cid,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY ccos DESC, cid) AS rn
+         |    FROM (SELECT q_id, q_emb, cid, ${cosGuardSql("c_emb", "q_emb")} AS ccos
+         |          FROM qs, c))
+         |  WHERE rn <= 6),
+         |sc AS (
+         |  SELECT q_id, a.vec_id AS vec_id, ${cosGuardSql("q_emb", "a.embedding")} AS cos
+         |  FROM asg a JOIN ql USING (cid)
+         |  WHERE a.vec_id <> q_id),
+         |rk AS (SELECT q_id, vec_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT)
+         |    AS rank FROM sc)
+         |SELECT q_id, rank, vec_id, cos FROM rk WHERE rank <= 10
+         |ORDER BY q_id, rank""".stripMargin,
 
     // ann_lsh: a FULL oracle for the multi-probe LSH search — the
     // hyperplanes inline as literals like dd_embed_lsh's, and the Lv et
