@@ -154,6 +154,73 @@ object OracleSql {
        |FROM a3 JOIN h3 ON h3.v = a3.v
        |ORDER BY auth DESC, doc_id LIMIT 20""".stripMargin
 
+  /** `Similarity.ann_ivfpq`'s full chain, ending at `ivfpqrk` (q_id,
+    * vec_id, dist, rank) — shared by the plain and refined twins. Coarse
+    * quantizer = the 32 lowest-vec_id vectors; corpus residuals re-cast
+    * to FLOAT exactly like `ivfpqIndex`'s encode path; the PQ training is
+    * [[pqCoreCtes]] pointed at `resid`; query residuals stay DOUBLE (the
+    * adcSearch driver path never float-casts them). Every fold is the
+    * positional list_sum = left-to-right double device.
+    */
+  private def ivfpqChainCtes: String = {
+    val (nlist, nprobe, m, sub, nQueries) = (32, 3, 8, 8, 8)
+    def sq(a: String, b: String) =
+      s"""list_sum(list_transform(list_zip($a, $b),
+         |      z -> (CAST(z[1] AS DOUBLE) - z[2]) * (CAST(z[1] AS DOUBLE) - z[2])))""".stripMargin
+    val adc = (0 until m)
+      .map(sx => s"tabs[${sx + 1}][codes[${sx + 1}] + 1]").mkString(" + ")
+    s"""cvec AS MATERIALIZED (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $nlist)),
+       |casg AS MATERIALIZED (
+       |  SELECT e.vec_id,
+       |    CAST((min({'d': ${sq("e.embedding", "t.ce")}, 'c': t.c})).c AS INTEGER) AS cid
+       |  FROM embeddings e, cvec t GROUP BY e.vec_id),
+       |resid AS MATERIALIZED (
+       |  SELECT e.vec_id,
+       |    list_transform(list_zip(e.embedding, t.ce),
+       |      z -> CAST(CAST(z[1] AS DOUBLE) - z[2] AS FLOAT)) AS embedding
+       |  FROM embeddings e JOIN casg USING (vec_id) JOIN cvec t ON t.c = casg.cid),
+       |${pqCoreCtes(m, 16, 2, sub, "resid")},
+       |enc AS (
+       |  SELECT v.vec_id, v.sp,
+       |    (min({'d': list_sum(list_transform(list_zip(v.sv, b.ce),
+       |          z -> (z[1] - z[2]) * (z[1] - z[2]))), 'c': b.c})).c AS code
+       |  FROM sv v JOIN b2 b ON b.sp = v.sp GROUP BY v.vec_id, v.sp),
+       |cds AS MATERIALIZED (
+       |  SELECT enc.vec_id, casg.cid, list(code ORDER BY sp) AS codes
+       |  FROM enc JOIN casg ON casg.vec_id = enc.vec_id GROUP BY enc.vec_id, casg.cid),
+       |qn AS (SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qd
+       |       FROM embeddings WHERE vec_id < $nQueries),
+       |qprobe AS (
+       |  SELECT q_id, qd, c AS cid FROM (
+       |    SELECT q_id, qd, t.c AS c,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY
+       |        list_sum(list_transform(list_zip(qd, t.ce),
+       |          z -> (z[1] - z[2]) * (z[1] - z[2]))), t.c) AS rn
+       |    FROM qn, cvec t)
+       |  WHERE rn <= $nprobe),
+       |qresid AS (
+       |  SELECT q_id, cid, list_transform(list_zip(qd, t.ce), z -> z[1] - z[2]) AS rq
+       |  FROM qprobe JOIN cvec t ON t.c = qprobe.cid),
+       |qtabs AS MATERIALIZED (
+       |  SELECT q_id, cid, list(tab ORDER BY sp) AS tabs FROM (
+       |    SELECT qr.q_id, qr.cid, b.sp,
+       |      list(list_sum(list_transform(list_zip(
+       |          list_transform(generate_series(1, $sub), j -> qr.rq[b.sp * $sub + j]), b.ce),
+       |        z -> (z[1] - z[2]) * (z[1] - z[2]))) ORDER BY b.c) AS tab
+       |    FROM qresid qr, b2 b GROUP BY qr.q_id, qr.cid, b.sp)
+       |  GROUP BY q_id, cid),
+       |ivfpqsc AS (
+       |  SELECT q_id, c2.vec_id AS vec_id, $adc AS dist
+       |  FROM cds c2 JOIN qtabs USING (cid)
+       |  WHERE c2.vec_id <> q_id),
+       |ivfpqrk AS (SELECT q_id, vec_id, dist,
+       |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS BIGINT)
+       |    AS rank FROM ivfpqsc)""".stripMargin
+  }
+
   /** The DoReMi training chain (requires [[perplexityPdCtes]] earlier in
     * the WITH body): per-domain loss table `dl`, domain count `nd`,
     * uniform `w0`, then one (avg, raw, w) CTE trio per round ending at
@@ -242,21 +309,22 @@ object OracleSql {
     * one per-(subspace, code, pos) fixed-point update — empty cells keep
     * their previous centroid exactly as the Scala `else prev`.
     */
-  private def pqCoreCtes(m: Int, k: Int, iters: Int, sub: Int): String = {
+  private def pqCoreCtes(m: Int, k: Int, iters: Int, sub: Int,
+      src: String = "embeddings"): String = {
     val head =
       s"""sd AS (SELECT CAST(range AS INTEGER) AS sp FROM range(0, $m)),
          |sv AS MATERIALIZED (
          |  SELECT e.vec_id, sd.sp,
          |    list_transform(generate_series(1, $sub),
          |      j -> CAST(e.embedding[sd.sp * $sub + j] AS DOUBLE)) AS sv
-         |  FROM embeddings e, sd),
+         |  FROM $src e, sd),
          |b0 AS MATERIALIZED (
          |  SELECT sd.sp, seed.c,
          |    list_transform(generate_series(1, $sub),
          |      j -> CAST(seed.embedding[sd.sp * $sub + j] AS DOUBLE)) AS ce
          |  FROM (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c,
          |               embedding
-         |        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k)) seed, sd),
+         |        FROM (SELECT vec_id, embedding FROM $src ORDER BY vec_id LIMIT $k)) seed, sd),
          |svu AS MATERIALIZED (
          |  SELECT vec_id, sp, CAST(i - 1 AS INTEGER) AS pos,
          |         CAST(floor(x * 1048576.0) AS BIGINT) AS qx
@@ -943,6 +1011,38 @@ object OracleSql {
         |  CAST(list_sum(list_transform(string_split(text, ' '),
         |       x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // ann_ivfpq: a FULL oracle for the flagship ANN — 32-lowest-vec_id
+    // coarse quantizer, sqdist min-struct list assignment, residuals
+    // re-cast to FLOAT exactly like the encode path, the shared
+    // pqCoreCtes chain trained over `resid`, then per-query probe lists
+    // (sqdist, ties to the smaller cid), DOUBLE query residuals, per-list
+    // ADC tables in codeword order, and the left-assoc m-term ADC sum.
+    // Validated bit-exact (dist doubles included) before wiring.
+    "ann_ivfpq" ->
+      s"""WITH $ivfpqChainCtes
+         |SELECT q_id, rank, vec_id, dist FROM ivfpqrk WHERE rank <= 10
+         |ORDER BY q_id, rank""".stripMargin,
+
+    // ann_ivfpq_refined: the same chain retrieves refine=40 ADC
+    // candidates, then the exact guarded cosine re-ranks their true
+    // vectors — the exactCosineRefine stage in SQL.
+    "ann_ivfpq_refined" ->
+      s"""WITH $ivfpqChainCtes,
+         |cand AS (SELECT q_id, vec_id FROM ivfpqrk WHERE rank <= 40),
+         |qe AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+         |       WHERE vec_id < 8
+         |         AND sqrt(list_sum(list_transform(embedding,
+         |               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0),
+         |rsc AS (
+         |  SELECT cand.q_id, e.vec_id AS vec_id,
+         |    ${cosGuardSql("q_emb", "e.embedding")} AS cos
+         |  FROM cand JOIN embeddings e USING (vec_id) JOIN qe ON qe.q_id = cand.q_id),
+         |rrk AS (SELECT q_id, vec_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT)
+         |    AS rank FROM rsc)
+         |SELECT q_id, rank, vec_id, cos FROM rrk WHERE rank <= 10
+         |ORDER BY q_id, rank""".stripMargin,
 
     // ann_pq: a FULL oracle — training is the shared pqCoreCtes chain
     // (deterministic Lloyd on raw subvectors), encode is the min-struct
