@@ -1168,6 +1168,39 @@ object OracleSql {
          |ORDER BY q_id, rank""".stripMargin
     },
 
+    // mm_pipeline: a FULL oracle on the ASCII corpus (char == byte, the
+    // mm_phash_fp device — verified length == octet_length corpus-wide):
+    // the fake-decode byte histogram's bin 0 recomputed per char via
+    // ord()%16, the FLOAT division replayed as FLOAT before the double
+    // round (the decoder divides float counts), frame counts from the
+    // integer stride algebra, metadata from the shared doc_id plant.
+    "mm_pipeline" ->
+      """WITH med AS (
+        |  SELECT doc_id, text,
+        |    ['png','jpeg','wav'][CAST(doc_id % 3 AS INTEGER) + 1] AS format,
+        |    CAST((doc_id * 37) % 512 + 16 AS INTEGER) AS width,
+        |    CAST((doc_id * 91) % 512 + 16 AS INTEGER) AS height
+        |  FROM documents WHERE text IS NOT NULL),
+        |feats AS (
+        |  SELECT doc_id, format,
+        |    CAST(length(text) AS BIGINT) AS n_bytes,
+        |    list_sum(list_transform(generate_series(1, length(text)),
+        |      i -> CASE WHEN ord(text[i]) % 16 = 0 THEN 1 ELSE 0 END)) AS h0,
+        |    CAST(width // 4 AS INTEGER) AS thumb_w,
+        |    CAST(height // 4 AS INTEGER) AS thumb_h
+        |  FROM med),
+        |fr AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(text) // 32 >= 1
+        |         THEN (length(text) // 32 - 1) // 4 + 1 ELSE 0 END AS n_frames
+        |  FROM med)
+        |SELECT f.doc_id, format, n_bytes,
+        |  round(CAST(CAST(COALESCE(h0, 0) AS FLOAT)
+        |        / CAST(greatest(n_bytes, 1) AS FLOAT) AS DOUBLE), 6) AS f0,
+        |  thumb_w, thumb_h, CAST(fr.n_frames AS BIGINT) AS n_frames
+        |FROM feats f JOIN fr USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     // dd_embed_lsh: a FULL oracle despite the xxhash64-derived hyperplanes
     // — the plane matrix is a pure function of (plane, dim) CONSTANTS, so
     // the twin inlines VecMatDots.planeMatrix's resolved doubles as list
