@@ -233,6 +233,26 @@ object Graph {
       k: Int = 20): DataFrame = {
     require(iters >= 1, s"graph_hits: iters=$iters must be >= 1")
     require(k >= 1, s"graph_hits: k=$k must be >= 1")
+    val (a, h) = hitsScores(s, dir, iters)
+    a.join(h, Seq("v"))
+      .select(col("v").as("doc_id"), col("a").as("auth"), col("h").as("hub"))
+      .orderBy(col("auth").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** The converged (authority, hub) score frames behind [[graph_hits]],
+    * MEMOIZED per (session, dir, iters) like [[pagerankRanks]] — the same
+    * per-crawl-SNAPSHOT artifact argument: HITS scores are computed once
+    * per snapshot and read by every consumer; the final frames are
+    * checkpointed inside the loop, so a hit re-reads blocks.
+    */
+  private val hitsCache = new graft.SessionMemo[(String, Int), (DataFrame, DataFrame)]
+  private def hitsScores(s: SparkSession, dir: String,
+      iters: Int): (DataFrame, DataFrame) =
+    hitsCache.getOrBuild(s, (dir, iters))(hitsScoresBuild(s, dir, iters))
+
+  private def hitsScoresBuild(s: SparkSession, dir: String,
+      iters: Int): (DataFrame, DataFrame) = {
     import graft.Checkpoints.DatasetCheckpointOps
     val (d, edges0) = plantedEdges(s, dir)
     // 2·iters joins hit the edge list — cut its corpus-scan + distinct
@@ -266,10 +286,7 @@ object Graph {
       // pagerankRanks cadence (every 4th round and at the end)
       if (i % 4 == 0 || i == iters) { h = h.graftCheckpoint(); a = a.graftCheckpoint() }
     }
-    a.join(h, Seq("v"))
-      .select(col("v").as("doc_id"), col("a").as("auth"), col("h").as("hub"))
-      .orderBy(col("auth").desc, col("doc_id"))
-      .limit(k)
+    (a, h)
   }
 
   /** Degree census of the planted graph — the sanity sheet published next
