@@ -164,6 +164,7 @@ object OracleSql {
     */
   private def ivfpqChainCtes: String = {
     val (nlist, nprobe, m, sub, nQueries) = (32, 3, 8, 8, 8)
+    val iters = 2 // pq rounds; every codebook reference below uses b$iters
     def sq(a: String, b: String) =
       s"""list_sum(list_transform(list_zip($a, $b),
          |      z -> (CAST(z[1] AS DOUBLE) - z[2]) * (CAST(z[1] AS DOUBLE) - z[2])))""".stripMargin
@@ -182,12 +183,12 @@ object OracleSql {
        |    list_transform(list_zip(e.embedding, t.ce),
        |      z -> CAST(CAST(z[1] AS DOUBLE) - z[2] AS FLOAT)) AS embedding
        |  FROM embeddings e JOIN casg USING (vec_id) JOIN cvec t ON t.c = casg.cid),
-       |${pqCoreCtes(m, 16, 2, sub, "resid")},
+       |${pqCoreCtes(m, 16, iters, sub, "resid")},
        |enc AS (
        |  SELECT v.vec_id, v.sp,
        |    (min({'d': list_sum(list_transform(list_zip(v.sv, b.ce),
        |          z -> (z[1] - z[2]) * (z[1] - z[2]))), 'c': b.c})).c AS code
-       |  FROM sv v JOIN b2 b ON b.sp = v.sp GROUP BY v.vec_id, v.sp),
+       |  FROM sv v JOIN b$iters b ON b.sp = v.sp GROUP BY v.vec_id, v.sp),
        |cds AS MATERIALIZED (
        |  SELECT enc.vec_id, casg.cid, list(code ORDER BY sp) AS codes
        |  FROM enc JOIN casg ON casg.vec_id = enc.vec_id GROUP BY enc.vec_id, casg.cid),
@@ -210,7 +211,7 @@ object OracleSql {
        |      list(list_sum(list_transform(list_zip(
        |          list_transform(generate_series(1, $sub), j -> qr.rq[b.sp * $sub + j]), b.ce),
        |        z -> (z[1] - z[2]) * (z[1] - z[2]))) ORDER BY b.c) AS tab
-       |    FROM qresid qr, b2 b GROUP BY qr.q_id, qr.cid, b.sp)
+       |    FROM qresid qr, b$iters b GROUP BY qr.q_id, qr.cid, b.sp)
        |  GROUP BY q_id, cid),
        |ivfpqsc AS (
        |  SELECT q_id, c2.vec_id AS vec_id, $adc AS dist
@@ -1134,10 +1135,14 @@ object OracleSql {
         .map(p => s"(CASE WHEN d$p >= 0 THEN ${1L << p} ELSE 0 END)")
         .mkString(" + ")
       val dList = (0 until planes).map(p => s"d$p").mkString("[", ", ", "]")
-      s"""WITH dts AS (
+      s"""WITH dims_ok AS (
+         |  SELECT vec_id, CASE WHEN len(embedding) = 64 THEN embedding
+         |    ELSE error('ann_lsh oracle: dims <> 64 - the inlined plane literals were resolved for 64-dim embeddings') END AS embedding
+         |  FROM embeddings),
+         |dts AS (
          |  SELECT vec_id, embedding,
          |    $dotDefs
-         |  FROM embeddings),
+         |  FROM dims_ok),
          |bk AS MATERIALIZED (
          |  SELECT vec_id, embedding, $dList AS dl,
          |    CAST($bucketExpr AS BIGINT) AS bucket
@@ -1176,7 +1181,10 @@ object OracleSql {
     // integer stride algebra, metadata from the shared doc_id plant.
     "mm_pipeline" ->
       """WITH med AS (
-        |  SELECT doc_id, text,
+        |  SELECT doc_id,
+        |    CASE WHEN length(text) = octet_length(CAST(text AS BLOB)) THEN text
+        |         ELSE error('mm_pipeline oracle: non-ASCII payload - the char-as-byte replay is only valid on an ASCII corpus')
+        |         END AS text,
         |    ['png','jpeg','wav'][CAST(doc_id % 3 AS INTEGER) + 1] AS format,
         |    CAST((doc_id * 37) % 512 + 16 AS INTEGER) AS width,
         |    CAST((doc_id * 91) % 512 + 16 AS INTEGER) AS height
@@ -1221,7 +1229,9 @@ object OracleSql {
         .map(p => s"(CASE WHEN d$p >= 0 THEN ${1L << p} ELSE 0 END)")
         .mkString(" + ")
       s"""WITH grp AS MATERIALIZED (
-         |  SELECT embedding, min(vec_id) AS rep, list(vec_id) AS members
+         |  SELECT CASE WHEN len(embedding) = 64 THEN embedding
+         |    ELSE error('dd_embed_lsh oracle: dims <> 64 - the inlined plane literals were resolved for 64-dim embeddings') END AS embedding,
+         |    min(vec_id) AS rep, list(vec_id) AS members
          |  FROM embeddings GROUP BY embedding),
          |dts AS (
          |  SELECT rep, embedding,
@@ -1230,10 +1240,11 @@ object OracleSql {
          |bk AS MATERIALIZED (
          |  SELECT rep, embedding, CAST($bucketExpr AS BIGINT) AS bucket FROM dts),
          |rp AS (
-         |  SELECT x.rep AS ra, y.rep AS rb,
-         |    ${cosGuardSql("x.embedding", "y.embedding")} AS cos
-         |  FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.rep < y.rep
-         |  WHERE ${cosGuardSql("x.embedding", "y.embedding")} >= 0.4),
+         |  SELECT ra, rb, cos FROM (
+         |    SELECT x.rep AS ra, y.rep AS rb,
+         |      ${cosGuardSql("x.embedding", "y.embedding")} AS cos
+         |    FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.rep < y.rep)
+         |  WHERE cos >= 0.4),
          |inter AS (
          |  SELECT least(tx.xx, ty.yy) AS a, greatest(tx.xx, ty.yy) AS b, cos
          |  FROM rp
