@@ -749,7 +749,8 @@ object Similarity {
     * the wrong modulus (the modulus is the TOTAL shard count). Requires a
     * complete deployment: ids exactly 0..n−1.
     */
-  private def shardIds(paths: Seq[String], who: String): Seq[Int] = {
+  private def shardIds(s: SparkSession, paths: Seq[String],
+      who: String): Seq[Int] = {
     val idRe = ".*shard=(\\d+)/?$".r
     val ids = paths.map { p =>
       p match {
@@ -765,6 +766,25 @@ object Similarity {
         s"0..${paths.size - 1} — the routing modulus is the TOTAL shard " +
         "count, so a partial or duplicated shard list would misroute " +
         "every delta row")
+    // the id-range check alone cannot catch a PREFIX subset (shards 0..1
+    // of a 3-shard deployment look like a complete 2-shard one), so the
+    // writer persists the deployment's shard count in every shard dir and
+    // routed entry points verify against it; a pre-marker layout degrades
+    // to the range check alone
+    val first = new org.apache.hadoop.fs.Path(paths.head)
+    val fs = first.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(first)) {
+      val markers = fs.listStatus(first).map(_.getPath.getName)
+        .filter(_.startsWith("_nshards_"))
+      markers.headOption.foreach { m =>
+        val n = m.stripPrefix("_nshards_").toInt
+        require(n == paths.size,
+          s"$who: this deployment was written with $n shards but " +
+            s"${paths.size} paths were passed — a partial shard list " +
+            "routes with the wrong modulus (and a compact/retrain over " +
+            "it would silently skip the missing siblings)")
+      }
+    }
     ids
   }
 
@@ -821,6 +841,13 @@ object Similarity {
         booksDf.write.mode("overwrite").parquet(s"$path/codebooks")
         health.filter(col("__k") === i.toLong).drop("__k")
           .write.mode("overwrite").parquet(s"$path/health")
+        // deployment shard count, verified by every routed entry point
+        // (shardIds) — the id-range check alone cannot catch a prefix
+        // subset of a larger deployment
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.create(new org.apache.hadoop.fs.Path(s"$path/_nshards_$shards"),
+          true).close()
       }
       path
     }
@@ -862,7 +889,7 @@ object Similarity {
       newVecs: DataFrame, fullIdCheck: Boolean = false): Unit = {
     require(paths.nonEmpty, "appendToIvfPqIndexSharded: no shard paths")
     val n = paths.size
-    val ids = shardIds(paths, "appendToIvfPqIndexSharded")
+    val ids = shardIds(s, paths, "appendToIvfPqIndexSharded")
     // ONE aggregate routes the whole delta (n rows back) — a per-shard
     // isEmpty probe would scan the delta up to 2n times, fully whenever a
     // shard's slice is empty (exactly the case the skip exists for)
@@ -873,6 +900,19 @@ object Similarity {
         appendToIvfPqIndex(s, p,
           newVecs.filter(shardOf(col("vec_id"), n) === i.toLong), fullIdCheck)
     }
+  }
+
+  /** [[compactIvfPqIndex]] across shards — completes the sharded
+    * lifecycle (write/search/append/health/compact). Shards compact
+    * independently under their own writer locks; identity is
+    * path-parsed like every sharded entry point, so a partial list is a
+    * loud error rather than half a deployment silently compacted while
+    * its siblings keep accumulating append files.
+    */
+  def compactIvfPqIndexSharded(s: SparkSession, paths: Seq[String]): Unit = {
+    require(paths.nonEmpty, "compactIvfPqIndexSharded: no shard paths")
+    shardIds(s, paths, "compactIvfPqIndexSharded")
+    paths.foreach(p => compactIvfPqIndex(s, p))
   }
 
   /** [[indexHealth]] across shards on one screen: the delta routes to its
@@ -887,7 +927,7 @@ object Similarity {
       delta: DataFrame): DataFrame = {
     require(paths.nonEmpty, "indexHealthSharded: no shard paths")
     val n = paths.size
-    val ids = shardIds(paths, "indexHealthSharded")
+    val ids = shardIds(s, paths, "indexHealthSharded")
     val reports = paths.zip(ids).map { case (p, i) =>
       indexHealth(s, p, delta.filter(shardOf(col("vec_id"), n) === i.toLong))
         .withColumn("shard", lit(i.toLong))

@@ -831,6 +831,21 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(shardedAfter == wholeAfter,
       "post-append sharded search must equal the single index")
+    // COMPACT closes the lifecycle: rows and search results survive; a
+    // reordered path list is fine (identity is path-parsed), a partial
+    // one refuses loudly
+    Similarity.compactIvfPqIndexSharded(spark, shards.reverse)
+    assert(shards.map(p => spark.read.parquet(s"$p/codes").count()).sum
+      == emb.count() + delta.count())
+    val shardedCompacted = Similarity.searchIvfPqIndexSharded(spark, shards, queries)
+      .collect().map(_.toSeq).toSeq
+    assert(shardedCompacted == wholeAfter)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.compactIvfPqIndexSharded(spark, shards.take(2))
+    }
+    assert(e.getMessage.contains("written with 3 shards but 2"),
+      s"prefix-subset of a deployment must refuse via the persisted " +
+        s"shard-count marker, got: ${e.getMessage}")
   }
 
   test("appendToIvfPqIndex: append(delta) equals a fixed-codebook rebuild; pruning survives appended files") {
