@@ -408,6 +408,22 @@ class CurationSpec extends AnyFunSuite {
     assert(Curation.samp_mixture(spark, empty).count() == 0)
   }
 
+  test("profile_drift returns empty on an empty corpus; samp_mixture_train refuses loudly") {
+    val empty = docsDir(Seq.empty)
+    // both snapshots of an empty corpus census to zero buckets — empty
+    // frame, never a divide-by-zero in the share window
+    assert(Curation.profile_drift(spark, empty).count() == 0)
+    // the trainer's loss signal needs a non-empty LM reference slice —
+    // the perplexityScored contract's loud failure, not a silent
+    // zero-domain fit
+    val e = intercept[IllegalArgumentException] {
+      Curation.samp_mixture_train(spark, empty)
+    }
+    assert(e.getMessage.contains("tx_perplexity") ||
+      e.getMessage.contains("samp_mixture_train"),
+      s"unexpected refusal: ${e.getMessage}")
+  }
+
   test("samp_upsample: epochs match the exact IEEE ratio; copy counts are consistent") {
     // src0 (weight 8) has 3 docs, src9 (default weight 1) has 13 —
     // src9 is the min-rate source (trains exactly once), src0's epochs are

@@ -1653,6 +1653,13 @@ class PipelineSpec extends AnyFunSuite {
       (5L, ts("2024-01-03T00:00:00Z"), 2L, "A", 1.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.parquet(s"$dir/events.parquet")
+    // edge probes for the round-13 additions, same fixture conventions:
+    // ev_ewma on an empty events table returns empty, no errors
+    val emptyDir = java.nio.file.Files.createTempDirectory("graftevempty").toString
+    Seq.empty[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$emptyDir/events.parquet")
+    assert(graft.operators.Relational.ev_ewma(spark, emptyDir).count() == 0)
     val reach = graft.operators.Relational.ev_reach(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
     assert(reach == Seq(
