@@ -1066,17 +1066,26 @@ object Curation {
     * sentinel strings because a full-outer equi join drops null keys
     * silently.
     */
+  /** The per-document (feature, bucket) rows behind [[profile_drift]]'s
+    * censuses — ONE definition shared with the streaming
+    * [[graft.streaming.DocsStream.driftStream]] monitor, so the batch
+    * shift report and the ingest-edge counts can never bucket
+    * differently. Buckets are null-guarded into sentinel strings (a
+    * full-outer equi join drops null keys silently).
+    */
+  private[graft] def driftFeatures(v: DataFrame): DataFrame =
+    v.select(explode(array(
+        struct(lit("lang").as("feature"),
+          coalesce(col("lang"), lit("(null)")).as("bucket")),
+        struct(lit("len_c").as("feature"),
+          coalesce(expr("length(text) div 100"), lit(-1))
+            .cast("string").as("bucket")))).as("fb"))
+      .select(col("fb.feature").as("feature"), col("fb.bucket").as("bucket"))
+
   def profile_drift(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir).select(col("doc_id"), col("text"), col("lang"))
     def census(v: DataFrame): DataFrame =
-      v.select(explode(array(
-          struct(lit("lang").as("feature"),
-            coalesce(col("lang"), lit("(null)")).as("bucket")),
-          struct(lit("len_c").as("feature"),
-            coalesce(expr("length(text) div 100"), lit(-1))
-              .cast("string").as("bucket")))).as("fb"))
-        .select(col("fb.feature").as("feature"), col("fb.bucket").as("bucket"))
-        .groupBy("feature", "bucket").agg(count(lit(1)).as("n"))
+      driftFeatures(v).groupBy("feature", "bucket").agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("feature")
     census(base).withColumnRenamed("n", "n1")
       .join(census(driftV2(base)).withColumnRenamed("n", "n2"),

@@ -1057,6 +1057,35 @@ class StreamingSpec extends AnyFunSuite {
         "or the trained-weights leg of this test is vacuous")
   }
 
+  test("driftStream: running (feature, bucket) counts equal the batch census; state grows with buckets, not volume") {
+    val docsDf = graft.sources.Tables.loadParallel(spark, dir, "documents")
+    val rows = docsDf.select("doc_id", "text", "lang")
+      .as[(Long, String, String)].collect().toSeq
+    val input = MemoryStream[(Long, String, String)](spark)
+    val stream = input.toDF().toDF("doc_id", "text", "lang")
+    val q = DocsStream.driftStream(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("drift_out").start()
+    try {
+      // split across two batches: the counts must accumulate in state
+      val (b1, b2) = rows.splitAt(rows.size / 2)
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("drift_out").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      // the batch census side (n1 of profile_drift over the same corpus)
+      val batch = graft.operators.Curation.profile_drift(spark, dir)
+        .select("feature", "bucket", "n1").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch,
+        s"edge counts must equal the batch census: $streamed vs $batch")
+      // bounded state: one row per (feature, bucket), not per document
+      assert(streamed.size < rows.size / 2)
+    } finally q.stop()
+  }
+
   test("deconUrlGate: stream-edge drop set equals batch decon_url's flags; unparseable urls pass a REMOVE screen") {
     import graft.operators.TextAnalysis
     // the batch artifact: normalized source URLs of the eval slice, the
