@@ -222,6 +222,72 @@ object OracleSql {
        |    AS rank FROM ivfpqsc)""".stripMargin
   }
 
+  /** `TextAnalysis.bpeTrain`'s merge loop unrolled — the LAST member of
+    * the "sequentially iterative but deterministic" family to get a full
+    * oracle, previously written off as inexpressible. The key: the
+    * leftmost-greedy merge (Spark's `mergeFold` — fuse when the
+    * accumulator's last symbol is `l` and the current is `r`) is exactly
+    * "merge at candidate i unless candidate i−1 merged", whose closed
+    * form is island parity: candidates at consecutive positions (only
+    * possible when l = r) alternate starting true, so
+    * `row_number() % 2 = 1` within each gaps-and-islands run of
+    * consecutive candidates replays the recursion without one. Per round:
+    * adjacent-pair histogram → argmax (n DESC, l, r — the Spark orderBy)
+    * → positional rewrite (merge starts emit l||r, the consumed right
+    * neighbor drops, everything else passes) → re-collect. Early stop is
+    * the NULL-rule sentinel: an empty pair table yields a NULL rule whose
+    * rewrite is the identity, matching the Scala loop's `done` flag.
+    * Ends at `h<merges>` (the final vocabulary) and `top1..top<merges>`
+    * (the rule table).
+    */
+  private def bpeCoreCtes(merges: Int): String = {
+    val head =
+      """h0 AS MATERIALIZED (
+        |  SELECT w, cnt,
+        |    list_append(list_transform(generate_series(1, length(w)), i -> w[i]), '</w>') AS syms
+        |  FROM (
+        |    SELECT w, CAST(count(*) AS BIGINT) AS cnt
+        |    FROM (SELECT unnest(string_split(text, ' ')) AS w
+        |          FROM documents WHERE text IS NOT NULL)
+        |    GROUP BY w))""".stripMargin
+    val rounds = (1 to merges).map { i =>
+      s"""p$i AS (
+         |  SELECT l, r, CAST(sum(cnt) AS BIGINT) AS n FROM (
+         |    SELECT cnt, syms[j] AS l, syms[j+1] AS r
+         |    FROM h${i - 1}, UNNEST(generate_series(1, len(syms) - 1)) AS t(j)
+         |    WHERE len(syms) >= 2)
+         |  GROUP BY l, r),
+         |top$i AS MATERIALIZED (
+         |  SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
+         |rule$i AS MATERIALIZED (
+         |  SELECT * FROM top$i
+         |  UNION ALL SELECT NULL, NULL, NULL WHERE (SELECT count(*) FROM top$i) = 0),
+         |e$i AS (
+         |  SELECT h.w, h.cnt, t.pos, h.syms[t.pos] AS sym, ru.l AS rl, ru.r AS rr,
+         |    (h.syms[t.pos] = ru.l AND h.syms[t.pos + 1] = ru.r
+         |     AND t.pos < len(h.syms)) AS cand
+         |  FROM h${i - 1} h, rule$i ru,
+         |    UNNEST(generate_series(1, len(h.syms))) AS t(pos)),
+         |m$i AS (
+         |  SELECT w, cnt, pos, sym, rl, rr, cand,
+         |    CASE WHEN cand THEN
+         |      (row_number() OVER (PARTITION BY w, island ORDER BY pos)) % 2 = 1
+         |    ELSE false END AS mstart
+         |  FROM (
+         |    SELECT *, pos - row_number() OVER (PARTITION BY w, cand ORDER BY pos) AS island
+         |    FROM e$i)),
+         |h$i AS MATERIALIZED (
+         |  SELECT w, cnt, list(tok ORDER BY pos) AS syms FROM (
+         |    SELECT w, cnt, pos,
+         |      CASE WHEN mstart THEN rl || rr ELSE sym END AS tok,
+         |      COALESCE(lag(mstart) OVER (PARTITION BY w ORDER BY pos), false) AS consumed
+         |    FROM m$i)
+         |  WHERE NOT consumed
+         |  GROUP BY w, cnt)""".stripMargin
+    }.mkString(",\n")
+    head + ",\n" + rounds
+  }
+
   /** The DoReMi training chain (requires [[perplexityPdCtes]] earlier in
     * the WITH body): per-domain loss table `dl`, domain count `nd`,
     * uniform `w0`, then one (avg, raw, w) CTE trio per round ending at
@@ -1440,6 +1506,35 @@ object OracleSql {
          |  FROM e JOIN q ON vec_id <> q_id)
          |WHERE cos >= ${graft.operators.Similarity.annRadiusThreshold}
          |ORDER BY q_id, cos DESC, vec_id""".stripMargin,
+
+    // tx_bpe / tx_bpe_encode: the Sennrich training loop unrolled via
+    // [[bpeCoreCtes]] — full hash oracles for the sequential merge
+    // rewriting previously classed inexpressible. Validated bit-exact
+    // (all 30 rules + all 500 encode rows) before wiring.
+    "tx_bpe" -> {
+      val merges = 30
+      val emit = (1 to merges).map { i =>
+        s"""SELECT CAST(${i - 1} AS BIGINT) AS rank, l AS "left", r AS "right",
+           |  n AS pair_count FROM top$i""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""WITH ${bpeCoreCtes(merges)}
+         |$emit
+         |ORDER BY rank""".stripMargin
+    },
+
+    "tx_bpe_encode" -> {
+      val merges = 30
+      s"""WITH ${bpeCoreCtes(merges)},
+         |subs AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_sub FROM h$merges),
+         |dw AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS k
+         |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |             FROM documents WHERE text IS NOT NULL)
+         |       GROUP BY doc_id, w)
+         |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_words,
+         |  CAST(sum(k * COALESCE(n_sub, length(w) + 1)) AS BIGINT) AS n_bpe_tokens
+         |FROM dw LEFT JOIN subs USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     "tx_ngrams" ->
       """WITH g AS (
