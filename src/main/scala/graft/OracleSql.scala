@@ -244,7 +244,9 @@ object OracleSql {
     val head =
       """h0 AS MATERIALIZED (
         |  SELECT w, cnt,
-        |    list_append(list_transform(generate_series(1, length(w)), i -> w[i]), '</w>') AS syms
+        |    list_append(CASE WHEN length(w) = 0 THEN ['']
+        |      ELSE list_transform(generate_series(1, length(w)), i -> w[i]) END,
+        |      '</w>') AS syms
         |  FROM (
         |    SELECT w, CAST(count(*) AS BIGINT) AS cnt
         |    FROM (SELECT unnest(string_split(text, ' ')) AS w
@@ -271,7 +273,7 @@ object OracleSql {
          |m$i AS (
          |  SELECT w, cnt, pos, sym, rl, rr, cand,
          |    CASE WHEN cand THEN
-         |      (row_number() OVER (PARTITION BY w, island ORDER BY pos)) % 2 = 1
+         |      (row_number() OVER (PARTITION BY w, cand, island ORDER BY pos)) % 2 = 1
          |    ELSE false END AS mstart
          |  FROM (
          |    SELECT *, pos - row_number() OVER (PARTITION BY w, cand ORDER BY pos) AS island
@@ -1512,7 +1514,7 @@ object OracleSql {
     // rewriting previously classed inexpressible. Validated bit-exact
     // (all 30 rules + all 500 encode rows) before wiring.
     "tx_bpe" -> {
-      val merges = 30
+      val merges = graft.operators.TextAnalysis.bpeDefaultMerges
       val emit = (1 to merges).map { i =>
         s"""SELECT CAST(${i - 1} AS BIGINT) AS rank, l AS "left", r AS "right",
            |  n AS pair_count FROM top$i""".stripMargin
@@ -1523,7 +1525,7 @@ object OracleSql {
     },
 
     "tx_bpe_encode" -> {
-      val merges = 30
+      val merges = graft.operators.TextAnalysis.bpeDefaultMerges
       s"""WITH ${bpeCoreCtes(merges)},
          |subs AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_sub FROM h$merges),
          |dw AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS k

@@ -1045,6 +1045,22 @@ object Curation {
       .orderBy("status")
   }
 
+  /** The per-document (feature, bucket) rows behind [[profile_drift]]'s
+    * censuses — ONE definition shared with the streaming
+    * [[graft.streaming.DocsStream.driftStream]] monitor, so the batch
+    * shift report and the ingest-edge counts can never bucket
+    * differently. Buckets are null-guarded into sentinel strings (a
+    * full-outer equi join drops null keys silently).
+    */
+  private[graft] def driftFeatures(v: DataFrame): DataFrame =
+    v.select(explode(array(
+        struct(lit("lang").as("feature"),
+          coalesce(col("lang"), lit("(null)")).as("bucket")),
+        struct(lit("len_c").as("feature"),
+          coalesce(expr("length(text) div 100"), lit(-1))
+            .cast("string").as("bucket")))).as("fb"))
+      .select(col("fb.feature").as("feature"), col("fb.bucket").as("bucket"))
+
   /** DISTRIBUTION-SHIFT census between two corpus snapshots — the
     * rel_diff companion every crawl-over-crawl pipeline runs before
     * retraining on a new snapshot: per feature (language; text-length
@@ -1066,22 +1082,6 @@ object Curation {
     * sentinel strings because a full-outer equi join drops null keys
     * silently.
     */
-  /** The per-document (feature, bucket) rows behind [[profile_drift]]'s
-    * censuses — ONE definition shared with the streaming
-    * [[graft.streaming.DocsStream.driftStream]] monitor, so the batch
-    * shift report and the ingest-edge counts can never bucket
-    * differently. Buckets are null-guarded into sentinel strings (a
-    * full-outer equi join drops null keys silently).
-    */
-  private[graft] def driftFeatures(v: DataFrame): DataFrame =
-    v.select(explode(array(
-        struct(lit("lang").as("feature"),
-          coalesce(col("lang"), lit("(null)")).as("bucket")),
-        struct(lit("len_c").as("feature"),
-          coalesce(expr("length(text) div 100"), lit(-1))
-            .cast("string").as("bucket")))).as("fb"))
-      .select(col("fb.feature").as("feature"), col("fb.bucket").as("bucket"))
-
   def profile_drift(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir).select(col("doc_id"), col("text"), col("lang"))
     def census(v: DataFrame): DataFrame =

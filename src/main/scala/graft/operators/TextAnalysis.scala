@@ -846,7 +846,14 @@ object TextAnalysis {
     * spec pins the exact rule sequence on the classic low/lower/newest
     * corpus and determinism across runs.
     */
-  def tx_bpe(s: SparkSession, dir: String, merges: Int = 30,
+  /** The default BPE merge count — ONE constant shared by both façades
+    * and both DuckDB twins (the annRadiusThreshold convention), so the
+    * rule table, the encoder, and their oracles can never train
+    * different vocabularies.
+    */
+  private[graft] val bpeDefaultMerges: Int = 30
+
+  def tx_bpe(s: SparkSession, dir: String, merges: Int = bpeDefaultMerges,
       minCount: Long = 1L): DataFrame = {
     import s.implicits._
     val (rules, _) = bpeTrainCached(s, dir, merges, minCount)
@@ -869,8 +876,8 @@ object TextAnalysis {
     * character-count+1 (their untrained symbol length), so the count is
     * total, not partial.
     */
-  def tx_bpe_encode(s: SparkSession, dir: String, merges: Int = 30,
-      minCount: Long = 1L): DataFrame = {
+  def tx_bpe_encode(s: SparkSession, dir: String,
+      merges: Int = bpeDefaultMerges, minCount: Long = 1L): DataFrame = {
     val (_, vocab) = bpeTrainCached(s, dir, merges, minCount)
     val subs = vocab.select(col("w"), size(col("syms")).cast("long").as("n_sub"))
     docs(s, dir)

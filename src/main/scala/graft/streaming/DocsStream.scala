@@ -421,24 +421,6 @@ object DocsStream {
     * pruning only perturbs scores of pruned-out grams (the standard
     * shipped-LM approximation, by construction ≤ maxEntries entries).
     */
-  /** Ingest-edge DISTRIBUTION monitor — the streaming face of
-    * [[graft.operators.Curation.profile_drift]]'s census side: running
-    * (feature, bucket) document counts over the ingest stream, emitted
-    * per batch in update mode — the frame a data-quality alert compares
-    * against the last released snapshot's census (the batch operator's
-    * n1/share1 columns) to catch a crawl gone off-distribution BEFORE it
-    * lands. The bucketing is the SAME shared
-    * [[graft.operators.Curation.driftFeatures]] definition, so edge
-    * counts and the batch shift report can never bucket differently
-    * (spec pins count parity on identical input). State is one long per
-    * (feature, bucket) — bounded by bucket cardinality (languages +
-    * length centuries), independent of stream volume.
-    */
-  def driftStream(stream: DataFrame): DataFrame =
-    graft.operators.Curation.driftFeatures(stream)
-      .groupBy("feature", "bucket")
-      .agg(count(lit(1)).as("n"))
-
   def perplexityGate(stream: DataFrame,
       lm: graft.operators.TextAnalysis.PerplexityLm): DataFrame = {
     require(lm.t > 0L,
@@ -475,4 +457,22 @@ object DocsStream {
       .filter(col("sb_mean") >= lit(lm.tailCut))
       .drop("gs", "sb_sum")
   }
+
+  /** Ingest-edge DISTRIBUTION monitor — the streaming face of
+    * [[graft.operators.Curation.profile_drift]]'s census side: running
+    * (feature, bucket) document counts over the ingest stream, emitted
+    * per batch in update mode — the frame a data-quality alert compares
+    * against the last released snapshot's census (the batch operator's
+    * n1/share1 columns) to catch a crawl gone off-distribution BEFORE it
+    * lands. The bucketing is the SAME shared
+    * [[graft.operators.Curation.driftFeatures]] definition, so edge
+    * counts and the batch shift report can never bucket differently
+    * (spec pins count parity on identical input). State is one long per
+    * (feature, bucket) — bounded by bucket cardinality (languages +
+    * length centuries), independent of stream volume.
+    */
+  def driftStream(stream: DataFrame): DataFrame =
+    graft.operators.Curation.driftFeatures(stream)
+      .groupBy("feature", "bucket")
+      .agg(count(lit(1)).as("n"))
 }
