@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** CSV corpus source/sink — the lowest-common-denominator interchange format
   * (spreadsheet exports, DB dumps, the reference's external tables:
-  * `/root/reference/omop_etl/etl.py` reads declared-DDL CSVs). The 100 TB
+  * `/root/reference/external/` holds the CSVs, loaded by
+  * `/root/reference/tests/test_rules.py:123-126`). The 100 TB
   * rules CSV adds on top of the JSONL ones ([[Jsonl]]):
   *   - **Quoting is load-bearing.** Free text carries the delimiter, the
   *     quote char, and (in real corpora) newlines; the writer quotes ALL
@@ -67,6 +68,14 @@ object Csv {
     val dest = new org.apache.hadoop.fs.Path(path)
     val fs = dest.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     val staging = new org.apache.hadoop.fs.Path(path + "._staging")
+    // Staging is cleaned ONLY when the write itself failed (guard abort,
+    // task failure): at that point the destination is untouched and the
+    // partial staging dir is garbage. Once the write has succeeded the
+    // staging dir holds the only complete copy of the new export — if the
+    // subsequent rename fails (after the destination was already deleted),
+    // deleting staging too would destroy BOTH exports and falsify the
+    // "intact in the staging directory" contract, so from that point on
+    // staging is always preserved.
     try {
       guarded.write.mode("overwrite")
         .option("header", "true")
@@ -74,15 +83,15 @@ object Csv {
         .option("nullValue", NullSentinel)
         .option("emptyValue", "\"\"")
         .csv(staging.toString)
-      if (fs.exists(dest)) fs.delete(dest, true)
-      require(fs.rename(staging, dest),
-        s"Csv.write: rename $staging -> $dest failed; the export is " +
-          "intact in the staging directory")
-    } finally {
-      // a guard abort leaves a partial staging dir — remove it; after a
-      // successful rename this path no longer exists and delete is a no-op
-      if (fs.exists(staging)) fs.delete(staging, true)
+    } catch {
+      case e: Throwable =>
+        if (fs.exists(staging)) fs.delete(staging, true)
+        throw e
     }
+    if (fs.exists(dest)) fs.delete(dest, true)
+    require(fs.rename(staging, dest),
+      s"Csv.write: rename $staging -> $dest failed; the export is " +
+        "intact in the staging directory")
   }
 
   def readDocuments(spark: SparkSession, path: String): DataFrame =

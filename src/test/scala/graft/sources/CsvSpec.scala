@@ -58,6 +58,11 @@ class CsvSpec extends AnyFunSuite {
     val survived = Csv.readDocuments(spark, tmp).collect()
     assert(survived.length == 1 && survived(0).getString(1) == "prior good export",
       "refused write must leave the previous export intact")
+    // the abort's partial staging dir is garbage and must be cleaned (the
+    // staging dir is preserved ONLY when the write succeeded but the final
+    // rename failed — there it holds the only complete copy)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(tmp + "._staging")),
+      "guard-abort must clean up its partial staging directory")
     // a doc merely CONTAINING the sentinel is fine — only full equality
     // collides with the protocol
     Csv.write(Seq((2L, "uses \\N inside", "en", "s", 14L))

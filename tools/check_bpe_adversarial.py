@@ -56,19 +56,32 @@ def reference_rules(words, merges=30):
     return rules
 
 
+def sq(s):
+    """Escape a string for a single-quoted SQL literal."""
+    return s.replace("'", "''")
+
+
 def main():
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/vout"
-    sql = json.load(open(f"{out_dir}/oracle_sql.json"))["tx_bpe"]
+    try:
+        export = json.load(open(f"{out_dir}/oracle_sql.json"))
+    except FileNotFoundError:
+        sys.exit(f"check_bpe_adversarial: no oracle_sql.json in {out_dir} — "
+                 "re-run Verify first (tools/run.sh graft.Verify "
+                 f"/root/testdata/sf0.01 {out_dir})")
+    if "tx_bpe" not in export:
+        sys.exit(f"check_bpe_adversarial: {out_dir}/oracle_sql.json has "
+                 f"{len(export)} keys but no 'tx_bpe' — the export is stale "
+                 "(pre-round-13). Re-run Verify first: tools/run.sh "
+                 f"graft.Verify /root/testdata/sf0.01 {out_dir}")
+    sql = export["tx_bpe"]
     failures = 0
     for name, words in CORPORA:
         con = duckdb.connect()
-        rows = ", ".join(
-            f"({i}, '{(w + ' ') * c}'[:-1], 'en', 's', {len(w) * c})"
-            for i, (w, c) in enumerate(words))
         # one doc per word, repeated c times inside the doc — the word
         # histogram then carries count c, matching the reference
         docs = " UNION ALL ".join(
-            f"SELECT {i} AS doc_id, '{' '.join([w] * c)}' AS text, "
+            f"SELECT {i} AS doc_id, '{sq(' '.join([w] * c))}' AS text, "
             f"'en' AS lang, 's' AS source, 0 AS n_chars"
             for i, (w, c) in enumerate(words))
         con.sql(f"CREATE VIEW documents AS {docs}")
