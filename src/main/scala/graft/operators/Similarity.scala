@@ -776,6 +776,16 @@ object Similarity {
     if (fs.exists(first)) {
       val markers = fs.listStatus(first).map(_.getPath.getName)
         .filter(_.startsWith("_nshards_"))
+      // EXACTLY one marker when any exist: two markers mean two deployments
+      // wrote into this dir (a re-shard that predates the writer's marker
+      // cleanup, or a botched manual copy) — picking either one silently
+      // validates a mixed old/new layout, so refuse and name both
+      require(markers.size <= 1,
+        s"$who: ${paths.head} carries ${markers.size} _nshards_* markers " +
+          s"(${markers.sorted.mkString(", ")}) — conflicting deployments " +
+          "wrote into this directory and neither shard count can be " +
+          "trusted. Re-deploy with writeIvfPqIndexShards (which clears " +
+          "stale markers) or remove the wrong marker by hand.")
       markers.headOption.foreach { m =>
         val n = m.stripPrefix("_nshards_").toInt
         require(n == paths.size,
@@ -814,6 +824,26 @@ object Similarity {
       shards: Int, nlist: Int = 32, m: Int = 8, codes: Int = 16,
       iters: Int = 2): Seq[String] = {
     require(shards >= 1, s"writeIvfPqIndexShards: shards=$shards must be >= 1")
+    // Re-sharding SMALLER into an existing basePath would leave the old
+    // deployment's surplus shard=<i> dirs behind — a glob over the base
+    // then discovers MORE shards than the new deployment has, and the
+    // orphans still carry rows the new modulus routes elsewhere. Refuse
+    // up front (before any write touches the old deployment) rather than
+    // delete data dirs implicitly; the message names what to remove.
+    val basePathH = new org.apache.hadoop.fs.Path(basePath)
+    val baseFs = basePathH.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (baseFs.exists(basePathH)) {
+      val shardRe = "shard=(\\d+)".r
+      val stale = baseFs.listStatus(basePathH).map(_.getPath.getName).collect {
+        case n @ shardRe(i) if i.toInt >= shards => n
+      }.sorted
+      require(stale.isEmpty,
+        s"writeIvfPqIndexShards: $basePath already holds shard dirs beyond " +
+          s"the new count $shards (${stale.mkString(", ")}) — a re-shard " +
+          "that leaves them behind produces a mixed deployment whose " +
+          "surplus shards hold rows the new modulus never routes to. " +
+          "Delete the stale shard dirs first, or deploy to a fresh base.")
+    }
     import s.implicits._
     import graft.Checkpoints.DatasetCheckpointOps
     val sub = subWidth(emb, m)
@@ -843,9 +873,14 @@ object Similarity {
           .write.mode("overwrite").parquet(s"$path/health")
         // deployment shard count, verified by every routed entry point
         // (shardIds) — the id-range check alone cannot catch a prefix
-        // subset of a larger deployment
-        val fs = new org.apache.hadoop.fs.Path(path)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        // subset of a larger deployment. Stale markers from a previous
+        // deployment at this base are cleared FIRST: two markers would
+        // make the shard count ambiguous and shardIds refuses such a dir.
+        val shardPath = new org.apache.hadoop.fs.Path(path)
+        val fs = shardPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.listStatus(shardPath).map(_.getPath)
+          .filter(_.getName.startsWith("_nshards_"))
+          .foreach(fs.delete(_, false))
         fs.create(new org.apache.hadoop.fs.Path(s"$path/_nshards_$shards"),
           true).close()
       }
@@ -935,6 +970,93 @@ object Similarity {
     val cols = col("shard") +:
       reports.head.columns.filter(_ != "shard").map(col).toSeq
     reports.reduce(_ unionAll _).select(cols: _*).orderBy("shard", "cid")
+  }
+
+  /** [[searchIvfPqIndexRefined]] across shards — per-shard ADC retrieves
+    * `refine` candidates, the union re-ranks by EXACT cosine over the true
+    * vectors. This is the search to run on a deployment
+    * [[appendOrRetrainSharded]] has made HETEROGENEOUS (one shard retrained
+    * with fresher sidecars than its siblings): plain
+    * [[searchIvfPqIndexSharded]] merges raw ADC distances, which are only
+    * bit-comparable across shards while the sidecars are shared — after a
+    * per-shard retrain each shard's ADC error differs, so the merge is
+    * still a valid approximate search but no longer equals any single
+    * homogeneous index. The exact re-rank removes quantization error from
+    * the FINAL order entirely: whichever quantizer produced a candidate,
+    * its reported rank comes from true cosine — the result is the exact
+    * top-k of the union candidate set, bit-identical to
+    * [[searchIvfPqIndexRefined]] over a shared-sidecar single index when
+    * the candidate sets agree (parity-spec'd on the homogeneous layout).
+    */
+  def searchIvfPqIndexShardedRefined(s: SparkSession, paths: Seq[String],
+      queries: DataFrame, trueVecs: DataFrame, k: Int = 10,
+      refine: Int = 40, nprobe: Int = 3): DataFrame = {
+    require(paths.nonEmpty, "searchIvfPqIndexShardedRefined: no shard paths")
+    shardIds(s, paths, "searchIvfPqIndexShardedRefined")
+    // per-shard `refine` candidates: a vector with union-candidate rank
+    // ≤ refine under its OWN shard's ADC is retrieved — each shard
+    // contributes its local view, the exact stage arbitrates
+    val approx = paths.map { p =>
+      searchIvfPqIndexDistributed(s, p, queries, refine, nprobe)
+        .select(col("q_id"), col("vec_id"))
+    }.reduce(_ unionAll _)
+    val emb = trueVecs.select(col("vec_id"), col("embedding"),
+      VecDot.norm(col("embedding")).as("nrm"))
+    val qs = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .withColumn("q_nrm", VecDot.norm(col("q_emb")))
+    exactCosineRefine(approx, emb, qs, k)
+  }
+
+  /** [[appendOrRetrain]] across shards — the production ingest loop the
+    * sharded trio was missing: the delta routes by [[shardOf]] (the same
+    * definition the writer, the append, and the health roll-up use), each
+    * shard's slice is priced against THAT shard's own health sidecar, and
+    * each shard acts alone — a drifted shard retrains in place from its
+    * slice of `allVecs` (the caller's corpus-of-record INCLUDING the
+    * delta, same contract as the single-index form) while its siblings
+    * take the O(|slice|) append. Shards the delta never reaches are left
+    * untouched and absent from the result. Returns one decision row per
+    * priced shard: (shard id, retrained?, err_ratio), so the ingest
+    * pipeline can log what each shard did.
+    *
+    * Scale shape: ONE delta-sized aggregate routes the whole delta
+    * (the [[appendToIvfPqIndexSharded]] device); pricing is map-only per
+    * slice; the retrain — the full-build cost — is paid ONLY by the shard
+    * whose codebooks aged out, which is the entire point of sharding the
+    * lifecycle: at 100 TB a monolithic [[appendOrRetrain]] re-trains and
+    * re-encodes the whole corpus because one region drifted, an N-shard
+    * deployment re-encodes 1/N of it.
+    *
+    * Heterogeneity contract: a retrained shard carries FRESHER sidecars
+    * than its siblings. Every per-shard tool (search, append, health,
+    * compact) keeps working unchanged — each shard is a self-contained
+    * index — and the routed entry points keep routing correctly (the
+    * modulus never changes). What changes is cross-shard ADC
+    * comparability: run [[searchIvfPqIndexShardedRefined]] (exact final
+    * ranking regardless of per-shard quantizers) until the next full
+    * re-shard restores shared sidecars. The all-append decision keeps the
+    * shared-sidecar layout and with it [[searchIvfPqIndexSharded]]'s
+    * bit-parity with a single index (both spec-pinned).
+    */
+  def appendOrRetrainSharded(s: SparkSession, paths: Seq[String],
+      delta: DataFrame, allVecs: DataFrame,
+      maxErrRatio: Double = 2.0): Seq[(Int, Boolean, Double)] = {
+    require(paths.nonEmpty, "appendOrRetrainSharded: no shard paths")
+    val n = paths.size
+    val ids = shardIds(s, paths, "appendOrRetrainSharded")
+    // one aggregate routes the delta; empty slices skip (appendOrRetrain
+    // rightly refuses an empty delta — nothing to price)
+    val counts = delta.groupBy(shardOf(col("vec_id"), n).as("shard"))
+      .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    paths.zip(ids).flatMap { case (p, i) =>
+      if (counts.getOrElse(i.toLong, 0L) == 0L) None
+      else {
+        val slice = shardOf(col("vec_id"), n) === i.toLong
+        val (retrained, ratio) = appendOrRetrain(s, p,
+          delta.filter(slice), allVecs.filter(slice), maxErrRatio)
+        Some((i, retrained, ratio))
+      }
+    }
   }
 
   /** The (q_id, cid, tabs) probe frame of [[searchIvfPqIndexDistributed]]:

@@ -848,6 +848,141 @@ class PipelineSpec extends AnyFunSuite {
         s"shard-count marker, got: ${e.getMessage}")
   }
 
+  test("appendOrRetrainSharded: the drifted shard retrains alone while siblings append; refined sharded search stays exact") {
+    val dir = "/root/testdata/sf0.01"
+    val emb = graft.sources.Tables.loadParallel(spark, dir, "embeddings")
+      .select("vec_id", "embedding")
+    val base = java.nio.file.Files.createTempDirectory("graftaors").toString
+    val single = java.nio.file.Files.createTempDirectory("graftaorsingle").toString
+    val shards = Similarity.writeIvfPqIndexShards(spark, emb, base, 3)
+    Similarity.writeIvfPqIndexFrom(spark, emb, single)
+    def slice(df: org.apache.spark.sql.DataFrame, i: Int) =
+      df.filter(pmod(col("vec_id"), lit(3L)) === i.toLong)
+    // ROUND 1 — no drift: exact corpus copies under fresh ids. Every shard
+    // must take the append (err_ratio ~ 1), and because the decision never
+    // touches the shared sidecars, plain sharded search keeps its
+    // bit-parity with a single index that appended the same delta.
+    val mild = emb.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 1200000L).as("vec_id"), col("embedding"))
+    val allVecs1 = emb.unionByName(mild)
+    val d1 = Similarity.appendOrRetrainSharded(spark, shards, mild, allVecs1)
+    assert(d1.map(_._1) == Seq(0, 1, 2), s"all shards priced, got $d1")
+    assert(d1.forall(!_._2), s"an undrifted delta must append everywhere: $d1")
+    assert(d1.forall(_._3 <= 2.0), s"copy-of-corpus err_ratio must be low: $d1")
+    Similarity.appendToIvfPqIndex(spark, single, mild)
+    val queries = emb.filter(col("vec_id") < 8)
+    assert(Similarity.searchIvfPqIndexSharded(spark, shards, queries)
+        .collect().map(_.toSeq).toSeq ==
+      Similarity.searchIvfPqIndexDistributed(spark, single, queries)
+        .collect().map(_.toSeq).toSeq,
+      "all-append decisions keep sharded search bit-identical to the single index")
+    // ROUND 2 — drift planted ONLY in shard 1's slice: +2.0 on every
+    // component (the idx_health planted-drift strength). Shard 1 must
+    // retrain alone; shards 0 and 2 must append their undrifted slices.
+    val delta2 = emb.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 2400000L).as("vec_id"),
+        when(pmod(col("vec_id") + 2400000L, lit(3L)) === 1L,
+          transform(col("embedding"), x => (x + lit(2.0f)).cast("float")))
+          .otherwise(col("embedding")).as("embedding"))
+    val allVecs2 = allVecs1.unionByName(delta2)
+    val d2 = Similarity.appendOrRetrainSharded(spark, shards, delta2, allVecs2)
+    val byShard = d2.map(d => d._1 -> d).toMap
+    assert(byShard.keySet == Set(0, 1, 2))
+    assert(byShard(1)._2 && byShard(1)._3 > 2.0,
+      s"the planted-drift shard must retrain: ${byShard(1)}")
+    assert(!byShard(0)._2 && !byShard(2)._2,
+      s"undrifted siblings must append, not retrain: $d2")
+    // row conservation per shard: a retrained shard re-encodes its FULL
+    // corpus-of-record slice; an appended shard is base + its delta rows —
+    // both equal the allVecs2 slice count
+    (0 until 3).foreach { i =>
+      assert(spark.read.parquet(s"${shards(i)}/codes").count() ==
+        slice(allVecs2, i).count(), s"shard $i row count after decision")
+    }
+    // the deployment is now HETEROGENEOUS (shard 1 has fresher sidecars) —
+    // the exact-re-rank search arbitrates across quantizers: a query that
+    // has an exact copy in the corpus must get that copy back at rank 1
+    // with cos == 1.0, whether the copy lives in a retrained or an
+    // appended shard. Query ids are fresh (they must not collide with the
+    // candidate they should retrieve — the search drops self-matches).
+    val drifted = delta2.filter(pmod(col("vec_id"), lit(3L)) === 1L).limit(2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1))
+    val undrifted = delta2.filter(pmod(col("vec_id"), lit(3L)) =!= 1L).limit(2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1))
+    assert(drifted.nonEmpty && undrifted.nonEmpty)
+    val probe = (drifted ++ undrifted).zipWithIndex
+      .map { case ((id, e), qi) => (3000000L + qi, e, id) }
+    val probeDf = probe.map { case (qid, e, _) => (qid, e) }.toSeq
+      .toDF("vec_id", "embedding")
+    val hits = Similarity.searchIvfPqIndexShardedRefined(
+        spark, shards, probeDf, allVecs2, k = 3)
+      .filter(col("rank") === 1L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    probe.foreach { case (qid, _, copyId) =>
+      val (gotId, cos) = hits(qid)
+      assert(math.abs(cos - 1.0) < 1e-9,
+        s"query $qid: rank-1 must be an exact copy, got cos=$cos id=$gotId")
+      // a DRIFTED probe's exact copy is unique (the +2.0 shift moved it
+      // away from every original), so the retrained shard must surface
+      // precisely that row; an undrifted probe legitimately ties with its
+      // original corpus row and the smallest vec_id wins the tie-break
+      if (qid - 3000000L < drifted.length)
+        assert(gotId == copyId,
+          s"drifted query $qid: expected its copy $copyId at rank 1, got $gotId")
+    }
+    // plumbing parity: a 1-shard deployment IS a single index, so the
+    // refined sharded search must be bit-identical to the single-index
+    // refined search over an identically-trained pristine index
+    // (deterministic training: same frame + same params => same sidecars)
+    val oneBase = java.nio.file.Files.createTempDirectory("graftaorone").toString
+    val one = Similarity.writeIvfPqIndexShards(spark, emb, oneBase, 1)
+    val pristine = java.nio.file.Files.createTempDirectory("graftaorprst").toString
+    Similarity.writeIvfPqIndexFrom(spark, emb, pristine)
+    assert(Similarity.searchIvfPqIndexShardedRefined(spark, one, queries, emb)
+        .collect().map(_.toSeq).toSeq ==
+      Similarity.searchIvfPqIndexRefined(spark, pristine, queries, emb)
+        .collect().map(_.toSeq).toSeq,
+      "1-shard refined search must equal the single-index refined search")
+  }
+
+  test("re-sharding a base path: stale surplus shards refuse; markers refresh; conflicting markers refuse") {
+    val emb = graft.sources.Tables
+      .loadParallel(spark, "/root/testdata/sf0.01", "embeddings")
+      .filter(col("vec_id") < 200)
+    // smaller → refuse: the old deployment's surplus shard dir would
+    // otherwise survive as an orphan holding rows the new modulus never
+    // routes to
+    val baseA = java.nio.file.Files.createTempDirectory("graftreshA").toString
+    Similarity.writeIvfPqIndexShards(spark, emb, baseA, 3)
+    val down = intercept[IllegalArgumentException] {
+      Similarity.writeIvfPqIndexShards(spark, emb, baseA, 2)
+    }
+    assert(down.getMessage.contains("shard dirs beyond"),
+      s"re-shard smaller must refuse, got: ${down.getMessage}")
+    // larger → the old _nshards_2 markers must be cleared, not accumulated:
+    // each shard dir ends with exactly the new marker and routed entry
+    // points accept the new deployment
+    val baseB = java.nio.file.Files.createTempDirectory("graftreshB").toString
+    Similarity.writeIvfPqIndexShards(spark, emb, baseB, 2)
+    val grown = Similarity.writeIvfPqIndexShards(spark, emb, baseB, 3)
+    grown.foreach { p =>
+      val markers = new java.io.File(p).listFiles()
+        .map(_.getName).filter(_.startsWith("_nshards_")).toSeq
+      assert(markers == Seq("_nshards_3"),
+        s"$p must carry exactly the new marker, got $markers")
+    }
+    Similarity.compactIvfPqIndexSharded(spark, grown) // accepts the refreshed markers
+    // conflicting markers (a layout no writer produces any more) → refuse
+    // loudly instead of trusting either count
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(grown.head, "_nshards_9"))
+    val conflict = intercept[IllegalArgumentException] {
+      Similarity.compactIvfPqIndexSharded(spark, grown)
+    }
+    assert(conflict.getMessage.contains("_nshards_* markers"),
+      s"conflicting markers must refuse, got: ${conflict.getMessage}")
+  }
+
   test("appendToIvfPqIndex: append(delta) equals a fixed-codebook rebuild; pruning survives appended files") {
     def copyDir(from: String, to: String): Unit = {
       val src = java.nio.file.Paths.get(from)
