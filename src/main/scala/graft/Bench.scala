@@ -40,6 +40,13 @@ object Bench {
     // passes share a JVM and cache state), so a verdict can adjudicate each
     // mover individually instead of leaning on the single canary query.
     val last = scala.collection.mutable.Map[String, Double]()
+    // Per-query FIRST-pass timing: several families (graph ranks, HITS,
+    // perplexity, cluster assignments, mixture loss tables) memoize their
+    // per-snapshot artifact via SessionMemo, so min-of-N measures only the
+    // memo-warm path — a regression in the BUILD path would be invisible.
+    // Pass 1 is the only pass that pays the build; report it beside the
+    // min so cold vs warm stays observable per round from one file.
+    val first = scala.collection.mutable.Map[String, Double]()
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     for (p <- 1 to passes) {
       spark.catalog.clearCache()
@@ -55,6 +62,7 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         if (ok) {
           if (best.get(name).forall(dt < _)) best(name) = dt
+          if (p == 1) first(name) = dt
           last(name) = dt
         }
       }
@@ -69,6 +77,9 @@ object Bench {
       .mkString("{", ",", "}")
     val qsLast = names
       .map(n => s"\"" + n + "\":" + (if (failed(n)) -1.0 else last(n)))
+      .mkString("{", ",", "}")
+    val qsFirst = names
+      .map(n => s"\"" + n + "\":" + (if (failed(n)) -1.0 else first.getOrElse(n, -1.0)))
       .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val valid = failed.isEmpty
@@ -89,7 +100,33 @@ object Bench {
     val canaryRef = 0.143
     val totalNorm =
       if (valid && canary > 0) total * (canaryRef / canary) else -1.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","valid":$valid,"canary_q05_topk":$canary,"canary_ref":$canaryRef,"total_canary_normalized":$totalNorm,"queries":$qs,"queries_last":$qsLast,"errors":$errs,"passes":$passes,"sf":${DriverSession.jsonQuote(sfDir)}}"""
+    // Canary BASKET: the single-query canary moved 1.51× between rounds on
+    // identical code (q05_topk 0.143 → 0.216 → 0.147), so normalizing a
+    // 130 s total off one 0.15 s query amplifies its noise ~1000×. Three
+    // members covering the three cost shapes — scan-bound (q05_topk),
+    // shuffle-bound (q03_join_agg), window-bound (q07_window) — and the
+    // MEDIAN of their per-member ratios as the box factor: one disturbed
+    // member (whatever its shape) can no longer move the estimate. Refs
+    // are the round-13 driver box's min-of-3 readings (BENCH_r13.json).
+    val basketRefs = Seq(
+      "q05_topk" -> 0.147, "q03_join_agg" -> 0.587, "q07_window" -> 0.696)
+    val basketRatios = basketRefs.flatMap { case (n, ref) =>
+      best.get(n).filter(_ > 0).map(m => n -> (ref / m))
+    }
+    val ratioMedian =
+      if (basketRatios.size == basketRefs.size)
+        basketRatios.map(_._2).sorted.apply(basketRatios.size / 2)
+      else -1.0
+    val totalBasketNorm =
+      if (valid && ratioMedian > 0) total * ratioMedian else -1.0
+    val basketJson = {
+      val members = basketRefs.map { case (n, _) =>
+        s"\"" + n + "\":" + best.getOrElse(n, -1.0) }.mkString("{", ",", "}")
+      val refs = basketRefs.map { case (n, r) => s"\"" + n + "\":" + r }
+        .mkString("{", ",", "}")
+      s"""{"members":$members,"refs":$refs,"ratio_median":$ratioMedian,"total_basket_normalized":$totalBasketNorm}"""
+    }
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","valid":$valid,"canary_q05_topk":$canary,"canary_ref":$canaryRef,"total_canary_normalized":$totalNorm,"canary":$basketJson,"queries":$qs,"queries_first":$qsFirst,"queries_last":$qsLast,"errors":$errs,"passes":$passes,"sf":${DriverSession.jsonQuote(sfDir)}}"""
     println(json)
     // The driver captures only the TAIL of stdout — with ~100 queries the
     // headline line gets truncated out of the artifact. Persist the full
