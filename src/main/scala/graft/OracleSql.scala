@@ -809,6 +809,87 @@ object OracleSql {
   private def trainedMarginSql: String =
     (0 until 16).map(i => s"weff.e$i * x$i").mkString(" + ")
 
+  /** `TextAnalysis.trainLangidWeights`' twin — the scoreTrainCtes device
+    * widened to one-vs-rest: 5 languages × 17 centered-feature weights
+    * trained jointly, every round one 85-sum aggregate, all 64-bit
+    * integer so the full trajectory hash-matches. Features are hashed
+    * CHARACTER trigrams (substr sliding window; the CASE guards sub-3-char
+    * texts exactly like the Spark side's descending-sequence guard).
+    * Round CTEs are AS MATERIALIZED: each references its predecessor's 85
+    * weight columns inside every gradient term, and DuckDB's default CTE
+    * inlining expands such chains exponentially in rounds (the round-13
+    * kmeans lesson). Ends at `feat` (doc_id, lang, n, x0..x15, y_*) and
+    * `lweff` (e_<lang>_<i>, 80 effective bucket weights).
+    */
+  private val langidTrainCtes: String = {
+    val hex = "0123456789abcdef"
+    val langs = graft.operators.TextAnalysis.langidLangs
+    val iters = graft.operators.TextAnalysis.langidIters
+    val xCols = (0 until 16).map(i =>
+      s"CAST(len(list_filter(bs, b -> b = '${hex(i)}')) AS BIGINT) AS x$i")
+      .mkString(", ")
+    def z(i: Int) = if (i < 16) s"(16 * x$i - n)" else "n"
+    def marginOf(w: String, l: String) =
+      (0 until 17).map(i => s"$w.c_${l}_$i * ${z(i)}").mkString(" + ")
+    val yCols = langs.map(l =>
+      s"CAST(CASE WHEN lang = '$l' THEN 1 ELSE -1 END AS BIGINT) AS y_$l")
+      .mkString(", ")
+    val w0 = langs.flatMap(l => (0 until 17).map(i =>
+      s"CAST(0 AS BIGINT) AS c_${l}_$i")).mkString(", ")
+    val rounds = (1 to iters).map { r =>
+      val prev = if (r == 1) "lw0" else s"lit${r - 1}"
+      val gsum = langs.flatMap { l =>
+        (0 until 17).map(i =>
+          s"COALESCE(CAST(sum(CASE WHEN y_$l * (${marginOf(prev, l)}) <= 0 " +
+            s"THEN y_$l * ${z(i)} ELSE 0 END) AS BIGINT), 0) AS g_${l}_$i")
+      }.mkString(", ")
+      val upd = langs.flatMap { l =>
+        (0 until 17).map(i => s"CAST($prev.c_${l}_$i + g_${l}_$i AS BIGINT) AS c_${l}_$i")
+      }.mkString(", ")
+      s"""lgr$r AS MATERIALIZED (SELECT $gsum FROM lfeat, $prev),
+         |lit$r AS MATERIALIZED (SELECT $upd FROM $prev, lgr$r)""".stripMargin
+    }.mkString(",\n")
+    val fin = s"lit$iters"
+    val weff = langs.flatMap { l =>
+      val sumW = (0 until 16).map(j => s"$fin.c_${l}_$j").mkString(" + ")
+      (0 until 16).map(i =>
+        s"CAST(16 * $fin.c_${l}_$i + ($fin.c_${l}_16 - ($sumW)) AS BIGINT) AS e_${l}_$i")
+    }.mkString(", ")
+    s"""lcg AS MATERIALIZED (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN length(text) >= 3
+       |         THEN list_transform(generate_series(1, length(text) - 2),
+       |                             i -> substr(text, i, 3))
+       |         ELSE [] END AS cg
+       |  FROM documents WHERE text IS NOT NULL),
+       |lfb AS (SELECT doc_id, lang,
+       |          list_transform(cg, g -> substr(md5(g), 1, 1)) AS bs
+       |        FROM lcg),
+       |lfx AS MATERIALIZED (
+       |  SELECT doc_id, lang, CAST(len(bs) AS BIGINT) AS n, $xCols FROM lfb),
+       |lfeat AS (SELECT *, $yCols FROM lfx),
+       |lw0 AS (SELECT $w0),
+       |$rounds,
+       |lweff AS (SELECT $weff FROM $fin)""".stripMargin
+  }
+
+  /** The per-doc prediction tail over `lfeat × lweff`: margins per
+    * language, struct-sort argmax (ties to the largest language code — the
+    * langidPickSql device). Ends at `lm(doc_id, actual, predicted, margin)`.
+    */
+  private val langidPredCte: String = {
+    val langs = graft.operators.TextAnalysis.langidLangs
+    val margins = langs.map { l =>
+      val m = (0 until 16).map(i => s"e_${l}_$i * x$i").mkString(" + ")
+      s"CAST($m AS BIGINT) AS m_$l"
+    }.mkString(", ")
+    val structs = langs.map(l => s"{'m': m_$l, 'lang': '$l'}").mkString(", ")
+    val pick = s"list_sort([$structs])[${langs.size}]"
+    s"""lmm AS (SELECT doc_id, lang AS actual, $margins FROM lfeat, lweff),
+       |lm AS (SELECT doc_id, actual, $pick.lang AS predicted, $pick.m AS margin
+       |       FROM lmm)""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "q01_scan_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -1572,6 +1653,18 @@ object OracleSql {
          |SELECT actual, count(*) AS n,
          |  CAST(sum(CASE WHEN predicted = actual THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
          |FROM p GROUP BY actual ORDER BY actual""".stripMargin,
+
+    "tx_langid2" ->
+      s"""WITH $langidTrainCtes,
+         |$langidPredCte
+         |SELECT doc_id, actual, predicted, margin FROM lm ORDER BY doc_id""".stripMargin,
+
+    "tx_langid2_eval" ->
+      s"""WITH $langidTrainCtes,
+         |$langidPredCte
+         |SELECT actual, count(*) AS n,
+         |  CAST(sum(CASE WHEN predicted = actual THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+         |FROM lm GROUP BY actual ORDER BY actual""".stripMargin,
 
     "tx_quality" ->
       """SELECT doc_id,

@@ -89,6 +89,8 @@ object SparkEntry {
     "tx_quality" -> (TextAnalysis.tx_quality _),
     "tx_langid" -> (TextAnalysis.tx_langid _),
     "tx_langid_eval" -> (TextAnalysis.tx_langid_eval _),
+    "tx_langid2" -> ((s, d) => TextAnalysis.tx_langid2(s, d)),
+    "tx_langid2_eval" -> ((s, d) => TextAnalysis.tx_langid2_eval(s, d)),
     "mm_pipeline" -> (Multimodal.mm_pipeline _),
     "mm_dedup" -> (Multimodal.mm_dedup _),
     // planted-re-encode form: self-verifying rows (one pair per plant)

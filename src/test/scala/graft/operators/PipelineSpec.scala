@@ -344,6 +344,55 @@ class PipelineSpec extends AnyFunSuite {
     assert(eval.map(_.getLong(1)).sum == 500)
   }
 
+  test("tx_langid2: trained char-trigram scorer learns languages the stopword profiles cannot see") {
+    // five languages, eight docs each, EVERY doc avoiding every profile
+    // stopword: the stopword scorer degenerates to the zero-hit tie-break
+    // (predicts 'zh' for all — accuracy = the zh share, 0.2), while the
+    // trained scorer must separate the languages from character trigrams
+    // alone. Docs vary deterministically (rotation + one dropped word) so
+    // the model generalizes over word order rather than memorizing a string.
+    val texts = Seq(
+      "en" -> "quick brown fox jumps over lazy dog while bright morning light shines through tall windows",
+      "de" -> "schneller brauner fuchs springt ueber faulen hund waehrend helles morgenlicht durch hohe fenster scheint",
+      "es" -> "zorro marron rapido salta sobre perro perezoso mientras brillante luz manana entra por ventanas altas",
+      "fr" -> "renard brun rapide saute par dessus chien paresseux pendant que lumiere brillante matin entre fenetres hautes",
+      "zh" -> "敏捷 棕色 狐狸 跳过 懒惰 小狗 当 明亮 早晨 光线 穿过 高高 窗户")
+    val rows = texts.zipWithIndex.flatMap { case ((l, t), li) =>
+      val ws = t.split(" ").toSeq
+      (0 until 8).map { d =>
+        val rot = ws.drop(d % ws.size) ++ ws.take(d % ws.size)
+        val kept = rot.zipWithIndex
+          .collect { case (w, i) if i != (3 * d) % rot.size => w }
+        val doc = kept.mkString(" ")
+        ((li * 8 + d).toLong, doc, l, "plant", doc.length.toLong)
+      }
+    }
+    val dir = tmpDocs(rows)
+    def accOf(eval: org.apache.spark.sql.DataFrame): Double = {
+      val r = eval.agg(sum("n_correct"), sum("n")).first()
+      r.getLong(0).toDouble / r.getLong(1)
+    }
+    val trainedAcc = accOf(TextAnalysis.tx_langid2_eval(spark, dir))
+    val stopwordAcc = accOf(TextAnalysis.tx_langid_eval(spark, dir))
+    assert(stopwordAcc <= 0.25,
+      s"plant must blind the stopword scorer, got $stopwordAcc")
+    assert(trainedAcc == 1.0,
+      s"trained scorer must separate the planted languages, got $trainedAcc")
+    // determinism + memo: a repeat call must produce the identical frame
+    // (trainLangidWeights is cached per (dir, iters), and training itself
+    // is integer-exact)
+    val p1 = TextAnalysis.tx_langid2(spark, dir).collect().map(_.toSeq).toSeq
+    val p2 = TextAnalysis.tx_langid2(spark, dir).collect().map(_.toSeq).toSeq
+    assert(p1 == p2)
+    // the shipped corpus's lang labels are mostly text-independent, so no
+    // content scorer can do well — but the trained scorer must still be at
+    // least as accurate as the stopword fallback (it learns the majority
+    // bias the fallback lacks)
+    val t = accOf(TextAnalysis.tx_langid2_eval(spark, "/root/testdata/sf0.001"))
+    val b = accOf(TextAnalysis.tx_langid_eval(spark, "/root/testdata/sf0.001"))
+    assert(t >= b, s"trained $t must be >= stopword baseline $b on the corpus")
+  }
+
   test("dd_embed_lsh: identical vectors always pair; subset of all-pairs baseline") {
     val dir = tmpEmb(Seq(
       (1L, Seq(0.5f, 0.1f, 0.9f, -0.2f), "a"),
@@ -1968,6 +2017,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(Dedup.dd_cluster(spark, dir).count() == 0)
     assert(TextAnalysis.tx_fingerprint(spark, dir).count() == 0)
     assert(TextAnalysis.tx_langid(spark, dir).count() == 0)
+    assert(TextAnalysis.tx_langid2(spark, dir).count() == 0)
     assert(Curation.dd_para(spark, dir).count() == 0)
     assert(Curation.samp_stratified(spark, dir).count() == 0)
     assert(Curation.samp_reservoir(spark, dir).count() == 0)
