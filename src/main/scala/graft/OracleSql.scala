@@ -328,6 +328,47 @@ object OracleSql {
        |$rounds""".stripMargin
   }
 
+  /** `Curation.samp_mixture_train_excess`'s twin — the published-form
+    * DoReMi chain: λ = max(0, ref_flu − flu) frozen with the planted
+    * reference table (ref_flu = base + step · first-md5-hex-digit of the
+    * source name, the SAME constants the Scala plant uses), rounds =
+    * multiplicative update on λ + renormalize + uniform re-mix. All
+    * operands non-negative, so `//` floor division equals Scala's
+    * truncating `/` everywhere.
+    */
+  private def mixtureTrainExcessCtes: String = {
+    val eta = graft.operators.Curation.mixtureTrainEta
+    val c = graft.operators.Curation.mixtureTrainSmooth
+    val iters = graft.operators.Curation.mixtureTrainIters
+    val base = graft.operators.Curation.mixtureRefBase
+    val step = graft.operators.Curation.mixtureRefStep
+    val rounds = (1 to iters).map { r =>
+      s"""xraw$r AS MATERIALIZED (
+         |  SELECT source, flu, ref_flu, lam,
+         |    greatest(1, (w * (1000000 + lam * $eta)) // 1000000) AS rw
+         |  FROM xw${r - 1}),
+         |xw$r AS MATERIALIZED (
+         |  SELECT source, flu, ref_flu, lam,
+         |    CAST(greatest(1, ((1000000 - $c) * ((rw * 1000000) // (SELECT sum(rw) FROM xraw$r))
+         |          + $c * (1000000 // ndx.nd)) // 1000000) AS BIGINT) AS w
+         |  FROM xraw$r, ndx)""".stripMargin
+    }.mkString(",\n")
+    s"""dlx AS MATERIALIZED (
+       |  SELECT d.source,
+       |    CAST(sum(pd.sb_sum) // sum(pd.n_bigrams) AS BIGINT) AS flu,
+       |    CAST($base + $step *
+       |      (strpos('0123456789abcdef', substr(md5(d.source), 1, 1)) - 1)
+       |      AS BIGINT) AS ref_flu
+       |  FROM pd JOIN documents d USING (doc_id) GROUP BY d.source),
+       |ndx AS MATERIALIZED (SELECT count(*) AS nd FROM dlx),
+       |xw0 AS MATERIALIZED (
+       |  SELECT source, flu, ref_flu,
+       |    CAST(greatest(0, ref_flu - flu) AS BIGINT) AS lam,
+       |    CAST(1000000 // nd AS BIGINT) AS w
+       |  FROM dlx, ndx),
+       |$rounds""".stripMargin
+  }
+
   /** `Clustering.kmeansRounds` unrolled: c0 = the k lowest-vec_id vectors
     * (RNG-free init, floats cast exactly to DOUBLE); round i assigns
     * against c(i-1) (struct-min = min distance, ties to the lowest cluster
@@ -2429,6 +2470,21 @@ object OracleSql {
          |$mixtureTrainCtes
          |SELECT CAST(0 AS BIGINT) AS round, source, flu, CAST(0 AS BIGINT) AS excess,
          |  w AS weight FROM w0
+         |$emit
+         |ORDER BY round, source""".stripMargin
+    },
+
+    // samp_mixture_train_excess: the published-form trajectory (frozen
+    // clipped excess vs the planted reference table) over its own chain.
+    "samp_mixture_train_excess" -> {
+      val iters = graft.operators.Curation.mixtureTrainIters
+      val emit = (1 to iters).map { r =>
+        s"UNION ALL SELECT CAST($r AS BIGINT), source, flu, ref_flu, lam, w FROM xw$r"
+      }.mkString("\n")
+      s"""WITH $perplexityPdCtes,
+         |$mixtureTrainExcessCtes
+         |SELECT CAST(0 AS BIGINT) AS round, source, flu, ref_flu,
+         |  lam AS excess, w AS weight FROM xw0
          |$emit
          |ORDER BY round, source""".stripMargin
     },

@@ -162,6 +162,7 @@ object SparkEntry {
     "ann_sq" -> ((s, d) => Similarity.ann_sq(s, d)),
     "samp_mixture" -> (Curation.samp_mixture _),
     "samp_mixture_train" -> ((s, d) => Curation.samp_mixture_train(s, d)),
+    "samp_mixture_train_excess" -> ((s, d) => Curation.samp_mixture_train_excess(s, d)),
     "samp_mixture_trained" -> ((s, d) => Curation.samp_mixture_trained(s, d)),
     "q51_histogram" -> (Relational.q51_histogram _),
     "q52_rank_stats" -> (Relational.q52_rank_stats _),

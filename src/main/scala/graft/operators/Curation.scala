@@ -598,6 +598,91 @@ object Curation {
       .orderBy("round", "source")
   }
 
+  /** The planted REFERENCE-MODEL loss table of [[samp_mixture_train_excess]],
+    * as a deterministic function of the source name: ref_flu(source) =
+    * [[mixtureRefBase]] + [[mixtureRefStep]] · (first md5 hex digit of the
+    * name). In production this table is the reference model's per-domain
+    * eval pass (DoReMi trains a small reference on the uniform mixture and
+    * freezes its losses); the corpus carries no reference model, so the
+    * plant stands in — content-addressed like every other plant
+    * (teacherWeights convention), landing in the fluency band the real
+    * artifact occupies (~32k–39k fixed-point), so clipped excesses are
+    * non-degenerate: some domains above their reference, some below.
+    */
+  private[graft] val mixtureRefBase: Long = 30000L
+  private[graft] val mixtureRefStep: Long = 800L
+  private[graft] def mixtureRefFlu(source: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(source.getBytes("UTF-8"))
+    mixtureRefBase + mixtureRefStep * ((d(0) >> 4) & 0xf)
+  }
+
+  /** [[samp_mixture_train]] in the PUBLISHED DoReMi form: the per-round
+    * weight gain is the EXCESS LOSS vs a frozen reference model,
+    * λ_i = max(0, ℓ_proxy,i − ℓ_ref,i) — on the fluency scale (higher
+    * fluency = lower loss) that is max(0, ref_flu_i − flu_i): domains
+    * whose measured fluency falls SHORT of their reference get weight;
+    * domains already at or above reference are clipped to zero gain
+    * (Xie et al. 2023 eq. 2's per-domain excess, where
+    * [[samp_mixture_train]] substitutes deviation from the mixture's own
+    * weighted average — the self-referential form kept for comparison;
+    * the spec pins a plant where the two DISAGREE on the hardest domain).
+    * λ is frozen with the reference (the proxy is a per-snapshot scoring
+    * artifact, not a model being retrained mid-loop), so rounds evolve
+    * through the multiplicative update, renormalization, and DoReMi's
+    * uniform re-mix exactly as in the raw form — same fixed-point
+    * integer algebra, same clamps, whole trajectory a DuckDB hash oracle.
+    *
+    * Scale shape: identical to [[samp_mixture_train]] — the loss table is
+    * the SAME memoized domain-cardinality aggregate (no extra scan; the
+    * reference table is name arithmetic), rounds are O(iters·domains)
+    * driver work.
+    */
+  def samp_mixture_train_excess(s: SparkSession, dir: String,
+      iters: Int = mixtureTrainIters): DataFrame = {
+    require(iters >= 1, s"samp_mixture_train_excess: iters=$iters must be >= 1")
+    import s.implicits._
+    val domains = mixtureDomainLoss(s, dir)
+    val nd = domains.size
+    require(nd >= 2, s"samp_mixture_train_excess: $nd domain(s) — fitting " +
+      "a mixture needs at least two sources to trade off")
+    val refs = domains.map { case (src, _) => mixtureRefFlu(src) }
+    val lam = domains.zip(refs).map { case ((_, f), ref) => math.max(0L, ref - f) }
+    val u = 1000000L / nd
+    var w: Seq[Long] = Seq.fill(nd)(u)
+    val traj = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long, Long, Long)]
+    domains.indices.foreach { i =>
+      traj += ((0L, domains(i)._1, domains(i)._2, refs(i), lam(i), u))
+    }
+    for (r <- 1 to iters) {
+      val raw = w.zip(lam).map { case (wi, l) =>
+        math.max(1L, wi * (1000000L + l * mixtureTrainEta) / 1000000L)
+      }
+      val rsum = raw.sum
+      w = raw.map(x => math.max(1L,
+        ((1000000L - mixtureTrainSmooth) * (x * 1000000L / rsum) +
+          mixtureTrainSmooth * u) / 1000000L))
+      domains.indices.foreach { i =>
+        traj += ((r.toLong, domains(i)._1, domains(i)._2, refs(i), lam(i), w(i)))
+      }
+    }
+    traj.toSeq.toDF("round", "source", "flu", "ref_flu", "excess", "weight")
+      .orderBy("round", "source")
+  }
+
+  /** [[samp_mixture_train_excess]]'s last round as a
+    * [[mixtureWeights]]-shaped map — the excess-form twin of
+    * [[trainedMixtureWeights]], plug-compatible with the unchanged
+    * content-addressed sampler.
+    */
+  private[graft] def trainedMixtureWeightsExcess(s: SparkSession, dir: String,
+      iters: Int = mixtureTrainIters): Map[String, Double] = {
+    samp_mixture_train_excess(s, dir, iters)
+      .filter(col("round") === iters.toLong)
+      .select("source", "weight").collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+  }
+
   /** The per-domain loss table behind [[samp_mixture_train]]: source →
     * token-weighted mean fluency (`Σ sb_sum div Σ n_bigrams`, integer),
     * sorted by source for a deterministic round order. Bounded collect:

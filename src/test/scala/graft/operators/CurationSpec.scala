@@ -592,6 +592,49 @@ class CurationSpec extends AnyFunSuite {
     assert(wT(easiest) < w0(easiest), "easiest domain must lose weight")
   }
 
+  test("samp_mixture_train_excess: clipped reference excess drives weights and disagrees with the self-referential form") {
+    val dir = "/root/testdata/sf0.001"
+    val t = Curation.samp_mixture_train_excess(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val iters = t.map(_._1).max
+    // λ invariants: excess = max(0, ref_flu − flu), frozen across rounds
+    // (the reference model is frozen in DoReMi; the proxy here is a
+    // per-snapshot scoring artifact)
+    t.foreach { case (_, src, flu, ref, lam, _) =>
+      assert(lam == math.max(0L, ref - flu), s"$src: λ must be clipped excess")
+      assert(ref == Curation.mixtureRefFlu(src), s"$src: planted reference")
+    }
+    val last = t.filter(_._1 == iters).sortBy(r => (r._5, r._2))
+    // zero-excess domains (already at/above reference) collapse to one
+    // shared minimum weight — the clip at work; weights are monotone in λ
+    val zeroW = last.filter(_._5 == 0L).map(_._6).toSet
+    assert(zeroW.size == 1 && zeroW.head == last.map(_._6).min,
+      s"clipped domains must share the minimum weight, got $zeroW")
+    last.toSeq.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._6 <= b._6, s"weight must be monotone in λ: $a vs $b")
+    }
+    // THE SEPARATION: the self-referential form upweights the minimum-flu
+    // domain; the published form upweights the domain with the largest
+    // clipped excess vs its reference — on this corpus those are
+    // different domains, so the two argmax weights disagree
+    val excessTop = last.maxBy(_._6)._2
+    assert(excessTop == last.maxBy(_._5)._2,
+      "excess form's top weight must sit on the max-λ domain")
+    val raw = Curation.samp_mixture_train(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(4)))
+    val rawIters = raw.map(_._1).max
+    val rawTop = raw.filter(_._1 == rawIters).maxBy(_._4)._2
+    val minFlu = raw.filter(_._1 == 0L).minBy(_._3)._2
+    assert(rawTop == minFlu, "raw form's top weight sits on the hardest (min-flu) domain")
+    assert(excessTop != rawTop,
+      s"the two forms must disagree here: excess→$excessTop raw→$rawTop")
+    // plug-compat + determinism of the folded weight map
+    val w1 = Curation.trainedMixtureWeightsExcess(spark, dir)
+    assert(w1.keySet == last.map(_._2).toSet && w1.values.forall(_ >= 1.0))
+    assert(Curation.trainedMixtureWeightsExcess(spark, dir) == w1)
+  }
+
   test("samp_mixture_train: trained weights are plug-compatible with the fixed-weight sampler path") {
     val dir = "/root/testdata/sf0.001"
     val trained = Curation.trainedMixtureWeights(spark, dir)
