@@ -13,8 +13,11 @@ import org.apache.spark.sql.SparkSession
   *  - '''Keyed by the owning session.''' The cached values hold
   *    checkpointed frames whose blocks die with their session
   *    ([[Checkpoints]]); a cross-session hit would hand out a dead frame.
-  *    Dead-session entries are evicted on every access, so a
-  *    session-per-request deployment cannot grow the map forever.
+  *    Dead-session entries are evicted on every access AND the moment
+  *    their context ends (an ApplicationEnd listener installed on first
+  *    use per context), so neither a session-per-request deployment nor
+  *    a memo that goes idle after its session stops can retain stopped
+  *    sessions or their frames.
   *  - '''In-flight builds are deduplicated per key.''' A lazy holder is
   *    inserted under the map lock and FORCED outside it: exactly one
   *    thread computes a given key (racers block on that key's holder
@@ -44,10 +47,44 @@ final class SessionMemo[K, V](maxPerSession: Int = 32) {
   private val m =
     scala.collection.mutable.LinkedHashMap.empty[(SparkSession, K), Holder]
 
+  // Contexts with an ApplicationEnd eviction listener installed: without
+  // it, a memo that goes IDLE after its session stops would retain the
+  // stopped session and up to maxPerSession frames until some later
+  // access on this same instance happens to run the access-time sweep.
+  // The listener releases them the moment the context ends; the
+  // access-time sweep stays as the fallback for contexts that refuse the
+  // listener (already mid-stop). Keyed by SparkContext, not session:
+  // newSession() clones share one context and one stop event.
+  private val hooked =
+    scala.collection.mutable.Set.empty[org.apache.spark.SparkContext]
+
+  /** Drop every entry owned by a session of `sc` — the listener's action,
+    * exposed for the spec (stopping a real context would kill the suite's
+    * shared session). */
+  private[graft] def evictContext(sc: org.apache.spark.SparkContext): Unit =
+    m.synchronized {
+      m.filterInPlace { case ((sess, _), _) => sess.sparkContext ne sc }
+      hooked -= sc
+    }
+
+  private def hookEviction(s: SparkSession): Unit = {
+    val sc = s.sparkContext
+    if (!hooked.contains(sc)) {
+      hooked += sc
+      try sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          evictContext(sc)
+      })
+      catch { case _: Throwable => () } // context mid-stop: sweep handles it
+    }
+  }
+
   def getOrBuild(s: SparkSession, key: K)(build: => V): V = {
     val fullKey = (s, key)
     val holder = m.synchronized {
       m.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+      hookEviction(s)
       m.get(fullKey) match {
         case Some(h) =>
           m.remove(fullKey); m.update(fullKey, h); h
