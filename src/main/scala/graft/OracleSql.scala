@@ -2489,6 +2489,31 @@ object OracleSql {
          |ORDER BY round, source""".stripMargin
     },
 
+    // samp_mixture_trained_excess: the published-form loop as one query --
+    // the excess chain's LAST round joined into samp_mixture's
+    // threshold/census algebra (identical tail to samp_mixture_trained).
+    "samp_mixture_trained_excess" -> {
+      val iters = graft.operators.Curation.mixtureTrainIters
+      s"""WITH $perplexityPdCtes,
+         |$mixtureTrainExcessCtes,
+         |cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+         |rr AS MATERIALIZED (
+         |  SELECT cnt.source, cnt.n,
+         |    CAST(COALESCE(xw$iters.w, 1000000 // ndx.nd) AS DOUBLE)
+         |      / CAST(cnt.n AS DOUBLE) AS r
+         |  FROM cnt LEFT JOIN xw$iters USING (source), ndx),
+         |t AS (
+         |  SELECT source, n,
+         |    ${hexThrSql("floor(r / (SELECT max(r) FROM rr) * 16777216.0)")} AS thr
+         |  FROM rr)
+         |SELECT d.source, count(*) AS n_total,
+         |  CAST(sum(CASE WHEN substr(md5(text), 1, 6) < thr THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  min(thr) AS thr
+         |FROM documents d JOIN t ON d.source = t.source
+         |GROUP BY d.source ORDER BY d.source""".stripMargin
+    },
+
     // samp_mixture_trained: the full DoReMi loop as one query -- the
     // shared training chain's LAST round joined into samp_mixture's
     // threshold/census algebra (the same hexThrSql and IEEE op order as

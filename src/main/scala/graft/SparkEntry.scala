@@ -163,6 +163,7 @@ object SparkEntry {
     "samp_mixture" -> (Curation.samp_mixture _),
     "samp_mixture_train" -> ((s, d) => Curation.samp_mixture_train(s, d)),
     "samp_mixture_train_excess" -> ((s, d) => Curation.samp_mixture_train_excess(s, d)),
+    "samp_mixture_trained_excess" -> ((s, d) => Curation.samp_mixture_trained_excess(s, d)),
     "samp_mixture_trained" -> ((s, d) => Curation.samp_mixture_trained(s, d)),
     "q51_histogram" -> (Relational.q51_histogram _),
     "q52_rank_stats" -> (Relational.q52_rank_stats _),

@@ -683,6 +683,21 @@ object Curation {
       .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
   }
 
+  /** [[samp_mixture_trained]] under the PUBLISHED-form weights — the full
+    * excess-loss DoReMi loop as one query: train
+    * ([[samp_mixture_train_excess]], riding the memoized loss table),
+    * fold the last round, run the UNCHANGED content-addressed sampler.
+    * Same unfitted-source fallback (uniform share) and the same census
+    * tail as every mixture sampler.
+    */
+  def samp_mixture_trained_excess(s: SparkSession, dir: String,
+      iters: Int = mixtureTrainIters): DataFrame = {
+    val d = docs(s, dir)
+    val trained = trainedMixtureWeightsExcess(s, dir, iters)
+    val uniform = (1000000L / trained.size).toDouble
+    mixtureCensus(d, mixtureThresholds(d, trained, default = uniform))
+  }
+
   /** The per-domain loss table behind [[samp_mixture_train]]: source →
     * token-weighted mean fluency (`Σ sb_sum div Σ n_bigrams`, integer),
     * sorted by source for a deterministic round order. Bounded collect:

@@ -319,24 +319,42 @@ object TextAnalysis {
       iters: Int): DataFrame = langid2Cache.getOrBuild(s, (dir, iters)) {
     import graft.Checkpoints.DatasetCheckpointOps
     val weff = trainLangidWeights(s, dir, iters)
-    val staged = docs(s, dir).filter(col("text").isNotNull)
+    docs(s, dir).filter(col("text").isNotNull)
       .select(col("doc_id"), col("lang").as("actual"),
-        transform(chargrams(col("text")),
-          g => conv(substring(md5(g), 1, 1), 16, 10).cast("int")).as("bk"))
-    val scores = langidLangs.map { l =>
-      struct(
-        aggregate(col("bk"), lit(0L),
-          (a, b) => a + element_at(typedLit(weff(l)), b + 1)).as("m"),
-        lit(l).as("lang"))
-    }
-    staged
-      .select(col("doc_id"), col("actual"), array_max(array(scores: _*)).as("top"))
+        langidBuckets(col("text")).as("bk"))
+      .select(col("doc_id"), col("actual"), langidTop(col("bk"), weff).as("top"))
       .select(col("doc_id"), col("actual"),
         col("top").getField("lang").as("predicted"),
         col("top").getField("m").as("margin"))
       .graftCheckpoint()
   }
   private val langid2Cache = new graft.SessionMemo[(String, Int), DataFrame]
+
+  /** The hashed char-trigram bucket ids of a text column — staged ONCE per
+    * row (the int8Codes staging contract: one md5 pass, however many
+    * languages fold over it). */
+  private[graft] def langidBuckets(text: Column): Column =
+    transform(chargrams(text),
+      g => conv(substring(md5(g), 1, 1), 16, 10).cast("int"))
+
+  /** The ONE prediction definition of the trained scorer — the winning
+    * (margin, language) struct over a STAGED [[langidBuckets]] column
+    * under an effective weight table: bucket ids folded through each
+    * language's weights (margin_L = Σ_g W_L[bucket(g)] ≡ W_L·x), struct
+    * max with ties to the largest language code. Shared by
+    * [[langid2Scored]] and the streaming langidGate, so the batch table
+    * and the ingest edge can never disagree on a document's language.
+    */
+  private[graft] def langidTop(bk: Column,
+      weff: Map[String, Seq[Long]]): Column = {
+    val scores = weff.keys.toSeq.sorted.map { l =>
+      struct(
+        aggregate(bk, lit(0L),
+          (a, b) => a + element_at(typedLit(weff(l)), b + 1)).as("m"),
+        lit(l).as("lang"))
+    }
+    array_max(array(scores: _*))
+  }
 
   /** [[tx_langid_eval]] for the trained scorer — same rollup (riding the
     * same memoized scored frame), so the two accuracy tables compare row

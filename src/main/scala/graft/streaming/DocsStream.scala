@@ -366,6 +366,41 @@ object DocsStream {
         graft.functions.TextFunctions.shingles(col("text"), 2), weights))
       .filter(col("score_raw") > 0L)
 
+  /** Ingest-time LANGUAGE gate — the streaming face of
+    * [[graft.operators.TextAnalysis.tx_langid2]]: keep documents whose
+    * PREDICTED language is in `keep` (the monolingual-corpus edge filter —
+    * an English-only training run drops everything else before it costs
+    * storage). The trained weight table is a per-snapshot batch artifact
+    * ([[graft.operators.TextAnalysis.trainLangidWeights]]) shipped to the
+    * ingest tier as a value (the authorityGate / perplexityGate
+    * contract; restart the query to pick up a retrained table).
+    * Prediction is the SAME staged-bucket fold + struct-max as the batch
+    * scorer ([[graft.operators.TextAnalysis.langidTop]] — one shared
+    * definition), so the stream edge and the batch table can never
+    * disagree on a document's language (batch-parity spec'd). Stateless,
+    * map-only, weights are plan literals; null text drops; the
+    * `predicted`/`margin` columns ride along for audit, the staged
+    * buckets do not.
+    */
+  def langidGate(stream: DataFrame, weights: Map[String, Seq[Long]],
+      keep: Set[String]): DataFrame = {
+    require(keep.nonEmpty,
+      "langidGate: empty keep set would drop the whole stream — pass the " +
+        "languages the corpus admits")
+    val unknown = keep -- weights.keySet
+    require(unknown.isEmpty,
+      s"langidGate: keep languages ${unknown.mkString(",")} have no weight " +
+        "row — the scorer can never predict them, so every document would " +
+        "drop silently. Train weights covering them or fix the keep set.")
+    stream.filter(col("text").isNotNull)
+      .withColumn("__bk", graft.operators.TextAnalysis.langidBuckets(col("text")))
+      .withColumn("__top", graft.operators.TextAnalysis.langidTop(col("__bk"), weights))
+      .withColumn("predicted", col("__top").getField("lang"))
+      .withColumn("margin", col("__top").getField("m"))
+      .drop("__bk", "__top")
+      .filter(col("predicted").isInCollection(keep.toSeq))
+  }
+
   /** Ingest-time URL DECONTAMINATION gate — the streaming face of
     * [[graft.operators.Curation.decon_url]]: drop documents whose
     * NORMALIZED url (the SAME [[graft.operators.TextAnalysis.normUrlStr]]
