@@ -76,7 +76,13 @@ final class SessionMemo[K, V](maxPerSession: Int = 32) {
             e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
           evictContext(sc)
       })
-      catch { case _: Throwable => () } // context mid-stop: sweep handles it
+      catch {
+        // context mid-stop: the access-time sweep owns cleanup — and the
+        // failed install must NOT leave sc pinned in `hooked` (nothing
+        // else ever removes it, and the contains-check would block any
+        // retry on a later, healthy access)
+        case _: Throwable => hooked -= sc
+      }
     }
   }
 

@@ -692,12 +692,24 @@ object Similarity {
   private def distributedAdcOver(coded: DataFrame, queries: DataFrame,
       cents: Seq[Seq[Double]], books: Seq[Seq[Seq[Double]]], m: Int,
       sub: Int, k: Int, nprobe: Int, caller: String): DataFrame = {
-    // same duplicate-q_id rejection as the driver path (one delta-sized
-    // aggregate), so the paths stay behaviorally identical
+    queryBatchGuard(queries, caller)
+    distributedAdcCore(coded, queries, cents, books, m, sub, k, nprobe)
+  }
+
+  /** Same duplicate-q_id rejection as the driver path (one batch-sized
+    * aggregate), so the paths stay behaviorally identical. Factored out so
+    * the SHARDED searches pay it ONCE per batch, not once per shard — at
+    * the 10⁶-query re-ranking size, N−1 redundant aggregates are real. */
+  private def queryBatchGuard(queries: DataFrame, caller: String): Unit = {
     val qStats = queries.agg(count(lit(1)), count_distinct(col("vec_id"))).first()
     require(qStats.getLong(0) == qStats.getLong(1),
       s"$caller: the query batch repeats vec_ids — each duplicate would " +
         "crowd a real neighbor out of top-k. Deduplicate the batch.")
+  }
+
+  private def distributedAdcCore(coded: DataFrame, queries: DataFrame,
+      cents: Seq[Seq[Double]], books: Seq[Seq[Seq[Double]]], m: Int,
+      sub: Int, k: Int, nprobe: Int): DataFrame = {
     val probes = distributedProbeTables(queries, cents, books, nprobe, m, sub)
     distTopK(
       coded.join(probes, Seq("cid"))
@@ -705,6 +717,16 @@ object Similarity {
         .select(col("q_id"), col("vec_id"), adcDist(m).as("dist")),
       k)
   }
+
+  /** One guard-free per-shard ADC pass over a validated batch — the shared
+    * candidate stage of both sharded searches. */
+  private def shardedAdcCandidates(s: SparkSession, paths: Seq[String],
+      queries: DataFrame, k: Int, nprobe: Int): Seq[DataFrame] =
+    paths.map { p =>
+      val (cents, books, m, sub) = loadSidecars(s, p)
+      distributedAdcCore(s.read.parquet(s"$p/codes"), queries,
+        cents, books, m, sub, k, nprobe)
+    }
 
   /** Two-stage search over the PERSISTED index — [[ann_ivfpq_refined]]'s
     * refine stage on [[searchIvfPqIndexDistributed]]'s candidates: ADC
@@ -723,14 +745,7 @@ object Similarity {
       refine: Int = 40, nprobe: Int = 3): DataFrame = {
     val approx = searchIvfPqIndexDistributed(s, path, queries, refine, nprobe)
       .select(col("q_id"), col("vec_id"))
-    val emb = trueVecs.select(col("vec_id"), col("embedding"),
-      VecDot.norm(col("embedding")).as("nrm"))
-    val qs = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      .withColumn("q_nrm", VecDot.norm(col("q_emb")))
-    // shared refine stage; no broadcast hints here — AQE picks the join
-    // strategy from the actual batch size (10⁶-query re-ranks must not
-    // force a broadcast)
-    exactCosineRefine(approx, emb, qs, k)
+    refineExact(approx, queries, trueVecs, k)
   }
 
   /** The shard of a vec_id in an N-shard index deployment — one routing
@@ -768,31 +783,35 @@ object Similarity {
         "every delta row")
     // the id-range check alone cannot catch a PREFIX subset (shards 0..1
     // of a 3-shard deployment look like a complete 2-shard one), so the
-    // writer persists the deployment's shard count in every shard dir and
-    // routed entry points verify against it; a pre-marker layout degrades
-    // to the range check alone
-    val first = new org.apache.hadoop.fs.Path(paths.head)
-    val fs = first.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(first)) {
-      val markers = fs.listStatus(first).map(_.getPath.getName)
-        .filter(_.startsWith("_nshards_"))
-      // EXACTLY one marker when any exist: two markers mean two deployments
-      // wrote into this dir (a re-shard that predates the writer's marker
-      // cleanup, or a botched manual copy) — picking either one silently
-      // validates a mixed old/new layout, so refuse and name both
-      require(markers.size <= 1,
-        s"$who: ${paths.head} carries ${markers.size} _nshards_* markers " +
-          s"(${markers.sorted.mkString(", ")}) — conflicting deployments " +
-          "wrote into this directory and neither shard count can be " +
-          "trusted. Re-deploy with writeIvfPqIndexShards (which clears " +
-          "stale markers) or remove the wrong marker by hand.")
-      markers.headOption.foreach { m =>
-        val n = m.stripPrefix("_nshards_").toInt
-        require(n == paths.size,
-          s"$who: this deployment was written with $n shards but " +
-            s"${paths.size} paths were passed — a partial shard list " +
-            "routes with the wrong modulus (and a compact/retrain over " +
-            "it would silently skip the missing siblings)")
+    // writer persists the deployment's shard count in EVERY shard dir and
+    // routed entry points verify EVERY dir against it — checking only one
+    // dir would silently accept a botched copy that corrupted a sibling's
+    // markers; a pre-marker layout degrades to the range check alone
+    paths.foreach { p =>
+      val dirPath = new org.apache.hadoop.fs.Path(p)
+      val fs = dirPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(dirPath)) {
+        val markers = fs.listStatus(dirPath).map(_.getPath.getName)
+          .filter(_.startsWith("_nshards_"))
+        // EXACTLY one marker when any exist: two markers mean two
+        // deployments wrote into this dir (a re-shard that predates the
+        // writer's marker cleanup, or a botched manual copy) — picking
+        // either one silently validates a mixed old/new layout, so refuse
+        // and name both
+        require(markers.size <= 1,
+          s"$who: $p carries ${markers.size} _nshards_* markers " +
+            s"(${markers.sorted.mkString(", ")}) — conflicting deployments " +
+            "wrote into this directory and neither shard count can be " +
+            "trusted. Re-deploy with writeIvfPqIndexShards (which clears " +
+            "stale markers) or remove the wrong marker by hand.")
+        markers.headOption.foreach { m =>
+          val n = m.stripPrefix("_nshards_").toInt
+          require(n == paths.size,
+            s"$who: $p belongs to a deployment written with $n shards " +
+              s"but ${paths.size} paths were passed — a partial shard " +
+              "list routes with the wrong modulus (and a compact/retrain " +
+              "over it would silently skip the missing siblings)")
+        }
       }
     }
     ids
@@ -902,10 +921,9 @@ object Similarity {
   def searchIvfPqIndexSharded(s: SparkSession, paths: Seq[String],
       queries: DataFrame, k: Int = 10, nprobe: Int = 3): DataFrame = {
     require(paths.nonEmpty, "searchIvfPqIndexSharded: no shard paths")
-    val perShard = paths.map { p =>
-      searchIvfPqIndexDistributed(s, p, queries, k, nprobe)
-        .select("q_id", "vec_id", "dist")
-    }
+    queryBatchGuard(queries, "searchIvfPqIndexSharded")
+    val perShard = shardedAdcCandidates(s, paths, queries, k, nprobe)
+      .map(_.select("q_id", "vec_id", "dist"))
     distTopK(perShard.reduce(_ unionAll _), k)
   }
 
@@ -993,13 +1011,22 @@ object Similarity {
       refine: Int = 40, nprobe: Int = 3): DataFrame = {
     require(paths.nonEmpty, "searchIvfPqIndexShardedRefined: no shard paths")
     shardIds(s, paths, "searchIvfPqIndexShardedRefined")
+    queryBatchGuard(queries, "searchIvfPqIndexShardedRefined")
     // per-shard `refine` candidates: a vector with union-candidate rank
     // ≤ refine under its OWN shard's ADC is retrieved — each shard
     // contributes its local view, the exact stage arbitrates
-    val approx = paths.map { p =>
-      searchIvfPqIndexDistributed(s, p, queries, refine, nprobe)
-        .select(col("q_id"), col("vec_id"))
-    }.reduce(_ unionAll _)
+    val approx = shardedAdcCandidates(s, paths, queries, refine, nprobe)
+      .map(_.select(col("q_id"), col("vec_id")))
+      .reduce(_ unionAll _)
+    refineExact(approx, queries, trueVecs, k)
+  }
+
+  /** The shared exact-cosine refine tail of [[searchIvfPqIndexRefined]] /
+    * [[searchIvfPqIndexShardedRefined]]: fetch the candidates' true
+    * vectors, re-rank by exact cosine. No broadcast hints — AQE picks the
+    * join strategy from the actual batch size. */
+  private def refineExact(approx: DataFrame, queries: DataFrame,
+      trueVecs: DataFrame, k: Int): DataFrame = {
     val emb = trueVecs.select(col("vec_id"), col("embedding"),
       VecDot.norm(col("embedding")).as("nrm"))
     val qs = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -1045,9 +1072,16 @@ object Similarity {
     val n = paths.size
     val ids = shardIds(s, paths, "appendOrRetrainSharded")
     // one aggregate routes the delta; empty slices skip (appendOrRetrain
-    // rightly refuses an empty delta — nothing to price)
+    // rightly refuses an empty delta — nothing to price). An ENTIRELY
+    // empty delta fails fast with the single-index operator's exact
+    // contract: a broken upstream filter must not log successful no-op
+    // ticks forever.
     val counts = delta.groupBy(shardOf(col("vec_id"), n).as("shard"))
       .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty,
+      "appendOrRetrainSharded: the delta priced no vectors — an empty " +
+        "delta has no drift to decide on; skip the tick instead of " +
+        "calling this")
     paths.zip(ids).flatMap { case (p, i) =>
       if (counts.getOrElse(i.toLong, 0L) == 0L) None
       else {
@@ -1448,7 +1482,14 @@ object Similarity {
       appendToIvfPqIndex(s, path, delta)
       (false, ratio)
     } else {
-      writeIvfPqIndexFrom(s, allVecs, path)
+      // retrain-IN-PLACE preserves the deployment's OWN geometry, read
+      // from the live sidecars — writeIvfPqIndexFrom's defaults would
+      // silently reshape a custom-geometry index (or crash outright when
+      // dims % default-m != 0); only the codebook VALUES may change, the
+      // shape is the deployment's contract
+      val (cents, books, m, _) = loadSidecars(s, path)
+      writeIvfPqIndexFrom(s, allVecs, path,
+        nlist = cents.size, m = m, codes = books.head.size)
       (true, ratio)
     }
   }

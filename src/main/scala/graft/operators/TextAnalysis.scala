@@ -265,12 +265,19 @@ object TextAnalysis {
     * twin (which unrolls exactly this many), so the two cannot drift. */
   private[graft] val langidIters: Int = 8
 
+  /** gram → bucket id, the ONE hash definition behind every langid
+    * feature: trainer counts, scorer folds, and the stream gate all route
+    * through this (a divergent copy would let training and inference
+    * featurize differently — the silent-mismatch class). */
+  private def langidBucketsOf(grams: Column): Column =
+    transform(grams, g => conv(substring(md5(g), 1, 1), 16, 10).cast("int"))
+
   /** The 16 hashed char-trigram bucket counts of a staged chargram array —
     * the langid feature vector, shared by the trainer and the scorer so
     * training and inference can never featurize differently.
     */
   private def langidFeatures(cg: Column): Column = {
-    val bk = transform(cg, g => conv(substring(md5(g), 1, 1), 16, 10).cast("int"))
+    val bk = langidBucketsOf(cg)
     transform(sequence(lit(0), lit(15)),
       i => size(filter(bk, b => b === i)).cast("long"))
   }
@@ -334,8 +341,7 @@ object TextAnalysis {
     * row (the int8Codes staging contract: one md5 pass, however many
     * languages fold over it). */
   private[graft] def langidBuckets(text: Column): Column =
-    transform(chargrams(text),
-      g => conv(substring(md5(g), 1, 1), 16, 10).cast("int"))
+    langidBucketsOf(chargrams(text))
 
   /** The ONE prediction definition of the trained scorer — the winning
     * (margin, language) struct over a STAGED [[langidBuckets]] column

@@ -345,29 +345,13 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("tx_langid2: trained char-trigram scorer learns languages the stopword profiles cannot see") {
-    // five languages, eight docs each, EVERY doc avoiding every profile
-    // stopword: the stopword scorer degenerates to the zero-hit tie-break
-    // (predicts 'zh' for all — accuracy = the zh share, 0.2), while the
-    // trained scorer must separate the languages from character trigrams
-    // alone. Docs vary deterministically (rotation + one dropped word) so
-    // the model generalizes over word order rather than memorizing a string.
-    val texts = Seq(
-      "en" -> "quick brown fox jumps over lazy dog while bright morning light shines through tall windows",
-      "de" -> "schneller brauner fuchs springt ueber faulen hund waehrend helles morgenlicht durch hohe fenster scheint",
-      "es" -> "zorro marron rapido salta sobre perro perezoso mientras brillante luz manana entra por ventanas altas",
-      "fr" -> "renard brun rapide saute par dessus chien paresseux pendant que lumiere brillante matin entre fenetres hautes",
-      "zh" -> "敏捷 棕色 狐狸 跳过 懒惰 小狗 当 明亮 早晨 光线 穿过 高高 窗户")
-    val rows = texts.zipWithIndex.flatMap { case ((l, t), li) =>
-      val ws = t.split(" ").toSeq
-      (0 until 8).map { d =>
-        val rot = ws.drop(d % ws.size) ++ ws.take(d % ws.size)
-        val kept = rot.zipWithIndex
-          .collect { case (w, i) if i != (3 * d) % rot.size => w }
-        val doc = kept.mkString(" ")
-        ((li * 8 + d).toLong, doc, l, "plant", doc.length.toLong)
-      }
-    }
-    val dir = tmpDocs(rows)
+    // the shared five-language plant (graft.TestPlants — also consumed by
+    // the langidGate batch-parity spec, ONE corpus definition): every doc
+    // avoids every profile stopword, so the stopword scorer degenerates
+    // to the zero-hit tie-break (predicts 'zh' for all — accuracy = the
+    // zh share, 0.2) while the trained scorer must separate the languages
+    // from character trigrams alone.
+    val dir = tmpDocs(graft.TestPlants.langidRows)
     def accOf(eval: org.apache.spark.sql.DataFrame): Double = {
       val r = eval.agg(sum("n_correct"), sum("n")).first()
       r.getLong(0).toDouble / r.getLong(1)
@@ -992,6 +976,38 @@ class PipelineSpec extends AnyFunSuite {
       Similarity.searchIvfPqIndexRefined(spark, pristine, queries, emb)
         .collect().map(_.toSeq).toSeq,
       "1-shard refined search must equal the single-index refined search")
+    // an entirely empty delta fails fast with the single-index contract
+    // (a broken upstream filter must not log successful no-op ticks)
+    val emptyDelta = intercept[IllegalArgumentException] {
+      Similarity.appendOrRetrainSharded(spark, shards,
+        emb.filter(col("vec_id") < 0), allVecs2)
+    }
+    assert(emptyDelta.getMessage.contains("skip the tick"))
+  }
+
+  test("appendOrRetrain: a forced retrain preserves the index's own geometry, not the build defaults") {
+    val dir = "/root/testdata/sf0.01"
+    val emb = graft.sources.Tables.loadParallel(spark, dir, "embeddings")
+      .select("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graftgeo").toString
+    // custom geometry: nlist=8, m=4 (sub=16 on 64 dims), codes=8 — NOT the
+    // writeIvfPqIndexFrom defaults (32/8/16)
+    Similarity.writeIvfPqIndexFrom(spark, emb, path, nlist = 8, m = 4, codes = 8)
+    val drifted = emb.select((col("vec_id") + 500000L).as("vec_id"),
+      transform(col("embedding"), x => (x + lit(5.0f)).cast("float")).as("embedding"))
+    val (retrained, ratio) =
+      Similarity.appendOrRetrain(spark, path, drifted, emb.unionByName(drifted))
+    assert(retrained && ratio > 2.0, s"the +5.0 shift must force a retrain, got ($retrained, $ratio)")
+    val nlistAfter = spark.read.parquet(s"$path/centroids").count()
+    val books = spark.read.parquet(s"$path/codebooks")
+    val mAfter = books.select("s").distinct().count()
+    val codesAfter = books.select("j").distinct().count()
+    assert((nlistAfter, mAfter, codesAfter) == ((8L, 4L, 8L)),
+      s"retrain-in-place must keep the deployment's geometry, " +
+        s"got (nlist=$nlistAfter, m=$mAfter, codes=$codesAfter)")
+    // and the retrained index still serves searches end to end
+    assert(Similarity.searchIvfPqIndexDistributed(spark, path,
+      emb.filter(col("vec_id") < 4)).count() > 0)
   }
 
   test("re-sharding a base path: stale surplus shards refuse; markers refresh; conflicting markers refuse") {
@@ -1022,9 +1038,10 @@ class PipelineSpec extends AnyFunSuite {
     }
     Similarity.compactIvfPqIndexSharded(spark, grown) // accepts the refreshed markers
     // conflicting markers (a layout no writer produces any more) → refuse
-    // loudly instead of trusting either count
+    // loudly instead of trusting either count — planted in a NON-head
+    // shard, because every dir is validated, not just the first listed
     java.nio.file.Files.createFile(
-      java.nio.file.Paths.get(grown.head, "_nshards_9"))
+      java.nio.file.Paths.get(grown(1), "_nshards_9"))
     val conflict = intercept[IllegalArgumentException] {
       Similarity.compactIvfPqIndexSharded(spark, grown)
     }

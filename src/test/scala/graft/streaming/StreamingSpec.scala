@@ -1058,28 +1058,13 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("langidGate: stream-edge keep set and predictions equal the batch trained scorer's; bad configs refuse") {
-    // a five-language plant (the tx_langid2 plant device): the trained
-    // scorer separates it exactly, so a two-language keep set REALLY
-    // splits the stream — on the shipped corpus the majority-learner
-    // predicts one class and a keep-set parity would be vacuous
-    val texts = Seq(
-      "en" -> "quick brown fox jumps over lazy dog while bright morning light shines through tall windows",
-      "de" -> "schneller brauner fuchs springt ueber faulen hund waehrend helles morgenlicht durch hohe fenster scheint",
-      "es" -> "zorro marron rapido salta sobre perro perezoso mientras brillante luz manana entra por ventanas altas",
-      "fr" -> "renard brun rapide saute par dessus chien paresseux pendant que lumiere brillante matin entre fenetres hautes",
-      "zh" -> "敏捷 棕色 狐狸 跳过 懒惰 小狗 当 明亮 早晨 光线 穿过 高高 窗户")
-    val rows = texts.zipWithIndex.flatMap { case ((l, t), li) =>
-      val ws = t.split(" ").toSeq
-      (0 until 8).map { d =>
-        val rot = ws.drop(d % ws.size) ++ ws.take(d % ws.size)
-        val doc = rot.zipWithIndex
-          .collect { case (w, i) if i != (3 * d) % rot.size => w }.mkString(" ")
-        ((li * 8 + d).toLong, doc, l, "plant", doc.length.toLong)
-      }
-    }
-    val plantDir = java.nio.file.Files.createTempDirectory("graftlgate").toString
-    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
-      .write.mode("overwrite").parquet(s"$plantDir/documents.parquet")
+    // the shared five-language plant (graft.TestPlants — ONE corpus
+    // definition with the tx_langid2 plant spec): the trained scorer
+    // separates it exactly, so a two-language keep set REALLY splits the
+    // stream — on the shipped corpus the majority-learner predicts one
+    // class and a keep-set parity would be vacuous
+    val rows = graft.TestPlants.langidRows
+    val plantDir = graft.TestPlants.langidDir(spark)
     val weights = graft.operators.TextAnalysis.trainLangidWeights(spark, plantDir, 8)
     val batch = graft.operators.TextAnalysis.tx_langid2(spark, plantDir)
       .select("doc_id", "predicted").as[(Long, String)].collect().toMap
