@@ -418,6 +418,45 @@ object TextAnalysis {
     scala.collection.mutable.Map.empty[(String, Int), Map[String, Seq[Long]]]
   private val langidTrainLock = new Object
 
+  /** PERSIST the trained langid weight table — the production artifact
+    * step the gate's "restart the query to pick up a retrained table"
+    * contract presumes: train once per corpus snapshot, write the (lang,
+    * bucket, weight) table next to the snapshot, ship the loaded map to
+    * the ingest tier. Tiny (|langs|·16 rows) but written as plain parquet
+    * so any engine can audit which weights an ingest run enforced.
+    * Overwrite semantics: the artifact is a pure function of (corpus,
+    * iters), so replacing it is replay, not loss.
+    */
+  def writeLangidWeights(s: SparkSession, dir: String, path: String,
+      iters: Int = langidIters): Unit = {
+    import s.implicits._
+    trainLangidWeights(s, dir, iters).toSeq.sortBy(_._1)
+      .flatMap { case (l, ws) =>
+        ws.zipWithIndex.map { case (w, b) => (l, b.toLong, w) }
+      }
+      .toDF("lang", "bucket", "weight")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[writeLangidWeights]] artifact back into the map the scorer
+    * and the streaming langidGate consume. Fails loudly on a malformed
+    * table (a language missing buckets would otherwise mis-score every
+    * document silently).
+    */
+  def readLangidWeights(s: SparkSession, path: String): Map[String, Seq[Long]] = {
+    val rows = s.read.parquet(path).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val m = rows.groupBy(_._1).map { case (l, rs) =>
+      require(rs.map(_._2).sorted.toSeq == (0L until 16L),
+        s"readLangidWeights: language '$l' at $path carries buckets " +
+          s"${rs.map(_._2).sorted.mkString(",")} — expected exactly 0..15; " +
+          "the artifact is corrupt or from an incompatible version")
+      l -> rs.sortBy(_._2).map(_._3).toSeq
+    }
+    require(m.nonEmpty, s"readLangidWeights: no weight rows at $path")
+    m
+  }
+
   /** Gopher quality-filter battery (Rae et al. 2021 §A1.1), the standard
     * document-level pre-training filters: word-count band, mean-word-length
     * band, and the ≥2-distinct-common-stopwords requirement, each emitted as

@@ -377,6 +377,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(t >= b, s"trained $t must be >= stopword baseline $b on the corpus")
   }
 
+  test("langid weight artifact round-trips exactly and refuses a corrupt table") {
+    val dir = tmpDocs(graft.TestPlants.langidRows)
+    val base = java.nio.file.Files.createTempDirectory("graftlidw").toString
+    TextAnalysis.writeLangidWeights(spark, dir, s"$base/weights")
+    val loaded = TextAnalysis.readLangidWeights(spark, s"$base/weights")
+    assert(loaded == TextAnalysis.trainLangidWeights(spark, dir, 8),
+      "the persisted artifact must load back to the exact trained map")
+    // a missing bucket row is a corrupt artifact — mis-scoring every doc
+    // silently is the failure mode the loud check exists for
+    spark.read.parquet(s"$base/weights")
+      .filter(!(col("lang") === "en" && col("bucket") === 3L))
+      .write.mode("overwrite").parquet(s"$base/corrupt")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.readLangidWeights(spark, s"$base/corrupt")
+    }
+    assert(e.getMessage.contains("expected exactly 0..15"))
+  }
+
   test("dd_embed_lsh: identical vectors always pair; subset of all-pairs baseline") {
     val dir = tmpEmb(Seq(
       (1L, Seq(0.5f, 0.1f, 0.9f, -0.2f), "a"),
