@@ -383,7 +383,7 @@ object DocsStream {
     * buckets do not.
     */
   def langidGate(stream: DataFrame, weights: Map[String, Seq[Long]],
-      keep: Set[String]): DataFrame = {
+      keep: Set[String], minMargin: Long = 0L): DataFrame = {
     require(keep.nonEmpty,
       "langidGate: empty keep set would drop the whole stream — pass the " +
         "languages the corpus admits")
@@ -392,13 +392,19 @@ object DocsStream {
       s"langidGate: keep languages ${unknown.mkString(",")} have no weight " +
         "row — the scorer can never predict them, so every document would " +
         "drop silently. Train weights covering them or fix the keep set.")
+    // minMargin is the CCNet-style low-confidence drop: a doc whose
+    // winning margin is weak (short text, mixed script) is more likely
+    // mis-identified than in-language — production langid filters on the
+    // classifier's confidence, not the argmax alone. 0 keeps every argmax
+    // (the margin of a kept language is still emitted for audit).
     stream.filter(col("text").isNotNull)
       .withColumn("__bk", graft.operators.TextAnalysis.langidBuckets(col("text")))
       .withColumn("__top", graft.operators.TextAnalysis.langidTop(col("__bk"), weights))
       .withColumn("predicted", col("__top").getField("lang"))
       .withColumn("margin", col("__top").getField("m"))
       .drop("__bk", "__top")
-      .filter(col("predicted").isInCollection(keep.toSeq))
+      .filter(col("predicted").isInCollection(keep.toSeq) &&
+        col("margin") >= minMargin)
   }
 
   /** Ingest-time URL DECONTAMINATION gate — the streaming face of

@@ -1087,6 +1087,28 @@ class StreamingSpec extends AnyFunSuite {
         "with identical per-doc predictions")
     assert(want.nonEmpty && want.size < batch.size,
       "the keep set must actually split this corpus or the parity is vacuous")
+    // the low-confidence drop: a minMargin above the weakest kept doc's
+    // margin must shrink the admitted set to exactly the batch rows at or
+    // above it — same margins, same docs (confidence filtering is the
+    // CCNet production shape)
+    val margins = graft.operators.TextAnalysis.tx_langid2(spark, plantDir)
+      .filter(col("predicted").isInCollection(keep.toSeq))
+      .select("doc_id", "margin").as[(Long, Long)].collect().toMap
+    val cut = margins.values.toSeq.sorted.apply(margins.size / 2)
+    val input2 = MemoryStream[(Long, String)](spark)
+    val gated2 = DocsStream.langidGate(
+      input2.toDF().toDF("doc_id", "text"), weights, keep, minMargin = cut)
+    val q2 = gated2.writeStream.outputMode("append")
+      .format("memory").queryName("langid_gate_margin").start()
+    val got2 =
+      try {
+        input2.addData(rows.map(r => (r._1, r._2)): _*)
+        q2.processAllAvailable()
+        spark.table("langid_gate_margin").select("doc_id").as[Long].collect().toSet
+      } finally q2.stop()
+    val want2 = margins.filter(_._2 >= cut).keySet
+    assert(got2 == want2 && want2.size < margins.size,
+      s"minMargin=$cut must admit exactly the batch rows at/above it")
     // misconfigurations refuse loudly instead of silently draining the stream
     val s0 = input.toDF().toDF("doc_id", "text")
     assert(intercept[IllegalArgumentException](
