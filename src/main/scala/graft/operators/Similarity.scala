@@ -921,6 +921,10 @@ object Similarity {
   def searchIvfPqIndexSharded(s: SparkSession, paths: Seq[String],
       queries: DataFrame, k: Int = 10, nprobe: Int = 3): DataFrame = {
     require(paths.nonEmpty, "searchIvfPqIndexSharded: no shard paths")
+    // same deployment validation as every routed entry point: a partial
+    // shard list here doesn't misroute (search touches no modulus) but it
+    // silently DROPS every vector in the missing shards from top-k
+    shardIds(s, paths, "searchIvfPqIndexSharded")
     queryBatchGuard(queries, "searchIvfPqIndexSharded")
     val perShard = shardedAdcCandidates(s, paths, queries, k, nprobe)
       .map(_.select("q_id", "vec_id", "dist"))
@@ -1066,8 +1070,8 @@ object Similarity {
     * bit-parity with a single index (both spec-pinned).
     */
   def appendOrRetrainSharded(s: SparkSession, paths: Seq[String],
-      delta: DataFrame, allVecs: DataFrame,
-      maxErrRatio: Double = 2.0): Seq[(Int, Boolean, Double)] = {
+      delta: DataFrame, allVecs: DataFrame, maxErrRatio: Double = 2.0,
+      retrainIters: Int = 2): Seq[(Int, Boolean, Double)] = {
     require(paths.nonEmpty, "appendOrRetrainSharded: no shard paths")
     val n = paths.size
     val ids = shardIds(s, paths, "appendOrRetrainSharded")
@@ -1087,7 +1091,8 @@ object Similarity {
       else {
         val slice = shardOf(col("vec_id"), n) === i.toLong
         val (retrained, ratio) = appendOrRetrain(s, p,
-          delta.filter(slice), allVecs.filter(slice), maxErrRatio)
+          delta.filter(slice), allVecs.filter(slice), maxErrRatio,
+          retrainIters)
         Some((i, retrained, ratio))
       }
     }
@@ -1453,7 +1458,8 @@ object Similarity {
     * it only REPORTS; this operator acts).
     */
   def appendOrRetrain(s: SparkSession, path: String, delta: DataFrame,
-      allVecs: DataFrame, maxErrRatio: Double = 2.0): (Boolean, Double) = {
+      allVecs: DataFrame, maxErrRatio: Double = 2.0,
+      retrainIters: Int = 2): (Boolean, Double) = {
     require(maxErrRatio > 0, s"appendOrRetrain: maxErrRatio=$maxErrRatio")
     val healthPath = new org.apache.hadoop.fs.Path(s"$path/health")
     val fs = healthPath.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -1486,10 +1492,14 @@ object Similarity {
       // from the live sidecars — writeIvfPqIndexFrom's defaults would
       // silently reshape a custom-geometry index (or crash outright when
       // dims % default-m != 0); only the codebook VALUES may change, the
-      // shape is the deployment's contract
+      // shape is the deployment's contract. Training depth is NOT
+      // persisted in any sidecar, so a deployment built with deeper
+      // kmeans must pass `retrainIters` to keep its quality class —
+      // honest gap, documented rather than guessed.
       val (cents, books, m, _) = loadSidecars(s, path)
       writeIvfPqIndexFrom(s, allVecs, path,
-        nlist = cents.size, m = m, codes = books.head.size)
+        nlist = cents.size, m = m, codes = books.head.size,
+        iters = retrainIters)
       (true, ratio)
     }
   }

@@ -430,12 +430,30 @@ object TextAnalysis {
   def writeLangidWeights(s: SparkSession, dir: String, path: String,
       iters: Int = langidIters): Unit = {
     import s.implicits._
-    trainLangidWeights(s, dir, iters).toSeq.sortBy(_._1)
+    val df = trainLangidWeights(s, dir, iters).toSeq.sortBy(_._1)
       .flatMap { case (l, ws) =>
         ws.zipWithIndex.map { case (w, b) => (l, b.toLong, w) }
       }
       .toDF("lang", "bucket", "weight")
-      .write.mode("overwrite").parquet(path)
+    // write-then-swap (the Csv.write discipline): mode-overwrite straight
+    // at `path` deletes the live artifact BEFORE the new files commit, so
+    // an ingest-tier reader racing the rewrite would see a missing path
+    // or a committed subset of part-files (whole languages gone). Staging
+    // absorbs the write; only a complete artifact replaces the live one,
+    // and a failed rename leaves the new copy intact in staging.
+    val dest = new org.apache.hadoop.fs.Path(path)
+    val fs = dest.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(path + "._staging")
+    try df.write.mode("overwrite").parquet(staging.toString)
+    catch {
+      case e: Throwable =>
+        if (fs.exists(staging)) fs.delete(staging, true)
+        throw e
+    }
+    if (fs.exists(dest)) fs.delete(dest, true)
+    require(fs.rename(staging, dest),
+      s"writeLangidWeights: rename $staging -> $dest failed; the new " +
+        "artifact is intact in the staging directory")
   }
 
   /** Load a [[writeLangidWeights]] artifact back into the map the scorer
@@ -453,7 +471,16 @@ object TextAnalysis {
           "the artifact is corrupt or from an incompatible version")
       l -> rs.sortBy(_._2).map(_._3).toSeq
     }
-    require(m.nonEmpty, s"readLangidWeights: no weight rows at $path")
+    // the trainer always emits exactly langidLangs, so a subset means a
+    // truncated artifact (lost part-file) — and a truncated table is the
+    // WORST silent failure: with only 'en' surviving, the argmax over a
+    // singleton weight set predicts 'en' for every document and the whole
+    // multilingual stream floods an "English-only" corpus
+    require(m.keySet == langidLangs.toSet,
+      s"readLangidWeights: $path carries languages " +
+        s"${m.keys.toSeq.sorted.mkString(",")} — expected exactly " +
+        s"${langidLangs.mkString(",")}; the artifact is truncated or from " +
+        "an incompatible version")
     m
   }
 

@@ -383,7 +383,7 @@ object DocsStream {
     * buckets do not.
     */
   def langidGate(stream: DataFrame, weights: Map[String, Seq[Long]],
-      keep: Set[String], minMargin: Long = 0L): DataFrame = {
+      keep: Set[String], minMargin: Long = Long.MinValue): DataFrame = {
     require(keep.nonEmpty,
       "langidGate: empty keep set would drop the whole stream — pass the " +
         "languages the corpus admits")
@@ -395,8 +395,11 @@ object DocsStream {
     // minMargin is the CCNet-style low-confidence drop: a doc whose
     // winning margin is weak (short text, mixed script) is more likely
     // mis-identified than in-language — production langid filters on the
-    // classifier's confidence, not the argmax alone. 0 keeps every argmax
-    // (the margin of a kept language is still emitted for audit).
+    // classifier's confidence, not the argmax alone. The default is
+    // Long.MinValue — keep EVERY argmax, preserving exact batch parity
+    // with tx_langid2 — NOT 0: the winning margin is a raw one-vs-rest
+    // score and can legitimately be negative (an out-of-distribution doc
+    // where every language scores below zero still has an argmax).
     stream.filter(col("text").isNotNull)
       .withColumn("__bk", graft.operators.TextAnalysis.langidBuckets(col("text")))
       .withColumn("__top", graft.operators.TextAnalysis.langidTop(col("__bk"), weights))

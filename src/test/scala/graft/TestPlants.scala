@@ -33,12 +33,20 @@ object TestPlants {
       }
     }
 
-  /** Write the plant as a testdata-shaped documents table; returns the dir. */
-  def langidDir(spark: org.apache.spark.sql.SparkSession): String = {
-    import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graftlangidplant").toString
-    langidRows.toDF("doc_id", "text", "lang", "source", "n_chars")
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    dir
-  }
+  /** The plant as a testdata-shaped documents table, written ONCE per JVM
+    * and shared by every consuming suite: a fresh dir per call would
+    * defeat the trainers' (dir, iters) memos and re-run the same
+    * perceptron training once per test. */
+  private var langidDirCache: Option[String] = None
+  def langidDir(spark: org.apache.spark.sql.SparkSession): String =
+    synchronized {
+      langidDirCache.getOrElse {
+        import spark.implicits._
+        val dir = java.nio.file.Files.createTempDirectory("graftlangidplant").toString
+        langidRows.toDF("doc_id", "text", "lang", "source", "n_chars")
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        langidDirCache = Some(dir)
+        dir
+      }
+    }
 }

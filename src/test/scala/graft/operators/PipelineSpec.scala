@@ -346,12 +346,13 @@ class PipelineSpec extends AnyFunSuite {
 
   test("tx_langid2: trained char-trigram scorer learns languages the stopword profiles cannot see") {
     // the shared five-language plant (graft.TestPlants — also consumed by
-    // the langidGate batch-parity spec, ONE corpus definition): every doc
+    // the langidGate batch-parity spec, ONE corpus definition AND one
+    // shared dir, so the trainer memo is hit across suites): every doc
     // avoids every profile stopword, so the stopword scorer degenerates
     // to the zero-hit tie-break (predicts 'zh' for all — accuracy = the
     // zh share, 0.2) while the trained scorer must separate the languages
     // from character trigrams alone.
-    val dir = tmpDocs(graft.TestPlants.langidRows)
+    val dir = graft.TestPlants.langidDir(spark)
     def accOf(eval: org.apache.spark.sql.DataFrame): Double = {
       val r = eval.agg(sum("n_correct"), sum("n")).first()
       r.getLong(0).toDouble / r.getLong(1)
@@ -378,7 +379,7 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("langid weight artifact round-trips exactly and refuses a corrupt table") {
-    val dir = tmpDocs(graft.TestPlants.langidRows)
+    val dir = graft.TestPlants.langidDir(spark)
     val base = java.nio.file.Files.createTempDirectory("graftlidw").toString
     TextAnalysis.writeLangidWeights(spark, dir, s"$base/weights")
     val loaded = TextAnalysis.readLangidWeights(spark, s"$base/weights")
@@ -393,6 +394,17 @@ class PipelineSpec extends AnyFunSuite {
       TextAnalysis.readLangidWeights(spark, s"$base/corrupt")
     }
     assert(e.getMessage.contains("expected exactly 0..15"))
+    // a TRUNCATED artifact (whole language lost — e.g. a missing
+    // part-file) is the worst silent failure: a singleton weight set
+    // would predict its one language for every document, flooding an
+    // "X-only" corpus with the whole multilingual stream
+    spark.read.parquet(s"$base/weights")
+      .filter(col("lang") =!= "de")
+      .write.mode("overwrite").parquet(s"$base/truncated")
+    val t = intercept[IllegalArgumentException] {
+      TextAnalysis.readLangidWeights(spark, s"$base/truncated")
+    }
+    assert(t.getMessage.contains("truncated"))
   }
 
   test("dd_embed_lsh: identical vectors always pair; subset of all-pairs baseline") {
