@@ -398,7 +398,17 @@ object TextAnalysis {
       for (_ <- 1 to iters) {
         val grads = langidLangs.flatMap { l =>
           val y = when(col("lang") === l, 1L).otherwise(-1L)
-          val margin = (0 until 17).map(i => lit(w(l)(i)) * zc(i)).reduce(_ + _)
+          // weights enter as ONE typedLit array per language, not 17
+          // scalar literals: scalar literals inline into the generated
+          // code, so every round's 85-column aggregate used to be a NEW
+          // codegen source (8 compiles of a very wide plan — the cold
+          // cost queries_first exposed); an array literal rides the
+          // plan's references instead, so all rounds share one compiled
+          // plan and only the array values change. Same Long arithmetic,
+          // bit-identical trajectory (oracle unchanged).
+          val wLit = typedLit(w(l))
+          val margin = (0 until 17)
+            .map(i => element_at(wLit, i + 1) * zc(i)).reduce(_ + _)
           val mis = y * margin <= 0
           (0 until 17).map(i => coalesce(
             sum(when(mis, y * zc(i)).otherwise(0L)), lit(0L)).as(s"g_${l}_$i"))
