@@ -1408,7 +1408,14 @@ object TextAnalysis {
         else col("n")
       var w = Seq.fill(17)(0L)
       for (_ <- 1 to iters) {
-        val margin = (0 until 17).map(i => lit(w(i)) * zc(i)).reduce(_ + _)
+        // one array literal, not 17 scalars: scalar literals inline into
+        // the generated code so each round compiled a fresh wide
+        // aggregate plan; an array literal rides the plan's references,
+        // letting all rounds share one compiled plan (the langid-trainer
+        // device). Same Long arithmetic, bit-identical trajectory.
+        val wLit = typedLit(w)
+        val margin = (0 until 17)
+          .map(i => element_at(wLit, i + 1) * zc(i)).reduce(_ + _)
         val mis = col("y") * margin <= 0
         val grads = (0 until 17).map(i => coalesce(
           sum(when(mis, col("y") * zc(i)).otherwise(0L)), lit(0L)).as(s"g$i"))
