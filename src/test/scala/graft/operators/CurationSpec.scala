@@ -592,6 +592,51 @@ class CurationSpec extends AnyFunSuite {
     assert(wT(easiest) < w0(easiest), "easiest domain must lose weight")
   }
 
+  test("samp_mixture_train: the multiplicative-factor clamp engages on an extreme fluency spread and the trajectory stays exact") {
+    // the shipped corpus's fluencies are near-uniform, so the trainer's
+    // max(1, .) clamps never fire under the hash gate — this plant drives
+    // the most fluent domain's factor NEGATIVE (10^6 + excess*eta < 1)
+    // and replays every round from the Spark round-0 loss table with an
+    // independent spelling of the integer algebra (the
+    // check_mixture_adversarial.py device, on the Scala side)
+    val rich = "the cat sat on the mat and the dog ran to the cat"
+    val rows = (0 until 20).map(i => (i.toLong, rich, "en", "rich")) ++
+      Seq("junk1", "junk2").flatMap { s =>
+        (0 until 20).map { j =>
+          val id = 20L + (if (s == "junk1") 0 else 20) + j
+          val txt = (0 until 12).map(k => s"${s}tok${id}x$k").mkString(" ")
+          (id, txt, "en", s)
+        }
+      }
+    val dir = docsDir(rows)
+    val t = Curation.samp_mixture_train(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val iters = t.map(_._1).max.toInt
+    val flu = t.filter(_._1 == 0L).map(r => r._2 -> r._3).toMap
+    val srcs = flu.keys.toSeq.sorted
+    val u = 1000000L / srcs.size
+    var w = srcs.map(_ -> u).toMap
+    var clampedAny = false
+    (1 to iters).foreach { r =>
+      val wsum = w.values.sum
+      val wavg = srcs.map(s => flu(s) * w(s)).sum / wsum
+      val exc = srcs.map(s => s -> (wavg - flu(s))).toMap
+      srcs.foreach { s =>
+        if (1000000L + exc(s) * 50L < 1L) clampedAny = true
+      }
+      val raw = srcs.map(s => s ->
+        math.max(1L, w(s) * math.max(1L, 1000000L + exc(s) * 50L) / 1000000L)).toMap
+      val rsum = raw.values.sum
+      w = srcs.map(s => s -> math.max(1L,
+        ((1000000L - 10000L) * (raw(s) * 1000000L / rsum) + 10000L * u) / 1000000L)).toMap
+      val got = t.filter(_._1 == r.toLong).map(q => q._2 -> ((q._4, q._5))).toMap
+      val want = srcs.map(s => s -> ((exc(s), w(s)))).toMap
+      assert(got == want, s"round $r: Spark trajectory must equal the replay")
+    }
+    assert(clampedAny,
+      "the plant must engage the factor clamp, or this spec tests nothing new")
+  }
+
   test("samp_mixture_train_excess: clipped reference excess drives weights and disagrees with the self-referential form") {
     val dir = "/root/testdata/sf0.001"
     val t = Curation.samp_mixture_train_excess(spark, dir).collect()
