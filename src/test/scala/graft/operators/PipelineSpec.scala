@@ -378,6 +378,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(t >= b, s"trained $t must be >= stopword baseline $b on the corpus")
   }
 
+  test("chargrams count astral codepoints as one character (surrogate pairs never split)") {
+    // the DuckDB twin's substr/length are codepoint-based; if Spark's were
+    // UTF-16-unit-based, an astral char (surrogate pair) would shift every
+    // chargram window and split pairs mid-gram — certified here because
+    // the shipped corpus carries no astral text for the hash gate to catch
+    val out = Seq("😀 ok").toDF("text") // "😀 ok" = 4 codepoints
+      .select(TextAnalysis.chargrams(col("text")).as("cg"))
+      .first().getSeq[String](0)
+    assert(out == Seq("😀 o", " ok"),
+      s"astral trigram windows must be codepoint-aligned, got $out")
+    val short = Seq("😀🚀").toDF("text") // 2 codepoints
+      .select(TextAnalysis.chargrams(col("text")).as("cg"))
+      .first().getSeq[String](0)
+    assert(short.isEmpty,
+      "2 codepoints must yield no trigrams even though they are 4 UTF-16 units")
+  }
+
   test("langid weight artifact round-trips exactly and refuses a corrupt table") {
     val dir = graft.TestPlants.langidDir(spark)
     val base = java.nio.file.Files.createTempDirectory("graftlidw").toString

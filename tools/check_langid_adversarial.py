@@ -42,6 +42,12 @@ CORPORA = [
     # two near-identical languages, one distinguishing trigram
     ("one-gram-apart", [(i, ("alpha beta" if i % 2 == 0 else "alphq beta"),
                          ("en" if i % 2 == 0 else "de")) for i in range(8)]),
+    # astral-plane codepoints (surrogate pairs in UTF-16): length() and
+    # substr() must count CODEPOINTS identically on both engines or the
+    # chargram windows shift -- zh (BMP) does not cover this class
+    ("astral", [(0, "\U0001F600 ok \U0001F680 go", "en"),
+                (1, "\U0001F436\U0001F431\U0001F42D mix", "zh"),
+                (2, "plain text row", "en")]),
 ]
 
 
