@@ -576,6 +576,26 @@ object Similarity {
     // appends drifting away from the base build is exactly the signal.
     residualErrStats(emb, cents, books, m, sub)
       .write.mode("overwrite").parquet(s"$path/health")
+    writeTrainMeta(s, path, iters)
+  }
+
+  /** Persist the TRAINING DEPTH beside the geometry sidecars: nlist/m/codes
+    * are recoverable from centroids/codebooks, but `iters` is not — and a
+    * retrain-in-place that silently fell back to the default would drop a
+    * deeper-trained deployment's quality class while keeping its shape.
+    * One-row parquet; absent on pre-round-14 indexes (readers default).
+    */
+  private def writeTrainMeta(s: SparkSession, path: String, iters: Int): Unit = {
+    import s.implicits._
+    Seq(iters).toDF("train_iters")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/train_meta")
+  }
+
+  private def readTrainIters(s: SparkSession, path: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/train_meta")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(s.read.parquet(p.toString).first().getInt(0))
+    else None
   }
 
   /** The tiny centroid/codebook sidecars of a persisted index, loaded
@@ -890,6 +910,7 @@ object Similarity {
         booksDf.write.mode("overwrite").parquet(s"$path/codebooks")
         health.filter(col("__k") === i.toLong).drop("__k")
           .write.mode("overwrite").parquet(s"$path/health")
+        writeTrainMeta(s, path, iters)
         // deployment shard count, verified by every routed entry point
         // (shardIds) — the id-range check alone cannot catch a prefix
         // subset of a larger deployment. Stale markers from a previous
@@ -1071,7 +1092,7 @@ object Similarity {
     */
   def appendOrRetrainSharded(s: SparkSession, paths: Seq[String],
       delta: DataFrame, allVecs: DataFrame, maxErrRatio: Double = 2.0,
-      retrainIters: Int = 2): Seq[(Int, Boolean, Double)] = {
+      retrainIters: Int = 0): Seq[(Int, Boolean, Double)] = {
     require(paths.nonEmpty, "appendOrRetrainSharded: no shard paths")
     val n = paths.size
     val ids = shardIds(s, paths, "appendOrRetrainSharded")
@@ -1459,7 +1480,7 @@ object Similarity {
     */
   def appendOrRetrain(s: SparkSession, path: String, delta: DataFrame,
       allVecs: DataFrame, maxErrRatio: Double = 2.0,
-      retrainIters: Int = 2): (Boolean, Double) = {
+      retrainIters: Int = 0): (Boolean, Double) = {
     require(maxErrRatio > 0, s"appendOrRetrain: maxErrRatio=$maxErrRatio")
     val healthPath = new org.apache.hadoop.fs.Path(s"$path/health")
     val fs = healthPath.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -1492,14 +1513,18 @@ object Similarity {
       // from the live sidecars — writeIvfPqIndexFrom's defaults would
       // silently reshape a custom-geometry index (or crash outright when
       // dims % default-m != 0); only the codebook VALUES may change, the
-      // shape is the deployment's contract. Training depth is NOT
-      // persisted in any sidecar, so a deployment built with deeper
-      // kmeans must pass `retrainIters` to keep its quality class —
-      // honest gap, documented rather than guessed.
+      // shape is the deployment's contract. Training DEPTH is preserved
+      // the same way: retrainIters = 0 (the default) reads the persisted
+      // train_meta sidecar — a deeper-trained deployment keeps its
+      // quality class across retrains without the caller re-stating it;
+      // a pre-meta index falls back to the build default 2, and an
+      // explicit retrainIters >= 1 overrides.
+      val iters =
+        if (retrainIters >= 1) retrainIters
+        else readTrainIters(s, path).getOrElse(2)
       val (cents, books, m, _) = loadSidecars(s, path)
       writeIvfPqIndexFrom(s, allVecs, path,
-        nlist = cents.size, m = m, codes = books.head.size,
-        iters = retrainIters)
+        nlist = cents.size, m = m, codes = books.head.size, iters = iters)
       (true, ratio)
     }
   }

@@ -1037,13 +1037,15 @@ class PipelineSpec extends AnyFunSuite {
     val emb = graft.sources.Tables.loadParallel(spark, dir, "embeddings")
       .select("vec_id", "embedding")
     val path = java.nio.file.Files.createTempDirectory("graftgeo").toString
-    // custom geometry: nlist=8, m=4 (sub=16 on 64 dims), codes=8 — NOT the
-    // writeIvfPqIndexFrom defaults (32/8/16)
-    Similarity.writeIvfPqIndexFrom(spark, emb, path, nlist = 8, m = 4, codes = 8)
+    // custom geometry AND custom depth: nlist=8, m=4 (sub=16 on 64 dims),
+    // codes=8, iters=3 — none of them writeIvfPqIndexFrom's defaults
+    Similarity.writeIvfPqIndexFrom(spark, emb, path,
+      nlist = 8, m = 4, codes = 8, iters = 3)
     val drifted = emb.select((col("vec_id") + 500000L).as("vec_id"),
       transform(col("embedding"), x => (x + lit(5.0f)).cast("float")).as("embedding"))
+    val allVecs = emb.unionByName(drifted)
     val (retrained, ratio) =
-      Similarity.appendOrRetrain(spark, path, drifted, emb.unionByName(drifted))
+      Similarity.appendOrRetrain(spark, path, drifted, allVecs)
     assert(retrained && ratio > 2.0, s"the +5.0 shift must force a retrain, got ($retrained, $ratio)")
     val nlistAfter = spark.read.parquet(s"$path/centroids").count()
     val books = spark.read.parquet(s"$path/codebooks")
@@ -1052,6 +1054,21 @@ class PipelineSpec extends AnyFunSuite {
     assert((nlistAfter, mAfter, codesAfter) == ((8L, 4L, 8L)),
       s"retrain-in-place must keep the deployment's geometry, " +
         s"got (nlist=$nlistAfter, m=$mAfter, codes=$codesAfter)")
+    // DEPTH preservation: deterministic training means the retrained
+    // sidecars must be bit-identical to a reference build of the same
+    // corpus at the PERSISTED depth (iters=3, from the train_meta
+    // sidecar) — a silent fallback to the default 2 would diverge
+    val ref = java.nio.file.Files.createTempDirectory("graftgeoref").toString
+    Similarity.writeIvfPqIndexFrom(spark, allVecs, ref,
+      nlist = 8, m = 4, codes = 8, iters = 3)
+    def sidecars(p: String) = (
+      spark.read.parquet(s"$p/centroids").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq,
+      spark.read.parquet(s"$p/codebooks").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+        .sortBy(t => (t._1, t._2)).toSeq)
+    assert(sidecars(path) == sidecars(ref),
+      "retrain must train at the persisted depth (train_meta), not the default")
     // and the retrained index still serves searches end to end
     assert(Similarity.searchIvfPqIndexDistributed(spark, path,
       emb.filter(col("vec_id") < 4)).count() > 0)
