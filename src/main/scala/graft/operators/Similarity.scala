@@ -594,8 +594,24 @@ object Similarity {
   private def readTrainIters(s: SparkSession, path: String): Option[Int] = {
     val p = new org.apache.hadoop.fs.Path(s"$path/train_meta")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(s.read.parquet(p.toString).first().getInt(0))
-    else None
+    if (!fs.exists(p)) None
+    else {
+      // the sidecar exists to PREVENT a silent quality-class drop, so a
+      // corrupt one (multiple rows, nonpositive depth — iters=0 would
+      // make pqTrain a no-op and leave codebooks at seed init) must fail
+      // loudly, not feed garbage into the retrain
+      val rows = s.read.parquet(p.toString).collect()
+      require(rows.length == 1,
+        s"readTrainIters: $p carries ${rows.length} rows — expected " +
+          "exactly one; the sidecar is corrupt, rebuild the index to " +
+          "mint a fresh one")
+      val iters = rows(0).getInt(0)
+      require(iters >= 1,
+        s"readTrainIters: $p records train_iters=$iters — a retrain at " +
+          "that depth would leave codebooks at seed init; the sidecar is " +
+          "corrupt, rebuild the index to mint a fresh one")
+      Some(iters)
+    }
   }
 
   /** The tiny centroid/codebook sidecars of a persisted index, loaded
@@ -1094,6 +1110,10 @@ object Similarity {
       delta: DataFrame, allVecs: DataFrame, maxErrRatio: Double = 2.0,
       retrainIters: Int = 0): Seq[(Int, Boolean, Double)] = {
     require(paths.nonEmpty, "appendOrRetrainSharded: no shard paths")
+    require(retrainIters >= 0,
+      s"appendOrRetrainSharded: retrainIters=$retrainIters — pass a " +
+        "positive depth to override, or 0 to use each shard's persisted " +
+        "train_meta")
     val n = paths.size
     val ids = shardIds(s, paths, "appendOrRetrainSharded")
     // one aggregate routes the delta; empty slices skip (appendOrRetrain
@@ -1482,6 +1502,9 @@ object Similarity {
       allVecs: DataFrame, maxErrRatio: Double = 2.0,
       retrainIters: Int = 0): (Boolean, Double) = {
     require(maxErrRatio > 0, s"appendOrRetrain: maxErrRatio=$maxErrRatio")
+    require(retrainIters >= 0,
+      s"appendOrRetrain: retrainIters=$retrainIters — pass a positive " +
+        "depth to override, or 0 to use the index's persisted train_meta")
     val healthPath = new org.apache.hadoop.fs.Path(s"$path/health")
     val fs = healthPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     require(fs.exists(healthPath),

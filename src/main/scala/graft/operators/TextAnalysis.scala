@@ -395,20 +395,18 @@ object TextAnalysis {
         else col("n")
       var w: Map[String, Seq[Long]] =
         langidLangs.map(_ -> Seq.fill(17)(0L)).toMap
+      // each round compiles its own wide aggregate plan (weights are
+      // literals). An element_at(typedLit(w), i) form was tried and
+      // REVERTED: Catalyst constant-folds array-literal lookups at
+      // constant indexes back into the same inlined scalars, so it
+      // shared nothing — per-round plan compile is an accepted cost of
+      // a per-snapshot train step (visible in bench's queries_first);
+      // sharing a plan for real would need non-foldable weight delivery
+      // (a one-row weights frame cross-joined in, the twin's shape).
       for (_ <- 1 to iters) {
         val grads = langidLangs.flatMap { l =>
           val y = when(col("lang") === l, 1L).otherwise(-1L)
-          // weights enter as ONE typedLit array per language, not 17
-          // scalar literals: scalar literals inline into the generated
-          // code, so every round's 85-column aggregate used to be a NEW
-          // codegen source (8 compiles of a very wide plan — the cold
-          // cost queries_first exposed); an array literal rides the
-          // plan's references instead, so all rounds share one compiled
-          // plan and only the array values change. Same Long arithmetic,
-          // bit-identical trajectory (oracle unchanged).
-          val wLit = typedLit(w(l))
-          val margin = (0 until 17)
-            .map(i => element_at(wLit, i + 1) * zc(i)).reduce(_ + _)
+          val margin = (0 until 17).map(i => lit(w(l)(i)) * zc(i)).reduce(_ + _)
           val mis = y * margin <= 0
           (0 until 17).map(i => coalesce(
             sum(when(mis, y * zc(i)).otherwise(0L)), lit(0L)).as(s"g_${l}_$i"))
@@ -445,25 +443,16 @@ object TextAnalysis {
         ws.zipWithIndex.map { case (w, b) => (l, b.toLong, w) }
       }
       .toDF("lang", "bucket", "weight")
-    // write-then-swap (the Csv.write discipline): mode-overwrite straight
-    // at `path` deletes the live artifact BEFORE the new files commit, so
-    // an ingest-tier reader racing the rewrite would see a missing path
-    // or a committed subset of part-files (whole languages gone). Staging
-    // absorbs the write; only a complete artifact replaces the live one,
-    // and a failed rename leaves the new copy intact in staging.
+    // write-then-swap ([[graft.AtomicSwap]]): mode-overwrite straight at
+    // `path` deletes the live artifact BEFORE the new files commit, so an
+    // ingest-tier reader racing the rewrite would see a missing path or a
+    // committed subset of part-files (whole languages gone). Staging
+    // absorbs the write; only a complete artifact replaces the live one.
     val dest = new org.apache.hadoop.fs.Path(path)
     val fs = dest.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val staging = new org.apache.hadoop.fs.Path(path + "._staging")
-    try df.write.mode("overwrite").parquet(staging.toString)
-    catch {
-      case e: Throwable =>
-        if (fs.exists(staging)) fs.delete(staging, true)
-        throw e
+    graft.AtomicSwap.writeThenSwap(fs, dest, "writeLangidWeights") { staging =>
+      df.write.mode("overwrite").parquet(staging.toString)
     }
-    if (fs.exists(dest)) fs.delete(dest, true)
-    require(fs.rename(staging, dest),
-      s"writeLangidWeights: rename $staging -> $dest failed; the new " +
-        "artifact is intact in the staging directory")
   }
 
   /** Load a [[writeLangidWeights]] artifact back into the map the scorer
@@ -1407,15 +1396,11 @@ object TextAnalysis {
         if (i < 16) lit(16L) * element_at(col("x"), i + 1) - col("n")
         else col("n")
       var w = Seq.fill(17)(0L)
+      // per-round plan compile accepted; the typedLit-array form was
+      // reverted — Catalyst constant-folds it back to these same scalar
+      // literals (see trainLangidWeights' note)
       for (_ <- 1 to iters) {
-        // one array literal, not 17 scalars: scalar literals inline into
-        // the generated code so each round compiled a fresh wide
-        // aggregate plan; an array literal rides the plan's references,
-        // letting all rounds share one compiled plan (the langid-trainer
-        // device). Same Long arithmetic, bit-identical trajectory.
-        val wLit = typedLit(w)
-        val margin = (0 until 17)
-          .map(i => element_at(wLit, i + 1) * zc(i)).reduce(_ + _)
+        val margin = (0 until 17).map(i => lit(w(i)) * zc(i)).reduce(_ + _)
         val mis = col("y") * margin <= 0
         val grads = (0 until 17).map(i => coalesce(
           sum(when(mis, col("y") * zc(i)).otherwise(0L)), lit(0L)).as(s"g$i"))

@@ -65,33 +65,20 @@ object Csv {
     // with the destination untouched — keep that property). The staging
     // dir absorbs the abort; only a fully-written export replaces the
     // destination (the compactIvfPqIndex swap discipline).
+    // the shared write-then-swap discipline ([[graft.AtomicSwap]]):
+    // staging cleaned only when the write failed; a failed rename
+    // preserves the staged copy; staging is a normalized SIBLING of the
+    // destination so a trailing slash in `path` cannot nest it inside
     val dest = new org.apache.hadoop.fs.Path(path)
     val fs = dest.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-    val staging = new org.apache.hadoop.fs.Path(path + "._staging")
-    // Staging is cleaned ONLY when the write itself failed (guard abort,
-    // task failure): at that point the destination is untouched and the
-    // partial staging dir is garbage. Once the write has succeeded the
-    // staging dir holds the only complete copy of the new export — if the
-    // subsequent rename fails (after the destination was already deleted),
-    // deleting staging too would destroy BOTH exports and falsify the
-    // "intact in the staging directory" contract, so from that point on
-    // staging is always preserved.
-    try {
+    graft.AtomicSwap.writeThenSwap(fs, dest, "Csv.write") { staging =>
       guarded.write.mode("overwrite")
         .option("header", "true")
         .option("quoteAll", "true")
         .option("nullValue", NullSentinel)
         .option("emptyValue", "\"\"")
         .csv(staging.toString)
-    } catch {
-      case e: Throwable =>
-        if (fs.exists(staging)) fs.delete(staging, true)
-        throw e
     }
-    if (fs.exists(dest)) fs.delete(dest, true)
-    require(fs.rename(staging, dest),
-      s"Csv.write: rename $staging -> $dest failed; the export is " +
-        "intact in the staging directory")
   }
 
   def readDocuments(spark: SparkSession, path: String): DataFrame =
