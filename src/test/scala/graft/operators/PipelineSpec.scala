@@ -378,6 +378,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(t >= b, s"trained $t must be >= stopword baseline $b on the corpus")
   }
 
+  test("embed_kmeans: an empty cluster carries its previous centroid (twin-seed plant, reference-pinned)") {
+    // seeds are the k lowest vec_ids; vec 7 == vec 3 exactly, so every
+    // assignment tie breaks to cluster 3 and cluster 7's cell is EMPTY in
+    // every round — the carry-previous-centroid branch no shipped SF ever
+    // exercises (smallest cell there holds 40+ vectors). Expected rows
+    // come from an independent replay of the algebra (the
+    // check_kmeans_adversarial.py reference, which the DuckDB twin also
+    // matches on this plant); all values float-exact, so the Spark float
+    // path and the double reference agree bitwise.
+    val dir = tmpEmb(Seq(
+      (0L, Seq(0.0f, 0.0f, 0.0f, 0.0f), "x"),
+      (1L, Seq(1.0f, 1.0f, 2.0f, 0.5f), "x"),
+      (2L, Seq(2.0f, 2.0f, 4.0f, 1.0f), "x"),
+      (3L, Seq(3.0f, 0.0f, 1.0f, 1.5f), "x"),
+      (4L, Seq(4.0f, 1.0f, 3.0f, 2.0f), "x"),
+      (5L, Seq(5.0f, 2.0f, 0.0f, 2.5f), "x"),
+      (6L, Seq(6.0f, 0.0f, 2.0f, 3.0f), "x"),
+      (7L, Seq(3.0f, 0.0f, 1.0f, 1.5f), "x"),
+      (8L, Seq(8.0f, 2.0f, 1.0f, 4.0f), "x"),
+      (9L, Seq(9.0f, 0.0f, 3.0f, 4.5f), "x"),
+      (10L, Seq(1.25f, 1.5f, 2.0f, 0.75f), "x"),
+      (11L, Seq(2.5f, 2.0f, 4.25f, 1.5f), "x"),
+      (12L, Seq(0.0f, 0.25f, 0.5f, 0.0f), "x"),
+      (13L, Seq(1.25f, 1.5f, 2.0f, 0.75f), "x"),
+      (14L, Seq(2.5f, 2.0f, 4.25f, 1.5f), "x"),
+      (15L, Seq(0.0f, 0.25f, 0.5f, 0.0f), "x"),
+      (16L, Seq(1.25f, 1.5f, 2.0f, 0.75f), "x"),
+      (17L, Seq(2.5f, 2.0f, 4.25f, 1.5f), "x"),
+      (18L, Seq(0.0f, 0.25f, 0.5f, 0.0f), "x"),
+      (19L, Seq(1.25f, 1.5f, 2.0f, 0.75f), "x"),
+      (20L, Seq(2.5f, 2.0f, 4.25f, 1.5f), "x"),
+      (21L, Seq(0.0f, 0.25f, 0.5f, 0.0f), "x")))
+    val got = Clustering.embed_kmeans(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val want = Seq(
+      (0, 5L, 0L, 3145728L), (1, 5L, 1L, 27787264L), (2, 5L, 2L, 52428800L),
+      (3, 2L, 3L, 11534336L), (4, 1L, 4L, 10485760L), (5, 1L, 5L, 9961472L),
+      (6, 1L, 6L, 11534336L), (8, 1L, 8L, 15728640L), (9, 1L, 9L, 17301504L))
+    assert(got == want,
+      s"cluster 7 must be empty (carried centroid) and every other cell " +
+        s"must match the reference replay; got $got")
+  }
+
   test("chargrams count astral codepoints as one character (surrogate pairs never split)") {
     // the DuckDB twin's substr/length are codepoint-based; if Spark's were
     // UTF-16-unit-based, an astral char (surrogate pair) would shift every
