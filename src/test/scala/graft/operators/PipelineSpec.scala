@@ -378,6 +378,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(t >= b, s"trained $t must be >= stopword baseline $b on the corpus")
   }
 
+  test("graph_pagerank: a dangling node keeps rank but contributes no mass (n=7 plant, reference-pinned)") {
+    // edges are a function of (doc_id, n): at n=7 node 0's three targets
+    // are all 0, so the self-loop drop leaves it DANGLING — no out-edges,
+    // outdeg 0 through the final left join's coalesce, and its mass
+    // simply vanishes (this simplified PageRank does not redistribute,
+    // pinned as part of the definition). No shipped corpus size produces
+    // a dangling node, so the branch was uncertified. Expected rows from
+    // the check_pagerank_adversarial.py reference (twin matches them too).
+    val dir = tmpDocs((0L until 7L).map(i => (i, s"doc $i", "en", "s", 6L)))
+    val got = Graph.graph_pagerank(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = Seq(
+      (1L, 1194702L, 2L), (3L, 1076765L, 2L), (2L, 910217L, 2L),
+      (0L, 755625L, 0L), (6L, 602093L, 2L), (4L, 471140L, 2L),
+      (5L, 317608L, 2L))
+    assert(got == want, s"dangling-node trajectory must match the reference, got $got")
+  }
+
   test("embed_kmeans: an empty cluster carries its previous centroid (twin-seed plant, reference-pinned)") {
     // seeds are the k lowest vec_ids; vec 7 == vec 3 exactly, so every
     // assignment tie breaks to cluster 3 and cluster 7's cell is EMPTY in
