@@ -29,7 +29,11 @@ object AtomicSwap {
     try write(staging)
     catch {
       case e: Throwable =>
-        if (fs.exists(staging)) fs.delete(staging, true)
+        // the cleanup itself can throw (e.g. the same filesystem outage
+        // that failed the write) — never let it REPLACE the original
+        // failure as the surfaced cause; attach it as suppressed instead
+        try { if (fs.exists(staging)) fs.delete(staging, true) }
+        catch { case cleanup: Throwable => e.addSuppressed(cleanup) }
         throw e
     }
     if (fs.exists(dest)) fs.delete(dest, true)

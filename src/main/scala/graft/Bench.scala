@@ -48,9 +48,25 @@ object Bench {
     // min so cold vs warm stays observable per round from one file.
     val first = scala.collection.mutable.Map[String, Double]()
     val failed = scala.collection.mutable.LinkedHashSet[String]()
+    // Load-spike attribution (round-15): min-of-N absorbs a transient box
+    // spike, but `first`/`last` cannot tell "this query's cold path got
+    // slower" from "a load burst hit this stretch of the run" — the r14
+    // driver run inflated ~10 CONTIGUOUS queries 3-10× while the
+    // once-per-run canary basket (measured outside the burst) read 0.96.
+    // Record, for EVERY attempt of every query, its wall-clock start and
+    // duration: inflated readings that cluster in one wall-clock window
+    // across UNRELATED queries are box load; a mover whose every pass is
+    // slow while its neighbors' stamps stay flat is code. The arrays are
+    // per pass, index-aligned, failures included (a crashed attempt's
+    // duration still carries load information).
+    val passStarts = scala.collection.mutable.Map[String, Vector[Long]]()
+      .withDefaultValue(Vector.empty)
+    val passDurs = scala.collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
     for (p <- 1 to passes) {
       spark.catalog.clearCache()
       names.foreach { name =>
+        val startMs = System.currentTimeMillis()
         val t0 = System.nanoTime()
         val ok =
           try { run(SparkEntry.queries(name)(spark, sfDir)); true }
@@ -60,6 +76,8 @@ object Bench {
             false
           }
         val dt = (System.nanoTime() - t0) / 1e9
+        passStarts(name) = passStarts(name) :+ startMs
+        passDurs(name) = passDurs(name) :+ dt
         if (ok) {
           if (best.get(name).forall(dt < _)) best(name) = dt
           if (p == 1) first(name) = dt
@@ -81,6 +99,13 @@ object Bench {
     val qsFirst = names
       .map(n => s"\"" + n + "\":" + (if (failed(n)) -1.0 else first.getOrElse(n, -1.0)))
       .mkString("{", ",", "}")
+    val qsStarts = names.map { n =>
+      s"\"" + n + "\":" + passStarts(n).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val qsPasses = names.map { n =>
+      s"\"" + n + "\":" +
+        passDurs(n).map(d => f"$d%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val valid = failed.isEmpty
     val total = if (valid) results.map(_._2).sum else -1.0
@@ -126,7 +151,7 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"members":$members,"refs":$refs,"ratio_median":$ratioMedian,"total_basket_normalized":$totalBasketNorm}"""
     }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","valid":$valid,"canary_q05_topk":$canary,"canary_ref":$canaryRef,"total_canary_normalized":$totalNorm,"canary":$basketJson,"queries":$qs,"queries_first":$qsFirst,"queries_last":$qsLast,"errors":$errs,"passes":$passes,"sf":${DriverSession.jsonQuote(sfDir)}}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","valid":$valid,"canary_q05_topk":$canary,"canary_ref":$canaryRef,"total_canary_normalized":$totalNorm,"canary":$basketJson,"queries":$qs,"queries_first":$qsFirst,"queries_last":$qsLast,"queries_start_ms":$qsStarts,"queries_passes":$qsPasses,"errors":$errs,"passes":$passes,"sf":${DriverSession.jsonQuote(sfDir)}}"""
     println(json)
     // The driver captures only the TAIL of stdout — with ~100 queries the
     // headline line gets truncated out of the artifact. Persist the full

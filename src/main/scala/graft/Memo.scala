@@ -67,31 +67,39 @@ final class SessionMemo[K, V](maxPerSession: Int = 32) {
       hooked -= sc
     }
 
-  private def hookEviction(s: SparkSession): Unit = {
-    val sc = s.sparkContext
-    if (!hooked.contains(sc)) {
-      hooked += sc
-      try sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-          evictContext(sc)
-      })
-      catch {
-        // context mid-stop: the access-time sweep owns cleanup — and the
-        // failed install must NOT leave sc pinned in `hooked` (nothing
-        // else ever removes it, and the contains-check would block any
-        // retry on a later, healthy access)
-        case _: Throwable => hooked -= sc
-      }
+  // Reserve-under-lock, install-outside-lock: addSparkListener synchronizes
+  // on the LiveListenerBus, whose stop() holds that same monitor while
+  // joining the dispatch thread — and the dispatch thread delivering
+  // ApplicationEnd takes `m` (evictContext). Installing while holding `m`
+  // therefore closes a deadlock cycle with a concurrent
+  // SparkContext.stop(): A holds m → waits on bus; stop() holds bus →
+  // joins dispatcher; dispatcher waits on m. Session-per-request
+  // deployments stop contexts concurrently with other sessions' builds,
+  // so the race window is the intended workload. The split keeps `hooked`
+  // consistent: reservation happens atomically with the map pass, and a
+  // failed install rolls the reservation back under the same lock.
+  private def installHook(sc: org.apache.spark.SparkContext): Unit =
+    try sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onApplicationEnd(
+          e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+        evictContext(sc)
+    })
+    catch {
+      // context mid-stop: the access-time sweep owns cleanup — and the
+      // failed install must NOT leave sc pinned in `hooked` (nothing
+      // else ever removes it, and the contains-check would block any
+      // retry on a later, healthy access)
+      case _: Throwable => m.synchronized { hooked -= sc }
     }
-  }
 
   def getOrBuild(s: SparkSession, key: K)(build: => V): V = {
     val fullKey = (s, key)
-    val holder = m.synchronized {
+    val sc = s.sparkContext
+    val (holder, needHook) = m.synchronized {
       m.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-      hookEviction(s)
-      m.get(fullKey) match {
+      val need = !hooked.contains(sc)
+      if (need) hooked += sc // reserve; installHook rolls back on failure
+      val h = m.get(fullKey) match {
         case Some(h) =>
           m.remove(fullKey); m.update(fullKey, h); h
         case None =>
@@ -100,7 +108,9 @@ final class SessionMemo[K, V](maxPerSession: Int = 32) {
           val h = new Holder(() => build)
           m.update(fullKey, h); h
       }
+      (h, need)
     }
+    if (needHook) installHook(sc)
     try holder.value
     catch {
       case t: Throwable =>
@@ -118,4 +128,64 @@ final class SessionMemo[K, V](maxPerSession: Int = 32) {
     m.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
     m.size
   }
+}
+
+/** The PLAIN-VALUE sibling of [[SessionMemo]] — the other half of the one
+  * cache discipline in this library. Use it for deterministic, session-free
+  * artifacts (trained weight vectors, merge-rule lists): pure values keyed
+  * by their inputs that hold NO session, frame, or checkpoint references,
+  * so a cross-session hit is correct by construction and session eviction
+  * would only force pointless retraining. Everything frame-shaped stays in
+  * [[SessionMemo]]; everything value-shaped lives here — never a
+  * hand-rolled `mutable.Map` (the round-13 invariant, extended to values in
+  * round 15 after the third ad-hoc cache appeared).
+  *
+  * Same mechanics as [[SessionMemo]] minus the session axis:
+  *
+  *  - '''In-flight builds deduplicate per key''' via the lazy-holder
+  *    device: racers on one key block on that holder, builds of DIFFERENT
+  *    keys never serialize (the old global-lock-around-train shape made
+  *    unrelated corpora queue behind each other), and a throwing build is
+  *    not cached (the entry is removed so the next caller starts fresh).
+  *  - '''LRU-bounded''' at `maxEntries` keys, so a long-lived JVM that
+  *    walks many corpus directories cannot grow without bound.
+  *
+  * Key contract: the key must CONTENT-ADDRESS the value. A corpus
+  * directory key assumes the immutable-snapshot discipline every memo in
+  * this library rides on — rewriting a corpus dir in place serves weights
+  * trained on the old snapshot until the entry ages out; deploy new
+  * snapshots to new paths (the [[AtomicSwap]] sinks already do).
+  */
+final class ValueMemo[K, V](maxEntries: Int = 64) {
+  require(maxEntries >= 1, s"ValueMemo: maxEntries=$maxEntries must be >= 1")
+
+  private final class Holder(build: () => V) {
+    lazy val value: V = build()
+  }
+
+  private val m = scala.collection.mutable.LinkedHashMap.empty[K, Holder]
+
+  def getOrBuild(key: K)(build: => V): V = {
+    val holder = m.synchronized {
+      m.get(key) match {
+        case Some(h) =>
+          m.remove(key); m.update(key, h); h
+        case None =>
+          if (m.size >= maxEntries) m.remove(m.head._1)
+          val h = new Holder(() => build)
+          m.update(key, h); h
+      }
+    }
+    try holder.value
+    catch {
+      case t: Throwable =>
+        m.synchronized {
+          m.get(key).filter(_ eq holder).foreach(_ => m.remove(key))
+        }
+        throw t
+    }
+  }
+
+  /** Test hook: entry count. */
+  private[graft] def size: Int = m.synchronized(m.size)
 }

@@ -954,6 +954,17 @@ object Similarity {
     * the shards share sidecars (the [[writeIvfPqIndexShards]] layout;
     * parity-spec'd). Shards search independently — N parallel pruned
     * scans, no cross-shard shuffle until the k·N-row merge.
+    *
+    * '''Layout requirement (behavioral change vs. pre-round-14 builds):'''
+    * every path must end in a `shard=<i>` component with ids covering
+    * exactly 0..n-1 and matching `_nshards_<n>` markers — the
+    * [[writeIvfPqIndexShards]] layout. Earlier rounds accepted any list of
+    * single-index directories; that silently searched partial deployments
+    * (dropping every vector in an omitted shard from top-k), so the
+    * tightening is deliberate. To search a hand-assembled set of
+    * independent indexes, call [[searchIvfPqIndexDistributed]] per
+    * directory and merge the results — that path carries no deployment
+    * contract.
     */
   def searchIvfPqIndexSharded(s: SparkSession, paths: Seq[String],
       queries: DataFrame, k: Int = 10, nprobe: Int = 3): DataFrame = {

@@ -378,13 +378,15 @@ object TextAnalysis {
     * exactness, and the fold-back to effective bucket weights are exactly
     * [[trainScoreWeights]]'s (documented there); the only new element is
     * the label column fan-out. Deterministic, so memoized per
-    * (corpus, iters) — the scoreTrainCache device.
+    * (corpus, iters) — a [[graft.ValueMemo]] (weights are session-free
+    * plain values; the frame-shaped scored table stays in SessionMemo).
     */
   private[graft] def trainLangidWeights(s: SparkSession, dir: String,
-      iters: Int): Map[String, Seq[Long]] = langidTrainLock.synchronized {
-    langidTrainCache.getOrElseUpdate((dir, iters), {
+      iters: Int): Map[String, Seq[Long]] =
+    langidTrainCache.getOrBuild((dir, iters)) {
       require(iters >= 1, s"trainLangidWeights: iters=$iters must be >= 1")
       import graft.Checkpoints.DatasetCheckpointOps
+      import s.implicits._
       val feat = docs(s, dir).filter(col("text").isNotNull)
         .select(col("lang"), chargrams(col("text")).as("cg"))
         .select(col("lang"), size(col("cg")).cast("long").as("n"),
@@ -393,25 +395,37 @@ object TextAnalysis {
       def zc(i: Int): Column =
         if (i < 16) lit(16L) * element_at(col("x"), i + 1) - col("n")
         else col("n")
+      // NON-FOLDABLE weight delivery — the round-15 fix for the cold-train
+      // cost (8 rounds × an 85-column aggregate used to janino-compile 8
+      // DISTINCT generated classes, because weights inlined as literals
+      // make every round's generated code unique; typedLit arrays were a
+      // verified no-op — Catalyst constant-folds element_at at constant
+      // indexes back into the same scalars). Each round's weights instead
+      // arrive as DATA: a one-row broadcast frame holding the 5×17 longs
+      // in one array column, cross-joined onto the feature frame. The
+      // gradient expressions reference that COLUMN, so every round's plan
+      // and generated code are byte-identical and rounds 2..N hit the
+      // codegen cache; only the one-row broadcast changes. Same 64-bit
+      // integer algebra on the same values — the training trajectory is
+      // bit-identical to the literal form (oracle + adversarial-gate
+      // pinned).
+      val wCol = col("__langid_w")
+      val grads = langidLangs.zipWithIndex.flatMap { case (l, li) =>
+        val y = when(col("lang") === l, 1L).otherwise(-1L)
+        val margin = (0 until 17).map(i =>
+          element_at(wCol, li * 17 + i + 1) * zc(i)).reduce(_ + _)
+        val mis = y * margin <= 0
+        (0 until 17).map(i => coalesce(
+          sum(when(mis, y * zc(i)).otherwise(0L)), lit(0L)).as(s"g_${l}_$i"))
+      }
       var w: Map[String, Seq[Long]] =
         langidLangs.map(_ -> Seq.fill(17)(0L)).toMap
-      // each round compiles its own wide aggregate plan (weights are
-      // literals). An element_at(typedLit(w), i) form was tried and
-      // REVERTED: Catalyst constant-folds array-literal lookups at
-      // constant indexes back into the same inlined scalars, so it
-      // shared nothing — per-round plan compile is an accepted cost of
-      // a per-snapshot train step (visible in bench's queries_first);
-      // sharing a plan for real would need non-foldable weight delivery
-      // (a one-row weights frame cross-joined in, the twin's shape).
       for (_ <- 1 to iters) {
-        val grads = langidLangs.flatMap { l =>
-          val y = when(col("lang") === l, 1L).otherwise(-1L)
-          val margin = (0 until 17).map(i => lit(w(l)(i)) * zc(i)).reduce(_ + _)
-          val mis = y * margin <= 0
-          (0 until 17).map(i => coalesce(
-            sum(when(mis, y * zc(i)).otherwise(0L)), lit(0L)).as(s"g_${l}_$i"))
-        }
-        val g = feat.agg(grads.head, grads.tail: _*).head()
+        // fresh frame per round: re-running one cached DataFrame would
+        // reuse its already-materialized broadcast (stale weights)
+        val wDf = Seq(Tuple1(langidLangs.flatMap(w(_)))).toDF("__langid_w")
+        val g = feat.crossJoin(broadcast(wDf)).agg(grads.head, grads.tail: _*)
+          .head()
         w = langidLangs.zipWithIndex.map { case (l, li) =>
           l -> w(l).zipWithIndex.map { case (wi, i) => wi + g.getLong(li * 17 + i) }
         }.toMap
@@ -420,11 +434,9 @@ object TextAnalysis {
         val shift = ws(16) - ws.take(16).sum
         l -> (0 until 16).map(i => 16L * ws(i) + shift): (String, Seq[Long])
       }
-    })
-  }
+    }
   private val langidTrainCache =
-    scala.collection.mutable.Map.empty[(String, Int), Map[String, Seq[Long]]]
-  private val langidTrainLock = new Object
+    new graft.ValueMemo[(String, Int), Map[String, Seq[Long]]]
 
   /** PERSIST the trained langid weight table — the production artifact
     * step the gate's "restart the query to pick up a retrained table"
@@ -1374,10 +1386,11 @@ object TextAnalysis {
     * sized operation is the SCORING pass, not the fit).
     */
   private[graft] def trainScoreWeights(s: SparkSession, dir: String,
-      iters: Int): Seq[Long] = scoreTrainLock.synchronized {
-    scoreTrainCache.getOrElseUpdate((dir, iters), {
+      iters: Int): Seq[Long] =
+    scoreTrainCache.getOrBuild((dir, iters)) {
       require(iters >= 1, s"trainScoreWeights: iters=$iters must be >= 1")
       import graft.Checkpoints.DatasetCheckpointOps
+      import s.implicits._
       val teacherMargin = teacherWeights.zipWithIndex
         .map { case (t, i) => lit(t.toLong) * element_at(col("x"), i + 1) }
         .reduce(_ + _)
@@ -1395,27 +1408,28 @@ object TextAnalysis {
       def zc(i: Int): Column =
         if (i < 16) lit(16L) * element_at(col("x"), i + 1) - col("n")
         else col("n")
+      // non-foldable weight delivery, same device and rationale as
+      // trainLangidWeights: one compiled aggregate serves all rounds, the
+      // per-round weights arrive as a one-row broadcast frame
+      val wCol = col("__score_w")
+      val margin = (0 until 17).map(i =>
+        element_at(wCol, i + 1) * zc(i)).reduce(_ + _)
+      val mis = col("y") * margin <= 0
+      val grads = (0 until 17).map(i => coalesce(
+        sum(when(mis, col("y") * zc(i)).otherwise(0L)), lit(0L)).as(s"g$i"))
       var w = Seq.fill(17)(0L)
-      // per-round plan compile accepted; the typedLit-array form was
-      // reverted — Catalyst constant-folds it back to these same scalar
-      // literals (see trainLangidWeights' note)
       for (_ <- 1 to iters) {
-        val margin = (0 until 17).map(i => lit(w(i)) * zc(i)).reduce(_ + _)
-        val mis = col("y") * margin <= 0
-        val grads = (0 until 17).map(i => coalesce(
-          sum(when(mis, col("y") * zc(i)).otherwise(0L)), lit(0L)).as(s"g$i"))
-        val g = feat.agg(grads.head, grads.tail: _*).head()
+        val wDf = Seq(Tuple1(w)).toDF("__score_w")
+        val g = feat.crossJoin(broadcast(wDf)).agg(grads.head, grads.tail: _*)
+          .head()
         w = w.zipWithIndex.map { case (wi, i) => wi + g.getLong(i) }
       }
       val shift = w(16) - w.take(16).sum
       (0 until 16).map(i => 16L * w(i) + shift)
-    })
-  }
+    }
   // training is deterministic, so per-(corpus, iters) memoization is pure
   // (the bpeTrainCached device) — bench reps must not re-run the rounds
-  private val scoreTrainCache =
-    scala.collection.mutable.Map.empty[(String, Int), Seq[Long]]
-  private val scoreTrainLock = new Object
+  private val scoreTrainCache = new graft.ValueMemo[(String, Int), Seq[Long]]
 
   /** The trained weight table itself — 16 rows (bucket, weight), the
     * artifact a production run persists next to the corpus snapshot.

@@ -29,6 +29,41 @@ class MemoSpec extends AnyFunSuite {
     assert(b(1) == 10 && builds == 5, "memo must keep working after eviction")
   }
 
+  test("SessionMemo: concurrent builds and context evictions make progress (listener installs outside the memo lock)") {
+    // The round-14 advice deadlock: getOrBuild used to call
+    // addSparkListener while HOLDING the memo lock, and the listener
+    // dispatch thread takes that lock delivering ApplicationEnd — a
+    // concurrent SparkContext.stop() (which holds the listener-bus
+    // monitor while joining the dispatcher) could then cycle. The fix
+    // reserves in `hooked` under the lock and installs outside it. This
+    // smoke test drives the reserve/install/evict edges hard from many
+    // threads — every evictContext clears the hook reservation, forcing
+    // the next getOrBuild to re-reserve and re-install — and must finish
+    // well inside the timeout; a re-introduced install-under-lock shows
+    // up here as lock-ordering contention the moment a bus stall appears.
+    val memo = new SessionMemo[Int, Int](maxPerSession = 4)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    try {
+      val futs = (0 until 8).map { t =>
+        pool.submit(new Runnable {
+          def run(): Unit = try {
+            var i = 0
+            while (i < 200) {
+              if (t % 2 == 0) assert(memo.getOrBuild(spark, i % 6)((i % 6) * 10) == (i % 6) * 10)
+              else memo.evictContext(spark.sparkContext)
+              i += 1
+            }
+          } catch { case e: Throwable => errs.add(e) }
+        })
+      }
+      futs.foreach(_.get(30, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdownNow()
+    assert(errs.isEmpty, s"concurrent memo traffic failed: ${errs.peek()}")
+    // after the storm the memo still functions
+    assert(memo.getOrBuild(spark, 99)(990) == 990)
+  }
+
   test("SessionMemo: a failed build is not cached and unrelated keys are unaffected") {
     val memo = new SessionMemo[String, Int]()
     assert(memo.getOrBuild(spark, "ok")(7) == 7)

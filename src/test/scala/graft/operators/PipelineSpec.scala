@@ -1908,6 +1908,55 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("ppjoin epsilon boundaries: pairs at EXACTLY the threshold survive every pruning guard") {
+    // The deterministic twin of tools/check_ppjoin_adversarial.py: random
+    // corpora (above) almost never land a pair AT the guard boundaries,
+    // so the three epsilon-guarded comparisons are otherwise certified
+    // only by shipped-corpus hashes. Each plant sits exactly where an
+    // IEEE over-ceiling regression (the round-10 bug class) flips:
+    //  - (100,101): J = 22/55 = 0.4 exactly, a 24-word verbatim quote of
+    //    a 57-word doc. The single candidate match has positional bound
+    //    ub = 22 vs requirement 77*(0.4/1.4) = 22.000000000000004 —
+    //    dropping the 1e-9 epsilon prunes this true pair. Its min common
+    //    shingle also sits in the LAST probe-prefix slot (rank 33 of 34)
+    //    and the length filter holds with equality (22 >= 55*0.4).
+    //  - (200,201): J = 12/30 = 0.4 exactly; the index prefix computes
+    //    over 21*(2*0.4/1.4) = 12.000000000000002 — without the epsilon
+    //    the prefix shrinks 10 -> 9 and excludes the only shared token.
+    //  - (300,301): containment = 44/55 = 0.8 exactly with the smaller
+    //    side's min common shingle at the last prefix slot (rank 11 of
+    //    12) — any one-shorter prefix drops it.
+    //  - (400,401)/(500,501): just-below-threshold controls (11/31 and
+    //    43/55) that must stay excluded from their operator.
+    // (The python tool proves the engagement claims by replaying the
+    // pruning pipeline with and without the epsilons.)
+    def words(p: String, n: Int) = (0 until n).map(i => s"$p$i")
+    val a1 = words("p1w", 57)
+    val sh2 = words("p2s", 14)
+    val sh3 = words("p3s", 46)
+    val sh4 = words("p4s", 13)
+    val sh5 = words("p5s", 45)
+    def doc(id: Long, ws: Seq[String]) = (id, ws.mkString(" "), "en", "s", 1L)
+    val dir = tmpDocs(Seq(
+      doc(100L, a1), doc(101L, a1.slice(33, 57)),
+      doc(200L, words("p2a", 9) ++ sh2), doc(201L, words("p2b", 9) ++ sh2),
+      doc(300L, words("p3a", 11) ++ sh3), doc(301L, words("p3b", 16) ++ sh3),
+      doc(400L, words("p4a", 10) ++ sh4), doc(401L, words("p4b", 10) ++ sh4),
+      doc(500L, words("p5a", 12) ++ sh5), doc(501L, words("p5b", 17) ++ sh5)))
+    val jac = Dedup.dd_ngram_jaccard(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(jac == Set(
+      (100L, 101L, 22.0 / 55), (200L, 201L, 12.0 / 30),
+      (300L, 301L, 44.0 / 71), (500L, 501L, 43.0 / 72)),
+      "a boundary pair was pruned (or a below-threshold control leaked)")
+    val cont = Dedup.dd_containment(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(cont == Set(
+      (100L, 101L, 1.0), (300L, 301L, 44.0 / 55)),
+      "the exactly-at-threshold containment pair was pruned " +
+        "(or the 43/55 control leaked)")
+  }
+
   test("decon_embed: scala all-pairs argmax reproduced exactly; planted paraphrase flagged") {
     val d = 16
     def vec(seed: Int): Seq[Float] = {
