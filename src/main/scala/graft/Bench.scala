@@ -104,7 +104,12 @@ object Bench {
     }.mkString("{", ",", "}")
     val qsPasses = names.map { n =>
       s"\"" + n + "\":" +
-        passDurs(n).map(d => f"$d%.3f").mkString("[", ",", "]")
+        // 3-decimal rounding WITHOUT locale-sensitive formatting: f"%.3f"
+        // uses the JVM default locale and emits "0,123" on comma-decimal
+        // locales — invalid inside a JSON array. Double.toString is
+        // locale-independent like every other number on this line.
+        passDurs(n).map(d => (math.round(d * 1000.0) / 1000.0).toString)
+          .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val valid = failed.isEmpty

@@ -54,51 +54,104 @@ final class SessionMemo[K, V](maxPerSession: Int = 32) {
   // The listener releases them the moment the context ends; the
   // access-time sweep stays as the fallback for contexts that refuse the
   // listener (already mid-stop). Keyed by SparkContext, not session:
-  // newSession() clones share one context and one stop event.
-  private val hooked =
-    scala.collection.mutable.Set.empty[org.apache.spark.SparkContext]
+  // newSession() clones share one context and one stop event. The value
+  // tracks the hook's lifecycle (reserved → installed) so that
+  //  (a) evictContext on a LIVE context can removeSparkListener — without
+  //      that, repeated evict/access cycles re-install a fresh listener
+  //      each round and listeners accumulate unboundedly on the bus; and
+  //  (b) a failed install's rollback removes only ITS OWN reservation —
+  //      an identity check, so a stale rollback that lost a race with a
+  //      concurrent evict + re-access can never erase another thread's
+  //      fresh reservation.
+  private final class Hook {
+    @volatile var listener: org.apache.spark.scheduler.SparkListener = null
+  }
+  private val hooked = scala.collection.mutable.Map
+    .empty[org.apache.spark.SparkContext, Hook]
 
-  /** Drop every entry owned by a session of `sc` — the listener's action,
-    * exposed for the spec (stopping a real context would kill the suite's
-    * shared session). */
-  private[graft] def evictContext(sc: org.apache.spark.SparkContext): Unit =
+  /** Drop every entry owned by a session of `sc` and detach the eviction
+    * listener if one was installed — exposed for the spec (stopping a real
+    * context would kill the suite's shared session). NOT the path the
+    * listener itself takes: removeSparkListener synchronizes on the
+    * listener bus, whose stop() holds that monitor while joining the
+    * dispatch thread, so calling it FROM the ApplicationEnd dispatch would
+    * self-deadlock — the listener calls [[dropEntries]] directly (its bus
+    * registration dies with the context anyway). */
+  private[graft] def evictContext(sc: org.apache.spark.SparkContext): Unit = {
+    val listener = dropEntries(sc)
+    if (listener != null) {
+      try sc.removeSparkListener(listener)
+      catch { case _: Throwable => () } // bus already stopped: listener died with it
+    }
+  }
+
+  /** Shared eviction core: drop `sc`'s entries + hook record under the
+    * lock, return the installed listener (null if reservation-only) for
+    * the caller to detach OUTSIDE the lock where that is safe. */
+  private def dropEntries(
+      sc: org.apache.spark.SparkContext): org.apache.spark.scheduler.SparkListener =
     m.synchronized {
       m.filterInPlace { case ((sess, _), _) => sess.sparkContext ne sc }
-      hooked -= sc
+      hooked.remove(sc).map(_.listener).orNull
     }
 
   // Reserve-under-lock, install-outside-lock: addSparkListener synchronizes
   // on the LiveListenerBus, whose stop() holds that same monitor while
   // joining the dispatch thread — and the dispatch thread delivering
-  // ApplicationEnd takes `m` (evictContext). Installing while holding `m`
+  // ApplicationEnd takes `m` (dropEntries). Installing while holding `m`
   // therefore closes a deadlock cycle with a concurrent
   // SparkContext.stop(): A holds m → waits on bus; stop() holds bus →
   // joins dispatcher; dispatcher waits on m. Session-per-request
   // deployments stop contexts concurrently with other sessions' builds,
   // so the race window is the intended workload. The split keeps `hooked`
-  // consistent: reservation happens atomically with the map pass, and a
-  // failed install rolls the reservation back under the same lock.
-  private def installHook(sc: org.apache.spark.SparkContext): Unit =
-    try sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+  // consistent: reservation happens atomically with the map pass; a
+  // successful install publishes the listener on OUR hook (or detaches the
+  // orphan if a concurrent evict already dropped the reservation); a
+  // failed install rolls back only our own reservation.
+  private def installHook(
+      sc: org.apache.spark.SparkContext, hook: Hook): Unit = {
+    val listener = new org.apache.spark.scheduler.SparkListener {
       override def onApplicationEnd(
           e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-        evictContext(sc)
-    })
-    catch {
+        dropEntries(sc) // NOT evictContext: see its scaladoc
+    }
+    try {
+      sc.addSparkListener(listener)
+      val orphaned = m.synchronized {
+        hooked.get(sc) match {
+          case Some(h) if h eq hook => h.listener = listener; false
+          // a concurrent evictContext dropped our reservation between the
+          // reserve and this install (possibly a NEW reservation exists —
+          // that one's own install owns it): our listener is an orphan
+          case _ => true
+        }
+      }
+      if (orphaned) {
+        try sc.removeSparkListener(listener)
+        catch { case _: Throwable => () }
+      }
+    } catch {
       // context mid-stop: the access-time sweep owns cleanup — and the
       // failed install must NOT leave sc pinned in `hooked` (nothing
       // else ever removes it, and the contains-check would block any
-      // retry on a later, healthy access)
-      case _: Throwable => m.synchronized { hooked -= sc }
+      // retry on a later, healthy access). Identity-guarded: only OUR
+      // reservation is rolled back, never a successor's.
+      case _: Throwable =>
+        m.synchronized {
+          hooked.get(sc).filter(_ eq hook).foreach(_ => hooked.remove(sc))
+        }
     }
+  }
 
   def getOrBuild(s: SparkSession, key: K)(build: => V): V = {
     val fullKey = (s, key)
     val sc = s.sparkContext
-    val (holder, needHook) = m.synchronized {
+    val (holder, newHook) = m.synchronized {
       m.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-      val need = !hooked.contains(sc)
-      if (need) hooked += sc // reserve; installHook rolls back on failure
+      val hook = if (hooked.contains(sc)) null else {
+        val h = new Hook // reserve; installHook publishes or rolls back
+        hooked.update(sc, h); h
+      }
       val h = m.get(fullKey) match {
         case Some(h) =>
           m.remove(fullKey); m.update(fullKey, h); h
@@ -108,9 +161,9 @@ final class SessionMemo[K, V](maxPerSession: Int = 32) {
           val h = new Holder(() => build)
           m.update(fullKey, h); h
       }
-      (h, need)
+      (h, hook)
     }
-    if (needHook) installHook(sc)
+    if (newHook != null) installHook(sc, newHook)
     try holder.value
     catch {
       case t: Throwable =>
