@@ -2371,6 +2371,65 @@ object OracleSql {
          |ORDER BY lift DESC, g
          |LIMIT ${graft.operators.TextAnalysis.collocTopK}""".stripMargin,
 
+    // tx_bm25: exact integer BM25 — the twin recomputes N/S/df in SQL and
+    // replays the SAME fixed-point log2 recurrence (20 square-and-shift
+    // rounds) as TextAnalysis.log2Fp via a recursive CTE, then the same
+    // millionths tf-normalization; every constant is shared with the
+    // operator object so the two sides cannot drift.
+    "tx_bm25" -> {
+      import graft.operators.TextAnalysis.{bm25Query, bm25TopK, bm25K1n, bm25K1d, bm25Bn, bm25Bd}
+      val termsValues = bm25Query.map(t => s"('$t')").mkString(", ")
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w
+         |  FROM documents WHERE text IS NOT NULL),
+         |stats AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(len(w)) AS BIGINT) AS s FROM d),
+         |qt AS (SELECT term FROM (VALUES $termsValues) AS q(term)),
+         |dfreq AS (
+         |  SELECT qt.term, CAST(count(d.doc_id) AS BIGINT) AS df
+         |  FROM qt LEFT JOIN d ON list_contains(d.w, qt.term)
+         |  GROUP BY qt.term),
+         |ib AS (
+         |  SELECT term,
+         |    CAST(2*n + 2 AS BIGINT) AS num, CAST(2*df + 1 AS BIGINT) AS den,
+         |    CAST(length(bin(CAST((2*n + 2) // (2*df + 1) AS BIGINT))) - 1
+         |         AS BIGINT) AS e
+         |  FROM dfreq, stats),
+         |it AS (
+         |  SELECT term, e, 0 AS i,
+         |    (num * CAST(1073741824 AS BIGINT))
+         |      // (den * (CAST(1 AS BIGINT) << e)) AS r,
+         |    CAST(0 AS BIGINT) AS frac
+         |  FROM ib
+         |  UNION ALL
+         |  SELECT term, e, i + 1,
+         |    CASE WHEN ((r*r) >> 30) >= CAST(2147483648 AS BIGINT)
+         |         THEN ((r*r) >> 30) >> 1 ELSE (r*r) >> 30 END,
+         |    CASE WHEN ((r*r) >> 30) >= CAST(2147483648 AS BIGINT)
+         |         THEN (frac << 1) | 1 ELSE frac << 1 END
+         |  FROM it WHERE i < 20),
+         |idf AS (SELECT term, (e << 20) | frac AS idf_fp FROM it WHERE i = 20),
+         |tfs AS (
+         |  SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS dl, qt.term,
+         |    CAST(len(list_filter(d.w, x -> x = qt.term)) AS BIGINT) AS tf
+         |  FROM d CROSS JOIN qt),
+         |scored AS (
+         |  SELECT t.doc_id, t.dl,
+         |    CAST(sum(CASE WHEN t.tf > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_terms,
+         |    CAST(sum(i.idf_fp *
+         |      ((1000000 * ${bm25Bd * (bm25K1n + bm25K1d)} * s * t.tf)
+         |       // (${bm25K1d * bm25Bd} * s * t.tf
+         |           + ${bm25K1n * (bm25Bd - bm25Bn)} * s
+         |           + ${bm25K1n * bm25Bn} * t.dl * n))) AS BIGINT) AS score_fp
+         |  FROM tfs t JOIN idf i ON t.term = i.term, stats
+         |  GROUP BY t.doc_id, t.dl)
+         |SELECT doc_id, dl, n_terms, score_fp FROM scored
+         |WHERE n_terms > 0
+         |ORDER BY score_fp DESC, doc_id
+         |LIMIT $bm25TopK""".stripMargin
+    },
+
     "q45_nulls" ->
       s"""SELECT event_id, user_id, cents,
         |  CAST(row_number() OVER (PARTITION BY user_id

@@ -135,6 +135,7 @@ object SparkEntry {
     "tx_surprisal" -> (TextAnalysis.tx_surprisal _),
     "tx_perplexity" -> (TextAnalysis.tx_perplexity _),
     "tx_colloc" -> ((s, d) => TextAnalysis.tx_colloc(s, d)),
+    "tx_bm25" -> ((s, d) => TextAnalysis.tx_bm25(s, d)),
     "tx_pii" -> (TextAnalysis.tx_pii _),
     // raw-web boilerplate extraction over planted HTML pages
     "tx_extract" -> ((s, d) => TextAnalysis.tx_extract(s, d)),

@@ -940,6 +940,128 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** BM25 parameters as exact rationals — k1 = 6/5 (1.2) and b = 3/4
+    * (0.75), the Robertson et al. defaults — plus the pinned query and
+    * result size. Rationals, not doubles: the whole score is computed in
+    * integer arithmetic (below), so the oracle twin hash-matches
+    * bit-exactly. Shared with [[graft.OracleSql]].
+    */
+  val bm25Query: Seq[String] = Seq("merge", "sort", "dup", "window")
+  val bm25TopK: Int = 100
+  val bm25K1n: Long = 6L; val bm25K1d: Long = 5L // k1 = 1.2
+  val bm25Bn: Long = 3L; val bm25Bd: Long = 4L   // b  = 0.75
+
+  /** Fixed-point ⌊2²⁰·log₂(num/den)⌋-style logarithm for num ≥ den ≥ 1 —
+    * the pinned integer recurrence BOTH engines implement (Scala here,
+    * a recursive CTE in the DuckDB twin), so BM25's log-IDF stays inside
+    * the hash oracle without either engine's float `log` in the way
+    * (the [[tx_colloc]]/[[tx_surprisal]] rationale, extended from
+    * "keep the log out" to "compute the log in integers").
+    *
+    * Definition (20 fractional bits, standard square-and-shift):
+    * e = bitlen(num div den) − 1 (exact ⌊log₂⌋ of the rational — the
+    * floor division cannot cross a power of two); r = ⌊2³⁰·num/(den·2ᵉ)⌋
+    * ∈ [2³⁰, 2³¹); then 20 rounds of r ← (r·r) >> 30, emitting a 1-bit
+    * and halving when r ≥ 2³¹. Every intermediate fits BIGINT
+    * (r² < 2⁶²); accurate to ~10⁻⁶ of a bit. Range: num < 2³³ (the
+    * 2³⁰-scaling headroom) — ~8.6 G documents; past that, widen the
+    * recurrence to DECIMAL(38,0), the [[tx_colloc]] note's device.
+    */
+  private[graft] def log2Fp(num: Long, den: Long): Long = {
+    require(den >= 1L && num >= den,
+      s"log2Fp: need num >= den >= 1, got $num/$den")
+    require(num < (1L << 33),
+      s"log2Fp: num=$num past the 2^33 BIGINT-safe range — widen to DECIMAL")
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(num / den)
+    var r = (num << 30) / (den << e)
+    var frac = 0L
+    var i = 0
+    while (i < 20) {
+      r = (r * r) >> 30
+      frac <<= 1
+      if (r >= (1L << 31)) { r >>= 1; frac |= 1L }
+      i += 1
+    }
+    (e.toLong << 20) | frac
+  }
+
+  /** Corpus-indexed BM25 relevance ranking (Robertson et al.; the Lucene
+    * `1 + odds` IDF form) for a pinned query — the standard operator for
+    * query-grounded data selection and retrieval-based decontamination.
+    * Everything is EXACT integer arithmetic so the DuckDB twin is a full
+    * hash oracle:
+    *
+    *  - IDF(t) = log₂(1 + (N−df+½)/(df+½)) = log₂((2N+2)/(2df+1)),
+    *    computed by [[log2Fp]] in units of 2⁻²⁰ — identical integer
+    *    recurrence on both engines, never a float `log`.
+    *  - The tf normalization tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) is a
+    *    RATIONAL once k1, b are rationals and avgdl = S/N: multiplying
+    *    through by k1d·bd·S gives
+    *    num = bd·S·tf·(k1n+k1d),
+    *    den = k1d·bd·S·tf + k1n·(bd−bn)·S + k1n·bn·dl·N,
+    *    emitted in millionths as ⌊10⁶·num/den⌋ (the [[tx_colloc]] lift
+    *    device).
+    *  - score_fp = Σ_t idf_fp(t)·tfpart_ppm(t): zero-tf terms contribute
+    *    exactly 0; docs hitting no query term are dropped.
+    *
+    * Scale shape: TWO scans total. Scan 1 is one partial-aggregate pass
+    * producing N, S = Σdl, max dl, and every query term's df (the query
+    * is a handful of literals — `array_contains` per term, map-side
+    * combine, one driver row). The idf weights are then |query| driver
+    * integers inlined as literals — weights-as-literals is correct here
+    * because there is ONE scoring pass, not an iterated train loop (the
+    * non-foldable-delivery concern does not apply). Scan 2 computes per-
+    * row tf via codegen'd array HOFs — tf never shuffles; the only
+    * movement is the final TakeOrdered top-k. The max-dl guard pins the
+    * BIGINT range exactly: 10⁶·bd·(k1n+k1d)·S·maxdl must fit — ~2·10¹¹
+    * token-pairs, i.e. multi-TB corpora; past that widen the score
+    * expression to DECIMAL(38,0) ([[tx_colloc]]'s note).
+    */
+  def tx_bm25(s: SparkSession, dir: String,
+      query: Seq[String] = bm25Query, k: Int = bm25TopK): DataFrame = {
+    require(query.nonEmpty, "tx_bm25: query must have at least one term")
+    require(query.distinct == query, s"tx_bm25: duplicate query terms in $query")
+    require(query.forall(t => t.nonEmpty && !t.contains(" ")),
+      s"tx_bm25: query terms must be non-empty single tokens, got $query")
+    require(k >= 1, s"tx_bm25: k=$k must be >= 1")
+    val d = docs(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), words(col("text")).as("w"))
+    val aggs = Seq(
+      count(lit(1)).as("n"),
+      sum(size(col("w")).cast("long")).as("s"),
+      max(size(col("w")).cast("long")).as("maxdl")) ++
+      query.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(col("w"), t), 1L).otherwise(0L)).as(s"df_$i")
+      }
+    val st = d.agg(aggs.head, aggs.tail: _*).first()
+    val n = st.getLong(0)
+    require(n > 0L, "tx_bm25: no scoreable documents — nothing to rank")
+    val sTot = st.getLong(1)
+    val maxDl = st.getLong(2)
+    require(sTot <= Long.MaxValue / (1000000L * bm25Bd * (bm25K1n + bm25K1d)) / maxDl,
+      s"tx_bm25: S=$sTot, maxdl=$maxDl exceed the BIGINT-exact range — widen to DECIMAL")
+    val idfFp = query.indices.map(i => log2Fp(2L * n + 2L, 2L * st.getLong(3 + i) + 1L))
+    val staged = query.zipWithIndex.foldLeft(
+      d.withColumn("dl", size(col("w")).cast("long"))) { case (df0, (t, i)) =>
+      df0.withColumn(s"tf_$i", size(filter(col("w"), x => x === lit(t))).cast("long"))
+    }
+    val scoreSql = query.indices.map { i =>
+      val num = s"(1000000L * ${bm25Bd * sTot * (bm25K1n + bm25K1d)}L * tf_$i)"
+      val den = s"(${bm25K1d * bm25Bd * sTot}L * tf_$i" +
+        s" + ${bm25K1n * (bm25Bd - bm25Bn) * sTot}L + ${bm25K1n * bm25Bn * n}L * dl)"
+      s"${idfFp(i)}L * ($num div $den)"
+    }.mkString(" + ")
+    val hitsSql = query.indices
+      .map(i => s"(CASE WHEN tf_$i > 0L THEN 1L ELSE 0L END)").mkString(" + ")
+    staged
+      .withColumn("n_terms", expr(hitsSql))
+      .withColumn("score_fp", expr(scoreSql))
+      .filter(col("n_terms") > 0L)
+      .select("doc_id", "dl", "n_terms", "score_fp")
+      .orderBy(col("score_fp").desc, col("doc_id"))
+      .limit(k)
+  }
+
   def tx_blocklist(s: SparkSession, dir: String,
       terms: Seq[String] = blockTerms): DataFrame = {
     val w = words(col("text"))

@@ -2665,6 +2665,47 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("tx_bm25: stuffed doc outranks a longer diluted one; log2Fp matches true log2; degenerate inputs refuse") {
+    // log2Fp is the pinned integer recurrence both engines implement —
+    // check it against the float log it replaces (within 2^-19 of a bit)
+    // and against hand-computable exact points (powers of two).
+    for ((num, den) <- Seq((2L, 1L), (1024L, 1L), (96L, 3L))) {
+      val bits = java.lang.Long.numberOfTrailingZeros(num / den)
+      assert(TextAnalysis.log2Fp(num, den) == bits.toLong << 20,
+        s"log2Fp($num/$den) must be exact at a power of two")
+    }
+    for ((num, den) <- Seq((3L, 2L), (1002L, 5L), (999999L, 7L), (1L, 1L))) {
+      val got = TextAnalysis.log2Fp(num, den).toDouble / (1L << 20)
+      val want = math.log(num.toDouble / den) / math.log(2.0)
+      assert(math.abs(got - want) < 1e-5, s"log2Fp($num/$den): $got vs $want")
+    }
+    // Relevance ordering: doc 0 is short and stuffed with the query
+    // terms; doc 1 carries the SAME term counts diluted into a much
+    // longer document — BM25's length normalization must rank 0 first.
+    // Doc 2 hits no term (dropped); doc 3 is null (excluded).
+    val filler = (1 to 60).map(i => s"filler$i").mkString(" ")
+    val dir = tmpDocs(Seq(
+      (0L, "merge sort merge dup window sort merge", "en", "web", 38L),
+      (1L, s"merge sort merge dup window sort merge $filler", "en", "web", 500L),
+      (2L, "nothing relevant here", "en", "web", 21L),
+      (3L, null, "en", "web", 0L)))
+    val got = TextAnalysis.tx_bm25(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq == Seq(0L, 1L),
+      s"stuffed doc must outrank the diluted twin; got ${got.toSeq}")
+    assert(got(0)._4 > got(1)._4, "strictly greater score, not a tie broken by id")
+    assert(got.forall(_._3 == 4L), "both ranked docs hit all 4 query terms")
+    // degenerate inputs refuse loudly
+    intercept[IllegalArgumentException](
+      TextAnalysis.tx_bm25(spark, dir, query = Seq.empty))
+    intercept[IllegalArgumentException](
+      TextAnalysis.tx_bm25(spark, dir, query = Seq("two words")))
+    intercept[IllegalArgumentException](
+      TextAnalysis.tx_bm25(spark, dir, query = Seq("dup", "dup")))
+    val allNull = tmpDocs(Seq((9L, null, "en", "web", 0L)))
+    intercept[IllegalArgumentException](TextAnalysis.tx_bm25(spark, allNull))
+  }
+
   test("tx_score_train: weights match an independent driver-side perceptron; trained gate beats the fixed weights") {
     val dir = "/root/testdata/sf0.001"
     // independent reference: features, teacher labels, all 8 perceptron
