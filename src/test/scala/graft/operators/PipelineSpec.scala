@@ -2373,6 +2373,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(on.exists(r => r.getLong(0) == 9L && r.getString(1) == "exact_dup"))
   }
 
+  test("dd_incremental_stored: epsilon-boundary near-dup at J=55/100 with t=0.55 survives the guarded pruning (the check_incremental_adversarial twin)") {
+    // 100*0.55 = 55.00000000000001 in IEEE doubles: an unguarded ceil
+    // shrinks the delta prefix from 46 to 45 (absent-shingles-only) AND
+    // the length filter 55 >= 55.00000000000001 rejects the base doc —
+    // either regression silently drops this true near-dup. The 45
+    // absent-from-base shingles (df 0) rank before every shared one
+    // (df 1), so the first shared shingle sits at the LAST guarded
+    // prefix slot. Deterministic in-suite twin of the gate's epsilon
+    // plant (tools/check_incremental_adversarial.py carries the Bloom
+    // false-positive half, which needs thousands of probes).
+    val shared = (0 until 57).map(j => s"t55s$j")
+    val dir = tmpDocs(Seq(
+      (0L, shared.mkString(" "), "en", "s", 1L), // base: 55 shingles
+      (4L, ((0 until 45).map(j => s"t55a$j") ++ shared).mkString(" "),
+        "en", "s", 1L))) // delta: 100 shingles, 55 shared -> J = 0.55
+    val store = java.nio.file.Files.createTempDirectory("graftsigeps").toString
+    Dedup.writeCorpusSignatures(spark, dir, store)
+    val got = Dedup.dd_incremental_stored(spark, dir, store, threshold = 0.55)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((4L, "near_dup", 0L, 0.55)),
+      s"the J=0.55 boundary pair must survive the guarded pruning; got ${got.toSeq}")
+  }
+
   test("ann_sq: zero-norm vectors score -1 (never NaN rank-1); zero-norm queries are dropped") {
     val good = (seed: Long) =>
       Seq.tabulate(8)(i => ((seed * 31 + i * 7) % 13 + 1).toFloat)
