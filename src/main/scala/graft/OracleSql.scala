@@ -2430,6 +2430,78 @@ object OracleSql {
          |LIMIT $bm25TopK""".stripMargin
     },
 
+    // decon_bm25: retrieval decontamination — per eval doc, the top-k
+    // training docs under exact-integer BM25 with the eval doc's top-m
+    // IDF terms as the query. Same log2Fp recurrence and millionths tf
+    // lift as the tx_bm25 twin, but the IDF table covers the whole
+    // eval vocabulary (keyed recurrence) instead of four literal terms.
+    "decon_bm25" -> {
+      import graft.operators.TextAnalysis.{bm25K1n, bm25K1d, bm25Bn, bm25Bd}
+      import graft.operators.Curation.{deconBm25EvalSource, deconBm25M, deconBm25K}
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, source, string_split(text, ' ') AS w
+         |  FROM documents WHERE text IS NOT NULL),
+         |train AS (SELECT doc_id, w FROM d WHERE source <> '$deconBm25EvalSource'),
+         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |                 CAST(sum(len(w)) AS BIGINT) AS s FROM train),
+         |et AS (SELECT doc_id AS eval_id, unnest(list_distinct(w)) AS term
+         |       FROM d WHERE source = '$deconBm25EvalSource'),
+         |dfreq AS (
+         |  SELECT tt.term, CAST(count(*) AS BIGINT) AS df
+         |  FROM (SELECT doc_id, unnest(list_distinct(w)) AS term FROM train) tt
+         |  JOIN (SELECT DISTINCT term FROM et) v ON tt.term = v.term
+         |  GROUP BY tt.term),
+         |ib AS (
+         |  SELECT term,
+         |    CAST(2*n + 2 AS BIGINT) AS num, CAST(2*df + 1 AS BIGINT) AS den,
+         |    CAST(length(bin(CAST((2*n + 2) // (2*df + 1) AS BIGINT))) - 1
+         |         AS BIGINT) AS e
+         |  FROM dfreq, stats),
+         |it AS (
+         |  SELECT term, e, 0 AS i,
+         |    (num * CAST(1073741824 AS BIGINT))
+         |      // (den * (CAST(1 AS BIGINT) << e)) AS r,
+         |    CAST(0 AS BIGINT) AS frac
+         |  FROM ib
+         |  UNION ALL
+         |  SELECT term, e, i + 1,
+         |    CASE WHEN ((r*r) >> 30) >= CAST(2147483648 AS BIGINT)
+         |         THEN ((r*r) >> 30) >> 1 ELSE (r*r) >> 30 END,
+         |    CASE WHEN ((r*r) >> 30) >= CAST(2147483648 AS BIGINT)
+         |         THEN (frac << 1) | 1 ELSE frac << 1 END
+         |  FROM it WHERE i < 20),
+         |idf AS (SELECT term, (e << 20) | frac AS idf_fp FROM it WHERE i = 20),
+         |q AS (
+         |  SELECT eval_id, term, idf_fp FROM (
+         |    SELECT et.eval_id, et.term, idf.idf_fp,
+         |      row_number() OVER (PARTITION BY et.eval_id
+         |        ORDER BY idf.idf_fp DESC, et.term) AS rk
+         |    FROM et JOIN idf ON et.term = idf.term)
+         |  WHERE rk <= $deconBm25M),
+         |post AS (
+         |  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+         |          unnest(w) AS term FROM train)
+         |  WHERE term IN (SELECT DISTINCT term FROM q)
+         |  GROUP BY doc_id, dl, term),
+         |scored AS (
+         |  SELECT q.eval_id, p.doc_id, p.dl,
+         |    CAST(count(*) AS BIGINT) AS n_terms,
+         |    CAST(sum(q.idf_fp *
+         |      ((1000000 * ${bm25Bd * (bm25K1n + bm25K1d)} * s * p.tf)
+         |       // (${bm25K1d * bm25Bd} * s * p.tf
+         |           + ${bm25K1n * (bm25Bd - bm25Bn)} * s
+         |           + ${bm25K1n * bm25Bn} * p.dl * n))) AS BIGINT) AS score_fp
+         |  FROM post p JOIN q ON p.term = q.term, stats
+         |  GROUP BY q.eval_id, p.doc_id, p.dl)
+         |SELECT eval_id, doc_id, dl, n_terms, score_fp, "rank" FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY eval_id
+         |    ORDER BY score_fp DESC, doc_id) AS BIGINT) AS "rank"
+         |  FROM scored)
+         |WHERE "rank" <= $deconBm25K
+         |ORDER BY eval_id, "rank"""".stripMargin
+    },
+
     "q45_nulls" ->
       s"""SELECT event_id, user_id, cents,
         |  CAST(row_number() OVER (PARTITION BY user_id

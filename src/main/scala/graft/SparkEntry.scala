@@ -202,6 +202,7 @@ object SparkEntry {
     "ev_attribution" -> (Relational.ev_attribution _),
     // URL-provenance decontamination (the decon family's third screen)
     "decon_url" -> ((s, d) => Curation.decon_url(s, d)),
+    "decon_bm25" -> ((s, d) => Curation.decon_bm25(s, d)),
     "decon_spans" -> ((s, d) => Curation.decon_spans(s, d)),
     "decon_spans_trim" -> ((s, d) => Curation.decon_spans_trim(s, d)),
     "samp_split_leakfree" -> ((s, d) => Curation.samp_split_leakfree(s, d)),

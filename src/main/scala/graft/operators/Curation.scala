@@ -1532,4 +1532,136 @@ object Curation {
         (col("m.cos") >= threshold).as("contaminated"))
       .orderBy("vec_id")
   }
+
+  /** Retrieval-based DECONTAMINATION — the fifth screen of the decon
+    * family (exact n-grams, fuzzy Jaccard, embeddings, provenance — and
+    * now lexical retrieval): for every eval-slice document, the top-`k`
+    * training documents under BM25 where the query is the eval doc's `m`
+    * most DISTINCTIVE terms (highest IDF over the training corpus; ties
+    * to the lexically smaller term — the bounded-query form production
+    * retrieval decon runs, since a ubiquitous term's ~0 IDF buys nothing
+    * but join fan-out). The whole score is [[TextAnalysis.tx_bm25]]'s
+    * exact integer arithmetic — [[TextAnalysis.log2Fp]] IDF in units of
+    * 2⁻²⁰, millionths tf normalization — so the DuckDB twin is a full
+    * hash oracle. Terms absent from the training corpus (df = 0) retrieve
+    * nothing and are excluded before the top-`m` cut rather than wasting
+    * query slots.
+    *
+    * Scale shape: the eval side is benchmark-scale by the decon family's
+    * broadcast contract. One train-side partial aggregate (N, S, max dl);
+    * one df aggregate over train postings semi-filtered to the eval
+    * vocabulary; the per-term IDF table is |eval vocab|-bounded and
+    * computed driver-side (same bounded-collect class as the family's
+    * broadcast eval sets, guarded). Scoring is one postings aggregate
+    * (broadcast-semi-pruned to query terms BEFORE the (doc, term)
+    * shuffle) joined to the broadcast query table, then an eval-keyed
+    * window top-k — no train-side cartesian, no corpus shuffle wider
+    * than the pruned postings.
+    */
+  /** decon_bm25 defaults, shared with [[graft.OracleSql]] (the
+    * [[TextAnalysis.bm25Query]] discipline): eval slice, query terms per
+    * eval doc, retrieved training docs per eval doc.
+    */
+  val deconBm25EvalSource: String = "src0"
+  val deconBm25M: Int = 8
+  val deconBm25K: Int = 5
+
+  /** The shared BM25-retrieval artifact of [[decon_bm25]] and the
+    * streaming [[graft.streaming.DocsStream.bm25Gate]]: train-corpus
+    * stats (N, S) and the per-eval-doc query table (eval_id, term,
+    * idf_fp) after the df=0 exclusion and the top-`m` IDF cut — ONE
+    * definition, so the batch screen and the ingest gate can never score
+    * a document differently.
+    */
+  private[graft] def bm25QueryFrames(s: SparkSession, dir: String,
+      evalSource: String, m: Int): (Long, Long, DataFrame) = {
+    import TextAnalysis.{bm25K1n, bm25K1d, bm25Bd}
+    require(m >= 1, s"decon_bm25: m=$m query terms per eval doc must be >= 1")
+    val d = docs(s, dir).filter(col("text").isNotNull)
+    val train = d.filter(col("source") =!= evalSource)
+      .select(col("doc_id"), words(col("text")).as("w"))
+    val evalTerms = d.filter(col("source") === evalSource)
+      .select(col("doc_id").as("eval_id"),
+        explode(array_distinct(words(col("text")))).as("term"))
+    val st = train.agg(count(lit(1)).as("n"),
+      sum(size(col("w")).cast("long")).as("s"),
+      max(size(col("w")).cast("long")).as("maxdl")).first()
+    val n = st.getLong(0)
+    require(n > 0L, "decon_bm25: no training documents — nothing to screen")
+    val sTot = st.getLong(1)
+    val maxDl = st.getLong(2)
+    require(sTot <= Long.MaxValue / (1000000L * bm25Bd * (bm25K1n + bm25K1d)) / maxDl,
+      s"decon_bm25: S=$sTot, maxdl=$maxDl exceed the BIGINT-exact range — " +
+        "widen to DECIMAL")
+    // df over the train corpus for the EVAL vocabulary only; the collect
+    // is |eval vocab|-bounded (the benchmark side), never corpus-sized
+    val dfRows = train
+      .select(col("doc_id"), explode(array_distinct(col("w"))).as("term"))
+      .join(broadcast(evalTerms.select("term").distinct()), Seq("term"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .collect()
+    require(dfRows.length <= 2000000,
+      s"decon_bm25: eval vocabulary has ${dfRows.length} training-matched " +
+        "terms — the eval side is benchmark-scale by the decon family's " +
+        "broadcast contract; screen per benchmark release, not corpus-vs-corpus")
+    import s.implicits._
+    val idfDf = dfRows.toSeq.map { r =>
+      (r.getString(0), TextAnalysis.log2Fp(2L * n + 2L, 2L * r.getLong(1) + 1L))
+    }.toDF("term", "idf_fp")
+    val evalW = org.apache.spark.sql.expressions.Window
+      .partitionBy("eval_id").orderBy(col("idf_fp").desc, col("term"))
+    val q = evalTerms.join(broadcast(idfDf), "term")
+      .withColumn("__rk", row_number().over(evalW))
+      .filter(col("__rk") <= m).drop("__rk")
+    (n, sTot, q)
+  }
+
+  /** [[graft.streaming.DocsStream.bm25Gate]]'s shipped artifact — the
+    * query table as driver VALUES (the authorityGate contract: benchmark
+    * releases are KB-to-MB scale, the gate restarts to pick up a new
+    * one): (N, S, per-eval-doc (term, idf_fp) pairs), from the SAME
+    * [[bm25QueryFrames]] as the batch screen. The collect is
+    * m·|eval|-bounded by construction (the top-m cut ran first).
+    */
+  def bm25GateArtifact(s: SparkSession, dir: String,
+      evalSource: String = deconBm25EvalSource,
+      m: Int = deconBm25M): (Long, Long, Seq[(Long, Seq[(String, Long)])]) = {
+    val (n, sTot, q) = bm25QueryFrames(s, dir, evalSource, m)
+    val queries = q.select("eval_id", "term", "idf_fp").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (e, ts) => (e, ts.sortBy(_._2).map(t => (t._2, t._3)).toSeq) }
+    (n, sTot, queries)
+  }
+
+  def decon_bm25(s: SparkSession, dir: String,
+      evalSource: String = deconBm25EvalSource,
+      m: Int = deconBm25M, k: Int = deconBm25K): DataFrame = {
+    import TextAnalysis.{bm25K1n, bm25K1d, bm25Bn, bm25Bd}
+    require(k >= 1, s"decon_bm25: k=$k retrieved docs per eval doc must be >= 1")
+    val (n, sTot, q) = bm25QueryFrames(s, dir, evalSource, m)
+    val train = docs(s, dir).filter(col("text").isNotNull)
+      .filter(col("source") =!= evalSource)
+      .select(col("doc_id"), words(col("text")).as("w"))
+    val postings = train
+      .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+        explode(col("w")).as("term"))
+      .join(broadcast(q.select("term").distinct()), Seq("term"), "left_semi")
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val ppm = expr(
+      s"(1000000L * ${bm25Bd * (bm25K1n + bm25K1d)}L * ${sTot}L * tf)" +
+        s" div (${bm25K1d * bm25Bd * sTot}L * tf" +
+        s" + ${bm25K1n * (bm25Bd - bm25Bn) * sTot}L + ${bm25K1n * bm25Bn * n}L * dl)")
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy("eval_id").orderBy(col("score_fp").desc, col("doc_id"))
+    postings.join(broadcast(q), "term")
+      .groupBy(col("eval_id"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("idf_fp") * ppm).as("score_fp"))
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .filter(col("rank") <= k)
+      .select("eval_id", "doc_id", "dl", "n_terms", "score_fp", "rank")
+      .orderBy("eval_id", "rank")
+  }
 }

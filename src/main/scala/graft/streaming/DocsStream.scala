@@ -435,6 +435,80 @@ object DocsStream {
     stream.filter(norm.isNull || !norm.isInCollection(evalUrls))
   }
 
+  /** Ingest-time RETRIEVAL-DECON gate — the streaming face of
+    * [[graft.operators.Curation.decon_bm25]]: drop documents whose
+    * exact-integer BM25 score against ANY eval-doc query reaches
+    * `maxScoreFp` (units of 2⁻²⁰·ppm, the batch screen's score_fp
+    * scale). The query table ships as a VALUE from
+    * [[graft.operators.Curation.bm25GateArtifact]] — same
+    * `bm25QueryFrames` artifact as the batch screen, so the two can
+    * never score a document differently; N and S are the artifact
+    * snapshot's train-corpus stats (scores are relative to the corpus
+    * the benchmark was screened against — restart the query to re-pin).
+    *
+    * Stateless, map-only: the per-document score is pure column algebra
+    * over the broadcast-literal query structs (HOF fold per query —
+    * O(|eval|·m·dl) integer ops per doc, no state, no shuffle). Like
+    * [[deconUrlGate]] this is a REMOVE screen: a null-text doc scores 0
+    * and PASSES (it cannot legitimately contaminate); dropping it is the
+    * allow gates' policy, not the decon screen's. A document longer than
+    * `maxDl` tokens would silently overflow the BIGINT-exact score, so
+    * it fails LOUDLY in-plan instead (raise_error — poisoned arithmetic
+    * must not quietly pass a contaminated doc).
+    */
+  def bm25Gate(stream: DataFrame, n: Long, sTot: Long,
+      queries: Seq[(Long, Seq[(String, Long)])], maxScoreFp: Long,
+      maxDl: Long = 1L << 20): DataFrame = {
+    import graft.operators.TextAnalysis.{bm25K1n, bm25K1d, bm25Bn, bm25Bd}
+    require(queries.nonEmpty,
+      "bm25Gate: empty query table gates nothing — build it with " +
+        "Curation.bm25GateArtifact for the benchmark release being screened")
+    require(n >= 1L && sTot >= 1L,
+      s"bm25Gate: artifact stats N=$n, S=$sTot — the artifact snapshot " +
+        "priced no training tokens; rebuild it")
+    require(maxScoreFp >= 1L,
+      s"bm25Gate: maxScoreFp=$maxScoreFp would drop every document " +
+        "(all scores are >= 0)")
+    require(maxDl >= 1L &&
+      sTot <= Long.MaxValue / (1000000L * bm25Bd * (bm25K1n + bm25K1d)) / maxDl,
+      s"bm25Gate: S=$sTot with maxDl=$maxDl exceeds the BIGINT-exact " +
+        "range — widen to DECIMAL or lower maxDl")
+    val numC = 1000000L * bm25Bd * (bm25K1n + bm25K1d) * sTot
+    val denTf = bm25K1d * bm25Bd * sTot
+    val denC = bm25K1n * (bm25Bd - bm25Bn) * sTot
+    val denDl = bm25K1n * bm25Bn * n
+    val qLit = typedLit(queries.map { case (e, ts) =>
+      (e, ts.map(_._1), ts.map(_._2))
+    })
+    val scoredSql =
+      s"""array_max(transform(__q, q -> struct(
+         |  aggregate(
+         |    zip_with(q._2, q._3, (t, i) -> struct(t AS t, i AS i)),
+         |    0L,
+         |    (acc, p) -> acc + p.i *
+         |      ((${numC}L * size(filter(__w, x -> x = p.t)))
+         |       div (${denTf}L * size(filter(__w, x -> x = p.t))
+         |            + ${denC}L + ${denDl}L * __dl))
+         |  ) AS score,
+         |  -q._1 AS ne)))""".stripMargin
+    stream
+      .withColumn("__w",
+        coalesce(graft.functions.TextFunctions.words(col("text")),
+          array().cast("array<string>")))
+      .withColumn("__dl", size(col("__w")).cast("long"))
+      .withColumn("__dl", when(col("__dl") > maxDl,
+          raise_error(concat(lit(s"bm25Gate: document exceeds maxDl=$maxDl " +
+            "tokens — its score would overflow the BIGINT-exact range; " +
+            "got dl="), col("__dl").cast("string"))))
+        .otherwise(col("__dl")))
+      .withColumn("__q", qLit)
+      .withColumn("__best", expr(scoredSql))
+      .withColumn("bm25_score_fp", col("__best").getField("score"))
+      .withColumn("bm25_best_eval", -col("__best").getField("ne"))
+      .drop("__w", "__dl", "__q", "__best")
+      .filter(col("bm25_score_fp") < maxScoreFp)
+  }
+
   /** Ingest-time FLUENCY gate — the streaming face of
     * [[graft.operators.TextAnalysis.tx_perplexity]]'s tail cut, i.e. the
     * CCNet deployment shape (Wenzek et al. 2020): the LM is a

@@ -2111,6 +2111,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(0)).toSet == expected)
   }
 
+  test("decon_bm25: distinctive-term retrieval ranks the term-stuffed short doc first; df=0 terms retrieve nothing; bad configs refuse") {
+    val common = Seq.fill(6)("common").mkString(" ")
+    val dir = tmpDocs(Seq(
+      // eval slice: doc 0 carries two rare terms + one ubiquitous one;
+      // doc 90 carries ONLY a term absent from training (df = 0)
+      (0L, "alpha beta common", "en", "src0", 17L),
+      (90L, "ghost ghost", "en", "src0", 11L),
+      // train: 1 = short + both rare terms; 3 = one rare term diluted in
+      // a long doc; 2 = only the ubiquitous term; 4.. = common filler
+      (1L, "alpha alpha beta", "en", "src1", 16L),
+      (2L, common, "en", "src1", common.length.toLong),
+      (3L, ("alpha " + Seq.fill(19)("pad").mkString(" ")), "en", "src1", 81L),
+      (4L, s"$common pad", "en", "src2", common.length + 4L),
+      (5L, s"$common pad", "en", "src2", common.length + 4L)))
+    val rows = Curation.decon_bm25(spark, dir).collect()
+    // eval 90's only term never occurs in training — retrieval is empty
+    // for it, not an error and not a full-corpus flag
+    assert(!rows.exists(_.getLong(0) == 90L),
+      "a df=0-only eval doc must retrieve nothing")
+    val e0 = rows.filter(_.getLong(0) == 0L).sortBy(_.getLong(5))
+    assert(e0.nonEmpty && e0.map(_.getLong(5)).toSeq == (1L to e0.length),
+      "ranks must be dense 1..n per eval doc")
+    // the short doc carrying BOTH rare query terms outranks everything;
+    // the diluted long doc still beats the common-only one
+    assert(e0.head.getLong(1) == 1L, s"expected doc 1 at rank 1, got ${e0.head}")
+    assert(e0.head.getLong(3) >= 2L, "rank-1 doc matches both rare terms")
+    // every train doc hits some query term, so k=5 retrieves all five
+    val pos = e0.map(_.getLong(1)).toSeq
+    assert(pos.toSet == Set(1L, 2L, 3L, 4L, 5L), s"expected all five train docs, got $pos")
+    // docs 4 and 5 are verbatim twins (same tf, same dl) — identical
+    // scores, tie broken deterministically by doc_id
+    val s4 = e0.find(_.getLong(1) == 4L).get.getLong(4)
+    val s5 = e0.find(_.getLong(1) == 5L).get.getLong(4)
+    assert(s4 == s5 && pos.indexOf(4L) == pos.indexOf(5L) - 1,
+      s"twin docs must tie on score and break by doc_id, got $pos")
+    assert(e0.map(_.getLong(4)).toSeq == e0.map(_.getLong(4)).toSeq.sorted.reverse)
+    assert(intercept[IllegalArgumentException] {
+      Curation.decon_bm25(spark, dir, m = 0)
+    }.getMessage.contains("m=0"))
+    assert(intercept[IllegalArgumentException] {
+      Curation.decon_bm25(spark, dir, k = 0)
+    }.getMessage.contains("k=0"))
+    assert(intercept[IllegalArgumentException] {
+      Curation.decon_bm25(spark, tmpDocs(Seq(
+        (0L, "alpha", "en", "src0", 5L))))
+    }.getMessage.contains("no training documents"))
+  }
+
   test("ev_attribution: last preceding non-purchase touch gets the cents; untouched purchases credit (none)") {
     val dir = java.nio.file.Files.createTempDirectory("graftattr").toString
     def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))

@@ -1117,6 +1117,93 @@ class StreamingSpec extends AnyFunSuite {
       DocsStream.langidGate(s0, weights, Set("xx"))).getMessage.contains("no weight"))
   }
 
+  test("bm25Gate: stream-edge scores equal the batch screen's full matrix; null text passes; oversize docs refuse loudly") {
+    import graft.operators.Curation
+    val gdir = "/root/testdata/sf0.001"
+    val (n, sTot, queries) = Curation.bm25GateArtifact(spark, gdir)
+    // batch FULL matrix (k past the train-doc count): per doc, the best
+    // (score, eval) with the batch tie-break (smallest eval id)
+    val full = Curation.decon_bm25(spark, gdir, k = 1000000)
+      .select("eval_id", "doc_id", "score_fp").as[(Long, Long, Long)].collect()
+    val bestByDoc = full.groupBy(_._2).map { case (d, rs) =>
+      val best = rs.map(r => (r._3, -r._1)).max
+      d -> ((best._1, -best._2))
+    }
+    val trainRows = Tables.loadParallel(spark, gdir, "documents")
+      .filter(col("source") =!= "src0")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val input = MemoryStream[(Long, String)](spark)
+    val gated = DocsStream.bm25Gate(input.toDF().toDF("doc_id", "text"),
+      n, sTot, queries, maxScoreFp = Long.MaxValue)
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("bm25_gate").start()
+    val got =
+      try {
+        input.addData(trainRows :+ ((999999L, null: String)): _*)
+        q.processAllAvailable()
+        spark.table("bm25_gate")
+          .select("doc_id", "bm25_score_fp", "bm25_best_eval")
+          .as[(Long, Long, Long)].collect().toSeq
+      } finally q.stop()
+    assert(got.size == trainRows.size + 1,
+      "a permissive threshold must admit every doc, null text included")
+    got.foreach { case (d, sc, be) =>
+      bestByDoc.get(d) match {
+        case Some((bs, bev)) =>
+          assert(sc == bs && be == bev,
+            s"doc $d: stream ($sc, $be) != batch best ($bs, $bev)")
+        case None =>
+          assert(sc == 0L, s"doc $d matched no query term yet scored $sc")
+      }
+    }
+    assert(got.exists(_._2 > 0L), "the parity must not be vacuously all-zero")
+    // the screen actually screens: a threshold AT the observed max drops
+    // exactly the max-scoring docs and keeps the rest
+    val top = got.map(_._2).max
+    val input2 = MemoryStream[(Long, String)](spark)
+    val gated2 = DocsStream.bm25Gate(input2.toDF().toDF("doc_id", "text"),
+      n, sTot, queries, maxScoreFp = top)
+    val q2 = gated2.writeStream.outputMode("append")
+      .format("memory").queryName("bm25_gate_cut").start()
+    val got2 =
+      try {
+        input2.addData(trainRows: _*)
+        q2.processAllAvailable()
+        spark.table("bm25_gate_cut").select("doc_id").as[Long].collect().toSet
+      } finally q2.stop()
+    assert(got2 == got.filter(r => r._2 < top && r._1 != 999999L).map(_._1).toSet,
+      "threshold must drop exactly the docs at/above it")
+    // oversize doc: the score would overflow BIGINT-exact range — the
+    // stream fails loudly instead of quietly passing a contaminated doc
+    val input3 = MemoryStream[(Long, String)](spark)
+    val gated3 = DocsStream.bm25Gate(input3.toDF().toDF("doc_id", "text"),
+      n, sTot, queries, maxScoreFp = Long.MaxValue, maxDl = 2L)
+    val q3 = gated3.writeStream.outputMode("append")
+      .format("memory").queryName("bm25_gate_over").start()
+    val e = intercept[Exception] {
+      try {
+        input3.addData((1L, "a b c"))
+        q3.processAllAvailable()
+      } finally q3.stop()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("exceeds maxDl")),
+      s"oversize doc must fail with the overflow message, got: ${messages(e)}")
+    // misconfigurations refuse loudly instead of silently draining
+    val s0 = input.toDF().toDF("doc_id", "text")
+    assert(intercept[IllegalArgumentException](
+      DocsStream.bm25Gate(s0, n, sTot, Seq.empty, 1L))
+      .getMessage.contains("empty query table"))
+    assert(intercept[IllegalArgumentException](
+      DocsStream.bm25Gate(s0, n, sTot, queries, 0L))
+      .getMessage.contains("maxScoreFp=0"))
+    assert(intercept[IllegalArgumentException](
+      DocsStream.bm25Gate(s0, 0L, sTot, queries, 1L))
+      .getMessage.contains("priced no training tokens"))
+  }
+
   test("driftStream: running (feature, bucket) counts equal the batch census; state grows with buckets, not volume") {
     val docsDf = graft.sources.Tables.loadParallel(spark, dir, "documents")
     val rows = docsDf.select("doc_id", "text", "lang")
