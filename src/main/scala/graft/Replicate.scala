@@ -38,7 +38,13 @@ object Replicate {
     require(factor >= 1, s"Replicate: factor=$factor must be >= 1")
     for (t <- tables) {
       val base = graft.sources.Tables.load(s, src, t)
-      replicated(base, t, factor)
+      // repartition before the write: the driver tables are single small
+      // files, and a broadcast cross join preserves that 1-partition
+      // layout — an N× replica written as ONE part file hands every
+      // consumer (and especially the file-STREAM source, which never
+      // splits a file across tasks) a single-task scan, so the spot would
+      // time one core against a corpus meant for 32
+      replicated(base, t, factor).repartition(32)
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
       println(s"replicated $t ×$factor -> $out/$t.parquet")
     }

@@ -1162,7 +1162,7 @@ object Dedup {
     // a capBucketsLoss-style plan walk)
     val exact = preExact.graftCheckpoint()
     digestScreen.foreach { _ =>
-      val stats = org.apache.spark.sql.GraftObservedMetrics.of(preExact.toDF)
+      val stats = org.apache.spark.sql.GraftObservedMetrics.of(preExact.toDF())
         .collectFirst {
           case (name, r) if name.startsWith("graft.dd_incremental.bloomScreen") &&
             !r.isNullAt(0) && !r.isNullAt(1) => (r.getLong(0), r.getLong(1))

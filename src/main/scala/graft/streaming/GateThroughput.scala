@@ -28,14 +28,23 @@ object GateThroughput {
       graft.operators.TextAnalysis.trainLangidWeights(spark, weightsDir, 8)
     val n = graft.sources.Tables.load(spark, dir, "documents").count()
 
-    // file-stream source insists on a directory — symlink staging, the
-    // SemDedupScaleBench device (zero copy, memoized scratch dir)
-    val streamDir = java.nio.file.Paths.get(
-      graft.sources.Tables.scratchDir("graftdocstream", dir))
-    val link = streamDir.resolve("documents.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(link,
-        java.nio.file.Paths.get(s"$dir/documents.parquet").toAbsolutePath)
+    // the file-stream source lists ONE directory level and does not
+    // recurse: a driver-style single-FILE table needs the symlink-parent
+    // staging (the SemDedupScaleBench device — zero copy, memoized
+    // scratch dir), while a [[graft.Replicate]]-style DIRECTORY of part
+    // files is itself the correct stream dir (staging its parent would
+    // list zero files and time an empty stream as if it were fast)
+    val docsPath = java.nio.file.Paths.get(s"$dir/documents.parquet")
+    val streamDir =
+      if (java.nio.file.Files.isDirectory(docsPath)) docsPath
+      else {
+        val staged = java.nio.file.Paths.get(
+          graft.sources.Tables.scratchDir("graftdocstream", dir))
+        val link = staged.resolve("documents.parquet")
+        if (!java.nio.file.Files.exists(link))
+          java.nio.file.Files.createSymbolicLink(link, docsPath.toAbsolutePath)
+        staged
+      }
 
     val times = (1 to reps).map { _ =>
       val t0 = System.nanoTime()
