@@ -1569,11 +1569,38 @@ object Curation {
   /** The shared BM25-retrieval artifact of [[decon_bm25]] and the
     * streaming [[graft.streaming.DocsStream.bm25Gate]]: train-corpus
     * stats (N, S) and the per-eval-doc query table (eval_id, term,
-    * idf_fp) after the df=0 exclusion and the top-`m` IDF cut — ONE
-    * definition, so the batch screen and the ingest gate can never score
-    * a document differently.
+    * idf_fp) rows after the df=0 exclusion and the top-`m` IDF cut —
+    * ONE definition, so the batch screen and the ingest gate can never
+    * score a document differently. Memoized per (dir, evalSource, m)
+    * through [[graft.ValueMemo]] (the trainer-cache discipline: the
+    * artifact is a pure function of an immutable corpus snapshot, and a
+    * bench rep or a repeated screen must not re-pay the two stats/df
+    * aggregates); the cached value is the m·|eval|-bounded row seq, never
+    * a plan.
+    */
+  private val bm25ArtifactCache =
+    new graft.ValueMemo[(String, String, Int), (Long, Long, Seq[(Long, String, Long)])]()
+
+  private[graft] def bm25QueryArtifactRows(s: SparkSession, dir: String,
+      evalSource: String, m: Int): (Long, Long, Seq[(Long, String, Long)]) =
+    bm25ArtifactCache.getOrBuild((dir, evalSource, m)) {
+      val (n, sTot, q) = bm25QueryFramesUncached(s, dir, evalSource, m)
+      (n, sTot,
+        q.select("eval_id", "term", "idf_fp").collect().toSeq
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2))))
+    }
+
+  /** [[bm25QueryArtifactRows]] rebuilt as a broadcast-tiny frame — what
+    * [[decon_bm25]] joins against.
     */
   private[graft] def bm25QueryFrames(s: SparkSession, dir: String,
+      evalSource: String, m: Int): (Long, Long, DataFrame) = {
+    val (n, sTot, rows) = bm25QueryArtifactRows(s, dir, evalSource, m)
+    import s.implicits._
+    (n, sTot, rows.toDF("eval_id", "term", "idf_fp"))
+  }
+
+  private def bm25QueryFramesUncached(s: SparkSession, dir: String,
       evalSource: String, m: Int): (Long, Long, DataFrame) = {
     import TextAnalysis.{bm25K1n, bm25K1d, bm25Bd}
     require(m >= 1, s"decon_bm25: m=$m query terms per eval doc must be >= 1")
@@ -1626,9 +1653,8 @@ object Curation {
   def bm25GateArtifact(s: SparkSession, dir: String,
       evalSource: String = deconBm25EvalSource,
       m: Int = deconBm25M): (Long, Long, Seq[(Long, Seq[(String, Long)])]) = {
-    val (n, sTot, q) = bm25QueryFrames(s, dir, evalSource, m)
-    val queries = q.select("eval_id", "term", "idf_fp").collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val (n, sTot, rows) = bm25QueryArtifactRows(s, dir, evalSource, m)
+    val queries = rows
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (e, ts) => (e, ts.sortBy(_._2).map(t => (t._2, t._3)).toSeq) }
     (n, sTot, queries)
