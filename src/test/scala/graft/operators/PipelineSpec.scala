@@ -2159,6 +2159,24 @@ class PipelineSpec extends AnyFunSuite {
     }.getMessage.contains("no training documents"))
   }
 
+  test("decon_bm25: the top-m query tie at the m-th slot resolves to the lexically smaller term (check_bm25_adversarial B4 twin)") {
+    // slots at m=2: "qq" (df=1) takes slot 1; "tiea"/"tieb" (df=2 each,
+    // EQUAL idf) tie at slot 2 — the lex tie-break decides which term
+    // retrieves, and the two candidates match DISJOINT train docs, so a
+    // broken tie-break changes the emitted set, not just its order
+    val dir = tmpDocs(Seq(
+      (0L, "qq tiea tieb", "en", "src0", 12L),
+      (1L, "qq pad", "en", "src1", 6L),
+      (2L, "tiea xx", "en", "src1", 7L),
+      (3L, "tiea yy", "en", "src1", 7L),
+      (4L, "tieb zz", "en", "src1", 7L),
+      (5L, "tieb ww", "en", "src1", 7L)))
+    val got = Curation.decon_bm25(spark, dir, m = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 3L),
+      s"query must be {qq, tiea} (tiea < tieb at the tied slot), got docs $got")
+  }
+
   test("ev_attribution: last preceding non-purchase touch gets the cents; untouched purchases credit (none)") {
     val dir = java.nio.file.Files.createTempDirectory("graftattr").toString
     def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
