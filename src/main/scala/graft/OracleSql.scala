@@ -12,6 +12,36 @@ object OracleSql {
 
   private val rev = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))"
 
+  /** The fixed-point ⌊2²⁰·log₂⌋ recurrence ([[graft.operators.TextAnalysis.log2Fp]])
+    * as CTE text: reads `dfreq(term, df)` and `stats(n, …)` from the
+    * enclosing query, yields `idf(term, idf_fp)`. ONE definition shared by
+    * the tx_bm25 and decon_bm25 twins — the recurrence is the part of
+    * those oracles most likely to be retuned (round count, shift width,
+    * DECIMAL widening), and two hand-copied blocks would let a fix to one
+    * silently desynchronize the other.
+    */
+  private val log2FpIdfCtes: String =
+    s"""ib AS (
+       |  SELECT term,
+       |    CAST(2*n + 2 AS BIGINT) AS num, CAST(2*df + 1 AS BIGINT) AS den,
+       |    CAST(length(bin(CAST((2*n + 2) // (2*df + 1) AS BIGINT))) - 1
+       |         AS BIGINT) AS e
+       |  FROM dfreq, stats),
+       |it AS (
+       |  SELECT term, e, 0 AS i,
+       |    (num * CAST(1073741824 AS BIGINT))
+       |      // (den * (CAST(1 AS BIGINT) << e)) AS r,
+       |    CAST(0 AS BIGINT) AS frac
+       |  FROM ib
+       |  UNION ALL
+       |  SELECT term, e, i + 1,
+       |    CASE WHEN ((r*r) >> 30) >= CAST(2147483648 AS BIGINT)
+       |         THEN ((r*r) >> 30) >> 1 ELSE (r*r) >> 30 END,
+       |    CASE WHEN ((r*r) >> 30) >= CAST(2147483648 AS BIGINT)
+       |         THEN (frac << 1) | 1 ELSE frac << 1 END
+       |  FROM it WHERE i < 20),
+       |idf AS (SELECT term, (e << 20) | frac AS idf_fp FROM it WHERE i = 20)""".stripMargin
+
   /** `floor(value·100)` as BIGINT — the ONE cents quantization of the
     * events value column; the twin of `Relational.centsCol`, shared by
     * every value-quantizing oracle so the definition cannot drift per
@@ -2390,26 +2420,7 @@ object OracleSql {
          |  SELECT qt.term, CAST(count(d.doc_id) AS BIGINT) AS df
          |  FROM qt LEFT JOIN d ON list_contains(d.w, qt.term)
          |  GROUP BY qt.term),
-         |ib AS (
-         |  SELECT term,
-         |    CAST(2*n + 2 AS BIGINT) AS num, CAST(2*df + 1 AS BIGINT) AS den,
-         |    CAST(length(bin(CAST((2*n + 2) // (2*df + 1) AS BIGINT))) - 1
-         |         AS BIGINT) AS e
-         |  FROM dfreq, stats),
-         |it AS (
-         |  SELECT term, e, 0 AS i,
-         |    (num * CAST(1073741824 AS BIGINT))
-         |      // (den * (CAST(1 AS BIGINT) << e)) AS r,
-         |    CAST(0 AS BIGINT) AS frac
-         |  FROM ib
-         |  UNION ALL
-         |  SELECT term, e, i + 1,
-         |    CASE WHEN ((r*r) >> 30) >= CAST(2147483648 AS BIGINT)
-         |         THEN ((r*r) >> 30) >> 1 ELSE (r*r) >> 30 END,
-         |    CASE WHEN ((r*r) >> 30) >= CAST(2147483648 AS BIGINT)
-         |         THEN (frac << 1) | 1 ELSE frac << 1 END
-         |  FROM it WHERE i < 20),
-         |idf AS (SELECT term, (e << 20) | frac AS idf_fp FROM it WHERE i = 20),
+         |$log2FpIdfCtes,
          |tfs AS (
          |  SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS dl, qt.term,
          |    CAST(len(list_filter(d.w, x -> x = qt.term)) AS BIGINT) AS tf
@@ -2451,26 +2462,7 @@ object OracleSql {
          |  FROM (SELECT doc_id, unnest(list_distinct(w)) AS term FROM train) tt
          |  JOIN (SELECT DISTINCT term FROM et) v ON tt.term = v.term
          |  GROUP BY tt.term),
-         |ib AS (
-         |  SELECT term,
-         |    CAST(2*n + 2 AS BIGINT) AS num, CAST(2*df + 1 AS BIGINT) AS den,
-         |    CAST(length(bin(CAST((2*n + 2) // (2*df + 1) AS BIGINT))) - 1
-         |         AS BIGINT) AS e
-         |  FROM dfreq, stats),
-         |it AS (
-         |  SELECT term, e, 0 AS i,
-         |    (num * CAST(1073741824 AS BIGINT))
-         |      // (den * (CAST(1 AS BIGINT) << e)) AS r,
-         |    CAST(0 AS BIGINT) AS frac
-         |  FROM ib
-         |  UNION ALL
-         |  SELECT term, e, i + 1,
-         |    CASE WHEN ((r*r) >> 30) >= CAST(2147483648 AS BIGINT)
-         |         THEN ((r*r) >> 30) >> 1 ELSE (r*r) >> 30 END,
-         |    CASE WHEN ((r*r) >> 30) >= CAST(2147483648 AS BIGINT)
-         |         THEN (frac << 1) | 1 ELSE frac << 1 END
-         |  FROM it WHERE i < 20),
-         |idf AS (SELECT term, (e << 20) | frac AS idf_fp FROM it WHERE i = 20),
+         |$log2FpIdfCtes,
          |q AS (
          |  SELECT eval_id, term, idf_fp FROM (
          |    SELECT et.eval_id, et.term, idf.idf_fp,

@@ -51,19 +51,46 @@ object Replicate {
   }
 
   /** The N× frame itself (no write) — shared by [[stage]] and by benches
-    * that want the replica as a transient input.
+    * that want the replica as a transient input. NOTE: documents replicas
+    * keep their TEXT verbatim (only doc_id shifts) — for dedup-family
+    * spots that is the deliberate pathological clique regime (§8.5's
+    * prior-round methodology); id-keyed and content-scoring operators see
+    * N distinct rows.
     */
-  def replicated(base: DataFrame, table: String, factor: Int): DataFrame = {
-    val copies = base.sparkSession.range(factor.toLong).toDF("__copy")
+  def replicated(base: DataFrame, table: String, factor: Int): DataFrame =
+    shifted(base, table,
+      base.sparkSession.range(factor.toLong).toDF("__copy"))
+
+  /** ONE copy of the replica (the rows [[replicated]] would emit for copy
+    * index `copy`) — the delta-staging shape: a bench that wants "one more
+    * shifted copy beyond an f× corpus" must not build f+1 copies and
+    * filter f of them away.
+    */
+  def copySlice(base: DataFrame, table: String, copy: Long): DataFrame = {
+    import base.sparkSession.implicits._
+    shifted(base, table, Seq(copy).toDF("__copy"))
+  }
+
+  private def shifted(base: DataFrame, table: String,
+      copies: DataFrame): DataFrame = {
     val rep = base.crossJoin(broadcast(copies))
-    val shifted = table match {
+    val out = table match {
       case "documents" =>
         rep.withColumn("doc_id", col("doc_id") + col("__copy") * stride)
       case "embeddings" =>
+        // per-copy offset: injective for copies below 101·97 ≈ 9.8 k (a
+        // first-order residue with period 101 plus a 1e-6-scale carry —
+        // a plain mod-101 term alone would hand copies c and c+101 exact
+        // duplicate vectors, re-creating at factor>101 the degenerate
+        // training input the jitter exists to prevent) and exactly ZERO
+        // at copy 0, so a factor-1 replica is the original corpus in the
+        // replica layout, not a shifted cousin
+        val eps =
+          (pmod(col("__copy") * 37L + 50L, lit(101L)) - 50L).cast("float") *
+            lit(1e-4f) +
+          pmod(expr("__copy div 101"), lit(97L)).cast("float") * lit(1.3e-6f)
         rep.withColumn("vec_id", col("vec_id") + col("__copy") * stride)
-          .withColumn("embedding", transform(col("embedding"),
-            x => (x + (pmod(col("__copy") * 37L, lit(101L)) - 50L)
-              .cast("float") * lit(1e-4f))))
+          .withColumn("embedding", transform(col("embedding"), x => x + eps))
       case "events" =>
         rep.withColumn("event_id", col("event_id") + col("__copy") * stride)
           .withColumn("user_id", col("user_id") + col("__copy") * stride)
@@ -71,6 +98,6 @@ object Replicate {
         s"'$other' — add one before staging it (a shiftless replica " +
         "silently builds duplicate-key cliques)")
     }
-    shifted.drop("__copy")
+    out.drop("__copy")
   }
 }

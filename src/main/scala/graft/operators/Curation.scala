@@ -1621,14 +1621,21 @@ object Curation {
       s"decon_bm25: S=$sTot, maxdl=$maxDl exceed the BIGINT-exact range — " +
         "widen to DECIMAL")
     // df over the train corpus for the EVAL vocabulary only; the collect
-    // is |eval vocab|-bounded (the benchmark side), never corpus-sized
+    // is |eval vocab|-bounded (the benchmark side), never corpus-sized —
+    // and the bound is checked IN-PLAN (one count over the aggregated df
+    // frame) before any driver pull, so a misconfigured evalSource that
+    // labels a corpus-scale slice "eval" refuses loudly instead of
+    // OOMing the driver inside collect
+    // (limit bound+1, one job: the driver pull is capped at the contract
+    // bound itself, and one extra row is enough to prove the violation)
     val dfRows = train
       .select(col("doc_id"), explode(array_distinct(col("w"))).as("term"))
       .join(broadcast(evalTerms.select("term").distinct()), Seq("term"), "left_semi")
       .groupBy("term").agg(count(lit(1)).as("df"))
+      .limit(2000001)
       .collect()
     require(dfRows.length <= 2000000,
-      s"decon_bm25: eval vocabulary has ${dfRows.length} training-matched " +
+      s"decon_bm25: eval vocabulary has over 2000000 training-matched " +
         "terms — the eval side is benchmark-scale by the decon family's " +
         "broadcast contract; screen per benchmark release, not corpus-vs-corpus")
     import s.implicits._

@@ -43,8 +43,7 @@ object ShardedCrossoverBench {
       val scratch = graft.sources.Tables.scratchDir("graftxover", s"$dir|$f")
       graft.Replicate.replicated(base, "embeddings", f)
         .write.mode("overwrite").parquet(s"$scratch/corpus.parquet")
-      graft.Replicate.replicated(base, "embeddings", f + 1)
-        .filter(col("vec_id") >= f * graft.Replicate.stride)
+      graft.Replicate.copySlice(base, "embeddings", f.toLong)
         .write.mode("overwrite").parquet(s"$scratch/delta.parquet")
       val corpus = spark.read.parquet(s"$scratch/corpus.parquet")
       val delta = spark.read.parquet(s"$scratch/delta.parquet")

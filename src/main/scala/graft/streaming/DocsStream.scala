@@ -480,15 +480,20 @@ object DocsStream {
     val qLit = typedLit(queries.map { case (e, ts) =>
       (e, ts.map(_._1), ts.map(_._2))
     })
+    // tf is computed ONCE per query term (the inner transform stages
+    // (tf, idf) structs) — the naive form repeats the token-array scan in
+    // the numerator and denominator, doubling the dominant per-document
+    // cost of this hot path
     val scoredSql =
       s"""array_max(transform(__q, q -> struct(
          |  aggregate(
-         |    zip_with(q._2, q._3, (t, i) -> struct(t AS t, i AS i)),
+         |    transform(zip_with(q._2, q._3, (t, i) -> struct(t AS t, i AS i)),
+         |      p -> struct(cast(size(filter(__w, x -> x = p.t)) AS bigint) AS tf,
+         |                  p.i AS i)),
          |    0L,
          |    (acc, p) -> acc + p.i *
-         |      ((${numC}L * size(filter(__w, x -> x = p.t)))
-         |       div (${denTf}L * size(filter(__w, x -> x = p.t))
-         |            + ${denC}L + ${denDl}L * __dl))
+         |      ((${numC}L * p.tf)
+         |       div (${denTf}L * p.tf + ${denC}L + ${denDl}L * __dl))
          |  ) AS score,
          |  -q._1 AS ne)))""".stripMargin
     stream
