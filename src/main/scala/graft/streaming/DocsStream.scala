@@ -448,7 +448,12 @@ object DocsStream {
     *
     * Stateless, map-only: the per-document score is pure column algebra
     * over the broadcast-literal query structs (HOF fold per query —
-    * O(|eval|·m·dl) integer ops per doc, no state, no shuffle). Like
+    * O(|eval|·m·dl) integer ops per doc, no state, no shuffle). The
+    * query table rides the PLAN as a typedLit — right for benchmark
+    * releases (10²–10⁴ query structs); past ~10⁴ the literal
+    * re-serializes into every micro-batch plan and the perplexityGate
+    * device applies (ship the table as a broadcast consumed by one
+    * justified Scala UDF). Like
     * [[deconUrlGate]] this is a REMOVE screen: a null-text doc scores 0
     * and PASSES (it cannot legitimately contaminate); dropping it is the
     * allow gates' policy, not the decon screen's. A document longer than
