@@ -461,9 +461,13 @@ object DocsStream {
     * it fails LOUDLY in-plan instead (raise_error — poisoned arithmetic
     * must not quietly pass a contaminated doc).
     */
-  def bm25Gate(stream: DataFrame, n: Long, sTot: Long,
+  /** Shared config validation + score constants of [[bm25Gate]] and
+    * [[bm25GateBroadcast]] — (numC, denTf, denC, denDl): score per term =
+    * idf_fp · ((numC·tf) div (denTf·tf + denC + denDl·dl)).
+    */
+  private def bm25GateConsts(n: Long, sTot: Long,
       queries: Seq[(Long, Seq[(String, Long)])], maxScoreFp: Long,
-      maxDl: Long = 1L << 20): DataFrame = {
+      maxDl: Long): (Long, Long, Long, Long) = {
     import graft.operators.TextAnalysis.{bm25K1n, bm25K1d, bm25Bn, bm25Bd}
     require(queries.nonEmpty,
       "bm25Gate: empty query table gates nothing — build it with " +
@@ -478,10 +482,17 @@ object DocsStream {
       sTot <= Long.MaxValue / (1000000L * bm25Bd * (bm25K1n + bm25K1d)) / maxDl,
       s"bm25Gate: S=$sTot with maxDl=$maxDl exceeds the BIGINT-exact " +
         "range — widen to DECIMAL or lower maxDl")
-    val numC = 1000000L * bm25Bd * (bm25K1n + bm25K1d) * sTot
-    val denTf = bm25K1d * bm25Bd * sTot
-    val denC = bm25K1n * (bm25Bd - bm25Bn) * sTot
-    val denDl = bm25K1n * bm25Bn * n
+    (1000000L * bm25Bd * (bm25K1n + bm25K1d) * sTot,
+      bm25K1d * bm25Bd * sTot,
+      bm25K1n * (bm25Bd - bm25Bn) * sTot,
+      bm25K1n * bm25Bn * n)
+  }
+
+  def bm25Gate(stream: DataFrame, n: Long, sTot: Long,
+      queries: Seq[(Long, Seq[(String, Long)])], maxScoreFp: Long,
+      maxDl: Long = 1L << 20): DataFrame = {
+    val (numC, denTf, denC, denDl) =
+      bm25GateConsts(n, sTot, queries, maxScoreFp, maxDl)
     val qLit = typedLit(queries.map { case (e, ts) =>
       (e, ts.map(_._1), ts.map(_._2))
     })
@@ -516,6 +527,67 @@ object DocsStream {
       .withColumn("bm25_score_fp", col("__best").getField("score"))
       .withColumn("bm25_best_eval", -col("__best").getField("ne"))
       .drop("__w", "__dl", "__q", "__best")
+      .filter(col("bm25_score_fp") < maxScoreFp)
+  }
+
+  /** [[bm25Gate]] for LARGE query tables — the perplexityGate device: the
+    * typedLit form re-serializes the whole query table into every
+    * micro-batch plan, which is right for a benchmark release (10²–10⁴
+    * structs) and wrong for a full benchmark SUITE; here the table ships
+    * ONCE as a broadcast consumed by one justified Scala UDF replaying
+    * the identical integer algebra (tf counted once per doc over the
+    * union query vocabulary, same numC/denTf/denC/denDl constants, max
+    * score with ties to the smallest eval id), so outputs are bit-equal
+    * to [[bm25Gate]] — parity spec'd. Same REMOVE-screen semantics (null
+    * text scores 0 and passes) and the same loud maxDl overflow refusal.
+    */
+  def bm25GateBroadcast(stream: DataFrame, n: Long, sTot: Long,
+      queries: Seq[(Long, Seq[(String, Long)])], maxScoreFp: Long,
+      maxDl: Long = 1L << 20): DataFrame = {
+    val (numC, denTf, denC, denDl) =
+      bm25GateConsts(n, sTot, queries, maxScoreFp, maxDl)
+    val sc = stream.sparkSession.sparkContext
+    // eval order pinned ascending so the first strict max wins ties the
+    // same way the literal form's struct(score, -eval) array_max does
+    val bQ = sc.broadcast(queries.sortBy(_._1).map { case (e, ts) =>
+      (e, ts.map(_._1).toArray, ts.map(_._2).toArray)
+    }.toArray)
+    val vocab = sc.broadcast(
+      queries.iterator.flatMap(_._2.iterator.map(_._1)).toSet)
+    val best = udf { (w: Seq[String]) =>
+      val dl = w.size.toLong
+      if (dl > maxDl)
+        throw new IllegalStateException(
+          s"bm25Gate: document exceeds maxDl=$maxDl tokens — its score " +
+            s"would overflow the BIGINT-exact range; got dl=$dl")
+      val tf = new java.util.HashMap[String, Long]()
+      val voc = vocab.value
+      w.foreach { t =>
+        if (voc.contains(t)) tf.merge(t, 1L, (a, b) => a + b)
+      }
+      var bestScore = Long.MinValue
+      var bestEval = 0L
+      bQ.value.foreach { case (e, terms, idfs) =>
+        var s = 0L
+        var i = 0
+        while (i < terms.length) {
+          val c = tf.getOrDefault(terms(i), 0L)
+          if (c > 0L)
+            s += idfs(i) * ((numC * c) / (denTf * c + denC + denDl * dl))
+          i += 1
+        }
+        if (s > bestScore) { bestScore = s; bestEval = e }
+      }
+      (bestScore, bestEval)
+    }
+    stream
+      .withColumn("__w",
+        coalesce(graft.functions.TextFunctions.words(col("text")),
+          array().cast("array<string>")))
+      .withColumn("__best", best(col("__w")))
+      .withColumn("bm25_score_fp", col("__best").getField("_1"))
+      .withColumn("bm25_best_eval", col("__best").getField("_2"))
+      .drop("__w", "__best")
       .filter(col("bm25_score_fp") < maxScoreFp)
   }
 

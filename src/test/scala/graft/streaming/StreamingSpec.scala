@@ -1157,6 +1157,23 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
     assert(got.exists(_._2 > 0L), "the parity must not be vacuously all-zero")
+    // the broadcast+UDF form (the large-query-table device) is bit-equal
+    // to the typedLit form on the same rows — scores AND tie-broken evals
+    val inputB = MemoryStream[(Long, String)](spark)
+    val gatedB = DocsStream.bm25GateBroadcast(inputB.toDF().toDF("doc_id", "text"),
+      n, sTot, queries, maxScoreFp = Long.MaxValue)
+    val qB = gatedB.writeStream.outputMode("append")
+      .format("memory").queryName("bm25_gate_bcast").start()
+    val gotB =
+      try {
+        inputB.addData(trainRows :+ ((999999L, null: String)): _*)
+        qB.processAllAvailable()
+        spark.table("bm25_gate_bcast")
+          .select("doc_id", "bm25_score_fp", "bm25_best_eval")
+          .as[(Long, Long, Long)].collect().toSeq
+      } finally qB.stop()
+    assert(gotB.toSet == got.toSet,
+      "bm25GateBroadcast must be bit-equal to the typedLit gate")
     // the screen actually screens: a threshold AT the observed max drops
     // exactly the max-scoring docs and keeps the rest
     val top = got.map(_._2).max
