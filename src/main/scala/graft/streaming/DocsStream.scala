@@ -658,6 +658,66 @@ object DocsStream {
       .drop("gs", "sb_sum")
   }
 
+  /** The full C4-order ingest chain as ONE composition — the deployment
+    * shape every per-gate scaladoc has been describing: boilerplate
+    * extraction, then the provenance screens (URL blocklist, domain
+    * authority), then the content screens (language, learned quality
+    * score, LM fluency). One shared definition so the throughput drive
+    * ([[ChainThroughput]]) and the end-to-end spec time/verify the SAME
+    * chain the per-gate parity specs certify — a hand-assembled copy in
+    * each caller could silently reorder or drop a stage.
+    *
+    * The stream must carry `doc_id`, `text`, and `url` columns (a real
+    * crawl stream has all three; the synthetic corpus derives `url` via
+    * [[graft.operators.TextAnalysis.urlPlant]] in the corpus ADAPTER, not
+    * here — the chain itself is deployment-shaped). All five value
+    * arguments are per-snapshot BATCH artifacts shipped to the ingest
+    * tier (the authorityGate / perplexityGate contract; restart the
+    * query to pick up a new snapshot).
+    *
+    * Scale shape: every stage is stateless and map-only (regex/HOF column
+    * ops plus broadcast-value probes) — the chain holds ZERO streaming
+    * state, needs no watermark, and its per-core cost is the sum of the
+    * stage folds (dominated by the langid chargram fold; see the measured
+    * §8.5 rows). Batch and stream compositions are the same function, so
+    * the funnel census can be priced in batch and trusted at the edge.
+    *
+    * Stage boundaries are `observe()` nodes (`c4_extract` … `c4_pplx`,
+    * each counting admitted rows — the per-stage funnel census surfaces
+    * in every `StreamingQueryProgress` for free). The barrier is
+    * LOAD-BEARING, not just telemetry: `PushPredicateThroughNonJoin`
+    * substitutes projection aliases into pushed filter conditions
+    * unconditionally, so a naively composed chain drags each stage's
+    * fold — WITH the whole upstream extraction tree substituted in —
+    * down to the scan and re-evaluates it per filter per row (measured
+    * 20× on the full chain: 200 s vs 13 s for sf0.1's 5 k docs;
+    * ChainProbe's prefix rows). Catalyst cannot push a predicate or
+    * collapse a projection across CollectMetrics (either would corrupt
+    * the observed counts), so each stage's derived columns are computed
+    * exactly once per row and downstream filters reference attributes,
+    * never re-inlined trees.
+    */
+  def c4Chain(stream: DataFrame,
+      authorized: Seq[String],
+      langidWeights: Map[String, Seq[Long]],
+      keepLangs: Set[String],
+      scoreWeights: Seq[Long],
+      lm: graft.operators.TextAnalysis.PerplexityLm): DataFrame = {
+    def bar(df: DataFrame, stage: String): DataFrame =
+      df.observe(s"c4_$stage", count(lit(1)).as("rows"))
+    bar(perplexityGate(
+      bar(scoreGate(
+        bar(langidGate(
+          bar(authorityGate(
+            bar(urlGate(
+              bar(extractGate(stream), "extract")),
+              "url"),
+            authorized), "authority"),
+          langidWeights, keepLangs), "langid"),
+        scoreWeights), "score"),
+      lm), "pplx")
+  }
+
   /** Ingest-edge DISTRIBUTION monitor — the streaming face of
     * [[graft.operators.Curation.profile_drift]]'s census side: running
     * (feature, bucket) document counts over the ingest stream, emitted

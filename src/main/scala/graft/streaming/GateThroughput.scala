@@ -17,23 +17,15 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object GateThroughput {
 
-  def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val weightsDir = args.lift(1).getOrElse(dir)
-    val reps = args.lift(2).map(_.toInt).getOrElse(3)
-    val keep = args.lift(3).getOrElse("en,zh").split(",").toSet
-    val spark = graft.DriverSession.build(defaultCpus = "32")
-
-    val weights =
-      graft.operators.TextAnalysis.trainLangidWeights(spark, weightsDir, 8)
-    val n = graft.sources.Tables.load(spark, dir, "documents").count()
-
-    // the file-stream source lists ONE directory level and does not
-    // recurse: a driver-style single-FILE table needs the symlink-parent
-    // staging (the SemDedupScaleBench device — zero copy, memoized
-    // scratch dir), while a [[graft.Replicate]]-style DIRECTORY of part
-    // files is itself the correct stream dir (staging its parent would
-    // list zero files and time an empty stream as if it were fast)
+  /** Streamable directory for `dir`'s documents table. The file-stream
+    * source lists ONE directory level and does not recurse: a
+    * driver-style single-FILE table needs the symlink-parent staging
+    * (the SemDedupScaleBench device — zero copy, memoized scratch dir),
+    * while a [[graft.Replicate]]-style DIRECTORY of part files is itself
+    * the correct stream dir (staging its parent would list zero files
+    * and time an empty stream as if it were fast).
+    */
+  private[streaming] def stageStreamDir(dir: String): String = {
     val docsPath = java.nio.file.Paths.get(s"$dir/documents.parquet")
     val streamDir =
       if (java.nio.file.Files.isDirectory(docsPath)) docsPath
@@ -45,12 +37,27 @@ object GateThroughput {
           java.nio.file.Files.createSymbolicLink(link, docsPath.toAbsolutePath)
         staged
       }
+    streamDir.toString
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val weightsDir = args.lift(1).getOrElse(dir)
+    val reps = args.lift(2).map(_.toInt).getOrElse(3)
+    val keep = args.lift(3).getOrElse("en,zh").split(",").toSet
+    val spark = graft.DriverSession.build(defaultCpus = "32")
+
+    val weights =
+      graft.operators.TextAnalysis.trainLangidWeights(spark, weightsDir, 8)
+    val n = graft.sources.Tables.load(spark, dir, "documents").count()
+
+    val streamDir = stageStreamDir(dir)
 
     val times = (1 to reps).map { _ =>
       val t0 = System.nanoTime()
       val q = DocsStream.langidGate(
           spark.readStream.schema(graft.sources.Tables.documentsSchema)
-            .parquet(streamDir.toString),
+            .parquet(streamDir),
           weights, keep)
         .writeStream.format("noop").outputMode("append")
         .trigger(Trigger.AvailableNow())

@@ -1334,6 +1334,52 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("c4Chain: the full ingest chain end-to-end on a stream equals its batch composition; generous throughput floor") {
+    import graft.operators.TextAnalysis
+    // the five per-snapshot batch artifacts the chain ships as values
+    val authorized = graft.operators.Graph
+      .domainAuthority(spark, dir).collect().map(_.getString(0)).toSeq
+    val langidW = TextAnalysis.trainLangidWeights(spark, dir, 8)
+    val scoreW = TextAnalysis.trainScoreWeights(spark, dir, 8)
+    val lm = TextAnalysis.perplexityLmArtifact(spark, dir)
+    val keep = Set("en", "zh")
+    def chain(df: org.apache.spark.sql.DataFrame) =
+      DocsStream.c4Chain(df, authorized, langidW, keep, scoreW, lm)
+    def withUrl(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("url", TextAnalysis.urlPlant(col("doc_id")))
+
+    val batchKept = chain(withUrl(Tables.load(spark, dir, "documents")))
+      .select("doc_id").as[Long].collect().toSet
+    val n = Tables.load(spark, dir, "documents").count()
+    assert(batchKept.nonEmpty && batchKept.size < n,
+      "vacuous chain: every stage must engage on this corpus")
+
+    val docs = Tables.loadParallel(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+    val input = MemoryStream[(Long, String)](spark)
+    val stream = withUrl(input.toDF().toDF("doc_id", "text"))
+    val q = chain(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("c4_chain").start()
+    val wallSec = try {
+      input.addData(docs.toSeq: _*)
+      val t0 = System.nanoTime()
+      q.processAllAvailable()
+      val w = (System.nanoTime() - t0) / 1e9
+      val streamed = spark.table("c4_chain")
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamed == batchKept,
+        "the stream-edge chain must keep exactly the batch composition's docs")
+      w
+    } finally q.stop()
+    // generous floor (≈100× slack vs the measured §8.5 rate) — catches a
+    // chain gone quadratic or stateful, not box noise
+    assert(wallSec < 120.0,
+      s"c4Chain took ${wallSec}s for $n docs — the stateless map-only " +
+        "chain shape is broken")
+  }
+
   test("StateClock.monotoneTimeoutMs: past-watermark clamp; saturates instead of wrapping near Long.MaxValue") {
     assert(StateClock.monotoneTimeoutMs(100L, 50L, 10L) == 150L)
     assert(StateClock.monotoneTimeoutMs(100L, 50L, 200L) == 201L) // clamp
