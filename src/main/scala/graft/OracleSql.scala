@@ -42,6 +42,35 @@ object OracleSql {
        |  FROM it WHERE i < 20),
        |idf AS (SELECT term, (e << 20) | frac AS idf_fp FROM it WHERE i = 20)""".stripMargin
 
+  /** The same log2Fp recurrence in its GENERIC keyed form (den = 1 —
+    * the [[graft.operators.TextAnalysis.log2FpSql]] twin): reads
+    * `lin$sfx(key, v)` from the enclosing query, yields
+    * `lg$sfx(key, fp)`. Parameterized by suffix because a consumer may
+    * need the recurrence TWICE in one query (samp_dsir's Gumbel key is a
+    * log of a log — the second pass reads the first's output); `lg` is
+    * MATERIALIZED because consumers join it repeatedly and a recursive
+    * CTE inlined per reference re-runs all 20 rounds per join side.
+    */
+  private def log2FpValCtes(sfx: String): String =
+    s"""lb$sfx AS (
+       |  SELECT key, CAST(v AS BIGINT) AS num,
+       |    CAST(length(bin(CAST(v AS BIGINT))) - 1 AS BIGINT) AS e
+       |  FROM lin$sfx),
+       |lt$sfx AS (
+       |  SELECT key, e, 0 AS i,
+       |    (num * CAST(1073741824 AS BIGINT)) // (CAST(1 AS BIGINT) << e) AS r,
+       |    CAST(0 AS BIGINT) AS frac
+       |  FROM lb$sfx
+       |  UNION ALL
+       |  SELECT key, e, i + 1,
+       |    CASE WHEN ((r*r) >> 30) >= CAST(2147483648 AS BIGINT)
+       |         THEN ((r*r) >> 30) >> 1 ELSE (r*r) >> 30 END,
+       |    CASE WHEN ((r*r) >> 30) >= CAST(2147483648 AS BIGINT)
+       |         THEN (frac << 1) | 1 ELSE frac << 1 END
+       |  FROM lt$sfx WHERE i < 20),
+       |lg$sfx AS MATERIALIZED (
+       |  SELECT key, (e << 20) | frac AS fp FROM lt$sfx WHERE i = 20)""".stripMargin
+
   /** `floor(value·100)` as BIGINT — the ONE cents quantization of the
     * events value column; the twin of `Relational.centsCol`, shared by
     * every value-quantizing oracle so the definition cannot drift per
@@ -3101,6 +3130,61 @@ object OracleSql {
         |FROM db JOIN stats USING (b)
         |GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
+
+    // samp_dsir: published-form DSIR — the same hashed-bigram buckets as
+    // the samp_importance twin, add-1-smoothed log2Fp ratio weights via
+    // the generic keyed recurrence (TWO instantiations: the Gumbel key is
+    // a log of a log), exact-integer lambda + base-2 Gumbel top-k. Every
+    // constant shared with the operator object.
+    "samp_dsir" -> {
+      import graft.operators.Curation.{dsirTargetLang, dsirHexChars, dsirTopK}
+      val b = math.pow(16, dsirHexChars).toLong
+      s"""WITH RECURSIVE gr AS (
+         |  SELECT doc_id, lang, unnest(
+         |    CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+         |         ELSE list_transform(generate_series(0, len(w) - 2),
+         |                             i -> array_to_string(w[i+1:i+2], ' ')) END) AS gram
+         |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+         |        WHERE text IS NOT NULL)),
+         |g AS (SELECT doc_id, lang, substr(md5(gram), 1, $dsirHexChars) AS b FROM gr),
+         |stats AS MATERIALIZED (
+         |  SELECT b, CAST(count(*) AS BIGINT) AS n_raw,
+         |    CAST(sum(CASE WHEN lang = '$dsirTargetLang' THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_tgt
+         |  FROM g GROUP BY b),
+         |tot AS (SELECT CAST(sum(n_raw) AS BIGINT) AS t_raw,
+         |               CAST(sum(n_tgt) AS BIGINT) AS t_tgt FROM stats),
+         |lin AS (
+         |  SELECT 't|' || b AS key, n_tgt + 1 AS v FROM stats
+         |  UNION ALL SELECT 'r|' || b, n_raw + 1 FROM stats
+         |  UNION ALL SELECT 'T', t_tgt + $b FROM tot
+         |  UNION ALL SELECT 'R', t_raw + $b FROM tot
+         |  UNION ALL SELECT 'h|' || CAST(doc_id AS VARCHAR),
+         |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '|dsir42'),
+         |                             1, 5)) AS BIGINT) + 1
+         |  FROM (SELECT DISTINCT doc_id FROM g)),
+         |${log2FpValCtes("")},
+         |lin2 AS (SELECT key, greatest(CAST(1 AS BIGINT), 20971520 - fp) AS v
+         |         FROM lg WHERE key LIKE 'h|%'),
+         |${log2FpValCtes("2")},
+         |wt AS (
+         |  SELECT s.b, lt2.fp - lr2.fp AS wt
+         |  FROM stats s JOIN lg lt2 ON lt2.key = 't|' || s.b
+         |               JOIN lg lr2 ON lr2.key = 'r|' || s.b),
+         |cons AS (SELECT lR.fp - lT.fp AS c
+         |         FROM lg lR, lg lT WHERE lR.key = 'R' AND lT.key = 'T'),
+         |db AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY 1, 2),
+         |lam AS (
+         |  SELECT doc_id,
+         |    CAST(sum(c * wt) + sum(c) * (SELECT c FROM cons) AS BIGINT) AS lambda_fp
+         |  FROM db JOIN wt USING (b) GROUP BY doc_id),
+         |gum AS (SELECT CAST(substr(key, 3) AS BIGINT) AS doc_id,
+         |               20971520 - fp AS gumbel_fp FROM lg2)
+         |SELECT doc_id, lambda_fp, gumbel_fp,
+         |  lambda_fp + gumbel_fp AS key_fp
+         |FROM lam JOIN gum USING (doc_id)
+         |ORDER BY key_fp DESC, doc_id LIMIT $dsirTopK""".stripMargin
+    },
 
     // pipeline_card: the per-(lang, source) data card; every component
     // reuses the shared SQL fragments so card and operators cannot drift

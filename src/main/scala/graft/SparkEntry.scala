@@ -181,6 +181,8 @@ object SparkEntry {
     "q56_mode" -> (Relational.q56_mode _),
     "tx_readability" -> (TextAnalysis.tx_readability _),
     "samp_importance" -> ((s, d) => Curation.samp_importance(s, d)),
+    // published-form DSIR: exact-integer log-ratio weights + Gumbel top-k
+    "samp_dsir" -> ((s, d) => Curation.samp_dsir(s, d)),
     "ev_dwell" -> (Relational.ev_dwell _),
     "ev_reach" -> (Relational.ev_reach _),
     // corpus-level line dedup with rewrite (C4's repeated-line pass)

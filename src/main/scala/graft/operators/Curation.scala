@@ -1241,6 +1241,96 @@ object Curation {
       .orderBy(col("score").desc, col("doc_id")).limit(k)
   }
 
+  /** DSIR in the PUBLISHED form (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): log importance weight
+    * λ_d = Σ_b c_d(b)·(log p̂_tgt(b) − log p̂_raw(b)) over hashed-bigram
+    * buckets with add-1 smoothing, then GUMBEL TOP-K resampling — the
+    * paper's sampling-without-replacement ∝ exp(λ), not a plain top-λ
+    * cut. [[samp_importance]] keeps its integer-ratio HEURISTIC form
+    * (its scaladoc's "summed floats hash-differently" rationale); this
+    * operator removes that compromise with round 16's fixed-point log:
+    * every log₂ is the pinned [[TextAnalysis.log2Fp]] recurrence
+    * (in-plan via [[TextAnalysis.log2FpSql]]), so the published algebra
+    * is EXACT INTEGERS end to end and the DuckDB twin is a full hash
+    * oracle.
+    *
+    *  - λ_fp(d) = Σ_b c_d(b)·[lg(n_tgt(b)+1) − lg(n_raw(b)+1)]
+    *            + n_d·[lg(T_raw+B) − lg(T_tgt+B)], all in 2⁻²⁰ units
+    *    (lg = log2Fp; B = 16^hexChars smoothing buckets; n_d = Σ_b c_d).
+    *  - Gumbel keys in base 2: u_d = (h_d+1)/2²⁰ from 5 md5 hex chars of
+    *    `doc_id|dsir42`; g_d = −log₂(−log₂ u_d) computed as
+    *    20·2²⁰ − lg(max(1, 20·2²⁰ − lg(h_d+1))) — the max(1,·) clamp is
+    *    the u=1 lattice point whose true Gumbel key is +∞ (p = 2⁻²⁰ per
+    *    doc; the clamp caps it at the lattice maximum instead). Base-2
+    *    Gumbel with base-2 log-weights IS the published distribution:
+    *    argtop-k(λ + G/ln2 + c) = argtop-k(λ·ln2 + G), i.e. exactly
+    *    P(d) ∝ 2^λ_d = w_d (the Gumbel-max trick is invariant under the
+    *    common positive-affine transform; Vieira 2014's top-k form).
+    *  - Selection: top-`k` by (λ_fp + g_fp, doc_id) — deterministic,
+    *    engine-independent, yet distributionally the paper's resample
+    *    (u is a 2²⁰-point lattice, quantization ~10⁻⁶ of a bit).
+    *
+    * Scale shape: the same two map-side-combined passes over the bigram
+    * stream as [[samp_importance]] (bucket stats, then per-doc bucket
+    * counts); the stats-with-weights table is 16^hexChars rows with its
+    * logs computed IN-PLAN (never a driver collect — at hexChars = 6
+    * that table is 16M rows), broadcast into the scoring join; the
+    * totals are the tx_bm25 one-driver-row pattern. BIGINT bounds:
+    * |wt| < 33·2²⁰, so Σ c·wt < 3.5·10⁷·dl — safe past 10¹¹ tokens/doc;
+    * log2FpSql's own in-plan guard enforces T_raw+B < 2³³ (~8.6 G
+    * bigrams; past that widen the recurrence to DECIMAL, the tx_colloc
+    * note's device).
+    */
+  /** [[samp_dsir]] defaults, shared with [[graft.OracleSql]] so the twin
+    * cannot drift from the operator.
+    */
+  val dsirTargetLang: String = "en"
+  val dsirHexChars: Int = 3
+  val dsirTopK: Int = 50
+
+  def samp_dsir(s: SparkSession, dir: String, targetLang: String = dsirTargetLang,
+      hexChars: Int = dsirHexChars, k: Int = dsirTopK): DataFrame = {
+    import graft.operators.TextAnalysis.{log2Fp, log2FpSql}
+    require(k >= 1, s"samp_dsir: k=$k must be >= 1")
+    require(hexChars >= 1 && hexChars <= 7,
+      s"samp_dsir: hexChars=$hexChars outside [1,7] (16^8 overflows the " +
+        "useful bucket range and 0 would put every gram in one bucket)")
+    val b = math.pow(16, hexChars).toLong
+    val grams = docs(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        explode(shingles(col("text"), 2)).as("gram"))
+      .withColumn("b", substring(md5(col("gram")), 1, hexChars))
+    val stats = grams.groupBy("b").agg(
+      count(lit(1)).as("n_raw"),
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("n_tgt"))
+    // totals: the tx_bm25 one-driver-row pattern (2 longs, never a frame)
+    val tot = stats.agg(sum("n_raw").as("t_raw"), sum("n_tgt").as("t_tgt")).first()
+    require(!tot.isNullAt(0) && tot.getLong(0) > 0L,
+      "samp_dsir: no scoreable documents — nothing to select from")
+    require(tot.getLong(1) > 0L,
+      s"samp_dsir: target slice lang='$targetLang' is empty — the target " +
+        "feature distribution is undefined; fix the target language")
+    val constFp = log2Fp(tot.getLong(0) + b, 1L) - log2Fp(tot.getLong(1) + b, 1L)
+    // per-bucket log-weights stay IN-PLAN and distributed
+    val wts = stats.select(col("b"),
+      (expr(log2FpSql("n_tgt + 1")) - expr(log2FpSql("n_raw + 1"))).as("wt"))
+    grams.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .join(broadcast(wts), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum(col("c") * col("wt")).as("wsum"), sum(col("c")).as("nd"))
+      .withColumn("lambda_fp", col("wsum") + col("nd") * lit(constFp))
+      .withColumn("h1", conv(substring(md5(concat(
+          col("doc_id").cast("string"), lit("|dsir42"))), 1, 5), 16, 10)
+        .cast("long") + 1L)
+      .withColumn("a_fp",
+        greatest(lit(1L), lit(20L << 20) - expr(log2FpSql("h1"))))
+      .withColumn("gumbel_fp", lit(20L << 20) - expr(log2FpSql("a_fp")))
+      .withColumn("key_fp", col("lambda_fp") + col("gumbel_fp"))
+      .select("doc_id", "lambda_fp", "gumbel_fp", "key_fp")
+      .orderBy(col("key_fp").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Reproducible GLOBAL SHUFFLE for training order — every run must feed
     * the trainer the identical document order (loss curves are compared
     * across runs), yet a true global sort by random key is the classic

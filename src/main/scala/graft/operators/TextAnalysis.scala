@@ -985,6 +985,42 @@ object TextAnalysis {
     (e.toLong << 20) | frac
   }
 
+  /** [[log2Fp]] (den = 1) as an IN-PLAN SQL expression over the integer
+    * sub-expression `c` — the same pinned 20-round square-and-shift
+    * recurrence spelled as a codegen'd `aggregate` HOF, for operators
+    * whose log inputs are a DISTRIBUTED table (per-bucket counts), not a
+    * handful of driver integers like tx_bm25's query IDFs: collecting a
+    * `16^hexChars`-row stats frame to call the driver function would cap
+    * the feature space at driver memory. Bit-parity with [[log2Fp]] is
+    * ScalaCheck-pinned over the full [1, 2³³) domain; the range guard is
+    * the same contract, enforced in-plan via raise_error (null input
+    * yields null, the SQL convention). e = ⌊log₂ c⌋ is exact via
+    * `length(bin(c)) - 1` — never a float log; `frac` bits accumulate as
+    * ·2+bit and (e << 20) | frac as e·2²⁰ + frac (frac < 2²⁰, disjoint).
+    */
+  private[graft] def log2FpSql(c: String): String = {
+    val v = s"CAST(($c) AS BIGINT)"
+    s"""CASE
+       |  WHEN $v < 1L OR $v >= ${1L << 33}L THEN CAST(raise_error(concat(
+       |    'log2FpSql: input out of [1, 2^33) range: ', CAST($v AS STRING)))
+       |    AS BIGINT)
+       |  ELSE aggregate(
+       |    sequence(1, 20),
+       |    named_struct(
+       |      'r', ($v * ${1L << 30}L)
+       |             div shiftleft(CAST(1 AS BIGINT), length(bin($v)) - 1),
+       |      'frac', CAST(0 AS BIGINT)),
+       |    (acc, i) -> named_struct(
+       |      'r', CASE WHEN shiftright(acc.r * acc.r, 30) >= ${1L << 31}L
+       |                THEN shiftright(shiftright(acc.r * acc.r, 30), 1)
+       |                ELSE shiftright(acc.r * acc.r, 30) END,
+       |      'frac', acc.frac * 2L +
+       |        CASE WHEN shiftright(acc.r * acc.r, 30) >= ${1L << 31}L
+       |             THEN 1L ELSE 0L END),
+       |    acc -> CAST(length(bin($v)) - 1 AS BIGINT) * ${1L << 20}L + acc.frac)
+       |END""".stripMargin
+  }
+
   /** Corpus-indexed BM25 relevance ranking (Robertson et al.; the Lucene
     * `1 + odds` IDF form) for a pinned query — the standard operator for
     * query-grounded data selection and retrieval-based decontamination.

@@ -121,6 +121,69 @@ class CurationSpec extends AnyFunSuite {
     assert(got1 == got2)
   }
 
+  test("samp_dsir: content (not label) drives lambda; full-row replay against a driver-side reference of the exact integer algebra; misconfigurations refuse") {
+    import graft.operators.TextAnalysis.log2Fp
+    val enText = "alpha beta alpha beta alpha beta"
+    val deText = "gamma delta gamma delta gamma delta"
+    val rows = Seq(
+      (1L, enText, "en", "s"), (2L, enText, "en", "s"),
+      (3L, deText, "de", "s"), (4L, enText, "de", "s")) // de label, en content
+    val dir = docsDir(rows)
+    val got = Curation.samp_dsir(spark, dir, k = 10).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
+    // driver-side reference replay of the published algebra with log2Fp
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def bigrams(t: String): Seq[String] = {
+      val w = t.split(" ").toSeq
+      if (w.size < 2) Seq(w.mkString(" "))
+      else w.sliding(2).map(_.mkString(" ")).toSeq
+    }
+    val all = rows.flatMap { case (id, t, lang, _) =>
+      bigrams(t).map(g => (id, lang, md5hex(g).take(3)))
+    }
+    val nRaw = all.groupBy(_._3).map { case (b, xs) => b -> xs.size.toLong }
+    val nTgt = all.filter(_._2 == "en").groupBy(_._3)
+      .map { case (b, xs) => b -> xs.size.toLong }.withDefaultValue(0L)
+    val (tRaw, tTgt) = (nRaw.values.sum, nTgt.values.sum)
+    val bDom = 4096L
+    val constFp = log2Fp(tRaw + bDom, 1L) - log2Fp(tTgt + bDom, 1L)
+    val refRows = rows.map { case (id, t, _, _) =>
+      val cs = bigrams(t).map(g => md5hex(g).take(3)).groupBy(identity)
+        .map { case (b, xs) => b -> xs.size.toLong }
+      val lambda = cs.map { case (b, c) =>
+        c * (log2Fp(nTgt(b) + 1L, 1L) - log2Fp(nRaw(b) + 1L, 1L))
+      }.sum + cs.values.sum * constFp
+      val h1 = java.lang.Long.parseLong(
+        md5hex(s"$id|dsir42").take(5), 16) + 1L
+      val a = math.max(1L, (20L << 20) - log2Fp(h1, 1L))
+      val g = (20L << 20) - log2Fp(a, 1L)
+      id -> ((lambda, g, lambda + g))
+    }.toMap
+    assert(got == refRows,
+      "samp_dsir must replay the reference integer algebra row-for-row")
+    // content drives lambda: docs 1, 2, 4 share bigram mass -> equal
+    // lambda, strictly above the de-vocabulary doc 3
+    assert(got(1L)._1 == got(2L)._1 && got(2L)._1 == got(4L)._1)
+    assert(got(3L)._1 < got(1L)._1)
+    // deterministic across invocations
+    val again = Curation.samp_dsir(spark, dir, k = 10).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(again == got)
+    // misconfigurations refuse loudly
+    assert(intercept[IllegalArgumentException] {
+      Curation.samp_dsir(spark, dir, k = 0)
+    }.getMessage.contains("k=0"))
+    assert(intercept[IllegalArgumentException] {
+      Curation.samp_dsir(spark, dir, hexChars = 0)
+    }.getMessage.contains("hexChars"))
+    assert(intercept[IllegalArgumentException] {
+      Curation.samp_dsir(spark, dir, targetLang = "xx")
+    }.getMessage.contains("target slice"))
+  }
+
   test("dd_para: chunking is stride-aligned — the same words at a different offset do not collide") {
     val dir = docsDir(Seq(
       (1L, sixteen, "en", "s"),

@@ -2919,6 +2919,37 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Multimodal.sampleFrames(media, stride = 0))
   }
 
+  test("log2FpSql: bit-parity with log2Fp across the full [1, 2^33) domain; out-of-range inputs raise in-plan") {
+    import graft.operators.TextAnalysis.{log2Fp, log2FpSql}
+    // boundaries: small values, every power of two in range and its
+    // neighbors (the exponent/normalization seams), the domain edge,
+    // plus a seeded pseudorandom sweep of the interior
+    val rnd = new scala.util.Random(42)
+    val vs = ((1L to 64L) ++
+      (1 to 32).flatMap(k => Seq((1L << k) - 1, 1L << k, (1L << k) + 1)) ++
+      Seq((1L << 33) - 1) ++
+      Seq.fill(500)(1L + (rnd.nextLong().abs % (((1L << 33) - 1))))).distinct
+    val got = vs.toDF("v")
+      .selectExpr("v", s"${log2FpSql("v")} AS fp")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    vs.foreach { v =>
+      assert(got(v) == log2Fp(v, 1L),
+        s"log2FpSql($v)=${got(v)} != log2Fp=${log2Fp(v, 1L)}")
+    }
+    // the in-plan guard is the same contract as log2Fp's require
+    for (bad <- Seq(0L, 1L << 33)) {
+      val e = intercept[Exception] {
+        Seq(bad).toDF("v").selectExpr(s"${log2FpSql("v")} AS fp").collect()
+      }
+      assert(e.getMessage != null && e.getMessage.contains("out of"),
+        s"expected in-plan range refusal for $bad, got: ${e.getMessage}")
+    }
+    // null propagates as null (the SQL convention), never a crash
+    val nullRow = Seq[Option[Long]](None).toDF("v")
+      .selectExpr(s"${log2FpSql("v")} AS fp").collect().head
+    assert(nullRow.isNullAt(0))
+  }
+
   /** Write a tiny events table to a temp dir shaped like testdata. */
   private def tmpEvents(
       rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]): String = {
