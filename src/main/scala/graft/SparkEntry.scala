@@ -194,6 +194,8 @@ object SparkEntry {
     "profile_drift" -> (Curation.profile_drift _),
     // signed random projection over the shared int8 codes
     "embed_rp" -> ((s, d) => Clustering.embed_rp(s, d)),
+    // greedy k-center coreset selection (farthest-point traversal)
+    "samp_kcenter" -> ((s, d) => Clustering.samp_kcenter(s, d)),
     // CSV round trip certified against the parquet originals
     "src_csv" -> (graft.sources.Csv.src_csv _),
     // link-graph centrality over the planted citation graph

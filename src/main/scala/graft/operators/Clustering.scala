@@ -173,6 +173,73 @@ object Clustering {
       floor(err * (1L << 20)).cast("long").as("err_q"))
   }
 
+  /** [[samp_kcenter]] defaults, shared with [[graft.OracleSql]]. */
+  val kcenterK: Int = 8
+
+  /** Greedy k-CENTER coreset selection over the embedding table
+    * (Gonzalez 1985's farthest-point traversal — the classic 2-approx of
+    * the k-center objective; Sener & Savarese, ICLR 2018 apply exactly
+    * this greedy as core-set DATA SELECTION): pick the lowest-vec_id
+    * vector (the [[initCentroids]] RNG-free convention), then k−1 rounds
+    * of "add the point FARTHEST from the selected set". Where the
+    * sampling family picks by content distribution ([[graft.operators
+    * .Curation.samp_dsir]]) or by score, this picks for geometric
+    * COVERAGE — the diversity-selection operator that bounds, for any
+    * 1-Lipschitz loss, the train/selected gap by the coverage radius.
+    *
+    * Emits one row per selection: (round, vec_id, radius_fp) where
+    * radius_fp = ⌊2²⁰·d²⌋ of the selected point's squared euclidean
+    * distance to the previously selected set — i.e. the coverage radius
+    * BEFORE that round's point joins; the seed row's radius is NULL.
+    * radius_fp is monotone non-increasing from round 2 (spec-pinned —
+    * the greedy invariant).
+    *
+    * Determinism/oracle: distances are the SAME left-to-right double
+    * fold as the Lloyd family ([[graft.functions.VecNearest]] over the
+    * selected set as plan literals — one codegen'd loop, k·dims
+    * literals); argmax ties break to the smaller vec_id via the struct
+    * max (d, −vec_id); the DuckDB twin unrolls the k−1 rounds
+    * programmatically (the kmeansCoreCtes device) and hash-matches the
+    * full frame.
+    *
+    * Scale shape: k−1 passes, each ONE map scan against a ≤k·dims
+    * plan-literal center table reduced by ONE max aggregate to a single
+    * driver row (the Lloyd-round contract: k·dims driver traffic,
+    * nothing corpus-sized moves). O(n·k²) distance work total at this
+    * re-min-over-all-centers spelling — at production k (10³+), keep a
+    * persisted per-point running min instead (least(prev, dist-to-new),
+    * one column, O(n·k)); at façade k the simpler shape is the faster
+    * one (no checkpoint per round).
+    */
+  def samp_kcenter(s: SparkSession, dir: String, k: Int = kcenterK): DataFrame = {
+    require(k >= 2, s"samp_kcenter: k=$k — need at least the seed and one round")
+    val e = emb(s, dir).filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    require(n >= k,
+      s"samp_kcenter: k=$k exceeds the $n scoreable vectors — every point " +
+        "is selected by round n and further rounds have no argmax")
+    val seed = e.orderBy("vec_id").limit(1)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).head
+    var selected = Vector((seed._1, seed._2, Option.empty[Long]))
+    for (_ <- 2 to k) {
+      val centers = selected.map(_._2).toSeq
+      val d = graft.functions.VecNearest.nearest(col("embedding"), centers)
+        .getField("d")
+      val top = e.filter(!col("vec_id").isInCollection(selected.map(_._1)))
+        .agg(max(struct(d.as("d"), (-col("vec_id")).as("negid"),
+          col("embedding").as("emb"))).as("m"))
+        .select(col("m.d"), col("m.negid"), col("m.emb"))
+        .first()
+      selected :+= ((-top.getLong(1), top.getSeq[Float](2).map(_.toDouble).toSeq,
+        Some(math.floor(top.getDouble(0) * (1L << 20)).toLong)))
+    }
+    import s.implicits._
+    selected.zipWithIndex
+      .map { case ((id, _, r), i) => (i + 1L, id, r) }
+      .toDF("round", "vec_id", "radius_fp")
+  }
+
   /** The shared ±1 sign matrix behind [[embed_rp]] — deterministic from
     * md5("graft-rp|i|j") (first digest byte's parity), so the operator, the
     * DuckDB twin (which inlines these as list literals), and any re-run

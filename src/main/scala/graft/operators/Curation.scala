@@ -1288,6 +1288,56 @@ object Curation {
   val dsirHexChars: Int = 3
   val dsirTopK: Int = 50
 
+  /** The DSIR weight table as a shippable VALUE — what
+    * [[graft.streaming.DocsStream.dsirGate]] consumes (the
+    * authorityGate/perplexityGate per-snapshot-artifact contract: train
+    * on the released corpus, gate the incoming stream; restart the query
+    * to pick up a retrain). `wt` maps each OBSERVED bucket to
+    * lg(n_tgt+1) − lg(n_raw+1); a bucket the training corpus never
+    * produced is exactly the add-1-smoothed zero (lg 1 − lg 1), so the
+    * gate's getOrElse(0) is the principled value, not a fallback — the
+    * batch operator can never hit that path (its docs ARE the corpus),
+    * the stream edge can.
+    */
+  final case class DsirWeights(wt: Map[String, Long], constFp: Long,
+      hexChars: Int)
+
+  def dsirGateArtifact(s: SparkSession, dir: String,
+      targetLang: String = dsirTargetLang,
+      hexChars: Int = dsirHexChars): DsirWeights = {
+    import graft.operators.TextAnalysis.log2Fp
+    require(hexChars >= 1 && hexChars <= 5,
+      s"dsirGateArtifact: hexChars=$hexChars — 16^$hexChars buckets is no " +
+        "longer a table you ship to the ingest tier as a value; train a " +
+        "coarser feature space (the batch samp_dsir screen has no such cap)")
+    val stats = dsirStats(docs(s, dir), targetLang, hexChars).collect()
+    val (tRaw, tTgt) = (stats.map(_.getLong(1)).sum, stats.map(_.getLong(2)).sum)
+    require(tRaw > 0L, "dsirGateArtifact: no scoreable documents")
+    require(tTgt > 0L,
+      s"dsirGateArtifact: target slice lang='$targetLang' is empty — the " +
+        "target feature distribution is undefined; fix the target language")
+    val b = math.pow(16, hexChars).toLong
+    DsirWeights(
+      stats.map(r => r.getString(0) ->
+        (log2Fp(r.getLong(2) + 1L, 1L) - log2Fp(r.getLong(1) + 1L, 1L))).toMap,
+      log2Fp(tRaw + b, 1L) - log2Fp(tTgt + b, 1L),
+      hexChars)
+  }
+
+  /** (b, n_raw, n_tgt) bucket census — the ONE feature/count definition
+    * shared by [[samp_dsir]] and [[dsirGateArtifact]] so the batch screen
+    * and the gate artifact cannot bucket or count differently.
+    */
+  private def dsirStats(d: DataFrame, targetLang: String,
+      hexChars: Int): DataFrame =
+    d.filter(col("text").isNotNull)
+      .select(col("lang"), explode(shingles(col("text"), 2)).as("gram"))
+      .withColumn("b", substring(md5(col("gram")), 1, hexChars))
+      .groupBy("b").agg(
+        count(lit(1)).as("n_raw"),
+        sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("n_tgt"))
+      .select("b", "n_raw", "n_tgt")
+
   def samp_dsir(s: SparkSession, dir: String, targetLang: String = dsirTargetLang,
       hexChars: Int = dsirHexChars, k: Int = dsirTopK): DataFrame = {
     import graft.operators.TextAnalysis.{log2Fp, log2FpSql}
@@ -1297,12 +1347,10 @@ object Curation {
         "useful bucket range and 0 would put every gram in one bucket)")
     val b = math.pow(16, hexChars).toLong
     val grams = docs(s, dir).filter(col("text").isNotNull)
-      .select(col("doc_id"), col("lang"),
+      .select(col("doc_id"),
         explode(shingles(col("text"), 2)).as("gram"))
       .withColumn("b", substring(md5(col("gram")), 1, hexChars))
-    val stats = grams.groupBy("b").agg(
-      count(lit(1)).as("n_raw"),
-      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("n_tgt"))
+    val stats = dsirStats(docs(s, dir), targetLang, hexChars)
     // totals: the tx_bm25 one-driver-row pattern (2 longs, never a frame)
     val tot = stats.agg(sum("n_raw").as("t_raw"), sum("n_tgt").as("t_tgt")).first()
     require(!tot.isNullAt(0) && tot.getLong(0) > 0L,

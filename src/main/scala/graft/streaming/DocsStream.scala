@@ -658,6 +658,57 @@ object DocsStream {
       .drop("gs", "sb_sum")
   }
 
+  /** Ingest-time DSIR gate — the streaming face of
+    * [[graft.operators.Curation.samp_dsir]]'s log importance weight: keep
+    * documents whose exact-integer λ (how much the doc's hashed-bigram
+    * distribution resembles the TARGET slice vs the raw corpus, in 2⁻²⁰
+    * log₂ units) clears `minLambda`. The weight table is a per-snapshot
+    * batch artifact ([[graft.operators.Curation.dsirGateArtifact]])
+    * shipped to the ingest tier as a value (the authorityGate /
+    * perplexityGate contract; restart the query to pick up a retrain);
+    * it arrives as a BROADCAST consumed by one justified Scala UDF (the
+    * perplexityGate device — a 16^hexChars-entry map as a typedLit would
+    * re-serialize into every micro-batch plan). `minLambda` has no
+    * default: λ's scale is corpus-relative (most of a raw crawl scores
+    * negative against a clean target), so the threshold is a deployment
+    * decision exactly like langidGate's keep set — pass Long.MinValue to
+    * audit λ without dropping.
+    *
+    * Stateless, map-only; null text drops (no trainable content — the
+    * allow-gate convention). A bucket the training corpus never produced
+    * scores 0 from the map's getOrElse — the add-1-smoothed value for
+    * unseen features (lg 1 − lg 1), not a fallback; the batch operator
+    * can never hit that path, the stream edge can. Batch parity is
+    * spec'd λ-for-λ against samp_dsir over the full corpus.
+    */
+  def dsirGate(stream: DataFrame,
+      weights: graft.operators.Curation.DsirWeights,
+      minLambda: Long): DataFrame = {
+    require(weights.wt.nonEmpty,
+      "dsirGate: empty weight table — pass dsirGateArtifact's output for " +
+        "the current snapshot")
+    val sc = stream.sparkSession.sparkContext
+    val bWt = sc.broadcast(weights.wt)
+    val hex = weights.hexChars
+    val constFp = weights.constFp
+    val lam = udf { (gs: Seq[String]) =>
+      val wt = bWt.value
+      val md = java.security.MessageDigest.getInstance("MD5")
+      // same integers as the batch groupBy(doc_id, b) → Σ c·wt + n_d·const:
+      // per-gram accumulation is the same sum, order-free
+      var a = 0L
+      gs.foreach { g =>
+        val b = md.digest(g.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(hex)
+        a += wt.getOrElse(b, 0L)
+      }
+      a + gs.size.toLong * constFp
+    }
+    stream.filter(col("text").isNotNull)
+      .withColumn("lambda_fp", lam(shingles(col("text"), 2)))
+      .filter(col("lambda_fp") >= minLambda)
+  }
+
   /** The full C4-order ingest chain as ONE composition — the deployment
     * shape every per-gate scaladoc has been describing: boilerplate
     * extraction, then the provenance screens (URL blocklist, domain

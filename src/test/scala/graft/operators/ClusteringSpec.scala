@@ -118,4 +118,49 @@ class ClusteringSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"assignment must not plan a join:\n$p")
     assert("HashAggregate".r.findAllIn(p).size >= 2, "map-side partials required")
   }
+
+  test("samp_kcenter: planted geometry selects in hand-computed farthest-point order; greedy radius is non-increasing; ties and guards") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def embDir(rows: Seq[(Long, Seq[Float])]): String = {
+      val d = java.nio.file.Files.createTempDirectory("graftkc").toString
+      rows.map { case (id, e) => (id, e, "l") }
+        .toDF("vec_id", "embedding", "label")
+        .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+      d
+    }
+    // 1D line: seed = id 0 at x=0; farthest is 10 (d²=100), then 5 to the
+    // BIGGER gap's midpoint... hand-order: {0} → +10 → +5 (d²=25 to both
+    // ends, midpoint of [0,10]) → +2.5-ish point id 4 — plant so every
+    // round has a unique hand-computable argmax, plus a null row dropped
+    val dir1 = embDir(Seq(
+      0L -> Seq(0f), 1L -> Seq(10f), 2L -> Seq(5f), 3L -> Seq(2f),
+      4L -> Seq(8f), 5L -> (null: Seq[Float])))
+    val got = Clustering.samp_kcenter(spark, dir1, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    // radii: round2 = d²(10,0)=100; round3: mind(5)=25, mind(2)=4,
+    // mind(8)=4 → pick id 2 at 25; round4: mind(2)=4, mind(8)=4 → tie on
+    // distance → smaller vec_id = 3; round5: mind(8)=4
+    val fp = (d: Double) => math.floor(d * (1L << 20)).toLong
+    assert(got == Seq(
+      (1L, 0L, -1L), (2L, 1L, fp(100.0)), (3L, 2L, fp(25.0)),
+      (4L, 3L, fp(4.0)), (5L, 4L, fp(4.0))))
+    // greedy invariant on the real corpus: radius never increases
+    val radii = Clustering.samp_kcenter(spark, dir).collect()
+      .filter(!_.isNullAt(2)).map(_.getLong(2)).toSeq
+    assert(radii.size == Clustering.kcenterK - 1 &&
+      radii.zip(radii.tail).forall { case (a, b) => a >= b },
+      s"coverage radius must be non-increasing, got $radii")
+    // deterministic across runs
+    assert(Clustering.samp_kcenter(spark, dir).collect().toSeq ==
+      Clustering.samp_kcenter(spark, dir).collect().toSeq)
+    // guards: k below the seed+1 minimum; k past the scoreable count
+    assert(intercept[IllegalArgumentException] {
+      Clustering.samp_kcenter(spark, dir1, k = 1)
+    }.getMessage.contains("k=1"))
+    assert(intercept[IllegalArgumentException] {
+      Clustering.samp_kcenter(spark, dir1, k = 6) // 5 non-null vectors
+    }.getMessage.contains("exceeds"))
+  }
 }

@@ -1334,6 +1334,61 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("dsirGate: stream-edge lambda equals batch samp_dsir's for every doc; threshold keep set exact; unseen buckets score the smoothed zero; bad config refuses") {
+    import graft.operators.Curation
+    val w = Curation.dsirGateArtifact(spark, dir)
+    // batch reference: samp_dsir with k >= corpus size selects every doc,
+    // carrying the full lambda table
+    val batch = Curation.samp_dsir(spark, dir, k = 100000).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = Tables.loadParallel(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+    val input = MemoryStream[(Long, String)](spark)
+    val stream = input.toDF().toDF("doc_id", "text")
+    val q = DocsStream.dsirGate(stream, w, Long.MinValue)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dsir_gate").start()
+    try {
+      input.addData(docs.toSeq: _*)
+      // an all-unseen-bigram doc: every bucket lookup takes the smoothed
+      // zero, so lambda = (#grams)·constFp exactly; and a null text drops
+      input.addData((90001L, "zzqqx wwyyk vvjjr"), // 2 bigrams
+        (90002L, null.asInstanceOf[String]))
+      q.processAllAvailable()
+      val got = spark.table("dsir_gate").select("doc_id", "lambda_fp")
+        .as[(Long, Long)].collect().toMap
+      assert((got - 90001L) == batch,
+        "stream-edge lambda must equal the batch operator's for every doc")
+      assert(got(90001L) == 2L * w.constFp)
+      assert(!got.contains(90002L))
+    } finally q.stop()
+    // threshold semantics: the keep set is exactly the docs at or above
+    val cut = batch.values.toSeq.sorted.apply(batch.size / 2)
+    val input2 = MemoryStream[(Long, String)](spark)
+    val q2 = DocsStream.dsirGate(input2.toDF().toDF("doc_id", "text"), w, cut)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dsir_gate_cut").start()
+    try {
+      input2.addData(docs.toSeq: _*)
+      q2.processAllAvailable()
+      val kept = spark.table("dsir_gate_cut").select("doc_id")
+        .as[Long].collect().toSet
+      assert(kept == batch.filter(_._2 >= cut).keySet && kept.nonEmpty &&
+        kept.size < batch.size)
+    } finally q2.stop()
+    intercept[IllegalArgumentException] {
+      DocsStream.dsirGate(stream,
+        Curation.DsirWeights(Map.empty, 0L, 3), 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.dsirGateArtifact(spark, dir, hexChars = 6)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.dsirGateArtifact(spark, dir, targetLang = "xx")
+    }
+  }
+
   test("c4Chain: the full ingest chain end-to-end on a stream equals its batch composition; generous throughput floor") {
     import graft.operators.TextAnalysis
     // the five per-snapshot batch artifacts the chain ships as values
