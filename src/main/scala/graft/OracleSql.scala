@@ -3640,6 +3640,51 @@ object OracleSql {
          |SELECT domain, n_docs, pr_sum, pr_mean, blocked
          |FROM da ORDER BY domain""".stripMargin,
 
+    // `Graph.graph_cc`'s twin — the 12 alternating large-star/small-star
+    // rounds unrolled programmatically (the pagerankCoreCtes device); the
+    // edge base is the permutation family alone, canonicalized a < b.
+    // Every intermediate is MATERIALIZED: each round reads its
+    // predecessor through both adjacency orientations and both star
+    // phases, so inlined CTEs would expand multiplicatively (the same
+    // reason the Spark side cuts lineage every round).
+    "graph_cc" -> {
+      val iters = 12
+      val rounds = (1 to iters).map { r =>
+        val p = r - 1
+        s"""adjl$r AS (SELECT a AS u, b AS v FROM er$p
+           |           UNION ALL SELECT b, a FROM er$p),
+           |minl$r AS MATERIALIZED (
+           |  SELECT u, least(u, min(v)) AS m FROM adjl$r GROUP BY u),
+           |lse$r AS MATERIALIZED (
+           |  SELECT DISTINCT least(v, m) AS a, greatest(v, m) AS b
+           |  FROM adjl$r JOIN minl$r USING (u)
+           |  WHERE v > u AND least(v, m) <> greatest(v, m)),
+           |adjs$r AS (SELECT a AS u, b AS v FROM lse$r
+           |           UNION ALL SELECT b, a FROM lse$r),
+           |smn$r AS (SELECT u, v FROM adjs$r WHERE v < u),
+           |mins$r AS MATERIALIZED (SELECT u, min(v) AS m FROM smn$r GROUP BY u),
+           |er$r AS MATERIALIZED (
+           |  SELECT DISTINCT a, b FROM (
+           |    SELECT s.m AS a, n.v AS b FROM smn$r n JOIN mins$r s USING (u)
+           |      WHERE n.v <> s.m
+           |    UNION ALL SELECT m, u FROM mins$r)
+           |  WHERE a <> b)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH er0 AS MATERIALIZED (
+         |  SELECT DISTINCT least(doc_id, (doc_id*31+7) % n) AS a,
+         |                  greatest(doc_id, (doc_id*31+7) % n) AS b
+         |  FROM documents, (SELECT count(*) AS n FROM documents)
+         |  WHERE doc_id <> (doc_id*31+7) % n),
+         |$rounds,
+         |lblmap AS (SELECT b AS v, min(a) AS c FROM er$iters GROUP BY b)
+         |SELECT CAST(coalesce(l.c, d.doc_id) AS BIGINT) AS component,
+         |  CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(max(d.doc_id) AS BIGINT) AS max_member
+         |FROM documents d LEFT JOIN lblmap l ON l.v = d.doc_id
+         |GROUP BY coalesce(l.c, d.doc_id)
+         |ORDER BY n_members DESC, component""".stripMargin
+    },
+
     "graph_degrees" ->
       s"""WITH e AS (
          |  $graphEdgesSql),

@@ -201,6 +201,8 @@ object SparkEntry {
     // link-graph centrality over the planted citation graph
     "graph_pagerank" -> ((s, d) => Graph.graph_pagerank(s, d)),
     "graph_hits" -> ((s, d) => Graph.graph_hits(s, d)),
+    // citation-island census via alternating large-star/small-star CC
+    "graph_cc" -> ((s, d) => Graph.graph_cc(s, d)),
     "graph_degrees" -> (Graph.graph_degrees _),
     // last-touch revenue attribution per channel
     "ev_attribution" -> (Relational.ev_attribution _),

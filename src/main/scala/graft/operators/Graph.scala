@@ -295,6 +295,101 @@ object Graph {
     * degrees come from the ONE distinct edge set; nodes missing from a
     * side count 0 there.
     */
+  /** The permutation family alone — [[graph_cc]]'s default subgraph (the
+    * "organic citation islands" left after the hub and tree-backbone
+    * families, the authority/navigation edges, are excluded). Same
+    * in-plan-count device as [[plantedEdges]].
+    */
+  private def plantedPermEdges(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val d = docs(s, dir).select(col("doc_id"))
+    val n = d.agg(count(lit(1)).as("n"))
+    val edges = d.crossJoin(broadcast(n))
+      .select(col("doc_id").as("src"),
+        pmod(col("doc_id") * 31 + 7, col("n")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    (d, edges)
+  }
+
+  /** CONNECTED COMPONENTS census via the alternating large-star /
+    * small-star algorithm (Kiveris et al. 2014, "Connected Components in
+    * MapReduce and Beyond") — the fragmentation analysis a curation
+    * pipeline runs on a citation graph after the authority hubs and
+    * navigation backbone are removed: what organic citation islands
+    * remain, and how big are they? Default subgraph = the planted
+    * permutation family ([[plantedPermEdges]]); `allFamilies = true`
+    * runs the full planted graph (one component — the connectivity pin
+    * the spec asserts).
+    *
+    * The ALGORITHM choice is the point at scale: HashMin label
+    * propagation converges in DIAMETER rounds, and the planted islands
+    * are n/4-length permutation cycles — 625 propagation rounds at
+    * sf0.1, unbounded at web scale. Alternating large-star (every
+    * node's bigger neighbors re-hook to its minimum) / small-star
+    * (smaller neighbors collapse onto the minimum) contracts every
+    * component to a star in O(log n) rounds regardless of diameter —
+    * measured: 6/8/9 rounds on the 50/500/5000-node plants; `iters`
+    * defaults to 12 (margin over every shipped SF; the spec pins that
+    * iters and iters+1 emit the identical census). Output: one row per
+    * component — (component = min member id, n_members, max_member),
+    * ordered by size then id. Pure id arithmetic on BIGINTs → full hash
+    * oracle (twin unrolls the rounds programmatically).
+    *
+    * Scale shape: per round, two groupBy/join shuffle pairs over an edge
+    * list that only SHRINKS (star edges replace paths; `distinct`
+    * bounds it by the input edge count), then one final left join +
+    * census aggregate. No driver state — the loop is `iters` fixed
+    * rounds, not a collect-and-test; lineage cut every 4th round (the
+    * pagerank discipline).
+    */
+  def graph_cc(s: SparkSession, dir: String, iters: Int = 12,
+      allFamilies: Boolean = false): DataFrame = {
+    import graft.Checkpoints.DatasetCheckpointOps
+    require(iters >= 1, s"graph_cc: iters=$iters must be >= 1")
+    val (d, e0) =
+      if (allFamilies) plantedEdges(s, dir) else plantedPermEdges(s, dir)
+    var edges = e0
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct().graftCheckpoint()
+    for (i <- 1 to iters) {
+      // large-star: every neighbor v > u re-hooks to m(u) = min(N(u) ∪ u)
+      val adjL = edges.select(col("a").as("u"), col("b").as("v"))
+        .union(edges.select(col("b").as("u"), col("a").as("v")))
+      val minL = adjL.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val lgE = adjL.join(minL, Seq("u")).filter(col("v") > col("u"))
+        .select(least(col("v"), col("m")).as("a"),
+          greatest(col("v"), col("m")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      // small-star: every neighbor v < u collapses onto min(N_<(u));
+      // u itself hooks there too
+      val adjS = lgE.select(col("a").as("u"), col("b").as("v"))
+        .union(lgE.select(col("b").as("u"), col("a").as("v")))
+      val smN = adjS.filter(col("v") < col("u"))
+      val minS = smN.groupBy("u").agg(min(col("v")).as("m"))
+      edges = smN.join(minS, Seq("u")).filter(col("v") =!= col("m"))
+        .select(col("m").as("a"), col("v").as("b"))
+        .union(minS.select(col("m").as("a"), col("u").as("b")))
+        .filter(col("a") =!= col("b")).distinct()
+        // cut EVERY round, unlike pagerank's every-4: a round references
+        // its predecessor through both adjacency orientations and both
+        // star phases (~16 subplan copies), so an uncut plan grows
+        // multiplicatively, not linearly — 3 uncut rounds already plan
+        // in the minutes
+        .graftCheckpoint()
+    }
+    // component label: a star member's root (min(a) guards the
+    // not-yet-converged case where b still carries two hooks); roots and
+    // isolated nodes label themselves
+    val lbl = edges.groupBy(col("b").as("v")).agg(min(col("a")).as("c0"))
+    d.join(lbl, d("doc_id") === lbl("v"), "left")
+      .select(col("doc_id"), coalesce(col("c0"), col("doc_id")).as("c"))
+      .groupBy("c")
+      .agg(count(lit(1)).as("n_members"), max(col("doc_id")).as("max_member"))
+      .select(col("c").as("component"), col("n_members"), col("max_member"))
+      .orderBy(col("n_members").desc, col("component"))
+  }
+
   def graph_degrees(s: SparkSession, dir: String): DataFrame = {
     val (d, edges) = plantedEdges(s, dir)
     val outdeg = edges.groupBy(col("src").as("v")).agg(count(lit(1)).as("outdeg"))

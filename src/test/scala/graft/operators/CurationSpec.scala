@@ -184,6 +184,39 @@ class CurationSpec extends AnyFunSuite {
     }.getMessage.contains("target slice"))
   }
 
+  test("samp_dsir: the Gumbel u=1 clamp and the exact key tie (the adversarial gate's plants, in-suite)") {
+    import graft.operators.TextAnalysis.log2Fp
+    // deterministic searched ids (tools/check_dsir_adversarial.py):
+    // md5('2240003|dsir42') starts fffff (the u=1 lattice point);
+    // 66 and 183 share the 5-hex prefix 25021 (the birthday pair).
+    // Pin the hash properties here so a digest change fails loudly
+    // instead of silently degrading this test to ordinary inputs.
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(md5hex("2240003|dsir42").take(5) == "fffff")
+    assert(md5hex("66|dsir42").take(5) == md5hex("183|dsir42").take(5))
+    val dir = docsDir(Seq(
+      (1L, "alpha beta alpha beta gamma", "en", "s"),
+      (3L, "delta epsilon delta epsilon", "de", "s"),
+      (2240003L, "alpha beta gamma", "en", "s"),
+      (66L, "zeta eta theta zeta", "de", "s"),   // identical text: identical
+      (183L, "zeta eta theta zeta", "de", "s"))) // lambda AND gumbel -> key tie
+    val rows = Curation.samp_dsir(spark, dir, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byId = rows.map(r => r._1 -> r).toMap
+    // u=1: a = max(1, 20<<20 - log2Fp(2^20)) clamps to 1, gumbel exactly
+    // 20<<20 - log2Fp(1) = 20<<20
+    assert(byId(2240003L)._3 == (20L << 20))
+    assert(log2Fp(1L << 20, 1L) == (20L << 20)) // the clamp's trigger value
+    // the pair ties bit-exactly on lambda, gumbel, and key; emitted order
+    // breaks to the smaller doc_id
+    assert(byId(66L)._2 == byId(183L)._2 && byId(66L)._3 == byId(183L)._3 &&
+      byId(66L)._4 == byId(183L)._4)
+    assert(rows.indexOf(byId(66L)) == rows.indexOf(byId(183L)) - 1,
+      "equal key_fp must emit the smaller doc_id first")
+  }
+
   test("dd_para: chunking is stride-aligned — the same words at a different offset do not collide") {
     val dir = docsDir(Seq(
       (1L, sixteen, "en", "s"),

@@ -131,6 +131,39 @@ class GraphSpec extends AnyFunSuite {
       "the gate must discriminate, not pass or fail everything")
   }
 
+  test("graph_cc: census equals the independently-walked permutation cycles; converged at the default iters; full graph is one component") {
+    // independent reference: walk the cycles of x -> (31x+7) mod n
+    def cycles(n: Long): Seq[(Long, Long, Long)] = {
+      val seen = scala.collection.mutable.Set.empty[Long]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      for (s0 <- 0L until n) if (!seen(s0)) {
+        val mem = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var x = s0
+        while (!seen(x)) { seen += x; mem += x; x = (31 * x + 7) % n }
+        out += ((mem.min, mem.size.toLong, mem.max))
+      }
+      out.sortBy { case (c, m, _) => (-m, c) }.toSeq
+    }
+    for (n <- Seq(20, 36)) { // 36: gcd(31,36)=1, different cycle shape
+      val dir = docsDir(n)
+      val got = Graph.graph_cc(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == cycles(n.toLong), s"n=$n census diverges from the walk")
+    }
+    // convergence margin: one more round changes nothing (the star fixed
+    // point) on the real corpus — iters=12's slack over the measured 8
+    val dir = "/root/testdata/sf0.001"
+    val at12 = Graph.graph_cc(spark, dir).collect().map(_.toSeq).toSeq
+    val at13 = Graph.graph_cc(spark, dir, iters = 13).collect().map(_.toSeq).toSeq
+    assert(at12 == at13, "census must be a fixed point at the default iters")
+    assert(at12.size > 1, "the island census must discriminate (multi-component)")
+    // the full planted graph (hubs + tree + permutation) is ONE component
+    val full = Graph.graph_cc(spark, dir, allFamilies = true).collect()
+    assert(full.length == 1 && full.head.getLong(0) == 0L,
+      "the full citation plant must be connected with root 0")
+    intercept[IllegalArgumentException](Graph.graph_cc(spark, dir, iters = 0))
+  }
+
   test("pipeline_release: funnel counts are monotone per source and the authority stage bites") {
     val dir = "/root/testdata/sf0.001"
     val rows = Curation.pipeline_release(spark, dir).collect()
