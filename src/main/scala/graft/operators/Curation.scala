@@ -1351,14 +1351,20 @@ object Curation {
         explode(shingles(col("text"), 2)).as("gram"))
       .withColumn("b", substring(md5(col("gram")), 1, hexChars))
     val stats = dsirStats(docs(s, dir), targetLang, hexChars)
-    // totals: the tx_bm25 one-driver-row pattern (2 longs, never a frame)
-    val tot = stats.agg(sum("n_raw").as("t_raw"), sum("n_tgt").as("t_tgt")).first()
-    require(!tot.isNullAt(0) && tot.getLong(0) > 0L,
-      "samp_dsir: no scoreable documents — nothing to select from")
-    require(tot.getLong(1) > 0L,
-      s"samp_dsir: target slice lang='$targetLang' is empty — the target " +
-        "feature distribution is undefined; fix the target language")
-    val constFp = log2Fp(tot.getLong(0) + b, 1L) - log2Fp(tot.getLong(1) + b, 1L)
+    // totals + smoothing constant stay IN-PLAN (the twin's tot CTE shape):
+    // a driver-side first() here would evaluate the stats census in its
+    // own extra corpus pass, while as two readers of the SAME stats
+    // aggregate the exchange is reused and the whole operator is the
+    // scaladoc'd two passes. The empty-target refusal rides in-plan too
+    // (the decon_bm25 bounded-guard device) — raise_error, not require,
+    // because the totals never visit the driver.
+    val cons = stats.agg(sum("n_raw").as("t_raw"), sum("n_tgt").as("t_tgt"))
+      .select(when(col("t_tgt").isNull || col("t_tgt") <= 0L,
+          expr(s"CAST(raise_error(concat('samp_dsir: target slice lang=" +
+            s"''$targetLang'' is empty — the target feature distribution " +
+            "is undefined; fix the target language')) AS BIGINT)"))
+        .otherwise(expr(log2FpSql(s"t_raw + ${b}L")) -
+          expr(log2FpSql(s"t_tgt + ${b}L"))).as("const_fp"))
     // per-bucket log-weights stay IN-PLAN and distributed
     val wts = stats.select(col("b"),
       (expr(log2FpSql("n_tgt + 1")) - expr(log2FpSql("n_raw + 1"))).as("wt"))
@@ -1366,7 +1372,8 @@ object Curation {
       .join(broadcast(wts), Seq("b"))
       .groupBy("doc_id")
       .agg(sum(col("c") * col("wt")).as("wsum"), sum(col("c")).as("nd"))
-      .withColumn("lambda_fp", col("wsum") + col("nd") * lit(constFp))
+      .crossJoin(broadcast(cons))
+      .withColumn("lambda_fp", col("wsum") + col("nd") * col("const_fp"))
       .withColumn("h1", conv(substring(md5(concat(
           col("doc_id").cast("string"), lit("|dsir42"))), 1, 5), 16, 10)
         .cast("long") + 1L)

@@ -689,23 +689,20 @@ object DocsStream {
         "the current snapshot")
     val sc = stream.sparkSession.sparkContext
     val bWt = sc.broadcast(weights.wt)
-    val hex = weights.hexChars
     val constFp = weights.constFp
-    val lam = udf { (gs: Seq[String]) =>
+    // the UDF is lookup-only (the perplexityGate cost shape): buckets are
+    // computed IN-PLAN by the SAME codegen'd substring(md5(gram)) the
+    // batch operator uses — bucket parity by shared expression, and no
+    // per-gram JVM digest/hex allocation in the hot ingest path
+    val lam = udf { (bs: Seq[String]) =>
       val wt = bWt.value
-      val md = java.security.MessageDigest.getInstance("MD5")
-      // same integers as the batch groupBy(doc_id, b) → Σ c·wt + n_d·const:
-      // per-gram accumulation is the same sum, order-free
       var a = 0L
-      gs.foreach { g =>
-        val b = md.digest(g.getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.take(hex)
-        a += wt.getOrElse(b, 0L)
-      }
-      a + gs.size.toLong * constFp
+      bs.foreach { b => a += wt.getOrElse(b, 0L) }
+      a + bs.size.toLong * constFp
     }
     stream.filter(col("text").isNotNull)
-      .withColumn("lambda_fp", lam(shingles(col("text"), 2)))
+      .withColumn("lambda_fp", lam(transform(shingles(col("text"), 2),
+        g => substring(md5(g), 1, weights.hexChars))))
       .filter(col("lambda_fp") >= minLambda)
   }
 
@@ -741,7 +738,7 @@ object DocsStream {
     * unconditionally, so a naively composed chain drags each stage's
     * fold — WITH the whole upstream extraction tree substituted in —
     * down to the scan and re-evaluates it per filter per row (measured
-    * 20× on the full chain: 200 s vs 13 s for sf0.1's 5 k docs;
+    * 29× on the full chain: ~200 s vs ~7 s for sf0.1's 5 k docs;
     * ChainProbe's prefix rows). Catalyst cannot push a predicate or
     * collapse a projection across CollectMetrics (either would corrupt
     * the observed counts), so each stage's derived columns are computed

@@ -179,8 +179,10 @@ class CurationSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException] {
       Curation.samp_dsir(spark, dir, hexChars = 0)
     }.getMessage.contains("hexChars"))
-    assert(intercept[IllegalArgumentException] {
-      Curation.samp_dsir(spark, dir, targetLang = "xx")
+    // the empty-target refusal is IN-PLAN (raise_error — the totals never
+    // visit the driver), so it surfaces at action time, not construction
+    assert(intercept[Exception] {
+      Curation.samp_dsir(spark, dir, targetLang = "xx").collect()
     }.getMessage.contains("target slice"))
   }
 

@@ -181,9 +181,13 @@ class PlanShapeSpec extends AnyFunSuite {
       "ann_sq", // coded corpus × 8 broadcast query code rows — the
                 // ann_bruteforce shape on int8 codes
       "graph_pagerank", "graph_hits", "graph_degrees", "graph_domains",
-      "pipeline_release") // node spine × the broadcast 1-row corpus count
+      "pipeline_release", // node spine × the broadcast 1-row corpus count
                 // that parameterizes the edge plant (pipeline_release
                 // inherits it through its domainAuthority stage)
+      "samp_dsir") // scored docs × the broadcast 1-row smoothing-constant
+                // aggregate (the twin's tot CTE shape — in-plan so the
+                // stats census is exchange-reused instead of re-scanned
+                // for a driver-side first())
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, dir).queryExecution.sparkPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
