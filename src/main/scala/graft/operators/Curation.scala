@@ -1324,6 +1324,67 @@ object Curation {
       hexChars)
   }
 
+  /** PERSIST the DSIR weight table — the production artifact step the
+    * gate's restart-to-retrain contract presumes (the
+    * [[graft.operators.TextAnalysis.writeLangidWeights]] discipline):
+    * train once per corpus snapshot, write the (bucket, weight) table
+    * next to the snapshot, ship the loaded [[DsirWeights]] to the ingest
+    * tier. The smoothing constant and the bucket width ride as sentinel
+    * rows (`__const__`, `__hexchars__` — real buckets are 1–5 lowercase
+    * hex chars, so the sentinels cannot collide). Write-then-swap
+    * ([[graft.AtomicSwap]]): only a complete artifact replaces the live
+    * one.
+    */
+  def writeDsirWeights(s: SparkSession, dir: String, path: String,
+      targetLang: String = dsirTargetLang,
+      hexChars: Int = dsirHexChars): Unit = {
+    import s.implicits._
+    val w = dsirGateArtifact(s, dir, targetLang, hexChars)
+    val df = (w.wt.toSeq.sortBy(_._1) ++
+        Seq(("__const__", w.constFp), ("__hexchars__", w.hexChars.toLong)))
+      .toDF("bucket", "weight")
+    val dest = new org.apache.hadoop.fs.Path(path)
+    val fs = dest.getFileSystem(s.sparkContext.hadoopConfiguration)
+    graft.AtomicSwap.writeThenSwap(fs, dest, "writeDsirWeights") { staging =>
+      df.write.mode("overwrite").parquet(staging.toString)
+    }
+  }
+
+  /** Load a [[writeDsirWeights]] artifact back into the [[DsirWeights]]
+    * the streaming gate consumes. Fails loudly on a malformed table — a
+    * truncated weight set would silently shift every document's λ toward
+    * the smoothed zero, and a lost sentinel row would leave the gate
+    * without its smoothing constant or bucket width.
+    */
+  def readDsirWeights(s: SparkSession, path: String): DsirWeights = {
+    val rows = s.read.parquet(path).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val m = rows.toMap
+    require(rows.length == m.size,
+      s"readDsirWeights: $path carries duplicate bucket rows — the " +
+        "artifact is corrupt")
+    for (sentinel <- Seq("__const__", "__hexchars__"))
+      require(m.contains(sentinel),
+        s"readDsirWeights: $path has no '$sentinel' row — the artifact " +
+          "is truncated or from an incompatible version")
+    val hex = m("__hexchars__")
+    require(hex >= 1L && hex <= 5L,
+      s"readDsirWeights: $path declares hexChars=$hex — expected 1..5; " +
+        "the artifact is corrupt or from an incompatible version")
+    val wt = m - "__const__" - "__hexchars__"
+    require(wt.nonEmpty,
+      s"readDsirWeights: $path carries no weight rows — the artifact is " +
+        "truncated")
+    val bad = wt.keys.filterNot(b =>
+      b.length == hex.toInt && b.forall(c => (c >= '0' && c <= '9') ||
+        (c >= 'a' && c <= 'f')))
+    require(bad.isEmpty,
+      s"readDsirWeights: $path carries buckets ${bad.take(3).mkString(",")} " +
+        s"that are not $hex-char lowercase hex — the artifact is corrupt " +
+        "or was trained at a different bucket width")
+    DsirWeights(wt, m("__const__"), hex.toInt)
+  }
+
   /** (b, n_raw, n_tgt) bucket census — the ONE feature/count definition
     * shared by [[samp_dsir]] and [[dsirGateArtifact]] so the batch screen
     * and the gate artifact cannot bucket or count differently.

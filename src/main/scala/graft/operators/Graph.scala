@@ -357,10 +357,14 @@ object Graph {
         .union(edges.select(col("b").as("u"), col("a").as("v")))
       val minL = adjL.groupBy("u").agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("u"), col("mv")).as("m"))
+      // no distinct here: duplicate (a, b) rows cannot change any min
+      // downstream and the round-end distinct canonicalizes — the twin
+      // keeps its DISTINCT (different intermediate, same output), and
+      // dropping this one saves a full shuffle per round
       val lgE = adjL.join(minL, Seq("u")).filter(col("v") > col("u"))
         .select(least(col("v"), col("m")).as("a"),
           greatest(col("v"), col("m")).as("b"))
-        .filter(col("a") =!= col("b")).distinct()
+        .filter(col("a") =!= col("b"))
       // small-star: every neighbor v < u collapses onto min(N_<(u));
       // u itself hooks there too
       val adjS = lgE.select(col("a").as("u"), col("b").as("v"))

@@ -219,6 +219,48 @@ class CurationSpec extends AnyFunSuite {
       "equal key_fp must emit the smaller doc_id first")
   }
 
+  test("dsir weight artifact: round-trips exactly; corrupt, truncated, and width-mismatched tables refuse") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val path = java.nio.file.Files.createTempDirectory("dsirart").toString + "/w"
+    Curation.writeDsirWeights(spark, dir, path)
+    val fresh = Curation.dsirGateArtifact(spark, dir)
+    val loaded = Curation.readDsirWeights(spark, path)
+    assert(loaded == fresh, "persisted weights must round-trip bit-exactly")
+    // overwrite is a swap, not a delete-then-write: a second write over
+    // the live artifact leaves a loadable table
+    Curation.writeDsirWeights(spark, dir, path)
+    assert(Curation.readDsirWeights(spark, path) == fresh)
+    def writeRaw(rows: Seq[(String, Long)], p: String): String = {
+      rows.toDF("bucket", "weight").coalesce(1)
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+    val base = java.nio.file.Files.createTempDirectory("dsirbad").toString
+    // lost sentinel
+    intercept[IllegalArgumentException] {
+      Curation.readDsirWeights(spark,
+        writeRaw(Seq(("abc", 1L), ("__hexchars__", 3L)), s"$base/nosent"))
+    }
+    // no weight rows (truncated to sentinels only)
+    intercept[IllegalArgumentException] {
+      Curation.readDsirWeights(spark,
+        writeRaw(Seq(("__const__", 5L), ("__hexchars__", 3L)), s"$base/empty"))
+    }
+    // bucket width disagrees with the declared hexChars
+    intercept[IllegalArgumentException] {
+      Curation.readDsirWeights(spark,
+        writeRaw(Seq(("abcd", 1L), ("__const__", 5L), ("__hexchars__", 3L)),
+          s"$base/width"))
+    }
+    // out-of-range declared width
+    intercept[IllegalArgumentException] {
+      Curation.readDsirWeights(spark,
+        writeRaw(Seq(("abc", 1L), ("__const__", 5L), ("__hexchars__", 9L)),
+          s"$base/hex9"))
+    }
+  }
+
   test("dd_para: chunking is stride-aligned — the same words at a different offset do not collide") {
     val dir = docsDir(Seq(
       (1L, sixteen, "en", "s"),
