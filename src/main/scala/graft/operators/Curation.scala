@@ -1419,11 +1419,16 @@ object Curation {
     // scaladoc'd two passes. The empty-target refusal rides in-plan too
     // (the decon_bm25 bounded-guard device) — raise_error, not require,
     // because the totals never visit the driver.
+    // Column-form raise_error (the bm25Gate spelling) — targetLang never
+    // enters a SQL string, so a quote in it cannot break parsing
     val cons = stats.agg(sum("n_raw").as("t_raw"), sum("n_tgt").as("t_tgt"))
-      .select(when(col("t_tgt").isNull || col("t_tgt") <= 0L,
-          expr(s"CAST(raise_error(concat('samp_dsir: target slice lang=" +
-            s"''$targetLang'' is empty — the target feature distribution " +
-            "is undefined; fix the target language')) AS BIGINT)"))
+      .select(when(col("t_raw").isNull || col("t_raw") <= 0L,
+          raise_error(lit("samp_dsir: no scoreable documents — nothing " +
+            "to select from")).cast("long"))
+        .when(col("t_tgt").isNull || col("t_tgt") <= 0L,
+          raise_error(lit(s"samp_dsir: target slice lang='$targetLang' " +
+            "is empty — the target feature distribution is undefined; " +
+            "fix the target language")).cast("long"))
         .otherwise(expr(log2FpSql(s"t_raw + ${b}L")) -
           expr(log2FpSql(s"t_tgt + ${b}L"))).as("const_fp"))
     // per-bucket log-weights stay IN-PLAN and distributed

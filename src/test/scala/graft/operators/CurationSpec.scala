@@ -259,6 +259,12 @@ class CurationSpec extends AnyFunSuite {
         writeRaw(Seq(("abc", 1L), ("__const__", 5L), ("__hexchars__", 9L)),
           s"$base/hex9"))
     }
+    // duplicate bucket rows (a merged/partially-rewritten artifact)
+    intercept[IllegalArgumentException] {
+      Curation.readDsirWeights(spark,
+        writeRaw(Seq(("abc", 1L), ("abc", 2L), ("__const__", 5L),
+          ("__hexchars__", 3L)), s"$base/dup"))
+    }
   }
 
   test("dd_para: chunking is stride-aligned — the same words at a different offset do not collide") {
