@@ -1411,14 +1411,21 @@ object Curation {
       .select(col("doc_id"),
         explode(shingles(col("text"), 2)).as("gram"))
       .withColumn("b", substring(md5(col("gram")), 1, hexChars))
-    val stats = dsirStats(docs(s, dir), targetLang, hexChars)
-    // totals + smoothing constant stay IN-PLAN (the twin's tot CTE shape):
-    // a driver-side first() here would evaluate the stats census in its
-    // own extra corpus pass, while as two readers of the SAME stats
-    // aggregate the exchange is reused and the whole operator is the
-    // scaladoc'd two passes. The empty-target refusal rides in-plan too
-    // (the decon_bm25 bounded-guard device) — raise_error, not require,
-    // because the totals never visit the driver.
+    // the bucket census is materialized ONCE (lineage cut — the pagerank
+    // façade device): it has two consumers (the per-bucket weights and
+    // the totals/constant aggregate), and without the cut each consumer
+    // re-runs the corpus-sized explode+aggregate inside the final plan
+    // (measured: zero AQE stage reuse across the two subtrees). The
+    // checkpointed frame is 16^hexChars rows — the materialization job
+    // IS the census, paid exactly once.
+    val stats = {
+      import graft.Checkpoints.DatasetCheckpointOps
+      dsirStats(docs(s, dir), targetLang, hexChars).graftCheckpoint()
+    }
+    // totals + smoothing constant stay IN-PLAN (the twin's tot CTE
+    // shape); the empty-target refusal rides in-plan too (the decon_bm25
+    // bounded-guard device) — raise_error, not require, because the
+    // totals never visit the driver.
     // Column-form raise_error (the bm25Gate spelling) — targetLang never
     // enters a SQL string, so a quote in it cannot break parsing
     val cons = stats.agg(sum("n_raw").as("t_raw"), sum("n_tgt").as("t_tgt"))
