@@ -1441,8 +1441,15 @@ object Curation {
     // per-bucket log-weights stay IN-PLAN and distributed
     val wts = stats.select(col("b"),
       (expr(log2FpSql("n_tgt + 1")) - expr(log2FpSql("n_raw + 1"))).as("wt"))
+    // broadcast only while the bucket table is provably small: 16^5 ≈ 1M
+    // rows × ~24 B is comfortably under Spark's broadcast limits, but
+    // hexChars 6–7 (up to 16^7 ≈ 268M observed buckets on a diverse
+    // corpus) could OOM the driver under a forced hint — there AQE picks
+    // the strategy from the census's real size (the gate artifact caps
+    // hexChars at 5 for the same reason).
+    val wtsSide = if (hexChars <= 5) broadcast(wts) else wts
     grams.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
-      .join(broadcast(wts), Seq("b"))
+      .join(wtsSide, Seq("b"))
       .groupBy("doc_id")
       .agg(sum(col("c") * col("wt")).as("wsum"), sum(col("c")).as("nd"))
       .crossJoin(broadcast(cons))

@@ -340,6 +340,15 @@ object Graph {
     * census aggregate. No driver state — the loop is `iters` fixed
     * rounds, not a collect-and-test; lineage cut every 4th round (the
     * pagerank discipline).
+    *
+    * iters=12 is a margin over the SHIPPED corpora, not a universal
+    * bound — on a graph orders larger, a fixed round count could stop
+    * short and silently under-merge. So after the loop one extra round
+    * runs as a VERIFICATION pass: at the star fixed point both phases
+    * are no-ops, and any edge-set change raises IllegalStateException
+    * naming the shortfall instead of emitting a wrong census. The check
+    * is two set-differences over the final (star-sized, ≈n-row) edge
+    * list — one extra round's cost buys loud divergence at any scale.
     */
   def graph_cc(s: SparkSession, dir: String, iters: Int = 12,
       allFamilies: Boolean = false): DataFrame = {
@@ -347,11 +356,9 @@ object Graph {
     require(iters >= 1, s"graph_cc: iters=$iters must be >= 1")
     val (d, e0) =
       if (allFamilies) plantedEdges(s, dir) else plantedPermEdges(s, dir)
-    var edges = e0
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .distinct().graftCheckpoint()
-    for (i <- 1 to iters) {
+    // one alternating large-star/small-star round (canonical a<b edges in,
+    // canonical distinct edges out)
+    def round(edges: DataFrame): DataFrame = {
       // large-star: every neighbor v > u re-hooks to m(u) = min(N(u) ∪ u)
       val adjL = edges.select(col("a").as("u"), col("b").as("v"))
         .union(edges.select(col("b").as("u"), col("a").as("v")))
@@ -371,17 +378,32 @@ object Graph {
         .union(lgE.select(col("b").as("u"), col("a").as("v")))
       val smN = adjS.filter(col("v") < col("u"))
       val minS = smN.groupBy("u").agg(min(col("v")).as("m"))
-      edges = smN.join(minS, Seq("u")).filter(col("v") =!= col("m"))
+      smN.join(minS, Seq("u")).filter(col("v") =!= col("m"))
         .select(col("m").as("a"), col("v").as("b"))
         .union(minS.select(col("m").as("a"), col("u").as("b")))
         .filter(col("a") =!= col("b")).distinct()
-        // cut EVERY round, unlike pagerank's every-4: a round references
-        // its predecessor through both adjacency orientations and both
-        // star phases (~16 subplan copies), so an uncut plan grows
-        // multiplicatively, not linearly — 3 uncut rounds already plan
-        // in the minutes
-        .graftCheckpoint()
     }
+    var edges = e0
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct().graftCheckpoint()
+    for (_ <- 1 to iters) {
+      // cut EVERY round, unlike pagerank's every-4: a round references
+      // its predecessor through both adjacency orientations and both
+      // star phases (~16 subplan copies), so an uncut plan grows
+      // multiplicatively, not linearly — 3 uncut rounds already plan
+      // in the minutes
+      edges = round(edges).graftCheckpoint()
+    }
+    // fixed-point verification: a (iters+1)-th round must change nothing
+    val extra = round(edges)
+    val drift = extra.except(edges).union(edges.except(extra)).limit(1).count()
+    if (drift != 0)
+      throw new IllegalStateException(
+        s"graph_cc: not converged after iters=$iters rounds — the " +
+          "verification round still changed the edge set; the graph needs " +
+          "more rounds than the default margin (pass a larger iters, " +
+          "~ceil(log2 n) + slack)")
     // component label: a star member's root (min(a) guards the
     // not-yet-converged case where b still carries two hooks); roots and
     // isolated nodes label themselves

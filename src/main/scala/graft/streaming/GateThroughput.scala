@@ -34,7 +34,13 @@ object GateThroughput {
           graft.sources.Tables.scratchDir("graftdocstream", dir))
         val link = staged.resolve("documents.parquet")
         if (!java.nio.file.Files.exists(link))
-          java.nio.file.Files.createSymbolicLink(link, docsPath.toAbsolutePath)
+          try java.nio.file.Files.createSymbolicLink(link, docsPath.toAbsolutePath)
+          catch {
+            // two drives staging the same dir concurrently (ChainThroughput
+            // shares the memoized scratch dir) can race exists→create;
+            // the loser's link is the same target, so losing is success
+            case _: java.nio.file.FileAlreadyExistsException => ()
+          }
         staged
       }
     streamDir.toString

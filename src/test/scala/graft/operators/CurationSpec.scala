@@ -219,6 +219,22 @@ class CurationSpec extends AnyFunSuite {
       "equal key_fp must emit the smaller doc_id first")
   }
 
+  test("samp_dsir: hexChars>5 drops the broadcast hint (AQE picks) and still selects") {
+    val dir = "/root/testdata/sf0.001"
+    // up to 16^6 observed buckets can exceed broadcast limits — the
+    // bucket-weight hint must be absent so AQE sizes the join from the
+    // real census; only the provably-1-row smoothing-constant hint stays
+    def hints(hexChars: Int) = Curation
+      .samp_dsir(spark, dir, hexChars = hexChars, k = 5)
+      .queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.size
+    assert(hints(3) == 2, "small feature space keeps both broadcast hints")
+    assert(hints(6) == 1, "hexChars=6 must drop the bucket-weight hint")
+    val rows = Curation.samp_dsir(spark, dir, hexChars = 6, k = 5).collect()
+    assert(rows.length == 5 && rows.map(_.getLong(0)).distinct.length == 5)
+  }
+
   test("dsir weight artifact: round-trips exactly; corrupt, truncated, and width-mismatched tables refuse") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
