@@ -435,6 +435,41 @@ object OracleSql {
     * fixed-point integer component sums. `eu` is the per-(vec, pos)
     * quantized component table every update round joins.
     */
+  /** The samp_kcenter / samp_kcenter_fast twin (both spellings emit the
+    * identical frame): the k−1 greedy farthest-point rounds unrolled
+    * programmatically, argmax over min-squared-distance, ties to the
+    * smaller vec_id, radius floor(d·2^20) AFTER selection.
+    */
+  private val kcenterTwin: String = {
+    val k = graft.operators.Clustering.kcenterK
+    val distSql =
+      """list_sum(list_transform(list_zip(e.embedding, c.embedding),
+        |        p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+        |           * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))""".stripMargin
+    val rounds = (2 to k).map { r =>
+      s"""sel$r AS MATERIALIZED (
+         |  SELECT CAST($r AS BIGINT) AS round, vec_id, embedding,
+         |    CAST(floor(mind * 1048576.0) AS BIGINT) AS radius_fp
+         |  FROM (
+         |    SELECT e.vec_id, e.embedding,
+         |      min($distSql) AS mind
+         |    FROM embeddings e, cen${r - 1} c
+         |    WHERE e.embedding IS NOT NULL
+         |      AND e.vec_id NOT IN (SELECT vec_id FROM cen${r - 1})
+         |    GROUP BY e.vec_id, e.embedding)
+         |  ORDER BY mind DESC, vec_id LIMIT 1),
+         |cen$r AS (SELECT * FROM cen${r - 1} UNION ALL SELECT * FROM sel$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH sel1 AS MATERIALIZED (
+       |  SELECT CAST(1 AS BIGINT) AS round, vec_id, embedding,
+       |    CAST(NULL AS BIGINT) AS radius_fp
+       |  FROM embeddings WHERE embedding IS NOT NULL
+       |  ORDER BY vec_id LIMIT 1),
+       |cen1 AS (SELECT * FROM sel1),
+       |$rounds
+       |SELECT round, vec_id, radius_fp FROM cen$k ORDER BY round""".stripMargin
+  }
+
   private def kmeansCoreCtes(k: Int, iters: Int): String = {
     val head =
       s"""c0 AS MATERIALIZED (
@@ -2264,35 +2299,12 @@ object OracleSql {
     // floor(d·2^20). Selected rows are excluded from later argmaxes, and
     // the seed (lowest vec_id, the initCentroids convention) carries a
     // NULL radius.
-    "samp_kcenter" -> {
-      val k = graft.operators.Clustering.kcenterK
-      val distSql =
-        """list_sum(list_transform(list_zip(e.embedding, c.embedding),
-          |        p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
-          |           * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))""".stripMargin
-      val rounds = (2 to k).map { r =>
-        s"""sel$r AS MATERIALIZED (
-           |  SELECT CAST($r AS BIGINT) AS round, vec_id, embedding,
-           |    CAST(floor(mind * 1048576.0) AS BIGINT) AS radius_fp
-           |  FROM (
-           |    SELECT e.vec_id, e.embedding,
-           |      min($distSql) AS mind
-           |    FROM embeddings e, cen${r - 1} c
-           |    WHERE e.embedding IS NOT NULL
-           |      AND e.vec_id NOT IN (SELECT vec_id FROM cen${r - 1})
-           |    GROUP BY e.vec_id, e.embedding)
-           |  ORDER BY mind DESC, vec_id LIMIT 1),
-           |cen$r AS (SELECT * FROM cen${r - 1} UNION ALL SELECT * FROM sel$r)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH sel1 AS MATERIALIZED (
-         |  SELECT CAST(1 AS BIGINT) AS round, vec_id, embedding,
-         |    CAST(NULL AS BIGINT) AS radius_fp
-         |  FROM embeddings WHERE embedding IS NOT NULL
-         |  ORDER BY vec_id LIMIT 1),
-         |cen1 AS (SELECT * FROM sel1),
-         |$rounds
-         |SELECT round, vec_id, radius_fp FROM cen$k ORDER BY round""".stripMargin
-    },
+    "samp_kcenter" -> kcenterTwin,
+
+    // `Clustering.samp_kcenter_fast` emits the identical frame (the
+    // running-min spelling is bit-parity by construction), so it shares
+    // the twin verbatim
+    "samp_kcenter_fast" -> kcenterTwin,
 
     // `Clustering.embed_pq`'s twin — per-subspace Lloyd with the SAME
     // round template, the subspace as a plain dimension (one assignment /

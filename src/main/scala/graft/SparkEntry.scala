@@ -196,6 +196,7 @@ object SparkEntry {
     "embed_rp" -> ((s, d) => Clustering.embed_rp(s, d)),
     // greedy k-center coreset selection (farthest-point traversal)
     "samp_kcenter" -> ((s, d) => Clustering.samp_kcenter(s, d)),
+    "samp_kcenter_fast" -> ((s, d) => Clustering.samp_kcenter_fast(s, d)),
     // CSV round trip certified against the parquet originals
     "src_csv" -> (graft.sources.Csv.src_csv _),
     // link-graph centrality over the planted citation graph

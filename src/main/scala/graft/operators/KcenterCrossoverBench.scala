@@ -1,0 +1,42 @@
+package graft.operators
+
+/** Break-even evidence for the two [[Clustering.samp_kcenter]] spellings
+  * (the scaladoc's claim, measured instead of asserted): the façade
+  * re-minimizes every point against the WHOLE selected set each round —
+  * O(n·k²) distance work, zero per-round materialization — while
+  * [[Clustering.samp_kcenter_fast]] persists a per-point running min —
+  * O(n·k) distance work at one lineage-cut materialization per round.
+  * At façade k the checkpoint overhead dominates and the simple shape
+  * wins; as k grows the quadratic distance term must cross it. This main
+  * measures both at a ladder of k on the same corpus and prints one JSON
+  * line per rung (warm second rep per rung; both spellings emit the
+  * bit-identical frame, asserted per rung before timing is trusted).
+  *
+  * Usage: `tools/run.sh graft.operators.KcenterCrossoverBench [embDir]
+  * [ks]` (defaults sf0.1, `8,16,32,64`).
+  */
+object KcenterCrossoverBench {
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val ks = args.lift(1).getOrElse("8,16,32,64")
+      .split(",").toSeq.map(_.trim.toInt)
+    val spark = graft.DriverSession.build(defaultCpus = "32")
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    for (k <- ks) {
+      val facade = Clustering.samp_kcenter(spark, dir, k).collect().toSeq
+      val fast = Clustering.samp_kcenter_fast(spark, dir, k).collect().toSeq
+      require(facade == fast,
+        s"kcenter crossover: spellings diverge at k=$k — timing a wrong " +
+          "answer is meaningless")
+      val tFacade = time(Clustering.samp_kcenter(spark, dir, k).collect())
+      val tFast = time(Clustering.samp_kcenter_fast(spark, dir, k).collect())
+      println(s"""{"metric":"kcenter_crossover","k":$k,""" +
+        s""""facade_sec":$tFacade,"fast_sec":$tFast}""")
+    }
+    spark.stop()
+  }
+}

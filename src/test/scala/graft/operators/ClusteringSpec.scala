@@ -163,4 +163,34 @@ class ClusteringSpec extends AnyFunSuite {
       Clustering.samp_kcenter(spark, dir1, k = 6) // 5 non-null vectors
     }.getMessage.contains("exceeds"))
   }
+
+  test("samp_kcenter_fast: the running-min spelling is frame-equal to the re-min façade, ties included") {
+    import spark.implicits._
+    def embDir(rows: Seq[(Long, Seq[Float])]): String = {
+      val d = java.nio.file.Files.createTempDirectory("graftkcf").toString
+      rows.map { case (id, e) => (id, e, "l") }
+        .toDF("vec_id", "embedding", "label")
+        .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+      d
+    }
+    // the planted tie geometry (ids 3 and 4 both at d²=4) must break the
+    // same way through the persisted running min as through the per-round
+    // re-min — the argmax struct is shared, but a dmin drift would surface
+    // exactly here
+    val dir1 = embDir(Seq(
+      0L -> Seq(0f), 1L -> Seq(10f), 2L -> Seq(5f), 3L -> Seq(2f),
+      4L -> Seq(8f), 5L -> (null: Seq[Float])))
+    assert(Clustering.samp_kcenter_fast(spark, dir1, k = 5).collect().toSeq ==
+      Clustering.samp_kcenter(spark, dir1, k = 5).collect().toSeq)
+    // full-frame parity on the real corpus at the façade k
+    assert(Clustering.samp_kcenter_fast(spark, dir).collect().toSeq ==
+      Clustering.samp_kcenter(spark, dir).collect().toSeq)
+    // guards mirror the façade's
+    assert(intercept[IllegalArgumentException] {
+      Clustering.samp_kcenter_fast(spark, dir1, k = 1)
+    }.getMessage.contains("k=1"))
+    assert(intercept[IllegalArgumentException] {
+      Clustering.samp_kcenter_fast(spark, dir1, k = 6)
+    }.getMessage.contains("exceeds"))
+  }
 }
