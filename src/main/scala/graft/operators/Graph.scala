@@ -343,12 +343,14 @@ object Graph {
     *
     * iters=12 is a margin over the SHIPPED corpora, not a universal
     * bound — on a graph orders larger, a fixed round count could stop
-    * short and silently under-merge. So after the loop one extra round
-    * runs as a VERIFICATION pass: at the star fixed point both phases
-    * are no-ops, and any edge-set change raises IllegalStateException
-    * naming the shortfall instead of emitting a wrong census. The check
-    * is two set-differences over the final (star-sized, ≈n-row) edge
-    * list — one extra round's cost buys loud divergence at any scale.
+    * short and silently under-merge. So the loop VERIFIES its own
+    * convergence: the last round must already have been a no-op (at the
+    * star fixed point both phases are identities, so round iters−1 ==
+    * round iters proves the fixed point with one round of margin), else
+    * IllegalStateException names the shortfall instead of emitting a
+    * wrong census. The check is one signed-union aggregate over the two
+    * final (already-checkpointed, star-sized) edge lists — loud
+    * divergence at any scale for one cheap job, no extra round computed.
     */
   def graph_cc(s: SparkSession, dir: String, iters: Int = 12,
       allFamilies: Boolean = false): DataFrame = {
@@ -387,23 +389,32 @@ object Graph {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct().graftCheckpoint()
+    var prev = edges
     for (_ <- 1 to iters) {
       // cut EVERY round, unlike pagerank's every-4: a round references
       // its predecessor through both adjacency orientations and both
       // star phases (~16 subplan copies), so an uncut plan grows
       // multiplicatively, not linearly — 3 uncut rounds already plan
       // in the minutes
+      prev = edges
       edges = round(edges).graftCheckpoint()
     }
-    // fixed-point verification: a (iters+1)-th round must change nothing
-    val extra = round(edges)
-    val drift = extra.except(edges).union(edges.except(extra)).limit(1).count()
+    // fixed-point verification: the LAST loop round must already have
+    // been a no-op (prev == edges ⟹ edges is the star fixed point, with
+    // one round of margin to spare). Both sides are already-checkpointed
+    // distinct sets, so the check is ONE signed-union aggregate — no
+    // extra star round is ever computed — and any (a, b) with a nonzero
+    // sign sum is in exactly one of them.
+    val drift = edges.select(col("a"), col("b"), lit(1L).as("s"))
+      .unionAll(prev.select(col("a"), col("b"), lit(-1L).as("s")))
+      .groupBy("a", "b").agg(sum(col("s")).as("s"))
+      .filter(col("s") =!= 0L).limit(1).count()
     if (drift != 0)
       throw new IllegalStateException(
-        s"graph_cc: not converged after iters=$iters rounds — the " +
-          "verification round still changed the edge set; the graph needs " +
-          "more rounds than the default margin (pass a larger iters, " +
-          "~ceil(log2 n) + slack)")
+        s"graph_cc: round $iters still changed the edge set — convergence " +
+          "within the iters margin is unproven; the graph needs more " +
+          "rounds than the default (pass a larger iters, ~ceil(log2 n) " +
+          "+ slack)")
     // component label: a star member's root (min(a) guards the
     // not-yet-converged case where b still carries two hooks); roots and
     // isolated nodes label themselves
