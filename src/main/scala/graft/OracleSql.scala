@@ -428,13 +428,6 @@ object OracleSql {
        |$rounds""".stripMargin
   }
 
-  /** `Clustering.kmeansRounds` unrolled: c0 = the k lowest-vec_id vectors
-    * (RNG-free init, floats cast exactly to DOUBLE); round i assigns
-    * against c(i-1) (struct-min = min distance, ties to the lowest cluster
-    * — the VecNearest contract) and, for i < iters, rebuilds c(i) from the
-    * fixed-point integer component sums. `eu` is the per-(vec, pos)
-    * quantized component table every update round joins.
-    */
   /** The samp_kcenter / samp_kcenter_fast twin (both spellings emit the
     * identical frame): the k−1 greedy farthest-point rounds unrolled
     * programmatically, argmax over min-squared-distance, ties to the
@@ -470,6 +463,13 @@ object OracleSql {
        |SELECT round, vec_id, radius_fp FROM cen$k ORDER BY round""".stripMargin
   }
 
+  /** `Clustering.kmeansRounds` unrolled: c0 = the k lowest-vec_id vectors
+    * (RNG-free init, floats cast exactly to DOUBLE); round i assigns
+    * against c(i-1) (struct-min = min distance, ties to the lowest cluster
+    * — the VecNearest contract) and, for i < iters, rebuilds c(i) from the
+    * fixed-point integer component sums. `eu` is the per-(vec, pos)
+    * quantized component table every update round joins.
+    */
   private def kmeansCoreCtes(k: Int, iters: Int): String = {
     val head =
       s"""c0 AS MATERIALIZED (

@@ -215,28 +215,57 @@ object Clustering {
     * reference form the twin unrolls.
     */
   def samp_kcenter(s: SparkSession, dir: String, k: Int = kcenterK): DataFrame = {
-    require(k >= 2, s"samp_kcenter: k=$k — need at least the seed and one round")
-    val e = emb(s, dir).filter(col("embedding").isNotNull)
-      .select(col("vec_id"), col("embedding"))
-    val n = e.count()
-    require(n >= k,
-      s"samp_kcenter: k=$k exceeds the $n scoreable vectors — every point " +
-        "is selected by round n and further rounds have no argmax")
-    val seed = e.orderBy("vec_id").limit(1)
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).head
+    val (e, seed) = kcenterSeed(s, dir, k, "samp_kcenter")
     var selected = Vector((seed._1, seed._2, Option.empty[Long]))
     for (_ <- 2 to k) {
       val centers = selected.map(_._2).toSeq
       val d = graft.functions.VecNearest.nearest(col("embedding"), centers)
         .getField("d")
-      val top = e.filter(!col("vec_id").isInCollection(selected.map(_._1)))
-        .agg(max(struct(d.as("d"), (-col("vec_id")).as("negid"),
-          col("embedding").as("emb"))).as("m"))
-        .select(col("m.d"), col("m.negid"), col("m.emb"))
-        .first()
-      selected :+= ((-top.getLong(1), top.getSeq[Float](2).map(_.toDouble).toSeq,
-        Some(math.floor(top.getDouble(0) * (1L << 20)).toLong)))
+      selected :+= kcenterArgmax(e, d, selected.map(_._1))
     }
+    kcenterEmit(s, selected)
+  }
+
+  /** Shared k-center prologue: scoreable vectors, both param guards, and
+    * the lowest-vec_id seed decoded once — ONE copy so the two spellings
+    * (whose outputs share a single DuckDB twin) cannot drift apart on the
+    * contract edges.
+    */
+  private def kcenterSeed(s: SparkSession, dir: String, k: Int,
+      op: String): (DataFrame, (Long, Seq[Double])) = {
+    require(k >= 2, s"$op: k=$k — need at least the seed and one round")
+    val e = emb(s, dir).filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    require(n >= k,
+      s"$op: k=$k exceeds the $n scoreable vectors — every point " +
+        "is selected by round n and further rounds have no argmax")
+    val seed = e.orderBy("vec_id").limit(1)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).head
+    (e, seed)
+  }
+
+  /** Shared k-center argmax round: farthest unselected point by the given
+    * distance column, ties to the smaller vec_id via the (d, −vec_id)
+    * struct max, radius quantized ⌊2²⁰·d²⌋ AFTER selection.
+    */
+  private def kcenterArgmax(frame: DataFrame,
+      d: org.apache.spark.sql.Column,
+      selectedIds: Seq[Long]): (Long, Seq[Double], Option[Long]) = {
+    val top = frame.filter(!col("vec_id").isInCollection(selectedIds))
+      .agg(max(struct(d.as("d"), (-col("vec_id")).as("negid"),
+        col("embedding").as("emb"))).as("m"))
+      .select(col("m.d"), col("m.negid"), col("m.emb"))
+      .first()
+    (-top.getLong(1), top.getSeq[Float](2).map(_.toDouble).toSeq,
+      Some(math.floor(top.getDouble(0) * (1L << 20)).toLong))
+  }
+
+  /** Shared k-center emission: (round, vec_id, radius_fp) in selection
+    * order — the frame shape the twin pins.
+    */
+  private def kcenterEmit(s: SparkSession,
+      selected: Vector[(Long, Seq[Double], Option[Long])]): DataFrame = {
     import s.implicits._
     selected.zipWithIndex
       .map { case ((id, _, r), i) => (i + 1L, id, r) }
@@ -265,37 +294,20 @@ object Clustering {
     */
   def samp_kcenter_fast(s: SparkSession, dir: String, k: Int = kcenterK): DataFrame = {
     import graft.Checkpoints.DatasetCheckpointOps
-    require(k >= 2, s"samp_kcenter_fast: k=$k — need at least the seed and one round")
-    val e = emb(s, dir).filter(col("embedding").isNotNull)
-      .select(col("vec_id"), col("embedding"))
-    val n = e.count()
-    require(n >= k,
-      s"samp_kcenter_fast: k=$k exceeds the $n scoreable vectors — every " +
-        "point is selected by round n and further rounds have no argmax")
-    val seed = e.orderBy("vec_id").limit(1)
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).head
+    val (e, seed) = kcenterSeed(s, dir, k, "samp_kcenter_fast")
     var selected = Vector((seed._1, seed._2, Option.empty[Long]))
     def dTo(center: Seq[Double]) =
       graft.functions.VecNearest.nearest(col("embedding"), Seq(center))
         .getField("d")
     var state = e.withColumn("dmin", dTo(seed._2)).graftCheckpoint()
     for (round <- 2 to k) {
-      val top = state.filter(!col("vec_id").isInCollection(selected.map(_._1)))
-        .agg(max(struct(col("dmin").as("d"), (-col("vec_id")).as("negid"),
-          col("embedding").as("emb"))).as("m"))
-        .select(col("m.d"), col("m.negid"), col("m.emb"))
-        .first()
-      val cEmb = top.getSeq[Float](2).map(_.toDouble).toSeq
-      selected :+= ((-top.getLong(1), cEmb,
-        Some(math.floor(top.getDouble(0) * (1L << 20)).toLong)))
+      val sel = kcenterArgmax(state, col("dmin"), selected.map(_._1))
+      selected :+= sel
       if (round < k) // the last selection needs no further distance state
-        state = state.withColumn("dmin", least(col("dmin"), dTo(cEmb)))
+        state = state.withColumn("dmin", least(col("dmin"), dTo(sel._2)))
           .graftCheckpoint()
     }
-    import s.implicits._
-    selected.zipWithIndex
-      .map { case ((id, _, r), i) => (i + 1L, id, r) }
-      .toDF("round", "vec_id", "radius_fp")
+    kcenterEmit(s, selected)
   }
 
   /** The shared ±1 sign matrix behind [[embed_rp]] — deterministic from

@@ -59,10 +59,8 @@ object SemDedupScaleBench {
     // scratch dir, not a per-run temp leak)
     val streamDir = java.nio.file.Paths.get(
       graft.sources.Tables.scratchDir("graftembstream", dir))
-    val link = streamDir.resolve("embeddings.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(link,
-        java.nio.file.Paths.get(s"$dir/embeddings.parquet").toAbsolutePath)
+    graft.sources.Tables.ensureSymlink(streamDir.resolve("embeddings.parquet"),
+      java.nio.file.Paths.get(s"$dir/embeddings.parquet").toAbsolutePath)
     // clock starts AFTER staging: stream_gate_us_per_row claims the
     // per-row witness-scan cost, so filesystem setup must not inflate it
     // (query cold-start remains in — it is part of running the gate)

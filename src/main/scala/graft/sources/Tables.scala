@@ -38,6 +38,23 @@ object Tables {
     * JVM — and a shutdown hook removes even that.
     */
   private val scratch = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Idempotent symlink staging for the single-file testdata tables (the
+    * file-STREAM source lists a directory and never splits a file, so a
+    * driver-style lone parquet FILE needs a symlink-parent dir). NOFOLLOW
+    * existence check (a dangling link must read as present, not recreated
+    * into FileAlreadyExists), and the create races to success: scratch
+    * dirs are memoized per (prefix, key) IN THIS JVM, so two threads
+    * staging the same table concurrently share one dir — the loser's
+    * link is the same target, so losing IS success. (Today's staging
+    * callers are single-threaded mains; the guard is the contract, not a
+    * live-bug fix.)
+    */
+  def ensureSymlink(link: java.nio.file.Path, target: java.nio.file.Path): Unit =
+    if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+      try java.nio.file.Files.createSymbolicLink(link, target)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+
   def scratchDir(prefix: String, key: String): String =
     scratch.computeIfAbsent(s"$prefix|$key", _ => {
       val d = java.nio.file.Files.createTempDirectory(prefix)

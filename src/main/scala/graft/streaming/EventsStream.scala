@@ -37,13 +37,12 @@ object EventsStream {
         // symlink dir instead of leaking a temp dir each (Tables.scratchDir)
         val d = java.nio.file.Paths.get(
           graft.sources.Tables.scratchDir("graft-events-stream", src.toString))
-        val link = d.resolve("events.parquet")
         // link to the ABSOLUTE source: a relative `dir` stored verbatim
         // would resolve against the scratch dir — a dangling link that
-        // reads zero rows, then FileAlreadyExistsException on the next
-        // call (exists() follows the broken link and reports false)
-        if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
-          java.nio.file.Files.createSymbolicLink(link, src.toAbsolutePath)
+        // reads zero rows (ensureSymlink's NOFOLLOW check keeps even that
+        // mistake from surfacing as FileAlreadyExists on the next call)
+        graft.sources.Tables.ensureSymlink(
+          d.resolve("events.parquet"), src.toAbsolutePath)
         d.toString
       }
     normalizeTs(

@@ -32,15 +32,8 @@ object GateThroughput {
       else {
         val staged = java.nio.file.Paths.get(
           graft.sources.Tables.scratchDir("graftdocstream", dir))
-        val link = staged.resolve("documents.parquet")
-        if (!java.nio.file.Files.exists(link))
-          try java.nio.file.Files.createSymbolicLink(link, docsPath.toAbsolutePath)
-          catch {
-            // two drives staging the same dir concurrently (ChainThroughput
-            // shares the memoized scratch dir) can race exists→create;
-            // the loser's link is the same target, so losing is success
-            case _: java.nio.file.FileAlreadyExistsException => ()
-          }
+        graft.sources.Tables.ensureSymlink(
+          staged.resolve("documents.parquet"), docsPath.toAbsolutePath)
         staged
       }
     streamDir.toString

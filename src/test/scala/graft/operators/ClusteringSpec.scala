@@ -15,6 +15,24 @@ class ClusteringSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
   val dir = "/root/testdata/sf0.001"
 
+  /** One embeddings.parquet per call — shared by the k-center tests. */
+  private def embDir(rows: Seq[(Long, Seq[Float])]): String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graftkc").toString
+    rows.map { case (id, e) => (id, e, "l") }
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  /** The hand-computed k-center plant BOTH spellings pin: 1-D line with a
+    * unique argmax every round except the deliberate round-4 distance tie
+    * (ids 3 and 4 both at d²=4 → smaller vec_id first), plus a null row.
+    */
+  private lazy val kcenterPlantDir: String = embDir(Seq(
+    0L -> Seq(0f), 1L -> Seq(10f), 2L -> Seq(5f), 3L -> Seq(2f),
+    4L -> Seq(8f), 5L -> (null: Seq[Float])))
+
   test("VecNearest matches least(struct(dist, idx)) exactly, NaN included") {
     import org.apache.spark.sql.functions._
     val book = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(0.0, 1.0))
@@ -120,22 +138,10 @@ class ClusteringSpec extends AnyFunSuite {
   }
 
   test("samp_kcenter: planted geometry selects in hand-computed farthest-point order; greedy radius is non-increasing; ties and guards") {
-    import spark.implicits._
-    import org.apache.spark.sql.functions.col
-    def embDir(rows: Seq[(Long, Seq[Float])]): String = {
-      val d = java.nio.file.Files.createTempDirectory("graftkc").toString
-      rows.map { case (id, e) => (id, e, "l") }
-        .toDF("vec_id", "embedding", "label")
-        .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
-      d
-    }
-    // 1D line: seed = id 0 at x=0; farthest is 10 (d²=100), then 5 to the
-    // BIGGER gap's midpoint... hand-order: {0} → +10 → +5 (d²=25 to both
-    // ends, midpoint of [0,10]) → +2.5-ish point id 4 — plant so every
-    // round has a unique hand-computable argmax, plus a null row dropped
-    val dir1 = embDir(Seq(
-      0L -> Seq(0f), 1L -> Seq(10f), 2L -> Seq(5f), 3L -> Seq(2f),
-      4L -> Seq(8f), 5L -> (null: Seq[Float])))
+    // 1D line ([[kcenterPlantDir]]): seed = id 0 at x=0; farthest is 10
+    // (d²=100), then 5 (d²=25 to both ends, midpoint of [0,10]), then the
+    // round-4 tie breaks to id 3 — every round hand-computable
+    val dir1 = kcenterPlantDir
     val got = Clustering.samp_kcenter(spark, dir1, k = 5).collect()
       .map(r => (r.getLong(0), r.getLong(1),
         if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
@@ -165,21 +171,11 @@ class ClusteringSpec extends AnyFunSuite {
   }
 
   test("samp_kcenter_fast: the running-min spelling is frame-equal to the re-min façade, ties included") {
-    import spark.implicits._
-    def embDir(rows: Seq[(Long, Seq[Float])]): String = {
-      val d = java.nio.file.Files.createTempDirectory("graftkcf").toString
-      rows.map { case (id, e) => (id, e, "l") }
-        .toDF("vec_id", "embedding", "label")
-        .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
-      d
-    }
-    // the planted tie geometry (ids 3 and 4 both at d²=4) must break the
-    // same way through the persisted running min as through the per-round
-    // re-min — the argmax struct is shared, but a dmin drift would surface
-    // exactly here
-    val dir1 = embDir(Seq(
-      0L -> Seq(0f), 1L -> Seq(10f), 2L -> Seq(5f), 3L -> Seq(2f),
-      4L -> Seq(8f), 5L -> (null: Seq[Float])))
+    // the SAME planted tie geometry (ids 3 and 4 both at d²=4) must break
+    // the same way through the persisted running min as through the
+    // per-round re-min — the argmax struct is shared, but a dmin drift
+    // would surface exactly here
+    val dir1 = kcenterPlantDir
     assert(Clustering.samp_kcenter_fast(spark, dir1, k = 5).collect().toSeq ==
       Clustering.samp_kcenter(spark, dir1, k = 5).collect().toSeq)
     // full-frame parity on the real corpus at the façade k

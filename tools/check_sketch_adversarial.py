@@ -389,8 +389,11 @@ def media_docs():
         (213, _payload_fp(F6M)), (214, _payload_fp(F6M ^ F6D)),
         (216, _payload_fp(F7, base=33)), (217, _payload_fp(F7, base=50)),
         (218, "!" * 30), (219, "!" * 30),   # F8: under the 65-byte floor
-        (220, None),
-        (50, _stride_text()),               # ST: the one stride-25 id
+        # null text at a STRIDE-ELIGIBLE id: the re-encode plant must skip
+        # it (a mirrored -226 entry would mean a null payload got
+        # fingerprinted)
+        (225, None),
+        (50, _stride_text()),               # ST: the one content stride id
     ]
 
 
@@ -517,6 +520,7 @@ def main():
     # the headline pairs must be exactly where the plants put them —
     # a replica bug that shifted ground truth would otherwise hide a
     # matching Spark shift
+    gt_ok = True
     for cond, msg in (
             (want_s.get((101, 102)) == 3, "S1 (101,102) kept at h=3"),
             ((102, 103) not in want_s and (102, 104) not in want_s,
@@ -536,12 +540,17 @@ def main():
              "F8 short payloads excluded"),
             (want_p.get((-51, 50)) == 3, "ST re-encode pair kept at h=3"),
             (all(110 not in k for k in list(want_s) + list(want_m))
-             and all(220 not in k and -221 not in k for k in want_p),
-             "null-text docs pair with nothing")):
+             and all(225 not in k and -226 not in k for k in want_p),
+             "null-text docs pair with nothing; the stride plant skips "
+             "the null at id 225 (no -226 mirror)")):
         if not cond:
-            eng_ok = False
-            failures += 1
-            print(f"✗ ground truth: {msg}")
+            gt_ok = False
+            print(f"   ground truth: {msg} VIOLATED")
+    print(f"{'✓' if gt_ok else '✗'} replica ground truth carries every "
+          f"planted verdict ({len(want_s)}/{len(want_m)}/{len(want_p)} "
+          "simhash/minhash/phash true pairs)")
+    if not gt_ok:
+        failures += 1
 
     # 2+3. the REAL Spark operators on the planted corpora
     with tempfile.TemporaryDirectory(prefix="sketch_adv_") as tmp:
@@ -576,7 +585,7 @@ def main():
         if not phash_ok:
             failures += 1
 
-    print(f"== {3 - min(failures, 3)} pass, {min(failures, 3)} fail")
+    print(f"== {4 - min(failures, 4)} pass, {min(failures, 4)} fail")
     sys.exit(1 if failures else 0)
 
 
