@@ -207,12 +207,17 @@ object Clustering {
     * driver row (the Lloyd-round contract: k·dims driver traffic,
     * nothing corpus-sized moves). O(n·k²) distance work total at this
     * re-min-over-all-centers spelling — [[samp_kcenter_fast]] is the
-    * O(n·k) running-min form, bit-identical output, and MEASURED faster
-    * at every k on the shipped corpus (KcenterCrossoverBench, sf0.1
-    * warm: 3.2→2.0 s at k=8, 22.2→10.2 s at k=64): the re-min recompute
-    * costs more than the one lineage-cut materialization per round even
-    * at façade k. This spelling stays registered as the oracle-simple
-    * reference form the twin unrolls.
+    * O(n·k) running-min form, bit-identical output. MEASURED crossover
+    * (KcenterCrossoverBench, warm): at 20 k vectors the running-min form
+    * wins at every k (3.2→2.0 s at k=8, 22.2→10.2 s at k=64 — 20 k-row
+    * checkpoints are ~free); at the 100× replica's 2 M vectors its
+    * per-round n-row materialization costs real I/O and the break-even
+    * moves to k ≈ 16 (k=8: 2.9 vs 5.2 s façade wins; k=16: 5.8 vs 6.0;
+    * k=32: 17.9 vs 10.7; k=64: 41.4 vs 20.8). The decision is recompute
+    * vs materialize: n·k²·dims distance evals against n·k rows of
+    * checkpoint I/O — pick this spelling for small k, the running min
+    * past k ≈ 2·(1 + rowIO/distEval). This spelling stays registered as
+    * the oracle-simple reference form the twin unrolls.
     */
   def samp_kcenter(s: SparkSession, dir: String, k: Int = kcenterK): DataFrame = {
     val (e, seed) = kcenterSeed(s, dir, k, "samp_kcenter")
@@ -278,9 +283,10 @@ object Clustering {
     * `least(dmin, d²-to-the-new-center)` column over the state frame —
     * O(n·k) total distance evaluations versus the façade's O(n·k²) — at
     * the price of one lineage-cut materialization per round (n rows ×
-    * (vec_id, embedding, dmin)). MEASURED faster at every k on the
-    * shipped corpus, 2.2× by k=64 (KcenterCrossoverBench; the gap is the
-    * asymptotic k× and only widens).
+    * (vec_id, embedding, dmin)). MEASURED (KcenterCrossoverBench): faster
+    * at every k on the 20 k-vector corpus (2.2× by k=64); at 2 M vectors
+    * the checkpoint I/O is real and the break-even is k ≈ 16 (2× ahead
+    * by k=64) — see [[samp_kcenter]]'s crossover table.
     *
     * BIT-IDENTICAL to [[samp_kcenter]] by construction, not by accident:
     * each per-center squared distance is the same left-to-right double
