@@ -463,6 +463,75 @@ object OracleSql {
        |SELECT round, vec_id, radius_fp FROM cen$k ORDER BY round""".stripMargin
   }
 
+  /** The samp_kcenter_sharded twin — BOTH phases unrolled: the per-shard
+    * greedy rounds (argmax per shard via a row_number window ordered
+    * dmin DESC, vec_id — the (d, −vec_id) struct max; exhausted shards
+    * survive each round through the LEFT JOIN's keep-dmin branch), then
+    * the exact greedy over the coreset CTE (the [[kcenterTwin]] device).
+    * Sharding mirrors Spark's pmod as ((vec_id % P) + P) % P.
+    */
+  private val kcenterShardedTwin: String = {
+    val k = graft.operators.Clustering.kcenterK
+    val kp = graft.operators.Clustering.kcenterKPrime
+    val p = graft.operators.Clustering.kcenterShards
+    def dist(a: String, b: String): String =
+      s"""list_sum(list_transform(list_zip($a, $b),
+         |        z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))
+         |           * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))))""".stripMargin
+    val shardRounds = (2 to kp).map { r =>
+      s"""sel$r AS MATERIALIZED (
+         |  SELECT shard, vec_id, embedding FROM (
+         |    SELECT shard, vec_id, embedding,
+         |      row_number() OVER (PARTITION BY shard
+         |                         ORDER BY dmin DESC, vec_id) AS rn
+         |    FROM state${r - 1}) WHERE rn = 1),
+         |state$r AS MATERIALIZED (
+         |  SELECT t.vec_id, t.shard, t.embedding,
+         |    CASE WHEN s.vec_id IS NULL THEN t.dmin
+         |         ELSE least(t.dmin, ${dist("t.embedding", "s.embedding")})
+         |    END AS dmin
+         |  FROM state${r - 1} t LEFT JOIN sel$r s ON s.shard = t.shard
+         |  WHERE s.vec_id IS NULL OR t.vec_id <> s.vec_id),
+         |cor$r AS (SELECT * FROM cor${r - 1}
+         |          UNION ALL SELECT shard, vec_id, embedding FROM sel$r)""".stripMargin
+    }.mkString(",\n")
+    val finalRounds = (2 to k).map { r =>
+      s"""fsel$r AS MATERIALIZED (
+         |  SELECT CAST($r AS BIGINT) AS round, vec_id, embedding,
+         |    CAST(floor(mind * 1048576.0) AS BIGINT) AS radius_fp
+         |  FROM (
+         |    SELECT e.vec_id, e.embedding,
+         |      min(${dist("e.embedding", "c.embedding")}) AS mind
+         |    FROM coreset e, fcen${r - 1} c
+         |    WHERE e.vec_id NOT IN (SELECT vec_id FROM fcen${r - 1})
+         |    GROUP BY e.vec_id, e.embedding)
+         |  ORDER BY mind DESC, vec_id LIMIT 1),
+         |fcen$r AS (SELECT * FROM fcen${r - 1} UNION ALL SELECT * FROM fsel$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH st0 AS MATERIALIZED (
+       |  SELECT vec_id, ((vec_id % $p) + $p) % $p AS shard, embedding
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |cor1 AS MATERIALIZED (
+       |  SELECT t.shard, t.vec_id, t.embedding
+       |  FROM st0 t JOIN (SELECT shard, min(vec_id) AS vec_id
+       |                   FROM st0 GROUP BY shard) m
+       |    ON m.shard = t.shard AND m.vec_id = t.vec_id),
+       |state1 AS MATERIALIZED (
+       |  SELECT t.vec_id, t.shard, t.embedding,
+       |    ${dist("t.embedding", "c.embedding")} AS dmin
+       |  FROM st0 t JOIN cor1 c ON c.shard = t.shard
+       |  WHERE t.vec_id <> c.vec_id),
+       |$shardRounds,
+       |coreset AS MATERIALIZED (SELECT vec_id, embedding FROM cor$kp),
+       |fsel1 AS MATERIALIZED (
+       |  SELECT CAST(1 AS BIGINT) AS round, vec_id, embedding,
+       |    CAST(NULL AS BIGINT) AS radius_fp
+       |  FROM coreset ORDER BY vec_id LIMIT 1),
+       |fcen1 AS (SELECT * FROM fsel1),
+       |$finalRounds
+       |SELECT round, vec_id, radius_fp FROM fcen$k ORDER BY round""".stripMargin
+  }
+
   /** `Clustering.kmeansRounds` unrolled: c0 = the k lowest-vec_id vectors
     * (RNG-free init, floats cast exactly to DOUBLE); round i assigns
     * against c(i-1) (struct-min = min distance, ties to the lowest cluster
@@ -2305,6 +2374,8 @@ object OracleSql {
     // running-min spelling is bit-parity by construction), so it shares
     // the twin verbatim
     "samp_kcenter_fast" -> kcenterTwin,
+
+    "samp_kcenter_sharded" -> kcenterShardedTwin,
 
     // `Clustering.embed_pq`'s twin — per-subspace Lloyd with the SAME
     // round template, the subspace as a plain dimension (one assignment /

@@ -176,6 +176,12 @@ object Clustering {
   /** [[samp_kcenter]] defaults, shared with [[graft.OracleSql]]. */
   val kcenterK: Int = 8
 
+  /** [[samp_kcenter_sharded]] defaults (per-shard picks and shard count),
+    * shared with [[graft.OracleSql]].
+    */
+  val kcenterKPrime: Int = 4
+  val kcenterShards: Int = 4
+
   /** Greedy k-CENTER coreset selection over the embedding table
     * (Gonzalez 1985's farthest-point traversal — the classic 2-approx of
     * the k-center objective; Sener & Savarese, ICLR 2018 apply exactly
@@ -312,6 +318,114 @@ object Clustering {
       if (round < k) // the last selection needs no further distance state
         state = state.withColumn("dmin", least(col("dmin"), dTo(sel._2)))
           .graftCheckpoint()
+    }
+    kcenterEmit(s, selected)
+  }
+
+  /** k-center via COMPOSABLE CORESETS — the spelling that removes the
+    * k-passes-over-the-corpus cost both exact forms pay (the MPC/
+    * mergeable-summaries pattern: per-shard Gonzalez, then greedy over
+    * the union of shard picks — Indyk et al. 2014's composable coreset
+    * for diversity/coverage maximization): shard the corpus
+    * (content-free `pmod(vec_id, shards)`), run `kPrime−1` greedy
+    * farthest-point rounds PER SHARD simultaneously (one aggregate per
+    * round — the per-shard argmax is the same (dmin, −vec_id) struct max
+    * grouped by shard, so each round is one map scan + a `shards`-group
+    * aggregate, `shards`·dims driver traffic), then run the exact greedy
+    * over the ≤ shards·kPrime coreset IN THE DRIVER (tiny, deterministic,
+    * the same distance fold and tie-breaks as the distributed rounds).
+    *
+    * What it trades: the selection is a CONSTANT-FACTOR approximation of
+    * the global greedy (each shard's picks cover its own slice, so the
+    * union covers the corpus within a constant of optimal — the
+    * composable-coreset guarantee), not the exact Gonzalez order; in
+    * exchange the corpus is scanned kPrime−1 times instead of k−1 with
+    * kPrime ≪ k, and the k-dependent work happens on shards·kPrime
+    * points in driver memory. At production k (10³ selections over 10⁹
+    * vectors) this is the only shape that holds: neither exact spelling
+    * survives k corpus passes.
+    *
+    * Determinism/oracle: sharding is id arithmetic, per-shard seeds are
+    * the shard-minimum vec_ids, every argmax breaks ties to the smaller
+    * vec_id, the running min is exact-double `least`, and the driver
+    * greedy replays the identical algebra — so the DuckDB twin unrolls
+    * both phases (per-shard rounds via a row_number-per-shard window,
+    * the final greedy via the samp_kcenter device over the coreset CTE)
+    * and hash-matches the full frame. Output shape is the family's
+    * (round, vec_id, radius_fp); radius_fp here is the coverage radius
+    * WITHIN the coreset (the quantity the driver greedy minimizes), with
+    * the same ⌊2²⁰·d²⌋ quantization and NULL seed row.
+    */
+  def samp_kcenter_sharded(s: SparkSession, dir: String, k: Int = kcenterK,
+      kPrime: Int = kcenterKPrime, shards: Int = kcenterShards): DataFrame = {
+    import graft.Checkpoints.DatasetCheckpointOps
+    require(k >= 2, s"samp_kcenter_sharded: k=$k — need at least the seed " +
+      "and one round")
+    require(kPrime >= 1, s"samp_kcenter_sharded: kPrime=$kPrime must be >= 1")
+    require(shards >= 1, s"samp_kcenter_sharded: shards=$shards must be >= 1")
+    require(shards.toLong * kPrime >= k,
+      s"samp_kcenter_sharded: coreset capacity shards*kPrime = " +
+        s"${shards.toLong * kPrime} cannot seed k=$k final selections")
+    val e = emb(s, dir).filter(col("embedding").isNotNull)
+      .select(col("vec_id"), pmod(col("vec_id"), lit(shards.toLong)).as("shard"),
+        col("embedding"))
+    def dTo(center: Seq[Double]) =
+      graft.functions.VecNearest.nearest(col("embedding"), Seq(center))
+        .getField("d")
+    // phase 1 seeds: each shard's minimum vec_id, embeddings in one pass
+    val seeds = e
+      .join(e.groupBy("shard").agg(min(col("vec_id")).as("vec_id")),
+        Seq("shard", "vec_id"))
+      .select("shard", "vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Float](2).map(_.toDouble).toSeq))
+      .sortBy(_._1).toVector
+    require(seeds.nonEmpty, "samp_kcenter_sharded: no scoreable vectors")
+    var coreset = seeds
+    var state = e
+      .withColumn("dmin", coalesce(
+        seeds.map { case (sh, _, c) => when(col("shard") === sh, dTo(c)) }: _*))
+      .filter(!col("vec_id").isInCollection(seeds.map(_._2)))
+      .graftCheckpoint()
+    for (r <- 2 to kPrime) {
+      // one aggregate: every live shard's farthest point this round
+      val picks = state.groupBy("shard")
+        .agg(max(struct(col("dmin").as("d"), (-col("vec_id")).as("negid"),
+          col("embedding").as("emb"))).as("m"))
+        .select(col("shard"), col("m.negid"), col("m.emb"))
+        .collect()
+        .map(row => (row.getLong(0), -row.getLong(1),
+          row.getSeq[Float](2).map(_.toDouble).toSeq))
+        .sortBy(_._1).toVector
+      coreset ++= picks
+      if (r < kPrime && picks.nonEmpty)
+        state = state.filter(!col("vec_id").isInCollection(picks.map(_._2)))
+          .withColumn("dmin", coalesce((picks.map { case (sh, _, c) =>
+            when(col("shard") === sh, least(col("dmin"), dTo(c)))
+          } :+ col("dmin")): _*))
+          .graftCheckpoint()
+    }
+    require(coreset.size >= k,
+      s"samp_kcenter_sharded: the corpus yielded only ${coreset.size} " +
+        s"coreset points (< k=$k) — shards ran out of distinct vectors; " +
+        "lower k or raise kPrime/shards")
+    // phase 2: exact greedy over the coreset, driver-side — the same
+    // left-to-right double fold, struct-max tie-break, and quantization
+    // as the distributed rounds (and as the DuckDB twin's final phase)
+    val pts = coreset.map { case (_, id, c) => (id, c) }.sortBy(_._1)
+    def d2(a: Seq[Double], b: Seq[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    var selected = Vector((pts.head._1, pts.head._2, Option.empty[Long]))
+    for (_ <- 2 to k) {
+      val best = pts.filterNot(p => selected.exists(_._1 == p._1))
+        .map { case (id, c) => (selected.map(x => d2(c, x._2)).min, id, c) }
+        .maxBy { case (mind, id, _) => (mind, -id) }
+      selected :+= ((best._2, best._3,
+        Some(math.floor(best._1 * (1L << 20)).toLong)))
     }
     kcenterEmit(s, selected)
   }

@@ -34,8 +34,17 @@ object KcenterCrossoverBench {
           "answer is meaningless")
       val tFacade = time(Clustering.samp_kcenter(spark, dir, k).collect())
       val tFast = time(Clustering.samp_kcenter_fast(spark, dir, k).collect())
+      // the coreset spelling is an approximation (no parity check): fixed
+      // kPrime=4 per-shard rounds, shards sized so the coreset can seat k
+      val sh = math.max(Clustering.kcenterShards,
+        (k + Clustering.kcenterKPrime - 1) / Clustering.kcenterKPrime)
+      Clustering.samp_kcenter_sharded(spark, dir, k,
+        Clustering.kcenterKPrime, sh).collect() // warm
+      val tSharded = time(Clustering.samp_kcenter_sharded(spark, dir, k,
+        Clustering.kcenterKPrime, sh).collect())
       println(s"""{"metric":"kcenter_crossover","k":$k,""" +
-        s""""facade_sec":$tFacade,"fast_sec":$tFast}""")
+        s""""facade_sec":$tFacade,"fast_sec":$tFast,""" +
+        s""""sharded_sec":$tSharded,"sharded_shards":$sh}""")
     }
     spark.stop()
   }

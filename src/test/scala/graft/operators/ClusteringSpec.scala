@@ -189,4 +189,72 @@ class ClusteringSpec extends AnyFunSuite {
       Clustering.samp_kcenter_fast(spark, dir1, k = 6)
     }.getMessage.contains("exceeds"))
   }
+
+  test("samp_kcenter_sharded: hand-computed two-phase plants (incl. exhausted shards); coverage within factor 2 of exact greedy; guards") {
+    // plant A — shards=2, kPrime=2, k=3 on a 1-D line (null row dropped):
+    //   shard0 = ids {0,2,4,6} at x {0,5,8,1}: seed 0, farthest 4 (d²=64)
+    //   shard1 = ids {1,3}    at x {10,2}:    seed 1, farthest 3
+    //   coreset {0,4,1,3}; final greedy: seed 0 → 1 (d²=100) → tie at
+    //   d²=4 between 3 and 4 breaks to id 3
+    val dirA = embDir(Seq(
+      0L -> Seq(0f), 1L -> Seq(10f), 2L -> Seq(5f), 3L -> Seq(2f),
+      4L -> Seq(8f), 5L -> (null: Seq[Float]), 6L -> Seq(1f)))
+    val gotA = Clustering
+      .samp_kcenter_sharded(spark, dirA, k = 3, kPrime = 2, shards = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(gotA == Seq((1L, 0L, -1L), (2L, 1L, 100L << 20), (3L, 3L, 4L << 20)))
+    // plant B — EXHAUSTED shards: shards=4 over 5 points leaves three
+    // 1-point shards with nothing past their seed, and shard0 itself
+    // runs dry at round 3 (kPrime=3 asks for more than exists); the
+    // coreset is the whole corpus and the final greedy picks 0 → 1 → 2
+    val dirB = embDir(Seq(
+      0L -> Seq(0f), 1L -> Seq(10f), 2L -> Seq(5f), 3L -> Seq(2f),
+      4L -> Seq(8f)))
+    val gotB = Clustering
+      .samp_kcenter_sharded(spark, dirB, k = 3, kPrime = 3, shards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(gotB == Seq((1L, 0L, -1L), (2L, 1L, 100L << 20), (3L, 2L, 25L << 20)))
+    // determinism on the real corpus
+    val real = Clustering.samp_kcenter_sharded(spark, dir).collect().toSeq
+    assert(real == Clustering.samp_kcenter_sharded(spark, dir).collect().toSeq)
+    // approximation quality: CORPUS coverage radius (max over vectors of
+    // min d² to a selected center) of the sharded selection vs the exact
+    // greedy's at the same k — the composable-coreset constant, measured
+    // and pinned with slack
+    val vecs = Tables.load(spark, dir, "embeddings")
+      .filter(org.apache.spark.sql.functions.col("embedding").isNotNull)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq).toMap
+    def d2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+    def coverage(ids: Seq[Long]): Double = {
+      val cs = ids.map(vecs)
+      vecs.valuesIterator.map(v => cs.map(c => d2(v, c)).min).max
+    }
+    val covSharded = coverage(real.map(_.getLong(1)))
+    val covExact = coverage(
+      Clustering.samp_kcenter(spark, dir).collect().map(_.getLong(1)).toSeq)
+    assert(covSharded <= 2.0 * covExact,
+      s"sharded coverage $covSharded vs exact $covExact — the coreset " +
+        "approximation degraded past the pinned factor")
+    // guards: param floors, coreset capacity, and the runtime yield check
+    assert(intercept[IllegalArgumentException] {
+      Clustering.samp_kcenter_sharded(spark, dirA, k = 1)
+    }.getMessage.contains("k=1"))
+    assert(intercept[IllegalArgumentException] {
+      Clustering.samp_kcenter_sharded(spark, dirA, kPrime = 0)
+    }.getMessage.contains("kPrime=0"))
+    assert(intercept[IllegalArgumentException] {
+      Clustering.samp_kcenter_sharded(spark, dirA, shards = 0)
+    }.getMessage.contains("shards=0"))
+    assert(intercept[IllegalArgumentException] {
+      Clustering.samp_kcenter_sharded(spark, dirA, k = 3, kPrime = 2, shards = 1)
+    }.getMessage.contains("coreset capacity"))
+    val dirTiny = embDir(Seq(0L -> Seq(0f), 1L -> Seq(1f)))
+    assert(intercept[IllegalArgumentException] {
+      Clustering.samp_kcenter_sharded(spark, dirTiny, k = 3, kPrime = 4, shards = 1)
+    }.getMessage.contains("yielded only"))
+  }
 }
