@@ -143,6 +143,120 @@ object EmbStream {
         })
   }
 
+  /** One diversity decision per arriving vector: `admitted` = no center
+    * of the shard's online k-center sketch covered the arrival (it
+    * entered the sketch — possibly merged away again by the doubling its
+    * own arrival triggered, the doubling algorithm's normal compaction);
+    * `witness_d2`/`witness_id` name the covering center otherwise;
+    * `radius2` and `n_centers` are the shard sketch AFTER the decision,
+    * so a consumer can watch coverage coarsen as the stream grows.
+    */
+  case class DivGate(vec_id: Long, shard: Int, admitted: Boolean,
+      witness_id: Option[Long], witness_d2: Option[Double],
+      radius2: Double, n_centers: Int)
+
+  /** Streaming DIVERSITY gate — the stream edge of the k-center family
+    * ([[graft.operators.Clustering.samp_kcenter_sharded]]'s coreset
+    * pattern run ONLINE): per shard (`pmod(vec_id, shards)` — the same
+    * content-free sharding, so state scales out across executors), the
+    * doubling algorithm for streaming k-center (Charikar–Chekuri–
+    * Feder–Motwani 1997's incremental clustering): admit an arrival iff
+    * its squared distance to every admitted center exceeds the shard's
+    * current `radius2`; when admitting would exceed `kPerShard` centers,
+    * the radius doubles (×4 in d² space, seeded at first overflow from
+    * the minimum pairwise center d²) and centers within the new radius
+    * of an earlier-kept center are merged away (insertion-order scan,
+    * keep-the-earlier — deterministic), repeating until the sketch fits.
+    * The admitted stream is a bounded-size diverse subset whose coverage
+    * radius is within the doubling algorithm's constant factor of the
+    * best k-center clustering of everything seen — the online analogue
+    * of the batch coreset's per-shard phase.
+    *
+    * Scale/state shape: ≤ `kPerShard` (vec_id, embedding) pairs + one
+    * double per shard — hard-bounded by construction (the doubling step
+    * IS the cap; no `state_full` escape hatch needed, unlike
+    * [[semanticDedupGate]] whose state grows with admissions). Per
+    * arrival: one O(|centers| · dims) witness scan. Within a batch a
+    * shard's arrivals are processed in vec_id order — replaying the same
+    * batches reproduces every decision bit-for-bit (spec-pinned against
+    * a driver-side replay of the identical algebra).
+    *
+    * Lifecycle: NoTimeout — the sketch is the WHOLE stream's coverage,
+    * so it must not expire mid-run (built for bounded backfills / epoch
+    * deployments; an unbounded deployment redeploys per epoch, the
+    * curation-gate convention).
+    */
+  def diversityGate(stream: DataFrame, kPerShard: Int = 8,
+      shards: Int = 4): Dataset[DivGate] = {
+    import stream.sparkSession.implicits._
+    require(kPerShard >= 1,
+      s"diversityGate: kPerShard=$kPerShard must be >= 1")
+    require(shards >= 1, s"diversityGate: shards=$shards must be >= 1")
+    stream
+      // null embeddings cannot cover or be covered — drop at the edge
+      // (the semanticDedupGate policy)
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id").cast("long"),
+        pmod(col("vec_id"), lit(shards.toLong)).cast("int").as("shard"),
+        col("embedding"))
+      .as[(Long, Int, Seq[Float])]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (shard: Int, rows: Iterator[(Long, Int, Seq[Float])],
+            state: GroupState[(Double, List[(Long, Seq[Float])])]) => {
+          val (r0, c0) = state.getOption.getOrElse((0.0, Nil))
+          var r2 = r0
+          // centers kept in INSERTION order (head = oldest) — the merge
+          // scan's keep-the-earlier rule depends on it
+          var centers = c0
+          val out = rows.toSeq.sortBy(_._1).map { case (id, _, vec) =>
+            val witness = centers.iterator
+              .map { case (cid, cvec) => (cid, sqDist(vec, cvec)) }
+              .find(_._2 <= r2)
+            witness match {
+              case Some((cid, d)) =>
+                DivGate(id, shard, admitted = false, Some(cid), Some(d),
+                  r2, centers.size)
+              case None =>
+                centers = centers :+ ((id, vec))
+                while (centers.size > kPerShard) {
+                  r2 =
+                    if (r2 > 0.0) r2 * 4.0
+                    else centers.combinations(2).map {
+                      case Seq((_, a), (_, b)) => sqDist(a, b)
+                    }.min
+                  centers = centers.foldLeft(List.empty[(Long, Seq[Float])]) {
+                    (kept, c) =>
+                      if (kept.exists(k => sqDist(k._2, c._2) <= r2)) kept
+                      else kept :+ c
+                  }
+                }
+                DivGate(id, shard, admitted = true, None, None,
+                  r2, centers.size)
+            }
+          }
+          state.update((r2, centers))
+          out.iterator
+        })
+  }
+
+  /** Plain-Scala squared euclidean distance — the same left-to-right
+    * double fold as [[graft.functions.VecNearest]]; loud on a dims
+    * mismatch (the [[cosine]] contract).
+    */
+  private[streaming] def sqDist(a: Seq[Float], b: Seq[Float]): Double = {
+    require(a.length == b.length,
+      s"sqDist: dims mismatch ${a.length} vs ${b.length}")
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) {
+      val d = a(i).toDouble - b(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
   /** Plain-Scala cosine over float vectors — double accumulation, the same
     * operation order as [[graft.functions.VecDot]]'s fast path. Fails loud
     * on a dims mismatch (same contract as [[graft.functions.VecNearest]]):

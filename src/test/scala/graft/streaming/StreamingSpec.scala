@@ -739,6 +739,81 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("EmbStream.diversityGate: hand-computed doubling trace — cross-batch state, radius seed + cascaded doubling, merge-away, shard isolation") {
+    import graft.streaming.EmbStream
+    val input = MemoryStream[(Long, Seq[Float])](spark)
+    val q = EmbStream.diversityGate(input.toDF().toDF("vec_id", "embedding"),
+        kPerShard = 2, shards = 4)
+      .writeStream.outputMode("append").format("memory").queryName("div_gate").start()
+    try {
+      // shard 0 (ids ≡ 0 mod 4), 1-D points. Hand trace at kPerShard=2:
+      //  id0  x=0  → admit, centers {0}, r2=0
+      //  id4  x=10 → d²=100 > 0 → admit, centers {0,10}, r2=0
+      //  id8  x=1  → d²=1 > 0 → admit → overflow → r2 seeds to the min
+      //              pairwise d² (1) → merge drops id8 itself (d²=1 ≤ 1
+      //              to id0) → centers {0,10}, r2=1 (admitted, merged away)
+      // shard 1 (ids ≡ 1): an independent sketch — both points admitted at r2=0
+      input.addData((0L, Seq(0f)), (4L, Seq(10f)), (8L, Seq(1f)),
+        (1L, Seq(0f)), (5L, Seq(10f)))
+      q.processAllAvailable()
+      // batch 2 — state survived: id12 x=0.5 is covered (d²=0.25 ≤ 1);
+      // id16 x=5 admits then CASCADES the doubling: r2 1→4→16 never frees
+      // a slot (25 > 4, 25 > 16 vs id0... and 100 > both), r2=64 finally
+      // merges id16 away (25 ≤ 64) → centers {0,10}, r2=64
+      input.addData((12L, Seq(0.5f)), (16L, Seq(5f)))
+      q.processAllAvailable()
+      // batch 3: x=7 is covered at the widened radius (49 ≤ 64)
+      input.addData((20L, Seq(7f)))
+      q.processAllAvailable()
+      val got = spark.table("div_gate").collect().map(r =>
+        r.getLong(0) -> ((r.getInt(1), r.getBoolean(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Double]),
+          r.getDouble(5), r.getInt(6)))).toMap
+      assert(got(0L) == ((0, true, None, None, 0.0, 1)))
+      assert(got(4L) == ((0, true, None, None, 0.0, 2)))
+      assert(got(8L) == ((0, true, None, None, 1.0, 2)))
+      assert(got(1L) == ((1, true, None, None, 0.0, 1)))
+      assert(got(5L) == ((1, true, None, None, 0.0, 2)))
+      assert(got(12L) == ((0, false, Some(0L), Some(0.25), 1.0, 2)))
+      assert(got(16L) == ((0, true, None, None, 64.0, 2)))
+      assert(got(20L) == ((0, false, Some(0L), Some(49.0), 64.0, 2)))
+    } finally q.stop()
+  }
+
+  test("EmbStream.diversityGate invariants on the corpus: bounded sketch, covered refusals, monotone radius") {
+    import graft.streaming.EmbStream
+    val vecs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter(org.apache.spark.sql.functions.col("embedding").isNotNull)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val input = MemoryStream[(Long, Seq[Float])](spark)
+    val q = EmbStream.diversityGate(input.toDF().toDF("vec_id", "embedding"),
+        kPerShard = 4, shards = 4)
+      .writeStream.outputMode("append").format("memory").queryName("div_inv").start()
+    try {
+      input.addData(vecs.toSeq)
+      q.processAllAvailable()
+      val rows = spark.table("div_inv").collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getBoolean(2),
+          Option(r.get(4)).map(_.asInstanceOf[Double]),
+          r.getDouble(5), r.getInt(6)))
+      assert(rows.length == vecs.length)
+      assert(rows.forall(_._6 <= 4), "the sketch is hard-bounded at kPerShard")
+      assert(rows.filter(!_._3).forall(r => r._4.get <= r._5),
+        "every refusal's witness sits within the current radius")
+      assert(rows.filter(_._3).forall(_._4.isEmpty))
+      // radius is non-decreasing along each shard's vec_id order
+      rows.groupBy(_._2).foreach { case (_, rs) =>
+        val radii = rs.sortBy(_._1).map(_._5)
+        assert(radii.zip(radii.tail).forall { case (a, b) => a <= b },
+          "the doubling radius must never shrink")
+      }
+      // the gate discriminates on real data: some admitted, some refused
+      assert(rows.exists(_._3) && rows.exists(!_._3))
+    } finally q.stop()
+  }
+
   test("EmbStream.semanticDedupGate: greedy keeper set on chains — refusals always have a KEPT witness") {
     import graft.streaming.EmbStream
     // chain: v1 ≈ v2, v2 ≈ v3, v1 !≈ v3 (rotating unit-ish vectors). The
