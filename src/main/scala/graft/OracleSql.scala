@@ -479,22 +479,39 @@ object OracleSql {
          |        z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))
          |           * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))))""".stripMargin
     val shardRounds = (2 to kp).map { r =>
+      // the LAST round needs no state update (the Spark loop's r < kPrime
+      // skip) — emitting it would be a dead corpus-sized MATERIALIZED join
+      val stateCte = if (r < kp)
+        s"""
+           |state$r AS MATERIALIZED (
+           |  SELECT t.vec_id, t.shard, t.embedding,
+           |    CASE WHEN s.vec_id IS NULL THEN t.dmin
+           |         ELSE least(t.dmin, ${dist("t.embedding", "s.embedding")})
+           |    END AS dmin
+           |  FROM state${r - 1} t LEFT JOIN sel$r s ON s.shard = t.shard
+           |  WHERE s.vec_id IS NULL OR t.vec_id <> s.vec_id),""".stripMargin
+      else "" // the sel template's own `),` already separates the CTEs
       s"""sel$r AS MATERIALIZED (
          |  SELECT shard, vec_id, embedding FROM (
          |    SELECT shard, vec_id, embedding,
          |      row_number() OVER (PARTITION BY shard
          |                         ORDER BY dmin DESC, vec_id) AS rn
-         |    FROM state${r - 1}) WHERE rn = 1),
-         |state$r AS MATERIALIZED (
-         |  SELECT t.vec_id, t.shard, t.embedding,
-         |    CASE WHEN s.vec_id IS NULL THEN t.dmin
-         |         ELSE least(t.dmin, ${dist("t.embedding", "s.embedding")})
-         |    END AS dmin
-         |  FROM state${r - 1} t LEFT JOIN sel$r s ON s.shard = t.shard
-         |  WHERE s.vec_id IS NULL OR t.vec_id <> s.vec_id),
+         |    FROM state${r - 1}) WHERE rn = 1),$stateCte
          |cor$r AS (SELECT * FROM cor${r - 1}
          |          UNION ALL SELECT shard, vec_id, embedding FROM sel$r)""".stripMargin
     }.mkString(",\n")
+    // kPrime = 1 is seeds-only on the Spark side — state1 and the round
+    // CTEs would be dead SQL (and a dangling comma); emit them only when
+    // a round will consume them
+    val phase1 =
+      if (kp >= 2)
+        s"""state1 AS MATERIALIZED (
+           |  SELECT t.vec_id, t.shard, t.embedding,
+           |    ${dist("t.embedding", "c.embedding")} AS dmin
+           |  FROM st0 t JOIN cor1 c ON c.shard = t.shard
+           |  WHERE t.vec_id <> c.vec_id),
+           |$shardRounds""".stripMargin
+      else "ph1_unused AS (SELECT 1 AS one)" // cor1 IS the coreset then
     val finalRounds = (2 to k).map { r =>
       s"""fsel$r AS MATERIALIZED (
          |  SELECT CAST($r AS BIGINT) AS round, vec_id, embedding,
@@ -516,12 +533,7 @@ object OracleSql {
        |  FROM st0 t JOIN (SELECT shard, min(vec_id) AS vec_id
        |                   FROM st0 GROUP BY shard) m
        |    ON m.shard = t.shard AND m.vec_id = t.vec_id),
-       |state1 AS MATERIALIZED (
-       |  SELECT t.vec_id, t.shard, t.embedding,
-       |    ${dist("t.embedding", "c.embedding")} AS dmin
-       |  FROM st0 t JOIN cor1 c ON c.shard = t.shard
-       |  WHERE t.vec_id <> c.vec_id),
-       |$shardRounds,
+       |$phase1,
        |coreset AS MATERIALIZED (SELECT vec_id, embedding FROM cor$kp),
        |fsel1 AS MATERIALIZED (
        |  SELECT CAST(1 AS BIGINT) AS round, vec_id, embedding,

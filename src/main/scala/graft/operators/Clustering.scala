@@ -372,11 +372,14 @@ object Clustering {
     def dTo(center: Seq[Double]) =
       graft.functions.VecNearest.nearest(col("embedding"), Seq(center))
         .getField("d")
-    // phase 1 seeds: each shard's minimum vec_id, embeddings in one pass
-    val seeds = e
-      .join(e.groupBy("shard").agg(min(col("vec_id")).as("vec_id")),
-        Seq("shard", "vec_id"))
-      .select("shard", "vec_id", "embedding").collect()
+    // phase 1 seeds: each shard's minimum vec_id WITH its embedding in
+    // ONE map scan + one shards-group aggregate (vec_id leads the struct
+    // and is unique, so the struct min never compares embeddings) — a
+    // corpus self-join here would double the scan count the scaladoc
+    // prices
+    val seeds = e.groupBy("shard")
+      .agg(min(struct(col("vec_id"), col("embedding"))).as("m"))
+      .select(col("shard"), col("m.vec_id"), col("m.embedding")).collect()
       .map(r => (r.getLong(0), r.getLong(1),
         r.getSeq[Float](2).map(_.toDouble).toSeq))
       .sortBy(_._1).toVector
@@ -414,6 +417,10 @@ object Clustering {
     // as the distributed rounds (and as the DuckDB twin's final phase)
     val pts = coreset.map { case (_, id, c) => (id, c) }.sortBy(_._1)
     def d2(a: Seq[Double], b: Seq[Double]): Double = {
+      // loud on mismatch (the VecNearest contract) — a prefix distance
+      // would silently select wrong centers
+      require(a.length == b.length,
+        s"samp_kcenter_sharded: dims mismatch ${a.length} vs ${b.length}")
       var acc = 0.0
       var i = 0
       while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }

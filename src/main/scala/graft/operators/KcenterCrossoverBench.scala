@@ -8,9 +8,13 @@ package graft.operators
   * O(n·k) distance work at one lineage-cut materialization per round.
   * At façade k the checkpoint overhead dominates and the simple shape
   * wins; as k grows the quadratic distance term must cross it. This main
-  * measures both at a ladder of k on the same corpus and prints one JSON
-  * line per rung (warm second rep per rung; both spellings emit the
-  * bit-identical frame, asserted per rung before timing is trusted).
+  * measures all THREE spellings at a ladder of k on the same corpus and
+  * prints one JSON line per rung: `facade_sec`/`fast_sec` are the exact
+  * pair (bit-identical frames, asserted per rung before their timings
+  * are trusted); `sharded_sec` is [[Clustering.samp_kcenter_sharded]]'s
+  * composable-coreset APPROXIMATION (no parity to assert — different
+  * selection by design) with fixed kPrime and shards sized so the
+  * coreset can seat k, timed warm.
   *
   * Usage: `tools/run.sh graft.operators.KcenterCrossoverBench [embDir]
   * [ks]` (defaults sf0.1, `8,16,32,64`).
