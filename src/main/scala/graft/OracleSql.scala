@@ -435,6 +435,37 @@ object OracleSql {
     */
   private val kcenterTwin: String = {
     val k = graft.operators.Clustering.kcenterK
+    s"""WITH $kcenterCtes
+       |SELECT round, vec_id, radius_fp FROM cen$k ORDER BY round""".stripMargin
+  }
+
+  /** samp_kcenter_assign's twin: the selection CTEs verbatim, then one
+    * min(struct(d, round)) per vector — ties to the EARLIEST round, the
+    * VecNearest lowest-index contract (NOT min-by-center-id).
+    */
+  private val kcenterAssignTwin: String = {
+    val k = graft.operators.Clustering.kcenterK
+    s"""WITH $kcenterCtes,
+       |asg AS (
+       |  SELECT e.vec_id,
+       |    min({'d': list_sum(list_transform(list_zip(e.embedding, c.embedding),
+       |          p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+       |             * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+       |         'r': c.round}) AS best
+       |  FROM embeddings e, cen$k c
+       |  WHERE e.embedding IS NOT NULL GROUP BY e.vec_id)
+       |SELECT a.vec_id, c.vec_id AS center_id,
+       |  (a.best).r AS center_round,
+       |  CAST(floor((a.best).d * 1048576.0) AS BIGINT) AS d2_fp
+       |FROM asg a JOIN cen$k c ON c.round = (a.best).r
+       |ORDER BY a.vec_id""".stripMargin
+  }
+
+  /** The shared selection CTE chain behind [[kcenterTwin]] and
+    * [[kcenterAssignTwin]] (sel/cen round unrolls, ending at cen$k).
+    */
+  private lazy val kcenterCtes: String = {
+    val k = graft.operators.Clustering.kcenterK
     val distSql =
       """list_sum(list_transform(list_zip(e.embedding, c.embedding),
         |        p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
@@ -453,14 +484,13 @@ object OracleSql {
          |  ORDER BY mind DESC, vec_id LIMIT 1),
          |cen$r AS (SELECT * FROM cen${r - 1} UNION ALL SELECT * FROM sel$r)""".stripMargin
     }.mkString(",\n")
-    s"""WITH sel1 AS MATERIALIZED (
+    s"""sel1 AS MATERIALIZED (
        |  SELECT CAST(1 AS BIGINT) AS round, vec_id, embedding,
        |    CAST(NULL AS BIGINT) AS radius_fp
        |  FROM embeddings WHERE embedding IS NOT NULL
        |  ORDER BY vec_id LIMIT 1),
        |cen1 AS (SELECT * FROM sel1),
-       |$rounds
-       |SELECT round, vec_id, radius_fp FROM cen$k ORDER BY round""".stripMargin
+       |$rounds""".stripMargin
   }
 
   /** The samp_kcenter_sharded twin — BOTH phases unrolled: the per-shard
@@ -2388,6 +2418,8 @@ object OracleSql {
     "samp_kcenter_fast" -> kcenterTwin,
 
     "samp_kcenter_sharded" -> kcenterShardedTwin,
+
+    "samp_kcenter_assign" -> kcenterAssignTwin,
 
     // `Clustering.embed_pq`'s twin — per-subspace Lloyd with the SAME
     // round template, the subspace as a plain dimension (one assignment /

@@ -198,6 +198,7 @@ object SparkEntry {
     "samp_kcenter" -> ((s, d) => Clustering.samp_kcenter(s, d)),
     "samp_kcenter_fast" -> ((s, d) => Clustering.samp_kcenter_fast(s, d)),
     "samp_kcenter_sharded" -> ((s, d) => Clustering.samp_kcenter_sharded(s, d)),
+    "samp_kcenter_assign" -> ((s, d) => Clustering.samp_kcenter_assign(s, d)),
     // CSV round trip certified against the parquet originals
     "src_csv" -> (graft.sources.Csv.src_csv _),
     // link-graph centrality over the planted citation graph

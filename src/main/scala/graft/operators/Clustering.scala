@@ -225,8 +225,17 @@ object Clustering {
     * past k ≈ 2·(1 + rowIO/distEval). This spelling stays registered as
     * the oracle-simple reference form the twin unrolls.
     */
-  def samp_kcenter(s: SparkSession, dir: String, k: Int = kcenterK): DataFrame = {
-    val (e, seed) = kcenterSeed(s, dir, k, "samp_kcenter")
+  def samp_kcenter(s: SparkSession, dir: String, k: Int = kcenterK): DataFrame =
+    kcenterEmit(s, kcenterSelect(s, dir, k, "samp_kcenter")._2)
+
+  /** The façade's selection loop itself — shared by [[samp_kcenter]] and
+    * [[samp_kcenter_assign]] so the assignment audits EXACTLY the frame
+    * the selection emits. Returns (scoreable vectors, selections in
+    * round order).
+    */
+  private def kcenterSelect(s: SparkSession, dir: String, k: Int,
+      op: String): (DataFrame, Vector[(Long, Seq[Double], Option[Long])]) = {
+    val (e, seed) = kcenterSeed(s, dir, k, op)
     var selected = Vector((seed._1, seed._2, Option.empty[Long]))
     for (_ <- 2 to k) {
       val centers = selected.map(_._2).toSeq
@@ -234,7 +243,42 @@ object Clustering {
         .getField("d")
       selected :+= kcenterArgmax(e, d, selected.map(_._1))
     }
-    kcenterEmit(s, selected)
+    (e, selected)
+  }
+
+  /** The ASSIGNMENT face of [[samp_kcenter]] (the embed_kmeans_assign
+    * convention): re-run the greedy selection, then assign EVERY vector
+    * to its nearest selected center in one map-only VecNearest pass —
+    * (vec_id, center_id, center_round, d2_fp) with d2_fp = ⌊2²⁰·d²⌋.
+    * This is the coverage AUDIT of a diversity selection: which center
+    * serves each point and at what radius — the frame a curation run
+    * inspects before trusting a coreset (and the per-point input to
+    * coverage-weighted curriculum ordering). Ties break to the EARLIEST
+    * selection round (VecNearest's lowest-index contract), which the
+    * twin mirrors by taking min(struct(d, round)) rather than
+    * min-by-center-id.
+    *
+    * Greedy theorem, spec-pinned: after k selections every point's d²
+    * is at most round k's selection radius (the next farthest point
+    * would have been round k+1's pick) — `max(d2_fp) ≤ radius_fp(k)`.
+    *
+    * Scale shape: the selection's k−1 aggregate passes, then ONE
+    * map-only scan against the k·dims plan-literal center table (no
+    * join, no shuffle beyond the presentation sort).
+    */
+  def samp_kcenter_assign(s: SparkSession, dir: String,
+      k: Int = kcenterK): DataFrame = {
+    val (e, selected) = kcenterSelect(s, dir, k, "samp_kcenter_assign")
+    val near = graft.functions.VecNearest.nearest(col("embedding"),
+      selected.map(_._2).toSeq)
+    val ids = selected.map(_._1)
+    e.select(col("vec_id"),
+        near.getField("c").as("ci"), near.getField("d").as("d"))
+      .select(col("vec_id"),
+        element_at(typedLit(ids), col("ci") + 1).as("center_id"),
+        (col("ci") + 1).cast("bigint").as("center_round"),
+        floor(col("d") * (1L << 20)).cast("long").as("d2_fp"))
+      .orderBy("vec_id")
   }
 
   /** Shared k-center prologue: scoreable vectors, both param guards, and

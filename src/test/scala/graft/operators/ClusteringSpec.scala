@@ -135,6 +135,12 @@ class ClusteringSpec extends AnyFunSuite {
     // partial agg → exchange(k rows) → final agg
     assert(!p.contains("Join"), s"assignment must not plan a join:\n$p")
     assert("HashAggregate".r.findAllIn(p).size >= 2, "map-side partials required")
+    // samp_kcenter_assign's FINAL pass has the same contract: the center
+    // table is k·dims plan literals, so the scan is map-only — no join,
+    // and the only exchange is the presentation sort
+    val pa = Clustering.samp_kcenter_assign(spark, dir)
+      .queryExecution.sparkPlan.toString
+    assert(!pa.contains("Join"), s"kcenter assignment must not plan a join:\n$pa")
   }
 
   test("samp_kcenter: planted geometry selects in hand-computed farthest-point order; greedy radius is non-increasing; ties and guards") {
@@ -256,5 +262,37 @@ class ClusteringSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException] {
       Clustering.samp_kcenter_sharded(spark, dirTiny, k = 3, kPrime = 4, shards = 1)
     }.getMessage.contains("yielded only"))
+  }
+
+  test("samp_kcenter_assign: centers self-assign; ties go to the EARLIEST round; the greedy coverage theorem holds corpus-wide") {
+    // plant: selection over {0:x0, 5:x10, 3:x4, 7:x7} picks 0 (seed),
+    // 5 (round 2, d²=100), 3 (round 3, d²=16). Probe id 7 then sits at
+    // d²=9 from BOTH center 5 (round 2) and center 3 (round 3): the tie
+    // must break to the EARLIER round — center_id 5 — where a
+    // min-by-center-id regression would emit 3.
+    val dirT = embDir(Seq(
+      0L -> Seq(0f), 3L -> Seq(4f), 5L -> Seq(10f), 7L -> Seq(7f)))
+    val asg = Clustering.samp_kcenter_assign(spark, dirT, k = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(asg(0L) == ((0L, 1L, 0L)) && asg(5L) == ((5L, 2L, 0L)) &&
+      asg(3L) == ((3L, 3L, 0L)), "centers must self-assign at d²=0")
+    assert(asg(7L) == ((5L, 2L, 9L << 20)),
+      "the equidistant probe must take the earliest-round center")
+    // the real corpus: every vector's coverage distance is bounded by the
+    // LAST selection radius (the would-be round k+1 pick could not exceed
+    // round k's) — the Gonzalez invariant, corpus-wide
+    val sel = Clustering.samp_kcenter(spark, dir).collect()
+    val lastRadius = sel.last.getLong(2)
+    val all = Clustering.samp_kcenter_assign(spark, dir).collect()
+    assert(all.length > sel.length, "assignment covers the whole corpus")
+    assert(all.map(_.getLong(3)).max <= lastRadius,
+      "greedy coverage theorem: max assigned d2_fp <= round-k radius_fp")
+    // each selected center self-assigns to its own round
+    val byId = all.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+      r.getLong(3)))).toMap
+    sel.foreach { s =>
+      assert(byId(s.getLong(1)) == ((s.getLong(1), s.getLong(0), 0L)))
+    }
   }
 }
