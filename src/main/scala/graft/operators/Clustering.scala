@@ -429,28 +429,34 @@ object Clustering {
       .sortBy(_._1).toVector
     require(seeds.nonEmpty, "samp_kcenter_sharded: no scoreable vectors")
     var coreset = seeds
-    var state = e
-      .withColumn("dmin", coalesce(
-        seeds.map { case (sh, _, c) => when(col("shard") === sh, dTo(c)) }: _*))
-      .filter(!col("vec_id").isInCollection(seeds.map(_._2)))
-      .graftCheckpoint()
-    for (r <- 2 to kPrime) {
-      // one aggregate: every live shard's farthest point this round
-      val picks = state.groupBy("shard")
-        .agg(max(struct(col("dmin").as("d"), (-col("vec_id")).as("negid"),
-          col("embedding").as("emb"))).as("m"))
-        .select(col("shard"), col("m.negid"), col("m.emb"))
-        .collect()
-        .map(row => (row.getLong(0), -row.getLong(1),
-          row.getSeq[Float](2).map(_.toDouble).toSeq))
-        .sortBy(_._1).toVector
-      coreset ++= picks
-      if (r < kPrime && picks.nonEmpty)
-        state = state.filter(!col("vec_id").isInCollection(picks.map(_._2)))
-          .withColumn("dmin", coalesce((picks.map { case (sh, _, c) =>
-            when(col("shard") === sh, least(col("dmin"), dTo(c)))
-          } :+ col("dmin")): _*))
-          .graftCheckpoint()
+    // kPrime=1 is seeds-only: the round loop below never reads `state`,
+    // so building (and eagerly checkpointing) the corpus-sized distance
+    // frame would be a wasted full scan — the twin's explicit kPrime=1
+    // branch and samp_kcenter_fast's `if (round < k)` skip, applied here
+    if (kPrime >= 2) {
+      var state = e
+        .withColumn("dmin", coalesce(
+          seeds.map { case (sh, _, c) => when(col("shard") === sh, dTo(c)) }: _*))
+        .filter(!col("vec_id").isInCollection(seeds.map(_._2)))
+        .graftCheckpoint()
+      for (r <- 2 to kPrime) {
+        // one aggregate: every live shard's farthest point this round
+        val picks = state.groupBy("shard")
+          .agg(max(struct(col("dmin").as("d"), (-col("vec_id")).as("negid"),
+            col("embedding").as("emb"))).as("m"))
+          .select(col("shard"), col("m.negid"), col("m.emb"))
+          .collect()
+          .map(row => (row.getLong(0), -row.getLong(1),
+            row.getSeq[Float](2).map(_.toDouble).toSeq))
+          .sortBy(_._1).toVector
+        coreset ++= picks
+        if (r < kPrime && picks.nonEmpty)
+          state = state.filter(!col("vec_id").isInCollection(picks.map(_._2)))
+            .withColumn("dmin", coalesce((picks.map { case (sh, _, c) =>
+              when(col("shard") === sh, least(col("dmin"), dTo(c)))
+            } :+ col("dmin")): _*))
+            .graftCheckpoint()
+      }
     }
     require(coreset.size >= k,
       s"samp_kcenter_sharded: the corpus yielded only ${coreset.size} " +

@@ -344,13 +344,16 @@ object Graph {
     * iters=12 is a margin over the SHIPPED corpora, not a universal
     * bound — on a graph orders larger, a fixed round count could stop
     * short and silently under-merge. So the loop VERIFIES its own
-    * convergence: the last round must already have been a no-op (at the
-    * star fixed point both phases are identities, so round iters−1 ==
-    * round iters proves the fixed point with one round of margin), else
-    * IllegalStateException names the shortfall instead of emitting a
-    * wrong census. The check is one signed-union aggregate over the two
-    * final (already-checkpointed, star-sized) edge lists — loud
-    * divergence at any scale for one cheap job, no extra round computed.
+    * convergence: if the last round was already a no-op (at the star
+    * fixed point both phases are identities) the fixed point is proven
+    * with one round of margin for free; otherwise ONE extra star round
+    * is computed and round(edges) == edges proves/refutes the fixed
+    * point DIRECTLY — a graph converging exactly at round `iters` is
+    * accepted (zero margin, correct census), and only a genuinely
+    * unconverged graph raises IllegalStateException naming the
+    * shortfall instead of emitting a wrong census. Each comparison is
+    * one signed-union aggregate over two (checkpointed, star-sized)
+    * edge lists; the extra round runs only on the margin-miss path.
     */
   def graph_cc(s: SparkSession, dir: String, iters: Int = 12,
       allFamilies: Boolean = false): DataFrame = {
@@ -405,16 +408,25 @@ object Graph {
     // distinct sets, so the check is ONE signed-union aggregate — no
     // extra star round is ever computed — and any (a, b) with a nonzero
     // sign sum is in exactly one of them.
-    val drift = edges.select(col("a"), col("b"), lit(1L).as("s"))
-      .unionAll(prev.select(col("a"), col("b"), lit(-1L).as("s")))
-      .groupBy("a", "b").agg(sum(col("s")).as("s"))
-      .filter(col("s") =!= 0L).limit(1).count()
-    if (drift != 0)
-      throw new IllegalStateException(
-        s"graph_cc: round $iters still changed the edge set — convergence " +
-          "within the iters margin is unproven; the graph needs more " +
-          "rounds than the default (pass a larger iters, ~ceil(log2 n) " +
-          "+ slack)")
+    def edgeDrift(x: DataFrame, y: DataFrame): Long =
+      x.select(col("a"), col("b"), lit(1L).as("s"))
+        .unionAll(y.select(col("a"), col("b"), lit(-1L).as("s")))
+        .groupBy("a", "b").agg(sum(col("s")).as("s"))
+        .filter(col("s") =!= 0L).limit(1).count()
+    if (edgeDrift(edges, prev) != 0) {
+      // the last round still changed something — a graph converging
+      // EXACTLY at round `iters` is still correct (edges is the fixed
+      // point, just with zero margin), so prove/refute the fixed point
+      // directly with one extra star round before failing: round(edges)
+      // == edges ⟺ converged. Only the margin path pays this round.
+      val next = round(edges)
+      if (edgeDrift(next, edges) != 0)
+        throw new IllegalStateException(
+          s"graph_cc: round(edges) after $iters rounds still changes the " +
+            "edge set — the census would under-merge; the graph needs " +
+            "more rounds than the default (pass a larger iters, " +
+            "~ceil(log2 n) + slack)")
+    }
     // component label: a star member's root (min(a) guards the
     // not-yet-converged case where b still carries two hooks); roots and
     // isolated nodes label themselves

@@ -48,12 +48,25 @@ object Tables {
     * staging the same table concurrently share one dir — the loser's
     * link is the same target, so losing IS success. (Today's staging
     * callers are single-threaded mains; the guard is the contract, not a
-    * live-bug fix.)
+    * live-bug fix.) After the exists/create race settles, the surviving
+    * link's target must EQUAL `target` — a pre-existing link into a
+    * reused directory that points elsewhere would otherwise silently
+    * serve a stale/different table to every downstream read; fail loud
+    * instead (today's fresh-per-JVM scratch dirs can't hit this, so the
+    * assert is free — it guards the future caller that can).
     */
-  def ensureSymlink(link: java.nio.file.Path, target: java.nio.file.Path): Unit =
-    if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
-      try java.nio.file.Files.createSymbolicLink(link, target)
+  def ensureSymlink(link: java.nio.file.Path, target: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, LinkOption}
+    if (!Files.exists(link, LinkOption.NOFOLLOW_LINKS))
+      try Files.createSymbolicLink(link, target)
       catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    if (Files.isSymbolicLink(link)) {
+      val got = Files.readSymbolicLink(link)
+      require(got == target,
+        s"ensureSymlink: $link already points at $got, not $target — " +
+          "the staging directory is being reused across different tables")
+    }
+  }
 
   def scratchDir(prefix: String, key: String): String =
     scratch.computeIfAbsent(s"$prefix|$key", _ => {

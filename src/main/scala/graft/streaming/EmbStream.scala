@@ -150,10 +150,16 @@ object EmbStream {
     * `witness_d2`/`witness_id` name the covering center otherwise;
     * `radius2` and `n_centers` are the shard sketch AFTER the decision,
     * so a consumer can watch coverage coarsen as the stream grows.
+    * `retained` = the arrival is still IN the sketch after its own
+    * decision's doubling cascade — the flag a consumer materializing
+    * "the bounded diverse subset" filters on (`admitted` alone is a
+    * superset: an admitted-then-compacted arrival never made the
+    * sketch). Decision-time truth: a later arrival's cascade can still
+    * merge a retained center away; refusals are never retained.
     */
   case class DivGate(vec_id: Long, shard: Int, admitted: Boolean,
       witness_id: Option[Long], witness_d2: Option[Double],
-      radius2: Double, n_centers: Int)
+      radius2: Double, n_centers: Int, retained: Boolean)
 
   /** Streaming DIVERSITY gate — the stream edge of the k-center family
     * ([[graft.operators.Clustering.samp_kcenter_sharded]]'s coreset
@@ -216,7 +222,7 @@ object EmbStream {
             witness match {
               case Some((cid, d)) =>
                 DivGate(id, shard, admitted = false, Some(cid), Some(d),
-                  r2, centers.size)
+                  r2, centers.size, retained = false)
               case None =>
                 centers = centers :+ ((id, vec))
                 while (centers.size > kPerShard) {
@@ -231,8 +237,16 @@ object EmbStream {
                       else kept :+ c
                   }
                 }
+                // admitted ≠ retained: the doubling cascade this very
+                // decision triggered may merge the arrival straight back
+                // out (it was uncovered at the OLD radius, covered at the
+                // new one) — `retained` is post-cascade sketch membership,
+                // so a consumer building "the diverse subset" filters on
+                // it, not on `admitted`. Decision-time truth only: a LATER
+                // arrival's cascade can still merge a retained center away
+                // (the final sketch is the last batch's n_centers entries).
                 DivGate(id, shard, admitted = true, None, None,
-                  r2, centers.size)
+                  r2, centers.size, retained = centers.exists(_._1 == id))
             }
           }
           state.update((r2, centers))

@@ -769,15 +769,17 @@ class StreamingSpec extends AnyFunSuite {
         r.getLong(0) -> ((r.getInt(1), r.getBoolean(2),
           Option(r.get(3)).map(_.asInstanceOf[Long]),
           Option(r.get(4)).map(_.asInstanceOf[Double]),
-          r.getDouble(5), r.getInt(6)))).toMap
-      assert(got(0L) == ((0, true, None, None, 0.0, 1)))
-      assert(got(4L) == ((0, true, None, None, 0.0, 2)))
-      assert(got(8L) == ((0, true, None, None, 1.0, 2)))
-      assert(got(1L) == ((1, true, None, None, 0.0, 1)))
-      assert(got(5L) == ((1, true, None, None, 0.0, 2)))
-      assert(got(12L) == ((0, false, Some(0L), Some(0.25), 1.0, 2)))
-      assert(got(16L) == ((0, true, None, None, 64.0, 2)))
-      assert(got(20L) == ((0, false, Some(0L), Some(49.0), 64.0, 2)))
+          r.getDouble(5), r.getInt(6), r.getBoolean(7)))).toMap
+      assert(got(0L) == ((0, true, None, None, 0.0, 1, true)))
+      assert(got(4L) == ((0, true, None, None, 0.0, 2, true)))
+      // ids 8 and 16: admitted (uncovered at the old radius) but merged
+      // straight back out by their own doubling cascade → retained=false
+      assert(got(8L) == ((0, true, None, None, 1.0, 2, false)))
+      assert(got(1L) == ((1, true, None, None, 0.0, 1, true)))
+      assert(got(5L) == ((1, true, None, None, 0.0, 2, true)))
+      assert(got(12L) == ((0, false, Some(0L), Some(0.25), 1.0, 2, false)))
+      assert(got(16L) == ((0, true, None, None, 64.0, 2, false)))
+      assert(got(20L) == ((0, false, Some(0L), Some(49.0), 64.0, 2, false)))
     } finally q.stop()
   }
 
@@ -797,12 +799,14 @@ class StreamingSpec extends AnyFunSuite {
       val rows = spark.table("div_inv").collect().map(r =>
         (r.getLong(0), r.getInt(1), r.getBoolean(2),
           Option(r.get(4)).map(_.asInstanceOf[Double]),
-          r.getDouble(5), r.getInt(6)))
+          r.getDouble(5), r.getInt(6), r.getBoolean(7)))
       assert(rows.length == vecs.length)
       assert(rows.forall(_._6 <= 4), "the sketch is hard-bounded at kPerShard")
       assert(rows.filter(!_._3).forall(r => r._4.get <= r._5),
         "every refusal's witness sits within the current radius")
       assert(rows.filter(_._3).forall(_._4.isEmpty))
+      assert(rows.filter(_._7).forall(_._3),
+        "retained implies admitted — refusals never enter the sketch")
       // radius is non-decreasing along each shard's vec_id order
       rows.groupBy(_._2).foreach { case (_, rs) =>
         val radii = rs.sortBy(_._1).map(_._5)
