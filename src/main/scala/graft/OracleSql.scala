@@ -439,27 +439,62 @@ object OracleSql {
        |SELECT round, vec_id, radius_fp FROM cen$k ORDER BY round""".stripMargin
   }
 
-  /** samp_kcenter_assign's twin: the selection CTEs verbatim, then one
-    * min(struct(d, round)) per vector — ties to the EARLIEST round, the
-    * VecNearest lowest-index contract (NOT min-by-center-id).
+  /** The nearest-selected-center CTE shared by [[kcenterAssignTwin]] and
+    * [[kcenterCurriculumTwin]]: one min(struct(d, round)) per vector —
+    * ties to the EARLIEST round, the VecNearest lowest-index contract
+    * (NOT min-by-center-id).
     */
-  private val kcenterAssignTwin: String = {
+  private lazy val kcenterAsgCte: String = {
     val k = graft.operators.Clustering.kcenterK
-    s"""WITH $kcenterCtes,
-       |asg AS (
+    s"""asg AS (
        |  SELECT e.vec_id,
        |    min({'d': list_sum(list_transform(list_zip(e.embedding, c.embedding),
        |          p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
        |             * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
        |         'r': c.round}) AS best
        |  FROM embeddings e, cen$k c
-       |  WHERE e.embedding IS NOT NULL GROUP BY e.vec_id)
+       |  WHERE e.embedding IS NOT NULL GROUP BY e.vec_id)""".stripMargin
+  }
+
+  /** samp_kcenter_assign's twin: the selection CTEs verbatim, then the
+    * shared per-vector assignment CTE.
+    */
+  private val kcenterAssignTwin: String = {
+    val k = graft.operators.Clustering.kcenterK
+    s"""WITH $kcenterCtes,
+       |$kcenterAsgCte
        |SELECT a.vec_id, c.vec_id AS center_id,
        |  (a.best).r AS center_round,
        |  CAST(floor((a.best).d * 1048576.0) AS BIGINT) AS d2_fp
        |FROM asg a JOIN cen$k c ON c.round = (a.best).r
        |ORDER BY a.vec_id""".stripMargin
   }
+
+  /** samp_curriculum_coverage's twin: the selection + assignment CTEs,
+    * then exact d2_fp quartile phases (quantile_cont — the q30 /
+    * samp_curriculum precedent, phase 0 = FARTHEST quartile) and the
+    * samp_shuffle shard/pos device per (phase, shard) keyed on vec_id.
+    */
+  private val kcenterCurriculumTwin: String =
+    s"""WITH $kcenterCtes,
+       |$kcenterAsgCte,
+       |d2 AS (SELECT a.vec_id,
+       |    CAST(floor((a.best).d * 1048576.0) AS BIGINT) AS d2_fp FROM asg a),
+       |cu AS (SELECT quantile_cont(d2_fp, 0.25) AS p25,
+       |         quantile_cont(d2_fp, 0.5) AS p50,
+       |         quantile_cont(d2_fp, 0.75) AS p75 FROM d2),
+       |ph AS (SELECT vec_id,
+       |         CAST(CASE WHEN d2_fp >= p75 THEN 0 WHEN d2_fp >= p50 THEN 1
+       |              WHEN d2_fp >= p25 THEN 2 ELSE 3 END AS BIGINT) AS phase,
+       |         md5(CAST(vec_id AS VARCHAR) || '|shuffle42') AS h
+       |       FROM d2, cu),
+       |sh AS (SELECT vec_id, phase, h,
+       |         CAST(concat('0x', substr(h, 1, 6)) AS BIGINT) % 8 AS shard
+       |       FROM ph)
+       |SELECT vec_id, phase, shard,
+       |  CAST(row_number() OVER (PARTITION BY phase, shard ORDER BY h, vec_id)
+       |       AS BIGINT) - 1 AS pos
+       |FROM sh ORDER BY phase, shard, pos""".stripMargin
 
   /** The shared selection CTE chain behind [[kcenterTwin]] and
     * [[kcenterAssignTwin]] (sel/cen round unrolls, ending at cen$k).
@@ -491,6 +526,48 @@ object OracleSql {
        |  ORDER BY vec_id LIMIT 1),
        |cen1 AS (SELECT * FROM sel1),
        |$rounds""".stripMargin
+  }
+
+  /** The shared CC round unroll behind the `graph_cc` census twin and the
+    * `graph_cc_labels` per-doc twin: the 12 alternating large-star /
+    * small-star rounds unrolled programmatically (the pagerankCoreCtes
+    * device) over the permutation-family edge base (canonicalized a < b),
+    * ending at the `lblmap` (v, c) label map. Every intermediate is
+    * MATERIALIZED: each round reads its predecessor through both
+    * adjacency orientations and both star phases, so inlined CTEs would
+    * expand multiplicatively (the same reason the Spark side cuts lineage
+    * every round).
+    */
+  private lazy val ccCtes: String = {
+    val iters = 12
+    val rounds = (1 to iters).map { r =>
+      val p = r - 1
+      s"""adjl$r AS (SELECT a AS u, b AS v FROM er$p
+         |           UNION ALL SELECT b, a FROM er$p),
+         |minl$r AS MATERIALIZED (
+         |  SELECT u, least(u, min(v)) AS m FROM adjl$r GROUP BY u),
+         |lse$r AS MATERIALIZED (
+         |  SELECT DISTINCT least(v, m) AS a, greatest(v, m) AS b
+         |  FROM adjl$r JOIN minl$r USING (u)
+         |  WHERE v > u AND least(v, m) <> greatest(v, m)),
+         |adjs$r AS (SELECT a AS u, b AS v FROM lse$r
+         |           UNION ALL SELECT b, a FROM lse$r),
+         |smn$r AS (SELECT u, v FROM adjs$r WHERE v < u),
+         |mins$r AS MATERIALIZED (SELECT u, min(v) AS m FROM smn$r GROUP BY u),
+         |er$r AS MATERIALIZED (
+         |  SELECT DISTINCT a, b FROM (
+         |    SELECT s.m AS a, n.v AS b FROM smn$r n JOIN mins$r s USING (u)
+         |      WHERE n.v <> s.m
+         |    UNION ALL SELECT m, u FROM mins$r)
+         |  WHERE a <> b)""".stripMargin
+    }.mkString(",\n")
+    s"""er0 AS MATERIALIZED (
+       |  SELECT DISTINCT least(doc_id, (doc_id*31+7) % n) AS a,
+       |                  greatest(doc_id, (doc_id*31+7) % n) AS b
+       |  FROM documents, (SELECT count(*) AS n FROM documents)
+       |  WHERE doc_id <> (doc_id*31+7) % n),
+       |$rounds,
+       |lblmap AS (SELECT b AS v, min(a) AS c FROM er$iters GROUP BY b)""".stripMargin
   }
 
   /** The samp_kcenter_sharded twin — BOTH phases unrolled: the per-shard
@@ -2420,6 +2497,7 @@ object OracleSql {
     "samp_kcenter_sharded" -> kcenterShardedTwin,
 
     "samp_kcenter_assign" -> kcenterAssignTwin,
+    "samp_curriculum_coverage" -> kcenterCurriculumTwin,
 
     // `Clustering.embed_pq`'s twin — per-subspace Lloyd with the SAME
     // round template, the subspace as a plain dimension (one assignment /
@@ -3767,50 +3845,26 @@ object OracleSql {
          |SELECT domain, n_docs, pr_sum, pr_mean, blocked
          |FROM da ORDER BY domain""".stripMargin,
 
-    // `Graph.graph_cc`'s twin — the 12 alternating large-star/small-star
-    // rounds unrolled programmatically (the pagerankCoreCtes device); the
-    // edge base is the permutation family alone, canonicalized a < b.
-    // Every intermediate is MATERIALIZED: each round reads its
-    // predecessor through both adjacency orientations and both star
-    // phases, so inlined CTEs would expand multiplicatively (the same
-    // reason the Spark side cuts lineage every round).
-    "graph_cc" -> {
-      val iters = 12
-      val rounds = (1 to iters).map { r =>
-        val p = r - 1
-        s"""adjl$r AS (SELECT a AS u, b AS v FROM er$p
-           |           UNION ALL SELECT b, a FROM er$p),
-           |minl$r AS MATERIALIZED (
-           |  SELECT u, least(u, min(v)) AS m FROM adjl$r GROUP BY u),
-           |lse$r AS MATERIALIZED (
-           |  SELECT DISTINCT least(v, m) AS a, greatest(v, m) AS b
-           |  FROM adjl$r JOIN minl$r USING (u)
-           |  WHERE v > u AND least(v, m) <> greatest(v, m)),
-           |adjs$r AS (SELECT a AS u, b AS v FROM lse$r
-           |           UNION ALL SELECT b, a FROM lse$r),
-           |smn$r AS (SELECT u, v FROM adjs$r WHERE v < u),
-           |mins$r AS MATERIALIZED (SELECT u, min(v) AS m FROM smn$r GROUP BY u),
-           |er$r AS MATERIALIZED (
-           |  SELECT DISTINCT a, b FROM (
-           |    SELECT s.m AS a, n.v AS b FROM smn$r n JOIN mins$r s USING (u)
-           |      WHERE n.v <> s.m
-           |    UNION ALL SELECT m, u FROM mins$r)
-           |  WHERE a <> b)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH er0 AS MATERIALIZED (
-         |  SELECT DISTINCT least(doc_id, (doc_id*31+7) % n) AS a,
-         |                  greatest(doc_id, (doc_id*31+7) % n) AS b
-         |  FROM documents, (SELECT count(*) AS n FROM documents)
-         |  WHERE doc_id <> (doc_id*31+7) % n),
-         |$rounds,
-         |lblmap AS (SELECT b AS v, min(a) AS c FROM er$iters GROUP BY b)
+    // `Graph.graph_cc`'s twin — the shared round unroll ([[ccCtes]]),
+    // then the component census over the per-doc label map.
+    "graph_cc" ->
+      s"""WITH $ccCtes
          |SELECT CAST(coalesce(l.c, d.doc_id) AS BIGINT) AS component,
          |  CAST(count(*) AS BIGINT) AS n_members,
          |  CAST(max(d.doc_id) AS BIGINT) AS max_member
          |FROM documents d LEFT JOIN lblmap l ON l.v = d.doc_id
          |GROUP BY coalesce(l.c, d.doc_id)
-         |ORDER BY n_members DESC, component""".stripMargin
-    },
+         |ORDER BY n_members DESC, component""".stripMargin,
+
+    // `Graph.ccLabels`' twin — the SAME rounds, emitted per document
+    // instead of aggregated: the census twin derives from this frame by
+    // construction, so the two can never disagree on membership.
+    "graph_cc_labels" ->
+      s"""WITH $ccCtes
+         |SELECT d.doc_id,
+         |  CAST(coalesce(l.c, d.doc_id) AS BIGINT) AS component
+         |FROM documents d LEFT JOIN lblmap l ON l.v = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "graph_degrees" ->
       s"""WITH e AS (

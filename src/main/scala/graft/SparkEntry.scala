@@ -199,6 +199,9 @@ object SparkEntry {
     "samp_kcenter_fast" -> ((s, d) => Clustering.samp_kcenter_fast(s, d)),
     "samp_kcenter_sharded" -> ((s, d) => Clustering.samp_kcenter_sharded(s, d)),
     "samp_kcenter_assign" -> ((s, d) => Clustering.samp_kcenter_assign(s, d)),
+    // coverage-weighted curriculum: phases by the assign frame's d2_fp
+    "samp_curriculum_coverage" ->
+      ((s, d) => Clustering.samp_curriculum_coverage(s, d)),
     // CSV round trip certified against the parquet originals
     "src_csv" -> (graft.sources.Csv.src_csv _),
     // link-graph centrality over the planted citation graph
@@ -206,6 +209,8 @@ object SparkEntry {
     "graph_hits" -> ((s, d) => Graph.graph_hits(s, d)),
     // citation-island census via alternating large-star/small-star CC
     "graph_cc" -> ((s, d) => Graph.graph_cc(s, d)),
+    // the per-document label frame behind the census (memoized artifact)
+    "graph_cc_labels" -> ((s, d) => Graph.ccLabels(s, d).orderBy("doc_id")),
     "graph_degrees" -> (Graph.graph_degrees _),
     // last-touch revenue attribution per channel
     "ev_attribution" -> (Relational.ev_attribution _),

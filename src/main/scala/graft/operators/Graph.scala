@@ -354,11 +354,43 @@ object Graph {
     * shortfall instead of emitting a wrong census. Each comparison is
     * one signed-union aggregate over two (checkpointed, star-sized)
     * edge lists; the extra round runs only on the margin-miss path.
+    *
+    * The census is ONE aggregate over [[ccLabels]] (the memoized
+    * per-document label frame) — the rounds run once per snapshot and
+    * every consumer derives from the same materialized labels.
     */
   def graph_cc(s: SparkSession, dir: String, iters: Int = 12,
+      allFamilies: Boolean = false): DataFrame =
+    ccLabels(s, dir, iters, allFamilies)
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_members"), max(col("doc_id")).as("max_member"))
+      .orderBy(col("n_members").desc, col("component"))
+
+  /** The per-document (doc_id, component) label frame behind [[graph_cc]]
+    * — exposed as its own consumer surface: graph-scale leak-free
+    * splitting anchors train/test membership on REAL link components
+    * (this frame), not just n-gram cliques, and any fragmentation census
+    * derives from it by one aggregate (exactly how [[graph_cc]] is now
+    * spelled, so labels and census can never disagree on membership).
+    *
+    * MEMOIZED per (session, dir, iters, allFamilies) as a checkpointed
+    * frame (the [[pagerankRanks]] discipline): component labels are a
+    * per-crawl-SNAPSHOT artifact — the star-contraction rounds run once,
+    * and the census, the splitter, and any future consumer re-read the
+    * materialized blocks. `component` = the component's minimum member
+    * id; isolated nodes label themselves.
+    */
+  private val ccCache = new graft.SessionMemo[(String, Int, Boolean), DataFrame]
+  def ccLabels(s: SparkSession, dir: String, iters: Int = 12,
       allFamilies: Boolean = false): DataFrame = {
-    import graft.Checkpoints.DatasetCheckpointOps
     require(iters >= 1, s"graph_cc: iters=$iters must be >= 1")
+    ccCache.getOrBuild(s, (dir, iters, allFamilies))(
+      ccLabelsBuild(s, dir, iters, allFamilies))
+  }
+
+  private def ccLabelsBuild(s: SparkSession, dir: String, iters: Int,
+      allFamilies: Boolean): DataFrame = {
+    import graft.Checkpoints.DatasetCheckpointOps
     val (d, e0) =
       if (allFamilies) plantedEdges(s, dir) else plantedPermEdges(s, dir)
     // one alternating large-star/small-star round (canonical a<b edges in,
@@ -429,14 +461,12 @@ object Graph {
     }
     // component label: a star member's root (min(a) guards the
     // not-yet-converged case where b still carries two hooks); roots and
-    // isolated nodes label themselves
+    // isolated nodes label themselves. Checkpointed so a memo hit
+    // re-reads blocks instead of re-running the rounds.
     val lbl = edges.groupBy(col("b").as("v")).agg(min(col("a")).as("c0"))
     d.join(lbl, d("doc_id") === lbl("v"), "left")
-      .select(col("doc_id"), coalesce(col("c0"), col("doc_id")).as("c"))
-      .groupBy("c")
-      .agg(count(lit(1)).as("n_members"), max(col("doc_id")).as("max_member"))
-      .select(col("c").as("component"), col("n_members"), col("max_member"))
-      .orderBy(col("n_members").desc, col("component"))
+      .select(col("doc_id"), coalesce(col("c0"), col("doc_id")).as("component"))
+      .graftCheckpoint()
   }
 
   def graph_degrees(s: SparkSession, dir: String): DataFrame = {

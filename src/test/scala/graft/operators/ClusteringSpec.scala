@@ -295,4 +295,41 @@ class ClusteringSpec extends AnyFunSuite {
       assert(byId(s.getLong(1)) == ((s.getLong(1), s.getLong(0), 0L)))
     }
   }
+
+  test("samp_curriculum_coverage: plug-compatible with samp_curriculum; phases are exact d2_fp quartiles, farthest first; dense per-(phase, shard) positions") {
+    // plug compatibility: same frame shape as the quality curriculum
+    // (vec_id stands where doc_id stands), so one trainer reads either
+    val cov = Clustering.samp_curriculum_coverage(spark, dir)
+    val qual = Curation.samp_curriculum(spark, dir)
+    assert(cov.columns.toSeq == Seq("vec_id", "phase", "shard", "pos"))
+    assert(cov.schema.fields.map(_.dataType).toSeq ==
+      qual.schema.fields.map(_.dataType).toSeq,
+      "coverage and quality curricula must share the consumer schema")
+    val rows = cov.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val d2 = Clustering.samp_kcenter_assign(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(rows.length == d2.size, "every assigned vector is scheduled once")
+    // phase 0 = FARTHEST quartile: coverage distance never increases
+    // across phase boundaries
+    val byPhase = rows.groupBy(_._2).view
+      .mapValues(_.map(r => d2(r._1))).toMap
+    assert(byPhase.keySet == Set(0L, 1L, 2L, 3L))
+    for (p <- 0L to 2L)
+      assert(byPhase(p).min >= byPhase(p + 1).max,
+        s"phase $p must sit at or above phase ${p + 1} in coverage distance")
+    // the samp_shuffle device: positions dense from 0 within each
+    // (phase, shard), ordered by the content hash
+    rows.groupBy(r => (r._2, r._3)).foreach { case (_, g) =>
+      assert(g.map(_._4).sorted.toSeq == (0L until g.size).toSeq,
+        "per-(phase, shard) positions must be dense from 0")
+    }
+    // deterministic across runs (content-addressed order)
+    assert(rows.toSeq ==
+      Clustering.samp_curriculum_coverage(spark, dir).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq)
+    assert(intercept[IllegalArgumentException] {
+      Clustering.samp_curriculum_coverage(spark, dir, nShards = 0)
+    }.getMessage.contains("nShards"))
+  }
 }

@@ -164,6 +164,42 @@ class GraphSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Graph.graph_cc(spark, dir, iters = 0))
   }
 
+  test("ccLabels: per-doc labels equal the independently-walked cycle minima; memo hit returns the cached frame") {
+    // independent reference: each doc's component is the min of its
+    // (31x+7) mod n permutation cycle
+    val n = 36L
+    val want = {
+      val lbl = scala.collection.mutable.Map.empty[Long, Long]
+      val seen = scala.collection.mutable.Set.empty[Long]
+      for (s0 <- 0L until n) if (!seen(s0)) {
+        val mem = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var x = s0
+        while (!seen(x)) { seen += x; mem += x; x = (31 * x + 7) % n }
+        mem.foreach(m => lbl(m) = mem.min)
+      }
+      lbl.toMap
+    }
+    val d36 = docsDir(36)
+    val got = Graph.ccLabels(spark, d36).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, "labels diverge from the walked cycles")
+    // labels <-> census membership parity on the real corpus: the census
+    // aggregated from labels IS graph_cc's output
+    val labels = Graph.ccLabels(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val derived = labels.groupBy(_._2).map { case (c, ms) =>
+      (c, ms.size.toLong, ms.map(_._1).max)
+    }.toSeq.sortBy { case (c, m, _) => (-m, c) }
+    val census = Graph.graph_cc(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(derived == census, "census must aggregate the label frame")
+    // memo hit: the SessionMemo hands back the SAME checkpointed frame
+    // (per-snapshot artifact — the rounds run once)
+    assert(Graph.ccLabels(spark, d36) eq Graph.ccLabels(spark, d36),
+      "second call must be a memo hit, not a rebuild")
+    intercept[IllegalArgumentException](Graph.ccLabels(spark, d36, iters = 0))
+  }
+
   test("pipeline_release: funnel counts are monotone per source and the authority stage bites") {
     val dir = "/root/testdata/sf0.001"
     val rows = Curation.pipeline_release(spark, dir).collect()
