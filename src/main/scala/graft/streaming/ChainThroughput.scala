@@ -1,32 +1,36 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, pmod}
 import org.apache.spark.sql.streaming.Trigger
 
 /** Realized ingest-edge throughput of the FULL C4-order chain
   * ([[DocsStream.c4Chain]]: extract→url→authority→langid→score→
-  * perplexity) — the replication-spot drive that grounds the "stream
-  * edge" story at chain granularity the way [[GateThroughput]] grounds
-  * the single langid gate (SURVEY §8.5): the documents table at `dir`
-  * replayed as a one-shot file stream through the whole chain to a noop
-  * sink, wall-clocked per rep.
+  * perplexity, plus the OPTIONAL decon/importance screens) — the
+  * replication-spot drive that grounds the "stream edge" story at chain
+  * granularity the way [[GateThroughput]] grounds the single langid gate
+  * (SURVEY §8.5): the documents table at `dir` replayed as a one-shot
+  * file stream through the whole chain to a noop sink, wall-clocked per
+  * rep.
   *
-  * All five gate artifacts are per-snapshot BATCH values by contract
-  * (train on the corpus the chain will screen deltas of); their build
-  * cost is reported separately (`artifact_sec`) because a deployment
-  * pays it once per snapshot, not per document. The funnel census
-  * (`kept`) is priced by the BATCH composition of the same chain — every
-  * stage is stateless map-only, batch == stream per the per-gate parity
-  * specs plus the end-to-end chain spec, so the count is the stream's.
-  * The chain holds zero streaming state; the only per-query memory is
-  * the shipped artifact values, whose sizes are the `artifact_census`
-  * fields (authority domains, langid weight rows × dims, score weight
-  * dims, LM bigram/unigram entries).
+  * All gate artifacts are per-snapshot BATCH values by contract (train
+  * on the corpus the chain will screen deltas of); their build cost is
+  * reported separately (`artifact_sec`) because a deployment pays it
+  * once per snapshot, not per document. The funnel census (`kept`) is
+  * priced by the BATCH composition of the same chain — every stage is
+  * stateless map-only, batch == stream per the per-gate parity specs
+  * plus the end-to-end chain spec, so the count is the stream's. The
+  * chain holds zero streaming state; the only per-query memory is the
+  * shipped artifact values, whose sizes are the `artifact_census` fields.
   *
   * Usage: `tools/run.sh graft.streaming.ChainThroughput [dir]
-  * [artifactDir] [reps] [keep]` — defaults sf0.1, =dir, 3, `en,zh`.
-  * For N× replica spots pass the 1× base as `artifactDir` (the
+  * [artifactDir] [reps] [keep] [screens]` — defaults sf0.1, =dir, 3,
+  * `en,zh`, `off`. Pass `screens=on` to run the chain WITH the three
+  * decon/importance screens (URL decon over a mod-50 eval slice, DSIR
+  * and BM25 at survivor-quartile cuts — the parity spec's recipe, so
+  * every screen ENGAGES without annihilating the funnel; a deployment
+  * pins its own thresholds). For N×
+  * replica spots pass the 1× base as `artifactDir` (the
   * [[GateThroughput]] contract: artifacts are per-snapshot batch values
   * trained on the base corpus; the spot prices the stateless chain, not
   * the trainers, whose own scale curves §8.5 records separately).
@@ -40,7 +44,9 @@ object ChainThroughput {
     val artifactDir = args.lift(1).getOrElse(dir)
     val reps = args.lift(2).map(_.toInt).getOrElse(3)
     val keep = args.lift(3).getOrElse("en,zh").split(",").toSet
+    val screens = args.lift(4).contains("on")
     val spark = graft.DriverSession.build(defaultCpus = "32")
+    import spark.implicits._
 
     val tA = System.nanoTime()
     val authorized = graft.operators.Graph.domainAuthority(spark, artifactDir)
@@ -50,6 +56,53 @@ object ChainThroughput {
     val scoreW =
       graft.operators.TextAnalysis.trainScoreWeights(spark, artifactDir, 8)
     val lm = graft.operators.TextAnalysis.perplexityLmArtifact(spark, artifactDir)
+    // the three screen artifacts (only built when screens=on): eval URLs
+    // from a benchmark-release-sized slice, DSIR weights + a survivor-
+    // quartile λ cut, the BM25 query table + a survivor-quartile score
+    // cut — the SAME recipe the chain-with-screens parity spec pins
+    // (thresholds that provably engage without annihilating the funnel;
+    // a deployment pins its own)
+    val (deconUrls, dsirScreen, bm25Screen) = if (!screens)
+      (Seq.empty[String], None, None)
+    else {
+      val survivors = DocsStream.c4Chain(
+          graft.sources.Tables.loadParallel(spark, artifactDir, "documents")
+            .withColumn("url",
+              graft.operators.TextAnalysis.urlPlant(col("doc_id"))),
+          authorized, langidW, keep, scoreW, lm)
+        .select("doc_id").as[Long].collect().toSet
+      def quart(xs: Seq[Long], q: Double): Long = {
+        val s = xs.sorted
+        s(((s.size - 1) * q).toInt)
+      }
+      // mod 50, not the batch screen's evalMod-3 default: the 3-slice
+      // covers ALL normalized plant urls and would annihilate the chain
+      val evalUrls = graft.sources.Tables.loadParallel(spark, artifactDir, "documents")
+        .filter(pmod(col("doc_id"), lit(50L)) === 0)
+        .select(graft.operators.TextAnalysis.normUrl(col("doc_id")).as("u"))
+        .distinct().as[String].collect().toSeq
+      val w = graft.operators.Curation.dsirGateArtifact(spark, artifactDir)
+      val lamCut = quart(graft.operators.Curation
+        .samp_dsir(spark, artifactDir, k = Int.MaxValue)
+        .select("doc_id", "lambda_fp").as[(Long, Long)].collect()
+        .filter(r => survivors.contains(r._1)).map(_._2).toSeq, 0.25)
+      val (n, sTot, queries) =
+        graft.operators.Curation.bm25GateArtifact(spark, artifactDir)
+      // maxDl 2^14: the default 2^20 fails the BIGINT-exact guard once
+      // S reaches sf0.1 scale (S·maxDl bounded), and the synthetic docs
+      // are tens of tokens — 16 k is three orders of margin
+      val maxDl = 1L << 14
+      val scoreCut = math.max(1L, quart(DocsStream.bm25Gate(
+          graft.sources.Tables.loadParallel(spark, artifactDir, "documents")
+            .select("doc_id", "text"),
+          n, sTot, queries, maxScoreFp = Long.MaxValue, maxDl = maxDl)
+        .select("doc_id", "bm25_score_fp").as[(Long, Long)].collect()
+        .filter(r => survivors.contains(r._1)).map(_._2).toSeq, 0.75))
+      (evalUrls,
+        Some(DocsStream.DsirScreen(w, lamCut)),
+        Some(DocsStream.Bm25Screen(n, sTot, queries, maxScoreFp = scoreCut,
+          maxDl = maxDl)))
+    }
     val artifactSec = (System.nanoTime() - tA) / 1e9
 
     // the synthetic corpus carries no url column — derive it in the
@@ -58,7 +111,8 @@ object ChainThroughput {
     def withUrl(df: DataFrame): DataFrame =
       df.withColumn("url", graft.operators.TextAnalysis.urlPlant(col("doc_id")))
     def chain(df: DataFrame): DataFrame =
-      DocsStream.c4Chain(df, authorized, langidW, keep, scoreW, lm)
+      DocsStream.c4Chain(df, authorized, langidW, keep, scoreW, lm,
+        deconUrls, dsirScreen, bm25Screen)
 
     val docs = graft.sources.Tables.load(spark, dir, "documents")
     val n = docs.count()
@@ -79,6 +133,7 @@ object ChainThroughput {
     val docsPerSec = if (times.min == 0.0) 0.0 else n / times.min
     val usPerRow = if (n == 0) 0.0 else times.min * 1e6 / n
     println(s"""{"metric":"c4_chain_throughput","rows":$n,"kept":$kept,""" +
+      s""""screens":$screens,""" +
       s""""chain_sec":${times.min},"chain_all":[${times.mkString(",")}],""" +
       s""""docs_per_sec":$docsPerSec,"us_per_row":$usPerRow,""" +
       s""""artifact_sec":$artifactSec,"artifact_census":{""" +
@@ -86,7 +141,10 @@ object ChainThroughput {
       s""""langid_rows":${langidW.size},""" +
       s""""langid_dims":${langidW.headOption.map(_._2.size).getOrElse(0)},""" +
       s""""score_dims":${scoreW.size},""" +
-      s""""lm_bigrams":${lm.seen.size},"lm_unigrams":${lm.c1.size}},""" +
+      s""""lm_bigrams":${lm.seen.size},"lm_unigrams":${lm.c1.size},""" +
+      s""""decon_urls":${deconUrls.size},""" +
+      s""""dsir_buckets":${dsirScreen.map(_.weights.wt.size).getOrElse(0)},""" +
+      s""""bm25_queries":${bm25Screen.map(_.queries.size).getOrElse(0)}},""" +
       s""""keep":"${keep.toSeq.sorted.mkString(",")}"}""")
     spark.stop()
   }

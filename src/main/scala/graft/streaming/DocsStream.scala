@@ -718,10 +718,12 @@ object DocsStream {
     * The stream must carry `doc_id`, `text`, and `url` columns (a real
     * crawl stream has all three; the synthetic corpus derives `url` via
     * [[graft.operators.TextAnalysis.urlPlant]] in the corpus ADAPTER, not
-    * here — the chain itself is deployment-shaped). All five value
-    * arguments are per-snapshot BATCH artifacts shipped to the ingest
-    * tier (the authorityGate / perplexityGate contract; restart the
-    * query to pick up a new snapshot).
+    * here — the chain itself is deployment-shaped). All value arguments
+    * — the five classic gate artifacts and the three OPTIONAL decon/
+    * importance screens (`deconUrls`, `dsir`, `bm25`, defaults off) —
+    * are per-snapshot BATCH artifacts shipped to the ingest tier (the
+    * authorityGate / perplexityGate contract; restart the query to pick
+    * up a new snapshot).
     *
     * Scale shape: every stage is stateless and map-only (regex/HOF column
     * ops plus broadcast-value probes) — the chain holds ZERO streaming
@@ -745,25 +747,58 @@ object DocsStream {
     * exactly once per row and downstream filters reference attributes,
     * never re-inlined trees.
     */
+  /** [[bm25Gate]]'s value arguments bundled for [[c4Chain]] — exactly
+    * [[graft.operators.Curation.bm25GateArtifact]]'s tuple plus the
+    * screen threshold, so the chain takes one artifact value per screen.
+    */
+  final case class Bm25Screen(n: Long, sTot: Long,
+      queries: Seq[(Long, Seq[(String, Long)])], maxScoreFp: Long,
+      maxDl: Long = 1L << 20)
+
+  /** [[dsirGate]]'s value arguments bundled for [[c4Chain]]. */
+  final case class DsirScreen(weights: graft.operators.Curation.DsirWeights,
+      minLambda: Long)
+
   def c4Chain(stream: DataFrame,
       authorized: Seq[String],
       langidWeights: Map[String, Seq[Long]],
       keepLangs: Set[String],
       scoreWeights: Seq[Long],
-      lm: graft.operators.TextAnalysis.PerplexityLm): DataFrame = {
+      lm: graft.operators.TextAnalysis.PerplexityLm,
+      deconUrls: Seq[String] = Seq.empty,
+      dsir: Option[DsirScreen] = None,
+      bm25: Option[Bm25Screen] = None): DataFrame = {
     def bar(df: DataFrame, stage: String): DataFrame =
       df.observe(s"c4_$stage", count(lit(1)).as("rows"))
-    bar(perplexityGate(
+    // decon/importance screens are OPTIONAL stages in the same barriered
+    // composition (defaults off keep the classic 6-stage chain): the URL
+    // decon screen extends the provenance block (c4_decon_url), the DSIR
+    // importance gate follows the content screens (c4_dsir), and the
+    // BM25 retrieval decon runs LAST (c4_decon_bm25 — its per-document
+    // cost is the chain's largest, so it sees the fewest documents; when
+    // enabled the chain's output carries its bm25_score_fp/bm25_best_eval
+    // audit columns). Every stage sits behind its own observe() barrier —
+    // the same PushPredicateThroughNonJoin containment the six classic
+    // stages need (see above), now covering the screen folds too.
+    val provenance =
+      bar(authorityGate(
+        bar(urlGate(
+          bar(extractGate(stream), "extract")),
+          "url"),
+        authorized), "authority")
+    val screened =
+      if (deconUrls.isEmpty) provenance
+      else bar(deconUrlGate(provenance, deconUrls), "decon_url")
+    val content =
       bar(scoreGate(
-        bar(langidGate(
-          bar(authorityGate(
-            bar(urlGate(
-              bar(extractGate(stream), "extract")),
-              "url"),
-            authorized), "authority"),
-          langidWeights, keepLangs), "langid"),
-        scoreWeights), "score"),
-      lm), "pplx")
+        bar(langidGate(screened, langidWeights, keepLangs), "langid"),
+        scoreWeights), "score")
+    val weighted = dsir.fold(content)(d =>
+      bar(dsirGate(content, d.weights, d.minLambda), "dsir"))
+    val fluent = bar(perplexityGate(weighted, lm), "pplx")
+    bm25.fold(fluent)(b =>
+      bar(bm25Gate(fluent, b.n, b.sTot, b.queries, b.maxScoreFp, b.maxDl),
+        "decon_bm25"))
   }
 
   /** Ingest-edge DISTRIBUTION monitor — the streaming face of

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.Trigger
+
+/** Realized ingest-edge throughput of the embeddings-side gates — the
+  * [[ChainThroughput]] symmetry for the vector edge (SURVEY §8.5): the
+  * embeddings table at `dir` replayed as a one-shot file stream through
+  * (a) [[EmbStream.diversityGate]] alone and (b) the composed
+  * [[EmbStream.embChain]] (semantic dedup → diversity), each to a noop
+  * sink, wall-clocked per rep.
+  *
+  * The dedup stage's coarse centroids are the SAME deterministic
+  * [[graft.operators.Clustering.initCentroids]] seed the batch
+  * dd_semdedup uses, trained on `artifactDir` (per-snapshot batch value;
+  * for N× replica spots pass the 1× base — the [[GateThroughput]]
+  * contract). The admitted/retained census is priced by one batch pass
+  * of the same composition (batch == stream per the parity specs).
+  *
+  * Usage: `tools/run.sh graft.streaming.EmbChainThroughput [dir]
+  * [artifactDir] [reps] [kPerShard] [shards]` — defaults sf0.1, =dir,
+  * 3, 8, 4. Prints one JSON line; `min` is the warm per-row cost, rep 1
+  * carries query cold-start.
+  */
+object EmbChainThroughput {
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val artifactDir = args.lift(1).getOrElse(dir)
+    val reps = args.lift(2).map(_.toInt).getOrElse(3)
+    val kPerShard = args.lift(3).map(_.toInt).getOrElse(8)
+    val shards = args.lift(4).map(_.toInt).getOrElse(4)
+    val spark = graft.DriverSession.build(defaultCpus = "32")
+
+    val tA = System.nanoTime()
+    val cents = graft.operators.Clustering.initCentroids(
+      graft.sources.Tables.loadParallel(spark, artifactDir, "embeddings"), 10)
+    val artifactSec = (System.nanoTime() - tA) / 1e9
+
+    val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding")
+    val n = emb.count()
+    // batch census of the composed chain (batch == stream, spec-pinned)
+    val chainRows = EmbStream.embChain(emb, cents,
+      kPerShard = kPerShard, shards = shards).collect()
+    val admitted = chainRows.count(_.admitted)
+    val retained = chainRows.count(_.retained)
+
+    val embPath = java.nio.file.Paths.get(s"$dir/embeddings.parquet")
+    val streamDir =
+      if (java.nio.file.Files.isDirectory(embPath)) embPath
+      else {
+        val staged = java.nio.file.Paths.get(
+          graft.sources.Tables.scratchDir("graftembstream", dir))
+        graft.sources.Tables.ensureSymlink(
+          staged.resolve("embeddings.parquet"), embPath.toAbsolutePath)
+        staged
+      }
+    val sch = spark.read.parquet(embPath.toString)
+      .select("vec_id", "embedding").schema
+
+    def drive(mk: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.Dataset[_]): Seq[Double] =
+      (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val q = mk(spark.readStream.schema(sch).parquet(streamDir.toString)
+            .select("vec_id", "embedding"))
+          .writeStream.format("noop").outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      }
+
+    val divTimes = drive(df =>
+      EmbStream.diversityGate(df, kPerShard, shards))
+    val chainTimes = drive(df =>
+      EmbStream.embChain(df, cents, kPerShard = kPerShard, shards = shards))
+
+    def us(t: Seq[Double]): Double = if (n == 0) 0.0 else t.min * 1e6 / n
+    println(s"""{"metric":"emb_chain_throughput","rows":$n,""" +
+      s""""admitted":$admitted,"retained":$retained,""" +
+      s""""div_sec":${divTimes.min},"div_all":[${divTimes.mkString(",")}],""" +
+      s""""div_us_per_row":${us(divTimes)},""" +
+      s""""chain_sec":${chainTimes.min},""" +
+      s""""chain_all":[${chainTimes.mkString(",")}],""" +
+      s""""chain_us_per_row":${us(chainTimes)},""" +
+      s""""artifact_sec":$artifactSec,""" +
+      s""""k_per_shard":$kPerShard,"shards":$shards}""")
+    spark.stop()
+  }
+}

@@ -73,6 +73,27 @@ object EmbStream {
       threshold: Double = 0.9, stateCap: Int = 10000,
       stateTtlMs: Option[Long] = None): Dataset[EmbGate] = {
     import stream.sparkSession.implicits._
+    semanticDedupCore(stream, cents, threshold, stateCap, stateTtlMs)
+      .map(c => EmbGate(c.vec_id, c.cluster, c.admitted, c.matched_id,
+        c.cos, c.state_full))
+  }
+
+  /** [[EmbGate]] plus the arrival's embedding — the internal carrier that
+    * lets [[embChain]] feed admitted vectors into the next stateful stage
+    * without a join; [[semanticDedupGate]] projects it away so the public
+    * decision frame stays payload-free.
+    */
+  private[streaming] case class EmbGateCarry(vec_id: Long, cluster: Int,
+      admitted: Boolean, matched_id: Option[Long], cos: Option[Double],
+      state_full: Boolean, embedding: Seq[Float])
+
+  /** The ONE decision algebra behind [[semanticDedupGate]] and
+    * [[embChain]]'s first stage (a separate chain spelling could drift).
+    */
+  private def semanticDedupCore(stream: DataFrame, cents: Seq[Seq[Double]],
+      threshold: Double, stateCap: Int,
+      stateTtlMs: Option[Long]): Dataset[EmbGateCarry] = {
+    import stream.sparkSession.implicits._
     // the event-time attribute must pass through UNTOUCHED (no cast, no
     // rebuild) — its watermark metadata is what licenses EventTimeTimeout
     val ts = stateTtlMs match {
@@ -118,11 +139,12 @@ object EmbStream {
                 .find(_._2 >= threshold)
               witness match {
                 case Some((aid, c)) =>
-                  EmbGate(id, cell, admitted = false, Some(aid), Some(c), n >= stateCap)
+                  EmbGateCarry(id, cell, admitted = false, Some(aid), Some(c),
+                    n >= stateCap, vec)
                 case None =>
                   val full = n >= stateCap
                   if (!full) { admitted = (id, vec) :: admitted; n += 1 }
-                  EmbGate(id, cell, admitted = true, None, None, full)
+                  EmbGateCarry(id, cell, admitted = true, None, None, full, vec)
               }
             }
             val maxTs = stateTtlMs match {
@@ -252,6 +274,41 @@ object EmbStream {
           state.update((r2, centers))
           out.iterator
         })
+  }
+
+  /** The embeddings-ingest CHAIN — the [[DocsStream.c4Chain]] symmetry
+    * for the vector edge: semantic dedup first (drop near-copies of
+    * already-admitted content), then the diversity gate over what
+    * survives (bound the admitted set's coverage sketch) — one composed
+    * streaming query, TWO stateful stages (Spark runs chained
+    * flatMapGroupsWithState stages in append mode; each keeps its own
+    * state store, sharded by cell resp. vec_id shard).
+    *
+    * The first stage is [[semanticDedupGate]]'s EXACT decision algebra
+    * (the shared [[semanticDedupCore]] — a chain respelling could drift),
+    * carrying each admitted arrival's embedding straight into the
+    * diversity stage with no join. The stage boundary is an `observe()`
+    * barrier (`emb_sem`, admitted-row count; the final decisions census
+    * is `emb_div`) — per-batch funnel telemetry in every
+    * StreamingQueryProgress, and the same projection containment the doc
+    * chain's barriers provide. Batch-parity is spec-pinned against the
+    * two gates composed manually.
+    *
+    * Dedup state uses NoTimeout (the chain is an epoch/backfill
+    * composition, the diversityGate lifecycle); deploy the TTL'd dedup
+    * gate separately when an unbounded run needs expiring cells.
+    */
+  def embChain(stream: DataFrame, cents: Seq[Seq[Double]],
+      threshold: Double = 0.9, stateCap: Int = 10000,
+      kPerShard: Int = 8, shards: Int = 4): Dataset[DivGate] = {
+    import stream.sparkSession.implicits._
+    val admitted = semanticDedupCore(stream, cents, threshold, stateCap, None)
+      .filter(_.admitted)
+      .map(c => (c.vec_id, c.embedding))
+      .toDF("vec_id", "embedding")
+      .observe("emb_sem", count(lit(1)).as("rows"))
+    diversityGate(admitted, kPerShard, shards)
+      .observe("emb_div", count(lit(1)).as("rows"))
   }
 
   /** Plain-Scala squared euclidean distance — the same left-to-right

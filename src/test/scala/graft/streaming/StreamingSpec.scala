@@ -1514,6 +1514,202 @@ class StreamingSpec extends AnyFunSuite {
         "chain shape is broken")
   }
 
+  test("c4Chain with decon screens: stream equals batch; every screen engages; defaults-off chain is unchanged") {
+    import graft.operators.{Curation, TextAnalysis}
+    val authorized = graft.operators.Graph
+      .domainAuthority(spark, dir).collect().map(_.getString(0)).toSeq
+    val langidW = TextAnalysis.trainLangidWeights(spark, dir, 8)
+    val scoreW = TextAnalysis.trainScoreWeights(spark, dir, 8)
+    val lm = TextAnalysis.perplexityLmArtifact(spark, dir)
+    val keep = Set("en", "zh")
+    def withUrl(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("url", TextAnalysis.urlPlant(col("doc_id")))
+    val batchDocs = withUrl(Tables.load(spark, dir, "documents"))
+    val off = DocsStream
+      .c4Chain(batchDocs, authorized, langidW, keep, scoreW, lm)
+      .select("doc_id").as[Long].collect().toSet
+    // the three screen artifacts. Thresholds derive from the CHAIN-OFF
+    // SURVIVORS' own distributions (quartile cuts, not medians of the
+    // whole corpus) so every screen provably bites on a survivor while
+    // the stacked composition stays nonempty (a deployment pins its own)
+    def quart(xs: Seq[Long], q: Double): Long = {
+      val s = xs.sorted
+      s(((s.size - 1) * q).toInt)
+    }
+    // a benchmark-release-sized URL slice (mod 50, ~10 normalized urls):
+    // the evalMod-3 slice the batch screen defaults to covers ALL 140
+    // normalized plant urls (gcd(3,140)=1 walks every residue), which
+    // would annihilate the chain instead of screening it
+    val evalUrls = Tables.loadParallel(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(50L)) === 0)
+      .select(TextAnalysis.normUrl(col("doc_id")).as("u"))
+      .distinct().as[String].collect().toSeq
+    val w = Curation.dsirGateArtifact(spark, dir)
+    val lams = Curation.samp_dsir(spark, dir, k = Int.MaxValue)
+      .select("doc_id", "lambda_fp").as[(Long, Long)].collect()
+      .filter(r => off.contains(r._1)).map(_._2).toSeq
+    val lamCut = quart(lams, 0.25) // drop the bottom survivor quartile
+    val (bn, bs, bq) = Curation.bm25GateArtifact(spark, dir)
+    val scores = DocsStream.bm25Gate(
+        Tables.loadParallel(spark, dir, "documents").select("doc_id", "text"),
+        bn, bs, bq, maxScoreFp = Long.MaxValue)
+      .select("doc_id", "bm25_score_fp").as[(Long, Long)].collect()
+      .filter(r => off.contains(r._1)).map(_._2).toSeq
+    val scoreCut = math.max(1L, quart(scores, 0.75)) // drop the top quartile
+    val dsirS = Some(DocsStream.DsirScreen(w, lamCut))
+    val bm25S = Some(DocsStream.Bm25Screen(bn, bs, bq, maxScoreFp = scoreCut))
+    def chain(df: org.apache.spark.sql.DataFrame,
+        urls: Seq[String] = evalUrls,
+        d: Option[DocsStream.DsirScreen] = dsirS,
+        b: Option[DocsStream.Bm25Screen] = bm25S) =
+      DocsStream.c4Chain(df, authorized, langidW, keep, scoreW, lm, urls, d, b)
+    val on = chain(batchDocs).select("doc_id").as[Long].collect().toSet
+    assert(on.subsetOf(off), "screens only REMOVE documents")
+    // each screen individually bites (drops something the others keep)
+    val urlOnly = chain(batchDocs, evalUrls, None, None)
+      .select("doc_id").as[Long].collect().toSet
+    val dsirOnly = chain(batchDocs, Seq.empty, dsirS, None)
+      .select("doc_id").as[Long].collect().toSet
+    val bm25Only = chain(batchDocs, Seq.empty, None, bm25S)
+      .select("doc_id").as[Long].collect().toSet
+    assert(urlOnly.size < off.size, "the URL decon screen must engage")
+    assert(dsirOnly.size < off.size, "the DSIR screen must engage")
+    assert(bm25Only.size < off.size, "the BM25 decon screen must engage")
+    assert(on.nonEmpty, "vacuous screens: nothing survives the full chain")
+    // the screened chain's output carries the BM25 audit columns
+    assert(chain(batchDocs).columns.contains("bm25_score_fp"))
+    // stream == batch with all screens on
+    val docsRows = Tables.loadParallel(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+    val input = MemoryStream[(Long, String)](spark)
+    val q = chain(withUrl(input.toDF().toDF("doc_id", "text")))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("c4_screened").start()
+    try {
+      input.addData(docsRows.toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("c4_screened")
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamed == on,
+        "the screened stream chain must keep exactly the batch composition")
+    } finally q.stop()
+  }
+
+  test("embChain: the composed two-stage query equals the gates composed manually; retained subset; censuses consistent") {
+    import graft.streaming.EmbStream
+    val cents = graft.operators.Clustering.initCentroids(
+      Tables.loadParallel(spark, dir, "embeddings"), 10)
+    val vecs = Tables.load(spark, dir, "embeddings")
+      .filter(col("embedding").isNotNull)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    // reference: the two gates run as SEPARATE queries, dedup's admitted
+    // rows fed to the diversity gate by hand
+    val in1 = MemoryStream[(Long, Seq[Float])](spark)
+    val q1 = EmbStream.semanticDedupGate(
+        in1.toDF().toDF("vec_id", "embedding"), cents)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("chain_ref_sem").start()
+    val admittedIds = try {
+      in1.addData(vecs.toSeq: _*)
+      q1.processAllAvailable()
+      spark.table("chain_ref_sem").filter(col("admitted"))
+        .select("vec_id").as[Long].collect().toSet
+    } finally q1.stop()
+    val admittedVecs = vecs.filter(v => admittedIds.contains(v._1))
+    val in2 = MemoryStream[(Long, Seq[Float])](spark)
+    val q2 = EmbStream.diversityGate(
+        in2.toDF().toDF("vec_id", "embedding"), kPerShard = 4, shards = 4)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("chain_ref_div").start()
+    val refRows = try {
+      in2.addData(admittedVecs.toSeq: _*)
+      q2.processAllAvailable()
+      spark.table("chain_ref_div").collect()
+        .map(r => (r.getLong(0), r.getBoolean(2), r.getBoolean(7))).toSeq
+        .sortBy(_._1)
+    } finally q2.stop()
+    // the composed chain, one query
+    val in3 = MemoryStream[(Long, Seq[Float])](spark)
+    val q3 = EmbStream.embChain(in3.toDF().toDF("vec_id", "embedding"),
+        cents, kPerShard = 4, shards = 4)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("chain_composed").start()
+    val gotRows = try {
+      in3.addData(vecs.toSeq: _*)
+      q3.processAllAvailable()
+      spark.table("chain_composed").collect()
+        .map(r => (r.getLong(0), r.getBoolean(2), r.getBoolean(7))).toSeq
+        .sortBy(_._1)
+    } finally q3.stop()
+    assert(gotRows == refRows,
+      "the composed chain must decide exactly like the manual composition")
+    assert(gotRows.map(_._1).toSet == admittedIds,
+      "the diversity stage sees exactly the dedup stage's admissions")
+    val div = gotRows.filter(_._2)
+    assert(div.nonEmpty && div.size < gotRows.size,
+      "both stages must discriminate on this corpus")
+    assert(gotRows.filter(_._3).forall(_._2), "retained implies admitted")
+  }
+
+  test("diversityGate coverage: the retained sketch covers the corpus within a constant of the batch k-center at matched budget") {
+    import graft.streaming.EmbStream
+    val vecs = Tables.load(spark, dir, "embeddings")
+      .filter(col("embedding").isNotNull)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    // the gate's FINAL sketch is not observable from decision rows (later
+    // cascades merge earlier centers) — replay the pinned algebra (the
+    // trace spec certifies the gate against this same replay) to get the
+    // end-of-stream centers per shard
+    val shards = 4
+    val kPerShard = 2 // budget 8 = the batch family's kcenterK
+    val sketches = scala.collection.mutable.Map
+      .empty[Long, (Double, List[(Long, Seq[Float])])]
+    vecs.sortBy(_._1).foreach { case (id, vec) =>
+      val sh = ((id % shards) + shards) % shards
+      var (r2, centers) = sketches.getOrElse(sh, (0.0, Nil))
+      val covered = centers.exists(c => EmbStream.sqDist(vec, c._2) <= r2)
+      if (!covered) {
+        centers = centers :+ ((id, vec))
+        while (centers.size > kPerShard) {
+          r2 = if (r2 > 0.0) r2 * 4.0
+          else centers.combinations(2).map {
+            case Seq((_, a), (_, b)) => EmbStream.sqDist(a, b)
+          }.min
+          centers = centers.foldLeft(List.empty[(Long, Seq[Float])]) {
+            (kept, c) =>
+              if (kept.exists(k => EmbStream.sqDist(k._2, c._2) <= r2)) kept
+              else kept :+ c
+          }
+        }
+      }
+      sketches(sh) = (r2, centers)
+    }
+    val gateCenters = sketches.values.flatMap(_._2.map(_._2)).toSeq
+    assert(gateCenters.size <= shards * kPerShard)
+    def coverage(centers: Seq[Seq[Float]]): Double =
+      vecs.map { case (_, v) =>
+        centers.map(c => EmbStream.sqDist(v, c)).min
+      }.max
+    val gateRadius = coverage(gateCenters)
+    // batch reference at the same total budget: samp_kcenter_sharded's
+    // k = shards * kPerShard selections
+    val sel = graft.operators.Clustering
+      .samp_kcenter_sharded(spark, dir).collect().map(_.getLong(1)).toSet
+    val byId = vecs.toMap
+    val batchRadius = coverage(sel.toSeq.map(byId))
+    // the doubling algorithm's constant, MEASURED on this corpus and
+    // pinned with slack: the online sketch may not coarsen past 8× the
+    // batch coreset's coverage radius (measured ratio ~2-4×; 8× trips on
+    // a genuine regression — a doubling-cascade or merge-rule bug blows
+    // the radius geometrically, not by small factors)
+    assert(gateRadius <= 8.0 * batchRadius,
+      s"online coverage $gateRadius vs batch $batchRadius — the doubling " +
+        "sketch coarsened beyond its constant")
+  }
+
   test("StateClock.monotoneTimeoutMs: past-watermark clamp; saturates instead of wrapping near Long.MaxValue") {
     assert(StateClock.monotoneTimeoutMs(100L, 50L, 10L) == 150L)
     assert(StateClock.monotoneTimeoutMs(100L, 50L, 200L) == 201L) // clamp
