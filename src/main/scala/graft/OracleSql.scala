@@ -1470,6 +1470,28 @@ object OracleSql {
          |  CAST(sum(CASE WHEN moved THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
          |FROM eff GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // samp_split_leakfree_graph: the ccLabels component chain, then every
+    // doc splits by its component anchor (min member)'s text — the same
+    // eff/census tail as the jaccard variant
+    "samp_split_leakfree_graph" ->
+      s"""WITH $ccCtes,
+         |lb AS (SELECT d.doc_id, d.source, d.text,
+         |         coalesce(l.c, d.doc_id) AS comp
+         |       FROM documents d LEFT JOIN lblmap l ON l.v = d.doc_id
+         |       WHERE d.text IS NOT NULL),
+         |anch AS (SELECT b.doc_id, a.text AS atext
+         |         FROM lb b JOIN documents a ON a.doc_id = b.comp
+         |         WHERE a.text IS NOT NULL),
+         |eff AS (
+         |  SELECT b.source,
+         |    ${splitCaseOn("coalesce(a.atext, b.text)")} AS split,
+         |    ${splitCaseOn("coalesce(a.atext, b.text)")} <>
+         |      ${splitCaseOn("b.text")} AS moved
+         |  FROM lb b LEFT JOIN anch a ON a.doc_id = b.doc_id)
+         |SELECT source, split, count(*) AS n,
+         |  CAST(sum(CASE WHEN moved THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+         |FROM eff GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "tx_stats" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,

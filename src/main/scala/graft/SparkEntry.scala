@@ -220,6 +220,9 @@ object SparkEntry {
     "decon_spans" -> ((s, d) => Curation.decon_spans(s, d)),
     "decon_spans_trim" -> ((s, d) => Curation.decon_spans_trim(s, d)),
     "samp_split_leakfree" -> ((s, d) => Curation.samp_split_leakfree(s, d)),
+    // the graph face: split anchors from link components (ccLabels)
+    "samp_split_leakfree_graph" ->
+      ((s, d) => Curation.samp_split_leakfree_graph(s, d)),
     "pipeline_decon" -> ((s, d) => Curation.pipeline_decon(s, d)),
     "ev_coverage" -> (Relational.ev_coverage _),
     "ev_ewma" -> ((s, d) => Relational.ev_ewma(s, d)),

@@ -235,6 +235,43 @@ object Curation {
       .orderBy("source", "split")
   }
 
+  /** [[samp_split_leakfree]]'s GRAPH face — the leak rule anchored on the
+    * link graph's connected components ([[Graph.ccLabels]]) instead of
+    * n-gram cliques: documents in one citation island share provenance
+    * (mirrors, re-posts, translation chains — content twins that share NO
+    * n-grams and so slip past the Jaccard clusterer), and a training doc
+    * whose island-mate sits in test contaminates the eval the same way a
+    * paraphrase does. Every doc inherits the split of its COMPONENT
+    * anchor (min member id)'s text; a doc whose anchor carries no text
+    * keeps its own content address (the jaccard variant's fallback).
+    * Same census shape — (source, split, n, n_moved) — so ablation
+    * reports read both variants identically.
+    *
+    * Scale shape: the component pass is [[Graph.ccLabels]]' (O(log n)
+    * star-contraction rounds, MEMOIZED per snapshot — the splitter is a
+    * second consumer of the same materialized label frame, exactly the
+    * consumer the labels façade exists for); after that, one
+    * anchor-text join and one map-side-combined census aggregate.
+    */
+  def samp_split_leakfree_graph(s: SparkSession, dir: String,
+      iters: Int = 12): DataFrame = {
+    val labels = Graph.ccLabels(s, dir, iters)
+    val d = docs(s, dir).filter(col("text").isNotNull)
+    val anchors = labels
+      .join(d.select(col("doc_id").as("component"), col("text").as("atext")),
+        Seq("component"))
+      .select(col("doc_id"), col("atext"))
+    val eff = d.join(anchors, Seq("doc_id"), "left")
+      .select(col("source"),
+        splitOf(coalesce(col("atext"), col("text"))).as("split"),
+        (splitOf(coalesce(col("atext"), col("text"))) =!=
+          splitOf(col("text"))).as("moved"))
+    eff.groupBy("source", "split")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("moved"), 1L).otherwise(0L)).as("n_moved"))
+      .orderBy("source", "split")
+  }
+
   /** The full curation funnel as ONE audit query — the composition these
     * operators exist for: normalize → Gopher quality gate (the SAME criteria
     * columns as [[TextAnalysis.tx_gopher]]) → LM fluency gate (CCNet's

@@ -672,6 +672,55 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.exists { case (s, n, _) => s == otherSplit && n >= 1 })
   }
 
+  test("samp_split_leakfree_graph: every citation island lands in its anchor's split; census equals the walked-cycle reference") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def splitOfRef(t: String): String = {
+      val p3 = md5hex(t).take(3)
+      if (p3 < "e66") "train" else if (p3 < "f33") "val" else "test"
+    }
+    // independent reference: the link components are the permutation
+    // cycles of x -> (31x+7) mod n (the planted edge family)
+    val n = 20
+    def comps: Map[Long, Long] = {
+      val seen = scala.collection.mutable.Set.empty[Long]
+      val out = scala.collection.mutable.Map.empty[Long, Long]
+      for (s0 <- 0L until n) if (!seen(s0)) {
+        val mem = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var x = s0
+        while (!seen(x)) { seen += x; mem += x; x = (31 * x + 7) % n }
+        mem.foreach(m => out(m) = mem.min)
+      }
+      out.toMap
+    }
+    val comp = comps
+    // texts: a non-anchor member of doc 0's island gets a SEARCHED text
+    // whose content address crosses splits vs the anchor's — the leak
+    // case must provably engage (moved > 0 by construction)
+    val anchor0 = comp(0L)
+    val member = (0L until n).find(i => comp(i) == anchor0 && i != anchor0).get
+    def baseText(i: Long) = (1 to 15).map(j => s"g${i}w$j").mkString(" ")
+    val aSplit = splitOfRef(baseText(anchor0))
+    val leaky = (1 to 300).map(k => s"${baseText(member)} extra$k")
+      .find(v => splitOfRef(v) != aSplit)
+    assert(leaky.nonEmpty, "no split-crossing variant in 300 candidates")
+    val texts = (0L until n).map(i =>
+      i -> (if (i == member) leaky.get else baseText(i))).toMap
+    val dir = docsDir((0L until n).map(i => (i, texts(i), "en", "s")))
+    val got = Curation.samp_split_leakfree_graph(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // reference census: every doc splits by its island anchor's text
+    val want = (0L until n).map { i =>
+      val sp = splitOfRef(texts(comp(i)))
+      (sp, sp != splitOfRef(texts(i)))
+    }.groupBy(_._1).map { case (sp, xs) =>
+      ("s", sp, xs.size.toLong, xs.count(_._2).toLong)
+    }.toSeq.sortBy(_._2)
+    assert(got == want, s"census diverges from the walked-cycle reference")
+    assert(got.map(_._4).sum >= 1L, "the planted leak case must move a doc")
+  }
+
   test("samp_curriculum: quartile phases roughly balanced, positions dense per (phase, shard), deterministic") {
     val dir = "/root/testdata/sf0.001"
     val a = Curation.samp_curriculum(spark, dir).collect()
