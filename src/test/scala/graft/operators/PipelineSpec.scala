@@ -1844,6 +1844,9 @@ class PipelineSpec extends AnyFunSuite {
     val got = Dedup.dd_cluster(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == direct)
+    // memo hit: cluster assignments are a per-snapshot artifact — the
+    // second call hands back the SAME checkpointed frame
+    assert(Dedup.dd_cluster(spark, dir) eq Dedup.dd_cluster(spark, dir))
   }
 
   test("prefix filtering is exact: dd_ngram_jaccard == naive all-pairs on random corpora") {
