@@ -68,7 +68,13 @@ boundary properties are re-asserted here first (plant engagement), so a
 hash/primitive drift fails loudly instead of silently degrading the
 plants to ordinary inputs.
 
-Usage: python3 tools/check_sketch_adversarial.py <verify_out_dir>
+Beyond the plants, the gate replays all three replicas over the WHOLE
+verify corpus (every real document, pair-for-pair against the fresh
+Verify dump) — these are no-oracle operators, so this is their only
+corpus-scale certification; the plants alone cover boundaries, not
+distributional behavior.
+
+Usage: python3 tools/check_sketch_adversarial.py <verify_out_dir> [sf_dir]
 """
 import os
 import subprocess
@@ -443,6 +449,7 @@ def compare(name, got_rows, want, tol=1e-12):
 
 def main():
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/vout"
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
     for q in ("dd_simhash", "dd_minhash", "mm_phash"):
         if not os.path.isdir(os.path.join(out_dir, q)):
             sys.exit(f"check_sketch_adversarial: no {q}/ in {out_dir} — "
@@ -585,7 +592,26 @@ def main():
         if not phash_ok:
             failures += 1
 
-    print(f"== {4 - min(failures, 4)} pass, {min(failures, 4)} fail")
+    # 4. the REAL corpus, pair-for-pair: the sketch family is no-oracle,
+    #    so the fresh Verify dump vs the replicas over every document is
+    #    its only corpus-scale certification
+    con2 = duckdb.connect()
+    corpus = [(int(d), t) for d, t in con2.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'").fetchall()]
+    corpus_ok = True
+    for q, want, scol in (("dd_simhash", want_simhash(corpus), "hamming"),
+                          ("dd_minhash", want_minhash(corpus), "est_jaccard"),
+                          ("mm_phash", want_phash(corpus), "hamming")):
+        rows = con2.sql(f"SELECT a, b, {scol} FROM "
+                        f"'{out_dir}/{q}/*.parquet' ORDER BY a, b").fetchall()
+        if not compare(f"corpus {q}", rows, want):
+            corpus_ok = False
+    print(f"{'✓' if corpus_ok else '✗'} spark sketch family on the REAL "
+          f"corpus ({len(corpus)} docs, pair-for-pair vs the replicas)")
+    if not corpus_ok:
+        failures += 1
+
+    print(f"== {5 - min(failures, 5)} pass, {min(failures, 5)} fail")
     sys.exit(1 if failures else 0)
 
 

@@ -1,8 +1,12 @@
 #!/usr/bin/env python3
-"""Adversarial check for the two remaining xxhash64-based no-oracle
-operators the sketch gate's validated XXH64 replica makes reachable:
-tx_fingerprint (winnowing selection) and dd_cluster (min-label CC over
-the MinHash candidate graph).
+"""Adversarial check for the remaining no-oracle operators an
+independent replica makes reachable: tx_fingerprint (winnowing
+selection) and dd_cluster (min-label CC over the MinHash candidate
+graph) via the sketch gate's validated XXH64 replica, plus tx_compress
+(deflate-ratio quality signal) via CPython's zlib — the SAME C library
+Java's Deflater wraps, so level-1 output sizes are byte-identical, not
+approximately equal (validated 500/500 on the shipped corpus before
+wiring).
 
 Like check_sketch_adversarial.py, these are DuckDB-inexpressible
 (data-dependent xxhash64), so no corpus hash oracle exists; their
@@ -46,6 +50,13 @@ never place inputs EXACTLY on the operators' decision boundaries:
     C4  isolated singleton: no edge, one member — ABSENT from the
         output entirely (the rep-join membership contract).
     C5  null text: excluded everywhere.
+  tx_compress (Deflater BEST_SPEED = zlib level 1, zlib wrapper)
+    Z1  empty text: the in.length == 0 branch pins ratio exactly 1.0
+        (a naive n/len would divide by zero).
+    Z2  a repetitive doc (the winnow corpus's repeated-word texts)
+        compresses far below 1 — the signal engages.
+    Z3  short distinct docs land ABOVE 1 (the zlib header+overhead
+        exceeds the raw bytes) — a ratio clamp would hide it.
 
 Ground truth is the same independent Python XXH64 replica the sketch
 gate validated value-for-value against catalyst XxHash64 (imported from
@@ -54,7 +65,13 @@ union-find over the replica's candidate edges. Plant engagement is
 re-asserted first so a hash/primitive drift fails loudly instead of
 silently degrading the plants to ordinary inputs.
 
-Usage: python3 tools/check_winnow_adversarial.py <verify_out_dir>
+Beyond the plants, the gate replays tx_fingerprint's replica over the
+WHOLE verify corpus (every real document, value-for-value against the
+fresh Verify dump) — tx_fingerprint is a no-oracle operator, so this is
+its only corpus-scale certification; the plants alone cover boundaries,
+not distributional behavior.
+
+Usage: python3 tools/check_winnow_adversarial.py <verify_out_dir> [sf_dir]
 """
 import hashlib
 import importlib.util
@@ -110,6 +127,21 @@ def tx_fp(text, n=3, w=4):
 
 def want_fingerprint(docs):
     return {d: tx_fp(t) for d, t in docs}
+
+
+def tx_comp(text):
+    """tx_compress row: (n_bytes, n_deflate, ratio). Level 1 =
+    Deflater.BEST_SPEED; wbits 15 = the default zlib wrapper Java uses."""
+    import zlib
+    raw = text.encode("utf-8")
+    co = zlib.compressobj(1, zlib.DEFLATED, 15)
+    n = len(co.compress(raw) + co.flush())
+    return (len(raw), n, 1.0 if not raw else n / len(raw))
+
+
+def want_compress(docs):
+    """Null text is excluded by the operator (the dedup-family guard)."""
+    return {d: tx_comp(t) for d, t in docs if t is not None}
 
 
 def want_cluster(docs, threshold=0.5, k=32):
@@ -169,6 +201,7 @@ def winnow_docs():
         (307, None),                       # W7
         (308, TAIL_TEXT),                  # W8
         (309, " ".join("gw%d" % i for i in range(12))),  # generic
+        (310, ("za zb zc " * 60).strip()), # Z2: long repetitive text
     ]
 
 
@@ -187,7 +220,8 @@ def cluster_docs():
 
 def main():
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/vout"
-    for q in ("tx_fingerprint", "dd_cluster"):
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    for q in ("tx_fingerprint", "dd_cluster", "tx_compress"):
         if not os.path.isdir(os.path.join(out_dir, q)):
             sys.exit(f"check_winnow_adversarial: no {q}/ in {out_dir} — "
                      "re-run Verify first (tools/run.sh graft.Verify "
@@ -244,6 +278,7 @@ def main():
 
     want_w = want_fingerprint(wdocs)
     want_c = want_cluster(cdocs)
+    want_z = want_compress(wdocs)
     gt_ok = True
     for cond, msg in (
             (want_w[302][0] == 1, "W2 one window -> n_fps=1"),
@@ -263,7 +298,11 @@ def main():
             (want_c.get(405) == 405 and want_c.get(406) == 405,
              "C3 exact-dup pair clusters via the self-node"),
             (407 not in want_c and 408 not in want_c,
-             "C4/C5 singleton and null absent")):
+             "C4/C5 singleton and null absent"),
+            (want_z[306][2] == 1.0, "Z1 empty text pins ratio exactly 1.0"),
+            (want_z[310][2] < 0.5, "Z2 repetitive text compresses below 0.5"),
+            (want_z[301][2] > 1.0, "Z3 short distinct text sits above 1"),
+            (307 not in want_z, "null text excluded from tx_compress")):
         if not cond:
             gt_ok = False
             print(f"   ground truth: {msg} VIOLATED")
@@ -283,7 +322,7 @@ def main():
         sk.write_corpus(cdocs, cc)
         wout = os.path.join(tmp, "wout")
         cout = os.path.join(tmp, "cout")
-        sk.run_spark(wc, wout, "tx_fingerprint")
+        sk.run_spark(wc, wout, "tx_fingerprint,tx_compress")
         sk.run_spark(cc, cout, "dd_cluster")
         con = duckdb.connect()
 
@@ -303,6 +342,23 @@ def main():
         if not fp_ok:
             failures += 1
 
+        rows = con.sql(f"SELECT doc_id, n_bytes, n_deflate, ratio FROM "
+                       f"'{wout}/tx_compress/*.parquet' "
+                       "ORDER BY doc_id").fetchall()
+        got_z = {int(r[0]): (int(r[1]), int(r[2]), float(r[3]))
+                 for r in rows}
+        z_ok = got_z == want_z
+        if not z_ok:
+            for d in sorted(set(got_z) | set(want_z)):
+                if got_z.get(d) != want_z.get(d):
+                    print(f"   tx_compress doc {d}: "
+                          f"{got_z.get(d)} != {want_z.get(d)}")
+        print(f"{'✓' if z_ok else '✗'} spark tx_compress on planted corpus "
+              f"({len(want_z)} rows incl. the empty/repetitive/overhead "
+              "ratio boundaries, byte-for-byte)")
+        if not z_ok:
+            failures += 1
+
         rows = con.sql(f"SELECT id, cluster FROM "
                        f"'{cout}/dd_cluster/*.parquet' ORDER BY id").fetchall()
         got_c = {int(r[0]): int(r[1]) for r in rows}
@@ -317,7 +373,46 @@ def main():
         if not cl_ok:
             failures += 1
 
-    print(f"== {4 - min(failures, 4)} pass, {min(failures, 4)} fail")
+    # 4. the REAL corpus, value-for-value: tx_fingerprint is no-oracle,
+    #    so the fresh Verify dump vs the replica over every document is
+    #    its only corpus-scale certification
+    con2 = duckdb.connect()
+    corpus = con2.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'").fetchall()
+    want_corpus = {int(d): tx_fp(t) for d, t in corpus}
+    rows = con2.sql(f"SELECT doc_id, n_fps, doc_fp FROM "
+                    f"'{out_dir}/tx_fingerprint/*.parquet'").fetchall()
+    got_corpus = {int(r[0]): (None if r[1] is None else int(r[1]), r[2])
+                  for r in rows}
+    corpus_ok = got_corpus == want_corpus
+    if not corpus_ok:
+        bad = [d for d in sorted(set(got_corpus) | set(want_corpus))
+               if got_corpus.get(d) != want_corpus.get(d)][:5]
+        for d in bad:
+            print(f"   corpus doc {d}: {got_corpus.get(d)} != "
+                  f"{want_corpus.get(d)}")
+    print(f"{'✓' if corpus_ok else '✗'} spark tx_fingerprint on the REAL "
+          f"corpus ({len(want_corpus)} docs, value-for-value vs the replica)")
+    if not corpus_ok:
+        failures += 1
+
+    want_zc = want_compress([(int(d), t) for d, t in corpus])
+    rows = con2.sql(f"SELECT doc_id, n_bytes, n_deflate, ratio FROM "
+                    f"'{out_dir}/tx_compress/*.parquet'").fetchall()
+    got_zc = {int(r[0]): (int(r[1]), int(r[2]), float(r[3])) for r in rows}
+    zc_ok = got_zc == want_zc
+    if not zc_ok:
+        bad = [d for d in sorted(set(got_zc) | set(want_zc))
+               if got_zc.get(d) != want_zc.get(d)][:5]
+        for d in bad:
+            print(f"   corpus tx_compress doc {d}: {got_zc.get(d)} != "
+                  f"{want_zc.get(d)}")
+    print(f"{'✓' if zc_ok else '✗'} spark tx_compress on the REAL corpus "
+          f"({len(want_zc)} docs, byte-for-byte vs CPython zlib)")
+    if not zc_ok:
+        failures += 1
+
+    print(f"== {7 - min(failures, 7)} pass, {min(failures, 7)} fail")
     sys.exit(1 if failures else 0)
 
 
