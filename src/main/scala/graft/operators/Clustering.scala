@@ -293,34 +293,20 @@ object Clustering {
     * Within a phase, the reproducible content-addressed shard/position
     * order of [[Curation.samp_shuffle]] keyed on vec_id — per-(phase,
     * shard) windows, never a global sort. Output (vec_id, phase, shard,
-    * pos) is plug-compatible with samp_curriculum's frame (spec-pinned),
-    * so one trainer reads either schedule.
+    * pos) is plug-compatible with samp_curriculum's frame BY SHARED CODE
+    * (both run [[Curation.curriculumFrame]]; spec-pinned too), so one
+    * trainer reads either schedule.
     *
     * Scale shape: the selection's k−1 aggregate passes + ONE map-only
     * assign scan (the [[samp_kcenter_assign]] plan), one tiny percentile
     * aggregate, then parallel per-(phase, shard) windows.
     */
   def samp_curriculum_coverage(s: SparkSession, dir: String,
-      k: Int = kcenterK, nShards: Int = 8): DataFrame = {
-    require(nShards >= 1,
-      s"samp_curriculum_coverage: nShards=$nShards must be positive")
-    val asg = samp_kcenter_assign(s, dir, k).select("vec_id", "d2_fp")
-    val cuts = asg
-      .agg(percentile(col("d2_fp"), typedLit(Seq(0.25, 0.5, 0.75))).as("c"))
-      .first().getSeq[Double](0)
-    val phase = when(col("d2_fp") >= cuts(2), 0L)
-      .when(col("d2_fp") >= cuts(1), 1L)
-      .when(col("d2_fp") >= cuts(0), 2L).otherwise(3L)
-    val h = md5(concat(col("vec_id").cast("string"), lit("|shuffle42")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("phase", "shard").orderBy(col("h"), col("vec_id"))
-    asg.select(col("vec_id"), phase.as("phase"), h.as("h"))
-      .withColumn("shard", pmod(conv(substring(col("h"), 1, 6), 16, 10)
-        .cast("long"), lit(nShards.toLong)))
-      .withColumn("pos", row_number().over(w).cast("long") - 1L)
-      .select("vec_id", "phase", "shard", "pos")
-      .orderBy("phase", "shard", "pos")
-  }
+      k: Int = kcenterK, nShards: Int = 8): DataFrame =
+    Curation.curriculumFrame(
+      samp_kcenter_assign(s, dir, k)
+        .select(col("vec_id"), col("d2_fp").as("signal")),
+      "vec_id", nShards)
 
   /** Shared k-center prologue: scoreable vectors, both param guards, and
     * the lowest-vec_id seed decoded once — ONE copy so the two spellings

@@ -224,6 +224,18 @@ object Curation {
       .join(d.select(col("doc_id").as("cluster"), col("text").as("atext")),
         Seq("cluster"))
       .select(col("id").as("doc_id"), col("atext"))
+    leakfreeCensus(d, anchors)
+  }
+
+  /** The shared anchor-split census tail of BOTH leak-free splitters
+    * ([[samp_split_leakfree]], [[samp_split_leakfree_graph]]): given the
+    * non-null-text docs and an (doc_id, atext) anchor-text frame, every
+    * doc splits by its anchor's content address (own text where the
+    * anchor carries none) and the census counts re-assignments. One
+    * definition so the leak rule cannot diverge between the n-gram and
+    * link-graph variants.
+    */
+  private def leakfreeCensus(d: DataFrame, anchors: DataFrame): DataFrame = {
     val eff = d.join(anchors, Seq("doc_id"), "left")
       .select(col("source"),
         splitOf(coalesce(col("atext"), col("text"))).as("split"),
@@ -261,15 +273,7 @@ object Curation {
       .join(d.select(col("doc_id").as("component"), col("text").as("atext")),
         Seq("component"))
       .select(col("doc_id"), col("atext"))
-    val eff = d.join(anchors, Seq("doc_id"), "left")
-      .select(col("source"),
-        splitOf(coalesce(col("atext"), col("text"))).as("split"),
-        (splitOf(coalesce(col("atext"), col("text"))) =!=
-          splitOf(col("text"))).as("moved"))
-    eff.groupBy("source", "split")
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("moved"), 1L).otherwise(0L)).as("n_moved"))
-      .orderBy("source", "split")
+    leakfreeCensus(d, anchors)
   }
 
   /** The full curation funnel as ONE audit query — the composition these
@@ -1542,26 +1546,39 @@ object Curation {
     * either direction; the frame just pins the deterministic order.
     */
   def samp_curriculum(s: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
-    require(nShards >= 1, s"samp_curriculum: nShards=$nShards must be positive")
     val scored = docs(s, dir).filter(col("text").isNotNull)
       .select(col("doc_id"), shingles(col("text"), 2).as("gs"))
       .select(col("doc_id"),
         (TextAnalysis.scoreRawCol(col("gs")).cast("double") /
-          size(col("gs")).cast("double")).as("score"))
+          size(col("gs")).cast("double")).as("signal"))
+    curriculumFrame(scored, "doc_id", nShards)
+  }
+
+  /** The ONE curriculum frame device behind [[samp_curriculum]] and
+    * [[Clustering.samp_curriculum_coverage]]: exact quartile phases over
+    * `signal` (phase 0 = the TOP quartile, signal ≥ p75 — quality's
+    * "best first" and coverage's "farthest first" are the same cut), the
+    * samp_shuffle content-addressed shard/pos windows keyed on `idCol`,
+    * and the (id, phase, shard, pos) output shape. One definition so the
+    * two schedules' plug-compatibility contract cannot drift.
+    */
+  private[operators] def curriculumFrame(scored: DataFrame, idCol: String,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, s"curriculum: nShards=$nShards must be positive")
     val cuts = scored
-      .agg(percentile(col("score"), typedLit(Seq(0.25, 0.5, 0.75))).as("c"))
+      .agg(percentile(col("signal"), typedLit(Seq(0.25, 0.5, 0.75))).as("c"))
       .first().getSeq[Double](0)
-    val phase = when(col("score") >= cuts(2), 0L)
-      .when(col("score") >= cuts(1), 1L)
-      .when(col("score") >= cuts(0), 2L).otherwise(3L)
-    val h = md5(concat(col("doc_id").cast("string"), lit("|shuffle42")))
+    val phase = when(col("signal") >= cuts(2), 0L)
+      .when(col("signal") >= cuts(1), 1L)
+      .when(col("signal") >= cuts(0), 2L).otherwise(3L)
+    val h = md5(concat(col(idCol).cast("string"), lit("|shuffle42")))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("phase", "shard").orderBy(col("h"), col("doc_id"))
-    scored.select(col("doc_id"), phase.as("phase"), h.as("h"))
+      .partitionBy("phase", "shard").orderBy(col("h"), col(idCol))
+    scored.select(col(idCol), phase.as("phase"), h.as("h"))
       .withColumn("shard", pmod(conv(substring(col("h"), 1, 6), 16, 10)
         .cast("long"), lit(nShards.toLong)))
       .withColumn("pos", row_number().over(w).cast("long") - 1L)
-      .select("doc_id", "phase", "shard", "pos")
+      .select(idCol, "phase", "shard", "pos")
       .orderBy("phase", "shard", "pos")
   }
 

@@ -434,11 +434,12 @@ object Graph {
       prev = edges
       edges = round(edges).graftCheckpoint()
     }
-    // fixed-point verification: the LAST loop round must already have
-    // been a no-op (prev == edges ⟹ edges is the star fixed point, with
-    // one round of margin to spare). Both sides are already-checkpointed
-    // distinct sets, so the check is ONE signed-union aggregate — no
-    // extra star round is ever computed — and any (a, b) with a nonzero
+    // fixed-point verification, two tiers: if the LAST loop round was
+    // already a no-op (prev == edges) the fixed point is proven with
+    // margin for free; otherwise ONE extra star round decides it
+    // directly (round(edges) == edges ⟺ converged — the margin-miss
+    // path below). Each comparison is one signed-union aggregate over
+    // two already-checkpointed distinct sets: any (a, b) with a nonzero
     // sign sum is in exactly one of them.
     def edgeDrift(x: DataFrame, y: DataFrame): Long =
       x.select(col("a"), col("b"), lit(1L).as("s"))

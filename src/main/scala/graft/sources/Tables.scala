@@ -60,12 +60,17 @@ object Tables {
     if (!Files.exists(link, LinkOption.NOFOLLOW_LINKS))
       try Files.createSymbolicLink(link, target)
       catch { case _: java.nio.file.FileAlreadyExistsException => () }
-    if (Files.isSymbolicLink(link)) {
-      val got = Files.readSymbolicLink(link)
-      require(got == target,
-        s"ensureSymlink: $link already points at $got, not $target — " +
-          "the staging directory is being reused across different tables")
-    }
+    // whatever survived the race must BE a symlink at our target — a
+    // regular file/dir squatting on the link name (an aborted copy in a
+    // reused staging dir) would otherwise serve a stale table silently,
+    // the exact mode this guard exists to fail loud on
+    require(Files.isSymbolicLink(link),
+      s"ensureSymlink: $link exists but is not a symlink — the staging " +
+        "directory holds a real file/dir where the table link belongs")
+    val got = Files.readSymbolicLink(link)
+    require(got == target,
+      s"ensureSymlink: $link already points at $got, not $target — " +
+        "the staging directory is being reused across different tables")
   }
 
   def scratchDir(prefix: String, key: String): String =

@@ -44,7 +44,16 @@ object ChainThroughput {
     val artifactDir = args.lift(1).getOrElse(dir)
     val reps = args.lift(2).map(_.toInt).getOrElse(3)
     val keep = args.lift(3).getOrElse("en,zh").split(",").toSet
-    val screens = args.lift(4).contains("on")
+    // both the bare flag and the scaladoc's `screens=on` spelling work —
+    // a silently-ignored 5th arg would bench the unscreened chain while
+    // the caller believes they measured the screened one
+    val screens = args.lift(4) match {
+      case None => false
+      case Some("on") | Some("screens=on") => true
+      case Some("off") | Some("screens=off") => false
+      case Some(other) => sys.error(
+        s"ChainThroughput: unrecognized screens arg '$other' — pass on/off")
+    }
     val spark = graft.DriverSession.build(defaultCpus = "32")
     import spark.implicits._
 
@@ -56,12 +65,9 @@ object ChainThroughput {
     val scoreW =
       graft.operators.TextAnalysis.trainScoreWeights(spark, artifactDir, 8)
     val lm = graft.operators.TextAnalysis.perplexityLmArtifact(spark, artifactDir)
-    // the three screen artifacts (only built when screens=on): eval URLs
-    // from a benchmark-release-sized slice, DSIR weights + a survivor-
-    // quartile λ cut, the BM25 query table + a survivor-quartile score
-    // cut — the SAME recipe the chain-with-screens parity spec pins
-    // (thresholds that provably engage without annihilating the funnel;
-    // a deployment pins its own)
+    // the three screen artifacts (only built when screens=on), via the
+    // ONE shared derivation the parity spec certifies
+    // ([[DocsStream.screenArtifacts]] — survivor-quartile thresholds)
     val (deconUrls, dsirScreen, bm25Screen) = if (!screens)
       (Seq.empty[String], None, None)
     else {
@@ -71,37 +77,9 @@ object ChainThroughput {
               graft.operators.TextAnalysis.urlPlant(col("doc_id"))),
           authorized, langidW, keep, scoreW, lm)
         .select("doc_id").as[Long].collect().toSet
-      def quart(xs: Seq[Long], q: Double): Long = {
-        val s = xs.sorted
-        s(((s.size - 1) * q).toInt)
-      }
-      // mod 50, not the batch screen's evalMod-3 default: the 3-slice
-      // covers ALL normalized plant urls and would annihilate the chain
-      val evalUrls = graft.sources.Tables.loadParallel(spark, artifactDir, "documents")
-        .filter(pmod(col("doc_id"), lit(50L)) === 0)
-        .select(graft.operators.TextAnalysis.normUrl(col("doc_id")).as("u"))
-        .distinct().as[String].collect().toSeq
-      val w = graft.operators.Curation.dsirGateArtifact(spark, artifactDir)
-      val lamCut = quart(graft.operators.Curation
-        .samp_dsir(spark, artifactDir, k = Int.MaxValue)
-        .select("doc_id", "lambda_fp").as[(Long, Long)].collect()
-        .filter(r => survivors.contains(r._1)).map(_._2).toSeq, 0.25)
-      val (n, sTot, queries) =
-        graft.operators.Curation.bm25GateArtifact(spark, artifactDir)
-      // maxDl 2^14: the default 2^20 fails the BIGINT-exact guard once
-      // S reaches sf0.1 scale (S·maxDl bounded), and the synthetic docs
-      // are tens of tokens — 16 k is three orders of margin
-      val maxDl = 1L << 14
-      val scoreCut = math.max(1L, quart(DocsStream.bm25Gate(
-          graft.sources.Tables.loadParallel(spark, artifactDir, "documents")
-            .select("doc_id", "text"),
-          n, sTot, queries, maxScoreFp = Long.MaxValue, maxDl = maxDl)
-        .select("doc_id", "bm25_score_fp").as[(Long, Long)].collect()
-        .filter(r => survivors.contains(r._1)).map(_._2).toSeq, 0.75))
-      (evalUrls,
-        Some(DocsStream.DsirScreen(w, lamCut)),
-        Some(DocsStream.Bm25Screen(n, sTot, queries, maxScoreFp = scoreCut,
-          maxDl = maxDl)))
+      val (urls, d, b) =
+        DocsStream.screenArtifacts(spark, artifactDir, survivors)
+      (urls, Some(d), Some(b))
     }
     val artifactSec = (System.nanoTime() - tA) / 1e9
 

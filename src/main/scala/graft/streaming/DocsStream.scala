@@ -759,6 +759,57 @@ object DocsStream {
   final case class DsirScreen(weights: graft.operators.Curation.DsirWeights,
       minLambda: Long)
 
+  /** Survivor-quartile screen artifacts for [[c4Chain]]'s optional decon
+    * stages — the ONE derivation the chain-with-screens parity spec and
+    * [[ChainThroughput]]'s screens=on mode share (a hand-copied recipe
+    * drifted on maxDl within a day of existing): eval URLs from a
+    * benchmark-release-sized mod-50 doc_id slice (the batch screen's
+    * evalMod-3 default covers ALL 140 normalized plant urls —
+    * gcd(3, 140) = 1 walks every residue — and would annihilate the
+    * chain instead of screening it), the DSIR λ cut at the chain-off
+    * SURVIVORS' 25th percentile, the BM25 score cut at their 75th —
+    * thresholds that provably engage without emptying the funnel; a
+    * deployment pins its own. `maxDl` defaults to 2¹⁴: the gate's 2²⁰
+    * default fails the BIGINT-exact guard once S reaches sf0.1 scale,
+    * and the synthetic docs are tens of tokens.
+    *
+    * `survivors` = the classic 6-stage chain's kept doc_ids on the
+    * artifact corpus (the caller has them from its funnel census pass).
+    */
+  def screenArtifacts(s: org.apache.spark.sql.SparkSession, dir: String,
+      survivors: Set[Long],
+      maxDl: Long = 1L << 14): (Seq[String], DsirScreen, Bm25Screen) = {
+    import s.implicits._
+    require(survivors.nonEmpty,
+      "screenArtifacts: zero chain survivors — no distribution to derive " +
+        "screen thresholds from (check the keep set / gate artifacts)")
+    def quart(xs: Seq[Long], q: Double): Long = {
+      require(xs.nonEmpty,
+        "screenArtifacts: no survivor carries the screen's signal")
+      val v = xs.sorted
+      v(((v.size - 1) * q).toInt)
+    }
+    val evalUrls = graft.sources.Tables.loadParallel(s, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(50L)) === 0)
+      .select(graft.operators.TextAnalysis.normUrl(col("doc_id")).as("u"))
+      .distinct().as[String].collect().toSeq
+    val w = graft.operators.Curation.dsirGateArtifact(s, dir)
+    val lamCut = quart(graft.operators.Curation
+      .samp_dsir(s, dir, k = Int.MaxValue)
+      .select("doc_id", "lambda_fp").as[(Long, Long)].collect()
+      .filter(r => survivors.contains(r._1)).map(_._2).toSeq, 0.25)
+    val (n, sTot, queries) =
+      graft.operators.Curation.bm25GateArtifact(s, dir)
+    val scoreCut = math.max(1L, quart(bm25Gate(
+        graft.sources.Tables.loadParallel(s, dir, "documents")
+          .select("doc_id", "text"),
+        n, sTot, queries, maxScoreFp = Long.MaxValue, maxDl = maxDl)
+      .select("doc_id", "bm25_score_fp").as[(Long, Long)].collect()
+      .filter(r => survivors.contains(r._1)).map(_._2).toSeq, 0.75))
+    (evalUrls, DsirScreen(w, lamCut),
+      Bm25Screen(n, sTot, queries, maxScoreFp = scoreCut, maxDl = maxDl))
+  }
+
   def c4Chain(stream: DataFrame,
       authorized: Seq[String],
       langidWeights: Map[String, Seq[Long]],

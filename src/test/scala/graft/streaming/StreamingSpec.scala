@@ -1528,36 +1528,18 @@ class StreamingSpec extends AnyFunSuite {
     val off = DocsStream
       .c4Chain(batchDocs, authorized, langidW, keep, scoreW, lm)
       .select("doc_id").as[Long].collect().toSet
-    // the three screen artifacts. Thresholds derive from the CHAIN-OFF
-    // SURVIVORS' own distributions (quartile cuts, not medians of the
-    // whole corpus) so every screen provably bites on a survivor while
-    // the stacked composition stays nonempty (a deployment pins its own)
-    def quart(xs: Seq[Long], q: Double): Long = {
-      val s = xs.sorted
-      s(((s.size - 1) * q).toInt)
+    // the three screen artifacts via the ONE shared derivation
+    // ([[DocsStream.screenArtifacts]] — survivor-quartile thresholds, so
+    // every screen provably bites on a survivor while the stacked
+    // composition stays nonempty): the bench's screens=on mode calls the
+    // SAME function, so this spec certifies exactly what it measures
+    val (evalUrls, dsirScreen, bm25Screen) =
+      DocsStream.screenArtifacts(spark, dir, off)
+    val dsirS = Some(dsirScreen)
+    val bm25S = Some(bm25Screen)
+    intercept[IllegalArgumentException] {
+      DocsStream.screenArtifacts(spark, dir, Set.empty)
     }
-    // a benchmark-release-sized URL slice (mod 50, ~10 normalized urls):
-    // the evalMod-3 slice the batch screen defaults to covers ALL 140
-    // normalized plant urls (gcd(3,140)=1 walks every residue), which
-    // would annihilate the chain instead of screening it
-    val evalUrls = Tables.loadParallel(spark, dir, "documents")
-      .filter(pmod(col("doc_id"), lit(50L)) === 0)
-      .select(TextAnalysis.normUrl(col("doc_id")).as("u"))
-      .distinct().as[String].collect().toSeq
-    val w = Curation.dsirGateArtifact(spark, dir)
-    val lams = Curation.samp_dsir(spark, dir, k = Int.MaxValue)
-      .select("doc_id", "lambda_fp").as[(Long, Long)].collect()
-      .filter(r => off.contains(r._1)).map(_._2).toSeq
-    val lamCut = quart(lams, 0.25) // drop the bottom survivor quartile
-    val (bn, bs, bq) = Curation.bm25GateArtifact(spark, dir)
-    val scores = DocsStream.bm25Gate(
-        Tables.loadParallel(spark, dir, "documents").select("doc_id", "text"),
-        bn, bs, bq, maxScoreFp = Long.MaxValue)
-      .select("doc_id", "bm25_score_fp").as[(Long, Long)].collect()
-      .filter(r => off.contains(r._1)).map(_._2).toSeq
-    val scoreCut = math.max(1L, quart(scores, 0.75)) // drop the top quartile
-    val dsirS = Some(DocsStream.DsirScreen(w, lamCut))
-    val bm25S = Some(DocsStream.Bm25Screen(bn, bs, bq, maxScoreFp = scoreCut))
     def chain(df: org.apache.spark.sql.DataFrame,
         urls: Seq[String] = evalUrls,
         d: Option[DocsStream.DsirScreen] = dsirS,
