@@ -195,10 +195,14 @@ object EmbStream {
     * the minimum pairwise center d²) and centers within the new radius
     * of an earlier-kept center are merged away (insertion-order scan,
     * keep-the-earlier — deterministic), repeating until the sketch fits.
-    * The admitted stream is a bounded-size diverse subset whose coverage
-    * radius is within the doubling algorithm's constant factor of the
-    * best k-center clustering of everything seen — the online analogue
-    * of the batch coreset's per-shard phase.
+    * The RETAINED rows (`retained` — post-cascade sketch membership; the
+    * `admitted` flag alone is a superset that includes arrivals the
+    * cascade merged straight back out) form a bounded-size diverse
+    * subset whose coverage radius is within the doubling algorithm's
+    * constant factor of the best k-center clustering of everything seen
+    * — the online analogue of the batch coreset's per-shard phase
+    * (spec-pinned ≤8× [[graft.operators.Clustering.samp_kcenter_sharded]]
+    * at matched budget; ~2–4× measured).
     *
     * Scale/state shape: ≤ `kPerShard` (vec_id, embedding) pairs + one
     * double per shard — hard-bounded by construction (the doubling step
