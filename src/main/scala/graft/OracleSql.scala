@@ -496,6 +496,49 @@ object OracleSql {
        |       AS BIGINT) - 1 AS pos
        |FROM sh ORDER BY phase, shard, pos""".stripMargin
 
+  /** samp_curriculum_mixed's twin: BOTH parents' phase derivations
+    * verbatim — the kcenter d2_fp quartiles (kcenterCurriculumTwin's
+    * CTEs) and samp_curriculum's quality-score quartiles — crossed
+    * lexicographically (cov·4 + qual) over the inner id join, then the
+    * shared samp_shuffle shard/pos device keyed on vec_id.
+    */
+  private lazy val kcenterMixedTwin: String =
+    s"""WITH $kcenterCtes,
+       |$kcenterAsgCte,
+       |d2 AS (SELECT a.vec_id,
+       |    CAST(floor((a.best).d * 1048576.0) AS BIGINT) AS d2_fp FROM asg a),
+       |cu AS (SELECT quantile_cont(d2_fp, 0.25) AS p25,
+       |         quantile_cont(d2_fp, 0.5) AS p50,
+       |         quantile_cont(d2_fp, 0.75) AS p75 FROM d2),
+       |covph AS (SELECT vec_id,
+       |         CAST(CASE WHEN d2_fp >= p75 THEN 0 WHEN d2_fp >= p50 THEN 1
+       |              WHEN d2_fp >= p25 THEN 2 ELSE 3 END AS BIGINT) AS cov_phase
+       |       FROM d2, cu),
+       |qg AS (
+       |  SELECT doc_id, ($bigramListSql) AS gs
+       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w
+       |        FROM documents WHERE text IS NOT NULL)),
+       |qsc AS (SELECT doc_id,
+       |         CAST(${scoreRawSql("gs")} AS DOUBLE) / len(gs) AS score
+       |       FROM qg),
+       |qc AS (SELECT quantile_cont(score, 0.25) AS p25,
+       |        quantile_cont(score, 0.5) AS p50,
+       |        quantile_cont(score, 0.75) AS p75 FROM qsc),
+       |qph AS (SELECT doc_id,
+       |         CAST(CASE WHEN score >= p75 THEN 0 WHEN score >= p50 THEN 1
+       |              WHEN score >= p25 THEN 2 ELSE 3 END AS BIGINT) AS qual_phase
+       |       FROM qsc, qc),
+       |mix AS (SELECT c.vec_id, c.cov_phase * 4 + q.qual_phase AS phase,
+       |         md5(CAST(c.vec_id AS VARCHAR) || '|shuffle42') AS h
+       |       FROM covph c JOIN qph q ON q.doc_id = c.vec_id),
+       |sh AS (SELECT vec_id, phase, h,
+       |         CAST(concat('0x', substr(h, 1, 6)) AS BIGINT) % 8 AS shard
+       |       FROM mix)
+       |SELECT vec_id, phase, shard,
+       |  CAST(row_number() OVER (PARTITION BY phase, shard ORDER BY h, vec_id)
+       |       AS BIGINT) - 1 AS pos
+       |FROM sh ORDER BY phase, shard, pos""".stripMargin
+
   /** The shared selection CTE chain behind [[kcenterTwin]] and
     * [[kcenterAssignTwin]] (sel/cen round unrolls, ending at cen$k).
     */
@@ -2520,6 +2563,7 @@ object OracleSql {
 
     "samp_kcenter_assign" -> kcenterAssignTwin,
     "samp_curriculum_coverage" -> kcenterCurriculumTwin,
+    "samp_curriculum_mixed" -> kcenterMixedTwin,
 
     // `Clustering.embed_pq`'s twin — per-subspace Lloyd with the SAME
     // round template, the subspace as a plain dimension (one assignment /

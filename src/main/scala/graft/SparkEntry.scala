@@ -202,6 +202,9 @@ object SparkEntry {
     // coverage-weighted curriculum: phases by the assign frame's d2_fp
     "samp_curriculum_coverage" ->
       ((s, d) => Clustering.samp_curriculum_coverage(s, d)),
+    // composed coverage x quality schedule (lexicographic 16 phases)
+    "samp_curriculum_mixed" ->
+      ((s, d) => Clustering.samp_curriculum_mixed(s, d)),
     // CSV round trip certified against the parquet originals
     "src_csv" -> (graft.sources.Csv.src_csv _),
     // link-graph centrality over the planted citation graph

@@ -303,10 +303,54 @@ object Clustering {
     */
   def samp_curriculum_coverage(s: SparkSession, dir: String,
       k: Int = kcenterK, nShards: Int = 8): DataFrame =
-    Curation.curriculumFrame(
-      samp_kcenter_assign(s, dir, k)
-        .select(col("vec_id"), col("d2_fp").as("signal")),
+    Curation.curriculumFrame(coverageSignal(s, dir, k), "vec_id", nShards)
+
+  /** [[samp_curriculum_coverage]]'s (vec_id, signal) scored frame — ONE
+    * definition shared with [[samp_curriculum_mixed]], so a vector's
+    * coverage quartile cannot differ between the standalone and
+    * composed faces.
+    */
+  private def coverageSignal(s: SparkSession, dir: String,
+      k: Int): DataFrame =
+    samp_kcenter_assign(s, dir, k)
+      .select(col("vec_id"), col("d2_fp").as("signal"))
+
+  /** The COMPOSED coverage × quality schedule — the curriculum family's
+    * closing member (the way samp_mixture_trained closed DoReMi's): a
+    * trainer that wants "diverse first, best-written first within equal
+    * diversity" reads ONE phase column instead of reconciling two
+    * schedules by hand. phase = coverage_quartile · 4 + quality_quartile
+    * (lexicographic, coverage-major — phase 0 is the farthest-from-
+    * coverage AND top-quality cell, phase 15 the redundant tail), over
+    * the documents that carry BOTH signals (non-null embedding ∧
+    * non-null text; the corpus embeds row i of documents as vec i, the
+    * dd_semdedup/decon_embed convention).
+    *
+    * Plug-compatible with both parents BY SHARED CODE, twice over: each
+    * sub-phase runs the parent's OWN scored frame ([[coverageSignal]]
+    * resp. [[graft.operators.Curation.curriculumQualitySignal]] — the
+    * single definitions the standalone operators run) through the same
+    * [[graft.operators.Curation.curriculumPhases]] cut device, so a
+    * document's coverage/quality quartile here IS its quartile there
+    * (spec-pinned by decomposition); and the within-phase order is the
+    * same [[graft.operators.Curation.curriculumWindows]] device every
+    * curriculum face runs. Scale shape: the two parents' plans (each one
+    * percentile aggregate over an existing scan) + one id join + the
+    * per-(phase, shard) windows — nothing new shuffles the corpus.
+    */
+  def samp_curriculum_mixed(s: SparkSession, dir: String,
+      k: Int = kcenterK, nShards: Int = 8): DataFrame = {
+    val cov = Curation.curriculumPhases(coverageSignal(s, dir, k), "vec_id")
+      .withColumnRenamed("phase", "cov_phase")
+    val qual = Curation.curriculumPhases(
+        Curation.curriculumQualitySignal(s, dir), "doc_id")
+      .select(col("doc_id").as("vec_id"), col("phase").as("qual_phase"))
+    Curation.curriculumWindows(
+      cov.join(qual, Seq("vec_id"))
+        .select(col("vec_id"),
+          (col("cov_phase") * 4L + col("qual_phase")).as("phase")),
       "vec_id", nShards)
+  }
 
   /** Shared k-center prologue: scoreable vectors, both param guards, and
     * the lowest-vec_id seed decoded once — ONE copy so the two spellings

@@ -266,8 +266,20 @@ object Curation {
     * anchor-text join and one map-side-combined census aggregate.
     */
   def samp_split_leakfree_graph(s: SparkSession, dir: String,
-      iters: Int = 12): DataFrame = {
-    val labels = Graph.ccLabels(s, dir, iters)
+      iters: Int = 12): DataFrame =
+    samp_split_leakfree_graph_from(s, dir, Graph.ccLabels(s, dir, iters))
+
+  /** The loader-fed face of [[samp_split_leakfree_graph]]: run the SAME
+    * leak rule over a supplied (doc_id, component) label frame — in
+    * production the PERSISTED artifact ([[Graph.readCcLabels]]), so the
+    * splitter process never re-runs the star-contraction rounds (the
+    * write-once-read-everywhere contract of every trained gate
+    * artifact). The in-session spelling above is this function applied
+    * to the memoized frame; parity is spec-pinned, so the two faces
+    * cannot diverge on a document.
+    */
+  def samp_split_leakfree_graph_from(s: SparkSession, dir: String,
+      labels: DataFrame): DataFrame = {
     val d = docs(s, dir).filter(col("text").isNotNull)
     val anchors = labels
       .join(d.select(col("doc_id").as("component"), col("text").as("atext")),
@@ -1545,14 +1557,21 @@ object Curation {
     * as THREE doubles (the bounded-driver rule). Consumers read phases in
     * either direction; the frame just pins the deterministic order.
     */
-  def samp_curriculum(s: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
-    val scored = docs(s, dir).filter(col("text").isNotNull)
+  def samp_curriculum(s: SparkSession, dir: String, nShards: Int = 8): DataFrame =
+    curriculumFrame(curriculumQualitySignal(s, dir), "doc_id", nShards)
+
+  /** [[samp_curriculum]]'s (doc_id, signal) scored frame — ONE
+    * definition shared with the composed schedule
+    * ([[Clustering.samp_curriculum_mixed]]), so a document's quality
+    * quartile cannot differ between the standalone and composed faces.
+    */
+  private[operators] def curriculumQualitySignal(s: SparkSession,
+      dir: String): DataFrame =
+    docs(s, dir).filter(col("text").isNotNull)
       .select(col("doc_id"), shingles(col("text"), 2).as("gs"))
       .select(col("doc_id"),
         (TextAnalysis.scoreRawCol(col("gs")).cast("double") /
           size(col("gs")).cast("double")).as("signal"))
-    curriculumFrame(scored, "doc_id", nShards)
-  }
 
   /** The ONE curriculum frame device behind [[samp_curriculum]] and
     * [[Clustering.samp_curriculum_coverage]]: exact quartile phases over
@@ -1563,18 +1582,38 @@ object Curation {
     * two schedules' plug-compatibility contract cannot drift.
     */
   private[operators] def curriculumFrame(scored: DataFrame, idCol: String,
-      nShards: Int): DataFrame = {
-    require(nShards >= 1, s"curriculum: nShards=$nShards must be positive")
+      nShards: Int): DataFrame =
+    curriculumWindows(curriculumPhases(scored, idCol), idCol, nShards)
+
+  /** The quartile-phase half of [[curriculumFrame]]: exact percentile
+    * cuts over `signal` (three doubles to the driver — the bounded rule),
+    * phase 0 = the TOP quartile. Exposed separately so the COMPOSED
+    * schedule ([[Clustering.samp_curriculum_mixed]]) can cross two
+    * families' phases while running the same cut device as each parent.
+    */
+  private[operators] def curriculumPhases(scored: DataFrame,
+      idCol: String): DataFrame = {
     val cuts = scored
       .agg(percentile(col("signal"), typedLit(Seq(0.25, 0.5, 0.75))).as("c"))
       .first().getSeq[Double](0)
     val phase = when(col("signal") >= cuts(2), 0L)
       .when(col("signal") >= cuts(1), 1L)
       .when(col("signal") >= cuts(0), 2L).otherwise(3L)
+    scored.select(col(idCol), phase.as("phase"))
+  }
+
+  /** The shard/pos half of [[curriculumFrame]]: [[samp_shuffle]]'s
+    * content-addressed windows per (phase, shard) — any (id, phase)
+    * frame in, the (id, phase, shard, pos) schedule out. One definition
+    * so every curriculum face orders identically within a phase.
+    */
+  private[operators] def curriculumWindows(phased: DataFrame, idCol: String,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, s"curriculum: nShards=$nShards must be positive")
     val h = md5(concat(col(idCol).cast("string"), lit("|shuffle42")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("phase", "shard").orderBy(col("h"), col(idCol))
-    scored.select(col(idCol), phase.as("phase"), h.as("h"))
+    phased.select(col(idCol), col("phase"), h.as("h"))
       .withColumn("shard", pmod(conv(substring(col("h"), 1, 6), 16, 10)
         .cast("long"), lit(nShards.toLong)))
       .withColumn("pos", row_number().over(w).cast("long") - 1L)

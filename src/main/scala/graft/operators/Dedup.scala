@@ -628,6 +628,33 @@ object Dedup {
   private val clusterMinhashCache =
     new graft.SessionMemo[(String, Int, Int, Double, Int), DataFrame]
 
+  /** PERSIST the near-dup cluster assignment frame — [[dd_cluster]]'s
+    * session memo made durable (the
+    * [[graft.operators.Graph.writeCcLabels]] symmetry): cluster
+    * assignments are a per-snapshot corpus artifact a later keeper/
+    * ablation process consumes without re-running the LSH + CC passes.
+    * Shared [[graft.LabelArtifact]] discipline — write-then-swap, counts
+    * + params stamped, loud loader refusals on truncation/tampering.
+    * Singletons are ABSENT by [[dd_cluster]]'s contract (a doc with no
+    * near-dup relation carries no row); the artifact stores exactly the
+    * operator's output.
+    */
+  def writeDdCluster(s: SparkSession, dir: String, path: String,
+      k: Int = 32, bands: Int = 8, threshold: Double = 0.5,
+      maxBucket: Int = 10000): Unit =
+    graft.LabelArtifact.write(s,
+      dd_cluster(s, dir, k, bands, threshold, maxBucket), path,
+      "id", "cluster", kind = "dd_cluster", who = "writeDdCluster",
+      params = Seq("k" -> k.toString, "bands" -> bands.toString,
+        "threshold" -> threshold.toString, "max_bucket" -> maxBucket.toString))
+
+  /** Load a [[writeDdCluster]] artifact back as the (id, cluster) frame
+    * [[dd_cluster]] emits — validated (see [[graft.LabelArtifact.read]]).
+    */
+  def readDdCluster(s: SparkSession, path: String): DataFrame =
+    graft.LabelArtifact.read(s, path, "id", "cluster",
+      kind = "dd_cluster", who = "readDdCluster")
+
   /** Connected components over the EXACT n-gram Jaccard pair graph — the
     * oracle-checkable twin of [[dd_cluster]] (whose MinHash candidate graph
     * is xxhash64-based, which the DuckDB oracle cannot express):

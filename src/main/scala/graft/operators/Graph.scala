@@ -388,6 +388,35 @@ object Graph {
       ccLabelsBuild(s, dir, iters, allFamilies))
   }
 
+  /** PERSIST the component label frame — the production artifact step
+    * the [[ccLabels]] memo only approximates: the star-contraction
+    * rounds cost seconds-to-minutes per snapshot and the SessionMemo
+    * dies with the session, but the splitter
+    * ([[graft.operators.Curation.samp_split_leakfree_graph_from]]) and
+    * any later component consumer run in OTHER processes — they read
+    * this parquet artifact the way the ingest tier reads the langid/DSIR
+    * weight tables (train once per snapshot, load everywhere). Landed
+    * through the shared [[graft.LabelArtifact]] discipline:
+    * write-then-swap (a racing reader sees old-complete or new-complete,
+    * never a mix), counts + build params stamped in a meta table, and a
+    * loader that refuses truncated/tampered/foreign artifacts loudly.
+    */
+  def writeCcLabels(s: SparkSession, dir: String, path: String,
+      iters: Int = 12, allFamilies: Boolean = false): Unit =
+    graft.LabelArtifact.write(s, ccLabels(s, dir, iters, allFamilies), path,
+      "doc_id", "component", kind = "cc_labels", who = "writeCcLabels",
+      params = Seq("iters" -> iters.toString,
+        "all_families" -> allFamilies.toString))
+
+  /** Load a [[writeCcLabels]] artifact back as the (doc_id, component)
+    * frame every [[ccLabels]] consumer takes — validated (see
+    * [[graft.LabelArtifact.read]]); build provenance (iters,
+    * all_families) stays auditable via [[graft.LabelArtifact.readMeta]].
+    */
+  def readCcLabels(s: SparkSession, path: String): DataFrame =
+    graft.LabelArtifact.read(s, path, "doc_id", "component",
+      kind = "cc_labels", who = "readCcLabels")
+
   private def ccLabelsBuild(s: SparkSession, dir: String, iters: Int,
       allFamilies: Boolean): DataFrame = {
     import graft.Checkpoints.DatasetCheckpointOps

@@ -68,7 +68,16 @@ object Tables {
       s"ensureSymlink: $link exists but is not a symlink — the staging " +
         "directory holds a real file/dir where the table link belongs")
     val got = Files.readSymbolicLink(link)
-    require(got == target,
+    // NORMALIZED comparison: a relative link target resolves against the
+    // link's parent (the symlink contract), and an equivalent-but-
+    // unnormalized spelling (`./x`, a trailing `..` hop, relative vs
+    // absolute from another call site sharing the staging dir) names the
+    // SAME table — only a genuinely different target may fail the guard
+    def norm(p: java.nio.file.Path): java.nio.file.Path = {
+      val base = link.toAbsolutePath.getParent
+      (if (p.isAbsolute) p else base.resolve(p)).normalize()
+    }
+    require(norm(got) == norm(target),
       s"ensureSymlink: $link already points at $got, not $target — " +
         "the staging directory is being reused across different tables")
   }

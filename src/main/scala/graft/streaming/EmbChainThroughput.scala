@@ -13,8 +13,10 @@ import org.apache.spark.sql.streaming.Trigger
   * [[graft.operators.Clustering.initCentroids]] seed the batch
   * dd_semdedup uses, trained on `artifactDir` (per-snapshot batch value;
   * for N× replica spots pass the 1× base — the [[GateThroughput]]
-  * contract). The admitted/retained census is priced by one batch pass
-  * of the same composition (batch == stream per the parity specs).
+  * contract). The admitted/retained census comes from the TIMED chain
+  * run's own emb_div observe() metrics summed across its progress
+  * events — exact whatever the micro-batch split, so the printed census
+  * is the measured stream's, not a batch stand-in's.
   *
   * Usage: `tools/run.sh graft.streaming.EmbChainThroughput [dir]
   * [artifactDir] [reps] [kPerShard] [shards]` — defaults sf0.1, =dir,
@@ -39,11 +41,6 @@ object EmbChainThroughput {
     val emb = graft.sources.Tables.load(spark, dir, "embeddings")
       .select("vec_id", "embedding")
     val n = emb.count()
-    // batch census of the composed chain (batch == stream, spec-pinned)
-    val chainRows = EmbStream.embChain(emb, cents,
-      kPerShard = kPerShard, shards = shards).collect()
-    val admitted = chainRows.count(_.admitted)
-    val retained = chainRows.count(_.retained)
 
     val embPath = java.nio.file.Paths.get(s"$dir/embeddings.parquet")
     val streamDir =
@@ -58,9 +55,17 @@ object EmbChainThroughput {
     val sch = spark.read.parquet(embPath.toString)
       .select("vec_id", "embedding").schema
 
-    def drive(mk: org.apache.spark.sql.DataFrame =>
-        org.apache.spark.sql.Dataset[_]): Seq[Double] =
-      (1 to reps).map { _ =>
+    // census accumulated from the TIMED streamed runs' own observe()
+    // metrics (emb_div: rows/admitted/retained), summed across every
+    // micro-batch progress event — exact however the file source splits
+    // the replay (a separate batch pass would equal the stream only
+    // under a single-batch replay of these stateful stages)
+    val census = scala.collection.mutable.Map[String, Long]()
+      .withDefaultValue(0L)
+    def drive(observed: Boolean)(
+        mk: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.Dataset[_]): Seq[Double] =
+      (1 to reps).map { rep =>
         val t0 = System.nanoTime()
         val q = mk(spark.readStream.schema(sch).parquet(streamDir.toString)
             .select("vec_id", "embedding"))
@@ -68,13 +73,23 @@ object EmbChainThroughput {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (observed && rep == 1) q.recentProgress.foreach { p =>
+          Option(p.observedMetrics.get("emb_div")).foreach { r =>
+            census("div_rows") += r.getAs[Long]("rows")
+            census("admitted") += r.getAs[Long]("admitted")
+            census("retained") += r.getAs[Long]("retained")
+          }
+        }
+        dt
       }
 
-    val divTimes = drive(df =>
+    val divTimes = drive(observed = false)(df =>
       EmbStream.diversityGate(df, kPerShard, shards))
-    val chainTimes = drive(df =>
+    val chainTimes = drive(observed = true)(df =>
       EmbStream.embChain(df, cents, kPerShard = kPerShard, shards = shards))
+    val admitted = census("admitted")
+    val retained = census("retained")
 
     def us(t: Seq[Double]): Double = if (n == 0) 0.0 else t.min * 1e6 / n
     println(s"""{"metric":"emb_chain_throughput","rows":$n,""" +

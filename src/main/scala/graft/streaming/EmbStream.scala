@@ -311,8 +311,17 @@ object EmbStream {
       .map(c => (c.vec_id, c.embedding))
       .toDF("vec_id", "embedding")
       .observe("emb_sem", count(lit(1)).as("rows"))
+    // emb_div carries the full funnel census (decisions, diversity
+    // admissions, decision-time retentions), not just a row count: every
+    // decision row is emitted exactly once in append mode, so SUMMING
+    // these metrics across a run's StreamingQueryProgress events yields
+    // the exact stream census however the source splits the replay into
+    // micro-batches — the throughput drive reads its admitted/retained
+    // numbers from here instead of assuming a single-batch replay
     diversityGate(admitted, kPerShard, shards)
-      .observe("emb_div", count(lit(1)).as("rows"))
+      .observe("emb_div", count(lit(1)).as("rows"),
+        sum(when(col("admitted"), 1L).otherwise(0L)).as("admitted"),
+        sum(when(col("retained"), 1L).otherwise(0L)).as("retained"))
   }
 
   /** Plain-Scala squared euclidean distance — the same left-to-right

@@ -332,4 +332,41 @@ class ClusteringSpec extends AnyFunSuite {
       Clustering.samp_curriculum_coverage(spark, dir, nShards = 0)
     }.getMessage.contains("nShards"))
   }
+
+  test("samp_curriculum_mixed: phases decompose into the parents' own quartiles; consumer schema; dense windows") {
+    val mixed = Clustering.samp_curriculum_mixed(spark, dir)
+    val cov = Clustering.samp_curriculum_coverage(spark, dir)
+    val qual = Curation.samp_curriculum(spark, dir)
+    // plug-compatible consumer schema (one trainer reads any schedule)
+    assert(mixed.columns.toSeq == Seq("vec_id", "phase", "shard", "pos"))
+    assert(mixed.schema.fields.map(_.dataType).toSeq ==
+      qual.schema.fields.map(_.dataType).toSeq)
+    val rows = mixed.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // DECOMPOSITION: phase/4 is exactly the standalone coverage phase,
+    // phase%4 exactly the standalone quality phase — the shared-code
+    // plug-compat contract, asserted row for row
+    val covPhase = cov.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val qualPhase = qual.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val both = covPhase.keySet.intersect(qualPhase.keySet)
+    assert(rows.map(_._1).toSet == both,
+      "the composed schedule covers exactly the dual-signal population")
+    rows.foreach { case (id, p, _, _) =>
+      assert(p / 4 == covPhase(id) && p % 4 == qualPhase(id),
+        s"vec $id: composed phase $p must be (cov ${covPhase(id)}, " +
+          s"qual ${qualPhase(id)})")
+    }
+    // both signals discriminate: more than 4 distinct cells, and the
+    // extremes exist on this corpus
+    val phases = rows.map(_._2).toSet
+    assert(phases.size > 4, s"composition must out-resolve one signal: $phases")
+    // the samp_shuffle device per (phase, shard)
+    rows.groupBy(r => (r._2, r._3)).foreach { case (_, g) =>
+      assert(g.map(_._4).sorted.toSeq == (0L until g.size).toSeq)
+    }
+    // deterministic (content-addressed)
+    assert(rows.toSeq == Clustering.samp_curriculum_mixed(spark, dir)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq)
+  }
 }

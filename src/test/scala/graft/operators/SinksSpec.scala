@@ -89,4 +89,37 @@ class SinksSpec extends AnyFunSuite {
       "source filter must reach the scan where sorted row-group stats apply")
     assert(q.count() > 0)
   }
+
+  test("ensureSymlink: equivalent target spellings pass, different targets and squatters fail loud") {
+    import java.nio.file.{Files, Paths}
+    val stage = Files.createTempDirectory("graft-symlink")
+    val targetDir = Files.createTempDirectory("graft-symlink-tgt")
+    val target = targetDir.resolve("table.parquet")
+    Files.createDirectory(target)
+    val link = stage.resolve("table.parquet")
+    Tables.ensureSymlink(link, target.toAbsolutePath)
+    // idempotent re-ensure with the SAME target: fine
+    Tables.ensureSymlink(link, target.toAbsolutePath)
+    // equivalent-but-unnormalized spellings of the same target: fine
+    Tables.ensureSymlink(link,
+      targetDir.resolve(".").resolve("table.parquet"))
+    Tables.ensureSymlink(link, Paths.get(target.toString + "/."))
+    Tables.ensureSymlink(link,
+      targetDir.resolve("..").resolve(targetDir.getFileName)
+        .resolve("table.parquet"))
+    // a genuinely DIFFERENT target must refuse
+    val other = targetDir.resolve("other.parquet")
+    Files.createDirectory(other)
+    val e = intercept[IllegalArgumentException] {
+      Tables.ensureSymlink(link, other.toAbsolutePath)
+    }
+    assert(e.getMessage.contains("already points at"))
+    // a real dir squatting on the link name must refuse
+    val squat = stage.resolve("squatted.parquet")
+    Files.createDirectory(squat)
+    val e2 = intercept[IllegalArgumentException] {
+      Tables.ensureSymlink(squat, target.toAbsolutePath)
+    }
+    assert(e2.getMessage.contains("not a symlink"))
+  }
 }

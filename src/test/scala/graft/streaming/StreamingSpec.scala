@@ -1540,6 +1540,29 @@ class StreamingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       DocsStream.screenArtifacts(spark, dir, Set.empty)
     }
+    // the in-plan quartile spelling (survivor semi-join + executor-side
+    // order statistic) must be BIT-IDENTICAL to the driver-side reference
+    // it replaced: sorted.apply(⌊(n−1)q⌋) over the survivors' signals
+    locally {
+      def quartRef(xs: Seq[Long], q: Double): Long = {
+        val v = xs.sorted; v(((v.size - 1) * q).toInt)
+      }
+      val lamRef = quartRef(graft.operators.Curation
+        .samp_dsir(spark, dir, k = Int.MaxValue)
+        .select("doc_id", "lambda_fp").as[(Long, Long)].collect()
+        .filter(r => off.contains(r._1)).map(_._2).toSeq, 0.25)
+      assert(dsirScreen.minLambda == lamRef,
+        "in-plan DSIR λ quartile must match the driver-side order statistic")
+      val scoreRef = math.max(1L, quartRef(DocsStream.bm25Gate(
+          Tables.loadParallel(spark, dir, "documents")
+            .select("doc_id", "text"),
+          bm25Screen.n, bm25Screen.sTot, bm25Screen.queries,
+          maxScoreFp = Long.MaxValue, maxDl = bm25Screen.maxDl)
+        .select("doc_id", "bm25_score_fp").as[(Long, Long)].collect()
+        .filter(r => off.contains(r._1)).map(_._2).toSeq, 0.75))
+      assert(bm25Screen.maxScoreFp == scoreRef,
+        "in-plan BM25 quartile must match the driver-side order statistic")
+    }
     def chain(df: org.apache.spark.sql.DataFrame,
         urls: Seq[String] = evalUrls,
         d: Option[DocsStream.DsirScreen] = dsirS,
@@ -1560,6 +1583,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(on.nonEmpty, "vacuous screens: nothing survives the full chain")
     // the screened chain's output carries the BM25 audit columns
     assert(chain(batchDocs).columns.contains("bm25_score_fp"))
+    // the size-gated BM25 form selection: both spellings of the screen
+    // keep exactly the same documents WITH the same audit values through
+    // the full chain (the gate-level bit-parity spec, re-certified at
+    // chain granularity), and the auto gate follows the query-table size
+    locally {
+      def audit(b: DocsStream.Bm25Screen) =
+        chain(batchDocs, evalUrls, dsirS, Some(b))
+          .select("doc_id", "bm25_score_fp", "bm25_best_eval")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._1).toSeq
+      val lit = audit(bm25Screen.copy(broadcast = Some(false)))
+      val bc = audit(bm25Screen.copy(broadcast = Some(true)))
+      assert(lit == bc,
+        "chain with bm25GateBroadcast must equal the typedLit form bit-for-bit")
+      assert(bm25Screen.copy(broadcast = None).useBroadcast ==
+        (bm25Screen.queries.size >= DocsStream.bm25BroadcastMinQueries),
+        "auto selection must follow the size gate")
+    }
     // stream == batch with all screens on
     val docsRows = Tables.loadParallel(spark, dir, "documents")
       .select("doc_id", "text").collect()
