@@ -340,6 +340,8 @@ object Clustering {
     */
   def samp_curriculum_mixed(s: SparkSession, dir: String,
       k: Int = kcenterK, nShards: Int = 8): DataFrame = {
+    // fail fast before either parent's aggregate pass runs
+    require(nShards >= 1, s"curriculum: nShards=$nShards must be positive")
     val cov = Curation.curriculumPhases(coverageSignal(s, dir, k), "vec_id")
       .withColumnRenamed("phase", "cov_phase")
     val qual = Curation.curriculumPhases(

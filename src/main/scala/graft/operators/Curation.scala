@@ -1582,8 +1582,12 @@ object Curation {
     * two schedules' plug-compatibility contract cannot drift.
     */
   private[operators] def curriculumFrame(scored: DataFrame, idCol: String,
-      nShards: Int): DataFrame =
+      nShards: Int): DataFrame = {
+    // fail fast BEFORE the percentile job — curriculumWindows re-checks,
+    // but by then an invalid nShards has paid a corpus aggregate
+    require(nShards >= 1, s"curriculum: nShards=$nShards must be positive")
     curriculumWindows(curriculumPhases(scored, idCol), idCol, nShards)
+  }
 
   /** The quartile-phase half of [[curriculumFrame]]: exact percentile
     * cuts over `signal` (three doubles to the driver — the bounded rule),

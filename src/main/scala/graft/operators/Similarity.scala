@@ -577,6 +577,12 @@ object Similarity {
     residualErrStats(emb, cents, books, m, sub)
       .write.mode("overwrite").parquet(s"$path/health")
     writeTrainMeta(s, path, iters)
+    // an in-place REBUILD deletes the old part files under codes/ — any
+    // session-cached file listing from a pre-rebuild read (the
+    // FileStatusCache has no TTL by default) would hand later scans
+    // paths that no longer exist; drop every cached entry under the
+    // index root so post-retrain readers re-list
+    s.catalog.refreshByPath(path)
   }
 
   /** Persist the TRAINING DEPTH beside the geometry sidecars: nlist/m/codes
@@ -939,6 +945,10 @@ object Similarity {
           .foreach(fs.delete(_, false))
         fs.create(new org.apache.hadoop.fs.Path(s"$path/_nshards_$shards"),
           true).close()
+        // same staleness guard as writeIvfPqIndexFrom: a re-deploy over
+        // an existing base deletes old part files a cached listing may
+        // still name
+        s.catalog.refreshByPath(path)
       }
       path
     }
@@ -1485,6 +1495,10 @@ object Similarity {
           s"original layout is at $bak — rename it back to $codes to " +
           "recover, then delete the tmp dir.")
       fs.delete(bak, true)
+      // the swap replaced every part file under codes/ — invalidate any
+      // session-cached listing (the writeIvfPqIndexFrom staleness guard;
+      // renames never refresh the FileStatusCache)
+      s.catalog.refreshByPath(path)
     }
 
   /** The drift-gated INGEST decision the aging spec measured, as one

@@ -68,16 +68,23 @@ object Tables {
       s"ensureSymlink: $link exists but is not a symlink — the staging " +
         "directory holds a real file/dir where the table link belongs")
     val got = Files.readSymbolicLink(link)
-    // NORMALIZED comparison: a relative link target resolves against the
-    // link's parent (the symlink contract), and an equivalent-but-
-    // unnormalized spelling (`./x`, a trailing `..` hop, relative vs
-    // absolute from another call site sharing the staging dir) names the
-    // SAME table — only a genuinely different target may fail the guard
-    def norm(p: java.nio.file.Path): java.nio.file.Path = {
+    // CANONICAL comparison: a relative link target resolves against the
+    // link's parent (the symlink contract), and an equivalent spelling
+    // (`./x`, a `..` hop, relative vs absolute from another call site
+    // sharing the staging dir) names the SAME table — only a genuinely
+    // different target may fail the guard. toRealPath resolves through
+    // symlinked path COMPONENTS too (a textual normalize() would
+    // collapse `sym/../x` without following `sym` and could equate two
+    // different real tables); the textual form is only the fallback for
+    // a target that does not exist yet (dangling staging links are
+    // legitimate here).
+    def canon(p: java.nio.file.Path): java.nio.file.Path = {
       val base = link.toAbsolutePath.getParent
-      (if (p.isAbsolute) p else base.resolve(p)).normalize()
+      val abs = if (p.isAbsolute) p else base.resolve(p)
+      try abs.toRealPath()
+      catch { case _: java.io.IOException => abs.normalize() }
     }
-    require(norm(got) == norm(target),
+    require(canon(got) == canon(target),
       s"ensureSymlink: $link already points at $got, not $target — " +
         "the staging directory is being reused across different tables")
   }

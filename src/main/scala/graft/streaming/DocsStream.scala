@@ -768,14 +768,18 @@ object DocsStream {
 
   /** Auto-selection crossover for [[Bm25Screen.broadcast]]=None —
     * measured on the screened chain at 100× (ChainThroughput, 500 k
-    * docs, 250-query table): the literal fold cost ~310 µs/row vs the
-    * broadcast form's ~[re-measured this round] µs/row; the literal form
-    * only wins while the query table is small enough that Catalyst's
-    * codegen'd fold beats the UDF's serialization edge. 64 queries is
-    * the conservative knee — below it the two forms measure within
-    * noise, above it the literal fold's linear-in-queries term dominates.
+    * docs, 250-query sf0.1 table, warm min): literal fold 347.9 µs/row
+    * vs broadcast 80.4 µs/row against the unscreened chain's 67.0 —
+    * i.e. the literal form pays ~1.12 µs/row PER QUERY STRUCT (the
+    * whole-table fold re-walks every struct per document) while the
+    * broadcast/UDF form pays a ~13 µs/row flat serialization edge and
+    * folds only the per-doc tf map over the union vocabulary. Equating
+    * the two: crossover ≈ 13/1.12 ≈ 12–16 queries; 16 is the measured
+    * knee — under it the codegen'd literal fold is at worst within
+    * noise of the UDF, over it the linear-in-queries term dominates
+    * (4.3× at 250 queries).
     */
-  val bm25BroadcastMinQueries: Int = 64
+  val bm25BroadcastMinQueries: Int = 16
 
   /** [[dsirGate]]'s value arguments bundled for [[c4Chain]]. */
   final case class DsirScreen(weights: graft.operators.Curation.DsirWeights,
@@ -818,13 +822,20 @@ object DocsStream {
     // — the corpus-sized signal frames never reach the driver
     val survDf = broadcast(survivors.toSeq.toDF("doc_id"))
     def quart(df: DataFrame, c: String, q: Double): Long = {
+      // persist the survivor-joined signal column: the rank and the
+      // order statistic are two actions, and the signal plans upstream
+      // (samp_dsir's λ fold, the 250-struct BM25 literal fold) are the
+      // expensive part — cache one long column executor-side rather
+      // than execute them twice
       val vals = df.join(survDf, Seq("doc_id"), "left_semi").select(col(c))
-      val n = vals.count()
-      require(n > 0,
-        "screenArtifacts: no survivor carries the screen's signal")
-      val r = ((n - 1) * q).toInt
-      val row = vals.orderBy(col(c)).limit(r + 1).agg(max(col(c))).first()
-      row.getLong(0)
+        .persist()
+      try {
+        val n = vals.count()
+        require(n > 0,
+          "screenArtifacts: no survivor carries the screen's signal")
+        val r = ((n - 1) * q).toInt
+        vals.orderBy(col(c)).limit(r + 1).agg(max(col(c))).first().getLong(0)
+      } finally { vals.unpersist(); () }
     }
     val evalUrls = graft.sources.Tables.loadParallel(s, dir, "documents")
       .filter(pmod(col("doc_id"), lit(50L)) === 0)

@@ -59,7 +59,13 @@ object EmbChainThroughput {
     // metrics (emb_div: rows/admitted/retained), summed across every
     // micro-batch progress event — exact however the file source splits
     // the replay (a separate batch pass would equal the stream only
-    // under a single-batch replay of these stateful stages)
+    // under a single-batch replay of these stateful stages).
+    // recentProgress is a RING BUFFER (numRecentProgressUpdates) — size
+    // it above any plausible split and refuse a saturated read instead
+    // of silently undercounting the earliest batches
+    val progressCap = 10000
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+      progressCap.toString)
     val census = scala.collection.mutable.Map[String, Long]()
       .withDefaultValue(0L)
     def drive(observed: Boolean)(
@@ -74,11 +80,18 @@ object EmbChainThroughput {
           .start()
         q.awaitTermination()
         val dt = (System.nanoTime() - t0) / 1e9
-        if (observed && rep == 1) q.recentProgress.foreach { p =>
-          Option(p.observedMetrics.get("emb_div")).foreach { r =>
-            census("div_rows") += r.getAs[Long]("rows")
-            census("admitted") += r.getAs[Long]("admitted")
-            census("retained") += r.getAs[Long]("retained")
+        if (observed && rep == 1) {
+          val progress = q.recentProgress
+          require(progress.length < progressCap,
+            s"EmbChainThroughput: $progressCap progress events — the " +
+              "ring buffer may have dropped early batches and the census " +
+              "would undercount; raise numRecentProgressUpdates")
+          progress.foreach { p =>
+            Option(p.observedMetrics.get("emb_div")).foreach { r =>
+              census("div_rows") += r.getAs[Long]("rows")
+              census("admitted") += r.getAs[Long]("admitted")
+              census("retained") += r.getAs[Long]("retained")
+            }
           }
         }
         dt

@@ -65,6 +65,11 @@ object IndexIngestThroughput {
           .select("vec_id", "embedding"),
         cents)
       .writeStream
+      // the ledger is only valid across restarts when paired with the
+      // query's checkpoint (batchIds renumber otherwise — the
+      // StreamIndexIngest contract); the drive models the pairing
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft-ingest-ckpt").toString)
       .foreachBatch(StreamIndexIngest.sink(paths, ledger, emb,
         retainedOnly = retainedOnly,
         onReport = r => reports.synchronized { reports += r }) _)

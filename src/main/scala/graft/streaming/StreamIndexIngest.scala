@@ -27,7 +27,13 @@ import graft.operators.Similarity
   *    (recover by re-running the epoch with `screenExisting = true`,
   *    which anti-joins the delta against the codes already landed —
   *    exactly-once by reconciliation, the only honest recovery under
-  *    at-least-once delivery).
+  *    at-least-once delivery). The ledger keys on foreachBatch's
+  *    `batchId`, which is stable across RESTARTS only when the query
+  *    runs with a `checkpointLocation` — a ledger dir may only outlive
+  *    a query run when paired with that query's checkpoint (otherwise
+  *    a restarted query renumbers batches from 0 and the ledger would
+  *    skip genuinely new data as "redelivered"); a checkpoint-free run
+  *    must start with a fresh ledger.
   *  - **drift guard**: each epoch's delta is priced per shard against
   *    the health sidecar ([[graft.operators.Similarity.appendOrRetrain]]
   *    — append under `maxErrRatio`, retrain the drifted shard from
@@ -35,13 +41,16 @@ import graft.operators.Similarity
   *    distribution retrains exactly the shards it aged, not the fleet.
   *
   * `vecs` is the raw vector corpus kept beside the index (the
-  * appendOrRetrain contract — an index holds only codes): the payload
-  * lookup for the chain's payload-free decisions AND the retrain
-  * source. Scale shape: per epoch, one |epoch|-sized id join against
-  * the corpus table plus O(|delta|) append work; the ledger is one
-  * file-existence probe. Nothing here holds streaming state — the
-  * chain's stores carry the dedup/diversity memory, the index carries
-  * the codes, the ledger carries the commit frontier.
+  * appendOrRetrain contract — an index holds only codes): the PAYLOAD
+  * LOOKUP for the chain's payload-free decisions. It is NOT used as
+  * the retrain source directly — the retrain source is derived per
+  * epoch as (current index membership ∪ this epoch's delta), see
+  * [[ingestEpoch]]. Scale shape: per epoch, one |epoch|-sized id join
+  * against the corpus table, one vec_id-only codes scan, and
+  * O(|delta|) append work; the ledger is one file-existence probe.
+  * Nothing here holds streaming state — the chain's stores carry the
+  * dedup/diversity memory, the index carries the codes, the ledger
+  * carries the commit frontier.
   */
 object StreamIndexIngest {
 
@@ -82,6 +91,21 @@ object StreamIndexIngest {
     * `screenExisting` anti-joins the delta against the codes already in
     * the index — the crash-recovery mode (see the class doc); off by
     * default so a genuinely duplicated id still refuses loudly.
+    *
+    * Two correctness edges a naive spelling gets wrong, both refused or
+    * derived here rather than documented away:
+    *  - a survivor id MISSING from `vecs` refuses loudly (an inner
+    *    payload join would silently drop it, commit the marker, and
+    *    lose the vector forever — stream/corpus-snapshot skew is
+    *    exactly when that happens);
+    *  - a drift-triggered RETRAIN must rebuild the shard from exactly
+    *    the index's CURRENT MEMBERSHIP plus this epoch's delta — never
+    *    from the whole `vecs` table, which also holds future epochs'
+    *    not-yet-ingested vectors (their later append would then trip
+    *    the duplicate refusal mid-stream) and, under `retainedOnly`,
+    *    every non-retained vector (the "coreset" shard would silently
+    *    stop being the coreset). The membership id set is one
+    *    vec_id-only codes scan per epoch.
     */
   def ingestEpoch(batch: Dataset[EmbStream.DivGate], epochId: Long,
       paths: Seq[String], ledgerDir: String, vecs: DataFrame,
@@ -92,21 +116,43 @@ object StreamIndexIngest {
       return IngestReport(epochId, skipped = true, 0L, Seq.empty)
     val keep =
       if (retainedOnly) batch.filter(col("retained")) else batch.toDF()
-    val delta0 = vecs.join(keep.select("vec_id"), Seq("vec_id"))
-    val delta =
-      if (!screenExisting) delta0
-      else delta0.join(
-        paths.map(p => s.read.parquet(s"$p/codes").select("vec_id"))
-          .reduce(_ unionAll _),
-        Seq("vec_id"), "left_anti")
-    val nDelta = delta.count()
+    // membership ids are CHECKPOINTED (one id-column materialization per
+    // epoch): the retrain path hands `allVecs` — which derives from this
+    // frame — to writeIvfPqIndexFrom, and that OVERWRITES codes/; a
+    // lazy plan would then read codes/ while deleting it (self-overwrite
+    // → FILE_NOT_EXIST mid-retrain). The checkpoint pins the membership
+    // snapshot before any write can touch the files it came from.
+    import graft.Checkpoints.DatasetCheckpointOps
+    val memberIds = paths
+      .map(p => s.read.parquet(s"$p/codes").select("vec_id"))
+      .reduce(_ unionAll _).graftCheckpoint()
+    val ids = keep.select("vec_id").distinct()
+    val deltaIds =
+      if (!screenExisting) ids
+      else ids.join(memberIds, Seq("vec_id"), "left_anti")
+    val nDelta = deltaIds.count()
     // an empty epoch (nothing retained, or everything screened) commits
     // without touching the index — appendOrRetrainSharded rightly
     // refuses an empty delta, and a quiet stream tick is not an error
-    val decisions =
-      if (nDelta == 0L) Seq.empty[(Int, Boolean, Double)]
-      else Similarity.appendOrRetrainSharded(s, paths, delta, vecs,
-        maxErrRatio, retrainIters)
+    if (nDelta == 0L) {
+      markCommitted(s, ledgerDir, epochId)
+      return IngestReport(epochId, skipped = false, 0L, Seq.empty)
+    }
+    // retrain source: current membership ∪ this epoch's delta, payloads
+    // from the corpus table — with loud coverage refusal (see above)
+    val wantIds = memberIds.unionAll(deltaIds).distinct()
+    val nWant = wantIds.count()
+    val allVecs = vecs.join(wantIds, Seq("vec_id"))
+    val nHave = allVecs.count()
+    require(nHave == nWant,
+      s"ingestEpoch: epoch $epochId needs $nWant vectors (index members " +
+        s"+ this epoch's survivors) but the corpus table supplies only " +
+        s"$nHave — the stream and the corpus snapshot are out of sync; " +
+        "refusing rather than silently dropping survivors or retraining " +
+        "a shard without its members")
+    val delta = vecs.join(deltaIds, Seq("vec_id"))
+    val decisions = Similarity.appendOrRetrainSharded(s, paths, delta,
+      allVecs, maxErrRatio, retrainIters)
     markCommitted(s, ledgerDir, epochId)
     IngestReport(epochId, skipped = false, nDelta, decisions)
   }

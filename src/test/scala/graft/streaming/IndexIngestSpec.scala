@@ -103,17 +103,47 @@ class IndexIngestSpec extends AnyFunSuite {
     assert(!rec.skipped && rec.nDelta == 0L &&
       StreamIndexIngest.committed(spark, ledger, 999L))
 
+    // MISSING-PAYLOAD refusal: a survivor id absent from the corpus
+    // table must refuse loudly, not silently drop — and must NOT mark
+    // the epoch committed
+    val ghost = emb.agg(max(col("vec_id"))).first().getLong(0) + 500L
+    val miss = intercept[IllegalArgumentException] {
+      StreamIndexIngest.ingestEpoch(
+        Seq(divRow(ghost)).toDS(), 998L, pathsA, ledger, emb)
+    }
+    assert(miss.getMessage.contains("out of sync"), miss.getMessage)
+    assert(!StreamIndexIngest.committed(spark, ledger, 998L))
+
     // DRIFT guard: an impossible ratio bound forces the retrain path on
-    // the routed shard (run LAST — it reshapes pathsA's codebooks)
+    // the routed shard (run LAST — it reshapes pathsA's codebooks).
+    // The retrain source is the index's CURRENT MEMBERSHIP ∪ the
+    // epoch's delta — not the whole corpus table — so the rebuilt shard
+    // holds exactly one more row and later epochs' appends cannot
+    // collide with vectors they never ingested.
+    val codesBefore = pathsA.map(p =>
+      spark.read.parquet(s"$p/codes").count()).sum
     val freshId = emb.agg(max(col("vec_id"))).first().getLong(0) + 1L
     val freshVec = emb.limit(1).collect()(0).getSeq[Float](1)
     val embPlus = emb.unionAll(
-      Seq((freshId, freshVec)).toDF("vec_id", "embedding"))
+      Seq((freshId, freshVec), (freshId + 1L, freshVec))
+        .toDF("vec_id", "embedding"))
     val drift = StreamIndexIngest.ingestEpoch(
       Seq(divRow(freshId)).toDS(), 1000L, pathsA, ledger, embPlus,
       maxErrRatio = 1e-12)
     assert(drift.nDelta == 1L && drift.decisions.nonEmpty &&
       drift.decisions.forall(_._2),
       s"the drift guard must retrain the routed shard: $drift")
+    val codesAfter = pathsA.map(p =>
+      spark.read.parquet(s"$p/codes").count()).sum
+    assert(codesAfter == codesBefore + 1,
+      s"retrain must rebuild membership ∪ delta exactly: " +
+        s"$codesBefore -> $codesAfter")
+    // a LATER epoch's new vector still appends cleanly post-retrain
+    // (the corpus-as-retrain-source bug would have pre-indexed it and
+    // tripped the duplicate refusal here)
+    val after = StreamIndexIngest.ingestEpoch(
+      Seq(divRow(freshId + 1L)).toDS(), 1001L, pathsA, ledger, embPlus)
+    assert(after.nDelta == 1L && after.decisions.forall(!_._2),
+      s"post-retrain epoch must append: $after")
   }
 }
