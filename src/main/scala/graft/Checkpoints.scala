@@ -59,7 +59,46 @@ object Checkpoints {
     * during its first action, where no unpersist hook exists; it pays the
     * one extra subtree compute at that first action only.
     */
-  def barrier[T](ds: Dataset[T], eager: Boolean): Dataset[T] = {
+  def barrier[T](ds: Dataset[T], eager: Boolean): Dataset[T] =
+    barrier(ds, eager, parallel = false)
+
+  /** [[barrier]] with an optional PARALLELISM FLOOR for the checkpointed
+    * frame (opt-in per call site, `parallel = true`).
+    *
+    * Why: AQE coalesces small shuffles by BYTES (advisoryPartitionSizeInBytes
+    * / minPartitionSize), blind to the per-row CPU cost of the consumers. A
+    * KB-scale signature/state frame coalesces to ONE partition, the eager
+    * checkpoint pins that layout, and every downstream compute-heavy stage —
+    * shingle explodes into posting lists, per-round distance maps, sorted-
+    * overlap verification — then runs single-task while 31 cores idle
+    * (measured: dd_incremental's base-signature df derivation 1.69 s on one
+    * task; the round-19 optimization pass). With the floor, an eagerly
+    * materialized barrier whose partition count landed below
+    * `defaultParallelism` is re-partitioned (round-robin) and re-barriered,
+    * so ALL consumers read a parallel layout with no per-consumer exchange.
+    *
+    * Scale behavior: at real data sizes the checkpointed frame already has
+    * ≥ defaultParallelism partitions and the floor is a no-op — it can only
+    * fire on frames small enough that the extra repartition job is
+    * milliseconds. Only meaningful for EAGER barriers (the partition count
+    * of a lazy barrier is unknown until first action); lazy callers keep
+    * the plain barrier. Row order within partitions changes (round-robin),
+    * which every consumer must already tolerate — checkpointed frames are
+    * consumed by joins/aggregates/windows with explicit keys or orderings.
+    */
+  def barrier[T](ds: Dataset[T], eager: Boolean, parallel: Boolean): Dataset[T] = {
+    val ck = barrierRaw(ds, eager)
+    if (parallel && eager) {
+      val target = ds.sparkSession.sparkContext.defaultParallelism
+      // .rdd on an eagerly checkpointed frame reads materialized blocks —
+      // no recompute; the count is the checkpoint's real layout
+      if (ck.rdd.getNumPartitions < target)
+        barrierRaw(ck.repartition(target), eager = true)
+      else ck
+    } else ck
+  }
+
+  private def barrierRaw[T](ds: Dataset[T], eager: Boolean): Dataset[T] = {
     val spark = ds.sparkSession
     spark.conf.getOption(DirKey).map(_.trim).filter(_.nonEmpty) match {
       case Some(dir) =>
@@ -94,6 +133,7 @@ object Checkpoints {
     * library cuts lineage, keeping call sites fluent.
     */
   implicit class DatasetCheckpointOps[T](private val ds: Dataset[T]) extends AnyVal {
-    def graftCheckpoint(eager: Boolean = true): Dataset[T] = barrier(ds, eager)
+    def graftCheckpoint(eager: Boolean = true, parallel: Boolean = false): Dataset[T] =
+      barrier(ds, eager, parallel)
   }
 }

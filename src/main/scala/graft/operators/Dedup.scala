@@ -1166,7 +1166,10 @@ object Dedup {
       .select(col("doc_id"), array_sort(hashedShingles(col("text"), n)).as("shs"))
       .groupBy("shs").agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), col("shs"))
-      .graftCheckpoint()
+      // parallel floor: the df derivation and the posting build explode
+      // EVERY shingle of every signature — AQE coalesces this KB-scale
+      // frame to one partition and those explodes then run single-task
+      .graftCheckpoint(parallel = true)
     val df = sigs.select(explode(col("shs")).as("sh"))
       .groupBy("sh").agg(count(lit(1)).as("df"))
     (dig, sigs, df)
@@ -1225,7 +1228,10 @@ object Dedup {
       .select(col("doc_id"), array_sort(hashedShingles(col("text"), n)).as("shs"))
       .groupBy("shs")
       .agg(min(col("doc_id")).as("irep"), collect_list(col("doc_id")).as("members"))
-      .graftCheckpoint() // consumed by the prefix build, verify join, and fan-out
+      // parallel floor: the prefix build explodes every shingle and the
+      // verify join runs SortedOverlap per candidate — single-task when
+      // AQE has coalesced the group frame to one partition
+      .graftCheckpoint(parallel = true) // consumed by prefix build, verify join, fan-out
     val incSigs = incGroups.select(col("irep").as("doc_id"), col("shs"))
     // incoming prefix, rarest-first by BASE df (a shingle absent from the
     // base sorts first — it consumes a prefix slot but joins to nothing;
@@ -1234,6 +1240,13 @@ object Dedup {
       .select(col("doc_id").as("a"), size(col("shs")).as("na"),
         explode(col("shs")).as("sh"))
       .join(df, Seq("sh"), "left")
+      // pinned pre-window partitioning: the per-probe rank window otherwise
+      // reads an AQE-coalesced single-partition exchange (bytes are KB but
+      // rows are |delta|·|S| and the sort is the cost) — an explicit
+      // repartition BY THE WINDOW KEY at the session's shuffle parallelism
+      // replaces that exchange one-for-one (the window reuses the
+      // partitioning; guide §2.4) and AQE leaves pinned counts alone
+      .repartition(inc.sparkSession.sessionState.conf.numShufflePartitions, col("a"))
       .withColumn("p", row_number().over(
         Window.partitionBy("a").orderBy(coalesce(col("df"), lit(0L)), col("sh"))) - 1)
       // ε guards the double product from over-ceiling (20·0.55 =
