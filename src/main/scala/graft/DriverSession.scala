@@ -41,6 +41,21 @@ private[graft] object DriverSession {
       // experiments via SPARK_GRAFT_CODEGEN_CACHE.
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
+      // AQE coalescing floor: with parallelismFirst (Spark's default) the
+      // coalesce target is bytes/defaultParallelism CLAMPED BELOW by
+      // minPartitionSize = 1 MB — a clamp that assumes rows are cheap
+      // relative to their bytes. This library's rows are CPU-expensive
+      // (shingle hashing, token scoring, vector folds over small payloads),
+      // so the 1 MB clamp serializes exactly the compute-heavy stages:
+      // measured, decon_bm25's postings scoring ran 2-task (4.8 s query)
+      // and 32-task at a 64k floor (1.8 s), dd_containment 3.2→1.8,
+      // q13_fk_remap 3.1→1.6 (A/B min-of-3, same box). The floor binds
+      // ONLY when a shuffle carries under ~1 MB/core — at real data sizes
+      // partitions are tens of MB and the setting is inert, so it is a
+      // workload property (expensive rows, small bytes), not a local-mode
+      // tune. Overridable via SPARK_GRAFT_AQE_MIN_PARTITION.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
     sys.env.get("SPARK_GRAFT_AQE")
       .foreach(v => b.config("spark.sql.adaptive.enabled", v))
     val s = b.getOrCreate()

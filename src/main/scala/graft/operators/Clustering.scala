@@ -235,7 +235,7 @@ object Clustering {
     */
   private def kcenterSelect(s: SparkSession, dir: String, k: Int,
       op: String): (DataFrame, Vector[(Long, Seq[Double], Option[Long])]) = {
-    val (e, seed) = kcenterSeed(s, dir, k, op)
+    val (e, seed) = kcenterSeed(s, dir, k, op, materialize = true)
     var selected = Vector((seed._1, seed._2, Option.empty[Long]))
     for (_ <- 2 to k) {
       val centers = selected.map(_._2).toSeq
@@ -360,10 +360,23 @@ object Clustering {
     * contract edges.
     */
   private def kcenterSeed(s: SparkSession, dir: String, k: Int,
-      op: String): (DataFrame, (Long, Seq[Double])) = {
+      op: String, materialize: Boolean = false): (DataFrame, (Long, Seq[Double])) = {
+    import graft.Checkpoints.DatasetCheckpointOps
     require(k >= 2, s"$op: k=$k — need at least the seed and one round")
-    val e = emb(s, dir).filter(col("embedding").isNotNull)
+    // `materialize`: ONE eager barrier on the scoreable (vec_id, embedding)
+    // frame before the k−1 greedy passes — the O(n·k²) spellings
+    // (samp_kcenter / samp_kcenter_assign and the curriculum faces over
+    // them) re-run the parquet scan + the loadParallel repartition
+    // exchange in EVERY argmax round, k+2 consumers of one frame (the
+    // minhashRepPairs multi-consumer-barrier policy; A/B-measured +0.1 to
+    // +0.4 s per query at sf0.1). samp_kcenter_fast keeps the lazy frame:
+    // it folds `e` into its own per-round state barriers after one pass,
+    // so a seed-time materialization is a pure extra write (A/B-measured
+    // a 0.2 s loss there). Scale trade as priced in samp_kcenter_fast's
+    // crossover table: one n-row write against k−1 saved source scans.
+    val e0 = emb(s, dir).filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding"))
+    val e = if (materialize) e0.graftCheckpoint(parallel = true) else e0
     val n = e.count()
     require(n >= k,
       s"$op: k=$k exceeds the $n scoreable vectors — every point " +
