@@ -10,6 +10,9 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// per-test durations in the report (-oD): the suite is the wall-clock long
+// pole of a verification run, and targeting its slow tests needs numbers
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")
 run / fork := true
 // Forked run output goes straight to this process's stdout/stderr instead of
 // through sbt's logger — Bench's one-line JSON must reach stdout without an

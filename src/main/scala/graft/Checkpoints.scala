@@ -80,7 +80,14 @@ object Checkpoints {
     * Scale behavior: at real data sizes the checkpointed frame already has
     * ≥ defaultParallelism partitions and the floor is a no-op — it can only
     * fire on frames small enough that the extra repartition job is
-    * milliseconds. Only meaningful for EAGER barriers (the partition count
+    * milliseconds. When the floor fires, the FIRST barrier's materialized
+    * blocks (or, in reliable mode, its checkpoint files) are abandoned
+    * without an explicit release and linger until the ContextCleaner
+    * collects the orphaned plan — a deliberate double-materialization cost,
+    * acceptable exactly because the floor can only fire on sub-parallelism
+    * (KB-scale) frames; a reliable-mode deployment that checkpoints large
+    * frames through this path should clean the intermediate directory
+    * itself. Only meaningful for EAGER barriers (the partition count
     * of a lazy barrier is unknown until first action); lazy callers keep
     * the plain barrier. Row order within partitions changes (round-robin),
     * which every consumer must already tolerate — checkpointed frames are

@@ -16,7 +16,9 @@ object Plans {
       else SparkEntry.queries.keys.toSeq.sorted
     java.nio.file.Files.createDirectories(outDir)
     val spark = DriverSession.build(defaultCpus = "8")
-    spark.sparkContext.setLogLevel("ERROR")
+    // quiet by default, but keep the shared SPARK_GRAFT_LOG override usable
+    // for plan-dump debugging (DriverSession.build just applied it)
+    spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOG", "ERROR"))
     names.foreach { name =>
       try {
         val t0 = System.nanoTime()

@@ -113,9 +113,14 @@ object ApiServer {
     * server runs a single-thread executor, so a blocking unbounded drain
     * would let one stalled/trickling client wedge every other request; a
     * fast local client (the case whose connection reset made the 413 test
-    * flaky) finishes well inside this.
+    * flaky) finishes well inside this. 2 s proved too tight under
+    * full-suite box load (round-20: a loopback client pushing the 10 MB
+    * oversized body was still mid-send at the deadline, and the
+    * respond-then-close reset its connection before it read the 413) —
+    * 8 s keeps the liveness bound while covering load spikes; the idle
+    * bail below still ends the common case in ~0.5 s.
     */
-  private val DrainDeadlineMs: Long = 2000L
+  private val DrainDeadlineMs: Long = 8000L
 
   /** How long the server keeps polling an empty stream before concluding
     * no more bytes are coming. The drain exists to let a FAST client

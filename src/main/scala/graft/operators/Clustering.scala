@@ -128,24 +128,29 @@ object Clustering {
         val code = assignSub(sv, books(s)).getField("c")
         struct(lit(s).as("s"), code.as("code"), sv.as("sv"))
       }
+      // per-(subspace, code) fixed-point sums, one flat codegen'd sum per
+      // sub-dimension — the kmeansRounds centroid-update spelling (see the
+      // comment there): identical integer algebra, sub× fewer aggregated
+      // rows than the posexplode form, no second Generate in the round plan
       val sums = e
         .select(explode(array(parts: _*)).as("p"))
         .select(col("p.s").as("s"), col("p.code").as("code"),
-          posexplode(col("p.sv")))
-        .groupBy(col("s"), col("code"), col("pos"))
-        .agg(sum(floor(col("col").cast("double") * (1L << 20))).as("qs"),
-          count(lit(1)).as("n"))
+          col("p.sv").as("sv"))
+        .groupBy(col("s"), col("code"))
+        .agg(count(lit(1)).as("n"),
+          array((0 until sub).map(p =>
+            sum(floor(col("sv")(p).cast("double") * (1L << 20)))): _*)
+            .as("qs"))
         .collect()
       val byKey = sums.map(r =>
-        (r.getInt(0), r.getInt(1), r.getInt(2)) -> (r.getLong(3), r.getLong(4))).toMap
+        (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getSeq[Long](3))).toMap
       books = books.zipWithIndex.map { case (book, s) =>
         book.zipWithIndex.map { case (prev, j) =>
-          if (byKey.contains((s, j, 0)))
-            (0 until sub).map { p =>
-              val (qs, n) = byKey((s, j, p))
-              qs.toDouble / (n * (1L << 20)).toDouble
-            }
-          else prev // empty cell keeps its previous centroid
+          byKey.get((s, j)) match {
+            case Some((n, qs)) =>
+              (0 until sub).map(p => qs(p).toDouble / (n * (1L << 20)).toDouble)
+            case None => prev // empty cell keeps its previous centroid
+          }
         }
       }
     }
@@ -659,21 +664,29 @@ object Clustering {
           col("a").getField("c").as("cluster"),
           col("a").getField("d").as("d"),
           qrow.as("q"))
-      // centroid update: per-(cluster, dim) fixed-point integer sums — the
-      // only shuffle, k·dims partial rows per partition after map-side combine
+      // centroid update: per-cluster fixed-point integer sums, one flat
+      // codegen'd sum per dimension — the only shuffle, k partial rows per
+      // partition after map-side combine. The previous spelling posexploded
+      // the embedding first (n·dims rows hashed into (cluster, pos) groups);
+      // the flat form pays ONE group-hash probe per vector and dims codegen'd
+      // long adds into the same buffer — identical integer algebra (long
+      // addition is exact and order-free), dims× fewer aggregated rows, and
+      // no Generate node in the per-round plan. Assumes fixed-width
+      // embeddings (the profile_embeddings contract; ragged rows already
+      // broke the posexplode spelling at the centroid-rebuild lookup).
       val sums = assigned
-        .select(col("cluster"), posexplode(col("embedding")))
-        .groupBy(col("cluster"), col("pos"))
-        .agg(sum(floor(col("col").cast("double") * (1L << 20))).as("qs"),
-          count(lit(1)).as("n"))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"),
+          array((0 until dims).map(p =>
+            sum(floor(col("embedding")(p).cast("double") * (1L << 20)))): _*)
+            .as("qs"))
         .collect()
-      val byCluster = sums.groupBy(_.getInt(0))
+      val byCluster = sums.map(r =>
+        r.getInt(0) -> (r.getLong(1), r.getSeq[Long](2))).toMap
       centroids = centroids.zipWithIndex.map { case (prev, c) =>
         byCluster.get(c) match {
-          case Some(rows) =>
-            val dim = rows.map(r => r.getInt(1) ->
-              (r.getLong(2).toDouble / (r.getLong(3) * (1L << 20)).toDouble)).toMap
-            (0 until dims).map(dim)
+          case Some((n, qs)) =>
+            (0 until dims).map(p => qs(p).toDouble / (n * (1L << 20)).toDouble)
           case None => prev // empty cluster: carry the previous centroid
         }
       }

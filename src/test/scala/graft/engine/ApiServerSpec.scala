@@ -73,8 +73,17 @@ class ApiServerSpec extends AnyFunSuite {
     try {
       val base = s"http://localhost:${server.getAddress.getPort}/api/translate"
       // HttpClient sends an accurate Content-Length for ofString, so a
-      // body one byte over the cap exercises the pre-read rejection
-      val r = post(base, "x" * (ApiServer.MaxBodyBytes.toInt + 1))
+      // body one byte over the cap exercises the pre-read rejection.
+      // Bounded retry on IOException: rejecting an upload mid-send is
+      // inherently racy at the TCP level (the server drains with a
+      // liveness deadline; if box load stalls the send past it, the
+      // close resets the connection before the client reads the 413 —
+      // com.sun.net.httpserver exposes no lingering-close). One clean
+      // response proves the contract; three consecutive resets fail.
+      val r = Iterator.range(0, 3).map { i =>
+        try Some(post(base, "x" * (ApiServer.MaxBodyBytes.toInt + 1)))
+        catch { case _: java.io.IOException if i < 2 => Thread.sleep(200); None }
+      }.collectFirst { case Some(resp) => resp }.get
       assert(r.statusCode() == 413)
       assert(r.body().contains("exceeds"))
     } finally server.stop(0)

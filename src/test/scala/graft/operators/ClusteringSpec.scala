@@ -72,6 +72,52 @@ class ClusteringSpec extends AnyFunSuite {
     assert(a.map(_.head).toSet.subsetOf((0 until 6).toSet))
   }
 
+  test("flat per-dimension centroid sums equal the posexplode reference algebra (pqTrain books bit-exact)") {
+    // The round-20 centroid update aggregates sum(floor(emb[p]·2^20)) per
+    // group with one flat codegen'd sum per dimension; this replays the
+    // pre-refactor posexplode spelling as an in-suite reference and pins
+    // bit-equality of the trained codebooks (long addition is exact and
+    // order-free, so the two spellings must agree to the last bit).
+    import org.apache.spark.sql.functions._
+    val e = Tables.loadParallel(spark, dir, "embeddings")
+    val (m, k, iters) = (4, 5, 2)
+    val dims = e.select(size(col("embedding"))).first().getInt(0)
+    assert(dims % m == 0)
+    val sub = dims / m
+    val got = Clustering.pqTrain(e, m, k, iters, sub)
+    // reference: the posexplode aggregate, rounds unrolled identically
+    val seed = Clustering.initCentroids(e, k)
+    var ref: Seq[Seq[Seq[Double]]] =
+      (0 until m).map(s => seed.map(v => v.slice(s * sub, (s + 1) * sub).toSeq))
+    for (_ <- 1 to iters) {
+      val parts = (0 until m).map { s =>
+        val sv = slice(col("embedding"), s * sub + 1, sub)
+        val code = Clustering.assignSub(sv, ref(s)).getField("c")
+        struct(lit(s).as("s"), code.as("code"), sv.as("sv"))
+      }
+      val sums = e.select(explode(array(parts: _*)).as("p"))
+        .select(col("p.s").as("s"), col("p.code").as("code"),
+          posexplode(col("p.sv")))
+        .groupBy(col("s"), col("code"), col("pos"))
+        .agg(sum(floor(col("col").cast("double") * (1L << 20))).as("qs"),
+          count(lit(1)).as("n"))
+        .collect()
+      val byKey = sums.map(r =>
+        (r.getInt(0), r.getInt(1), r.getInt(2)) -> (r.getLong(3), r.getLong(4))).toMap
+      ref = ref.zipWithIndex.map { case (book, s) =>
+        book.zipWithIndex.map { case (prev, j) =>
+          if (byKey.contains((s, j, 0)))
+            (0 until sub).map { p =>
+              val (qs, n) = byKey((s, j, p))
+              qs.toDouble / (n * (1L << 20)).toDouble
+            }
+          else prev
+        }
+      }
+    }
+    assert(got == ref, "flat-sum codebooks diverge from the posexplode reference")
+  }
+
   test("Lloyd invariant: inertia is non-increasing across iterations") {
     val e = Tables.loadParallel(spark, dir, "embeddings")
     val inertias = Clustering.kmeansRounds(e, k = 6, iters = 4, traceInertia = true).map(_._1)

@@ -2329,6 +2329,62 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q30_percentile scale guard: exact percentile is distinct-value-bounded per group (hot skewed group stays exact), and the documented approx_percentile swap tracks it within rank tolerance") {
+    // Part 1 — the per-group buffering bound. Spark's exact `percentile`
+    // aggregates a value→count map, so per-group state is O(distinct
+    // values), NOT O(rows): a hot group in the l_quantity regime (50
+    // distinct integer quantities) stays exact and cheap at any row count.
+    // The 100 TB hazard q30's scaladoc prices is the CONTINUOUS column
+    // (l_extendedprice — distinct ≈ rows, so the map degenerates to
+    // row-scale state on a hot group); the documented production swap is
+    // approx_percentile, kept OUT of the declared query so every emitted
+    // column stays oracle-exact.
+    val hot = spark.range(400000L)
+      .select(lit("H").as("g"), ((col("id") % 50) + 1).cast("double").as("v"))
+    val cold = spark.range(100L)
+      .select(lit("C").as("g"), ((col("id") % 7) + 1).cast("double").as("v"))
+    val got = hot.unionAll(cold).groupBy("g")
+      .agg(percentile(col("v"), lit(0.5)).as("p50"),
+        percentile(col("v"), lit(0.95)).as("p95"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    def exactRef(n: Long, distinct: Int, p: Double): Double = {
+      // values are (id % distinct) + 1, each appearing n/distinct times
+      val vals = (0L until n).map(i => (i % distinct + 1).toDouble).sorted
+      val pos = p * (vals.length - 1)
+      val lo = pos.toInt
+      val frac = pos - lo
+      if (lo + 1 < vals.length) vals(lo) * (1 - frac) + vals(lo + 1) * frac
+      else vals(lo)
+    }
+    assert(got("H")._1 == exactRef(400000L, 50, 0.5) &&
+      got("H")._2 == exactRef(400000L, 50, 0.95),
+      s"hot-group exact percentile drifted: ${got("H")}")
+    assert(got("C")._1 == exactRef(100L, 7, 0.5) &&
+      got("C")._2 == exactRef(100L, 7, 0.95))
+    // Part 2 — the documented swap: approx_percentile over the same
+    // lineitem groups sits within 0.5% rank of q30's exact values (GK at
+    // accuracy=1000 guarantees 0.1%), so the scale variant is a drop-in.
+    val dir = "/root/testdata/sf0.01"
+    val li = graft.sources.Tables.load(spark, dir, "lineitem")
+    val exactQ = graft.operators.Relational.q30_percentile(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approxQ = li.groupBy("l_returnflag")
+      .agg(approx_percentile(col("l_quantity"),
+        array(lit(0.5), lit(0.95)), lit(1000)).as("pa"))
+      .collect().map(r => r.getString(0) ->
+        (r.getSeq[Double](1)(0), r.getSeq[Double](1)(1))).toMap
+    assert(approxQ.keySet == exactQ.keySet && approxQ.nonEmpty)
+    approxQ.foreach { case (g, (a50, a95)) =>
+      val qs = li.filter(col("l_returnflag") === g)
+        .select(col("l_quantity").cast("double")).as[Double].collect().sorted
+      def rank(v: Double): Double = qs.count(_ <= v).toDouble / qs.length
+      assert(math.abs(rank(a50) - 0.5) <= 0.005,
+        s"$g p50 approx $a50 at rank ${rank(a50)} (exact ${exactQ(g)._1})")
+      assert(math.abs(rank(a95) - 0.95) <= 0.005 || a95 == qs.last,
+        s"$g p95 approx $a95 at rank ${rank(a95)} (exact ${exactQ(g)._2})")
+    }
+  }
+
   test("RewriteSortedOverlap rewrites the provable composed shape — and ONLY that shape") {
     val prev = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations = prev :+ graft.functions.RewriteSortedOverlap
