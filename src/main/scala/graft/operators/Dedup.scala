@@ -1195,13 +1195,17 @@ object Dedup {
         .filter(col("__bloom")).drop("__bloom"))
     val preExact = screened
       .join(baseDig, "digest").select(col("doc_id"), col("bmatch"))
-    // consumed by the near-path exclusion and the verdict join; the EAGER
-    // barrier also fires the screen's observe() right here, so its metric
-    // is captured from preExact's just-executed plan (downstream consumers
-    // see only the truncated lineage — the metric node is gone from their
-    // plans, which is why [[lastBloomScreenStats]] is a registry read, not
-    // a capBucketsLoss-style plan walk)
-    val exact = preExact.graftCheckpoint()
+    // consumed by the near-path exclusion and the verdict join. EAGER only
+    // when the Bloom screen is on: the eager barrier fires the screen's
+    // observe() right here, so its metric is captured from preExact's
+    // just-executed plan (downstream consumers see only the truncated
+    // lineage — the metric node is gone from their plans, which is why
+    // [[lastBloomScreenStats]] is a registry read, not a capBucketsLoss-
+    // style plan walk). Without a screen there is no metric to capture and
+    // the barrier can stay LAZY (round-20): the eager incGroups checkpoint
+    // below materializes it as part of its own job — one driver-latency
+    // job less on the façade path, same blocks for both consumers.
+    val exact = preExact.graftCheckpoint(eager = digestScreen.isDefined)
     digestScreen.foreach { _ =>
       val stats = org.apache.spark.sql.GraftObservedMetrics.of(preExact.toDF())
         .collectFirst {
@@ -1278,15 +1282,26 @@ object Dedup {
       // fan the group verdict back out to every member (output-only work)
       .join(incGroups.select(col("irep"), col("members")), Seq("irep"))
       .select(explode(col("members")).as("doc_id"), col("nmatch"), col("j"))
+    // ONE verdict union + ONE left join (round-20; was two sequential left
+    // joins + a CASE): `exact` and `best` are DISJOINT on doc_id by
+    // construction — the anti join above removed every exact-matched doc
+    // from the near path — so the union can never emit two rows for one
+    // doc and the old CASE's exact-wins arbitration had nothing to
+    // arbitrate. Equivalence per branch: exact → (exact_dup, bmatch, 1.0);
+    // near → (near_dup, nmatch, j); neither → left-join nulls → (unique,
+    // null, null), exactly the old otherwise/coalesce values. One join
+    // stage (and its AQE materialization jobs) less on a query whose warm
+    // cost is driver-latency-bound.
+    val verdicts = exact
+      .select(col("doc_id"), lit("exact_dup").as("verdict"),
+        col("bmatch").as("match_id"), lit(1.0).as("jaccard"))
+      .unionAll(best.select(col("doc_id"), lit("near_dup").as("verdict"),
+        col("nmatch").as("match_id"), col("j").as("jaccard")))
     inc.select("doc_id")
-      .join(exact, Seq("doc_id"), "left")
-      .join(best, Seq("doc_id"), "left")
+      .join(verdicts, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        when(col("bmatch").isNotNull, lit("exact_dup"))
-          .when(col("nmatch").isNotNull, lit("near_dup"))
-          .otherwise(lit("unique")).as("verdict"),
-        coalesce(col("bmatch"), col("nmatch")).as("match_id"),
-        when(col("bmatch").isNotNull, lit(1.0)).otherwise(col("j")).as("jaccard"))
+        coalesce(col("verdict"), lit("unique")).as("verdict"),
+        col("match_id"), col("jaccard"))
       .orderBy("doc_id")
   }
 
