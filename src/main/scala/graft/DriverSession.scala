@@ -56,6 +56,24 @@ private[graft] object DriverSession {
       // tune. Overridable via SPARK_GRAFT_AQE_MIN_PARTITION.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
+      // Whole-stage-codegen bailout threshold, aligned with the JVM's real
+      // JIT boundary: HotSpot refuses to compile methods over 8000 bytecodes
+      // (-XX:HugeMethodLimit, not configurable in production), so a fused
+      // consume method past that runs in the BYTECODE INTERPRETER — measured
+      // here: the IVFPQ search stage (encode + ADC + top-k fused over the
+      // coded corpus) burned 1.5 ms/row interpreted, and forcing the JIT
+      // (-XX:-DontCompileHugeMethods) dropped ann_ivfpq at a 100× replica
+      // from 11.9 s to 3.9 s warm. Spark's own bailout (fall back to
+      // per-operator execution with small, JIT-able methods) only fires
+      // above spark.sql.codegen.hugeMethodLimit, whose 65535 default
+      // tolerates methods the JVM will never compile; 8000 makes the
+      // bailout fire exactly when fusion would de-JIT the stage (ann_ivfpq
+      // 11.9 -> 5.2 s at 100×, ann_pq/embed_pq/decon_bm25 -15..-19 % at
+      // sf0.1, nothing slower). Scale-independent: the threshold compares
+      // generated-code size, not data size. SPARK_GRAFT_CODEGEN_HUGE_LIMIT
+      // overrides for experiments.
+      .config("spark.sql.codegen.hugeMethodLimit",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_HUGE_LIMIT", "8000"))
     sys.env.get("SPARK_GRAFT_AQE")
       .foreach(v => b.config("spark.sql.adaptive.enabled", v))
     val s = b.getOrCreate()
