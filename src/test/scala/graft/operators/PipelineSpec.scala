@@ -2339,7 +2339,8 @@ class PipelineSpec extends AnyFunSuite {
     // row-scale state on a hot group); the documented production swap is
     // approx_percentile, kept OUT of the declared query so every emitted
     // column stays oracle-exact.
-    val hot = spark.range(400000L)
+    val hotN = 200000L
+    val hot = spark.range(hotN)
       .select(lit("H").as("g"), ((col("id") % 50) + 1).cast("double").as("v"))
     val cold = spark.range(100L)
       .select(lit("C").as("g"), ((col("id") % 7) + 1).cast("double").as("v"))
@@ -2347,20 +2348,21 @@ class PipelineSpec extends AnyFunSuite {
       .agg(percentile(col("v"), lit(0.5)).as("p50"),
         percentile(col("v"), lit(0.95)).as("p95"))
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    def exactRef(n: Long, distinct: Int, p: Double): Double = {
-      // values are (id % distinct) + 1, each appearing n/distinct times
-      val vals = (0L until n).map(i => (i % distinct + 1).toDouble).sorted
+    def exactRef(vals: IndexedSeq[Double], p: Double): Double = {
       val pos = p * (vals.length - 1)
       val lo = pos.toInt
       val frac = pos - lo
       if (lo + 1 < vals.length) vals(lo) * (1 - frac) + vals(lo + 1) * frac
       else vals(lo)
     }
-    assert(got("H")._1 == exactRef(400000L, 50, 0.5) &&
-      got("H")._2 == exactRef(400000L, 50, 0.95),
+    // values are (id % distinct) + 1, each appearing n/distinct times
+    val hotVals = (0L until hotN).map(i => (i % 50 + 1).toDouble).sorted
+    val coldVals = (0L until 100L).map(i => (i % 7 + 1).toDouble).sorted
+    assert(got("H")._1 == exactRef(hotVals, 0.5) &&
+      got("H")._2 == exactRef(hotVals, 0.95),
       s"hot-group exact percentile drifted: ${got("H")}")
-    assert(got("C")._1 == exactRef(100L, 7, 0.5) &&
-      got("C")._2 == exactRef(100L, 7, 0.95))
+    assert(got("C")._1 == exactRef(coldVals, 0.5) &&
+      got("C")._2 == exactRef(coldVals, 0.95))
     // Part 2 — the documented swap: approx_percentile over the same
     // lineitem groups sits within 0.5% rank of q30's exact values (GK at
     // accuracy=1000 guarantees 0.1%), so the scale variant is a drop-in.
@@ -2377,11 +2379,21 @@ class PipelineSpec extends AnyFunSuite {
     approxQ.foreach { case (g, (a50, a95)) =>
       val qs = li.filter(col("l_returnflag") === g)
         .select(col("l_quantity").cast("double")).as[Double].collect().sorted
-      def rank(v: Double): Double = qs.count(_ <= v).toDouble / qs.length
-      assert(math.abs(rank(a50) - 0.5) <= 0.005,
-        s"$g p50 approx $a50 at rank ${rank(a50)} (exact ${exactQ(g)._1})")
-      assert(math.abs(rank(a95) - 0.95) <= 0.005 || a95 == qs.last,
-        s"$g p95 approx $a95 at rank ${rank(a95)} (exact ${exactQ(g)._2})")
+      // l_quantity is DISCRETE (50 integer values), so a returned value's
+      // rank is an INTERVAL [P(v < est), P(v <= est)] — with heavy ties the
+      // estimate at the requested rank spans several percent of positions.
+      // GK's guarantee is that the requested rank falls inside that
+      // interval (± the 1/accuracy rank error), not that the upper count
+      // sits near it.
+      def rankOk(v: Double, p: Double): Boolean = {
+        val lo = qs.count(_ < v).toDouble / qs.length
+        val hi = qs.count(_ <= v).toDouble / qs.length
+        p >= lo - 0.005 && p <= hi + 0.005
+      }
+      assert(rankOk(a50, 0.5),
+        s"$g p50 approx $a50 outside its rank interval (exact ${exactQ(g)._1})")
+      assert(rankOk(a95, 0.95),
+        s"$g p95 approx $a95 outside its rank interval (exact ${exactQ(g)._2})")
     }
   }
 
